@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+the raw tables in <sfDir>, and compares: schema (column names sorted),
+row count, and cell values (sorted columns, exact equality; floats via
+repr after float() coercion).
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(round(v, 9))
+            else:
+                v = repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            s_cols = [c for c in spark_rel.columns]
+            s_rows = spark_rel.fetchall()
+            o_rel = con.sql(oracles[name])
+            o_cols = [c for c in o_rel.columns]
+            o_rows = o_rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: exec error: {ex}"); n_fail += 1; continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            n_fail += 1; continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1; continue
+        cs, co = canon(s_rows, s_cols), canon(o_rows, o_cols)
+        if cs != co:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(cs, co)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(s_rows)} rows)")
+        n_pass += 1
+    # queries without oracle: report rows-only
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracles:
+            n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+main()

@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Events, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
+  * (oracle-parity rules). Every operator claimed done in SURVEY.md has a
+  * `queries` entry; SQL-expressible ones also have an `oracleSql` entry
+  * that DuckDB runs over the same parquet tables.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q17MultiJoinChain(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 relational
+    "q1_agg"                 -> (Relational.q1Agg _),
+    "q2_filter_project"      -> (Relational.q2FilterProject _),
+    "q3_join_agg"            -> (Relational.q3JoinAgg _),
+    "q4_broadcast_join"      -> (Relational.q4BroadcastJoin _),
+    "q5_semi_join"           -> (Relational.q5SemiJoin _),
+    "q6_anti_join"           -> (Relational.q6AntiJoin _),
+    "q7_window"              -> (Relational.q7Window _),
+    "q8_distinct"            -> (Relational.q8Distinct _),
+    "q9_topk_group"          -> (Relational.q9TopkGroup _),
+    "q10_rollup"             -> (Relational.q10Rollup _),
+    "q11_percentile"         -> (Relational.q11Percentile _),
+    "q12_setops"             -> (Relational.q12Setops _),
+    "q13_conditional_agg"    -> (Relational.q13ConditionalAgg _),
+    "q14_string_funcs"       -> (Relational.q14StringFuncs _),
+    "q15_casts_nulls"        -> (Relational.q15CastsNulls _),
+    "q16_correlated_subquery" -> (Relational.q16CorrelatedSubquery _),
+    "q17_multi_join_chain"   -> (Relational.q17MultiJoinChain _),
+    "q18_having"             -> (Relational.q18Having _),
+    // §2.2 events
+    "e1_time_bucket"         -> (Events.e1TimeBucket _),
+    "e2_sessionize"          -> (Events.e2Sessionize _),
+    "e3_json_extract"        -> (Events.e3JsonExtract _),
+    "e4_funnel"              -> (Events.e4Funnel _),
+    "e5_retention"           -> (Events.e5Retention _),
+    "e6_dedup_latest"        -> (Events.e6DedupLatest _)
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
+    * names, same rounding, same ORDER BY — SURVEY.md §6).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'MACHINERY'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, running_qty FROM (
+        | SELECT l_suppkey, l_orderkey,
+        |  row_number() OVER w AS rn,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+    "q8_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin,
+    "q9_topk_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, price FROM (
+        | SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),2) AS med_price,
+        | round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price,
+        | round(quantile_cont(l_quantity, 0.25),2) AS p25_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_setops" ->
+      """SELECT nk, tag FROM (
+        | SELECT nk, 'both' AS tag FROM
+        |  (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |   INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        | UNION ALL
+        | SELECT nk, 'customer_only' AS tag FROM
+        |  (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |) ORDER BY tag, nk""".stripMargin,
+    "q13_conditional_agg" ->
+      """SELECT c_nationkey,
+        | round(sum(CASE WHEN c_mktsegment='BUILDING' THEN c_acctbal ELSE 0 END),2) AS building_bal,
+        | CAST(sum(CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery,
+        | CAST(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_auto,
+        | count(*) AS n_total
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS ub, substr(p_name,1,8) AS prefix8,
+        | length(p_name) AS name_len,
+        | p_brand || '#' || p_type AS tag,
+        | replace(p_name, ' ', '_') AS snake
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q15_casts_nulls" ->
+      """SELECT o_orderkey,
+        | CAST(floor(o_totalprice/1000) AS BIGINT) AS price_k,
+        | coalesce(nullif(o_orderstatus,'O'),'OPEN') AS status_alt,
+        | CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q16_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal,2) AS ab FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_multi_join_chain" ->
+      """SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1 HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    // §2.2 events — oracles truncate ts to microseconds to match Spark's
+    // nanos→micros normalization (SURVEY.md §3/§6).
+    "e1_time_bucket" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS bucket_s,
+        | event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | epoch_us(min(ts))//1000000 AS start_s
+        |FROM s2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "e3_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(json_extract_string(props,'$.k')) AS n_with_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e4_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |agg AS (SELECT user_id,
+        |  min(CASE WHEN event_type='signup' THEN ts END) AS first_signup,
+        |  min(CASE WHEN event_type='purchase' THEN ts END) AS first_purchase
+        | FROM e GROUP BY 1)
+        |SELECT user_id,
+        | CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |       AND first_purchase > first_signup THEN 1 ELSE 0 END AS converted
+        |FROM agg ORDER BY user_id""".stripMargin,
+    "e5_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        | count(DISTINCT e.user_id) AS users
+        |FROM e JOIN cohort ON e.user_id = cohort.user_id
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "e6_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        | FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
 }

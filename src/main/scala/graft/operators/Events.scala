@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** §2.2 event / time-series operators over the `events` table.
+  *
+  * `Tables.events` normalizes the nanosecond parquet timestamps to
+  * microsecond TimestampType (see SURVEY.md §3); the DuckDB oracles
+  * apply `date_trunc('microseconds', ts)` so both engines do arithmetic
+  * on identical microsecond instants.
+  */
+object Events {
+
+  /** Tumbling time-bucket aggregation (hourly). Bucket emitted as epoch
+    * seconds — integer-comparable across engines.
+    */
+  def e1TimeBucket(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("bucket_s", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity) via lag + running sum.
+    * The batch analogue of the streaming session window; at 100 TB this is
+    * one shuffle on user_id and two window passes over sorted partitions.
+    */
+  def e2Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select("user_id", "event_id", "ts")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "nf",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0)
+      )
+      .withColumn("session_id", sum("nf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), expr("unix_micros(min(ts)) div 1000000").as("start_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction from the `props` column. */
+  def e3JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  /** Ordered funnel: users whose first purchase follows their first signup. */
+  def e4Funnel(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase")
+      )
+      .select(
+        col("user_id"),
+        when(
+          col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+            col("first_purchase") > col("first_signup"),
+          1
+        ).otherwise(0).as("converted")
+      )
+      .orderBy("user_id")
+
+  /** Cohort retention: first-seen day × day-offset distinct users. */
+  def e5Retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Latest-event-per-key dedup (the "upsert view" of an append log). */
+  def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+}

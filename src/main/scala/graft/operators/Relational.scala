@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** §2.1 relational / OLAP operator set over the TPC-H-ish tables.
+  *
+  * Every query is a declarative DataFrame plan: filters/projections reach
+  * the parquet scan (PushedFilters/ReadSchema), aggregations get map-side
+  * partial aggregation for free, dimension joins are explicitly
+  * `broadcast()` so no shuffle of the fact side is wasted on a small dim.
+  *
+  * Oracle-parity conventions (see SURVEY.md §6): every computed column is
+  * aliased identically to the DuckDB SQL in `SparkEntry.oracleSql`,
+  * floating aggregates are rounded, and output ordering is fully
+  * deterministic (all-column ORDER BY).
+  */
+object Relational {
+
+  private def ts(lit0: String) = to_timestamp(lit(lit0))
+
+  /** Q1-pattern pricing summary: multi-key groupBy, sum/avg/count. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6-pattern: selective filter + narrow projection, all pushed to scan. */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 25
+      )
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** Q3-pattern: 3-way join + grouped revenue. customer dim broadcast. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1996-01-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1996-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+  }
+
+  /** Star join with broadcast dims: revenue per nation within one region. */
+  def q4BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** Left-semi (EXISTS): customers with ≥1 late order. */
+  def q5SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.orders(s, d).filter(col("o_orderdate") >= ts("2000-01-01"))
+    Tables
+      .customer(s, d)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .join(late, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti (NOT EXISTS): customers with no late order. */
+  def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.orders(s, d).filter(col("o_orderdate") >= ts("2000-01-01"))
+    Tables
+      .customer(s, d)
+      .join(late, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Windows: row_number + running sum per supplier, first 5 rows each. */
+  def q7Window(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "running_qty",
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+      )
+      .filter(col("rn") <= 5)
+      .select("l_suppkey", "rn", "l_orderkey", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Distinct counting (exact). */
+  def q8Distinct(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_quantity") > 10)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders")
+      )
+
+  /** Per-group top-k via ranking window. */
+  def q9TopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** ROLLUP subtotals; grouping keys coalesced to 'ALL' for the subtotal rows. */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("n")
+      )
+      .orderBy("rf", "ls")
+
+  /** Exact interpolated percentiles per group (DuckDB quantile_cont parity). */
+  def q11Percentile(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.9D)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25D)"), 2).as("p25_qty")
+      )
+      .orderBy("l_returnflag")
+
+  /** Set operations: INTERSECT / EXCEPT over nation keys. */
+  def q12Setops(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+    val both  = cn.intersect(sn).withColumn("tag", lit("both"))
+    val conly = cn.except(sn).withColumn("tag", lit("customer_only"))
+    both.unionAll(conly).select("nk", "tag").orderBy("tag", "nk")
+  }
+
+  /** Pivot-style conditional aggregation. */
+  def q13ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        round(sum(when(col("c_mktsegment") === "BUILDING", col("c_acctbal")).otherwise(0.0)), 2)
+          .as("building_bal"),
+        sum(when(col("c_mktsegment") === "MACHINERY", 1).otherwise(0)).cast("long").as("n_machinery"),
+        sum(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0)).cast("long").as("n_auto"),
+        count(lit(1)).as("n_total")
+      )
+      .orderBy("c_nationkey")
+
+  /** String function battery (semantics shared with ANSI SQL / DuckDB). */
+  def q14StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+        regexp_replace(col("p_name"), " ", "_").as("snake")
+      )
+      .orderBy("p_partkey")
+
+  /** Casts / null semantics: floor-div, NULLIF/COALESCE, timestamp→date. */
+  def q15CastsNulls(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_alt"),
+        col("o_orderdate").cast("date").as("od")
+      )
+      .orderBy("o_orderkey")
+
+  /** Correlated-aggregate pattern: customers above their nation's average
+    * balance. Declared as a broadcast join against the per-nation aggregate
+    * (the distributed form of the correlated scalar subquery).
+    */
+  def q16CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val nationAvg = c.groupBy(col("c_nationkey").as("nk")).agg(avg("c_acctbal").as("nation_avg"))
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("ab"))
+      .orderBy("c_custkey")
+  }
+
+  /** 5-table chain join: revenue per region. Dims broadcast, facts shuffle. */
+  def q17MultiJoinChain(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("r_name")
+
+  /** HAVING: post-aggregation filter. */
+  def q18Having(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+}
