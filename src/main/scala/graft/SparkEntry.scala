@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Relational}
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle-parity rules). Every operator claimed done in SURVEY.md has a
@@ -41,7 +41,24 @@ object SparkEntry {
     "e3_json_extract"        -> (Events.e3JsonExtract _),
     "e4_funnel"              -> (Events.e4Funnel _),
     "e5_retention"           -> (Events.e5Retention _),
-    "e6_dedup_latest"        -> (Events.e6DedupLatest _)
+    "e6_dedup_latest"        -> (Events.e6DedupLatest _),
+    // §2.4 dedup
+    "d1_dedup_exact"         -> (Dedup.d1DedupExact _),
+    "d2_dedup_minhash_lsh"   -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
+    "d3_dedup_simhash"       -> ((s, d) => Dedup.d3Simhash(s, d)),
+    "d4_ngram_jaccard"       -> ((s, d) => Dedup.d4NgramJaccard(s, d)),
+    "d5_dedup_embedding"     -> ((s, d) => Dedup.d5DedupEmbedding(s, d)),
+    // §2.5 similarity
+    "v1_knn_brute"           -> ((s, d) => Similarity.v1KnnBrute(s, d)),
+    "v2_knn_lsh"             -> ((s, d) => Similarity.v2KnnLsh(s, d)),
+    "v3_vector_stats"        -> (Similarity.v3VectorStats _),
+    // §2.6 text analysis
+    "t1_lang_id"             -> (TextAnalysis.t1LangId _),
+    "t2_quality_score"       -> (TextAnalysis.t2QualityScore _),
+    "t3_token_count"         -> (TextAnalysis.t3TokenCount _),
+    "t4_fingerprint"         -> (TextAnalysis.t4Fingerprint _),
+    "t4_fingerprint_rolling" -> (TextAnalysis.t4FingerprintRolling _),
+    "t5_ngram_freq"          -> (TextAnalysis.t5NgramFreq _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -142,7 +159,7 @@ object SparkEntry {
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS ub, substr(p_name,1,8) AS prefix8,
-        | length(p_name) AS name_len,
+        | CAST(length(p_name) AS INT) AS name_len,
         | p_brand || '#' || p_type AS tag,
         | replace(p_name, ' ', '_') AS snake
         |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
@@ -215,6 +232,87 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
-        |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // §2.4 dedup (d2's oracle is the EXACT τ=0.5 pair set — the LSH path
+    // is deterministic and its verify stage makes it equal to exact).
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "d2_dedup_minhash_lsh" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3 AND doc_id < 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // §2.5 similarity
+    "v1_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+        |sc AS (SELECT q_id, c_id,
+        |  list_dot_product(q_emb, c_emb)
+        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+        | FROM c JOIN q ON c_id <> q_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+        |SELECT q_id, rn, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+    "v3_vector_stats" ->
+      """WITH e AS (SELECT label, CAST(len(embedding) AS INT) AS dim,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
+        |SELECT label, count(*) AS n, min(dim) AS min_dim, max(dim) AS max_dim,
+        | round(avg(nrm), 4) AS avg_norm, round(min(nrm), 4) AS min_norm,
+        | round(max(nrm), 4) AS max_norm
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // §2.6 text analysis
+    "t2_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, CAST(len(tk) AS INT) AS n_tokens,
+        | round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / greatest(len(tk), 1), 4) AS avg_tok_len,
+        | round(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / greatest(len(tk), 1), 4) AS stop_ratio,
+        | round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS distinct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS INT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_ngram_freq" ->
+      """SELECT bg, count(*) AS n FROM (
+        | SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+        | FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents))
+        |GROUP BY bg ORDER BY n DESC, bg""".stripMargin
   )
 }

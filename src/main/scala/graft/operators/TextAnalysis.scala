@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** §2.6 text analysis over the `documents` corpus. All per-document maps
+  * (no shuffle except the final t5 count) built from codegen'd array
+  * lambdas — the shapes that stay cheap when `documents` is 100 TB.
+  */
+object TextAnalysis {
+
+  /** Heuristic language ID (stopword-profile argmax). */
+  def t1LangId(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_meta"), TF.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: char/token counts, mean token length, stopword
+    * ratio, distinct-token ratio.
+    */
+  def t2QualityScore(s: SparkSession, d: String): DataFrame = {
+    val tk = TF.tokens(col("text"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(tk).as("n_tokens"),
+        round(
+          aggregate(tk, lit(0L), (a, x) => a + length(x)).cast("double") /
+            greatest(size(tk), lit(1)),
+          4
+        ).as("avg_tok_len"),
+        round(
+          size(filter(tk, t => t.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double") /
+            greatest(size(tk), lit(1)),
+          4
+        ).as("stop_ratio"),
+        round(size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1)), 4)
+          .as("distinct_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def t3TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_ws_tokens"),
+        size(TF.regexTokens(col("text"))).as("n_re_tokens")
+      )
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: cryptographic (md5) for the oracle-checked
+    * surface; the order-sensitive rolling hash is exercised in tests
+    * (not ANSI-SQL-expressible).
+    */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"), length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint variant (rows-only; order-sensitive). */
+  def t4FingerprintRolling(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.rollingFingerprint(TF.tokens(col("text"))).as("fp_roll"))
+      .orderBy("doc_id")
+
+  /** Corpus bigram frequency: per-doc bigram arrays explode into a single
+    * count shuffle (map-side partial agg keeps it one small exchange).
+    */
+  def t5NgramFreq(s: SparkSession, d: String): DataFrame = {
+    val tk = TF.tokens(col("text"))
+    val bigrams = when(
+      size(tk) >= 2,
+      transform(
+        sequence(lit(0), size(tk) - 2),
+        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))
+      )
+    ).otherwise(array().cast("array<string>"))
+    Tables
+      .documents(s, d)
+      .select(explode(bigrams).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bg"))
+  }
+}
