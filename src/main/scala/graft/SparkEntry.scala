@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, StreamingBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle-parity rules). Every operator claimed done in SURVEY.md has a
@@ -58,7 +58,13 @@ object SparkEntry {
     "t3_token_count"         -> (TextAnalysis.t3TokenCount _),
     "t4_fingerprint"         -> (TextAnalysis.t4Fingerprint _),
     "t4_fingerprint_rolling" -> (TextAnalysis.t4FingerprintRolling _),
-    "t5_ngram_freq"          -> (TextAnalysis.t5NgramFreq _)
+    "t5_ngram_freq"          -> (TextAnalysis.t5NgramFreq _),
+    // §2.3 streaming (one-shot AvailableNow harnesses; s3/s4 are
+    // ScalaTest-only — their semantics need multi-batch state)
+    "s1_ingest_parquet"      -> (StreamingBatch.s1IngestParquet _),
+    "s2_stream_window_agg"   -> (StreamingBatch.s2StreamWindowAgg _),
+    // §2.7 multimodal
+    "m1_binary_meta"         -> (Multimodal.m1BinaryMeta _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -313,6 +319,24 @@ object SparkEntry {
       """SELECT bg, count(*) AS n FROM (
         | SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
         | FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents))
-        |GROUP BY bg ORDER BY n DESC, bg""".stripMargin
+        |GROUP BY bg ORDER BY n DESC, bg""".stripMargin,
+    // §2.3 streaming: the landed data must aggregate to what DuckDB
+    // computes straight from the source table.
+    "s1_ingest_parquet" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "s2_stream_window_agg" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS bucket_s,
+        | event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // §2.7 multimodal (metadata fields are the deterministic fake-decode)
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(32 + octet_length(encode(text)) % 64 AS INT) AS w,
+        | CAST(32 + (octet_length(encode(text)) * 7) % 64 AS INT) AS h,
+        | CAST(1 + doc_id % 5 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.7 multimodal column plumbing.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata; the Spark
+  * side (schema, partitioning, batch shape, column pruning) is real. The
+  * actual codec work (image decode, resampling) needs native libs that
+  * are NOT in this container — the decode step is a clearly-marked
+  * deterministic fake deriving pseudo-metadata from the bytes, so the
+  * pipeline shape is fully testable and swap-in-able for a real decoder.
+  */
+object Multimodal {
+
+  /** Binary payload + metadata extraction; the derived fields stand in
+    * for decoded media properties (width/height/frames).
+    */
+  def m1BinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        // FAKE-DECODE: deterministic stand-ins for real media metadata.
+        (lit(32) + pmod(length(col("payload")), lit(64))).as("w"),
+        (lit(32) + pmod(length(col("payload")) * 7, lit(64))).as("h"),
+        (lit(1) + pmod(col("doc_id"), lit(5)).cast("int")).as("n_frames")
+      )
+      .orderBy("doc_id")
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  /** The per-partition "decode + featurize" stage: the shape a real
+    * decoder plugs into (iterator-to-iterator, no per-row JVM↔native
+    * churn, constant memory). Feature extraction here is a deterministic
+    * fake (byte-sum folds), clearly marked.
+    */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // FAKE-DECODE: real impl would decode media and run a featurizer.
+        val feats = Array.tabulate(dim) { i =>
+          var acc = 17L + i
+          var j = i
+          while (j < m.payload.length) { acc = acc * 31 + (m.payload(j) & 0xff); j += dim }
+          (acc % 1000L).toFloat / 1000f
+        }
+        MediaFeatures(m.doc_id, m.payload.length, feats)
+      }
+    }
+  }
+}

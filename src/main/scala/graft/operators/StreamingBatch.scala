@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{StreamIngest, Tables}
+import graft.streaming.StreamOps
+
+/** One-shot (Trigger.AvailableNow) harnesses that run the §2.3 streaming
+  * pipeline end-to-end and return the landed result as a DataFrame, so
+  * the streaming path participates in the same oracle gate as the batch
+  * operators: the landed data must aggregate to exactly what DuckDB
+  * computes from the source table.
+  */
+object StreamingBatch {
+
+  val eventSchema: StructType = StructType(
+    Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)
+    )
+  )
+
+  /** Stage the events table as JSON-lines (the wire format a khose-style
+    * pipeline consumes) and return the staging dir.
+    */
+  private def stageJson(s: SparkSession, d: String): String = {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    Tables.events(s, d).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
+    dir
+  }
+
+  /** s1: JSON-lines → StreamIngest → time-partitioned parquet → re-read
+    * and aggregate per partition. Exercises parse, corrupt-handling,
+    * dt/hr partitioning, and the file-sink commit protocol.
+    */
+  def s1IngestParquet(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val q = StreamIngest.run(
+      s,
+      StreamIngest.IngestConfig(
+        source = StreamIngest.FileSource(s"$dir/json"),
+        schema = eventSchema,
+        tsColumn = "ts",
+        outputPath = s"$dir/out",
+        checkpointPath = s"$dir/ck"
+      )
+    )
+    q.awaitTermination()
+    s.read
+      .parquet(s"$dir/out")
+      // partition dirs type-infer on re-read; pin the comparison types
+      .groupBy(col("dt").cast("date").as("dt"), col("hr").cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt", "hr")
+  }
+
+  /** s2: watermarked tumbling-window aggregation over the stream, landed
+    * via AvailableNow and compared against the batch hourly rollup.
+    */
+  def s2StreamWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 16).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val name = "graft_s2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps
+      .windowAgg(stream)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        unix_timestamp(col("bucket_start")).as("bucket_s"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+      .orderBy("bucket_s", "event_type")
+  }
+}

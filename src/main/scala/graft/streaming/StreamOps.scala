@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** §2.3 stateful streaming operators. All take an unbounded DataFrame
+  * (from `readStream`) and return a transformed streaming DataFrame; the
+  * caller picks sink + trigger. Watermarks bound state for out-of-order
+  * data — state size is O(open windows / open sessions), not O(stream).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation: the streaming analogue of
+    * Events.e1TimeBucket.
+    */
+  def windowAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  /** Streaming exact dedup on a key within the watermark horizon —
+    * dropDuplicates backed by state, the streaming form of d1.
+    */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState with
+    * EVENT-time timeouts: a session closes either in-batch (a later event
+    * arrives past the gap) or when the watermark passes last+gap.
+    * Event-time (not processing-time) keeps the query quiescent between
+    * batches — no empty-batch churn — and makes results replay-
+    * deterministic. State per user is O(1) — start/last/count.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(
+        userId: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]
+    ): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.start / 1000, s.last / 1000, s.n))
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(st) if t - st.last <= gapMs =>
+              cur = Some(st.copy(last = t, n = st.n + 1))
+            case Some(st) =>
+              closed ::= SessionOut(userId, st.start / 1000, st.last / 1000, st.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          // must be strictly beyond the current watermark
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, StreamingBatch}
+import graft.sources.{StreamIngest, Tables}
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("s1 ingest lands every event, partitioned by dt/hr, corrupt-tolerant") {
+    val dir = Files.createTempDirectory("graft_s1_test_").toString
+    // stage JSON lines + 2 corrupt lines
+    Tables.events(spark, sf).toJSON.coalesce(2).write.mode("overwrite").text(s"$dir/json")
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/json/corrupt.txt"),
+      "not json at all\n{\"event_id\": \"badtype\"}\n"
+    )
+    val q = StreamIngest.run(
+      spark,
+      StreamIngest.IngestConfig(
+        StreamIngest.FileSource(s"$dir/json"),
+        StreamingBatch.eventSchema,
+        "ts",
+        s"$dir/out",
+        s"$dir/ck"
+      )
+    )
+    q.awaitTermination()
+    val landed = spark.read.parquet(s"$dir/out")
+    val nEvents = Tables.events(spark, sf).count()
+    assert(landed.filter(col("event_id").isNotNull).count() == nEvents)
+    // corrupt rows are captured, not dropped
+    assert(landed.filter(col("_corrupt").isNotNull).count() >= 1)
+    // physical layout is dt=/hr= partitioned
+    assert(new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("dt=")))
+  }
+
+  test("s1 ORC sink variant lands the same rows") {
+    val dir = Files.createTempDirectory("graft_s1_orc_").toString
+    Tables.events(spark, sf).limit(300).toJSON.coalesce(1).write.mode("overwrite").text(s"$dir/json")
+    val q = StreamIngest.run(
+      spark,
+      StreamIngest.IngestConfig(
+        StreamIngest.FileSource(s"$dir/json"),
+        StreamingBatch.eventSchema,
+        "ts",
+        s"$dir/out",
+        s"$dir/ck",
+        format = "orc"
+      )
+    )
+    q.awaitTermination()
+    assert(spark.read.orc(s"$dir/out").count() == 300)
+  }
+
+  test("s3 streaming dedup keeps one row per key across duplicated input") {
+    val dir = Files.createTempDirectory("graft_s3_test_").toString
+    val ev = Tables.events(spark, sf).limit(200)
+    ev.unionAll(ev).toJSON.coalesce(1).write.mode("overwrite").text(s"$dir/json")
+    val stream = StreamIngest.parsed(
+      spark.readStream.text(s"$dir/json"),
+      StreamingBatch.eventSchema,
+      "ts"
+    )
+    val name = "s3_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps
+      .streamingDedup(stream.filter(col("event_id").isNotNull), Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).count() == 200)
+  }
+
+  test("s4 stateful sessionization closes sessions in-batch and via watermark timeout") {
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.SessionEvent](spark, 1)
+    val base = 1700000000000L
+    val name = "s4_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps
+      .sessionize(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    // batch 1: user 1 burst of 2; user 2 burst of 1 — nothing closes yet
+    input.addData(
+      StreamOps.SessionEvent(1L, new Timestamp(base)),
+      StreamOps.SessionEvent(1L, new Timestamp(base + 60000)),
+      StreamOps.SessionEvent(2L, new Timestamp(base))
+    )
+    q.processAllAvailable()
+    // batch 2: user 1 event past the 30-min gap — closes user 1's first
+    // session in-batch AND advances the watermark past user 2's timeout
+    input.addData(StreamOps.SessionEvent(1L, new Timestamp(base + 100 * 60000)))
+    q.processAllAvailable()
+    // batch 3: any event lets the engine evaluate pending event-time timeouts
+    input.addData(StreamOps.SessionEvent(3L, new Timestamp(base + 101 * 60000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).as[StreamOps.SessionOut].collect()
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length == 1 && u1.head.n_events == 2L) // closed by in-batch gap
+    val u2 = rows.filter(_.user_id == 2L)
+    assert(u2.length == 1 && u2.head.n_events == 1L) // closed by event-time timeout
+  }
+
+  test("m1 decodeFeatures: iterator-shaped fake decode is deterministic") {
+    import spark.implicits._
+    val media = Tables
+      .documents(spark, sf)
+      .limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRow]
+    val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.length == 50)
+    assert(a.forall(_.features.length == 8))
+    assert(a.zip(b).forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+}
