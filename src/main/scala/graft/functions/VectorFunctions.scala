@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product in double precision — the codegen'd [[graft.plans.FloatVecDot]]
+    * expression (tight loop, no intermediate array).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftExpressions.dotF(a, b)
+
+  /** Composed-built-ins reference implementation of [[dot]] (identical
+    * accumulation order; kept for differential testing).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -24,7 +31,9 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (|a| * |b|) — same association order as the
-    * oracle SQL (`/ (sqrt(..) * sqrt(..))`).
+    * oracle SQL (`/ (sqrt(..) * sqrt(..))`). For pair joins prefer
+    * precomputing per-side squared norms once (see Dedup.d5 / Similarity)
+    * instead of recomputing both norms per pair.
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -35,9 +44,9 @@ object VectorFunctions {
     * approximate search (candidates restricted to one bucket instead of
     * a full cross join).
     */
-  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column = {
+  def lshBucket(v: Column, planes: Seq[Array[Float]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.map(lit): _*).cast("array<float>")
       when(dot(v, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -46,8 +55,8 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplanes (fixed seed — stable across
     * runs and executors; the planes ship to executors as literals).
     */
-  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 }

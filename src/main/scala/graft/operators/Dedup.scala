@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF}
+import graft.plans.GraftExpressions
 
 /** §2.4 deduplication operators over the `documents` corpus.
   *
@@ -12,6 +13,9 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * capped — at 100 TB the production path is [[d2MinhashLsh]] /
   * [[d3Simhash]], whose candidate generation is a bucket equi-join
   * (shuffle keyed on (band, hash)), i.e. O(near-dup pairs), not O(n²).
+  * Candidate joins carry doc ids only (shingle arrays are re-joined just
+  * for the verified candidates), so the wide arrays never ride the
+  * candidate shuffle.
   */
 object Dedup {
 
@@ -25,68 +29,84 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .orderBy("h")
 
+  /** doc_id → sorted distinct shingle-hash array (one-pass custom
+    * expression; composed string shingling — TF.wordShingles — collapses
+    * its token subexpression back into the lambda and re-splits per
+    * element, ~50× slower, and ships strings through every shuffle).
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)
-      .select(col("doc_id"), TF.wordShingles(TF.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), GraftExpressions.shingleHashes(split(col("text"), " "), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** jaccard = |∩| / (|a|+|b|-|∩|): one merge-walk intersection per pair
+    * over the sorted hash arrays (identical value to string-set Jaccard
+    * modulo 64-bit hash collisions — the oracle equality check covers it).
+    */
+  private def withJaccard(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("ji", GraftExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn(
+        "jaccard",
+        round(col("ji").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("ji")), 4)
+      )
 
   /** MinHash + LSH banding near-dup detection.
     *
-    * signature: 64 min-hashes (salted xxhash64); bands: 32 bands × 2 rows
-    * (collision threshold ≈ (1/32)^(1/2) ≈ 0.18 — recall ≥ 1-1e-4 for
-    * jaccard ≥ 0.5). Candidates come from an equi-join on
-    * (band, hash(band rows)); each candidate pair is then exact-verified
-    * with true shingle Jaccard and kept at ≥ 0.5. Deterministic (no RNG at
-    * runtime), so the output equals the exact τ=0.5 pair set — the DuckDB
-    * oracle computes that exactly.
-    *
-    * At 100 TB: tune bands/rows to the target threshold, the band join is
-    * the only shuffle, and verification joins shingle sets only for
-    * candidates.
+    * signature: 64 min-hashes in one pass over the shingle set (custom
+    * [[graft.plans.MinHashSig]] expression — each shingle hashed once,
+    * k-slot remix is integer ops); bands: 32 bands × 2 rows (collision
+    * threshold ≈ (1/32)^(1/2) ≈ 0.18). Candidates come from an equi-join
+    * on (band, band-hash) carrying doc ids ONLY; shingle sets are joined
+    * back just for candidates, which are exact-verified with true Jaccard
+    * and kept at ≥ 0.5. Deterministic (no runtime RNG), so the output
+    * equals the exact τ=0.5 pair set — the DuckDB oracle computes that
+    * exactly.
     */
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val nHashes = 64
     val rowsPerBand = 2
     val nBands = nHashes / rowsPerBand
 
-    val sig = shingled(s, d).select(
-      col("doc_id"),
-      col("sh"),
-      TF.minhashSignature(col("sh"), nHashes).as("sig")
-    )
+    val sh = shingled(s, d)
+    val banded = sh
+      .select(col("doc_id"), GraftExpressions.minhashFromHashes(col("sh"), nHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(nBands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+          )
+        ).as(Seq("band", "bh"))
+      )
 
-    val banded = sig.select(
-      col("doc_id"),
-      col("sh"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(nBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
-        )
-      ).as(Seq("band", "bh"))
-    )
-
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = l
+      .join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .distinct() // a pair may collide in several bands
-      .withColumn("jaccard", round(TF.jaccard(col("sh_a"), col("sh_b")), 4))
+
+    val pairs = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withJaccard(pairs)
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup: 64-bit signature, candidates via 4×16-bit band join
-    * (any pair at hamming ≤ 3 must agree on ≥1 of 4 bands), verified by
-    * exact hamming distance.
+  /** SimHash near-dup: 64-bit signature (one-pass custom expression),
+    * candidates via 4×16-bit band join (any pair at hamming ≤ 3 must
+    * agree on ≥1 of 4 bands), verified by exact hamming distance.
     */
   def d3Simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val sh = Tables
       .documents(s, d)
-      .select(col("doc_id"), TF.simhash64(TF.tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), GraftExpressions.simhash64(TF.tokens(col("text"))).as("sim"))
 
     val banded = sh.select(
       col("doc_id"),
@@ -117,25 +137,31 @@ object Dedup {
     val sh = shingled(s, d).filter(col("doc_id") < cap)
     val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.crossJoin(r)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(TF.jaccard(col("sh_a"), col("sh_b")), 4))
+    withJaccard(l.crossJoin(r).filter(col("id_a") < col("id_b")))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ τ). Brute verification pass —
-    * the ANN-bucketed variant is Similarity.v2KnnLsh; double-precision
-    * sequential fold matches the oracle bit-for-bit.
+    * the ANN-bucketed variant is Similarity.v2KnnLsh. Squared norms are
+    * computed once per vector (not per pair); the dot product is the
+    * codegen'd FloatVecDot loop, bit-identical to the oracle's
+    * list_dot_product.
     */
   def d5DedupEmbedding(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
+      )
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VF.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")

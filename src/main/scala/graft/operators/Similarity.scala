@@ -21,12 +21,15 @@ object Similarity {
     * step at extreme k×n, see SURVEY.md §5).
     */
   def v1KnnBrute(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     c.join(broadcast(q), col("c_id") =!= col("q_id"))
-      .withColumn("cos", VF.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
@@ -55,16 +58,17 @@ object Similarity {
     }
     val e = Tables
       .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       .withColumn("tb", explode(array(bucketCols: _*)))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("tb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("tb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("tb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("tb"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     c.join(broadcast(q), Seq("tb"))
       .filter(col("c_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "c_id", "c_emb")
+      .select("q_id", "q_emb", "q_nrm", "c_id", "c_emb", "c_nrm")
       .dropDuplicates("q_id", "c_id") // union across tables
-      .withColumn("cos", VF.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))

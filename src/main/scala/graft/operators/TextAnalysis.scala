@@ -75,19 +75,24 @@ object TextAnalysis {
 
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single
     * count shuffle (map-side partial agg keeps it one small exchange).
+    * The token array is materialized once per row (a naive inline form
+    * re-evaluates the split per reference), and bigrams come from
+    * zip_with over two slices — no per-element element_at chains.
     */
   def t5NgramFreq(s: SparkSession, d: String): DataFrame = {
-    val tk = TF.tokens(col("text"))
-    val bigrams = when(
-      size(tk) >= 2,
-      transform(
-        sequence(lit(0), size(tk) - 2),
-        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))
-      )
-    ).otherwise(array().cast("array<string>"))
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
     Tables
       .documents(s, d)
-      .select(explode(bigrams).as("bg"))
+      .select(TF.tokens(col("text")).as("tk"))
+      .select(
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), n1),
+            slice(col("tk"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("bg")
+      )
       .groupBy("bg")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("bg"))

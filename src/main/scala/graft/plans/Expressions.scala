@@ -1,0 +1,326 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** §2.8 custom Catalyst expressions — the performance path for the
+  * operators whose composed-built-in forms allocate per element
+  * (zip_with/aggregate build intermediate arrays; salted-string MinHash
+  * concatenates per (hash, shingle)). Each expression is semantically
+  * identical to its composed counterpart; the composed forms remain in
+  * graft.functions as the reference implementation.
+  */
+object GraftExpressions {
+
+  /** Wrap an Expression as a user-facing Column (classic session). */
+  def column(e: Expression): Column = GraftColumnBridge.column(e)
+
+  def dotF(a: Column, b: Column): Column =
+    column(FloatVecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    column(MinHashSig(GraftColumnBridge.expression(shingles), k))
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    column(ShingleHashes(GraftColumnBridge.expression(tokens), k))
+
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    column(MinHashFromHashes(GraftColumnBridge.expression(hashes), k))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    column(SortedLongIntersectSize(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Dot product of two `array<float>` columns in double precision.
+  * Whole-stage-codegen'd tight loop — no intermediate array (the
+  * composed `aggregate(zip_with(...))` allocates a 64-element array per
+  * pair, which dominates d5/v1 at millions of pairs). Accumulation
+  * order is sequential left-to-right, bit-identical to the composed
+  * form and to DuckDB's `list_dot_product` oracle.
+  */
+case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FloatVecDot needs array<float> inputs, got ${left.dataType}, ${right.dataType}"
+      )
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        code"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $acc = 0.0;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+          |}
+          |${ev.value} = $acc;
+        """.stripMargin.toString
+      }
+    )
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** k-function MinHash signature over an `array<string>` shingle set in a
+  * SINGLE pass: each shingle is xxhash64'd once (seed 42, Spark's XXH64 —
+  * same family as the `xxhash64` builtin), then the k signature slots use
+  * a (a_i·h + b_i) universal-hash remix — integer ops instead of the
+  * composed form's per-(i, shingle) string concatenation (64× fewer
+  * hashes, zero allocation). Candidate-generation only: d2's exact-verify
+  * stage makes the final output independent of the hash family.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MinHashSig needs array<string>, got $other")
+    }
+
+  // deterministic odd multipliers / offsets (splitmix64 constants)
+  private val as: Array[Long] = Array.tabulate(k)(i => 0x9e3779b97f4a7c15L * (2L * i + 1L) | 1L)
+  private val bs: Array[Long] = Array.tabulate(k)(i => 0xbf58476d1ce4e5b9L * (i + 1L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var i = 0
+      while (i < k) {
+        val m = as(i) * h + bs(i)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an `array<string>` token multiset. Semantically
+  * identical to the composed form (xxhash64 seed 42 per token, bit b
+  * votes ±1, sign → bit) but one pass with an int[64] vote buffer
+  * instead of two array-valued lambda folds per token.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SimHash64 needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word-k-shingle HASHES of a token array, sorted ascending, in
+  * one pass: each token xxhash64'd once, k-gram hashes combined with an
+  * order-sensitive FNV-style fold, then sort + dedupe. Near-dup operators
+  * only ever need shingle identity (minhash remix, set intersection), so
+  * shipping 8-byte hashes instead of shingle strings removes all string
+  * allocation AND shrinks every downstream shuffle. Empty tokens are
+  * skipped (split artifacts).
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ShingleHashes needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n0 = arr.numElements()
+    // token hashes, skipping empties
+    val th = new Array[Long](n0)
+    var m = 0
+    var j = 0
+    while (j < n0) {
+      val s = arr.getUTF8String(j)
+      if (s != null && s.numBytes() > 0) {
+        th(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        m += 1
+      }
+      j += 1
+    }
+    val nsh = m - k + 1
+    if (nsh <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nsh)
+    var i = 0
+    while (i < nsh) {
+      var h = th(i)
+      var t = 1
+      while (t < k) {
+        h = h * 0x100000001b3L ^ th(i + t)
+        t += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe in place
+    var w = 1
+    i = 1
+    while (i < nsh) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over an `array<long>` of (already distinct) element
+  * hashes — the paired fast path for [[ShingleHashes]]: k-slot
+  * (a_i·h + b_i) remix per element, zero hashing, zero allocation beyond
+  * the signature itself.
+  */
+case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MinHashFromHashes needs array<long>, got $other")
+    }
+
+  private val as: Array[Long] = Array.tabulate(k)(i => 0x9e3779b97f4a7c15L * (2L * i + 1L) | 1L)
+  private val bs: Array[Long] = Array.tabulate(k)(i => 0xbf58476d1ce4e5b9L * (i + 1L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val m = as(i) * h + bs(i)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Intersection size of two SORTED distinct `array<long>` columns
+  * (as produced by [[ShingleHashes]]): a single merge walk, vs.
+  * array_intersect's hash-set build per pair.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression) extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"SortedLongIntersectSize needs array<long> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -88,10 +88,14 @@ object StreamIngest {
       .withColumn("hr", date_format(col(tsColumn), "HH"))
   }
 
-  /** Launch the ingest query: source → parse → partitioned columnar sink. */
+  /** Launch the ingest query: source → parse → partitioned columnar sink.
+    * The repartition is keyed on the sink partition columns so each
+    * (dt, hr) directory is written by one task — without the keys, every
+    * task writes every directory (tasks × dirs small files per trigger).
+    */
   def run(spark: SparkSession, cfg: IngestConfig): StreamingQuery = {
     val df = parsed(readRaw(spark, cfg.source), cfg.schema, cfg.tsColumn)
-      .repartition(cfg.sinkPartitions)
+      .repartition(cfg.sinkPartitions, col("dt"), col("hr"))
     df.writeStream
       .format(cfg.format)
       .option("path", cfg.outputPath)

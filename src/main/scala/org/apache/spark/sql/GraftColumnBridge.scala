@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` classic Column↔Expression converters,
+  * the standard pattern for libraries shipping custom Catalyst
+  * expressions (cf. the `package org.apache.spark.sql` objects in public
+  * Spark-extension projects). Kept to two one-line delegates.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
