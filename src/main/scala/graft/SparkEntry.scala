@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, StreamingBatch, TextAnalysis}
+import graft.operators.{Dedup, Events, Maintenance, Multimodal, Relational, Similarity, StreamingBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle-parity rules). Every operator claimed done in SURVEY.md has a
@@ -64,7 +64,14 @@ object SparkEntry {
     "s1_ingest_parquet"      -> (StreamingBatch.s1IngestParquet _),
     "s2_stream_window_agg"   -> (StreamingBatch.s2StreamWindowAgg _),
     // §2.7 multimodal
-    "m1_binary_meta"         -> (Multimodal.m1BinaryMeta _)
+    "m1_binary_meta"         -> (Multimodal.m1BinaryMeta _),
+    // widened coverage (round 1, phase 5)
+    "e7_asof_join"           -> (Events.e7AsofJoin _),
+    "q19_range_join"         -> (Relational.q19RangeJoin _),
+    "q20_pivot"              -> (Relational.q20Pivot _),
+    "t6_hash_sample"         -> (TextAnalysis.t6HashSample _),
+    "d6_dedup_clusters"      -> (Dedup.d6DedupClusters _),
+    "c1_compact"             -> (Maintenance.c1Compact _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -337,6 +344,50 @@ object SparkEntry {
         | CAST(32 + octet_length(encode(text)) % 64 AS INT) AS w,
         | CAST(32 + (octet_length(encode(text)) * 7) % 64 AS INT) AS h,
         | CAST(1 + doc_id % 5 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e7_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT p.event_id AS p_event_id, p.user_id, c.event_id AS click_event_id,
+        | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p_event_id""".stripMargin,
+    "q19_range_join" ->
+      """SELECT label, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem JOIN (VALUES (0,10,'low'),(10,25,'mid'),(25,100,'high')) r(lo,hi,label)
+        | ON l_quantity > r.lo AND l_quantity <= r.hi
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS F,
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),2) AS O,
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),2) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t6_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(text),1,1) IN ('0','1') ORDER BY doc_id""".stripMargin,
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges)
+        |SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c1_compact" ->
+      """SELECT CAST(ts AS DATE) AS dt, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -143,6 +143,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup cluster assignment: connected components over the verified
+    * LSH pair graph (GraphX — the standard scale path for turning pair
+    * sets into keep/drop decisions; Pregel-style CC converges in
+    * O(diameter) supersteps on the cluster). canonical_id is the minimum
+    * doc_id of the component, i.e. the document a dedup pass keeps.
+    */
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = d2MinhashLsh(s, d).select("id_a", "id_b")
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+    s.createDataFrame(cc).toDF("doc_id", "canonical_id").orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ τ). Brute verification pass —
     * the ANN-bucketed variant is Similarity.v2KnnLsh. Squared norms are
     * computed once per vector (not per pair); the dot product is the

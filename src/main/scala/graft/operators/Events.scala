@@ -87,6 +87,41 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** As-of join: each purchase matched to the user's most recent click at
+    * or before it. Composed Spark-first (SURVEY §2 preference (a)): union
+    * the two sides, one shuffle on user_id, and a running `last(click,
+    * ignoreNulls)` window — the standard distributed as-of that avoids a
+    * per-row range probe. Equal-timestamp ties order the click first
+    * (ASOF `<=` semantics).
+    */
+  def e7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        (col("event_type") === "click").as("is_click")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("tus"), when(col("is_click"), 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn(
+      "lastc",
+      last(when(col("is_click"), struct(col("tus").as("cts"), col("event_id").as("cid"))), ignoreNulls = true)
+        .over(w)
+    ).filter(!col("is_click"))
+      .select(
+        col("event_id").as("p_event_id"),
+        col("user_id"),
+        col("lastc.cid").as("click_event_id"),
+        (col("tus") - col("lastc.cts")).as("gap_us")
+      )
+      .orderBy("p_event_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -240,6 +240,32 @@ object Relational {
       )
       .orderBy("r_name")
 
+  /** Range (band) join: facts against a small interval table. The range
+    * table is broadcast (nested-loop against 3 rows); at scale with many
+    * ranges the plan is bin-then-equi-join, noted in SURVEY §5.
+    */
+  def q19RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranges = Seq((0, 10, "low"), (10, 25, "mid"), (25, 100, "high")).toDF("lo", "hi", "label")
+    Tables
+      .lineitem(s, d)
+      .join(broadcast(ranges), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("label")
+  }
+
+  /** Pivot: status columns per priority (explicit value list keeps the
+    * schema static — no driver-side distinct scan).
+    */
+  def q20Pivot(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

@@ -73,6 +73,18 @@ object TextAnalysis {
       .select(col("doc_id"), TF.rollingFingerprint(TF.tokens(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-based sampling (training-data pipelines need
+    * reproducible subsets — TABLESAMPLE isn't stable across engines or
+    * runs). Keeps docs whose md5 leads with one of 2/16 hex digits
+    * (≈12.5%); filter pushes to the scan side of any downstream join.
+    */
+  def t6HashSample(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single
     * count shuffle (map-side partial agg keeps it one small exchange).
     * The token array is materialized once per row (a naive inline form

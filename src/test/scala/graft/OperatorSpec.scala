@@ -86,6 +86,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("d6 clusters: canonical is the min doc_id of each component and a member of it") {
+    val rows = Dedup.d6DedupClusters(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.forall { case (canon, members) => members.map(_._1).min == canon })
+  }
+
+  test("c1 compaction reduces file count and preserves rows") {
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_c1t_").toString
+    graft.sources.Tables
+      .events(spark, sf)
+      .withColumn("dt", org.apache.spark.sql.functions.col("ts").cast("date"))
+      .repartition(8)
+      .write
+      .partitionBy("dt")
+      .parquet(s"$dir/frag")
+    Maintenance.compact(spark, s"$dir/frag", s"$dir/compact", Seq("dt"))
+    assert(Maintenance.fileCount(spark, s"$dir/compact") < Maintenance.fileCount(spark, s"$dir/frag"))
+    assert(
+      spark.read.parquet(s"$dir/compact").count() == spark.read.parquet(s"$dir/frag").count()
+    )
+  }
+
   test("d1 exact dedup covers every document exactly once") {
     val d1 = Dedup.d1DedupExact(spark, sf)
     assert(d1.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) ==
