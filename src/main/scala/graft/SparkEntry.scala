@@ -71,7 +71,11 @@ object SparkEntry {
     "q20_pivot"              -> (Relational.q20Pivot _),
     "t6_hash_sample"         -> (TextAnalysis.t6HashSample _),
     "d6_dedup_clusters"      -> (Dedup.d6DedupClusters _),
-    "c1_compact"             -> (Maintenance.c1Compact _)
+    "c1_compact"             -> (Maintenance.c1Compact _),
+    "q21_window_analytics"   -> (Relational.q21WindowAnalytics _),
+    "q22_grouping_sets"      -> (Relational.q22GroupingSets _),
+    "q23_approx_distinct"    -> (Relational.q23ApproxDistinct _),
+    "e8_resample"            -> (Events.e8Resample _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -388,6 +392,34 @@ object SparkEntry {
         |SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "c1_compact" ->
       """SELECT CAST(ts AS DATE) AS dt, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_window_analytics" ->
+      """SELECT l_orderkey, l_linenumber, qty_lag, qty_lead, qtile, pr FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |  lag(l_quantity) OVER w AS qty_lag,
+        |  lead(l_quantity) OVER w AS qty_lead,
+        |  ntile(4) OVER w AS qtile,
+        |  round(percent_rank() OVER w, 6) AS pr
+        | FROM lineitem WHERE l_returnflag = 'R'
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |ORDER BY l_orderkey, l_linenumber, pr, qtile, qty_lag NULLS FIRST, qty_lead NULLS FIRST""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
+    "e8_resample" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |spine AS (
+        | SELECT t.event_type, gs.h
+        | FROM (SELECT DISTINCT event_type FROM e) t
+        | CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b) gs),
+        |cnt AS (SELECT event_type, h, count(*) AS cnt FROM e GROUP BY 1,2)
+        |SELECT CAST(epoch_ms(s.h)/1000 AS BIGINT) AS bucket_s, s.event_type,
+        | coalesce(cnt.cnt, 0) AS n
+        |FROM spine s LEFT JOIN cnt ON s.h = cnt.h AND s.event_type = cnt.event_type
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -122,6 +122,31 @@ object Events {
       .orderBy("p_event_id")
   }
 
+  /** Time-series resample / gap-fill: a dense (event_type × hour) spine
+    * generated with `sequence`, left-joined to the sparse hourly counts,
+    * missing buckets zero-filled. The spine is a broadcast-size cross of
+    * distinct keys × time range — never a shuffle of the fact side.
+    */
+  def e8Resample(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val bounds = e.agg(min("h").as("mn"), max("h").as("mx"))
+    val spine = Tables
+      .events(s, d)
+      .select(col("event_type"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+    val cnt = e.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    spine
+      .join(cnt, Seq("event_type", "h"), "left")
+      .select(
+        unix_timestamp(col("h")).as("bucket_s"),
+        col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n")
+      )
+      .orderBy("bucket_s", "event_type")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

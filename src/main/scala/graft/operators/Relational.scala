@@ -266,6 +266,57 @@ object Relational {
       .agg(round(sum("o_totalprice"), 2))
       .orderBy("o_orderpriority")
 
+  /** Analytic window battery: lag/lead/ntile/percent_rank. */
+  def q21WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        lag("l_quantity", 1).over(w).as("qty_lag"),
+        lead("l_quantity", 1).over(w).as("qty_lead"),
+        ntile(4).over(w).as("qtile"),
+        round(percent_rank().over(w), 6).as("pr")
+      )
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // total order over all output columns for oracle parity
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pr"), col("qtile"),
+        col("qty_lag").asc_nulls_first, col("qty_lead").asc_nulls_first)
+  }
+
+  /** GROUPING SETS through the engine's SQL surface (spark.sql over a
+    * registered view — the same Catalyst plan as the DataFrame API).
+    */
+  def q22GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin
+    )
+  }
+
+  /** Sketch-based distinct counting (HyperLogLog++) — the 100 TB path
+    * where exact countDistinct's shuffle is the bottleneck. Rows-only
+    * (sketch estimates are engine-specific); accuracy vs exact is
+    * asserted in ScalaTest.
+    */
+  def q23ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")
+      )
+      .orderBy("l_returnflag")
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

@@ -44,6 +44,45 @@ class RelationalSpec extends AnyFunSuite {
   }
 }
 
+class WideningSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q23 approx distinct within 5% of exact") {
+    val approx = Relational.q23ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.countDistinct("l_partkey").as("p"),
+        org.apache.spark.sql.functions.countDistinct("l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$k parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.05, s"$k orders: $ao vs $o")
+    }
+  }
+
+  test("e8 resample spine is dense: types x hours, zero-filled") {
+    val rows = Events.e8Resample(spark, sf).collect()
+    val types = rows.map(_.getString(1)).distinct.length
+    val hours = rows.map(_.getLong(0)).distinct.length
+    assert(rows.length == types * hours)
+    assert(rows.exists(_.getLong(2) == 0L)) // gaps exist at sf0.001 and get filled
+  }
+
+  test("schema evolution: mergeSchema reads old+new files as one table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_").toString
+    Seq((1L, "a")).toDF("id", "f1").write.parquet(s"$dir/p1")
+    Seq((2L, "b", 3.0)).toDF("id", "f1", "f2").write.parquet(s"$dir/p2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/p1", s"$dir/p2")
+    assert(merged.columns.sorted.sameElements(Array("f1", "f2", "id")))
+    assert(merged.count() == 2)
+    assert(merged.filter(org.apache.spark.sql.functions.col("f2").isNull).count() == 1)
+  }
+}
+
 class EventsSpec extends AnyFunSuite {
   import TestSession._
 
