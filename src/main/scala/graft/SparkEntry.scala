@@ -75,7 +75,9 @@ object SparkEntry {
     "q21_window_analytics"   -> (Relational.q21WindowAnalytics _),
     "q22_grouping_sets"      -> (Relational.q22GroupingSets _),
     "q23_approx_distinct"    -> (Relational.q23ApproxDistinct _),
-    "e8_resample"            -> (Events.e8Resample _)
+    "e8_resample"            -> (Events.e8Resample _),
+    "e9_collect_nested"      -> (Events.e9CollectNested _),
+    "p1_curate"              -> (graft.operators.Curate.p1Curate _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -420,6 +422,23 @@ object SparkEntry {
         |SELECT CAST(epoch_ms(s.h)/1000 AS BIGINT) AS bucket_s, s.event_type,
         | coalesce(cnt.cnt, 0) AS n
         |FROM spine s LEFT JOIN cnt ON s.h = cnt.h AND s.event_type = cnt.event_type
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "e9_collect_nested" ->
+      """SELECT user_id, count(*) AS n, list(event_type ORDER BY event_id) AS types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p1_curate" ->
+      """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT d.doc_id, d.lang, d.text,
+        |  list_filter(string_split(d.text, ' '), x -> x <> '') AS tk
+        | FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+        |q AS (SELECT doc_id, lang, text, CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / greatest(len(tk), 1) AS sr,
+        |  CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dr
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens FROM q
+        |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2
+        |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id""".stripMargin
   )
 }

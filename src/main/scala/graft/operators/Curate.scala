@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** p1: the end-to-end training-data curation pipeline — the composition
+  * the individual d/t operators exist for:
+  *
+  *   exact-dedup (keep min-id per content hash)
+  *     → quality gate (token count, stopword ratio, distinct-token ratio)
+  *     → deterministic hash sampling
+  *
+  * One shuffle for the dedup groupBy; every later stage is a per-row map
+  * or a pushed filter, so the pipeline cost is dedup + scan regardless of
+  * how many gates are added. At 100 TB the near-dup stage (d2/d6) slots
+  * in between dedup and quality with its bucket-join cost profile.
+  */
+object Curate {
+
+  def p1Curate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    docs
+      .join(kept, "doc_id") // left-semi by construction (kept ⊆ docs)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        size(tk).as("n_tokens"),
+        (size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)))
+          .as("sr"),
+        (size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1))).as("dr")
+      )
+      .filter(
+        col("n_tokens").between(20, 1000) && col("sr") <= 0.5 && col("dr") >= 0.2 &&
+          substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+      )
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+}

@@ -147,6 +147,23 @@ object Events {
       .orderBy("bucket_s", "event_type")
   }
 
+  /** Nested collection: per-user ordered event-type array (the denormalized
+    * "user journey" shape). array_sort on (event_id, type) structs gives a
+    * deterministic order without a per-group shuffle sort.
+    */
+  def e9CollectNested(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+          x => x.getField("event_type")
+        ).as("types")
+      )
+      .orderBy("user_id")
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
