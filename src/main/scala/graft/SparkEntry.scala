@@ -77,7 +77,8 @@ object SparkEntry {
     "q23_approx_distinct"    -> (Relational.q23ApproxDistinct _),
     "e8_resample"            -> (Events.e8Resample _),
     "e9_collect_nested"      -> (Events.e9CollectNested _),
-    "p1_curate"              -> (graft.operators.Curate.p1Curate _)
+    "p1_curate"              -> (graft.operators.Curate.p1Curate _),
+    "t7_unigram_logprob"     -> (TextAnalysis.t7UnigramLogprob _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -439,6 +440,15 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM q
         |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2
         |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "t7_unigram_logprob" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        | FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freq)
+        |SELECT doc_id, round(sum(ln(CAST(c AS DOUBLE) / s)) / count(*), 3) AS avg_logprob
+        |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -73,6 +73,27 @@ object TextAnalysis {
       .select(col("doc_id"), TF.rollingFingerprint(TF.tokens(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Corpus-LM quality score: average unigram log-probability per
+    * document (fluency proxy — the classic cheap LM filter in
+    * training-data pipelines). Two aggregations: corpus token
+    * frequencies (broadcast-size vocab), then a broadcast join back to
+    * the exploded tokens — the fact side shuffles once for the per-doc
+    * sum.
+    */
+  def t7UnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("s"))
+    tok
+      .join(broadcast(freq), "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(sum(log(col("c") / col("s"))) / count(lit(1)), 3).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash-based sampling (training-data pipelines need
     * reproducible subsets — TABLESAMPLE isn't stable across engines or
     * runs). Keeps docs whose md5 leads with one of 2/16 hex digits

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the §2.8 custom expressions on the SQL surface, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works exactly like the
+  * Column API (`GraftExpressions.dotF`). Install either via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * post-hoc with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => FloatVecDot(es(0), es(1))),
+    "graft_minhash" -> (es => MinHashSig(es(0), 64)),
+    "graft_simhash64" -> (es => SimHash64(es(0))),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es(0), 3)),
+    "graft_intersect_size" -> (es => SortedLongIntersectSize(es(0), es(1)))
+  )
+
+  /** Idempotent post-hoc registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

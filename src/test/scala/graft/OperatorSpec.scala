@@ -71,6 +71,18 @@ class WideningSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) == 0L)) // gaps exist at sf0.001 and get filled
   }
 
+  test("custom expressions are callable from the SQL surface") {
+    graft.plans.GraftExtensions.register(spark)
+    val dot = spark
+      .sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark
+      .sql("SELECT graft_simhash64(array('spark', 'query', 'engine')) AS h")
+      .head().getLong(0)
+    assert(sh != 0L)
+  }
+
   test("schema evolution: mergeSchema reads old+new files as one table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_schema_").toString
