@@ -78,7 +78,8 @@ object SparkEntry {
     "e8_resample"            -> (Events.e8Resample _),
     "e9_collect_nested"      -> (Events.e9CollectNested _),
     "p1_curate"              -> (graft.operators.Curate.p1Curate _),
-    "t7_unigram_logprob"     -> (TextAnalysis.t7UnigramLogprob _)
+    "t7_unigram_logprob"     -> (TextAnalysis.t7UnigramLogprob _),
+    "q24_topk_custom"        -> (Relational.q24TopkCustom _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -449,6 +450,13 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM freq)
         |SELECT doc_id, round(sum(ln(CAST(c AS DOUBLE) / s)) / count(*), 3) AS avg_logprob
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_topk_custom" ->
+      """SELECT o_orderpriority, rn, o_orderkey, price FROM (
+        | SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
   )
 }

@@ -317,6 +317,26 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Per-group top-k through the custom TopKPerKey physical operator
+    * (bounded per-key heaps, partial pass before the shuffle — O(n log k)
+    * vs the window form's full per-key sort; see graft.plans.TopKPerKey).
+    * Same semantics as q9, so it shares q9's oracle shape.
+    */
+  def q24TopkCustom(s: SparkSession, d: String): DataFrame = {
+    val top = graft.plans.TopK.topKPerKey(
+      Tables.orders(s, d),
+      Seq("o_orderpriority"),
+      "o_totalprice",
+      "o_orderkey",
+      3
+    )
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    top
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

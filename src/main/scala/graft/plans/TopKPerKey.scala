@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** §2.8 whole-operator extension: exact per-key top-k.
+  *
+  * The composed form (row_number window + filter) fully sorts every key
+  * partition — O(n log n) per key and a sort buffer over ALL rows. This
+  * operator keeps a bounded k-element heap per key — O(n log k) with
+  * O(keys·k) memory — the right shape when n/key is large (100 TB logs)
+  * and k is small. Heap maintenance happens on the partial (pre-shuffle)
+  * side too, so only ≤ k rows per (key, input partition) ride the
+  * exchange — the same two-phase contract as partial aggregation.
+  *
+  * Full extension stack: logical node → strategy (registered via
+  * `spark.experimental.extraStrategies` or [[GraftExtensions]]) →
+  * physical exec with `requiredChildDistribution`, demonstrating plan
+  * integration rather than an RDD detour: Catalyst still prunes/pushes
+  * below it, and EnsureRequirements plans the single hash exchange.
+  */
+case class TopKPerKeyNode(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,   // descending primary (e.g. revenue)
+    tieExpr: Expression,     // ascending tiebreak (e.g. id) — total order
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(g, o, t, k, child) =>
+      // partial pass (any distribution) under a final pass (clustered)
+      TopKPerKeyExec(g, o, t, k, TopKPerKeyExec(g, o, t, k, planLater(child), partial = true), partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,
+    tieExpr: Expression,
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  // preserve the child's (key-clustered) partitioning so downstream
+  // key-compatible operators reuse the exchange instead of re-shuffling
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = orderExpr
+    val tieE = tieExpr
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ordB = BindReferences.bindReference(orderE, childOutput)
+      val tieB = BindReferences.bindReference(tieE, childOutput)
+      // PQ head = worst-ranked entry under (order desc, tie asc) — the
+      // eviction candidate. Null order/tie values are skipped (ranked
+      // rows must have a defined score).
+      implicit val ord: Ordering[(Double, Long, InternalRow)] =
+        Ordering.by[(Double, Long, InternalRow), (Double, Long)] { case (o, t, _) => (-o, t) }
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]()
+      it.foreach { row =>
+        val oAny = ordB.eval(row)
+        val tAny = tieB.eval(row)
+        if (oAny != null && tAny != null) {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, InternalRow)]
+            heaps.put(key.copy(), heap)
+          }
+          val o = oAny.asInstanceOf[Number].doubleValue()
+          val t = tAny.asInstanceOf[Number].longValue()
+          if (heap.size < kk) {
+            heap.enqueue((o, t, row.copy()))
+          } else {
+            val worst = heap.head
+            if (o > worst._1 || (o == worst._1 && t < worst._2)) {
+              heap.dequeue()
+              heap.enqueue((o, t, row.copy()))
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._3))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+object TopK {
+
+  /** Ensure the strategy is installed on the session (idempotent). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = strategies :+ TopKStrategy
+    }
+  }
+
+  /** Top k rows per key, ranked by `order` DESC with `tie` ASC breaking
+    * ties (a total order — required for deterministic results). Columns
+    * are given by name: the analyzer resolves plain UnresolvedAttributes
+    * inside custom nodes, while Column-API expressions stay wrapped in
+    * unresolvable ColumnNode shells.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: String, tie: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val plan = TopKPerKeyNode(
+      keyCols.map(UnresolvedAttribute.quoted),
+      UnresolvedAttribute.quoted(order),
+      UnresolvedAttribute.quoted(tie),
+      k,
+      df.queryExecution.analyzed
+    )
+    GraftColumnBridge.ofRows(spark, plan)
+  }
+}

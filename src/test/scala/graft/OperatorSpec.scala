@@ -71,6 +71,17 @@ class WideningSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) == 0L)) // gaps exist at sf0.001 and get filled
   }
 
+  test("q24 custom TopKPerKeyExec is planned and matches the window form exactly") {
+    val custom = Relational.q24TopkCustom(spark, sf)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    // two passes (partial + final), exactly one exchange between them and
+    // none after — the final pass advertises its partitioning
+    assert("TopKPerKey ".r.findAllIn(plan).length == 2)
+    val viaWindow = Relational.q9TopkGroup(spark, sf).collect().toSeq
+    assert(custom.collect().toSeq == viaWindow)
+  }
+
   test("custom expressions are callable from the SQL surface") {
     graft.plans.GraftExtensions.register(spark)
     val dot = spark
