@@ -94,6 +94,27 @@ class WideningSpec extends AnyFunSuite {
     assert(sh != 0L)
   }
 
+  test("salted skew join equals the plain join") {
+    import graft.operators.SkewJoin
+    val li = graft.sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("l_orderkey"), org.apache.spark.sql.functions.col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = SkewJoin.saltedJoin(li, o, "l_orderkey", 8).count()
+    assert(salted == plain)
+  }
+
+  test("csv and json batch sources roundtrip with explicit schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    val src = graft.sources.Tables.orders(spark, sf).limit(100)
+    src.write.option("header", "true").csv(s"$dir/csv")
+    src.write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true").schema(src.schema).csv(s"$dir/csv")
+    val json = spark.read.schema(src.schema).json(s"$dir/json")
+    assert(csv.count() == 100 && json.count() == 100)
+    assert(csv.schema == src.schema && json.schema == src.schema)
+  }
+
   test("schema evolution: mergeSchema reads old+new files as one table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_schema_").toString
