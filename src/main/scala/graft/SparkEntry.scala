@@ -79,7 +79,12 @@ object SparkEntry {
     "e9_collect_nested"      -> (Events.e9CollectNested _),
     "p1_curate"              -> (graft.operators.Curate.p1Curate _),
     "t7_unigram_logprob"     -> (TextAnalysis.t7UnigramLogprob _),
-    "q24_topk_custom"        -> (Relational.q24TopkCustom _)
+    "q24_topk_custom"        -> (Relational.q24TopkCustom _),
+    "d7_dedup_apply"         -> (Dedup.d7DedupApply _),
+    "v4_centroids"           -> (Similarity.v4Centroids _),
+    "t8_normalize"           -> (TextAnalysis.t8Normalize _),
+    "q25_window_correlated"  -> (Relational.q25WindowCorrelated _),
+    "e10_funnel_windowed"    -> (Events.e10FunnelWindowed _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -457,6 +462,54 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders
-        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "d7_dedup_apply" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |comp AS (SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        |ORDER BY doc_id""".stripMargin,
+    "v4_centroids" ->
+      """SELECT label, CAST(u.i AS INT) AS idx, round(avg(u.v), 4) AS c FROM (
+        | SELECT label, unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
+        | FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t8_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(upper(text), '\s+', ' ', 'g')) AS norm,
+        | CAST(length(trim(regexp_replace(upper(text), '\s+', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_window_correlated" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS p FROM (
+        | SELECT o_orderkey, o_totalprice,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+        | FROM orders)
+        |WHERE o_totalprice > cavg ORDER BY o_orderkey""".stripMargin,
+    "e10_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |su AS (SELECT user_id, min(CASE WHEN event_type='signup' THEN ts END) AS fs
+        |       FROM e GROUP BY 1 HAVING min(CASE WHEN event_type='signup' THEN ts END) IS NOT NULL),
+        |conv AS (SELECT DISTINCT p.user_id FROM e p JOIN su ON p.user_id = su.user_id
+        |         WHERE p.event_type = 'purchase' AND p.ts >= su.fs
+        |           AND p.ts <= su.fs + INTERVAL 24 HOUR)
+        |SELECT su.user_id, CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted_24h
+        |FROM su LEFT JOIN conv ON su.user_id = conv.user_id
+        |ORDER BY su.user_id""".stripMargin
   )
 }

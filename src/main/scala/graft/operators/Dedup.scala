@@ -157,6 +157,19 @@ object Dedup {
     s.createDataFrame(cc).toDF("doc_id", "canonical_id").orderBy("doc_id")
   }
 
+  /** The dedup APPLY step: materialize the post-dedup corpus — every
+    * document except non-canonical members of near-dup clusters. One
+    * broadcast anti-join against the (small) drop list.
+    */
+  def d7DedupApply(s: SparkSession, d: String): DataFrame = {
+    val drop = d6DedupClusters(s, d).filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    Tables
+      .documents(s, d)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (cos ≥ τ). Brute verification pass —
     * the ANN-bucketed variant is Similarity.v2KnnLsh. Squared norms are
     * computed once per vector (not per pair); the dot product is the

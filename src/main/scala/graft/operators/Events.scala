@@ -164,6 +164,28 @@ object Events {
       )
       .orderBy("user_id")
 
+  /** Time-constrained funnel: users converting (first purchase) within
+    * 24h of their first signup. Broadcast the per-user signup table back
+    * onto the purchase stream.
+    */
+  def e10FunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val su = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("fs"))
+      .filter(col("fs").isNotNull)
+    val conv = ev
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(su), "user_id")
+      .filter(col("ts") >= col("fs") && col("ts") <= col("fs") + expr("interval 24 hours"))
+      .select("user_id")
+      .distinct()
+      .withColumn("converted_24h", lit(1))
+    su.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("converted_24h"), lit(0)).as("converted_24h"))
+      .orderBy("user_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -337,6 +337,19 @@ object Relational {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Correlated aggregate via window (no self-join): orders above their
+    * customer's average — one shuffle on the correlation key.
+    */
+  def q25WindowCorrelated(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables
+      .orders(s, d)
+      .withColumn("cavg", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("cavg"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))
+      .orderBy("o_orderkey")
+  }
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

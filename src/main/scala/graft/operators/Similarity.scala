@@ -75,6 +75,18 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-label centroid components: elementwise mean via posexplode +
+    * (label, idx) aggregation — vector aggregation without assembling
+    * arrays on the reduce side (rows stream through partial agg).
+    */
+  def v4Centroids(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy("label", "idx")
+      .agg(round(avg("v"), 4).as("c"))
+      .orderBy("label", "idx")
+
   /** Vector column statistics (dims, norms, label aggregates). */
   def v3VectorStats(s: SparkSession, d: String): DataFrame =
     Tables

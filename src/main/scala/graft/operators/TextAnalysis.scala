@@ -106,6 +106,19 @@ object TextAnalysis {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Text normalization: case-fold + whitespace collapse + trim — the
+    * canonical pre-tokenization cleanup pass.
+    */
+  def t8Normalize(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(upper(col("text")), "\\s+", " ")).as("norm"),
+        length(trim(regexp_replace(upper(col("text")), "\\s+", " "))).as("norm_len")
+      )
+      .orderBy("doc_id")
+
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single
     * count shuffle (map-side partial agg keeps it one small exchange).
     * The token array is materialized once per row (a naive inline form
