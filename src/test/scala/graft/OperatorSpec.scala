@@ -94,6 +94,38 @@ class WideningSpec extends AnyFunSuite {
     assert(sh != 0L)
   }
 
+  test("dt-partitioned layout gives partition-pruned scans") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    graft.sources.Tables
+      .events(spark, sf)
+      .withColumn("dt", col("ts").cast("date"))
+      .write.partitionBy("dt").parquet(s"$dir/t")
+    val q = spark.read.parquet(s"$dir/t").filter(col("dt") === "2024-01-03")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(dt") || scan.contains("PartitionFilters: [ isnotnull(dt"))
+    // only the matching dt directory's files are read
+    assert(q.queryExecution.executedPlan.collectLeaves().head.toString.contains("dt"))
+    assert(q.count() > 0)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.sources.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val j = spark.table("b_lineitem").join(
+      spark.table("b_orders").hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() > 0)
+  }
+
   test("salted skew join equals the plain join") {
     import graft.operators.SkewJoin
     val li = graft.sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
