@@ -113,6 +113,13 @@ class WideningSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse dirs persist — clear them so saveAsTable can recreate
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
     graft.sources.Tables.orders(spark, sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     graft.sources.Tables.lineitem(spark, sf)
