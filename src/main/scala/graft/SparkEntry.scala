@@ -84,7 +84,12 @@ object SparkEntry {
     "v4_centroids"           -> (Similarity.v4Centroids _),
     "t8_normalize"           -> (TextAnalysis.t8Normalize _),
     "q25_window_correlated"  -> (Relational.q25WindowCorrelated _),
-    "e10_funnel_windowed"    -> (Events.e10FunnelWindowed _)
+    "e10_funnel_windowed"    -> (Events.e10FunnelWindowed _),
+    "q26_cube"               -> (Relational.q26Cube _),
+    "q27_argmax"             -> (Relational.q27ArgMax _),
+    "q28_string_agg"         -> (Relational.q28StringAgg _),
+    "e11_event_gaps"         -> (Events.e11EventGaps _),
+    "d8_intradoc_dup"        -> (Dedup.d8IntraDocDup _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -510,6 +515,37 @@ object SparkEntry {
         |           AND p.ts <= su.fs + INTERVAL 24 HOUR)
         |SELECT su.user_id, CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted_24h
         |FROM su LEFT JOIN conv ON su.user_id = conv.user_id
-        |ORDER BY su.user_id""".stripMargin
+        |ORDER BY su.user_id""".stripMargin,
+    "q26_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q27_argmax" ->
+      """SELECT c_nationkey,
+        | arg_max(c_name, c_acctbal) AS richest,
+        | arg_min(c_name, c_acctbal) AS poorest,
+        | round(max(c_acctbal),2) AS max_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_string_agg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e11_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |  (tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)) / 1000000.0 AS gap_s
+        | FROM e)
+        |SELECT user_id, count(*) AS n_gaps, round(avg(gap_s), 2) AS avg_gap_s,
+        | round(max(gap_s), 2) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d8_intradoc_dup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tok,
+        |  CAST(len(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)])) AS INT) AS n_distinct
+        | FROM t WHERE len(ts) >= 3)
+        |SELECT doc_id, n_tok - 2 AS n_shingles, n_distinct,
+        | round(1.0 - CAST(n_distinct AS DOUBLE) / (n_tok - 2), 4) AS dup_ratio
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

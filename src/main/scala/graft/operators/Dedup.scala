@@ -170,6 +170,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Intra-document duplication ratio (C4-style quality gate): share of
+    * repeated 3-shingles within each document. distinct count via the
+    * one-pass hash-shingle expression.
+    */
+  def d8IntraDocDup(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        (size(split(col("text"), " ")) - size(filter(split(col("text"), " "), t => t === ""))).as("n_tok"),
+        size(GraftExpressions.shingleHashes(split(col("text"), " "), 3)).as("n_distinct")
+      )
+      .filter(col("n_tok") >= 3)
+      .select(
+        col("doc_id"),
+        (col("n_tok") - 2).as("n_shingles"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tok") - 2), 4).as("dup_ratio")
+      )
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-dup pairs (cos ≥ τ). Brute verification pass —
     * the ANN-bucketed variant is Similarity.v2KnnLsh. Squared norms are
     * computed once per vector (not per pair); the dot product is the

@@ -186,6 +186,22 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Inter-event gap statistics per user (lag diff over the per-user
+    * timeline — one shuffle, one window pass).
+    */
+  def e11EventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_s", (col("tus") - lag("tus", 1).over(w)) / 1000000.0)
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), round(avg("gap_s"), 2).as("avg_gap_s"),
+        round(max("gap_s"), 2).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -350,6 +350,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** CUBE: all grouping combinations (vs rollup's hierarchy). */
+  def q26Cube(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("n")
+      )
+      .orderBy("rf", "ls")
+
+  /** arg-max/arg-min aggregation (max_by/min_by). */
+  def q27ArgMax(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_name"), col("c_acctbal")).as("richest"),
+        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        round(max("c_acctbal"), 2).as("max_bal")
+      )
+      .orderBy("c_nationkey")
+
+  /** Ordered string aggregation over a distinct set. */
+  def q28StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
+      .orderBy("o_orderpriority")
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables
