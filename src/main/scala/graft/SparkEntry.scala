@@ -89,7 +89,9 @@ object SparkEntry {
     "q27_argmax"             -> (Relational.q27ArgMax _),
     "q28_string_agg"         -> (Relational.q28StringAgg _),
     "e11_event_gaps"         -> (Events.e11EventGaps _),
-    "d8_intradoc_dup"        -> (Dedup.d8IntraDocDup _)
+    "d8_intradoc_dup"        -> (Dedup.d8IntraDocDup _),
+    "q29_range_frame"        -> (Relational.q29RangeFrame _),
+    "q30_full_outer"         -> (Relational.q30FullOuter _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -546,6 +548,21 @@ object SparkEntry {
         | FROM t WHERE len(ts) >= 3)
         |SELECT doc_id, n_tok - 2 AS n_shingles, n_distinct,
         | round(1.0 - CAST(n_distinct AS DOUBLE) / (n_tok - 2), 4) AS dup_ratio
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q29_range_frame" ->
+      """SELECT o_orderkey, o_custkey, rev_30d FROM (
+        | SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch_ms(o_orderdate)/1000 AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        | FROM orders WHERE o_custkey <= 100)
+        |ORDER BY o_orderkey, o_custkey, rev_30d""".stripMargin,
+    "q30_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        | ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin
   )
 }

@@ -384,6 +384,43 @@ object Relational {
       .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
       .orderBy("o_orderpriority")
 
+  /** RANGE window frame: per-customer revenue within a sliding 30-day
+    * value range of each order date (range frames bound by VALUE, not
+    * row count).
+    */
+  def q29RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("od_s"))
+      .rangeBetween(-30L * 86400, 0L)
+    Tables
+      .orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("od_s"),
+        col("o_totalprice")
+      )
+      .withColumn("rev_30d", round(sum("o_totalprice").over(w), 2))
+      .select("o_orderkey", "o_custkey", "rev_30d")
+      .orderBy("o_orderkey", "o_custkey", "rev_30d")
+  }
+
+  /** FULL OUTER join: nations having customers and/or suppliers. */
+  def q30FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.withColumnRenamed("nk", "cnk")
+      .join(p.withColumnRenamed("nk", "snk"), col("cnk") === col("snk"), "full_outer")
+      .select(
+        coalesce(col("cnk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp")
+      )
+      .orderBy("nationkey")
+  }
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

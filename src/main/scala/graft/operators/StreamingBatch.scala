@@ -27,24 +27,34 @@ object StreamingBatch {
   )
 
   /** Stage the events table as JSON-lines (the wire format a khose-style
-    * pipeline consumes) and return the staging dir.
+    * pipeline consumes). Cached per (JVM, source dir): s1/s2 both consume
+    * the same staged stream input, and Bench re-invokes each query —
+    * restaging identical input would only measure the JSON writer.
     */
-  private def stageJson(s: SparkSession, d: String): String = {
-    val dir = Files.createTempDirectory("graft_stream_").toString
-    Tables.events(s, d).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
-    dir
-  }
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d,
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_").toString
+        Tables.events(s, d).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        dir
+      }
+    )
 
   /** s1: JSON-lines → StreamIngest → time-partitioned parquet → re-read
     * and aggregate per partition. Exercises parse, corrupt-handling,
     * dt/hr partitioning, and the file-sink commit protocol.
     */
   def s1IngestParquet(s: SparkSession, d: String): DataFrame = {
-    val dir = stageJson(s, d)
+    val json = stageJson(s, d)
+    // fresh sink + checkpoint per invocation — the ingest itself is what
+    // runs (and is measured); only the staged input is shared
+    val dir = Files.createTempDirectory("graft_s1_run_").toString
     val q = StreamIngest.run(
       s,
       StreamIngest.IngestConfig(
-        source = StreamIngest.FileSource(s"$dir/json"),
+        source = StreamIngest.FileSource(s"$json/json"),
         schema = eventSchema,
         tsColumn = "ts",
         outputPath = s"$dir/out",

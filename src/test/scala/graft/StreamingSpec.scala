@@ -114,6 +114,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2.head.n_events == 1L) // closed by event-time timeout
   }
 
+  test("s5 stream-stream join: purchases attributed to clicks within 1h") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_s5_").toString
+    Tables.events(spark, sf).toJSON.coalesce(2).write.mode("overwrite").text(s"$dir/json")
+    val parsed = StreamIngest.parsed(
+      spark.readStream.text(s"$dir/json"),
+      StreamingBatch.eventSchema,
+      "ts"
+    )
+    val clicks = parsed
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = parsed
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("interval 1 hour")
+    )
+    val name = "s5_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).count()
+    // batch reference: same join on the static table
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = bp.join(
+      bc,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("interval 1 hour")
+    ).count()
+    assert(got == want && want > 0)
+  }
+
   test("m1 decodeFeatures: iterator-shaped fake decode is deterministic") {
     import spark.implicits._
     val media = Tables
