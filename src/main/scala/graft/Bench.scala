@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup at the smallest SF: JIT + codegen + classloading
+    // otherwise land on whichever queries run first
+    try {
+      val warm = "/root/testdata/sf0.001"
+      if (new java.io.File(warm).isDirectory) {
+        Seq("q1_agg", "q17_multi_join_chain", "e1_time_bucket", "d2_dedup_minhash_lsh", "v1_knn_brute")
+          .foreach(n => SparkEntry.queries.get(n).foreach(fn => fn(spark, warm).count()))
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
