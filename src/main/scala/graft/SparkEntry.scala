@@ -91,7 +91,8 @@ object SparkEntry {
     "e11_event_gaps"         -> (Events.e11EventGaps _),
     "d8_intradoc_dup"        -> (Dedup.d8IntraDocDup _),
     "q29_range_frame"        -> (Relational.q29RangeFrame _),
-    "q30_full_outer"         -> (Relational.q30FullOuter _)
+    "q30_full_outer"         -> (Relational.q30FullOuter _),
+    "m2_media_manifest"      -> (Multimodal.m2MediaManifest _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -563,6 +564,12 @@ object SparkEntry {
         |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
         |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
         | ON c.nk = s.nk
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+    "m2_media_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | CAST(max(octet_length(encode(text))) AS INT) AS max_bytes,
+        | CAST(sum(1 + doc_id % 5) AS BIGINT) AS total_frames
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -32,6 +32,27 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
+  /** Manifest-level rollup of the media table: per-source byte/frame
+    * accounting — the partition-planning view a multimodal pipeline uses
+    * to size shards before decode.
+    */
+  def m2MediaManifest(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("source"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        (lit(1) + pmod(col("doc_id"), lit(5)).cast("int")).as("n_frames")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        max("n_bytes").as("max_bytes"),
+        sum("n_frames").cast("long").as("total_frames")
+      )
+      .orderBy("source")
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
 

@@ -159,6 +159,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("s6 foreachBatch upsert: landed state equals latest-event-per-key") {
+    val dir = Files.createTempDirectory("graft_s6_").toString
+    Tables.events(spark, sf).limit(500).toJSON.coalesce(1).write.mode("overwrite").text(s"$dir/json")
+    val parsed = StreamIngest
+      .parsed(spark.readStream.text(s"$dir/json"), StreamingBatch.eventSchema, "ts")
+      .filter(col("event_id").isNotNull)
+    val stateDir = s"$dir/state"
+    val q = parsed.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // upsert: merge the batch with existing state, keep latest per user
+        val existing =
+          try spark.read.parquet(stateDir)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val all =
+          if (existing.columns.isEmpty) batch.select("user_id", "event_id", "ts")
+          else existing.unionByName(batch.select("user_id", "event_id", "ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(stateDir + "_next")
+        // atomic-ish swap for the test
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(stateDir + "_next"), new org.apache.hadoop.fs.Path(stateDir))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val state = spark.read.parquet(stateDir)
+    val want = Tables.events(spark, sf).limit(500)
+      .groupBy("user_id").agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"))
+    val got = state.select("user_id", "event_id")
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0)
+  }
+
   test("m1 decodeFeatures: iterator-shaped fake decode is deterministic") {
     import spark.implicits._
     val media = Tables
