@@ -92,7 +92,9 @@ object SparkEntry {
     "d8_intradoc_dup"        -> (Dedup.d8IntraDocDup _),
     "q29_range_frame"        -> (Relational.q29RangeFrame _),
     "q30_full_outer"         -> (Relational.q30FullOuter _),
-    "m2_media_manifest"      -> (Multimodal.m2MediaManifest _)
+    "m2_media_manifest"      -> (Multimodal.m2MediaManifest _),
+    "e12_outliers"           -> (Events.e12Outliers _),
+    "q31_date_funcs"         -> (Relational.q31DateFuncs _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -570,6 +572,21 @@ object SparkEntry {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(max(octet_length(encode(text))) AS INT) AS max_bytes,
         | CAST(sum(1 + doc_id % 5) AS BIGINT) AS total_frames
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e12_outliers" ->
+      """SELECT event_id, event_type, round(value, 2) AS value FROM (
+        | SELECT event_id, event_type, value,
+        |  avg(value) OVER w + 2.5 * stddev_samp(value) OVER w AS thr
+        | FROM events WINDOW w AS (PARTITION BY event_type))
+        |WHERE value > thr ORDER BY event_id""".stripMargin,
+    "q31_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(dayofweek(o_orderdate) AS INT) AS dow0
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

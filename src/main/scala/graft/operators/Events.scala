@@ -202,6 +202,20 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Statistical outlier detection: events whose value exceeds the
+    * per-type mean + 2.5 sigma (whole-partition window — one shuffle on
+    * the type key, no second scan).
+    */
+  def e12Outliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    Tables
+      .events(s, d)
+      .withColumn("thr", avg("value").over(w) + lit(2.5) * stddev_samp(col("value")).over(w))
+      .filter(col("value") > col("thr"))
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -421,6 +421,23 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Date/time function battery: interval add, month add with
+    * end-of-month clamping, last_day, calendar extracts.
+    */
+  def q31DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow0")
+      )
+      .orderBy("o_orderkey")
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables
