@@ -50,19 +50,34 @@ object Similarity {
       nQueries: Int = 10,
       k: Int = 5,
       nTables: Int = 8,
-      planesPerTable: Int = 4
+      planesPerTable: Int = 4,
+      multiprobe: Boolean = true
   ): DataFrame = {
     val allPlanes = VF.randomPlanes(nTables * planesPerTable, 64).grouped(planesPerTable).toSeq
     val bucketCols = allPlanes.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("t"), VF.lshBucket(col("embedding"), planes).as("b")).as(s"bk$t")
     }
+    // multiprobe: the QUERY side also probes every bucket at hamming
+    // distance 1 (vectors near a hyperplane land on either side) — the
+    // classic recall boost that costs only query-side fan-out, never a
+    // bigger corpus index
+    val probeCols = allPlanes.zipWithIndex.flatMap { case (planes, t) =>
+      val b = VF.lshBucket(col("embedding"), planes)
+      val self = struct(lit(t).as("t"), b.as("b"))
+      val flips =
+        if (multiprobe)
+          (0 until planesPerTable).map(j => struct(lit(t).as("t"), b.bitwiseXOR(lit(1L << j)).as("b")))
+        else Seq.empty
+      self +: flips
+    }
     val e = Tables
       .embeddings(s, d)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      .withColumn("tb", explode(array(bucketCols: _*)))
+    val c0 = e.withColumn("tb", explode(array(bucketCols: _*)))
     val q = e.filter(col("vec_id") < nQueries)
+      .withColumn("tb", explode(array(probeCols: _*)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("tb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("tb"))
+    val c = c0.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("tb"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     c.join(broadcast(q), Seq("tb"))
       .filter(col("c_id") =!= col("q_id"))

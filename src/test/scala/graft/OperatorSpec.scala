@@ -254,7 +254,7 @@ class SimilaritySpec extends AnyFunSuite {
     val v2a = Similarity.v2KnnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val v2b = Similarity.v2KnnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(v2a == v2b) // seeded planes: stable across runs
-    assert((v2a & v1).size.toDouble / v1.size >= 0.5)
+    assert((v2a & v1).size.toDouble / v1.size >= 0.8) // multiprobe: 1.0 measured
   }
 }
 
