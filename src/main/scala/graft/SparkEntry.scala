@@ -94,7 +94,8 @@ object SparkEntry {
     "q30_full_outer"         -> (Relational.q30FullOuter _),
     "m2_media_manifest"      -> (Multimodal.m2MediaManifest _),
     "e12_outliers"           -> (Events.e12Outliers _),
-    "q31_date_funcs"         -> (Relational.q31DateFuncs _)
+    "q31_date_funcs"         -> (Relational.q31DateFuncs _),
+    "t9_tfidf"               -> (TextAnalysis.t9Tfidf _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -587,6 +588,18 @@ object SparkEntry {
         | CAST(year(o_orderdate) AS INT) AS y,
         | CAST(month(o_orderdate) AS INT) AS m,
         | CAST(dayofweek(o_orderdate) AS INT) AS dow0
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t9_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+        | FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, t, count(*) AS tc FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.t,
+        | round((CAST(tc AS DOUBLE) / len) * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.t""".stripMargin
   )
 }

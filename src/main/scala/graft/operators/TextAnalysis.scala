@@ -94,6 +94,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF term weighting: tf = term count / doc length, idf = ln(N/df).
+    * The document-frequency table is vocabulary-sized (broadcast); the
+    * only fact-side shuffle is the per-(doc, term) count.
+    */
+  def t9Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count().toDouble
+    val tok = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tc"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "t")
+      .join(broadcast(docLen), "doc_id")
+      .select(
+        col("doc_id"),
+        col("t"),
+        round((col("tc").cast("double") / col("len")) * log(lit(n) / col("df")), 6).as("tfidf")
+      )
+      .orderBy("doc_id", "t")
+  }
+
   /** Deterministic hash-based sampling (training-data pipelines need
     * reproducible subsets — TABLESAMPLE isn't stable across engines or
     * runs). Keeps docs whose md5 leads with one of 2/16 hex digits
