@@ -26,7 +26,9 @@ object GraftSession {
     // stay broadcastable; explicit broadcast() hints are used regardless.
     .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
 
-  /** Local session for tests / ad-hoc mains. */
+  /** Local session for tests / ad-hoc mains, with the graft SQL functions
+    * and planner strategy installed.
+    */
   def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32)): SparkSession = {
     val s = configure(
       SparkSession
@@ -37,6 +39,8 @@ object GraftSession {
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(s)
+    graft.plans.TopK.install(s)
     s
   }
 }

@@ -44,6 +44,39 @@ object StreamIngest {
       trigger: Trigger = Trigger.AvailableNow()
   )
 
+  /** Build an [[IngestConfig]] from a flat key-value config (the shape a
+    * khose-style deployment ships as a properties/env file), so switching
+    * an existing pipeline means translating its config, not its code.
+    *
+    * Keys: `source.type` (file|kafka|kinesis) + per-source keys
+    * (`source.path` | `source.bootstrap`/`source.topic` |
+    * `source.stream`/`source.region`), `schema.json` (Spark JSON schema),
+    * `ts.column`, `sink.path`, `sink.checkpoint`, `sink.format`,
+    * `sink.partitions`.
+    */
+  def fromConfig(conf: Map[String, String]): IngestConfig = {
+    val source = conf.getOrElse("source.type", "file") match {
+      case "file" => FileSource(conf("source.path"))
+      case "kafka" =>
+        KafkaSource(
+          conf("source.bootstrap"),
+          conf("source.topic"),
+          conf.getOrElse("source.startingOffsets", "earliest")
+        )
+      case "kinesis" => KinesisSource(conf("source.stream"), conf("source.region"))
+      case other     => throw new IllegalArgumentException(s"unknown source.type: $other")
+    }
+    IngestConfig(
+      source = source,
+      schema = StructType.fromDDL(conf("schema.ddl")),
+      tsColumn = conf.getOrElse("ts.column", "ts"),
+      outputPath = conf("sink.path"),
+      checkpointPath = conf("sink.checkpoint"),
+      format = conf.getOrElse("sink.format", "parquet"),
+      sinkPartitions = conf.getOrElse("sink.partitions", "4").toInt
+    )
+  }
+
   /** Raw stream of one string column `value` (a JSON document per record). */
   private def readRaw(spark: SparkSession, src: IngestSource): DataFrame = src match {
     case FileSource(path, maxFiles) =>

@@ -201,6 +201,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).count() == 0)
   }
 
+  test("ingest pipeline constructed from flat config runs end-to-end") {
+    val dir = Files.createTempDirectory("graft_cfg_").toString
+    Tables.events(spark, sf).limit(200).toJSON.coalesce(1).write.mode("overwrite").text(s"$dir/json")
+    val cfg = StreamIngest.fromConfig(Map(
+      "source.type" -> "file",
+      "source.path" -> s"$dir/json",
+      "schema.ddl" -> "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+      "ts.column" -> "ts",
+      "sink.path" -> s"$dir/out",
+      "sink.checkpoint" -> s"$dir/ck",
+      "sink.format" -> "parquet"
+    ))
+    val q = StreamIngest.run(spark, cfg)
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() == 200)
+    // kafka config constructs without running (connector not shipped here)
+    val kc = StreamIngest.fromConfig(Map(
+      "source.type" -> "kafka", "source.bootstrap" -> "b:9092", "source.topic" -> "t",
+      "schema.ddl" -> "ts TIMESTAMP", "sink.path" -> "/x", "sink.checkpoint" -> "/y"
+    ))
+    assert(kc.source.isInstanceOf[StreamIngest.KafkaSource])
+  }
+
   test("m1 decodeFeatures: iterator-shaped fake decode is deterministic") {
     import spark.implicits._
     val media = Tables
