@@ -95,7 +95,8 @@ object SparkEntry {
     "m2_media_manifest"      -> (Multimodal.m2MediaManifest _),
     "e12_outliers"           -> (Events.e12Outliers _),
     "q31_date_funcs"         -> (Relational.q31DateFuncs _),
-    "t9_tfidf"               -> (TextAnalysis.t9Tfidf _)
+    "t9_tfidf"               -> (TextAnalysis.t9Tfidf _),
+    "e13_transitions"        -> (Events.e13Transitions _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -600,6 +601,13 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.t,
         | round((CAST(tc AS DOUBLE) / len) * ln(n.n / df.df), 6) AS tfidf
         |FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN n
-        |ORDER BY tf.doc_id, tf.t""".stripMargin
+        |ORDER BY tf.doc_id, tf.t""".stripMargin,
+    "e13_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |g AS (SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM e)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

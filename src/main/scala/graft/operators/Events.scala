@@ -216,6 +216,22 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Event-transition mining: corpus-wide (prev_type → type) counts over
+    * per-user timelines — the Markov-chain view of user journeys. One
+    * shuffle on user_id for the lag, one small count shuffle.
+    */
+  def e13Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
