@@ -96,7 +96,9 @@ object SparkEntry {
     "e12_outliers"           -> (Events.e12Outliers _),
     "q31_date_funcs"         -> (Relational.q31DateFuncs _),
     "t9_tfidf"               -> (TextAnalysis.t9Tfidf _),
-    "e13_transitions"        -> (Events.e13Transitions _)
+    "e13_transitions"        -> (Events.e13Transitions _),
+    "q32_null_aggs"          -> (Relational.q32NullAggs _),
+    "e14_sliding_rate"       -> (Events.e14SlidingRate _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -608,6 +610,22 @@ object SparkEntry {
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM e)
         |SELECT prev_type, event_type AS next_type, count(*) AS n
-        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q32_null_aggs" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        | count(CASE WHEN c_acctbal > 0 THEN c_acctbal END) AS n_pos,
+        | round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 2) AS sum_pos,
+        | round(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 4) AS avg_pos,
+        | round(min(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 2) AS min_pos
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e14_sliding_rate" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS tus_s FROM events)
+        |SELECT event_id, event_type, n_5min FROM (
+        | SELECT event_id, event_type,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY tus_s
+        |    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_5min
+        | FROM e)
+        |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
   )
 }

@@ -232,6 +232,24 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Sliding event rate per type: events in the trailing 5 minutes at
+    * each event (RANGE frame over epoch seconds, partitioned by type so
+    * no single-task global window).
+    */
+  def e14SlidingRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy(col("tus_s"))
+      .rangeBetween(-300L, 0L)
+    Tables
+      .events(s, d)
+      .select(col("event_id"), col("event_type"), expr("unix_micros(ts) div 1000000").as("tus_s"))
+      .withColumn("n_5min", count(lit(1)).over(w))
+      .filter(col("event_id") % 97 === 0) // sample the output, keep the window full
+      .select("event_id", "event_type", "n_5min")
+      .orderBy("event_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -438,6 +438,23 @@ object Relational {
       )
       .orderBy("o_orderkey")
 
+  /** NULL aggregation semantics: count(*) vs count(col), null-skipping
+    * sum/avg, all-null groups (nulls manufactured via nullif).
+    */
+  def q32NullAggs(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .withColumn("bal_or_null", when(col("c_acctbal") > 0, col("c_acctbal")))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("bal_or_null")).as("n_pos"),
+        round(sum("bal_or_null"), 2).as("sum_pos"),
+        round(avg("bal_or_null"), 4).as("avg_pos"),
+        round(min("bal_or_null"), 2).as("min_pos")
+      )
+      .orderBy("c_mktsegment")
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables
