@@ -98,7 +98,10 @@ object SparkEntry {
     "t9_tfidf"               -> (TextAnalysis.t9Tfidf _),
     "e13_transitions"        -> (Events.e13Transitions _),
     "q32_null_aggs"          -> (Relational.q32NullAggs _),
-    "e14_sliding_rate"       -> (Events.e14SlidingRate _)
+    "e14_sliding_rate"       -> (Events.e14SlidingRate _),
+    "q33_order_deltas"       -> (Relational.q33OrderDeltas _),
+    "t10_vocab_prune"        -> ((s, d) => TextAnalysis.t10VocabPrune(s, d)),
+    "e15_active_users"       -> (Events.e15ActiveUsers _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -626,6 +629,28 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type ORDER BY tus_s
         |    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_5min
         | FROM e)
-        |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
+        |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+    "q33_order_deltas" ->
+      """SELECT o_orderkey, o_custkey, delta FROM (
+        | SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        | FROM orders)
+        |WHERE delta IS NOT NULL ORDER BY o_orderkey, o_custkey, delta""".stripMargin,
+    "t10_vocab_prune" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+        |        FROM documents),
+        |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT t, df FROM df CROSS JOIN n
+        |WHERE df >= 2 AND df <= CAST(0.5 * n.n AS BIGINT) ORDER BY t""".stripMargin,
+    "e15_active_users" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY 1),
+        |wau AS (SELECT days.day, count(DISTINCT d.user_id) AS wau
+        |        FROM days JOIN daily d ON d.day <= days.day AND d.day >= days.day - 6
+        |        GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
   )
 }

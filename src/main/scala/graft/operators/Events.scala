@@ -250,6 +250,25 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Daily/weekly active users: DAU per day plus trailing-7-day WAU via
+    * a day-spine range join (spine is broadcast-sized; the distinct
+    * (day, user) table shuffles once).
+    */
+  def e15ActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select("day").distinct()
+    val dau = daily.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = days
+      .join(daily.select(col("day").as("d2"), col("user_id")),
+        col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

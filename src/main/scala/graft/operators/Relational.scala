@@ -455,6 +455,23 @@ object Relational {
       )
       .orderBy("c_mktsegment")
 
+  /** Consecutive-row deltas: each order vs the customer's previous order
+    * (lag over the per-customer timeline).
+    */
+  def q33OrderDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .filter(col("prev_price").isNotNull)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") - col("prev_price"), 2).as("delta")
+      )
+      .orderBy("o_orderkey", "o_custkey", "delta")
+  }
+
   /** HAVING: post-aggregation filter. */
   def q18Having(s: SparkSession, d: String): DataFrame =
     Tables

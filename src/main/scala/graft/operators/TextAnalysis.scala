@@ -115,6 +115,21 @@ object TextAnalysis {
       .orderBy("doc_id", "t")
   }
 
+  /** Vocabulary pruning: terms kept within a document-frequency band
+    * (min_df ≤ df ≤ max_df·N) — the standard vectorizer preprocessing
+    * step; the vocabulary table is broadcast-sized by construction.
+    */
+  def t10VocabPrune(s: SparkSession, d: String, minDf: Int = 2, maxDfFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    docs
+      .select(col("doc_id"), explode_outer(array_distinct(TF.tokens(col("text")))).as("t"))
+      .groupBy("t")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf && col("df") <= (maxDfFrac * n).toLong)
+      .orderBy("t")
+  }
+
   /** Deterministic hash-based sampling (training-data pipelines need
     * reproducible subsets — TABLESAMPLE isn't stable across engines or
     * runs). Keeps docs whose md5 leads with one of 2/16 hex digits
