@@ -101,7 +101,11 @@ object SparkEntry {
     "e14_sliding_rate"       -> (Events.e14SlidingRate _),
     "q33_order_deltas"       -> (Relational.q33OrderDeltas _),
     "t10_vocab_prune"        -> ((s, d) => TextAnalysis.t10VocabPrune(s, d)),
-    "e15_active_users"       -> (Events.e15ActiveUsers _)
+    "e15_active_users"       -> (Events.e15ActiveUsers _),
+    // round 2
+    "d5b_dedup_embedding_blocked" -> ((s, d) => Dedup.d5bDedupEmbeddingBlocked(s, d)),
+    "q34_approx_percentile"  -> (Relational.q34ApproxPercentile _),
+    "c2_merge_upsert"        -> (Maintenance.c2MergeUpsert _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -448,7 +452,8 @@ object SparkEntry {
         |FROM spine s LEFT JOIN cnt ON s.h = cnt.h AND s.event_type = cnt.event_type
         |ORDER BY 1, 2""".stripMargin,
     "e9_collect_nested" ->
-      """SELECT user_id, count(*) AS n, list(event_type ORDER BY event_id) AS types
+      """SELECT user_id, count(*) AS n,
+        | string_agg(event_type, '|' ORDER BY event_id) AS types_s
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_curate" ->
       """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -503,7 +508,7 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
         |ORDER BY doc_id""".stripMargin,
     "v4_centroids" ->
-      """SELECT label, CAST(u.i AS INT) AS idx, round(avg(u.v), 4) AS c FROM (
+      """SELECT label, CAST(u.i AS INT) AS idx, round(avg(u.v), 4) + 0.0 AS c FROM (
         | SELECT label, unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
         | FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -644,6 +649,22 @@ object SparkEntry {
         |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
         |SELECT t, df FROM df CROSS JOIN n
         |WHERE df >= 2 AND df <= CAST(0.5 * n.n AS BIGINT) ORDER BY t""".stripMargin,
+    "d5b_dedup_embedding_blocked" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "c2_merge_upsert" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        | FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "e15_active_users" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |days AS (SELECT DISTINCT day FROM daily),

@@ -151,7 +151,10 @@ object Dedup {
     */
   def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
-    val pairs = d2MinhashLsh(s, d).select("id_a", "id_b")
+    // materialize the verified pair set ONCE (localCheckpoint truncates
+    // lineage): Pregel's iterative evaluation otherwise re-runs the whole
+    // LSH chain per superstep, and d7's anti-join would run it again
+    val pairs = d2MinhashLsh(s, d).select("id_a", "id_b").localCheckpoint()
     val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
     s.createDataFrame(cc).toDF("doc_id", "canonical_id").orderBy("doc_id")
@@ -212,6 +215,65 @@ object Dedup {
       .withColumn("cos", GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Scale-path embedding near-dup: balanced BLOCK self-join — the same
+    * output as [[d5DedupEmbedding]] with no CartesianProduct / BNLJ node
+    * anywhere in the plan (asserted in ScalaTest).
+    *
+    * Why blocks and not LSH here (measured, round 2): at τ=0.4 on this
+    * 64-dim corpus the true pairs sit at cos 0.40–0.51 while random
+    * pairs have σ(cos) = 1/√64 = 0.125 — the threshold is only ~3.2σ
+    * from noise. Sign-bit LSH at that separation cannot work: the
+    * per-plane agreement probability is 0.631 for a true pair vs 0.5
+    * for a random one, so ANY (tables, planes, multiprobe) configuration
+    * reaching recall ≈ 1 also admits >85% of ALL pairs as candidates —
+    * i.e. it degenerates to all-pairs plus LSH overhead (the
+    * LshViability ScalaTest quantifies this). LSH is the right candidate
+    * generator when τ is far from noise (d2/d3 at Jaccard 0.5, v2 ANN
+    * top-k); for exact low-τ cosine dedup the correct distributed shape
+    * is a balanced block join:
+    *
+    * each vector (hash-)blocked into one of B blocks; a pair in blocks
+    * (i ≤ j) meets exactly once at join key (i, j) — the left role
+    * explodes a vector in block b to keys (b, b..B-1), the right role to
+    * keys (0..b, b). Work per task is |B_i|·|B_j| ≈ (n/B)² dot products
+    * — uniform by construction (no skew ceiling), memory per task
+    * O(n/B), shuffle volume n·(B+1)/2 rows. Compute is still inherently
+    * O(n²) — that is the price of EXACT near-noise thresholds at any
+    * scale; raise τ into the LSH-viable regime or accept ANN recall
+    * (v2) when n² is unaffordable.
+    */
+  def d5bDedupEmbeddingBlocked(s: SparkSession, d: String, tau: Double = 0.4, nBlocks: Int = 8): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk")
+      )
+    val l = e.select(
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+      col("blk").as("k1"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("k2")
+    )
+    val r = e.select(
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      explode(sequence(lit(0), col("blk"))).as("k1"), col("blk").as("k2")
+    )
+    l.join(r, Seq("k1", "k2"))
+      // diagonal block pairs see both orientations — keep one; off-diagonal
+      // pairs appear exactly once (left role is always the lower block)
+      .filter((col("k1") === col("k2") && col("id_a") < col("id_b")) || col("k1") < col("k2"))
+      .withColumn("cos", GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      // dot/norms are orientation-symmetric bit-for-bit; only ids need ordering
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos"), 4).as("cos")
+      )
       .orderBy("id_a", "id_b")
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Table-maintenance jobs for the landed columnar data — the part of a
@@ -47,6 +48,68 @@ object Maintenance {
     * source table, so row preservation is what's checked. File-count
     * reduction is asserted in ScalaTest.
     */
+  /** MERGE INTO-shaped batch upsert for the immutable columnar store:
+    * WHEN MATCHED THEN UPDATE (source wins), WHEN NOT MATCHED THEN INSERT,
+    * rows not matched by source are retained. One shuffle on the merge
+    * keys (a per-key window over the union with a source-precedence
+    * flag); `newestFirst` breaks ties among multiple source/target rows
+    * per key (e.g. `Seq(col("ts").desc, col("event_id").desc)`). At scale
+    * this is the copy-on-write pattern: the caller writes the result as a
+    * new table version (see [[c2MergeUpsert]]) — ideally restricted to
+    * the partitions the source actually touches.
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      newestFirst: Seq[Column]
+  ): DataFrame = {
+    val unioned = target.withColumn("_src", lit(0)).unionByName(source.withColumn("_src", lit(1)))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_src").desc +: newestFirst: _*)
+    unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
+  /** c2: end-to-end MERGE over a landed keyed parquet state table. The
+    * events stream is split at its time midpoint: the first half builds
+    * the landed per-user state table (the immutable store), the second
+    * half arrives as "late" upserts. After [[mergeUpsert]] +
+    * copy-on-write rewrite, the store must equal the latest-event-per-user
+    * view of the WHOLE stream — which is exactly what the DuckDB oracle
+    * computes (e6's shape). The split threshold is folded in as a
+    * broadcast single-row aggregate (no driver-side collect).
+    */
+  def c2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c2_").toString
+    val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value", "ts")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")
+    )
+    val halved = ev
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_late", unix_micros(col("ts")) >= (col("mn") + col("mx")) / 2)
+      .drop("mn", "mx")
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+    latestPerUser(halved.filter(!col("is_late")).drop("is_late"))
+      .write.mode("overwrite").parquet(s"$dir/state")
+    val target = s.read.parquet(s"$dir/state")
+    val updates = latestPerUser(halved.filter(col("is_late")).drop("is_late"))
+    mergeUpsert(target, updates, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .write.mode("overwrite").parquet(s"$dir/state_v2") // copy-on-write: new version
+    s.read
+      .parquet(s"$dir/state_v2")
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables

@@ -156,9 +156,13 @@ object Relational {
       .lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("med_price"),
-        round(expr("percentile(l_extendedprice, 0.9D)"), 2).as("p90_price"),
-        round(expr("percentile(l_quantity, 0.25D)"), 2).as("p25_qty")
+        // round via float-multiply (round(x*100)/100) to resolve
+        // interpolation half-ties the way DuckDB's double round() does —
+        // Spark's decimal-exact round(x, 2) breaks the other way when the
+        // interpolated midpoint reprs as ...4999999995
+        (round(expr("percentile(l_extendedprice, 0.5D)") * 100) / 100).as("med_price"),
+        (round(expr("percentile(l_extendedprice, 0.9D)") * 100) / 100).as("p90_price"),
+        (round(expr("percentile(l_quantity, 0.25D)") * 100) / 100).as("p25_qty")
       )
       .orderBy("l_returnflag")
 
@@ -480,4 +484,23 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
       .filter(col("n_orders") >= 15)
       .orderBy("o_custkey")
+
+  /** Approximate percentile sketch (Greenwald-Khanna via Spark's
+    * approx_percentile): the 100 TB replacement for [[q11Percentile]] —
+    * exact per-group percentile needs a full sort per group, while the
+    * sketch is a bounded-size mergeable summary riding the normal partial
+    * agg path. rows-only in the driver gate (sketch internals differ per
+    * engine); the ScalaTest gate bounds it against q11's exact values
+    * (accuracy parameter 10000 ⇒ rank error ≤ n/10000).
+    */
+  def q34ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2).as("med_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.9D, 10000)"), 2).as("p90_price"),
+        round(expr("approx_percentile(l_quantity, 0.25D, 10000)"), 2).as("p25_qty")
+      )
+      .orderBy("l_returnflag")
 }

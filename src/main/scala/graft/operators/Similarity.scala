@@ -99,7 +99,9 @@ object Similarity {
       .embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
       .groupBy("label", "idx")
-      .agg(round(avg("v"), 4).as("c"))
+      // + 0.0 normalizes IEEE negative zero (an avg rounding to -0.0
+      // reprs differently across engines); the oracle does the same
+      .agg((round(avg("v"), 4) + lit(0.0)).as("c"))
       .orderBy("label", "idx")
 
   /** Vector column statistics (dims, norms, label aggregates). */

@@ -42,6 +42,35 @@ object StreamingBatch {
       }
     )
 
+  /** s2's staging variant: the events stream plus ONE far-future sentinel
+    * record (event_type `__sentinel__`, ts = max(ts) + 24h, built as a
+    * single-row aggregate — no driver-side collect). An append-mode file
+    * sink only emits windows the watermark has passed; the sentinel
+    * advances the final watermark beyond every real window so a one-shot
+    * AvailableNow run flushes all of them. Its own group is filtered out
+    * of the sink.
+    */
+  private def stageJsonSentinel(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#sentinel",
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_sent_").toString
+        val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val sentinel = ev
+          .agg(max(col("ts")).as("ts0"))
+          .select(
+            lit(-1L).as("event_id"),
+            (col("ts0") + expr("interval 24 hours")).as("ts"),
+            lit(-1L).as("user_id"),
+            lit("__sentinel__").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props")
+          )
+        ev.unionByName(sentinel).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        dir
+      }
+    )
+
   /** s1: JSON-lines → StreamIngest → time-partitioned parquet → re-read
     * and aggregate per partition. Exercises parse, corrupt-handling,
     * dt/hr partitioning, and the file-sink commit protocol.
@@ -71,26 +100,39 @@ object StreamingBatch {
   }
 
   /** s2: watermarked tumbling-window aggregation over the stream, landed
-    * via AvailableNow and compared against the batch hourly rollup.
+    * via AvailableNow in APPEND mode to a parquet file sink — the
+    * production shape: watermark-evicted state, no driver-side result
+    * accumulation (the previous `memory`/complete harness collected the
+    * full aggregate onto the driver every trigger — a driver-OOM pattern
+    * at scale; round-1 VERDICT item 6). Compared against the batch hourly
+    * rollup oracle.
     */
   def s2StreamWindowAgg(s: SparkSession, d: String): DataFrame = {
-    val dir = stageJson(s, d)
+    val dir = stageJsonSentinel(s, d)
     val stream = StreamIngest.parsed(
       s.readStream.option("maxFilesPerTrigger", 16).text(s"$dir/json"),
       eventSchema,
       "ts"
     )
-    val name = "graft_s2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = Files.createTempDirectory("graft_s2_run_").toString
+    // NOTE: no sentinel filter inside the streaming plan — a filter on the
+    // grouping column gets pushed below the watermark operator, so the
+    // watermark would never see the sentinel. The sentinel's own window
+    // (end > final watermark) never flushes to the sink anyway; the
+    // batch-side filter below is defensive.
     val q = StreamOps
       .windowAgg(stream)
       .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    s.read
+      .parquet(s"$out/data")
+      .filter(col("event_type") =!= "__sentinel__")
       .select(
         unix_timestamp(col("bucket_start")).as("bucket_s"),
         col("event_type"),

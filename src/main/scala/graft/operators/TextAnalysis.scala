@@ -100,17 +100,20 @@ object TextAnalysis {
     */
   def t9Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count().toDouble
+    // corpus size as a broadcast single-row aggregate — folding N into the
+    // plan instead of a driver-side count() avoids an extra full scan job
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
     val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tc"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "t")
       .join(broadcast(docLen), "doc_id")
+      .crossJoin(broadcast(nDf))
       .select(
         col("doc_id"),
         col("t"),
-        round((col("tc").cast("double") / col("len")) * log(lit(n) / col("df")), 6).as("tfidf")
+        round((col("tc").cast("double") / col("len")) * log(col("n_docs") / col("df")), 6).as("tfidf")
       )
       .orderBy("doc_id", "t")
   }
@@ -121,12 +124,17 @@ object TextAnalysis {
     */
   def t10VocabPrune(s: SparkSession, d: String, minDf: Int = 2, maxDfFrac: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     docs
-      .select(col("doc_id"), explode_outer(array_distinct(TF.tokens(col("text")))).as("t"))
+      // plain explode: a zero-token document contributes no vocabulary
+      // rows (explode_outer emitted a NULL term per empty doc — a bogus
+      // t=NULL vocab entry the oracle's unnest never produces)
+      .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("t"))
       .groupBy("t")
       .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") >= minDf && col("df") <= (maxDfFrac * n).toLong)
+      .crossJoin(broadcast(nDf))
+      .filter(col("df") >= minDf && col("df") <= floor(lit(maxDfFrac) * col("n_docs")).cast("long"))
+      .select("t", "df")
       .orderBy("t")
   }
 

@@ -64,15 +64,35 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
       )
   }
 
+  /** True when either input may carry null ELEMENTS (parquet-read arrays
+    * default to containsNull=true). A null element makes the whole dot
+    * NULL — matching the composed aggregate(zip_with(...)) form, where
+    * null propagates through the fold.
+    */
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  })
+
+  override def nullable: Boolean = left.nullable || right.nullable || elemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (elemNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
     }
     acc
   }
@@ -85,14 +105,30 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
-        code"""
-          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-          |double $acc = 0.0;
-          |for (int $i = 0; $i < $n; $i++) {
-          |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
-          |}
-          |${ev.value} = $acc;
-        """.stripMargin.toString
+        if (elemNullable) {
+          // null-element check only compiled in when the schema allows
+          // null elements; the all-non-null path keeps the tight loop
+          val bad = ctx.freshName("hasNull")
+          code"""
+            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+            |double $acc = 0.0;
+            |boolean $bad = false;
+            |for (int $i = 0; $i < $n; $i++) {
+            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+            |}
+            |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+          """.stripMargin.toString
+        } else {
+          code"""
+            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+            |double $acc = 0.0;
+            |for (int $i = 0; $i < $n; $i++) {
+            |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+            |}
+            |${ev.value} = $acc;
+          """.stripMargin.toString
+        }
       }
     )
 

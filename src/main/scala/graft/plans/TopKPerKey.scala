@@ -38,8 +38,30 @@ case class TopKPerKeyNode(
 }
 
 object TopKStrategy extends SparkStrategy {
+
+  import org.apache.spark.sql.types._
+
+  /** Types the ranking heap supports: compared with the type's own
+    * interpreted ordering (exact for Long/Decimal — no doubleValue()
+    * precision cliff above 2^53) and safe to retain across input-row
+    * reuse (primitives and immutable boxes; UTF8String is cloned).
+    */
+  private[plans] def rankable(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: DateType | _: TimestampType | _: TimestampNTZType |
+        _: BooleanType | _: StringType =>
+      true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(g, o, t, k, child) =>
+      Seq(("order", o), ("tie", t)).foreach { case (role, e) =>
+        if (!rankable(e.dataType))
+          throw new IllegalArgumentException(
+            s"TopKPerKey $role column has unsupported type ${e.dataType.simpleString}: " +
+              "supported are numeric (incl. decimal), date, timestamp, boolean, and string"
+          )
+      }
       // partial pass (any distribution) under a final pass (clustered)
       TopKPerKeyExec(g, o, t, k, TopKPerKeyExec(g, o, t, k, planLater(child), partial = true), partial = false) :: Nil
     case _ => Nil
@@ -76,12 +98,29 @@ case class TopKPerKeyExec(
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ordB = BindReferences.bindReference(orderE, childOutput)
       val tieB = BindReferences.bindReference(tieE, childOutput)
+      // type-appropriate interpreted orderings: exact for LongType and
+      // DecimalType (the doubleValue() path mis-ranked longs > 2^53)
+      val ordOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(orderE.dataType)
+      val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(tieE.dataType)
+      // eval results may alias the (reused) input row's buffer for
+      // non-primitive types — retain defensive copies in the heap
+      def own(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case other                                       => other
+      }
       // PQ head = worst-ranked entry under (order desc, tie asc) — the
       // eviction candidate. Null order/tie values are skipped (ranked
       // rows must have a defined score).
-      implicit val ord: Ordering[(Double, Long, InternalRow)] =
-        Ordering.by[(Double, Long, InternalRow), (Double, Long)] { case (o, t, _) => (-o, t) }
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]()
+      implicit val heapOrd: Ordering[(Any, Any, InternalRow)] =
+        new Ordering[(Any, Any, InternalRow)] {
+          override def compare(p: (Any, Any, InternalRow), q: (Any, Any, InternalRow)): Int = {
+            val c = ordOrd.compare(q._1, p._1) // lower order value ⇒ worse ⇒ toward head
+            if (c != 0) c else tieOrd.compare(p._2, q._2) // higher tie ⇒ worse
+          }
+        }
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, Any, InternalRow)]]()
       it.foreach { row =>
         val oAny = ordB.eval(row)
         val tAny = tieB.eval(row)
@@ -89,19 +128,15 @@ case class TopKPerKeyExec(
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
-            heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, InternalRow)]
+            heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, InternalRow)]
             heaps.put(key.copy(), heap)
           }
-          val o = oAny.asInstanceOf[Number].doubleValue()
-          val t = tAny.asInstanceOf[Number].longValue()
           if (heap.size < kk) {
-            heap.enqueue((o, t, row.copy()))
-          } else {
-            val worst = heap.head
-            if (o > worst._1 || (o == worst._1 && t < worst._2)) {
-              heap.dequeue()
-              heap.enqueue((o, t, row.copy()))
-            }
+            heap.enqueue((own(oAny), own(tAny), row.copy()))
+          } else if (heapOrd.compare((oAny, tAny, null), heap.head) < 0) {
+            // strictly better than the current worst
+            heap.dequeue()
+            heap.enqueue((own(oAny), own(tAny), row.copy()))
           }
         }
       }

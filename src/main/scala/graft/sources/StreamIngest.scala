@@ -50,28 +50,30 @@ object StreamIngest {
     *
     * Keys: `source.type` (file|kafka|kinesis) + per-source keys
     * (`source.path` | `source.bootstrap`/`source.topic` |
-    * `source.stream`/`source.region`), `schema.json` (Spark JSON schema),
-    * `ts.column`, `sink.path`, `sink.checkpoint`, `sink.format`,
-    * `sink.partitions`.
+    * `source.stream`/`source.region`), `schema.ddl` (Spark DDL string,
+    * e.g. "event_id BIGINT, ts TIMESTAMP, ..."), `ts.column`,
+    * `sink.path`, `sink.checkpoint`, `sink.format`, `sink.partitions`.
     */
   def fromConfig(conf: Map[String, String]): IngestConfig = {
+    def req(key: String): String =
+      conf.getOrElse(key, throw new IllegalArgumentException(s"ingest config is missing required key '$key'"))
     val source = conf.getOrElse("source.type", "file") match {
-      case "file" => FileSource(conf("source.path"))
+      case "file" => FileSource(req("source.path"))
       case "kafka" =>
         KafkaSource(
-          conf("source.bootstrap"),
-          conf("source.topic"),
+          req("source.bootstrap"),
+          req("source.topic"),
           conf.getOrElse("source.startingOffsets", "earliest")
         )
-      case "kinesis" => KinesisSource(conf("source.stream"), conf("source.region"))
+      case "kinesis" => KinesisSource(req("source.stream"), req("source.region"))
       case other     => throw new IllegalArgumentException(s"unknown source.type: $other")
     }
     IngestConfig(
       source = source,
-      schema = StructType.fromDDL(conf("schema.ddl")),
+      schema = StructType.fromDDL(req("schema.ddl")),
       tsColumn = conf.getOrElse("ts.column", "ts"),
-      outputPath = conf("sink.path"),
-      checkpointPath = conf("sink.checkpoint"),
+      outputPath = req("sink.path"),
+      checkpointPath = req("sink.checkpoint"),
       format = conf.getOrElse("sink.format", "parquet"),
       sinkPartitions = conf.getOrElse("sink.partitions", "4").toInt
     )

@@ -80,7 +80,12 @@ object StreamOps {
           val t = e.ts.getTime
           cur match {
             case Some(st) if t - st.last <= gapMs =>
-              cur = Some(st.copy(last = t, n = st.n + 1))
+              // out-of-order events within the gap (possible across batches
+              // under a nonzero watermark delay) must never move the
+              // session END backwards or the START forwards
+              cur = Some(
+                st.copy(start = math.min(st.start, t), last = math.max(st.last, t), n = st.n + 1)
+              )
             case Some(st) =>
               closed ::= SessionOut(userId, st.start / 1000, st.last / 1000, st.n)
               cur = Some(SessionState(t, t, 1))
