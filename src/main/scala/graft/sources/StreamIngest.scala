@@ -128,8 +128,17 @@ object StreamIngest {
     * (dt, hr) directory is written by one task — without the keys, every
     * task writes every directory (tasks × dirs small files per trigger).
     */
-  def run(spark: SparkSession, cfg: IngestConfig): StreamingQuery = {
-    val df = parsed(readRaw(spark, cfg.source), cfg.schema, cfg.tsColumn)
+  def run(spark: SparkSession, cfg: IngestConfig): StreamingQuery =
+    runFromRaw(readRaw(spark, cfg.source), cfg)
+
+  /** The transform+sink half of [[run]], taking an already-constructed
+    * raw stream (one string column `value`). Every source — file, Kafka,
+    * Kinesis, or a test MemoryStream standing in for a broker — flows
+    * through this exact path; swapping the source changes nothing
+    * downstream.
+    */
+  def runFromRaw(raw: DataFrame, cfg: IngestConfig): StreamingQuery = {
+    val df = parsed(raw, cfg.schema, cfg.tsColumn)
       .repartition(cfg.sinkPartitions, col("dt"), col("hr"))
     df.writeStream
       .format(cfg.format)

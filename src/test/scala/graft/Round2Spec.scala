@@ -1,0 +1,264 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.{StreamIngest, Tables}
+import graft.streaming.StreamOps
+import graft.functions.{VectorFunctions => VF}
+
+/** Round-2 additions: the VERDICT/ADVICE fix battery. */
+class Round2Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ------------------------------------------------------------------
+  // multi-batch ingest through the EXACT production transform+sink path
+  // (the Kafka-equivalent: the connector jar isn't in this container, so
+  // a MemoryStream stands in for the broker — StreamIngest.runFromRaw is
+  // the same code `run` uses for every source)
+  // ------------------------------------------------------------------
+  test("ingest consumes multiple micro-batches under ProcessingTime through the partitioned sink") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_").toString
+    val cfg = StreamIngest.IngestConfig(
+      source = StreamIngest.FileSource("unused"),
+      schema = StreamingBatch.eventSchema,
+      tsColumn = "ts",
+      outputPath = s"$dir/out",
+      checkpointPath = s"$dir/ck",
+      trigger = Trigger.ProcessingTime("50 milliseconds")
+    )
+    def line(id: Long, hr: Int): String =
+      f"""{"event_id":$id,"ts":"2024-01-05T$hr%02d:00:01.000Z","user_id":$id,"event_type":"click","value":1.5,"props":"{}"}"""
+    val q = StreamIngest.runFromRaw(input.toDF().toDF("value"), cfg)
+    input.addData(line(1, 1), line(2, 1), line(3, 2))
+    q.processAllAvailable()
+    input.addData(line(4, 2), line(5, 3))
+    q.processAllAvailable()
+    input.addData(line(6, 3))
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(dataBatches >= 2, s"expected >=2 data micro-batches, saw $dataBatches")
+    val landed = spark.read.parquet(s"$dir/out")
+    assert(landed.count() == 6)
+    // time-partitioned layout survives multi-batch appends
+    val hrs = landed.select(col("hr").cast("int")).distinct().collect().map(_.getInt(0)).sorted
+    assert(hrs.sameElements(Array(1, 2, 3)))
+    assert(landed.filter(col("_corrupt").isNull).count() == 6)
+  }
+
+  // ------------------------------------------------------------------
+  // runtime bloom-filter join pruning (the standard 100 TB fact-fact win)
+  // ------------------------------------------------------------------
+  test("runtime bloom filter is injected on a selective fact-fact shuffle join") {
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    )
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // at test SF every scan is tiny — drop the size gate so the rule
+      // fires; at production scale the default (10GB) keeps it targeted
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force the shuffle-join shape the rule targets (broadcast joins
+      // already prune by construction)
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("q"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(
+        plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no bloom filter in plan:\n$plan"
+      )
+      assert(j.collect().nonEmpty) // and it still computes
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // d5b: blocked embedding dedup — equal to brute force, no cartesian
+  // ------------------------------------------------------------------
+  test("d5b blocked == d5 brute, and its plan has no CartesianProduct/BNLJ") {
+    def canon(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(canon(Dedup.d5bDedupEmbeddingBlocked(spark, sf)) == canon(Dedup.d5DedupEmbedding(spark, sf)))
+    val plan = Dedup.d5bDedupEmbeddingBlocked(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  /** Quantifies WHY d5b is a block join and not sign-LSH (see the d5b
+    * scaladoc): with threshold τ=0.4 only ~3.2σ from the random-pair
+    * cosine distribution at 64 dims, a config strong enough for high
+    * recall admits the majority of ALL pairs as candidates. Deterministic
+    * (seeded planes), so the assertions are exact replays.
+    */
+  test("sign-LSH at tau=0.4 / 64-dim: high recall forces near-all-pairs candidates") {
+    val truth = Dedup
+      .d5DedupEmbedding(spark, sf)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = e.count().toDouble
+    val allPairs = n * (n - 1) / 2.0
+    def candidatePairs(nTables: Int, planesPerTable: Int): Set[(Long, Long)] = {
+      val groups = VF.randomPlanes(nTables * planesPerTable, 64).grouped(planesPerTable).toSeq
+      val bcols = groups.zipWithIndex.map { case (pl, t) =>
+        struct(lit(t).as("t"), VF.lshBucket(col("embedding"), pl).as("b")).as(s"b$t")
+      }
+      val b = e.withColumn("tb", explode(array(bcols: _*))).select(col("vec_id"), col("tb"))
+      b.as("x")
+        .join(b.as("y"), "tb")
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    }
+    val weak = candidatePairs(8, 4) // v2's ANN config
+    val weakRecall = truth.count(weak.contains).toDouble / truth.size
+    val strong = candidatePairs(18, 4) // amplified toward recall ~0.95
+    val strongRecall = truth.count(strong.contains).toDouble / truth.size
+    val strongFraction = strong.size / allPairs
+    assert(weakRecall < 0.98, s"weak recall $weakRecall") // misses true pairs
+    assert(strongRecall > weakRecall)
+    // ...but the recall comes from admitting most of the corpus as candidates
+    assert(strongFraction > 0.4, s"strong candidate fraction $strongFraction")
+  }
+
+  // ------------------------------------------------------------------
+  // TopKPerKey: exact orderings + type validation (ADVICE item 2)
+  // ------------------------------------------------------------------
+  test("topKPerKey ranks DecimalType orders and longs beyond 2^53 exactly") {
+    import spark.implicits._
+    val dec = Seq(("a", 1L, "3.30"), ("a", 2L, "3.20"), ("a", 3L, "10.10"), ("b", 4L, "1.00"))
+      .toDF("g", "id", "s")
+      .withColumn("price", col("s").cast("decimal(20,2)"))
+    val topDec = graft.plans.TopK
+      .topKPerKey(dec, Seq("g"), "price", "id", 2)
+      .select("g", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(topDec == Set(("a", 3L), ("a", 1L), ("b", 4L)))
+
+    val big = 1L << 53 // doubles can't distinguish big and big+1
+    val longs = Seq(("a", 1L, big), ("a", 2L, big + 1), ("a", 3L, big - 2)).toDF("g", "id", "v")
+    val top1 = graft.plans.TopK
+      .topKPerKey(longs, Seq("g"), "v", "id", 1)
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(top1 == Seq(2L))
+  }
+
+  test("topKPerKey rejects non-rankable order types at planning") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, Seq(1, 2))).toDF("g", "id", "arr")
+    val ex = intercept[Exception] {
+      graft.plans.TopK.topKPerKey(df, Seq("g"), "arr", "id", 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unsupported type")))
+  }
+
+  // ------------------------------------------------------------------
+  // FloatVecDot: null elements propagate (ADVICE item 4)
+  // ------------------------------------------------------------------
+  test("FloatVecDot returns NULL when an element is null, value otherwise") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), None, Some(2f)), Seq[Option[Float]](Some(1f), Some(1f), Some(1f))),
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f)))
+    ).toDF("a", "b")
+    val out = df.select(graft.plans.GraftExpressions.dotF(col("a"), col("b")).as("d")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 11.0)
+  }
+
+  // ------------------------------------------------------------------
+  // sessionize: out-of-order in-gap events never shrink the session
+  // (ADVICE item 3)
+  // ------------------------------------------------------------------
+  test("sessionize keeps session end stable under out-of-order in-gap events") {
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.SessionEvent](spark, 1)
+    val base = 1700000000000L
+    val name = "r2_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps
+      .sessionize(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    input.addData(
+      StreamOps.SessionEvent(1L, new Timestamp(base)),
+      StreamOps.SessionEvent(1L, new Timestamp(base + 20 * 60000))
+    )
+    q.processAllAvailable()
+    // out-of-order, within gap and watermark: must not move `last` back
+    input.addData(StreamOps.SessionEvent(1L, new Timestamp(base + 10 * 60000)))
+    q.processAllAvailable()
+    // past the 30-min gap: closes the session in-batch
+    input.addData(StreamOps.SessionEvent(1L, new Timestamp(base + 100 * 60000)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(name).as[StreamOps.SessionOut].collect().filter(_.user_id == 1L)
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 3L)
+    assert(closed.head.start_s == base / 1000)
+    assert(closed.head.end_s == (base + 20 * 60000) / 1000) // NOT the out-of-order 10-min mark
+  }
+
+  // ------------------------------------------------------------------
+  // q34 approx percentile vs exact (rows-only driver entry's real gate)
+  // ------------------------------------------------------------------
+  test("q34 approx_percentile within 1% of q11 exact per group") {
+    def byFlag(df: DataFrame) =
+      df.collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Relational.q11Percentile(spark, sf))
+    val approx = byFlag(Relational.q34ApproxPercentile(spark, sf))
+    exact.foreach { case (k, es) =>
+      es.zip(approx(k)).foreach { case (ev, av) =>
+        assert(math.abs(ev - av) <= math.abs(ev) * 0.01 + 1e-9, s"$k exact=$ev approx=$av")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // mergeUpsert MERGE semantics on a toy table
+  // ------------------------------------------------------------------
+  test("mergeUpsert: matched update, not-matched insert, unmatched target retained") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver")
+    val source = Seq((2L, "b2", 20L), (3L, "c", 20L)).toDF("k", "v", "ver")
+    val merged = Maintenance
+      .mergeUpsert(target, source, Seq("k"), Seq(col("ver").desc))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(merged == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+}
