@@ -41,7 +41,9 @@ object StreamIngest {
       checkpointPath: String,
       format: String = "parquet", // or "orc"
       sinkPartitions: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      wireFormat: String = "json", // or "avro" (record-oriented sources)
+      avroWriterSchema: Option[String] = None // Avro schema JSON for wireFormat=avro
   )
 
   /** Build an [[IngestConfig]] from a flat key-value config (the shape a
@@ -75,7 +77,9 @@ object StreamIngest {
       outputPath = req("sink.path"),
       checkpointPath = req("sink.checkpoint"),
       format = conf.getOrElse("sink.format", "parquet"),
-      sinkPartitions = conf.getOrElse("sink.partitions", "4").toInt
+      sinkPartitions = conf.getOrElse("sink.partitions", "4").toInt,
+      wireFormat = conf.getOrElse("wire.format", "json"),
+      avroWriterSchema = conf.get("wire.avroSchema")
     )
   }
 
@@ -102,25 +106,81 @@ object StreamIngest {
         .selectExpr("CAST(data AS STRING) AS value")
   }
 
+  private def timePartitioned(df: DataFrame, tsColumn: String): DataFrame =
+    df.withColumn("dt", date_format(col(tsColumn), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col(tsColumn), "HH"))
+
   /** Parse + time-partition transform, shared by every source. PERMISSIVE
     * parsing with a corrupt-record column keeps malformed records (typed
     * fields null, original line in `_corrupt`) instead of killing the
     * pipeline.
     */
-  def parsed(raw: DataFrame, schema: StructType, tsColumn: String): DataFrame = {
-    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    raw
-      .select(
-        from_json(
-          col("value"),
-          withCorrupt,
-          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
-        ).as("r")
-      )
-      .select(col("r.*"))
-      .withColumnRenamed("_corrupt_record", "_corrupt")
-      .withColumn("dt", date_format(col(tsColumn), "yyyy-MM-dd"))
-      .withColumn("hr", date_format(col(tsColumn), "HH"))
+  def parsed(raw: DataFrame, schema: StructType, tsColumn: String): DataFrame =
+    timePartitioned(
+      raw
+        .select(
+          from_json(
+            col("value"),
+            schema.add("_corrupt_record", org.apache.spark.sql.types.StringType),
+            Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+          ).as("r")
+        )
+        .select(col("r.*"))
+        .withColumnRenamed("_corrupt_record", "_corrupt"),
+      tsColumn
+    )
+
+  /** Avro wire-format variant of [[parsed]] for record-oriented sources
+    * (Kafka/Kinesis message values, or a test MemoryStream): each `value`
+    * is ONE binary-encoded Avro record (the khose wire shape), decoded
+    * per partition with avro-core's GenericDatumReader — the spark-avro
+    * connector isn't required. Decode failures follow the same permissive
+    * contract as JSON: typed fields null, base64 of the original bytes in
+    * `_corrupt`. Timestamp fields accept Avro timestamp-micros/-millis
+    * longs (micros when ≥ 10^13 in magnitude — epoch millis never reach
+    * that before year 2286).
+    */
+  def parsedAvro(raw: DataFrame, writerSchemaJson: String, schema: StructType, tsColumn: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = schema.add("_corrupt", StringType)
+    val fields = schema.fields
+    val out = raw
+      .select(col("value").cast("binary").as("value"))
+      .as(Encoders.BINARY)
+      .mapPartitions { it =>
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(writerSchemaJson)
+        val reader =
+          new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord](avroSchema)
+        var decoder: org.apache.avro.io.BinaryDecoder = null
+        def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+          case (null, _)                           => null
+          case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+          case (s: String, StringType)             => s
+          case (l: java.lang.Long, TimestampType) =>
+            val micros = if (math.abs(l) >= 10000000000000L) l.longValue() else l.longValue() * 1000L
+            val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+            ts
+          case (l: java.lang.Long, LongType)       => l
+          case (i: java.lang.Integer, IntegerType) => i
+          case (d: java.lang.Double, DoubleType)   => d
+          case (f: java.lang.Float, FloatType)     => f
+          case (b: java.lang.Boolean, BooleanType) => b
+          case (other, _)                          => other
+        }
+        it.map { bytes =>
+          try {
+            decoder = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, decoder)
+            val rec = reader.read(null, decoder)
+            Row.fromSeq(fields.toSeq.map(f => convert(rec.get(f.name), f.dataType)) :+ null)
+          } catch {
+            case _: Exception =>
+              Row.fromSeq(fields.toSeq.map(_ => null) :+ java.util.Base64.getEncoder.encodeToString(bytes))
+          }
+        }
+      }(Encoders.row(outSchema))
+    timePartitioned(out, tsColumn)
   }
 
   /** Launch the ingest query: source → parse → partitioned columnar sink.
@@ -138,8 +198,16 @@ object StreamIngest {
     * downstream.
     */
   def runFromRaw(raw: DataFrame, cfg: IngestConfig): StreamingQuery = {
-    val df = parsed(raw, cfg.schema, cfg.tsColumn)
-      .repartition(cfg.sinkPartitions, col("dt"), col("hr"))
+    val typed = cfg.wireFormat match {
+      case "json" => parsed(raw, cfg.schema, cfg.tsColumn)
+      case "avro" =>
+        val ws = cfg.avroWriterSchema.getOrElse(
+          throw new IllegalArgumentException("wireFormat=avro requires avroWriterSchema")
+        )
+        parsedAvro(raw, ws, cfg.schema, cfg.tsColumn)
+      case other => throw new IllegalArgumentException(s"unknown wireFormat: $other")
+    }
+    val df = typed.repartition(cfg.sinkPartitions, col("dt"), col("hr"))
     df.writeStream
       .format(cfg.format)
       .option("path", cfg.outputPath)
