@@ -105,7 +105,12 @@ object SparkEntry {
     // round 2
     "d5b_dedup_embedding_blocked" -> ((s, d) => Dedup.d5bDedupEmbeddingBlocked(s, d)),
     "q34_approx_percentile"  -> (Relational.q34ApproxPercentile _),
-    "c2_merge_upsert"        -> (Maintenance.c2MergeUpsert _)
+    "c2_merge_upsert"        -> (Maintenance.c2MergeUpsert _),
+    "t11_blocklist"          -> ((s, d) => TextAnalysis.t11Blocklist(s, d)),
+    "e16_histogram"          -> (Events.e16Histogram _),
+    "q35_salted_join"        -> (Relational.q35SaltedJoin _),
+    "q36_decimal_agg"        -> (Relational.q36DecimalAgg _),
+    "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -665,6 +670,32 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t11_blocklist" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)
+        |SELECT doc_id, lang, CAST(len(tk) AS INT) AS n_tokens FROM t
+        |WHERE len(list_filter(tk, x -> x IN ('slow','dup','leak'))) = 0
+        |ORDER BY doc_id""".stripMargin,
+    "e16_histogram" ->
+      """SELECT event_type,
+        | CAST(least(greatest(floor(value/5.0), 0), 19) AS INT) AS bucket, count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q35_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_decimal_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m3_frame_sample" ->
+      """SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS n_frames,
+        | array_to_string(range(0, CAST(1 + doc_id % 5 AS INT), 2), ',') AS frame_idx,
+        | CAST(len(range(0, CAST(1 + doc_id % 5 AS INT), 2)) AS INT) AS n_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e15_active_users" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |days AS (SELECT DISTINCT day FROM daily),

@@ -288,6 +288,22 @@ object Events {
     dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
   }
 
+  /** Fixed-range value histogram per event type: 20 buckets of width 5
+    * over [0, 100), clamped at the edges — one groupBy with map-side
+    * partial aggregation (the scale-safe histogram; never a sort).
+    */
+  def e16Histogram(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        least(greatest(floor(col("value") / 5.0), lit(0.0)), lit(19.0)).cast("int").as("bucket")
+      )
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -53,6 +53,24 @@ object Multimodal {
       )
       .orderBy("source")
 
+  /** Frame-sampling manifest: per media item, the deterministic list of
+    * frame indices to decode (every `stride`-th frame) — the planning
+    * table a video pipeline hands to the decode stage so work can be
+    * sharded BEFORE touching any bytes. Emitted as a joined string so the
+    * row hashes in the oracle gate.
+    */
+  def m3FrameSample(s: SparkSession, d: String, stride: Int = 2): DataFrame = {
+    val idx = sequence(lit(0), col("n_frames") - 1, lit(stride))
+    m1BinaryMeta(s, d)
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        array_join(transform(idx, _.cast("string")), ",").as("frame_idx"),
+        size(idx).as("n_sampled")
+      )
+      .orderBy("doc_id")
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
 

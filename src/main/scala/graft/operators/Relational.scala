@@ -503,4 +503,44 @@ object Relational {
         round(expr("approx_percentile(l_quantity, 0.25D, 10000)"), 2).as("p25_qty")
       )
       .orderBy("l_returnflag")
+
+  /** Skew-salted fact-fact join: [[SkewJoin.saltedJoin]] splits each hot
+    * join key across `salts` reducers (deterministic row-hash salt, build
+    * side replicated salts×). The oracle is the PLAIN join — salting must
+    * be semantically invisible.
+    */
+  def q35SaltedJoin(s: SparkSession, d: String): DataFrame =
+    SkewJoin
+      .saltedJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey",
+        salts = 4
+      )
+      .groupBy("o_orderpriority")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Exact decimal money aggregation: doubles are cast to DECIMAL before
+    * summing, so the group totals are exact (associativity-independent —
+    * no float rounding drift at any parallelism) and need no rounding for
+    * cross-engine parity. The 100 TB relevance: decimal sums make
+    * partial-agg results reproducible run-to-run regardless of partition
+    * count; float sums do not.
+    */
+  def q36DecimalAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_discount").cast("decimal(18,4)").as("disc")
+      )
+      .groupBy("l_returnflag")
+      .agg(
+        sum("p").cast("decimal(38,2)").as("sum_price"),
+        sum("disc").cast("decimal(38,4)").as("sum_disc"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
 }

@@ -163,6 +163,31 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** C4-style blocklist gate: keep only documents containing NO
+    * blocklisted term — the standard "bad words" filter in training-data
+    * curation. Pure per-row map over the token array (zero shuffle); the
+    * blocklist is a plan-time literal set (at production size it becomes
+    * a broadcast hash set inside a custom predicate).
+    */
+  def t11Blocklist(
+      s: SparkSession,
+      d: String,
+      blocklist: Seq[String] = Seq("slow", "dup", "leak")
+  ): DataFrame = {
+    val tk = TF.tokens(col("text"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, t => t.isin(blocklist: _*))).as("n_hits")
+      )
+      .filter(col("n_hits") === 0)
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single
     * count shuffle (map-side partial agg keeps it one small exchange).
     * The token array is materialized once per row (a naive inline form
