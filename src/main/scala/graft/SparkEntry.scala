@@ -110,7 +110,8 @@ object SparkEntry {
     "e16_histogram"          -> (Events.e16Histogram _),
     "q35_salted_join"        -> (Relational.q35SaltedJoin _),
     "q36_decimal_agg"        -> (Relational.q36DecimalAgg _),
-    "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d))
+    "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d)),
+    "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -670,6 +671,14 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t12_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+        | FROM documents),
+        |n AS (SELECT count(*) AS n_tok FROM tok)
+        |SELECT t, count(*) AS cnt FROM tok CROSS JOIN n
+        |GROUP BY t, n_tok HAVING count(*) > n_tok / 50
+        |ORDER BY t""".stripMargin,
     "t11_blocklist" ->
       """WITH t AS (SELECT doc_id, lang,
         |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)

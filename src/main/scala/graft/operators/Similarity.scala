@@ -73,16 +73,27 @@ object Similarity {
     val e = Tables
       .embeddings(s, d)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-    val c0 = e.withColumn("tb", explode(array(bucketCols: _*)))
-    val q = e.filter(col("vec_id") < nQueries)
+    // candidate generation carries IDS ONLY (the d2 trick): the
+    // 64-float arrays never ride the bucket join or the distinct —
+    // embeddings are joined back just for the deduped candidate pairs
+    val cIdx = e
+      .withColumn("tb", explode(array(bucketCols: _*)))
+      .select(col("vec_id").as("c_id"), col("tb"))
+    val qIdx = e.filter(col("vec_id") < nQueries)
       .withColumn("tb", explode(array(probeCols: _*)))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("tb"))
-    val c = c0.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("tb"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), Seq("tb"))
+      .select(col("vec_id").as("q_id"), col("tb"))
+    val candidates = cIdx
+      .join(broadcast(qIdx), Seq("tb"))
       .filter(col("c_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "q_nrm", "c_id", "c_emb", "c_nrm")
+      .select("q_id", "c_id")
       .dropDuplicates("q_id", "c_id") // union across tables
+    val cEmb = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val qEmb = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    candidates
+      .join(cEmb, "c_id")
+      .join(broadcast(qEmb), "q_id")
       .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{TextFunctions => TF}
+import graft.plans.GraftExpressions
 
 /** §2.6 text analysis over the `documents` corpus. All per-document maps
   * (no shuffle except the final t5 count) built from codegen'd array
@@ -186,6 +187,33 @@ object TextAnalysis {
       .filter(col("n_hits") === 0)
       .select("doc_id", "lang", "n_tokens")
       .orderBy("doc_id")
+  }
+
+  /** Exact distributed heavy hitters (terms with frequency > n/k) in the
+    * two-pass sketch shape that scales: pass 1 is the Misra-Gries custom
+    * aggregate ([[graft.plans.MisraGries]]) — O(k) bytes per partition,
+    * no term shuffle — whose candidate set provably contains every true
+    * heavy hitter; pass 2 exactly recounts ONLY the ≤ k-1 candidates via
+    * a broadcast join and applies the threshold. Deterministic (the
+    * sketch's partitioning-dependent estimates never reach the output),
+    * so the oracle is the plain exact HAVING query.
+    */
+  def t12HeavyHitters(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val tok = Tables
+      .documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("t"))
+    val candidates = tok
+      .agg(GraftExpressions.mgCandidates(col("t"), k).as("cands"))
+      .select(explode(col("cands")).as("t"))
+    val total = tok.agg(count(lit(1)).as("n_tok"))
+    tok
+      .join(broadcast(candidates), "t")
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_tok") / k)
+      .select("t", "cnt")
+      .orderBy("t")
   }
 
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single

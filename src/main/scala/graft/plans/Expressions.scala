@@ -40,6 +40,12 @@ object GraftExpressions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedLongIntersectSize(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Misra-Gries heavy-hitter CANDIDATE set (≤ k-1 terms, superset of all
+    * terms with frequency > n/k) as an aggregate Column.
+    */
+  def mgCandidates(c: Column, k: Int): Column =
+    column(MisraGries(GraftColumnBridge.expression(c), k).toAggregateExpression())
 }
 
 /** Dot product of two `array<float>` columns in double precision.
@@ -319,6 +325,124 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
     new GenericArrayData(sig)
   }
 
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Misra-Gries heavy-hitters sketch as a Catalyst
+  * `TypedImperativeAggregate`: a bounded (k-1)-counter summary whose
+  * final candidate set is guaranteed to contain EVERY term with true
+  * frequency > n/k (the classic deterministic-superset property; the MG
+  * merge preserves the summed error bound, so the guarantee survives
+  * partial aggregation across any partitioning). This is the one-pass,
+  * shuffle-free half of exact distributed heavy hitters: partial
+  * summaries are O(k) bytes per partition, merged on a single reducer;
+  * an exact recount of the ≤ k-1 candidates (broadcast semi-join)
+  * then makes the final answer deterministic and oracle-checkable —
+  * see TextAnalysis.t12HeavyHitters. Compare: the naive exact form
+  * shuffles the full (term, count) space.
+  *
+  * eval() returns the candidate terms sorted ascending (estimates are
+  * partitioning-dependent lower bounds, so only the SET is emitted).
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+      scala.collection.mutable.HashMap[String, Long]
+    ] with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 2, "MisraGries needs k >= 2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MisraGries needs a string column, got $other")
+    }
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  /** Classic MG step: known term +1; free slot → admit; else global -1. */
+  override def update(
+      buf: scala.collection.mutable.HashMap[String, Long],
+      input: InternalRow
+  ): scala.collection.mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String].toString
+      buf.get(t) match {
+        case Some(c) => buf.update(t, c + 1)
+        case None if buf.size < k - 1 => buf.update(t, 1L)
+        case None =>
+          // decrement-all; drop zeros (amortized O(1) per input)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          buf.keysIterator.foreach { key =>
+            val c = buf(key) - 1
+            if (c == 0L) dead += key else buf.update(key, c)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  /** MG merge: sum counts, then shrink back to k-1 entries by subtracting
+    * the k-th largest count from everything (error bounds add, so the
+    * > n/k superset guarantee is preserved under any merge tree).
+    */
+  override def merge(
+      buf: scala.collection.mutable.HashMap[String, Long],
+      other: scala.collection.mutable.HashMap[String, Long]
+  ): scala.collection.mutable.HashMap[String, Long] = {
+    other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > k - 1) {
+      val kth = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
+      val dead = buf.iterator.collect { case (t, c) if c - kth <= 0L => t }.toList
+      dead.foreach(buf.remove)
+      buf.keysIterator.toList.foreach(t => buf.update(t, buf(t) - kth))
+    }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
+
+  override def serialize(buf: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGries =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGries =
+    copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -307,6 +307,53 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Misra-Gries custom aggregate: deterministic-superset guarantee
+  // ------------------------------------------------------------------
+  test("MisraGries candidates contain every term with frequency > n/k") {
+    // first-letter keys: 19 distinct, skewed ('s' ≈ 20%) — with k = 8 the
+    // sketch holds only 7 counters, so eviction is constantly active and
+    // the superset guarantee is non-trivial
+    val tok = Tables
+      .documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select(substring(col("w"), 1, 1).as("t"))
+    val k = 8
+    val cands = tok
+      .agg(graft.plans.GraftExpressions.mgCandidates(col("t"), k).as("c"))
+      .collect()(0)
+      .getSeq[String](0)
+      .toSet
+    assert(cands.size <= k - 1)
+    val n = tok.count()
+    val heavy = tok
+      .groupBy("t")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > n.toDouble / k)
+      .collect()
+      .map(_.getString(0))
+    assert(heavy.nonEmpty) // the corpus actually has heavy keys at this k
+    heavy.foreach(t => assert(cands.contains(t), s"heavy term '$t' missing from MG candidates"))
+    // and the end-to-end two-pass operator equals the exact HAVING query
+    val words = Tables
+      .documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val nWords = words.count()
+    val exact = words
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > nWords.toDouble / 50)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    val viaSketch = TextAnalysis
+      .t12HeavyHitters(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(viaSketch == exact)
+  }
+
+  // ------------------------------------------------------------------
   // mergeUpsert MERGE semantics on a toy table
   // ------------------------------------------------------------------
   test("mergeUpsert: matched update, not-matched insert, unmatched target retained") {
