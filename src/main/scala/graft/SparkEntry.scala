@@ -111,7 +111,8 @@ object SparkEntry {
     "q35_salted_join"        -> (Relational.q35SaltedJoin _),
     "q36_decimal_agg"        -> (Relational.q36DecimalAgg _),
     "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d)),
-    "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d))
+    "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d)),
+    "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -671,6 +672,38 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "p2_curate_neardup" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |comp AS (SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1),
+        |t AS (SELECT d.doc_id, d.lang, d.text,
+        |  list_filter(string_split(d.text, ' '), x -> x <> '') AS tk
+        | FROM documents d
+        | WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)),
+        |q AS (SELECT doc_id, lang, text, CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / greatest(len(tk), 1) AS sr,
+        |  CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dr
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens FROM q
+        |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2
+        |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id""".stripMargin,
     "t12_heavy_hitters" ->
       """WITH tok AS (
         | SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t

@@ -45,4 +45,40 @@ object Curate {
       .select("doc_id", "lang", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** p2: curation with NEAR-dup dedup — the production composition at
+    * 100 TB. The drop list comes from the MinHash-LSH → verify → GraphX
+    * connected-components chain (d2/d6: bucket-join candidate cost, never
+    * all-pairs); everything after the broadcast anti-join is a per-row
+    * map or pushed filter, same as [[p1Curate]]. The DuckDB oracle
+    * recomputes the full chain independently (exact pair set + recursive
+    * CTE clustering + the same gates).
+    */
+  def p2CurateNearDup(s: SparkSession, d: String): DataFrame = {
+    val dropList = Dedup
+      .d6DedupClusters(s, d)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Tables
+      .documents(s, d)
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        size(tk).as("n_tokens"),
+        (size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)))
+          .as("sr"),
+        (size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1))).as("dr")
+      )
+      .filter(
+        col("n_tokens").between(20, 1000) && col("sr") <= 0.5 && col("dr") >= 0.2 &&
+          substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+      )
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
 }

@@ -307,6 +307,34 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // de-skewed event plans (round-1 VERDICT items 3/4): the shapes are
+  // part of the contract, not just the values
+  // ------------------------------------------------------------------
+  test("e12 plans as groupBy + broadcast join back — no per-type Window task") {
+    val p = Events.e12Outliers(spark, sf).queryExecution.sparkPlan
+    assert(p.collectFirst { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    assert(p.toString.contains("BroadcastHashJoin"))
+    assert(p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.isDefined)
+  }
+
+  test("e14's RANGE window runs over the per-second aggregate, not raw events") {
+    val p = Events.e14SlidingRate(spark, sf).queryExecution.sparkPlan
+    val win = p.collectFirst { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(win.isDefined)
+    // the window's input subtree must already be aggregated per second
+    assert(win.get.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.isDefined)
+  }
+
+  test("e15 WAU plans as pure equi-joins — no nested-loop range probe") {
+    val p = Events.e15ActiveUsers(spark, sf).queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  // ------------------------------------------------------------------
   // Misra-Gries custom aggregate: deterministic-superset guarantee
   // ------------------------------------------------------------------
   test("MisraGries candidates contain every term with frequency > n/k") {
