@@ -112,7 +112,8 @@ object SparkEntry {
     "q36_decimal_agg"        -> (Relational.q36DecimalAgg _),
     "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d)),
     "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d)),
-    "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _)
+    "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _),
+    "q37_auto_topk"          -> (Relational.q37AutoTopk _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -672,6 +673,14 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q37_auto_topk" ->
+      """SELECT o_orderpriority, o_orderkey, price FROM (
+        | SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
     "p2_curate_neardup" ->
       """WITH RECURSIVE
         |s AS (

@@ -521,6 +521,25 @@ object Relational {
       .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Auto-rewritten top-k: written as the UNIVERSAL SQL idiom
+    * (row_number window + rank filter, rank dropped afterward) — the
+    * [[graft.plans.TopKRewrite]] optimizer rule recognizes the shape and
+    * plans [[graft.plans.TopKPerKeyExec]] (bounded heaps, ≤ k rows per
+    * key per partition on the exchange) instead of a full per-key sort.
+    * The oracle runs the literal window form, so the rewrite is proven
+    * semantics-preserving; the plan swap is asserted in ScalaTest.
+    */
+  def q37AutoTopk(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // idempotent: rule + strategy
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderpriority"), desc("price"), col("o_orderkey"))
+  }
+
   /** Exact decimal money aggregation: doubles are cast to DECIMAL before
     * summing, so the group totals are exact (associativity-independent —
     * no float rounding drift at any parallelism) and need no rounding for

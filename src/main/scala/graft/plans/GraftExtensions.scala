@@ -13,10 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    // window-top-k → TopKPerKey rewrite + the strategy that plans it
+    e.injectOptimizerRule(_ => TopKRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -33,9 +37,15 @@ object GraftExtensions {
   )
 
   /** Idempotent post-hoc registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+    }
+    TopK.install(spark)
+  }
 }

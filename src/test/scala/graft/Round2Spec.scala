@@ -335,6 +335,35 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // TopKRewrite optimizer rule: the window-top-k idiom plans as the
+  // custom bounded-heap operator
+  // ------------------------------------------------------------------
+  test("q37's window-top-k idiom is auto-rewritten to TopKPerKeyExec") {
+    val qe = Relational.q37AutoTopk(spark, sf).queryExecution
+    val plan = qe.sparkPlan
+    assert(plan.collectFirst { case t: graft.plans.TopKPerKeyExec => t }.isDefined, plan.toString)
+    assert(plan.collectFirst { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    // and the rewrite preserves semantics vs the un-rewritten q9 shape
+    val viaWindow = Relational
+      .q9TopkGroup(spark, sf) // keeps rn → rule cannot fire there
+      .select("o_orderpriority", "o_orderkey", "price")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val viaTopk = Relational.q37AutoTopk(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaTopk == viaWindow)
+  }
+
+  test("TopKRewrite does NOT fire when the rank column is still referenced") {
+    val p = Relational.q9TopkGroup(spark, sf).queryExecution.sparkPlan
+    assert(p.collectFirst { case t: graft.plans.TopKPerKeyExec => t }.isEmpty)
+    assert(p.collectFirst { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isDefined)
+  }
+
+  // ------------------------------------------------------------------
   // Misra-Gries custom aggregate: deterministic-superset guarantee
   // ------------------------------------------------------------------
   test("MisraGries candidates contain every term with frequency > n/k") {
