@@ -113,7 +113,8 @@ object SparkEntry {
     "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d)),
     "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d)),
     "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _),
-    "q37_auto_topk"          -> (Relational.q37AutoTopk _)
+    "q37_auto_topk"          -> (Relational.q37AutoTopk _),
+    "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -673,6 +674,16 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "v5_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+        |SELECT q_id, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 3
+        |ORDER BY q_id, round(cos, 4) DESC, c_id""".stripMargin,
     "q37_auto_topk" ->
       """SELECT o_orderpriority, o_orderkey, price FROM (
         | SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,

@@ -101,6 +101,51 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Exact k-NN GRAPH (every vector's top-k neighbors — the corpus=query
+    * shape where v1's broadcast-the-queries plan breaks): pair cosines
+    * come from the same balanced block self-join as Dedup.d5b (equi-join
+    * only, each unordered pair computed ONCE, then emitted in both
+    * directions), and per-vector ranking is the custom bounded-heap
+    * [[graft.plans.TopK.topKPerKey]] operator — ≤ k rows per (vector,
+    * partition) ride the ranking exchange instead of a full per-vector
+    * sort. Exact (no ANN recall gap), so DuckDB's brute-force top-k is
+    * the oracle.
+    */
+  def v5KnnGraph(s: SparkSession, d: String, k: Int = 3, nBlocks: Int = 8): DataFrame = {
+    import graft.plans.GraftExpressions
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        VF.norm(col("embedding")).as("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk")
+      )
+    val l = e.select(
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+      col("blk").as("k1"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("k2")
+    )
+    val r = e.select(
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      explode(sequence(lit(0), col("blk"))).as("k1"), col("blk").as("k2")
+    )
+    val pairs = l
+      .join(r, Seq("k1", "k2"))
+      .filter((col("k1") === col("k2") && col("id_a") < col("id_b")) || col("k1") < col("k2"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos")
+      )
+    val directed = pairs
+      .select(col("id_a").as("q_id"), col("id_b").as("c_id"), col("cos"))
+      .union(pairs.select(col("id_b").as("q_id"), col("id_a").as("c_id"), col("cos")))
+    graft.plans.TopK
+      .topKPerKey(directed, Seq("q_id"), "cos", "c_id", k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), desc("cos"), col("c_id"))
+  }
+
   /** Per-label centroid components: elementwise mean via posexplode +
     * (label, idx) aggregation — vector aggregation without assembling
     * arrays on the reduce side (rows stream through partial agg).
