@@ -114,7 +114,8 @@ object SparkEntry {
     "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d)),
     "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _),
     "q37_auto_topk"          -> (Relational.q37AutoTopk _),
-    "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d))
+    "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d)),
+    "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -674,6 +675,10 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "c3_orc_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS dt, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "v5_knn_graph" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,

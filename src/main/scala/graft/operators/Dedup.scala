@@ -161,14 +161,18 @@ object Dedup {
   private def cached(s: SparkSession, d: String, stage: String)(build: => DataFrame): DataFrame =
     chainCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d#$stage", _ => build.localCheckpoint())
 
-  private def clusterMap(s: SparkSession, d: String): DataFrame =
+  private def clusterMap(s: SparkSession, d: String): DataFrame = {
+    // NOTE: pairs is resolved BEFORE the clusters builder runs — a nested
+    // computeIfAbsent on the same map is a documented ConcurrentHashMap
+    // hazard ("Recursive update" whenever the keys share a bin)
+    val pairs = cached(s, d, "pairs")(d2MinhashLsh(s, d).select("id_a", "id_b"))
     cached(s, d, "clusters") {
       import org.apache.spark.graphx.{Edge, Graph}
-      val pairs = cached(s, d, "pairs")(d2MinhashLsh(s, d).select("id_a", "id_b"))
       val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
       val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
       s.createDataFrame(cc).toDF("doc_id", "canonical_id")
     }
+  }
 
   def d6DedupClusters(s: SparkSession, d: String): DataFrame =
     clusterMap(s, d).orderBy("doc_id")

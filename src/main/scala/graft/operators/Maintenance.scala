@@ -110,6 +110,32 @@ object Maintenance {
       .orderBy("user_id")
   }
 
+  /** c3: ORC sink round-trip — the khose alternate columnar format as an
+    * oracle-checked surface (not just a ScalaTest): events land as
+    * day-partitioned ORC via the same keyed-repartition writer shape,
+    * are re-read, and must aggregate to what DuckDB computes from the
+    * source parquet.
+    */
+  def c3OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c3_").toString
+    Tables
+      .events(s, d)
+      .withColumn("dt", col("ts").cast("date"))
+      .repartition(4, col("dt"))
+      .write
+      .partitionBy("dt")
+      .orc(s"$dir/orc")
+    s.read
+      .orc(s"$dir/orc")
+      .groupBy(col("dt").cast("date").as("dt"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("dt")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables
