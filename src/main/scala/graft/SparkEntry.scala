@@ -115,7 +115,8 @@ object SparkEntry {
     "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _),
     "q37_auto_topk"          -> (Relational.q37AutoTopk _),
     "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d)),
-    "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _)
+    "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _),
+    "c4_backfill"            -> (Maintenance.c4Backfill _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -675,6 +676,23 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "c4_backfill" ->
+      """SELECT CAST(ts AS DATE) AS dt, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t1_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_meta,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)
+        |SELECT doc_id, lang_meta,
+        | CASE WHEN g['hits'] > 0 THEN g['lang'] ELSE 'und' END AS lang_pred
+        |FROM (
+        | SELECT doc_id, lang_meta, list_max([
+        |  {'hits': len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den'))), 'lang': 'de'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))), 'lang': 'en'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','es'))), 'lang': 'es'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('le','la','de','et','un','une','est','que'))), 'lang': 'fr'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('的','是','了','在','我','有','和','不'))), 'lang': 'zh'}
+        | ]) AS g FROM t)
+        |ORDER BY doc_id""".stripMargin,
     "c3_orc_roundtrip" ->
       """SELECT CAST(ts AS DATE) AS dt, count(*) AS n,
         | count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value

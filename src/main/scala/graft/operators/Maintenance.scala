@@ -136,6 +136,47 @@ object Maintenance {
       .orderBy("dt")
   }
 
+  /** c4: partition BACKFILL via dynamic partition overwrite — reprocess
+    * exactly one day of the immutable store without touching the rest.
+    * The harness lands the table with the latest day deliberately
+    * corrupted (values zeroed), then rewrites ONLY that partition in
+    * `partitionOverwriteMode=dynamic`. The oracle aggregates the pristine
+    * source — so a static-mode bug (which would drop every other
+    * partition) or a missed backfill both fail the gate. The target day
+    * is folded in as a broadcast scalar (no driver collect).
+    */
+  def c4Backfill(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c4_").toString
+    val ev = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("dt"), col("event_id"), col("user_id"), col("value"))
+    val target = ev.agg(max("dt").as("target_dt"))
+    val withTarget = ev.crossJoin(broadcast(target))
+    // v1 of the store: latest day corrupted (the "bad ingest" scenario)
+    withTarget
+      .withColumn("value", when(col("dt") === col("target_dt"), lit(0.0)).otherwise(col("value")))
+      .drop("target_dt")
+      .repartition(4, col("dt"))
+      .write
+      .partitionBy("dt")
+      .parquet(s"$dir/store")
+    // backfill: rewrite ONLY the corrupted partition with correct data
+    withTarget
+      .filter(col("dt") === col("target_dt"))
+      .drop("target_dt")
+      .repartition(1, col("dt"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("dt")
+      .parquet(s"$dir/store")
+    s.read
+      .parquet(s"$dir/store")
+      .groupBy(col("dt").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables
