@@ -108,4 +108,86 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  final case class TwsSessionState(start: Long, last: Long, n: Long, timer: Long)
+
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState: typed
+    * per-key [[org.apache.spark.sql.streaming.ValueState]], explicit
+    * event-time timers (re-armed past the watermark on every in-gap
+    * event), and RocksDB-backed state. Output is identical to
+    * [[sessionize]] on the same input (asserted in ScalaTest).
+    */
+  class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[TwsSessionState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsSessionState](
+        "session",
+        org.apache.spark.sql.Encoders.product[TwsSessionState],
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SessionEvent],
+        tv: TimerValues
+    ): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(start = math.min(s.start, t), last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(key, s.start / 1000, s.last / 1000, s.n)
+            cur = Some(TwsSessionState(t, t, 1, 0))
+          case None =>
+            cur = Some(TwsSessionState(t, t, 1, 0))
+        }
+      }
+      cur.foreach { s =>
+        if (s.timer > 0) getHandle.deleteTimer(s.timer)
+        val fireAt = math.max(s.last + gapMs, tv.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(fireAt)
+        st.update(s.copy(timer = fireAt))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        tv: TimerValues,
+        info: ExpiredTimerInfo
+    ): Iterator[SessionOut] =
+      if (st.exists() && info.getExpiryTimeInMs() >= st.get().timer) {
+        val s = st.get()
+        st.clear()
+        Iterator(SessionOut(key, s.start / 1000, s.last / 1000, s.n))
+      } else Iterator.empty // stale timer from a superseded session
+  }
+
+  /** Streaming sessionization via `transformWithState` (requires the
+    * RocksDB state store provider).
+    */
+  def sessionizeTws(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionizeProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append
+      )
+  }
 }

@@ -326,6 +326,50 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // transformWithState sessionization == flatMapGroupsWithState version
+  // ------------------------------------------------------------------
+  test("sessionizeTws (transformWithState + RocksDB) matches sessionize on the s4 scenario") {
+    import spark.implicits._
+    val c = spark.conf
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = c.getOption(providerKey)
+    try {
+      c.set(providerKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[StreamOps.SessionEvent](spark, 1)
+      val base = 1700000000000L
+      val name = "tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps
+        .sessionizeTws(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      input.addData(
+        StreamOps.SessionEvent(1L, new Timestamp(base)),
+        StreamOps.SessionEvent(1L, new Timestamp(base + 60000)),
+        StreamOps.SessionEvent(2L, new Timestamp(base))
+      )
+      q.processAllAvailable()
+      input.addData(StreamOps.SessionEvent(1L, new Timestamp(base + 100 * 60000)))
+      q.processAllAvailable()
+      input.addData(StreamOps.SessionEvent(3L, new Timestamp(base + 101 * 60000)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(name).as[StreamOps.SessionOut].collect()
+      // identical expectations to the s4 flatMapGroupsWithState test:
+      val u1 = rows.filter(_.user_id == 1L)
+      assert(u1.length == 1 && u1.head.n_events == 2L && u1.head.start_s == base / 1000)
+      assert(u1.head.end_s == (base + 60000) / 1000) // closed by in-batch gap
+      val u2 = rows.filter(_.user_id == 2L)
+      assert(u2.length == 1 && u2.head.n_events == 1L) // closed by event-time timer
+    } finally saved match {
+      case Some(v) => c.set(providerKey, v)
+      case None    => c.unset(providerKey)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // q34 approx percentile vs exact (rows-only driver entry's real gate)
   // ------------------------------------------------------------------
   test("q34 approx_percentile within 1% of q11 exact per group") {
