@@ -116,7 +116,8 @@ object SparkEntry {
     "q37_auto_topk"          -> (Relational.q37AutoTopk _),
     "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d)),
     "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _),
-    "c4_backfill"            -> (Maintenance.c4Backfill _)
+    "c4_backfill"            -> (Maintenance.c4Backfill _),
+    "s4_stream_session"      -> (StreamingBatch.s4StreamSession _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -676,6 +677,21 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // identical to e2's oracle: streaming stateful sessionization must
+    // reproduce the batch sessionization exactly
+    "s4_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | epoch_us(min(ts))//1000000 AS start_s
+        |FROM s2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "c4_backfill" ->
       """SELECT CAST(ts AS DATE) AS dt, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -99,6 +99,44 @@ object StreamingBatch {
       .orderBy("dt", "hr")
   }
 
+  /** s4 (oracle form): STATEFUL streaming sessionization run end-to-end
+    * over the staged stream — flatMapGroupsWithState with event-time
+    * timers, landed via an append-mode parquet sink. The far-future
+    * sentinel (user −1) advances the final watermark so every real
+    * session's timer fires in the trailing no-data batch; its own
+    * session stays open (timer beyond the watermark) and is filtered on
+    * re-read. session_id is assigned per user by start time so the
+    * result compares against the BATCH sessionization oracle (e2's SQL).
+    */
+  def s4StreamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = stageJsonSentinel(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1000).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val sessions = StreamOps.sessionize(
+      stream.select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
+    )
+    val out = Files.createTempDirectory("graft_s4_run_").toString
+    val q = sessions.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("start_s")
+    s.read
+      .parquet(s"$out/data")
+      .filter(col("user_id") >= 0) // the sentinel's session never closes; defensive
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n_events", "start_s")
+      .orderBy("user_id", "session_id")
+  }
+
   /** s2: watermarked tumbling-window aggregation over the stream, landed
     * via AvailableNow in APPEND mode to a parquet file sink — the
     * production shape: watermark-evicted state, no driver-side result

@@ -49,6 +49,13 @@ object StreamOps {
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
+  /** Event-time in MICROSECONDS (Timestamp.getTime is ms-truncated; the
+    * batch oracle compares session boundaries at µs precision, so the gap
+    * test must too).
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * EVENT-time timeouts: a session closes either in-batch (a later event
     * arrives past the gap) or when the watermark passes last+gap.
@@ -71,15 +78,17 @@ object StreamOps {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(SessionOut(userId, s.start / 1000, s.last / 1000, s.n))
+        Iterator(SessionOut(userId, s.start / 1000000, s.last / 1000000, s.n))
       } else {
-        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        // state timestamps are MICROS; timers (an engine API) stay in ms
+        val sorted = batch.toSeq.sortBy(e => micros(e.ts))
+        val gapUs = gapMs * 1000L
         var closed = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(st) if t - st.last <= gapMs =>
+            case Some(st) if t - st.last <= gapUs =>
               // out-of-order events within the gap (possible across batches
               // under a nonzero watermark delay) must never move the
               // session END backwards or the START forwards
@@ -87,7 +96,7 @@ object StreamOps {
                 st.copy(start = math.min(st.start, t), last = math.max(st.last, t), n = st.n + 1)
               )
             case Some(st) =>
-              closed ::= SessionOut(userId, st.start / 1000, st.last / 1000, st.n)
+              closed ::= SessionOut(userId, st.start / 1000000, st.last / 1000000, st.n)
               cur = Some(SessionState(t, t, 1))
             case None =>
               cur = Some(SessionState(t, t, 1))
@@ -97,7 +106,7 @@ object StreamOps {
           state.update(st)
           // must be strictly beyond the current watermark
           val wm = state.getCurrentWatermarkMs()
-          state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+          state.setTimeoutTimestamp(math.max(st.last / 1000 + gapMs, wm + 1))
         }
         closed.reverseIterator
       }
@@ -136,16 +145,17 @@ object StreamOps {
         rows: Iterator[SessionEvent],
         tv: TimerValues
     ): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+      val gapUs = gapMs * 1000L
       var closed = List.empty[SessionOut]
       var cur = if (st.exists()) Some(st.get()) else None
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapUs =>
             cur = Some(s.copy(start = math.min(s.start, t), last = math.max(s.last, t), n = s.n + 1))
           case Some(s) =>
-            closed ::= SessionOut(key, s.start / 1000, s.last / 1000, s.n)
+            closed ::= SessionOut(key, s.start / 1000000, s.last / 1000000, s.n)
             cur = Some(TwsSessionState(t, t, 1, 0))
           case None =>
             cur = Some(TwsSessionState(t, t, 1, 0))
@@ -153,7 +163,7 @@ object StreamOps {
       }
       cur.foreach { s =>
         if (s.timer > 0) getHandle.deleteTimer(s.timer)
-        val fireAt = math.max(s.last + gapMs, tv.getCurrentWatermarkInMs() + 1)
+        val fireAt = math.max(s.last / 1000 + gapMs, tv.getCurrentWatermarkInMs() + 1)
         getHandle.registerTimer(fireAt)
         st.update(s.copy(timer = fireAt))
       }
@@ -168,7 +178,7 @@ object StreamOps {
       if (st.exists() && info.getExpiryTimeInMs() >= st.get().timer) {
         val s = st.get()
         st.clear()
-        Iterator(SessionOut(key, s.start / 1000, s.last / 1000, s.n))
+        Iterator(SessionOut(key, s.start / 1000000, s.last / 1000000, s.n))
       } else Iterator.empty // stale timer from a superseded session
   }
 
