@@ -117,7 +117,9 @@ object SparkEntry {
     "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d)),
     "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _),
     "c4_backfill"            -> (Maintenance.c4Backfill _),
-    "s4_stream_session"      -> (StreamingBatch.s4StreamSession _)
+    "s4_stream_session"      -> (StreamingBatch.s4StreamSession _),
+    "s3_stream_dedup"        -> (StreamingBatch.s3StreamDedup _),
+    "s5_stream_stream_join"  -> (StreamingBatch.s5StreamStreamJoin _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -677,6 +679,19 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the oracle sees the ORIGINAL table; the stream consumed every event
+    // twice — a dedup miss doubles the counts
+    "s3_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s5_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id, epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |ORDER BY p_id, c_id""".stripMargin,
     // identical to e2's oracle: streaming stateful sessionization must
     // reproduce the batch sessionization exactly
     "s4_stream_session" ->

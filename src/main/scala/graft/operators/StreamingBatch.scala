@@ -30,14 +30,25 @@ object StreamingBatch {
     * pipeline consumes). Cached per (JVM, source dir): s1/s2 both consume
     * the same staged stream input, and Bench re-invokes each query —
     * restaging identical input would only measure the JSON writer.
+    * Timestamps are serialized at MICROSECOND precision (`toJSON`'s
+    * default format truncates to ms, which shifted stream-side event
+    * times off the oracle's µs instants); Spark's JSON reader parses the
+    * 6-digit fraction via its ISO fallback without an explicit format.
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def toJsonMicros(df: DataFrame): DataFrame =
+    df.select(
+      to_json(
+        struct(df.columns.map(col).toSeq: _*),
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      ).as("value")
+    )
   private def stageJson(s: SparkSession, d: String): String =
     staged.computeIfAbsent(
       d,
       _ => {
         val dir = Files.createTempDirectory("graft_stream_").toString
-        Tables.events(s, d).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        toJsonMicros(Tables.events(s, d)).coalesce(4).write.mode("overwrite").text(s"$dir/json")
         dir
       }
     )
@@ -66,7 +77,7 @@ object StreamingBatch {
             lit(0.0).as("value"),
             lit("{}").as("props")
           )
-        ev.unionByName(sentinel).toJSON.coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        toJsonMicros(ev.unionByName(sentinel)).coalesce(4).write.mode("overwrite").text(s"$dir/json")
         dir
       }
     )
@@ -135,6 +146,93 @@ object StreamingBatch {
       .withColumn("session_id", row_number().over(w).cast("long"))
       .select("user_id", "session_id", "n_events", "start_s")
       .orderBy("user_id", "session_id")
+  }
+
+  /** s3's staging variant: every event TWICE (the at-least-once delivery
+    * shape a khose-style consumer actually sees from a broker replay).
+    */
+  private def stageJsonDuplicated(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#dup",
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_dup_").toString
+        val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        toJsonMicros(ev.unionByName(ev)).coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s3 (oracle form): streaming exact dedup over DUPLICATED input —
+    * dropDuplicatesWithinWatermark on the event key. The landed data must
+    * aggregate to what DuckDB computes from the ORIGINAL (un-duplicated)
+    * table: a dedup miss doubles every count and fails the hash.
+    */
+  def s3StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJsonDuplicated(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1000).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val deduped = StreamOps.streamingDedup(stream, Seq("event_id"))
+    val out = Files.createTempDirectory("graft_s3_run_").toString
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** s5 (oracle form): watermarked stream-stream join — every purchase
+    * attributed to the user's clicks in the trailing hour, landed via an
+    * append parquet sink; the oracle is the identical BATCH join in
+    * DuckDB (inner stream-stream joins emit in-batch, no sentinel
+    * needed).
+    */
+  def s5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val parsed = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1000).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val clicks = parsed
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = parsed
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases
+      .join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("interval 1 hour")
+      )
+      .select(
+        col("p_id"),
+        col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")
+      )
+    val out = Files.createTempDirectory("graft_s5_run_").toString
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/data").orderBy("p_id", "c_id")
   }
 
   /** s2: watermarked tumbling-window aggregation over the stream, landed
