@@ -119,7 +119,8 @@ object SparkEntry {
     "c4_backfill"            -> (Maintenance.c4Backfill _),
     "s4_stream_session"      -> (StreamingBatch.s4StreamSession _),
     "s3_stream_dedup"        -> (StreamingBatch.s3StreamDedup _),
-    "s5_stream_stream_join"  -> (StreamingBatch.s5StreamStreamJoin _)
+    "s5_stream_stream_join"  -> (StreamingBatch.s5StreamStreamJoin _),
+    "s6_foreachbatch_upsert" -> (StreamingBatch.s6ForeachBatchUpsert _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -673,6 +674,15 @@ object SparkEntry {
         |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "c2_merge_upsert" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        | FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // e6's shape: the incrementally-merged store must equal the batch
+    // latest-event-per-key view
+    "s6_foreachbatch_upsert" ->
       """SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
         | SELECT user_id, event_id, event_type, value,
         |  row_number() OVER (PARTITION BY user_id

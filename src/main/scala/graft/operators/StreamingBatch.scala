@@ -235,6 +235,53 @@ object StreamingBatch {
     s.read.parquet(s"$out/data").orderBy("p_id", "c_id")
   }
 
+  /** s6 (oracle form): foreachBatch CDC-style upsert — each micro-batch
+    * (maxFilesPerTrigger=1 ⇒ genuinely multiple batches) is reduced to
+    * its latest-event-per-user and merged LATEST-WINS into a versioned
+    * keyed parquet store (copy-on-write: read v(n), write v(n+1); the
+    * (ts desc, event_id desc) order is total per user, so the final
+    * state is batch-order-independent). The final store must equal the
+    * batch latest-event-per-key view — e6's oracle.
+    */
+  def s6ForeachBatchUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val root = Files.createTempDirectory("graft_s6_run_").toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = latestPerUser(batch)
+        val merged = Option(current.get()) match {
+          case Some(prev) => latestPerUser(spark.read.parquet(prev).unionByName(incoming))
+          case None       => incoming
+        }
+        val next = s"$root/state_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(current.get())
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
   /** s2: watermarked tumbling-window aggregation over the stream, landed
     * via AvailableNow in APPEND mode to a parquet file sink — the
     * production shape: watermark-evicted state, no driver-side result
