@@ -120,7 +120,9 @@ object SparkEntry {
     "s4_stream_session"      -> (StreamingBatch.s4StreamSession _),
     "s3_stream_dedup"        -> (StreamingBatch.s3StreamDedup _),
     "s5_stream_stream_join"  -> (StreamingBatch.s5StreamStreamJoin _),
-    "s6_foreachbatch_upsert" -> (StreamingBatch.s6ForeachBatchUpsert _)
+    "s6_foreachbatch_upsert" -> (StreamingBatch.s6ForeachBatchUpsert _),
+    "e17_session_window"     -> (Events.e17SessionWindow _),
+    "e18_sequence_funnel"    -> (Events.e18SequenceFunnel _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -680,6 +682,33 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e17_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, epoch_us(min(ts))//1000000 AS start_s, count(*) AS n_events
+        |FROM s2 GROUP BY user_id, session_id ORDER BY user_id, start_s""".stripMargin,
+    "e18_sequence_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |fs AS (SELECT user_id, min(CASE WHEN event_type='signup' THEN ts END) AS fs
+        |       FROM e GROUP BY 1
+        |       HAVING min(CASE WHEN event_type='signup' THEN ts END) IS NOT NULL),
+        |fc AS (SELECT e.user_id, min(e.ts) AS fc FROM e JOIN fs ON e.user_id = fs.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > fs.fs GROUP BY 1),
+        |dn AS (SELECT DISTINCT e.user_id FROM e JOIN fc ON e.user_id = fc.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > fc.fc)
+        |SELECT fs.user_id,
+        | CASE WHEN fc.user_id IS NULL THEN 0 ELSE 1 END AS reached_click,
+        | CASE WHEN dn.user_id IS NULL THEN 0 ELSE 1 END AS completed
+        |FROM fs LEFT JOIN fc ON fs.user_id = fc.user_id
+        | LEFT JOIN dn ON fs.user_id = dn.user_id
+        |ORDER BY fs.user_id""".stripMargin,
     // e6's shape: the incrementally-merged store must equal the batch
     // latest-event-per-key view
     "s6_foreachbatch_upsert" ->

@@ -304,6 +304,62 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
 
+  /** Declarative gap sessionization via Spark's built-in `session_window`
+    * — the one-line form of [[e2Sessionize]] that also runs unchanged as
+    * a streaming aggregation. Session membership is identical to the
+    * lag+cumsum form when no inter-event gap equals the 30-min boundary
+    * exactly (verified on this data; `session_window` treats == gap as a
+    * new session, the manual `>` rule keeps it — at µs resolution exact
+    * ties don't occur). Oracle = the manual sessionization SQL.
+    */
+  def e17SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(sw.start) div 1000000").as("start_s"),
+        col("n_events")
+      )
+      .orderBy("user_id", "start_s")
+
+  /** Three-step ORDERED funnel (signup → later click → later purchase):
+    * stage timestamps are resolved iteratively — first signup, first
+    * click strictly after it, any purchase strictly after that — so an
+    * early purchase can't satisfy a later stage (the correctness trap
+    * in naive min-per-type funnels). Per-stage aggregates are keyed
+    * shuffles; joins are user-keyed (AQE broadcasts them at small SF).
+    */
+  def e18SequenceFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val fs = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("fs"))
+      .filter(col("fs").isNotNull)
+    val fc = ev
+      .filter(col("event_type") === "click")
+      .join(fs, "user_id")
+      .filter(col("ts") > col("fs"))
+      .groupBy("user_id")
+      .agg(min("ts").as("fc"))
+    val done = ev
+      .filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("ts") > col("fc"))
+      .select("user_id")
+      .distinct()
+      .withColumn("completed", lit(1))
+    fs.join(fc.select(col("user_id"), lit(1).as("reached_click")), Seq("user_id"), "left")
+      .join(done, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        coalesce(col("reached_click"), lit(0)).as("reached_click"),
+        coalesce(col("completed"), lit(0)).as("completed")
+      )
+      .orderBy("user_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
