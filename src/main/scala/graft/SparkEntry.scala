@@ -122,7 +122,8 @@ object SparkEntry {
     "s5_stream_stream_join"  -> (StreamingBatch.s5StreamStreamJoin _),
     "s6_foreachbatch_upsert" -> (StreamingBatch.s6ForeachBatchUpsert _),
     "e17_session_window"     -> (Events.e17SessionWindow _),
-    "e18_sequence_funnel"    -> (Events.e18SequenceFunnel _)
+    "e18_sequence_funnel"    -> (Events.e18SequenceFunnel _),
+    "s7_stream_session_window" -> (StreamingBatch.s7StreamSessionWindow _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -683,6 +684,20 @@ object SparkEntry {
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "e17_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, epoch_us(min(ts))//1000000 AS start_s, count(*) AS n_events
+        |FROM s2 GROUP BY user_id, session_id ORDER BY user_id, start_s""".stripMargin,
+    // same oracle as e17: the native streaming session aggregation must
+    // reproduce the batch sessions
+    "s7_stream_session_window" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
         |s AS (SELECT user_id, event_id, ts,
         |  CASE WHEN lag(ts) OVER w IS NULL

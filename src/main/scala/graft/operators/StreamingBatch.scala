@@ -282,6 +282,44 @@ object StreamingBatch {
       .orderBy("user_id")
   }
 
+  /** s7 (oracle form): NATIVE streaming session aggregation — the
+    * built-in `session_window` under a watermark (Spark's merging
+    * session state), landed via an append parquet sink with the sentinel
+    * flushing all closed sessions. Complements s4: same semantics from
+    * the declarative API instead of custom state. Oracle = the manual
+    * batch sessionization SQL.
+    */
+  def s7StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJsonSentinel(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1000).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val out = Files.createTempDirectory("graft_s7_run_").toString
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .filter(col("user_id") >= 0) // sentinel session (if flushed) excluded
+      .select(
+        col("user_id"),
+        expr("unix_micros(sw.start) div 1000000").as("start_s"),
+        col("n_events")
+      )
+      .orderBy("user_id", "start_s")
+  }
+
   /** s2: watermarked tumbling-window aggregation over the stream, landed
     * via AvailableNow in APPEND mode to a parquet file sink — the
     * production shape: watermark-evicted state, no driver-side result
