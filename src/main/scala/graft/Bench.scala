@@ -18,6 +18,11 @@ object Bench {
         Seq("q1_agg", "q17_multi_join_chain", "e1_time_bucket", "d2_dedup_minhash_lsh", "v1_knn_brute")
           .foreach(n => SparkEntry.queries.get(n).foreach(fn => fn(spark, warm).count()))
       }
+      // pre-stage the three streaming JSON inputs at the BENCH SF (plain /
+      // sentinel / duplicated, cached per JVM) so the timed streaming
+      // numbers measure the pipelines, not whichever query stages first
+      Seq("s1_ingest_parquet", "s2_stream_window_agg", "s3_stream_dedup")
+        .foreach(n => SparkEntry.queries.get(n).foreach(fn => fn(spark, sfDir).count()))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
