@@ -191,6 +191,56 @@ object StreamIngest {
   def run(spark: SparkSession, cfg: IngestConfig): StreamingQuery =
     runFromRaw(readRaw(spark, cfg.source), cfg)
 
+  /** [[run]] with a DEAD-LETTER split: well-formed records land in the
+    * partitioned columnar table (corrupt column dropped — the table stays
+    * clean), malformed records land under `dlqPath` with their original
+    * payload and an ingest timestamp for replay/triage. Two independent
+    * streaming queries over the same source, each with its own
+    * checkpoint, so BOTH paths keep the exactly-once file-sink contract
+    * (a foreachBatch two-sink split would be at-least-once).
+    */
+  def runWithDlq(spark: SparkSession, cfg: IngestConfig, dlqPath: String): (StreamingQuery, StreamingQuery) = {
+    val good = {
+      val typed = parsedFor(readRaw(spark, cfg.source), cfg)
+        .filter(col("_corrupt").isNull)
+        .drop("_corrupt")
+        .repartition(cfg.sinkPartitions, col("dt"), col("hr"))
+      typed.writeStream
+        .format(cfg.format)
+        .option("path", cfg.outputPath)
+        .option("checkpointLocation", cfg.checkpointPath)
+        .partitionBy("dt", "hr")
+        .trigger(cfg.trigger)
+        .outputMode("append")
+        .start()
+    }
+    val dlq = parsedFor(readRaw(spark, cfg.source), cfg)
+      .filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("payload"), current_timestamp().as("ingest_ts"))
+      .writeStream
+      .format(cfg.format)
+      .option("path", dlqPath)
+      .option("checkpointLocation", s"$dlqPath/_ck")
+      .trigger(cfg.trigger)
+      .outputMode("append")
+      .start()
+    (good, dlq)
+  }
+
+  private def parsedFor(raw: DataFrame, cfg: IngestConfig): DataFrame = cfg.wireFormat match {
+    case "json" => parsed(raw, cfg.schema, cfg.tsColumn)
+    case "avro" =>
+      parsedAvro(
+        raw,
+        cfg.avroWriterSchema.getOrElse(
+          throw new IllegalArgumentException("wireFormat=avro requires avroWriterSchema")
+        ),
+        cfg.schema,
+        cfg.tsColumn
+      )
+    case other => throw new IllegalArgumentException(s"unknown wireFormat: $other")
+  }
+
   /** The transform+sink half of [[run]], taking an already-constructed
     * raw stream (one string column `value`). Every source — file, Kafka,
     * Kinesis, or a test MemoryStream standing in for a broker — flows
@@ -198,16 +248,7 @@ object StreamIngest {
     * downstream.
     */
   def runFromRaw(raw: DataFrame, cfg: IngestConfig): StreamingQuery = {
-    val typed = cfg.wireFormat match {
-      case "json" => parsed(raw, cfg.schema, cfg.tsColumn)
-      case "avro" =>
-        val ws = cfg.avroWriterSchema.getOrElse(
-          throw new IllegalArgumentException("wireFormat=avro requires avroWriterSchema")
-        )
-        parsedAvro(raw, ws, cfg.schema, cfg.tsColumn)
-      case other => throw new IllegalArgumentException(s"unknown wireFormat: $other")
-    }
-    val df = typed.repartition(cfg.sinkPartitions, col("dt"), col("hr"))
+    val df = parsedFor(raw, cfg).repartition(cfg.sinkPartitions, col("dt"), col("hr"))
     df.writeStream
       .format(cfg.format)
       .option("path", cfg.outputPath)

@@ -88,6 +88,38 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // dead-letter split: clean table + replayable DLQ, both exactly-once
+  // ------------------------------------------------------------------
+  test("runWithDlq lands clean rows in the table and corrupt payloads in the DLQ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val lines = (0 until 20).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-05T0${i % 4}:00:01.000Z","user_id":$i,"event_type":"click","value":1.0,"props":"{}"}"""
+    ) ++ Seq("{broken json", """{"event_id":"NOT_A_NUMBER_%$"}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/a.json"), lines.mkString("\n"))
+    val cfg = StreamIngest.IngestConfig(
+      source = StreamIngest.FileSource(s"$dir/in"),
+      schema = StreamingBatch.eventSchema,
+      tsColumn = "ts",
+      outputPath = s"$dir/out",
+      checkpointPath = s"$dir/ck"
+    )
+    val (good, dlq) = StreamIngest.runWithDlq(spark, cfg, s"$dir/dlq")
+    good.awaitTermination()
+    dlq.awaitTermination()
+    val table = spark.read.parquet(s"$dir/out")
+    assert(table.count() == 20)
+    assert(!table.columns.contains("_corrupt")) // the table stays clean
+    val dead = spark.read.parquet(s"$dir/dlq")
+    // both malformed shapes are captured: unparseable JSON and a
+    // type-mismatched field (PERMISSIVE marks either as corrupt)
+    assert(dead.count() == 2)
+    val payloads = dead.select("payload").collect().map(_.getString(0))
+    assert(payloads.exists(_.contains("broken json")))
+    assert(payloads.exists(_.contains("NOT_A_NUMBER")))
+  }
+
+  // ------------------------------------------------------------------
   // Avro wire format: binary-encoded records through the same ingest path
   // ------------------------------------------------------------------
   test("avro wire format ingest decodes records, multi-batch, corrupt-tolerant") {
