@@ -179,6 +179,52 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // schema evolution across a pipeline restart: widen the schema, keep
+  // the checkpoint, old rows read back with nulls in the new column
+  // ------------------------------------------------------------------
+  test("ingest restart with a widened schema evolves the landed table") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def cfg(schema: StructType) = StreamIngest.IngestConfig(
+      source = StreamIngest.FileSource(s"$dir/in"),
+      schema = schema,
+      tsColumn = "ts",
+      outputPath = s"$dir/out",
+      checkpointPath = s"$dir/ck"
+    )
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/v1.json"),
+      """{"event_id":1,"ts":"2024-01-05T01:00:01.000Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}"""
+    )
+    val q1 = StreamIngest.run(spark, cfg(StreamingBatch.eventSchema))
+    q1.awaitTermination()
+    // v2 of the producer adds a `region` field; the consumer restarts
+    // from the same checkpoint with the widened schema
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/v2.json"),
+      """{"event_id":2,"ts":"2024-01-05T02:00:01.000Z","user_id":2,"event_type":"click","value":2.0,"props":"{}","region":"eu"}"""
+    )
+    val q2 = StreamIngest.run(spark, cfg(StreamingBatch.eventSchema.add("region", StringType)))
+    q2.awaitTermination()
+    val landed = spark.read.option("mergeSchema", "true").parquet(s"$dir/out")
+    assert(landed.count() == 2)
+    val byId = landed.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("region")).toMap
+    assert(byId(1L) == null && byId(2L) == "eu")
+  }
+
+  test("hot aggregation queries run inside whole-stage codegen") {
+    // AQE reveals codegen stages only in the final (post-execution) plan
+    // codegen'd operators carry the `*(stageId)` marker in the plan text
+    def finalPlan(df: DataFrame): String = { df.collect(); df.queryExecution.executedPlan.toString }
+    val q1 = finalPlan(Relational.q1Agg(spark, sf))
+    assert(q1.contains("*(1) HashAggregate") || q1.contains("*(1) ") && q1.contains("HashAggregate"), q1)
+    // the custom FloatVecDot keeps d5's hot filter inside codegen too
+    val d5 = finalPlan(operators.Dedup.d5DedupEmbedding(spark, sf))
+    assert(d5.contains("*("), d5)
+  }
+
+  // ------------------------------------------------------------------
   // runtime bloom-filter join pruning (the standard 100 TB fact-fact win)
   // ------------------------------------------------------------------
   test("runtime bloom filter is injected on a selective fact-fact shuffle join") {
