@@ -123,7 +123,8 @@ object SparkEntry {
     "s6_foreachbatch_upsert" -> (StreamingBatch.s6ForeachBatchUpsert _),
     "e17_session_window"     -> (Events.e17SessionWindow _),
     "e18_sequence_funnel"    -> (Events.e18SequenceFunnel _),
-    "s7_stream_session_window" -> (StreamingBatch.s7StreamSessionWindow _)
+    "s7_stream_session_window" -> (StreamingBatch.s7StreamSessionWindow _),
+    "e19_wau_sketch"         -> (Events.e19WauSketch _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column

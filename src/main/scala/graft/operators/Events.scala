@@ -360,6 +360,28 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Approximate trailing-7-day WAU via DataSketches HLL — the 100 TB
+    * form of [[e15ActiveUsers]]: one HLL sketch per day (mergeable,
+    * bounded size), exploded over the 7 days it covers and union-merged —
+    * so the expensive per-window `countDistinct` shuffle of user ids
+    * becomes a shuffle of kilobyte sketches. Same equi-join shape as
+    * e15; accuracy vs exact is gated in ScalaTest (rows-only in the
+    * driver gate: sketch estimates aren't cross-engine).
+    */
+  def e19WauSketch(s: SparkSession, d: String): DataFrame = {
+    val perDay = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    perDay
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"), col("sk"))
+      .join(perDay.select("day"), "day") // only days that actually occur
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_approx"))
+      .orderBy("day")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -42,11 +42,14 @@ class Round2Spec extends AnyFunSuite {
     q.processAllAvailable()
     input.addData(line(6, 3))
     q.processAllAvailable()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    val summary = graft.sources.IngestMetrics.summarize(q.recentProgress.toSeq)
     q.stop()
-    assert(dataBatches >= 2, s"expected >=2 data micro-batches, saw $dataBatches")
+    assert(summary.nDataBatches >= 2, s"expected >=2 data micro-batches, saw $summary")
+    assert(summary.inputRows == 6 && summary.avgRowsPerSec > 0 && summary.maxTriggerMs > 0)
     val landed = spark.read.parquet(s"$dir/out")
     assert(landed.count() == 6)
+    val cs = graft.sources.IngestMetrics.corruptStats(spark, s"$dir/out").collect()(0)
+    assert(cs.getLong(0) == 6 && cs.getLong(1) == 0 && cs.getDouble(2) == 0.0)
     // time-partitioned layout survives multi-batch appends
     val hrs = landed.select(col("hr").cast("int")).distinct().collect().map(_.getInt(0)).sorted
     assert(hrs.sameElements(Array(1, 2, 3)))
@@ -444,6 +447,27 @@ class Round2Spec extends AnyFunSuite {
     } finally saved match {
       case Some(v) => c.set(providerKey, v)
       case None    => c.unset(providerKey)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // e19 sketch WAU vs exact WAU (rows-only driver entry's real gate)
+  // ------------------------------------------------------------------
+  test("e19 HLL-sketch WAU within 5% of exact WAU per day") {
+    val exact = Events
+      .e15ActiveUsers(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2))
+      .toMap
+    val approx = Events
+      .e19WauSketch(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, ex) =>
+      val ap = approx(day)
+      assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.05), s"$day exact=$ex approx=$ap")
     }
   }
 
