@@ -124,7 +124,9 @@ object SparkEntry {
     "e17_session_window"     -> (Events.e17SessionWindow _),
     "e18_sequence_funnel"    -> (Events.e18SequenceFunnel _),
     "s7_stream_session_window" -> (StreamingBatch.s7StreamSessionWindow _),
-    "e19_wau_sketch"         -> (Events.e19WauSketch _)
+    "e19_wau_sketch"         -> (Events.e19WauSketch _),
+    "t13_bigram_logprob"     -> (TextAnalysis.t13BigramLogprob _),
+    "v6_centroid_sim"        -> (Similarity.v6CentroidSim _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -684,6 +686,27 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t13_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg FROM t),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |cu AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT bg.doc_id,
+        | round(avg(ln(CAST(cb.c2 AS DOUBLE) / cu.c1)), 3) AS avg_bg_logprob
+        |FROM bg JOIN cb USING (bg) JOIN cu ON split_part(bg.bg, ' ', 1) = cu.w1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v6_centroid_sim" ->
+      """WITH cen AS (
+        | SELECT label, CAST(u.i AS INT) AS idx, avg(u.v) AS c FROM (
+        |  SELECT label, unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)
+        | GROUP BY 1, 2),
+        |nrm AS (SELECT label, sqrt(sum(c*c)) AS n FROM cen GROUP BY 1),
+        |dt AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.c*b.c) AS d
+        |       FROM cen a JOIN cen b ON a.idx = b.idx AND a.label < b.label GROUP BY 1,2)
+        |SELECT label_a, label_b, round(d / (x.n * y.n), 4) AS cos
+        |FROM dt JOIN nrm x ON label_a = x.label JOIN nrm y ON label_b = y.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "e17_session_window" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
         |s AS (SELECT user_id, event_id, ts,

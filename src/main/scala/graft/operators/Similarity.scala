@@ -160,6 +160,31 @@ object Similarity {
       .agg((round(avg("v"), 4) + lit(0.0)).as("c"))
       .orderBy("label", "idx")
 
+  /** Label-centroid cosine similarity matrix: which labels' embedding
+    * clusters overlap — the label-dedup / taxonomy-collapse signal.
+    * Centroids via the posexplode elementwise mean (v4's shape); the
+    * pairwise stage joins label-vectors on the COMPONENT index (64 rows
+    * per label — a tiny shuffle), never materializing arrays.
+    */
+  def v6CentroidSim(s: SparkSession, d: String): DataFrame = {
+    val cen = Tables
+      .embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy("label", "idx")
+      .agg(avg("v").as("c"))
+    val nrm = cen.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("n"))
+    val dot = cen
+      .as("a")
+      .join(cen.as("b"), col("a.idx") === col("b.idx") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("d"))
+    dot
+      .join(nrm.select(col("label").as("label_a"), col("n").as("na")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("n").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"), round(col("d") / (col("na") * col("nb")), 4).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Vector column statistics (dims, norms, label aggregates). */
   def v3VectorStats(s: SparkSession, d: String): DataFrame =
     Tables

@@ -216,6 +216,40 @@ object TextAnalysis {
       .orderBy("t")
   }
 
+  /** Bigram-LM fluency score: avg ln P(w_i | w_{i−1}) per document, with
+    * P from corpus bigram / prefix counts — the next step up from the
+    * unigram filter [[t7UnigramLogprob]] (catches shuffled-word text a
+    * unigram model scores as fluent). Counts join on the bigram key
+    * (shuffle; AQE broadcasts the count tables at small vocab).
+    */
+  def t13BigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val bg = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), n1),
+            slice(col("tk"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("bg")
+      )
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val cu = bg
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1")
+      .agg(count(lit(1)).as("c1"))
+    bg.join(cb, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cu, "w1")
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("c2").cast("double") / col("c1"))), 3).as("avg_bg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram frequency: per-doc bigram arrays explode into a single
     * count shuffle (map-side partial agg keeps it one small exchange).
     * The token array is materialized once per row (a naive inline form
