@@ -126,7 +126,9 @@ object SparkEntry {
     "s7_stream_session_window" -> (StreamingBatch.s7StreamSessionWindow _),
     "e19_wau_sketch"         -> (Events.e19WauSketch _),
     "t13_bigram_logprob"     -> (TextAnalysis.t13BigramLogprob _),
-    "v6_centroid_sim"        -> (Similarity.v6CentroidSim _)
+    "v6_centroid_sim"        -> (Similarity.v6CentroidSim _),
+    "t14_stratified_sample"  -> (TextAnalysis.t14StratifiedSample _),
+    "m4_media_neardup"       -> ((s, d) => Multimodal.m4MediaNearDup(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -686,6 +688,12 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t14_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
+        |  ELSE substr(md5(text),1,1) IN ('0','1') END
+        |ORDER BY doc_id""".stripMargin,
     "t13_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
         |bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg FROM t),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.GraftExpressions
 
 /** §2.7 multimodal column plumbing.
   *
@@ -73,6 +74,49 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  /** m4: the multimodal near-dup capstone — binary payloads through the
+    * decode→featurize stage ([[decodeFeatures]]: iterator-shaped,
+    * deterministic FAKE features standing in for a real image/audio
+    * embedder) and then feature-cosine near-dup pairs via the balanced
+    * block self-join (Dedup.d5b's shape — equi-join only). rows-only in
+    * the driver gate (the byte-fold featurizer isn't SQL-expressible);
+    * ScalaTest pins determinism and agreement with exact payload dup
+    * pairs.
+    */
+  def m4MediaNearDup(s: SparkSession, d: String, tau: Double = 0.95, nBlocks: Int = 8): DataFrame = {
+    import s.implicits._
+    val media = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    val feats = decodeFeatures(media)
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("features").as("embedding"),
+        sqrt(GraftExpressions.dotF(col("features"), col("features"))).as("nrm"),
+        pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int").as("blk")
+      )
+    val l = feats.select(
+      col("doc_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+      col("blk").as("k1"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("k2")
+    )
+    val r = feats.select(
+      col("doc_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      explode(sequence(lit(0), col("blk"))).as("k1"), col("blk").as("k2")
+    )
+    l.join(r, Seq("k1", "k2"))
+      .filter((col("k1") === col("k2") && col("id_a") < col("id_b")) || col("k1") < col("k2"))
+      .withColumn("cos", GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos"), 4).as("cos")
+      )
+      .orderBy("id_a", "id_b")
+  }
 
   /** The per-partition "decode + featurize" stage: the shape a real
     * decoder plugs into (iterator-to-iterator, no per-row JVM↔native

@@ -151,6 +151,23 @@ object TextAnalysis {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Stratified deterministic sampling: per-language hash-bucket quotas
+    * (e.g. keep 50% of 'en', 12.5% of everything else) — how pipelines
+    * rebalance language mixes reproducibly. Pure per-row filter on the
+    * md5 leading hex digit; pushes to the scan side of downstream joins.
+    */
+  def t14StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("text")), 1, 1)
+    Tables
+      .documents(s, d)
+      .filter(
+        when(col("lang") === "en", h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .otherwise(h.isin("0", "1"))
+      )
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Text normalization: case-fold + whitespace collapse + trim — the
     * canonical pre-tokenization cleanup pass.
     */

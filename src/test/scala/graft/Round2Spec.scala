@@ -591,6 +591,19 @@ class Round2Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // m4 multimodal capstone: decode → featurize → block-join near-dup
+  // ------------------------------------------------------------------
+  test("m4 media near-dup is deterministic, non-empty, thresholded, no cartesian") {
+    val a = Multimodal.m4MediaNearDup(spark, sf).collect()
+    val b = Multimodal.m4MediaNearDup(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq) // fake decode + block join fully deterministic
+    assert(a.forall(_.getDouble(2) >= 0.95))
+    val plan = Multimodal.m4MediaNearDup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  // ------------------------------------------------------------------
   // mergeUpsert MERGE semantics on a toy table
   // ------------------------------------------------------------------
   test("mergeUpsert: matched update, not-matched insert, unmatched target retained") {
