@@ -99,20 +99,37 @@ case class TopKPerKeyExec(
       val ordB = BindReferences.bindReference(orderE, childOutput)
       val tieB = BindReferences.bindReference(tieE, childOutput)
       // type-appropriate interpreted orderings: exact for LongType and
-      // DecimalType (the doubleValue() path mis-ranked longs > 2^53)
-      val ordOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(orderE.dataType)
-      val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(tieE.dataType)
+      // DecimalType (the doubleValue() path mis-ranked longs > 2^53).
+      // Nulls are FIRST in ascending terms, which realizes the Spark
+      // default window semantics this operator mirrors: order DESC
+      // NULLS LAST (null = worst score), tie ASC NULLS FIRST (null =
+      // best tiebreak).
+      def nullsFirst(base: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+        override def compare(x: Any, y: Any): Int = (x, y) match {
+          case (null, null) => 0
+          case (null, _)    => -1
+          case (_, null)    => 1
+          case _            => base.compare(x, y)
+        }
+      }
+      val ordOrd = nullsFirst(
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(orderE.dataType)
+          .asInstanceOf[Ordering[Any]]
+      )
+      val tieOrd = nullsFirst(
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(tieE.dataType)
+          .asInstanceOf[Ordering[Any]]
+      )
       // eval results may alias the (reused) input row's buffer for
       // non-primitive types — retain defensive copies in the heap
       def own(v: Any): Any = v match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
         case other                                       => other
       }
-      // PQ head = worst-ranked entry under (order desc, tie asc) — the
-      // eviction candidate. Null order/tie values are skipped (ranked
-      // rows must have a defined score).
+      // PQ head = worst-ranked entry under (order desc nulls-last,
+      // tie asc nulls-first) — the eviction candidate.
       implicit val heapOrd: Ordering[(Any, Any, InternalRow)] =
         new Ordering[(Any, Any, InternalRow)] {
           override def compare(p: (Any, Any, InternalRow), q: (Any, Any, InternalRow)): Int = {
@@ -124,20 +141,18 @@ case class TopKPerKeyExec(
       it.foreach { row =>
         val oAny = ordB.eval(row)
         val tAny = tieB.eval(row)
-        if (oAny != null && tAny != null) {
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, InternalRow)]
-            heaps.put(key.copy(), heap)
-          }
-          if (heap.size < kk) {
-            heap.enqueue((own(oAny), own(tAny), row.copy()))
-          } else if (heapOrd.compare((oAny, tAny, null), heap.head) < 0) {
-            // strictly better than the current worst
-            heap.dequeue()
-            heap.enqueue((own(oAny), own(tAny), row.copy()))
-          }
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, InternalRow)]
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) {
+          heap.enqueue((own(oAny), own(tAny), row.copy()))
+        } else if (heapOrd.compare((oAny, tAny, null), heap.head) < 0) {
+          // strictly better than the current worst
+          heap.dequeue()
+          heap.enqueue((own(oAny), own(tAny), row.copy()))
         }
       }
       import scala.jdk.CollectionConverters._
@@ -158,11 +173,14 @@ object TopK {
     }
   }
 
-  /** Top k rows per key, ranked by `order` DESC with `tie` ASC breaking
-    * ties (a total order — required for deterministic results). Columns
-    * are given by name: the analyzer resolves plain UnresolvedAttributes
-    * inside custom nodes, while Column-API expressions stay wrapped in
-    * unresolvable ColumnNode shells.
+  /** Top k rows per key, ranked by `order` DESC NULLS LAST with `tie`
+    * ASC NULLS FIRST breaking ties (a total order — required for
+    * deterministic results) — exactly the Spark window defaults for
+    * `ORDER BY order DESC, tie`, so results match the row_number idiom
+    * even on nullable columns. Columns are given by name: the analyzer
+    * resolves plain UnresolvedAttributes inside custom nodes, while
+    * Column-API expressions stay wrapped in unresolvable ColumnNode
+    * shells.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], order: String, tie: String, k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -48,7 +48,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
       (w.windowExpressions.head, w.orderSpec) match {
         case (
               alias @ Alias(WindowExpression(_: RowNumber, _), _),
-              Seq(SortOrder(o, Descending, _, _), SortOrder(t, Ascending, _, _))
+              // exactly the default null orderings TopKPerKeyExec
+              // implements (DESC NULLS LAST / ASC NULLS FIRST) — a
+              // non-default NULLS clause must keep the window plan
+              Seq(SortOrder(o, Descending, NullsLast, _), SortOrder(t, Ascending, NullsFirst, _))
             )
             if TopKStrategy.rankable(o.dataType) && TopKStrategy.rankable(t.dataType) &&
               o.deterministic && t.deterministic &&

@@ -20,9 +20,13 @@ class RandomizedSpec extends AnyFunSuite {
       val n = 30 + rnd.nextInt(120)
       val k = 1 + rnd.nextInt(4)
       val rows = (0 until n).map { i =>
-        ("g" + rnd.nextInt(5), i.toLong, math.round((rnd.nextDouble() - 0.5) * 20) / 2.0)
+        // ~15% NULL order values: DESC NULLS LAST must match the window
+        val v: java.lang.Double =
+          if (rnd.nextDouble() < 0.15) null
+          else math.round((rnd.nextDouble() - 0.5) * 20) / 2.0
+        ("g" + rnd.nextInt(5), i.toLong, v)
       }
-      val df = rows.toDF("g", "id", "v") // ties in v are frequent by construction
+      val df = rows.toDF("g", "id", "v") // ties (and nulls) in v are frequent by construction
       val viaTopk = graft.plans.TopK
         .topKPerKey(df, Seq("g"), "v", "id", k)
         .select("g", "id")
@@ -38,6 +42,38 @@ class RandomizedSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1)))
         .toSet
       assert(viaTopk == viaWindow, s"trial $trial k=$k")
+    }
+  }
+
+  test("TopKRewrite: rewritten idiom == un-rewritten window on random data incl. nulls (10 trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 10) {
+      val rnd = new scala.util.Random(6000 + trial)
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until 80).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextDouble() < 0.2) null else math.round((rnd.nextDouble() - 0.5) * 10) / 2.0
+        ("g" + rnd.nextInt(4), i.toLong, v)
+      }
+      val df = rows.toDF("g", "id", "v")
+      val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+      val idiom = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).select("g", "id")
+      assert(
+        idiom.queryExecution.sparkPlan
+          .collectFirst { case t: graft.plans.TopKPerKeyExec => t }
+          .isDefined,
+        s"trial $trial: rewrite did not fire"
+      )
+      val viaRewrite = idiom.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // keeping rn in the output suppresses the rewrite → true window plan
+      val viaWindow = df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("g", "id", "rn")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSet
+      assert(viaRewrite == viaWindow, s"trial $trial k=$k")
     }
   }
 
