@@ -128,7 +128,8 @@ object SparkEntry {
     "t13_bigram_logprob"     -> (TextAnalysis.t13BigramLogprob _),
     "v6_centroid_sim"        -> (Similarity.v6CentroidSim _),
     "t14_stratified_sample"  -> (TextAnalysis.t14StratifiedSample _),
-    "m4_media_neardup"       -> ((s, d) => Multimodal.m4MediaNearDup(s, d))
+    "m4_media_neardup"       -> ((s, d) => Multimodal.m4MediaNearDup(s, d)),
+    "s8_stream_outer_join"   -> (StreamingBatch.s8StreamOuterJoin _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -770,6 +771,14 @@ object SparkEntry {
     "s3_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s8_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id, epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
     "s5_stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),

@@ -148,6 +148,89 @@ object StreamingBatch {
       .orderBy("user_id", "session_id")
   }
 
+  /** s8's staging variant: the events plus TWO far-future sentinels —
+    * one `click`, one `purchase` (user −1, 26h/24h past max) — because
+    * each join side filters on event_type BEFORE its watermark, so a
+    * single out-of-band sentinel would be invisible to one side. The
+    * sentinels advance BOTH side watermarks past every real row, letting
+    * the outer join emit its unmatched rows; they are 2h apart so they
+    * cannot match each other, and user −1 is filtered on re-read.
+    */
+  private def stageJsonSentinelBoth(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#sentinel2",
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_sent2_").toString
+        val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        def sentinel(off: String, tpe: String, id: Long) = ev
+          .agg(max(col("ts")).as("ts0"))
+          .select(
+            lit(id).as("event_id"),
+            (col("ts0") + expr(s"interval $off")).as("ts"),
+            lit(-1L).as("user_id"),
+            lit(tpe).as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props")
+          )
+        toJsonMicros(
+          ev.unionByName(sentinel("24 hours", "purchase", -1L)).unionByName(sentinel("26 hours", "click", -2L))
+        ).coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s8 (oracle form): LEFT OUTER watermarked stream-stream join — the
+    * hard streaming case: matched rows emit in-batch, UNMATCHED
+    * purchases can only emit once the watermark proves no click can
+    * still arrive in their trailing hour. The per-side sentinels advance
+    * both watermarks so the one-shot run flushes every unmatched row;
+    * oracle is DuckDB's batch left join (null click columns included in
+    * the hash).
+    */
+  def s8StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJsonSentinelBoth(s, d)
+    val parsed = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1000).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val clicks = parsed
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = parsed
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases
+      .join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("interval 1 hour"),
+        "left_outer"
+      )
+      .select(
+        col("p_user"),
+        col("p_id"),
+        col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")
+      )
+    val out = Files.createTempDirectory("graft_s8_run_").toString
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .filter(col("p_user") >= 0)
+      .select("p_id", "c_id", "gap_us")
+      .orderBy("p_id", "c_id")
+  }
+
   /** s3's staging variant: every event TWICE (the at-least-once delivery
     * shape a khose-style consumer actually sees from a broker replay).
     */
