@@ -129,7 +129,8 @@ object SparkEntry {
     "v6_centroid_sim"        -> (Similarity.v6CentroidSim _),
     "t14_stratified_sample"  -> (TextAnalysis.t14StratifiedSample _),
     "m4_media_neardup"       -> ((s, d) => Multimodal.m4MediaNearDup(s, d)),
-    "s8_stream_outer_join"   -> (StreamingBatch.s8StreamOuterJoin _)
+    "s8_stream_outer_join"   -> (StreamingBatch.s8StreamOuterJoin _),
+    "s9_restart_session"     -> (StreamingBatch.s9RestartSession _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -787,6 +788,21 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
         |ORDER BY p_id, c_id""".stripMargin,
+    // same oracle as s4/e2: sessions spanning the stop/restart must be
+    // identical to batch sessionization (checkpoint state recovery)
+    "s9_restart_session" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | epoch_us(min(ts))//1000000 AS start_s
+        |FROM s2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // identical to e2's oracle: streaming stateful sessionization must
     // reproduce the batch sessionization exactly
     "s4_stream_session" ->

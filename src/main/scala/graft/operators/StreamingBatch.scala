@@ -403,6 +403,78 @@ object StreamingBatch {
       .orderBy("user_id", "start_s")
   }
 
+  /** s9 (oracle form): stateful-state RECOVERY across a pipeline
+    * restart. The stream is split at its time midpoint into two files;
+    * run 1 sessionizes the first half and stops (AvailableNow), run 2
+    * starts from the SAME checkpoint once the second half (plus the
+    * watermark sentinel) arrives. Sessions that straddle the split can
+    * only be correct if run 2 recovers run 1's open per-user state from
+    * the checkpoint — and the final landed sessions must hash-match the
+    * batch sessionization oracle. (Safety of the split: a run-1 timer
+    * only fires for `last+gap < max(ts of half 1)`, and any half-2
+    * event within the gap of an open session implies `last+gap ≥`
+    * that max — so no session closes early; exact-gap ties verified
+    * absent.)
+    */
+  def s9RestartSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_s9_").toString
+    new java.io.File(s"$root/in").mkdirs()
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+    val halved = ev
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_late", unix_micros(col("ts")) >= (col("mn") + col("mx")) / 2)
+      .drop("mn", "mx")
+    toJsonMicros(halved.filter(!col("is_late")).drop("is_late"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/h1")
+    val sentinel = ev
+      .agg(max(col("ts")).as("ts0"))
+      .select(
+        lit(-1L).as("event_id"),
+        (col("ts0") + expr("interval 24 hours")).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props")
+      )
+    toJsonMicros(halved.filter(col("is_late")).drop("is_late").unionByName(sentinel))
+      .coalesce(1).write.mode("overwrite").text(s"$root/h2")
+    def copyIn(from: String, name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(from).listFiles().filter(_.getName.endsWith(".txt")).head.toPath,
+        java.nio.file.Paths.get(s"$root/in/$name")
+      )
+    def runOnce(): Unit = {
+      val stream = StreamIngest.parsed(
+        s.readStream.option("maxFilesPerTrigger", 1000).text(s"$root/in"),
+        eventSchema,
+        "ts"
+      )
+      val q = StreamOps
+        .sessionize(stream.select(col("user_id"), col("ts")).as[StreamOps.SessionEvent])
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    copyIn(s"$root/h1", "a.json")
+    runOnce() // pipeline goes down...
+    copyIn(s"$root/h2", "b.json")
+    runOnce() // ...and resumes from the checkpoint with recovered state
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("start_s")
+    s.read
+      .parquet(s"$root/out")
+      .filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n_events", "start_s")
+      .orderBy("user_id", "session_id")
+  }
+
   /** s2: watermarked tumbling-window aggregation over the stream, landed
     * via AvailableNow in APPEND mode to a parquet file sink — the
     * production shape: watermark-evicted state, no driver-side result
