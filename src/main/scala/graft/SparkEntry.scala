@@ -130,7 +130,9 @@ object SparkEntry {
     "t14_stratified_sample"  -> (TextAnalysis.t14StratifiedSample _),
     "m4_media_neardup"       -> ((s, d) => Multimodal.m4MediaNearDup(s, d)),
     "s8_stream_outer_join"   -> (StreamingBatch.s8StreamOuterJoin _),
-    "s9_restart_session"     -> (StreamingBatch.s9RestartSession _)
+    "s9_restart_session"     -> (StreamingBatch.s9RestartSession _),
+    "d10_containment"        -> ((s, d) => Dedup.d10Containment(s, d)),
+    "e20_churn"              -> ((s, d) => Events.e20Churn(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -690,6 +692,23 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "d10_containment" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3 AND doc_id < 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e20_churn" ->
+      """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day FROM events GROUP BY 1),
+        |b AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events)
+        |SELECT user_id, last_day,
+        | CASE WHEN date_diff('day', last_day, mxd) >= 7 THEN 1 ELSE 0 END AS churned
+        |FROM u CROSS JOIN b ORDER BY user_id""".stripMargin,
     "t14_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CASE WHEN lang = 'en'

@@ -143,6 +143,26 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment near-dup (ordered pairs): C(A→B) = |A∩B| / |A| — the
+    * asymmetric score that catches a SMALL document embedded in a larger
+    * one, which symmetric Jaccard dilutes (j ≥ τ implies c ≥ τ but not
+    * vice versa). Ground-truth form, capped like [[d4NgramJaccard]]; the
+    * scale path is the d2 band join with this verify expression, whose
+    * candidate recall is then governed by the banding threshold.
+    */
+  def d10Containment(s: SparkSession, d: String, tau: Double = 0.8, cap: Int = 1000): DataFrame = {
+    val sh = shingled(s, d).filter(col("doc_id") < cap)
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("ji", GraftExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("containment", round(col("ji").cast("double") / size(col("sh_a")), 4))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-dup cluster assignment: connected components over the verified
     * LSH pair graph (GraphX — the standard scale path for turning pair
     * sets into keep/drop decisions; Pregel-style CC converges in

@@ -382,6 +382,25 @@ object Events {
       .orderBy("day")
   }
 
+  /** Churn cohort: each user's last-activity day and whether they've
+    * been inactive for ≥ `days` before the stream's end (the
+    * end-of-window reference folded in as a broadcast scalar — no
+    * driver-side collect). One keyed aggregation.
+    */
+  def e20Churn(s: SparkSession, d: String, days: Int = 7): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+    val bounds = ev.agg(max("day").as("mxd"))
+    ev.groupBy("user_id")
+      .agg(max("day").as("last_day"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("user_id"),
+        col("last_day"),
+        when(datediff(col("mxd"), col("last_day")) >= days, 1).otherwise(0).as("churned")
+      )
+      .orderBy("user_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
