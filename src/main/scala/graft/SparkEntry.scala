@@ -132,7 +132,8 @@ object SparkEntry {
     "s8_stream_outer_join"   -> (StreamingBatch.s8StreamOuterJoin _),
     "s9_restart_session"     -> (StreamingBatch.s9RestartSession _),
     "d10_containment"        -> ((s, d) => Dedup.d10Containment(s, d)),
-    "e20_churn"              -> ((s, d) => Events.e20Churn(s, d))
+    "e20_churn"              -> ((s, d) => Events.e20Churn(s, d)),
+    "q38_grouping_id"        -> (Relational.q38GroupingId _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -692,6 +693,15 @@ object SparkEntry {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q38_grouping_id" ->
+      """SELECT
+        | CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
     "d10_containment" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -540,6 +540,28 @@ object Relational {
       .orderBy(col("o_orderpriority"), desc("price"), col("o_orderkey"))
   }
 
+  /** NULL-safe ROLLUP: subtotal rows are identified by `grouping()`
+    * bits, not by key nullness — the correct general pattern (the
+    * coalesce-based q10 form would conflate a genuine NULL key value
+    * with a subtotal row; this data has no NULL keys, but the operator
+    * library must not rely on that).
+    */
+  def q38GroupingId(s: SparkSession, d: String): DataFrame = {
+    // grouping() is only legal inside the aggregate — expressed through
+    // the engine's SQL surface (identical text runs on DuckDB)
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q38_lineitem")
+    s.sql(
+      """SELECT
+        | CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM graft_q38_lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin
+    )
+  }
+
   /** Exact decimal money aggregation: doubles are cast to DECIMAL before
     * summing, so the group totals are exact (associativity-independent —
     * no float rounding drift at any parallelism) and need no rounding for
