@@ -29,10 +29,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // Full per-query map first (humans / logs)...
+    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfNum}""")
+    // ...then ONE compact line LAST: the driver keeps only the final ~2000
+    // chars of output, so the parseable line must fit there with room for
+    // sbt's [success] footer. Headline subset only, 3-decimal times.
+    val headline = Seq(
+      "q1_agg", "q3_join_agg", "q9_topk_group", "q17_multi_join_chain",
+      "q24_topk_custom", "e2_sessionize", "e7_asof_join", "e12_outliers",
+      "e15_active_users", "d1_dedup_exact", "d2_dedup_minhash_lsh",
+      "d5b_dedup_embedding_blocked", "d6_dedup_clusters", "v1_knn_brute",
+      "v2_knn_lsh", "t5_ngram_freq", "t9_tfidf", "s1_ingest_parquet",
+      "s2_stream_window_agg", "c1_compact", "c2_merge_upsert", "p1_curate")
+    val hq = headline.flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"sf":$sfNum}""")
     spark.stop()
   }
 }

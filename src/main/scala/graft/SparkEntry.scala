@@ -943,8 +943,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_decimal_agg" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+        | CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "m3_frame_sample" ->

@@ -177,9 +177,21 @@ object Dedup {
     * clustering (round-1 VERDICT item 9). At 100 TB these intermediates
     * are exactly what a production pipeline persists between stages.
     */
-  private val chainCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cached(s: SparkSession, d: String, stage: String)(build: => DataFrame): DataFrame =
-    chainCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d#$stage", _ => build.localCheckpoint())
+  // per-session caches held in a WeakHashMap so each session's entries
+  // (and their localCheckpoint blocks) become collectable when the
+  // session itself is unreachable — reference identity, so two live
+  // sessions can never share a cache (identityHashCode keys could collide)
+  private val chainCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def cached(s: SparkSession, d: String, stage: String)(build: => DataFrame): DataFrame = {
+    val perSession = chainCache.synchronized {
+      // the cached DataFrames reference their session, which would keep the
+      // weak keys reachable — purge stopped sessions explicitly on access
+      chainCache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      chainCache.computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$d#$stage", _ => build.localCheckpoint())
+  }
 
   private def clusterMap(s: SparkSession, d: String): DataFrame = {
     // NOTE: pairs is resolved BEFORE the clusters builder runs — a nested

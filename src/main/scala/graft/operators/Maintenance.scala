@@ -64,14 +64,22 @@ object Maintenance {
       keys: Seq[String],
       newestFirst: Seq[Column]
   ): DataFrame = {
-    val unioned = target.withColumn("_src", lit(0)).unionByName(source.withColumn("_src", lit(1)))
+    // helper columns must not collide with caller columns — withColumn
+    // would silently REPLACE a same-named user column and drop() would
+    // then delete it, corrupting the merge with no error
+    val taken = (target.columns ++ source.columns).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").filterNot(taken).next()
+    val srcCol = fresh("_src")
+    val rnCol = fresh("_rn")
+    val unioned = target.withColumn(srcCol, lit(0)).unionByName(source.withColumn(srcCol, lit(1)))
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_src").desc +: newestFirst: _*)
+      .orderBy(col(srcCol).desc +: newestFirst: _*)
     unioned
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_src", "_rn")
+      .withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) === 1)
+      .drop(srcCol, rnCol)
   }
 
   /** c2: end-to-end MERGE over a landed keyed parquet state table. The

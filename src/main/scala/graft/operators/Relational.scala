@@ -548,18 +548,23 @@ object Relational {
     */
   def q38GroupingId(s: SparkSession, d: String): DataFrame = {
     // grouping() is only legal inside the aggregate — expressed through
-    // the engine's SQL surface (identical text runs on DuckDB)
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_q38_lineitem")
-    s.sql(
-      """SELECT
-        | CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
-        | CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
-        | CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
-        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM graft_q38_lineitem
-        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY gid, rf, ls""".stripMargin
+    // the engine's SQL surface. Per-call unique view name (concurrent
+    // invocations over different datasets must not race on a shared
+    // catalog entry), dropped after analysis — s.sql resolves the view
+    // eagerly, so the returned DataFrame doesn't need it to survive.
+    val view = s"graft_q38_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(s, d).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT
+         | CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+         | CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+         | CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         |FROM $view
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, rf, ls""".stripMargin
     )
+    finally s.catalog.dropTempView(view)
   }
 
   /** Exact decimal money aggregation: doubles are cast to DECIMAL before
@@ -579,8 +584,13 @@ object Relational {
       )
       .groupBy("l_returnflag")
       .agg(
-        sum("p").cast("decimal(38,2)").as("sum_price"),
-        sum("disc").cast("decimal(38,4)").as("sum_disc"),
+        // exact decimal sums; surfaced as double ONLY at the output edge
+        // (the driver's pandas compare hashes pyarrow Decimal objects
+        // differently from DuckDB's float64 decimals — equal values,
+        // different hash). The double of an exact 2/4-dp decimal is the
+        // same IEEE value in both engines.
+        sum("p").cast("decimal(38,2)").cast("double").as("sum_price"),
+        sum("disc").cast("decimal(38,4)").cast("double").as("sum_disc"),
         count(lit(1)).as("n")
       )
       .orderBy("l_returnflag")

@@ -136,8 +136,10 @@ object StreamIngest {
     * per partition with avro-core's GenericDatumReader — the spark-avro
     * connector isn't required. Decode failures follow the same permissive
     * contract as JSON: typed fields null, base64 of the original bytes in
-    * `_corrupt`. Timestamp fields accept Avro timestamp-micros/-millis
-    * longs (micros when ≥ 10^13 in magnitude — epoch millis never reach
+    * `_corrupt`. Timestamp fields dispatch on the writer schema's
+    * authoritative logicalType annotation (timestamp-micros vs
+    * timestamp-millis); for un-annotated longs only, a magnitude
+    * heuristic decides (micros when ≥ 10^13 — epoch millis never reach
     * that before year 2286).
     */
   def parsedAvro(raw: DataFrame, writerSchemaJson: String, schema: StructType, tsColumn: String): DataFrame = {
@@ -149,16 +151,40 @@ object StreamIngest {
       .select(col("value").cast("binary").as("value"))
       .as(Encoders.BINARY)
       .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
         val avroSchema = new org.apache.avro.Schema.Parser().parse(writerSchemaJson)
         val reader =
           new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord](avroSchema)
         var decoder: org.apache.avro.io.BinaryDecoder = null
-        def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+        // authoritative timestamp unit per field from the writer schema's
+        // logicalType (unwrapping nullable unions); None = un-annotated
+        def unitOf(fieldName: String): Option[String] = {
+          Option(avroSchema.getField(fieldName)).flatMap { f =>
+            val s =
+              if (f.schema().getType == org.apache.avro.Schema.Type.UNION)
+                f.schema().getTypes.asScala
+                  .find(_.getType != org.apache.avro.Schema.Type.NULL)
+                  .getOrElse(f.schema())
+              else f.schema()
+            Option(s.getLogicalType).map(_.getName)
+          }
+        }
+        val tsIsMicros: Map[String, Option[Boolean]] = fields.collect {
+          case f if f.dataType == TimestampType =>
+            f.name -> (unitOf(f.name) match {
+              case Some("timestamp-micros") | Some("local-timestamp-micros") => Some(true)
+              case Some("timestamp-millis") | Some("local-timestamp-millis") => Some(false)
+              case _                                                         => None
+            })
+        }.toMap
+        def convert(v: AnyRef, dt: DataType, name: String): Any = (v, dt) match {
           case (null, _)                           => null
           case (u: org.apache.avro.util.Utf8, StringType) => u.toString
           case (s: String, StringType)             => s
           case (l: java.lang.Long, TimestampType) =>
-            val micros = if (math.abs(l) >= 10000000000000L) l.longValue() else l.longValue() * 1000L
+            val isMicros = tsIsMicros.getOrElse(name, None)
+              .getOrElse(math.abs(l) >= 10000000000000L) // heuristic fallback only
+            val micros = if (isMicros) l.longValue() else l.longValue() * 1000L
             val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
             ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
             ts
@@ -173,7 +199,7 @@ object StreamIngest {
           try {
             decoder = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, decoder)
             val rec = reader.read(null, decoder)
-            Row.fromSeq(fields.toSeq.map(f => convert(rec.get(f.name), f.dataType)) :+ null)
+            Row.fromSeq(fields.toSeq.map(f => convert(rec.get(f.name), f.dataType, f.name)) :+ null)
           } catch {
             case _: Exception =>
               Row.fromSeq(fields.toSeq.map(_ => null) :+ java.util.Base64.getEncoder.encodeToString(bytes))
