@@ -15,14 +15,16 @@ object Bench {
     try {
       val warm = "/root/testdata/sf0.001"
       if (new java.io.File(warm).isDirectory) {
-        Seq("q1_agg", "q17_multi_join_chain", "e1_time_bucket", "d2_dedup_minhash_lsh", "v1_knn_brute")
+        // batch + streaming machinery JIT/codegen warmup at the SMALLEST
+        // SF (s2/s5 compile the state-store and file-sink paths)
+        Seq("q1_agg", "q17_multi_join_chain", "e1_time_bucket", "d2_dedup_minhash_lsh",
+            "v1_knn_brute", "s2_stream_window_agg", "s5_stream_stream_join")
           .foreach(n => SparkEntry.queries.get(n).foreach(fn => fn(spark, warm).count()))
       }
-      // pre-stage the three streaming JSON inputs at the BENCH SF (plain /
-      // sentinel / duplicated, cached per JVM) so the timed streaming
-      // numbers measure the pipelines, not whichever query stages first
-      Seq("s1_ingest_parquet", "s2_stream_window_agg", "s3_stream_dedup")
-        .foreach(n => SparkEntry.queries.get(n).foreach(fn => fn(spark, sfDir).count()))
+      // stage the streaming JSON inputs at the BENCH SF untimed (cached
+      // per JVM) so the timed streaming numbers measure the pipelines,
+      // not whichever query stages the shared input first
+      graft.operators.StreamingBatch.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
