@@ -133,6 +133,8 @@ object SparkEntry {
     "s9_restart_session"     -> (StreamingBatch.s9RestartSession _),
     "d10_containment"        -> ((s, d) => Dedup.d10Containment(s, d)),
     "e20_churn"              -> ((s, d) => Events.e20Churn(s, d)),
+    "v7_knn_ivf"             -> ((s, d) => Similarity.v7KnnIvf(s, d)),
+    "c5_range_layout"        -> (Maintenance.c5RangeLayout _),
     "q38_grouping_id"        -> (Relational.q38GroupingId _)
   )
 
@@ -850,6 +852,15 @@ object SparkEntry {
     "c4_backfill" ->
       """SELECT CAST(ts AS DATE) AS dt, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c5: the clustered layout must be semantically invisible — same
+    // range query over the RAW table
+    "c5_range_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS revenue,
+        | round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS lang_meta,
         |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)

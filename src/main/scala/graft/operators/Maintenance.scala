@@ -185,6 +185,52 @@ object Maintenance {
       .orderBy("dt")
   }
 
+  /** Range-clustered data layout: rewrite a table ordered by a scan key so
+    * every output file covers a NARROW, near-disjoint key range — parquet
+    * footer min/max then let a range predicate skip whole files/row-groups
+    * instead of scanning the table. `repartitionByRange` samples the key
+    * distribution so files are balanced by ROWS (not by key span — a skewed
+    * key never produces a fat file), and `sortWithinPartitions` tightens
+    * row-group stats inside each file. This is the batch layout twin of
+    * ingest-time (dt, hr) directory partitioning: directories prune on the
+    * partition key, range clustering prunes on everything else you sort by.
+    * At 100 TB this is how a fact table serves date-range queries without a
+    * date directory per possible predicate column.
+    */
+  def rangeLayout(
+      df: DataFrame,
+      outPath: String,
+      nFiles: Int,
+      orderCols: Seq[Column]
+  ): Unit =
+    df.repartitionByRange(nFiles, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .write
+      .mode("overwrite")
+      .parquet(outPath)
+
+  /** c5: lay lineitem out range-clustered by `l_shipdate`, then answer a
+    * one-quarter range scan from the clustered copy. The oracle runs the
+    * same query on the RAW table — the layout must be semantically
+    * invisible; the pruning it buys (only ~spanFraction of files overlap
+    * the predicate) is asserted file-by-file in ScalaTest from the actual
+    * parquet stats.
+    */
+  def c5RangeLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c5_").toString
+    rangeLayout(Tables.lineitem(s, d), s"$dir/data", 16, Seq(col("l_shipdate"), col("l_orderkey")))
+    s.read
+      .parquet(s"$dir/data")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc")
+      )
+      .orderBy("l_returnflag")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables

@@ -185,6 +185,128 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the other classic
+    * ANN scale path next to LSH (v2): partition the corpus into `nLists`
+    * Voronoi cells around trained coarse centroids, then answer a query
+    * by exact-reranking ONLY the cells whose centroids are nearest
+    * (`nProbe` of `nLists` — the recall/cost dial).
+    *
+    * Training is Lloyd's algorithm with deterministic seeding (corpus
+    * vectors ranked by `xxhash64(vec_id)`). Each iteration is one
+    * broadcast join (tiny centroid table against the corpus — the corpus
+    * never shuffles) + one `posexplode` component aggregation whose
+    * map-side partial combine reduces the shuffle to
+    * O(partitions × nLists × dim). The trained model — `nLists × dim`
+    * floats, kilobytes — is collected to the driver between iterations
+    * exactly like any ML model fit; the DATA path stays distributed.
+    *
+    * Search: per-query centroid scores are a broadcast join; the top
+    * `nProbe` cells per query come from the bounded-heap TopKPerKey
+    * operator; candidates are the equi-join of (query, cell) against the
+    * cell assignment — IDs only, embeddings join back for the exact
+    * cosine rerank of ~`nProbe/nLists` of the corpus.
+    *
+    * With `nProbe = nLists` the search is exhaustive and provably equals
+    * [[v1KnnBrute]] (asserted in ScalaTest); the recall of the default
+    * 4/16 probe is measured there too.
+    */
+  def v7KnnIvf(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val dim = 64
+
+    // deterministic seeds: top-nLists corpus vectors by id hash
+    def centroidDf(rows: Seq[(Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      rows.toDF("list_id", "centroid")
+    }
+    var centroids: DataFrame = centroidDf(
+      e.select(col("vec_id"), col("embedding"))
+        .withColumn("rk", xxhash64(col("vec_id")))
+        .orderBy("rk")
+        .limit(nLists)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }
+        .toSeq
+    )
+
+    // nearest cell per corpus vector: broadcast the centroid table, one
+    // cosine per (vector, cell), keep the argmax — max_by's partial
+    // aggregation reduces map-side, so the shuffle carries one row per
+    // vector per partition and the embedding array never rides it
+    def assign(cen: DataFrame): DataFrame =
+      e.join(broadcast(cen))
+        .select(
+          col("vec_id"),
+          col("list_id"),
+          (VF.dot(col("embedding"), col("centroid").cast("array<float>")) / col("nrm")).as("score")
+        )
+        .groupBy("vec_id")
+        .agg(max_by(col("list_id"), struct(col("score"), col("list_id"))).as("list_id"))
+
+    for (_ <- 1 to lloydIters) {
+      val updated = assign(centroids)
+        .join(e, "vec_id")
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy("list_id", "idx")
+        .agg(avg("v").as("c"))
+        .orderBy("list_id", "idx")
+        .collect()
+        .groupBy(_.getInt(0))
+        .toSeq
+        // rounded: the distributed avg's merge order is nondeterministic,
+        // so raw last-ulp jitter could flip a boundary assignment between
+        // otherwise-identical runs; 6 decimals is far above fp noise and
+        // far below any real cell boundary
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(r => math.rint(r.getDouble(2) * 1e6) / 1e6).toSeq
+        }
+      // a cell can go empty mid-training; keep its previous centroid row
+      val updatedMap = updated.toMap
+      val prev = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      centroids = centroidDf(prev.map { case (l, c) => l -> updatedMap.getOrElse(l, c) }.toSeq)
+    }
+
+    val cells = assign(centroids) // (vec_id, list_id): the inverted file
+    val q = e.filter(col("vec_id") < nQueries)
+    // per-query nProbe nearest cells via the bounded-heap top-k operator
+    val qScores = q
+      .join(broadcast(centroids))
+      .select(
+        col("vec_id").as("q_id"),
+        col("list_id"),
+        (VF.dot(col("embedding"), col("centroid").cast("array<float>")) / col("nrm")).as("score")
+      )
+    val probes = graft.plans.TopK
+      .topKPerKey(qScores, Seq("q_id"), "score", "list_id", nProbe)
+      .select(col("q_id"), col("list_id"))
+    val candidates = cells
+      .join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id")) // each vector lives in ONE cell: no dedup needed
+    val cEmb = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val qEmb = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    candidates
+      .join(cEmb, "c_id")
+      .join(broadcast(qEmb), "q_id")
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Vector column statistics (dims, norms, label aggregates). */
   def v3VectorStats(s: SparkSession, d: String): DataFrame =
     Tables
