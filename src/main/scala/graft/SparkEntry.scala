@@ -135,6 +135,10 @@ object SparkEntry {
     "e20_churn"              -> ((s, d) => Events.e20Churn(s, d)),
     "v7_knn_ivf"             -> ((s, d) => Similarity.v7KnnIvf(s, d)),
     "c5_range_layout"        -> (Maintenance.c5RangeLayout _),
+    "c6_incremental_rollup"  -> (Maintenance.c6IncrementalRollup _),
+    "e21_ewma"               -> ((s, d) => Events.e21Ewma(s, d)),
+    "t15_pack"               -> ((s, d) => TextAnalysis.t15Pack(s, d)),
+    "t16_decontaminate"      -> ((s, d) => TextAnalysis.t16Decontaminate(s, d)),
     "q38_grouping_id"        -> (Relational.q38GroupingId _)
   )
 
@@ -852,6 +856,53 @@ object SparkEntry {
     "c4_backfill" ->
       """SELECT CAST(ts AS DATE) AS dt, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c6: merging materialized partials must equal the full recompute
+    "c6_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(sum(value) / count(*), 4) AS avg_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e21_ewma" ->
+      """WITH se AS (
+        | SELECT CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS bucket_s,
+        |  event_type, count(*) AS x
+        | FROM events GROUP BY 1,2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_s) AS rn FROM se)
+        |SELECT a.event_type, a.bucket_s, a.x,
+        | round(sum(b.x * pow(0.7, a.rn - b.rn)) / sum(pow(0.7, a.rn - b.rn)), 4) AS ewma,
+        | CASE WHEN a.x > 2 * round(sum(b.x * pow(0.7, a.rn - b.rn)) / sum(pow(0.7, a.rn - b.rn)), 4)
+        |  THEN 1 ELSE 0 END AS spike
+        |FROM r a JOIN r b
+        | ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 47 AND a.rn
+        |GROUP BY a.event_type, a.bucket_s, a.x, a.rn
+        |ORDER BY a.event_type, a.bucket_s""".stripMargin,
+    "t15_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS tok,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS part
+        | FROM documents),
+        |p AS (SELECT part, doc_id, tok,
+        |  COALESCE(sum(tok) OVER (PARTITION BY part ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        | FROM t)
+        |SELECT part, pre // 2048 AS bin_id, count(*) AS n_docs, sum(tok) AS total_tokens
+        |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "t16_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |    FOR i IN range(1, len(ts)-3)]) AS sh
+        | FROM tk WHERE len(ts) >= 5),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) = '0'),
+        |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) <> '0')
+        |SELECT c.doc_id, count(*) AS n_hits
+        |FROM corp c JOIN bench b ON c.g = b.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // c5: the clustered layout must be semantically invisible — same
     // range query over the RAW table
     "c5_range_layout" ->

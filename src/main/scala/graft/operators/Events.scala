@@ -401,6 +401,52 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Trailing exponentially-weighted moving average + spike flag over the
+    * hourly per-type count series — the streaming-telemetry anomaly shape
+    * (EWMA adapts to level shifts where e12's global mean+kσ can't).
+    *
+    * The recurrence is computed CLOSED-FORM over a bounded 48-point
+    * trailing window (decay^48 ≈ 3e-8 — numerically the full EWMA) and,
+    * crucially, with equi-operators only: each point EXPLODES its ≤48
+    * (target-row, weight) contributions and a plain groupBy sums them —
+    * never a per-type range join (BNLJ) and never a whole-type window
+    * task. The series this runs on is already the hourly rollup: tiny
+    * relative to raw events at any scale.
+    */
+  def e21Ewma(s: SparkSession, d: String, window: Int = 48, decay: Double = 0.7): DataFrame = {
+    val series = Tables
+      .events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_s")
+    val rn = series.withColumn("rn", row_number().over(w))
+    val contrib = rn
+      .select(
+        col("event_type"),
+        col("x"),
+        col("rn").as("src"),
+        explode(sequence(col("rn"), col("rn") + lit(window - 1))).as("tgt")
+      )
+      .withColumn("wgt", pow(lit(decay), col("tgt") - col("src")))
+    val ew = contrib
+      .groupBy(col("event_type").as("et"), col("tgt"))
+      .agg((sum(col("wgt") * col("x")) / sum(col("wgt"))).as("ewma_raw"))
+    rn.join(ew, rn("event_type") === col("et") && rn("rn") === col("tgt"))
+      .select(
+        col("event_type"),
+        col("bucket_s"),
+        col("x"),
+        round(col("ewma_raw"), 4).as("ewma"),
+        // the flag compares against the ROUNDED ewma so both engines
+        // decide the boundary on the identical value
+        when(col("x") > lit(2) * round(col("ewma_raw"), 4), 1).otherwise(0).as("spike")
+      )
+      .orderBy("event_type", "bucket_s")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

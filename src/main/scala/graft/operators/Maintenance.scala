@@ -231,6 +231,47 @@ object Maintenance {
       .orderBy("l_returnflag")
   }
 
+  /** c6: INCREMENTAL rollup maintenance — the materialized-view pattern
+    * that makes 100 TB dashboards affordable: per-(day, type) partial
+    * aggregates (count / sum / min / max — all mergeable) are computed
+    * once and persisted; when a new day lands, only ITS partial is built
+    * and the final rollup re-aggregates the partial table (days × types
+    * rows) instead of rescanning all history. The scenario splits events
+    * at the last day ("history" materialized, last day "arrives late");
+    * the oracle is the full recompute over raw events — merging partials
+    * must be indistinguishable from rescanning.
+    */
+  def c6IncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c6_").toString
+    val ev = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+    val bounds = ev.agg(max(col("dt")).as("mxd"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("dt", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("value").as("sv"),
+          min("value").as("mnv"),
+          max("value").as("mxv")
+        )
+    partial(tagged.filter(col("dt") < col("mxd"))).write.mode("overwrite").parquet(s"$dir/partials")
+    val newDay = partial(tagged.filter(col("dt") === col("mxd")))
+    s.read
+      .parquet(s"$dir/partials")
+      .unionByName(newDay)
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("n"),
+        round(sum("sv"), 2).as("sum_value"),
+        round(sum("sv") / sum("n"), 4).as("avg_value"),
+        round(min("mnv"), 2).as("min_value"),
+        round(max("mxv"), 2).as("max_value")
+      )
+      .orderBy("event_type")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables

@@ -273,6 +273,64 @@ object TextAnalysis {
     * re-evaluates the split per reference), and bigrams come from
     * zip_with over two slices — no per-element element_at chains.
     */
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins (the pretraining batch-assembly step). Deterministic and
+    * parallel: docs hash into 16 independent pack streams (first md5
+    * nibble of doc_id), each stream fills bins greedily in doc_id order
+    * via an exclusive running token sum — `bin = pre_tokens div budget`.
+    * The window sorts WITHIN a hash partition only (no global sort, no
+    * single-task window); bins are (stream, bin_id)-addressed, so 1000
+    * executors pack 1000 streams without coordination.
+    */
+  def t15Pack(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("tok"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("part")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("pre", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"pre div $budget"))
+      .groupBy("part", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"))
+      .orderBy("part", "bin_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 5-gram
+    * with the held-out evaluation set (here: the ~1/16 of docs whose
+    * doc_id md5 starts with '0' stand in for the benchmark). The scale
+    * design exploits that eval sets are TINY next to the corpus: the
+    * benchmark's distinct shingle hashes broadcast, and the corpus-side
+    * check is a per-partition hash probe on exploded shingle hashes (one
+    * pass, no corpus shuffle beyond the per-doc count). 64-bit shingle
+    * hashes ride everywhere — shingle STRINGS never leave the scan
+    * (d2's trick); the string-vs-hash equivalence is the oracle check.
+    */
+  def t16Decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val sh = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        GraftExpressions.shingleHashes(split(col("text"), " "), n).as("sh"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0").as("is_bench")
+      )
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("is_bench")).select(explode(col("sh")).as("g")).distinct()
+    val corp = sh.filter(!col("is_bench")).select(col("doc_id"), explode(col("sh")).as("g"))
+    corp
+      .join(broadcast(bench), "g")
+      // sh is sorted-DISTINCT per doc, so plain count = distinct shared shingles
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   def t5NgramFreq(s: SparkSession, d: String): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
     Tables
