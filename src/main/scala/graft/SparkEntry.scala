@@ -887,7 +887,8 @@ object SparkEntry {
         |  COALESCE(sum(tok) OVER (PARTITION BY part ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         | FROM t)
-        |SELECT part, pre // 2048 AS bin_id, count(*) AS n_docs, sum(tok) AS total_tokens
+        |SELECT part, CAST(pre // 2048 AS BIGINT) AS bin_id, count(*) AS n_docs,
+        | CAST(sum(tok) AS BIGINT) AS total_tokens
         |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "t16_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
