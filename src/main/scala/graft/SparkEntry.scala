@@ -139,7 +139,15 @@ object SparkEntry {
     "e21_ewma"               -> ((s, d) => Events.e21Ewma(s, d)),
     "t15_pack"               -> ((s, d) => TextAnalysis.t15Pack(s, d)),
     "t16_decontaminate"      -> ((s, d) => TextAnalysis.t16Decontaminate(s, d)),
-    "q38_grouping_id"        -> (Relational.q38GroupingId _)
+    "q38_grouping_id"        -> (Relational.q38GroupingId _),
+    "q39_running_distinct"   -> (Relational.q39RunningDistinct _),
+    "e22_mad_outliers"       -> ((s, d) => Events.e22MadOutliers(s, d)),
+    "t17_pii_redact"         -> (TextAnalysis.t17PiiRedact _),
+    "t18_repetition"         -> (TextAnalysis.t18Repetition _),
+    "v8_range_search"        -> ((s, d) => Similarity.v8RangeSearch(s, d)),
+    "c7_retention_vacuum"    -> (Maintenance.c7RetentionVacuum _),
+    "m5_balanced_sample"     -> ((s, d) => Multimodal.m5BalancedSample(s, d)),
+    "s10_stream_static_join" -> (StreamingBatch.s10StreamStaticJoin _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1022,6 +1030,89 @@ object SparkEntry {
         |wau AS (SELECT days.day, count(DISTINCT d.user_id) AS wau
         |        FROM days JOIN daily d ON d.day <= days.day AND d.day >= days.day - 6
         |        GROUP BY 1)
-        |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q39_running_distinct" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |  CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS f
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        | CAST(sum(f) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_prio_seen
+        |FROM r ORDER BY 1, 2""".stripMargin,
+    "e22_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |  max(m.med) AS med
+        | FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 2) AS value
+        |FROM events e JOIN mad m USING (event_type)
+        |WHERE e.value > m.med + 3 * m.mad
+        |ORDER BY e.event_id""".stripMargin,
+    "t17_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id AS VARCHAR)
+        |   || '.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        | CAST(len(regexp_extract_all(raw, '\+?[0-9][0-9-]{6,}[0-9]')) AS INT) AS n_phone,
+        | CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        | regexp_replace(regexp_replace(regexp_replace(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t18_repetition" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 2),
+        |w AS (SELECT doc_id, unnest(ts) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1,2),
+        |ws AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+        |  max(c*len(w)) AS topwc, sum(c*len(w)) AS totwc FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest([ts[i]||' '||ts[i+1] FOR i IN range(1, len(ts))]) AS g FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1,2),
+        |bs AS (SELECT doc_id, max(c) AS topb, sum(c) AS n_bi FROM bc GROUP BY 1)
+        |SELECT ws.doc_id,
+        | round(1.0 - CAST(n_distinct AS DOUBLE)/n_tok, 4) AS dup_word_ratio,
+        | round(CAST(topwc AS DOUBLE)/totwc, 4) AS top_word_char_ratio,
+        | round(CAST(topb AS DOUBLE)/n_bi, 4) AS top_bigram_ratio
+        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY 1""".stripMargin,
+    "v8_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS c_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e WHERE vec_id % 20 <> 0)
+        |SELECT q_id, c_id,
+        | round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cos
+        |FROM q, c
+        |WHERE list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) >= 0.4
+        |ORDER BY q_id, c_id""".stripMargin,
+    "c7_retention_vacuum" ->
+      """WITH b AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events)
+        |SELECT CAST(ts AS DATE) AS dt, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, b WHERE CAST(ts AS DATE) >= b.mx - 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m5_balanced_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  md5(CAST(doc_id AS VARCHAR)) AS rk,
+        |  CAST(strlen(text) AS INT) AS n_bytes
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY modality ORDER BY rk DESC, doc_id) AS rn
+        |  FROM m)
+        |SELECT modality, doc_id, n_bytes FROM r WHERE rn <= 20 ORDER BY 1, 2""".stripMargin,
+    "s10_stream_static_join" ->
+      """WITH j AS (SELECT e.user_id, e.value, COALESCE(n.n_name, 'unknown') AS nation
+        |  FROM events e
+        |  LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT nation, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

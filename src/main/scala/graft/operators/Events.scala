@@ -447,6 +447,28 @@ object Events {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** e22: robust outlier detection via median absolute deviation — the
+    * companion to e12's mean+σ gate that heavy-tailed metrics need (one
+    * fat outlier inflates σ and hides its peers; the median doesn't
+    * move). Two grouped exact percentiles (tiny per-type results,
+    * broadcast back) — same groupBy-then-broadcast shape as e12, no
+    * per-type window task, so no skew ceiling at 100× the data.
+    */
+  def e22MadOutliers(s: SparkSession, d: String, k: Double = 3.0): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "event_type", "value")
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5d)").as("med"))
+    val dev = e
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev
+      .groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5d)").as("mad"), max("med").as("med"))
+    e.join(broadcast(mad), "event_type")
+      .filter(col("value") > col("med") + lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   /** Latest-event-per-key dedup (the "upsert view" of an append log). */
   def e6DedupLatest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))

@@ -288,4 +288,50 @@ object Maintenance {
       .agg(count(lit(1)).as("n"))
       .orderBy("dt")
   }
+
+  /** Apply a trailing-window retention policy to a dt-partitioned store:
+    * list the partition directories (a METADATA operation — no data
+    * read), drop every directory older than the newest dt minus
+    * `keepDays`. This is how a 100 TB store expires cold data: O(days)
+    * filesystem deletes, zero scan, zero rewrite of surviving
+    * partitions.
+    */
+  def retentionVacuum(s: SparkSession, storePath: String, keepDays: Int): Int = {
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs
+      .listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+      .map(st => st.getPath.getName.stripPrefix("dt=") -> st.getPath)
+      .sortBy(_._1)
+    if (parts.isEmpty) 0
+    else {
+      val cutoff = java.time.LocalDate.parse(parts.last._1).minusDays(keepDays - 1L)
+      val expired = parts.filter { case (dt, _) => java.time.LocalDate.parse(dt).isBefore(cutoff) }
+      expired.foreach { case (_, p) => fs.delete(p, true) }
+      expired.length
+    }
+  }
+
+  /** c7: land events day-partitioned, expire everything older than the
+    * trailing 7 days, and aggregate what survived. The oracle recomputes
+    * the kept window from the raw table — a vacuum that deletes the
+    * wrong directory (or misses one) fails the hash.
+    */
+  def c7RetentionVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c7_").toString
+    Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("dt"), col("event_id"), col("user_id"), col("value"))
+      .repartition(4, col("dt"))
+      .write
+      .partitionBy("dt")
+      .parquet(s"$dir/store")
+    retentionVacuum(s, s"$dir/store", keepDays = 7)
+    s.read
+      .parquet(s"$dir/store")
+      .groupBy(col("dt").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt")
+  }
 }

@@ -138,4 +138,31 @@ object Multimodal {
       }
     }
   }
+
+  /** m5: modality-balanced deterministic sampling — exactly k media items
+    * per modality, chosen by md5 rank so the draw is reproducible across
+    * runs and engines. Selection rides the custom TopKPerKey operator
+    * (bounded heaps, ≤k rows per modality per partition reach the single
+    * exchange), NOT a per-modality window: with 3 modalities a window
+    * sort would pin each modality's entire 100 TB slice to one task.
+    * Modality itself is FAKE-derived from doc_id (the container has no
+    * codecs to sniff real containers), consistent with the m-series.
+    */
+  def m5BalancedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val base = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+        ).as("modality"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk"),
+        length(col("text").cast("binary")).as("n_bytes")
+      )
+    graft.plans.TopK
+      .topKPerKey(base, Seq("modality"), "rk", "doc_id", k)
+      .select(col("modality"), col("doc_id"), col("n_bytes"))
+      .orderBy("modality", "doc_id")
+  }
 }

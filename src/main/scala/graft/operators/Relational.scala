@@ -567,6 +567,35 @@ object Relational {
     finally s.catalog.dropTempView(view)
   }
 
+  /** q39: running COUNT(DISTINCT) over a window — which neither Spark
+    * nor standard SQL supports directly — via the first-occurrence
+    * decomposition: row_number()=1 inside (customer, priority) marks the
+    * first sighting, and a running sum of those marks over the
+    * customer's order timeline IS the distinct-priorities-seen-so-far
+    * count. Two window passes over the same customer partitioning (one
+    * shuffle; the second sort reuses the clustering), no state beyond
+    * the frame.
+    */
+  def q39RunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstW = Window
+      .partitionBy("o_custkey", "o_orderpriority")
+      .orderBy("o_orderdate", "o_orderkey")
+    val runW = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .withColumn("first_seen", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum("first_seen").over(runW).as("n_prio_seen")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Exact decimal money aggregation: doubles are cast to DECIMAL before
     * summing, so the group totals are exact (associativity-independent —
     * no float rounding drift at any parallelism) and need no rounding for

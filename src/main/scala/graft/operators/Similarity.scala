@@ -322,4 +322,40 @@ object Similarity {
         round(max("nrm"), 4).as("max_norm")
       )
       .orderBy("label")
+
+  /** v8: radius (range) similarity search — ALL corpus vectors within
+    * cosine ≥ tau of each query, the retrieval mode dedup/recall audits
+    * need where top-k truncates. Every (query, corpus-block) pair is an
+    * equi-join row on the block key: queries replicate across the block
+    * ids (tiny side, exploded), the corpus hashes once and never
+    * replicates — uniform tasks, no BroadcastNestedLoopJoin node, and
+    * block count scales with executors at 100 TB.
+    */
+  def v8RangeSearch(s: SparkSession, d: String, tau: Double = 0.4, nBlocks: Int = 16): DataFrame = {
+    import graft.plans.GraftExpressions
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e
+      .filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk")
+      )
+    val c = e
+      .filter(pmod(col("vec_id"), lit(20)) =!= 0)
+      .select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"),
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk")
+      )
+    q.join(c, "blk")
+      .select(
+        col("q_id"),
+        col("c_id"),
+        (GraftExpressions.dotF(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("cos")
+      )
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "c_id")
+  }
 }

@@ -574,4 +574,52 @@ object StreamingBatch {
       )
       .orderBy("bucket_s", "event_type")
   }
+
+  /** s10: stream-static enrichment join — the khose pattern where the
+    * event firehose is decorated with dimension attributes (here:
+    * user → customer → nation) BEFORE landing, so downstream consumers
+    * never re-join. The dim side is a batch DataFrame broadcast into
+    * every micro-batch (stream-static joins are stateless — no
+    * watermark, no join state store); at 100 TB/day of events the dim
+    * table is still MBs, so the broadcast is the right plan at any
+    * scale. LEFT join: events with no matching customer land with
+    * nation 'unknown' (dropping unmatched telemetry on an enrichment
+    * miss is a pipeline bug).
+    */
+  def s10StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val json = stageJson(s, d)
+    val dim = Tables
+      .customer(s, d)
+      .join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1000).text(s"$json/json"),
+        eventSchema,
+        "ts"
+      )
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("nation", coalesce(col("nation"), lit("unknown")))
+    val out = Files.createTempDirectory("graft_s10_run_").toString
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .groupBy("nation")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("nation")
+  }
 }

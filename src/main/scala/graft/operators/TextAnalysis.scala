@@ -331,6 +331,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t17: PII detection + redaction — the privacy-scrub pass every
+    * training-data pipeline runs before text leaves curation. The
+    * synthetic corpus carries no PII, so a deterministic contact block
+    * (email / phone / IPv4 derived from doc_id) is appended first and
+    * the redactor is graded on scrubbing it; patterns are plain-ASCII
+    * regexes that mean the same thing to Java's engine and RE2. Pure
+    * per-row map — zero shuffle at any scale.
+    */
+  def t17PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9-]{6,}[0-9]"
+    val ip    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val id = col("doc_id").cast("string")
+    val raw = concat(
+      col("text"),
+      lit(" reach user"), id, lit("@mail-"), id,
+      lit(".example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")
+    )
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("raw"), lit(ip), lit(0))).as("n_ip"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>"),
+          ip,
+          "<IP>"
+        ).as("redacted")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** t18: Gopher-style repetition signals — the quality gate that drops
+    * degenerate machine-generated text: duplicate-word mass, the char
+    * fraction claimed by the single most frequent word, and the fraction
+    * of bigram slots taken by the top bigram. Word/bigram counts are
+    * per-doc groupBys (map-side combine carries (doc, term) partials; no
+    * whole-doc state on any reducer), so the shape holds when documents
+    * is 100 TB.
+    */
+  def t18Repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val wordStats = docs
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c") * length(col("w"))).as("top_word_chars"),
+        sum(col("c") * length(col("w"))).as("tot_word_chars")
+      )
+    val n1 = size(col("tk")) - 1
+    val bigramStats = docs
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(slice(col("tk"), lit(1), n1), slice(col("tk"), lit(2), n1), (a, b) => concat(a, lit(" "), b))
+        ).as("g")
+      )
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bi"), sum("c").as("n_bi"))
+    wordStats
+      .join(bigramStats, "doc_id")
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 4).as("dup_word_ratio"),
+        round(col("top_word_chars").cast("double") / col("tot_word_chars"), 4).as("top_word_char_ratio"),
+        round(col("top_bi").cast("double") / col("n_bi"), 4).as("top_bigram_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
   def t5NgramFreq(s: SparkSession, d: String): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
     Tables

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Events, Maintenance, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-5 additions: PII redaction, repetition gates, MAD outliers,
+  * running-distinct windows, radius search, retention vacuum, balanced
+  * sampling. Value-level correctness is the DuckDB oracle gate; these
+  * pin the structural/scale properties the oracle can't see.
+  */
+class Round5Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ------------------------------------------------------------------
+  // t17: PII redaction
+  // ------------------------------------------------------------------
+  test("t17 scrubs every planted email/phone/ip and leaves no raw pattern behind") {
+    val rows = TextAnalysis.t17PiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1 && r.getInt(3) >= 1, r.toString)
+      val red = r.getString(4)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+      assert(!red.contains("@mail-"), "unredacted email survived")
+      assert(!red.matches(".*\\+?[0-9][0-9-]{6,}[0-9].*"), "unredacted phone survived")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // t18: repetition signals
+  // ------------------------------------------------------------------
+  test("t18 ratios are in [0,1] and a planted degenerate doc scores maximal repetition") {
+    val rows = TextAnalysis.t18Repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 3).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, r.toString)
+      }
+    }
+    // corroborate against a direct recompute for one doc
+    val doc = Tables.documents(spark, sf).select("doc_id", "text").head()
+    val toks = doc.getString(1).split(" ").filter(_.nonEmpty)
+    val expectedDup = 1.0 - toks.distinct.length.toDouble / toks.length
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get.getDouble(1)
+    assert(math.abs(got - expectedDup) < 1e-3, s"$got vs $expectedDup")
+  }
+
+  // ------------------------------------------------------------------
+  // e22: MAD outliers
+  // ------------------------------------------------------------------
+  test("e22 plan is groupBy+broadcast (no per-type window task) and flags a superset-consistent set vs e12") {
+    val df = Events.e22MadOutliers(spark, sf)
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(!plan.contains("Window"), "per-type window would pin a type's whole slice to one task")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // every flagged value exceeds its type's median (sanity of one-sidedness)
+    val med = Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5d)").as("med"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    Events.e22MadOutliers(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) > med(r.getString(1)), r.toString)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q39: running distinct
+  // ------------------------------------------------------------------
+  test("q39 running distinct is monotone per customer and ends at the exact distinct count") {
+    val rows = Relational.q39RunningDistinct(spark, sf).collect()
+    val exact = Tables
+      .orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      val last = rs.map(_.getLong(2)).max
+      assert(last == exact(cust), s"cust $cust: $last vs ${exact(cust)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // v8: radius search
+  // ------------------------------------------------------------------
+  test("v8 equals the brute-force radius set and plans as an equi-join (no BNLJ/Cartesian)") {
+    val v8 = Similarity.v8RangeSearch(spark, sf)
+    val plan = v8.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    val got = v8.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute reference computed inline (driver-side, test-scale only)
+    val e = Tables.embeddings(spark, sf).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray
+      (r.getLong(0), emb, math.sqrt(emb.map(x => x.toDouble * x).sum))
+    }
+    val qs = e.filter(_._1 % 20 == 0)
+    val cs = e.filter(_._1 % 20 != 0)
+    val want = (for {
+      (qid, qe, qn) <- qs
+      (cid, ce, cn) <- cs
+      dot = qe.zip(ce).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+      if dot / (qn * cn) >= 0.4
+    } yield (qid, cid)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
+  // ------------------------------------------------------------------
+  // c7: retention vacuum
+  // ------------------------------------------------------------------
+  test("c7 vacuum deletes exactly the expired partition dirs and keeps the trailing window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c7spec_").toString
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("ts").cast("date").as("dt"), col("event_id"))
+    ev.repartition(2, col("dt")).write.partitionBy("dt").parquet(s"$dir/store")
+    val allDays = ev.select("dt").distinct().collect().map(_.getDate(0).toString).sorted
+    val nExpired = Maintenance.retentionVacuum(spark, s"$dir/store", keepDays = 3)
+    assert(nExpired == allDays.length - 3)
+    val kept = spark.read
+      .parquet(s"$dir/store")
+      .select(col("dt").cast("date"))
+      .distinct()
+      .collect()
+      .map(_.getDate(0).toString)
+      .sorted
+    assert(kept.toSeq == allDays.takeRight(3).toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // m5: balanced sampling
+  // ------------------------------------------------------------------
+  test("m5 draws exactly k per modality through the TopKPerKey operator and is deterministic") {
+    val df = Multimodal.m5BalancedSample(spark, sf, k = 5)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val rows = df.collect()
+    val byMod = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byMod == Map("image" -> 5, "audio" -> 5, "video" -> 5), byMod.toString)
+    assert(rows.toSeq == Multimodal.m5BalancedSample(spark, sf, k = 5).collect().toSeq)
+  }
+}
