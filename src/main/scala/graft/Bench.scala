@@ -26,7 +26,14 @@ object Bench {
       // not whichever query stages the shared input first
       graft.operators.StreamingBatch.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for focused iteration:
+    //   SPARK_GRAFT_ONLY=d2_dedup_minhash_lsh,d6_dedup_clusters
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -147,7 +147,11 @@ object SparkEntry {
     "v8_range_search"        -> ((s, d) => Similarity.v8RangeSearch(s, d)),
     "c7_retention_vacuum"    -> (Maintenance.c7RetentionVacuum _),
     "m5_balanced_sample"     -> ((s, d) => Multimodal.m5BalancedSample(s, d)),
-    "s10_stream_static_join" -> (StreamingBatch.s10StreamStaticJoin _)
+    "s10_stream_static_join" -> (StreamingBatch.s10StreamStaticJoin _),
+    "q40_gaps_islands"       -> (Relational.q40GapsIslands _),
+    "t19_crossdoc_ngram"     -> ((s, d) => TextAnalysis.t19CrossdocNgram(s, d)),
+    "v9_pagerank"            -> ((s, d) => Similarity.v9PageRank(s, d)),
+    "s11_stream_distinct"    -> (StreamingBatch.s11StreamDistinct _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1113,6 +1117,65 @@ object SparkEntry {
         |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
         |SELECT nation, count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+        |r AS (SELECT o_custkey, day,
+        |  day - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS INTEGER) AS grp
+        | FROM days)
+        |SELECT o_custkey, min(day) AS run_start, max(day) AS run_end, count(*) AS n_days
+        |FROM r GROUP BY o_custkey, grp HAVING count(*) >= 2
+        |ORDER BY o_custkey, run_start""".stripMargin,
+    "t19_crossdoc_ngram" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |    FOR i IN range(1, len(ts)-3)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 5),
+        |g AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |c AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS shared_frac
+        |FROM g JOIN c USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "v9_pagerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+        |knn AS (SELECT q_id AS src, c_id AS dst FROM r WHERE rn <= 3),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |p0 AS (SELECT vec_id AS id, 1.0/nn.n AS pr FROM e, nn),
+        |p1 AS (SELECT p.id, 0.15/nn.n + 0.85*coalesce(c.cin, 0) AS pr
+        |  FROM p0 p CROSS JOIN nn LEFT JOIN
+        |   (SELECT k.dst, sum(q.pr/3.0) AS cin FROM knn k JOIN p0 q ON q.id = k.src GROUP BY k.dst) c
+        |  ON c.dst = p.id),
+        |p2 AS (SELECT p.id, 0.15/nn.n + 0.85*coalesce(c.cin, 0) AS pr
+        |  FROM p1 p CROSS JOIN nn LEFT JOIN
+        |   (SELECT k.dst, sum(q.pr/3.0) AS cin FROM knn k JOIN p1 q ON q.id = k.src GROUP BY k.dst) c
+        |  ON c.dst = p.id),
+        |p3 AS (SELECT p.id, 0.15/nn.n + 0.85*coalesce(c.cin, 0) AS pr
+        |  FROM p2 p CROSS JOIN nn LEFT JOIN
+        |   (SELECT k.dst, sum(q.pr/3.0) AS cin FROM knn k JOIN p2 q ON q.id = k.src GROUP BY k.dst) c
+        |  ON c.dst = p.id),
+        |p4 AS (SELECT p.id, 0.15/nn.n + 0.85*coalesce(c.cin, 0) AS pr
+        |  FROM p3 p CROSS JOIN nn LEFT JOIN
+        |   (SELECT k.dst, sum(q.pr/3.0) AS cin FROM knn k JOIN p3 q ON q.id = k.src GROUP BY k.dst) c
+        |  ON c.dst = p.id),
+        |p5 AS (SELECT p.id, 0.15/nn.n + 0.85*coalesce(c.cin, 0) AS pr
+        |  FROM p4 p CROSS JOIN nn LEFT JOIN
+        |   (SELECT k.dst, sum(q.pr/3.0) AS cin FROM knn k JOIN p4 q ON q.id = k.src GROUP BY k.dst) c
+        |  ON c.dst = p.id)
+        |SELECT p.id AS vec_id, round(p.pr * nn.n, 4) AS rank_norm
+        |FROM p5 p CROSS JOIN nn ORDER BY vec_id""".stripMargin,
+    "s11_stream_distinct" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS bucket_s,
+        | count(DISTINCT user_id) AS uniques
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -69,7 +69,10 @@ object Dedup {
     val rowsPerBand = 2
     val nBands = nHashes / rowsPerBand
 
-    val sh = shingled(s, d)
+    // the shingle scan feeds this plan three times (banding + two
+    // candidate verify joins) and the whole d6/d7 chain downstream —
+    // checkpoint it once per (session, dir) like the other chain stages
+    val sh = cached(s, d, "shingles")(shingled(s, d))
     val banded = sh
       .select(col("doc_id"), GraftExpressions.minhashFromHashes(col("sh"), nHashes).as("sig"))
       .select(

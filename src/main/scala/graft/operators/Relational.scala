@@ -623,4 +623,26 @@ object Relational {
         count(lit(1)).as("n")
       )
       .orderBy("l_returnflag")
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    * customer via the row_number-delta trick — a day minus its per-key
+    * rank is constant exactly within a consecutive run, so islands fall
+    * out of one partitioned window pass + one groupBy. No self-join, no
+    * iteration, and nothing ever holds more than one customer's day list
+    * (both steps partition on o_custkey), so the shape is unchanged at
+    * 100 TB.
+    */
+  def q40GapsIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    Tables
+      .orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(min("day").as("run_start"), max("day").as("run_end"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .select("o_custkey", "run_start", "run_end", "n_days")
+      .orderBy("o_custkey", "run_start")
+  }
 }

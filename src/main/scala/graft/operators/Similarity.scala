@@ -358,4 +358,41 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id", "c_id")
   }
+
+  /** PageRank centrality over the exact kNN similarity graph ([[v5KnnGraph]],
+    * k=3) — the "representative documents" signal for coreset selection:
+    * vectors that many near neighbors point AT rank high. Five
+    * power-iteration steps at damping 0.85; every step is one equi-join
+    * of the rank vector to the edge list plus one keyed partial-agg sum —
+    * the textbook distributed PR shape (GraphX's Pregel runs the same
+    * exchanges). The edge list is checkpointed once so the five
+    * iterations don't replay pair generation; no dangling mass (every
+    * node has out-degree k). Output is the scale-free NORMALIZED rank
+    * (pr × N, corpus mean = 1.0) so the 4dp rounding is meaningful at any
+    * corpus size. Oracle: the same five unrolled iterations in SQL.
+    */
+  def v9PageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    val edges = v5KnnGraph(s, d)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
+    var pr = nodes.crossJoin(nDf).select(col("id"), (lit(1.0) / col("nn")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr, col("src") === col("id"))
+        .groupBy("dst")
+        .agg(sum(col("pr") / 3.0).as("cin"))
+      pr = nodes
+        .crossJoin(nDf)
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(
+          col("id"),
+          (lit(0.15) / col("nn") + lit(0.85) * coalesce(col("cin"), lit(0.0))).as("pr")
+        )
+    }
+    pr.crossJoin(nDf)
+      .select(col("id").as("vec_id"), round(col("pr") * col("nn"), 4).as("rank_norm"))
+      .orderBy("vec_id")
+  }
 }

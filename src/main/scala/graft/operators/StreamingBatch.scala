@@ -622,4 +622,46 @@ object StreamingBatch {
       )
       .orderBy("nation")
   }
+
+  /** s11: streaming EXACT distinct-users-per-hour — the firehose "unique
+    * visitors" metric, computed with TWO chained stateful operators:
+    * dropDuplicatesWithinWatermark on (user_id, hour-bucket) shrinks
+    * state to one row per user-hour and evicts it at the watermark, then
+    * the watermarked tumbling-window count aggregates the survivors — a
+    * distinct SET never sits in aggregation state (the scale difference
+    * vs count_distinct inside the agg, whose per-window hash set grows
+    * with cardinality). Landed via an append-mode parquet sink; the
+    * sentinel advances the final watermark so the one-shot run flushes
+    * every real window (its own far-future window never flushes). Oracle
+    * is the batch COUNT(DISTINCT user_id) per hour.
+    */
+  def s11StreamDistinct(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    val dir = stageJsonSentinel(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 16).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val deduped = stream
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "bucket")
+    val agg = deduped
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("uniques"))
+      .select(col("window.start").as("bucket_start"), col("uniques"))
+    val out = Files.createTempDirectory("graft_s11_run_").toString
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .select(unix_timestamp(col("bucket_start")).as("bucket_s"), col("uniques"))
+      .orderBy("bucket_s")
+  }
 }

@@ -433,4 +433,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("bg"))
   }
+
+  /** Cross-document n-gram duplication (the Dolma/C4 "duplicate n-gram
+    * fraction" signal): per document, the fraction of its DISTINCT
+    * 5-grams that also occur in at least one OTHER document. Grams travel
+    * only as 64-bit hashes (one-pass ShingleHashes — gram strings never
+    * leave the scan); corpus-wide occurrence counts are one hash-keyed
+    * groupBy joined back to the exploded grams, so both shuffles are
+    * equi-shuffles on an 8-byte key. The oracle recomputes with literal
+    * gram strings — equality holds modulo 64-bit hash collisions, which
+    * the hash gate itself certifies absent here.
+    */
+  def t19CrossdocNgram(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val grams = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(GraftExpressions.shingleHashes(split(col("text"), " "), n)).as("g")
+      )
+    // ShingleHashes emits each gram once per doc, so nd = n docs carrying g
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    grams
+      .join(counts, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared")
+      )
+      .withColumn("shared_frac", round(col("n_shared").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
 }

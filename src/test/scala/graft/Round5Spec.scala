@@ -144,4 +144,113 @@ class Round5Spec extends AnyFunSuite {
     assert(byMod == Map("image" -> 5, "audio" -> 5, "video" -> 5), byMod.toString)
     assert(rows.toSeq == Multimodal.m5BalancedSample(spark, sf, k = 5).collect().toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // q40: gaps and islands
+  // ------------------------------------------------------------------
+  test("q40 islands are consecutive-day runs, maximal, and cover every multi-day run") {
+    val runs = Relational.q40GapsIslands(spark, sf).collect()
+    assert(runs.nonEmpty)
+    val days = Tables
+      .orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sorted.toVector)
+      .toMap
+    // brute maximal consecutive runs per customer
+    val want = days.toSeq.flatMap { case (ck, ds) =>
+      val runsB = ds.foldLeft(Vector.empty[Vector[java.time.LocalDate]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.last.plusDays(1) == d) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      runsB.filter(_.length >= 2).map(r => (ck, r.head, r.last, r.length.toLong))
+    }.toSet
+    val got = runs.map { r =>
+      (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate, r.getLong(3))
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
+  // ------------------------------------------------------------------
+  // t19: cross-document n-gram duplication
+  // ------------------------------------------------------------------
+  test("t19 hash-keyed gram counts equal the literal-string gram computation") {
+    val docs = Tables.documents(spark, sf)
+    val n = 5
+    // reference path: literal gram strings (what the DuckDB oracle does)
+    val toks = docs.select(
+      col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("ts")
+    )
+    val grams = toks
+      .filter(size(col("ts")) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            zip_with(
+              slice(col("ts"), lit(1), greatest(size(col("ts")) - (n - 1), lit(0))),
+              sequence(lit(0), size(col("ts")) - n),
+              (t0, i) => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))
+            )
+          )
+        ).as("g")
+      )
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    val want = grams
+      .join(cnt, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = TextAnalysis
+      .t19CrossdocNgram(spark, sf, n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------------
+  // v9: similarity-graph PageRank
+  // ------------------------------------------------------------------
+  test("v9 conserves rank mass (mean normalized rank = 1), is deterministic, no Cartesian") {
+    val df = Similarity.v9PageRank(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val mean = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(mean - 1.0) < 1e-3, s"mean normalized rank $mean")
+    // teleport floor: no rank below 0.15 (normalized)
+    assert(rows.forall(_.getDouble(1) >= 0.15 - 1e-9))
+    assert(rows.toSeq == Similarity.v9PageRank(spark, sf).collect().toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // s11: streaming distinct users per hour
+  // ------------------------------------------------------------------
+  test("s11 chained dedup+window-agg equals the batch COUNT(DISTINCT) per hour") {
+    val got = graft.operators.StreamingBatch
+      .s11StreamDistinct(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = Tables
+      .events(spark, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket_s"))
+      .agg(countDistinct(col("user_id")).as("uniques"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == want)
+  }
 }
