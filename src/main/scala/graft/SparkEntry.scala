@@ -149,6 +149,10 @@ object SparkEntry {
     "m5_balanced_sample"     -> ((s, d) => Multimodal.m5BalancedSample(s, d)),
     "s10_stream_static_join" -> (StreamingBatch.s10StreamStaticJoin _),
     "q40_gaps_islands"       -> (Relational.q40GapsIslands _),
+    "c8_incremental_quantiles" -> (Maintenance.c8IncrementalQuantiles _),
+    "d11_keep_best"          -> (Dedup.d11KeepBest _),
+    "e25_seasonal_baseline"  -> (Events.e25SeasonalBaseline _),
+    "q41_share_of_total"     -> (Relational.q41ShareOfTotal _),
     "t19_crossdoc_ngram"     -> ((s, d) => TextAnalysis.t19CrossdocNgram(s, d)),
     "v9_pagerank"            -> ((s, d) => Similarity.v9PageRank(s, d)),
     "s11_stream_distinct"    -> (StreamingBatch.s11StreamDistinct _)
@@ -1176,6 +1180,55 @@ object SparkEntry {
     "s11_stream_distinct" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS bucket_s,
         | count(DISTINCT user_id) AS uniques
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d11_keep_best" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |cm AS (SELECT a AS doc_id, min(b) AS cluster_id FROM allr GROUP BY 1),
+        |mem AS (SELECT cm.cluster_id, cm.doc_id, length(d.text) AS len
+        |  FROM cm JOIN documents d USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn
+        |  FROM mem)
+        |SELECT cluster_id, max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        | CAST(max(CASE WHEN rn = 1 THEN len END) AS INT) AS keep_len,
+        | count(*) AS n_members
+        |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "e25_seasonal_baseline" ->
+      """WITH cells AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hod, count(*) AS n
+        | FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        | SELECT event_type, hod, round(CAST(sum(n) AS DOUBLE)/count(*), 4) AS base_n
+        | FROM cells GROUP BY 1, 2)
+        |SELECT c.event_type, c.hod, max(b.base_n) AS base_n, max(c.n) AS max_n,
+        | CAST(sum(CASE WHEN c.n >= b.base_n * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom_days
+        |FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q41_share_of_total" ->
+      """WITH rev AS (
+        | SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, n_name, revenue,
+        | round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin
   )
 }

@@ -212,6 +212,37 @@ object Dedup {
   def d6DedupClusters(s: SparkSession, d: String): DataFrame =
     clusterMap(s, d).orderBy("doc_id")
 
+  /** d11: QUALITY-AWARE canonical selection — instead of d6's min-id
+    * convention, each near-dup cluster keeps its LONGEST member (the most
+    * complete copy; ties break to the lowest doc_id). One join of the
+    * cluster map to per-doc lengths + a per-cluster top-1 window — both
+    * steps keyed on cluster id, so no skew beyond the largest cluster,
+    * which the pair graph already bounds. This is the policy step real
+    * curation pipelines argue about (keep longest vs newest vs highest
+    * quality score); the operator takes the ranking as a plan, not code.
+    */
+  def d11KeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = clusterMap(s, d)
+      .join(
+        Tables.documents(s, d).select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id"
+      )
+    val w = Window
+      .partitionBy("canonical_id")
+      .orderBy(desc("len"), col("doc_id"))
+    members
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rn") === 1, col("len"))).cast("int").as("keep_len")
+      )
+      .select("cluster_id", "keep_id", "keep_len", "n_members")
+      .orderBy("cluster_id")
+  }
+
   /** The dedup APPLY step: materialize the post-dedup corpus — every
     * document except non-canonical members of near-dup clusters. One
     * broadcast anti-join against the (small) drop list.

@@ -479,4 +479,36 @@ object Events {
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
   }
+
+  /** e25: seasonal (hour-of-day) traffic baseline + anomaly days. The
+    * per-(type, day, hour) counts reduce to a per-(type, hour-of-day)
+    * baseline — 5×24 rows however large the log — which joins back to the
+    * daily cells to flag the days running ≥ 1.5× their slot's baseline.
+    * Two keyed aggregations + one broadcast-sized join; no window over
+    * raw events, so no per-type task ceiling (the e12 lesson applied to
+    * seasonality).
+    */
+  def e25SeasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables
+      .events(s, d)
+      .groupBy(
+        col("event_type"),
+        col("ts").cast("date").as("day"),
+        hour(col("ts")).as("hod")
+      )
+      .agg(count(lit(1)).as("n"))
+    val baseline = cells
+      .groupBy("event_type", "hod")
+      .agg(sum("n").as("tot"), count(lit(1)).as("n_days"))
+      .withColumn("base_n", round(col("tot").cast("double") / col("n_days"), 4))
+    cells
+      .join(broadcast(baseline.select("event_type", "hod", "base_n")), Seq("event_type", "hod"))
+      .groupBy("event_type", "hod")
+      .agg(
+        max(col("base_n")).as("base_n"),
+        max("n").as("max_n"),
+        sum(when(col("n") >= col("base_n") * 1.5, 1L).otherwise(0L)).as("n_anom_days")
+      )
+      .orderBy("event_type", "hod")
+  }
 }

@@ -272,6 +272,47 @@ object Maintenance {
       .orderBy("event_type")
   }
 
+  /** c8: INCREMENTAL quantile maintenance over the landed store — c6's
+    * mergeable-partials pattern extended to percentiles, which are not
+    * additive. Per-(day, type) KLL sketches (custom
+    * [[graft.plans.KllSketchAgg]], ~KB each) persist as a binary column;
+    * a late/new day re-sketches ONLY its own rows, and corpus-level
+    * p50/p95/p99 come from merging the stored sketches
+    * ([[graft.plans.KllMergeAgg]]) — history is never rescanned. At
+    * 100 TB this turns "daily percentile dashboard" from a full-table
+    * sort per refresh into an O(days) KB-sized merge. Rows-only (KLL
+    * compaction is randomized inside its rank-error bound); the
+    * ScalaTest gate bounds every estimate between the exact quantiles at
+    * rank ± 0.05.
+    */
+  def c8IncrementalQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions
+    val dir = java.nio.file.Files.createTempDirectory("graft_c8_").toString
+    val ev = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+    val bounds = ev.agg(max(col("dt")).as("mxd"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+    def sketchBy(df: DataFrame): DataFrame =
+      df.groupBy("dt", "event_type")
+        .agg(GraftExpressions.kllSketch(col("value")).as("sk"), count(lit(1)).as("n"))
+    sketchBy(tagged.filter(col("dt") < col("mxd"))).write.mode("overwrite").parquet(s"$dir/partials")
+    val newDay = sketchBy(tagged.filter(col("dt") === col("mxd")))
+    s.read
+      .parquet(s"$dir/partials")
+      .unionByName(newDay)
+      .groupBy("event_type")
+      .agg(GraftExpressions.kllMerge(col("sk")).as("m"), sum("n").as("n"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.5), 2).as("p50_approx"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.95), 2).as("p95_approx"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.99), 2).as("p99_approx")
+      )
+      .orderBy("event_type")
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables

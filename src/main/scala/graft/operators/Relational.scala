@@ -632,6 +632,26 @@ object Relational {
     * (both steps partition on o_custkey), so the shape is unchanged at
     * 100 TB.
     */
+  /** Share-of-total (ratio-to-report): each nation's revenue as a share
+    * of its region's total, via a window SUM over the 25-row aggregate —
+    * the window runs AFTER reduction, so it costs nothing at any scale.
+    * Shares divide the already-rounded per-nation totals, so both engines
+    * divide bit-identical doubles.
+    */
+  def q41ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("r_name")
+    Tables
+      .orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .withColumn("region_share", round(col("revenue") / sum("revenue").over(w), 6))
+      .select("r_name", "n_name", "revenue", "region_share")
+      .orderBy("r_name", "n_name")
+  }
+
   def q40GapsIslands(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day")
     Tables

@@ -236,6 +236,33 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // c8: incremental KLL quantiles
+  // ------------------------------------------------------------------
+  test("c8 sketch percentiles sit between the exact quantiles at rank ± 0.05") {
+    val got = Maintenance
+      .c8IncrementalQuantiles(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val exact = Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, array(0.45, 0.55, 0.90, 0.97, 0.94, 1.0))").as("p")
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    got.foreach { case (t, (p50, p95, p99)) =>
+      val e = exact(t)
+      assert(p50 >= e(0) - 0.01 && p50 <= e(1) + 0.01, s"$t p50=$p50 outside [${e(0)}, ${e(1)}]")
+      assert(p95 >= e(2) - 0.01 && p95 <= e(3) + 0.01, s"$t p95=$p95 outside [${e(2)}, ${e(3)}]")
+      assert(p99 >= e(4) - 0.01 && p99 <= e(5) + 0.01, s"$t p99=$p99 outside [${e(4)}, ${e(5)}]")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // s11: streaming distinct users per hour
   // ------------------------------------------------------------------
   test("s11 chained dedup+window-agg equals the batch COUNT(DISTINCT) per hour") {
