@@ -151,6 +151,9 @@ object SparkEntry {
     "q40_gaps_islands"       -> (Relational.q40GapsIslands _),
     "c8_incremental_quantiles" -> (Maintenance.c8IncrementalQuantiles _),
     "d11_keep_best"          -> (Dedup.d11KeepBest _),
+    "q42_not_in_null"        -> (Relational.q42NotInNull _),
+    "e26_gap_fill"           -> (Events.e26GapFill _),
+    "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
     "e25_seasonal_baseline"  -> (Events.e25SeasonalBaseline _),
     "q41_share_of_total"     -> (Relational.q41ShareOfTotal _),
     "t19_crossdoc_ngram"     -> ((s, d) => TextAnalysis.t19CrossdocNgram(s, d)),
@@ -1219,6 +1222,18 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c.n >= b.base_n * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom_days
         |FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q42_not_in_null" ->
+      """SELECT
+        | (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)) AS n_with_null,
+        | (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <> 7)) AS n_without_null""".stripMargin,
+    "e26_gap_fill" ->
+      """SELECT event_id, user_id,
+        | round(last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_error_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q41_share_of_total" ->
       """WITH rev AS (
         | SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue

@@ -480,6 +480,30 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e26: carry-forward gap-fill via IGNORE NULLS — every event decorated
+    * with the user's most recent 'error' value (NULL until the first
+    * error). `last(..., ignoreNulls)` over a running frame is the
+    * distributed forward-fill: one shuffle on user_id, one sorted pass,
+    * no self-join against the sparse series.
+    */
+  def e26GapFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(
+          last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(w),
+          2
+        ).as("last_error_value")
+      )
+      .orderBy("event_id")
+  }
+
   /** e25: seasonal (hour-of-day) traffic baseline + anomaly days. The
     * per-(type, day, hour) counts reduce to a per-(type, hour-of-day)
     * baseline — 5×24 rows however large the log — which joins back to the

@@ -632,6 +632,30 @@ object Relational {
     * (both steps partition on o_custkey), so the shape is unchanged at
     * 100 TB.
     */
+  /** NOT IN three-valued-logic semantics, run as IDENTICAL SQL text on
+    * both engines: a NULL planted in the subquery list (nullif) makes
+    * `x NOT IN (...)` never-true for every row — the classic silent-
+    * empty-result trap — while the null-stripped list returns the real
+    * anti-join count. Both counts in one row pin the semantics.
+    */
+  def q42NotInNull(s: SparkSession, d: String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vc, vo) = (s"graft_q42c_$sfx", s"graft_q42o_$sfx")
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    try s.sql(
+      s"""SELECT
+         | (SELECT count(*) FROM $vc
+         |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM $vo)) AS n_with_null,
+         | (SELECT count(*) FROM $vc
+         |   WHERE c_custkey NOT IN (SELECT o_custkey FROM $vo WHERE o_custkey <> 7)) AS n_without_null""".stripMargin
+    )
+    finally {
+      s.catalog.dropTempView(vc)
+      s.catalog.dropTempView(vo)
+    }
+  }
+
   /** Share-of-total (ratio-to-report): each nation's revenue as a share
     * of its region's total, via a window SUM over the 25-row aggregate —
     * the window runs AFTER reduction, so it costs nothing at any scale.

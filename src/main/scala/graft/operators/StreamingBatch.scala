@@ -635,6 +635,66 @@ object StreamingBatch {
     * every real window (its own far-future window never flushes). Oracle
     * is the batch COUNT(DISTINCT user_id) per hour.
     */
+  /** s12: streaming QUANTILE-STORE maintenance — c8's mergeable KLL
+    * partials kept fresh by the stream itself. Every micro-batch sketches
+    * its own rows per (dt, type) and foreachBatch MERGES them into the
+    * persisted store (kllMerge of stored ⊕ incoming — a copy-on-write
+    * rewrite of a KB-scale summary table, s6's CDC-upsert shape); the
+    * landed store then answers corpus p50/p95/p99 with NO rescan of the
+    * event history, which is the only way a percentile dashboard stays
+    * cheap against a 100 TB/day firehose. Sketch estimates are randomized
+    * within rank error → rows-only; the ScalaTest gate bounds them
+    * between the exact quantiles at rank ± 0.05.
+    */
+  def s12StreamQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions
+    val dir = stageJson(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 2).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+    val root = Files.createTempDirectory("graft_s12_run_").toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch
+          .groupBy("dt", "event_type")
+          .agg(GraftExpressions.kllSketch(col("value")).as("sk"), count(lit(1)).as("n"))
+        val merged = Option(current.get()) match {
+          case Some(prev) =>
+            spark.read
+              .parquet(prev)
+              .unionByName(incoming)
+              .groupBy("dt", "event_type")
+              .agg(GraftExpressions.kllMerge(col("sk")).as("sk"), sum("n").as("n"))
+          case None => incoming
+        }
+        val next = s"$root/state_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(current.get())
+      .groupBy("event_type")
+      .agg(GraftExpressions.kllMerge(col("sk")).as("m"), sum("n").as("n"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.5), 2).as("p50_approx"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.95), 2).as("p95_approx"),
+        round(GraftExpressions.kllQuantile(col("m"), 0.99), 2).as("p99_approx")
+      )
+      .orderBy("event_type")
+  }
+
   def s11StreamDistinct(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
     val dir = stageJsonSentinel(s, d)
     val stream = StreamIngest.parsed(

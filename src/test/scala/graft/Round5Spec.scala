@@ -263,6 +263,53 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // s12: streaming KLL quantile-store maintenance
+  // ------------------------------------------------------------------
+  test("s12 streamed+merged sketch percentiles sit between exact quantiles at rank ± 0.05") {
+    val got = graft.operators.StreamingBatch
+      .s12StreamQuantile(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val exact = Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, array(0.45, 0.55, 0.90, 0.97, 0.94, 1.0))").as("p")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    got.foreach { case (t, (n, p50, p95, p99)) =>
+      val (nExact, e) = exact(t)
+      assert(n == nExact, s"$t stream counted $n events, exact $nExact")
+      assert(p50 >= e(0) - 0.01 && p50 <= e(1) + 0.01, s"$t p50=$p50 outside [${e(0)}, ${e(1)}]")
+      assert(p95 >= e(2) - 0.01 && p95 <= e(3) + 0.01, s"$t p95=$p95 outside [${e(2)}, ${e(3)}]")
+      assert(p99 >= e(4) - 0.01 && p99 <= e(5) + 0.01, s"$t p99=$p99 outside [${e(4)}, ${e(5)}]")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q42: NOT IN three-valued logic
+  // ------------------------------------------------------------------
+  test("q42 planted NULL empties the NOT IN result while the stripped list matches the anti-join") {
+    val r = Relational.q42NotInNull(spark, sf).collect().head
+    // custkey 7 places orders at every SF, so the nullif plants a real NULL
+    assert(r.getLong(0) == 0L, s"NOT IN over a null-bearing list must be empty, got ${r.getLong(0)}")
+    val antiPlusSeven = Tables
+      .customer(spark, sf)
+      .join(
+        Tables.orders(spark, sf).filter(col("o_custkey") =!= 7),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .count()
+    assert(r.getLong(1) == antiPlusSeven, s"${r.getLong(1)} vs anti-join $antiPlusSeven")
+  }
+
+  // ------------------------------------------------------------------
   // s11: streaming distinct users per hour
   // ------------------------------------------------------------------
   test("s11 chained dedup+window-agg equals the batch COUNT(DISTINCT) per hour") {
