@@ -152,6 +152,8 @@ object SparkEntry {
     "c8_incremental_quantiles" -> (Maintenance.c8IncrementalQuantiles _),
     "d11_keep_best"          -> (Dedup.d11KeepBest _),
     "q42_not_in_null"        -> (Relational.q42NotInNull _),
+    "q43_rfm"                -> (Relational.q43Rfm _),
+    "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
     "e26_gap_fill"           -> (Events.e26GapFill _),
     "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
     "e25_seasonal_baseline"  -> (Events.e25SeasonalBaseline _),
@@ -1234,6 +1236,32 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_error_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q43_rfm" ->
+      """WITH base AS (
+        | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        | FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS mxd FROM base),
+        |wr AS (SELECT b.*, CAST(mxd - last_day AS INT) AS recency_days FROM base b, mx),
+        |th AS (SELECT
+        |  list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tr,
+        |  list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tf,
+        |  list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tm
+        | FROM wr)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        | CAST(6 - (1 + CASE WHEN recency_days > tr[1] THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days > tr[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days > tr[3] THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days > tr[4] THEN 1 ELSE 0 END) AS INT) AS r_score,
+        | CAST(1 + CASE WHEN frequency > tf[1] THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > tf[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > tf[3] THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > tf[4] THEN 1 ELSE 0 END AS INT) AS f_score,
+        | CAST(1 + CASE WHEN monetary > tm[1] THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > tm[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > tm[3] THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > tm[4] THEN 1 ELSE 0 END AS INT) AS m_score
+        |FROM wr, th ORDER BY o_custkey""".stripMargin,
     "q41_share_of_total" ->
       """WITH rev AS (
         | SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue

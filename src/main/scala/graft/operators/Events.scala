@@ -480,6 +480,34 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e27: audience overlap via THETA sketches — |users(A) ∩ users(B)| for
+    * every event-type pair. HLL only unions; theta sketches are the
+    * mergeable summary with set INTERSECTION, so per-segment KB sketches
+    * (one keyed agg with partial merge) answer all O(T²) overlaps without
+    * ever re-touching raw events — at 100 TB the pair stage works on a
+    * T-row table. Estimates are exact while the retained set is under the
+    * nominal k (ScalaTest pins exactness at test scale and the identity
+    * overlap(A,A) = |A|).
+    */
+  def e27AudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions
+    val sk = Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(GraftExpressions.thetaSketch(col("user_id")).as("sk"))
+    val l = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val r = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    l.join(broadcast(r), col("type_a") <= col("type_b"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        round(GraftExpressions.thetaIntersect(col("sk_a"), col("sk_b")))
+          .cast("long")
+          .as("overlap_est")
+      )
+      .orderBy("type_a", "type_b")
+  }
+
   /** e26: carry-forward gap-fill via IGNORE NULLS — every event decorated
     * with the user's most recent 'error' value (NULL until the first
     * error). `last(..., ignoreNulls)` over a running frame is the

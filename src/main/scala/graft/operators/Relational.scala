@@ -632,6 +632,59 @@ object Relational {
     * (both steps partition on o_custkey), so the shape is unchanged at
     * 100 TB.
     */
+  /** RFM customer segmentation (recency / frequency / monetary) WITHOUT a
+    * global sort: quintile scores come from the four exact-percentile
+    * thresholds of each metric (one scalar-sized aggregate, broadcast
+    * back) instead of a global ntile — the e12 de-skew pattern applied to
+    * scoring, so nothing ever totals-orders the customer table. Threshold
+    * comparisons run on pre-rounded doubles, so both engines score
+    * identically.
+    */
+  def q43Rfm(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary")
+      )
+    val mx = base.agg(max("last_day").as("mxd"))
+    val withR = base
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff(col("mxd"), col("last_day")))
+    // thresholds rounded identically on both engines BEFORE comparing, so
+    // a data point exactly on a threshold can't flip buckets on the last
+    // ulp of the interpolation arithmetic
+    val th = withR.agg(
+      expr("transform(percentile(recency_days, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+        .as("tr"),
+      expr("transform(percentile(frequency, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+        .as("tf"),
+      expr("transform(percentile(monetary, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+        .as("tm")
+    )
+    def bucket(
+        c: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.Column
+    ): org.apache.spark.sql.Column =
+      lit(1) + when(c > t.getItem(0), 1).otherwise(0) + when(c > t.getItem(1), 1).otherwise(0) +
+        when(c > t.getItem(2), 1).otherwise(0) + when(c > t.getItem(3), 1).otherwise(0)
+    withR
+      .crossJoin(broadcast(th))
+      .select(
+        col("o_custkey"),
+        col("recency_days"),
+        col("frequency"),
+        col("monetary"),
+        // low recency = recently active = best score
+        (lit(6) - bucket(col("recency_days").cast("double"), col("tr"))).as("r_score"),
+        bucket(col("frequency").cast("double"), col("tf")).as("f_score"),
+        bucket(col("monetary"), col("tm")).as("m_score")
+      )
+      .orderBy("o_custkey")
+  }
+
   /** NOT IN three-valued-logic semantics, run as IDENTICAL SQL text on
     * both engines: a NULL planted in the subquery list (nullif) makes
     * `x NOT IN (...)` never-true for every row — the classic silent-

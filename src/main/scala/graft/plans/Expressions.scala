@@ -58,6 +58,18 @@ object GraftExpressions {
   /** Quantile estimate at `rank` ∈ [0,1] from a serialized KLL sketch. */
   def kllQuantile(sketch: Column, rank: Double): Column =
     column(KllQuantileAt(GraftColumnBridge.expression(sketch), rank))
+
+  /** Mergeable theta sketch over an integral key column (serialized bytes). */
+  def thetaSketch(c: Column): Column =
+    column(ThetaSketchAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Distinct estimate from a serialized theta sketch. */
+  def thetaEstimate(c: Column): Column =
+    column(ThetaEstimate(GraftColumnBridge.expression(c)))
+
+  /** |A ∩ B| estimate from two serialized theta sketches. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    column(ThetaIntersectEstimate(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Dot product of two `array<float>` columns in double precision.
@@ -644,4 +656,124 @@ case class KllQuantileAt(child: Expression, rank: Double)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Mergeable Theta sketch over a LONG key column (DataSketches theta
+  * family). Where HLL only unions, theta sketches support set
+  * INTERSECTION and difference — the "audience overlap" algebra — while
+  * still merging associatively across partitions with KB-sized buffers.
+  * The retained set is the k smallest distinct key hashes, so the sketch
+  * is insertion-order-independent (deterministic for a given key set);
+  * estimates are exact below k retained entries and within the
+  * documented relative error above it.
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    nominalEntries: Int = 4096,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+      org.apache.datasketches.theta.Union
+    ] with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ThetaSketchAgg needs an integral key column, got $other")
+    }
+
+  private def newUnion(): org.apache.datasketches.theta.Union =
+    org.apache.datasketches.theta.SetOperation
+      .builder()
+      .setNominalEntries(nominalEntries)
+      .buildUnion()
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union = newUnion()
+
+  override def update(
+      buf: org.apache.datasketches.theta.Union,
+      input: InternalRow
+  ): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other                => other.asInstanceOf[Number].longValue()
+      }
+      buf.update(key)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: org.apache.datasketches.theta.Union,
+      other: org.apache.datasketches.theta.Union
+  ): org.apache.datasketches.theta.Union = { buf.union(other.getResult); buf }
+
+  override def eval(buf: org.apache.datasketches.theta.Union): Any =
+    buf.getResult.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+    buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = newUnion()
+    u.union(
+      org.apache.datasketches.theta.Sketches.heapifySketch(
+        org.apache.datasketches.memory.Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct-count estimate from a serialized theta sketch. */
+case class ThetaEstimate(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ThetaEstimate needs a binary (serialized sketch) column, got $other")
+    }
+  override protected def nullSafeEval(bytes: Any): Any =
+    java.lang.Double.valueOf(
+      org.apache.datasketches.theta.Sketches
+        .heapifySketch(org.apache.datasketches.memory.Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+        .getEstimate)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** |A ∩ B| estimate from two serialized theta sketches — the overlap
+  * HLL cannot express.
+  */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ThetaIntersectEstimate needs binary inputs, got ${left.dataType}, ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    def heap(x: Any) = org.apache.datasketches.theta.Sketches.heapifySketch(
+      org.apache.datasketches.memory.Memory.wrap(x.asInstanceOf[Array[Byte]]))
+    val it = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+    it.intersect(heap(a))
+    it.intersect(heap(b))
+    java.lang.Double.valueOf(it.getResult.getEstimate)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -28,12 +28,30 @@ object GraftExtensions {
   private def info(name: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  private def litDouble(e: Expression): Double = {
+    require(e.foldable, s"expected a literal, got $e")
+    e.eval() match {
+      // SQL fractional literals parse as DECIMAL, not DOUBLE
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number                             => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"expected a numeric literal, got $other")
+    }
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => FloatVecDot(es(0), es(1))),
     "graft_minhash" -> (es => MinHashSig(es(0), 64)),
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es(0), 3)),
-    "graft_intersect_size" -> (es => SortedLongIntersectSize(es(0), es(1)))
+    "graft_intersect_size" -> (es => SortedLongIntersectSize(es(0), es(1))),
+    // sketch aggregates: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression, so these work anywhere SUM does
+    "graft_kll" -> (es => KllSketchAgg(es(0), 200)),
+    "graft_kll_merge" -> (es => KllMergeAgg(es(0), 200)),
+    "graft_kll_quantile" -> (es => KllQuantileAt(es(0), litDouble(es(1)))),
+    "graft_theta" -> (es => ThetaSketchAgg(es(0))),
+    "graft_theta_estimate" -> (es => ThetaEstimate(es(0))),
+    "graft_theta_intersect" -> (es => ThetaIntersectEstimate(es(0), es(1)))
   )
 
   /** Idempotent post-hoc registration on an existing session. */

@@ -310,6 +310,75 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // e27: theta-sketch audience overlap
+  // ------------------------------------------------------------------
+  test("e27 overlap estimates are exact below nominal k and overlap(A,A) = |users(A)|") {
+    val got = Events
+      .e27AudienceOverlap(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    val users = Tables
+      .events(spark, sf)
+      .select("event_type", "user_id")
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    got.foreach { case ((a, b), est) =>
+      val exact = (users(a) intersect users(b)).size.toLong
+      assert(est == exact, s"($a, $b): sketch $est, exact $exact")
+    }
+    // every unordered pair incl. self-pairs is present
+    val types = users.keySet.toSeq.sorted
+    assert(got.size == types.size * (types.size + 1) / 2)
+  }
+
+  // ------------------------------------------------------------------
+  // sketch functions on the SQL surface
+  // ------------------------------------------------------------------
+  test("graft_kll / graft_theta SQL functions match their Column-API results") {
+    graft.plans.GraftExtensions.register(spark)
+    val view = s"graft_sql_ev_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.events(spark, sf).createOrReplaceTempView(view)
+    try {
+      val viaSql = spark
+        .sql(
+          s"""SELECT event_type,
+             | round(graft_kll_quantile(graft_kll(value), 0.5), 2) AS p50,
+             | CAST(round(graft_theta_estimate(graft_theta(user_id))) AS BIGINT) AS n_users
+             |FROM $view GROUP BY event_type ORDER BY event_type""".stripMargin
+        )
+        .collect()
+      assert(viaSql.nonEmpty)
+      val exactUsers = Tables
+        .events(spark, sf)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      val exactP = Tables
+        .events(spark, sf)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.45, 0.55))").as("p"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1))
+        .toMap
+      viaSql.foreach { r =>
+        val t = r.getString(0)
+        assert(r.getLong(2) == exactUsers(t), s"$t theta ${r.getLong(2)} vs ${exactUsers(t)}")
+        val p50 = r.getDouble(1)
+        assert(p50 >= exactP(t)(0) - 0.01 && p50 <= exactP(t)(1) + 0.01, s"$t p50=$p50")
+      }
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  // ------------------------------------------------------------------
   // s11: streaming distinct users per hour
   // ------------------------------------------------------------------
   test("s11 chained dedup+window-agg equals the batch COUNT(DISTINCT) per hour") {
