@@ -153,6 +153,7 @@ object SparkEntry {
     "d11_keep_best"          -> (Dedup.d11KeepBest _),
     "q42_not_in_null"        -> (Relational.q42NotInNull _),
     "q43_rfm"                -> (Relational.q43Rfm _),
+    "c9_table_stats"         -> (Maintenance.c9TableStats _),
     "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
     "e26_gap_fill"           -> (Events.e26GapFill _),
     "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
@@ -1236,6 +1237,25 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_error_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "c9_table_stats" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(min(l_orderkey) AS VARCHAR) AS l_orderkey_min,
+        | CAST(max(l_orderkey) AS VARCHAR) AS l_orderkey_max,
+        | count(DISTINCT l_orderkey) AS l_orderkey_ndv,
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
+        | CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity_min,
+        | CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity_max,
+        | count(DISTINCT l_quantity) AS l_quantity_ndv,
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+        | CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS l_shipdate_min,
+        | CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS l_shipdate_max,
+        | count(DISTINCT l_shipdate) AS l_shipdate_ndv,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate_nulls,
+        | CAST(min(l_returnflag) AS VARCHAR) AS l_returnflag_min,
+        | CAST(max(l_returnflag) AS VARCHAR) AS l_returnflag_max,
+        | count(DISTINCT l_returnflag) AS l_returnflag_ndv,
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_nulls
+        |FROM lineitem""".stripMargin,
     "q43_rfm" ->
       """WITH base AS (
         | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,

@@ -313,6 +313,31 @@ object Maintenance {
       .orderBy("event_type")
   }
 
+  /** c9: table-statistics collection (the ANALYZE TABLE shape that feeds
+    * a cost-based optimizer): per-column min/max/null-count/NDV over
+    * lineitem in ONE pass — every stat is an ordinary partial-aggregable
+    * function, so 100 TB of stats collection is one scan + a scalar
+    * reduce, never a per-column job. Exact NDV here (the oracle can
+    * check it); production would swap approx_count_distinct into the
+    * same plan.
+    */
+  def c9TableStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def statsFor(c: String, castTo: String): Seq[org.apache.spark.sql.Column] = Seq(
+      min(col(c)).cast(castTo).cast("string").as(s"${c}_min"),
+      max(col(c)).cast(castTo).cast("string").as(s"${c}_max"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    )
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      statsFor("l_orderkey", "bigint") ++
+        statsFor("l_quantity", "decimal(18,2)") ++
+        statsFor("l_shipdate", "date") ++
+        statsFor("l_returnflag", "string"): _*
+    )
+  }
+
   def c1Compact(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
     Tables

@@ -27,9 +27,16 @@ object StreamIngest {
   sealed trait IngestSource
   /** JSON-lines files appearing under a directory (also the local test path). */
   final case class FileSource(path: String, maxFilesPerTrigger: Int = 16) extends IngestSource
-  /** Kafka topic (requires the spark-sql-kafka connector on the cluster classpath). */
-  final case class KafkaSource(bootstrap: String, topic: String, startingOffsets: String = "earliest")
-      extends IngestSource
+  /** Kafka topic (requires the spark-sql-kafka connector on the cluster classpath).
+    * `maxOffsetsPerTrigger` is the backpressure knob: it caps records per
+    * micro-batch so a backlog replay can't blow sink file sizing or state.
+    */
+  final case class KafkaSource(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None
+  ) extends IngestSource
   /** Kinesis via its Kafka-compatible gateway or the kinesis connector. */
   final case class KinesisSource(streamName: String, region: String) extends IngestSource
 
@@ -60,12 +67,14 @@ object StreamIngest {
     def req(key: String): String =
       conf.getOrElse(key, throw new IllegalArgumentException(s"ingest config is missing required key '$key'"))
     val source = conf.getOrElse("source.type", "file") match {
-      case "file" => FileSource(req("source.path"))
+      case "file" =>
+        FileSource(req("source.path"), conf.getOrElse("source.maxPerTrigger", "16").toInt)
       case "kafka" =>
         KafkaSource(
           req("source.bootstrap"),
           req("source.topic"),
-          conf.getOrElse("source.startingOffsets", "earliest")
+          conf.getOrElse("source.startingOffsets", "earliest"),
+          conf.get("source.maxPerTrigger").map(_.toLong)
         )
       case "kinesis" => KinesisSource(req("source.stream"), req("source.region"))
       case other     => throw new IllegalArgumentException(s"unknown source.type: $other")
@@ -89,12 +98,14 @@ object StreamIngest {
       spark.readStream
         .option("maxFilesPerTrigger", maxFiles)
         .text(path)
-    case KafkaSource(bootstrap, topic, offsets) =>
-      spark.readStream
+    case KafkaSource(bootstrap, topic, offsets, maxPerTrigger) =>
+      val r = spark.readStream
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", offsets)
+      maxPerTrigger
+        .fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
         .load()
         .selectExpr("CAST(value AS STRING) AS value")
     case KinesisSource(stream, region) =>
