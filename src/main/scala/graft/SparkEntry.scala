@@ -154,6 +154,7 @@ object SparkEntry {
     "q42_not_in_null"        -> (Relational.q42NotInNull _),
     "q43_rfm"                -> (Relational.q43Rfm _),
     "c9_table_stats"         -> (Maintenance.c9TableStats _),
+    "q44_typed_stats"        -> (graft.api.TypedOps.q44TypedStats _),
     "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
     "e26_gap_fill"           -> (Events.e26GapFill _),
     "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
@@ -1237,6 +1238,11 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_error_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q44_typed_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(value), 4) AS avg_value,
+        | round(var_samp(value), 4) AS var_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "c9_table_stats" ->
       """SELECT count(*) AS n_rows,
         | CAST(min(l_orderkey) AS VARCHAR) AS l_orderkey_min,

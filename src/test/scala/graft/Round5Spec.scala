@@ -379,6 +379,33 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // q44: typed Aggregator (Welford) through the Dataset API
+  // ------------------------------------------------------------------
+  test("q44 typed Welford aggregator matches the untyped avg/var_samp plan to 1e-9") {
+    val typed = graft.api.TypedOps
+      .q44TypedStats(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(typed.nonEmpty)
+    val untyped = Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("a"),
+        round(var_samp("value"), 4).as("v")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    typed.foreach { case (t, (n, a, v)) =>
+      val (n2, a2, v2) = untyped(t)
+      assert(n == n2 && math.abs(a - a2) < 1e-9 && math.abs(v - v2) < 1e-9, s"$t: ($n,$a,$v) vs ($n2,$a2,$v2)")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // s11: streaming distinct users per hour
   // ------------------------------------------------------------------
   test("s11 chained dedup+window-agg equals the batch COUNT(DISTINCT) per hour") {

@@ -25,7 +25,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q1_agg", "q3_join_agg", "q4_broadcast_join", "q5_semi_join", "q6_anti_join",
     "q9_topk_group", "q13_conditional_agg", "q16_correlated_subquery",
     "q17_multi_join_chain", "q18_having", "q25_window_correlated",
-    "q30_full_outer", "q32_null_aggs", "q35_salted_join", "q37_auto_topk"
+    "q30_full_outer", "q32_null_aggs", "q35_salted_join", "q37_auto_topk",
+    "q40_gaps_islands", "q41_share_of_total", "q42_not_in_null"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
