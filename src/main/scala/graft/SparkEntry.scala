@@ -113,6 +113,7 @@ object SparkEntry {
     "m3_frame_sample"        -> ((s, d) => Multimodal.m3FrameSample(s, d)),
     "t12_heavy_hitters"      -> ((s, d) => TextAnalysis.t12HeavyHitters(s, d)),
     "p2_curate_neardup"      -> (graft.operators.Curate.p2CurateNearDup _),
+    "p3_curate_keepbest"     -> (graft.operators.Curate.p3CurateKeepBest _),
     "q37_auto_topk"          -> (Relational.q37AutoTopk _),
     "v5_knn_graph"           -> ((s, d) => Similarity.v5KnnGraph(s, d)),
     "c3_orc_roundtrip"       -> (Maintenance.c3OrcRoundtrip _),
@@ -1238,6 +1239,44 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_error_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "p3_curate_keepbest" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |comp AS (SELECT a AS doc_id, min(b) AS cid FROM allr GROUP BY 1),
+        |mem AS (SELECT comp.doc_id, comp.cid, length(d.text) AS len
+        |  FROM comp JOIN documents d USING (doc_id)),
+        |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
+        |  FROM mem),
+        |dropped AS (SELECT doc_id FROM rk WHERE rn > 1),
+        |t AS (SELECT d.doc_id, d.lang, d.text,
+        |  list_filter(string_split(d.text, ' '), x -> x <> '') AS tk
+        | FROM documents d
+        | WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+        |q AS (SELECT doc_id, lang, text, CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / greatest(len(tk), 1) AS sr,
+        |  CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dr,
+        |  len(list_filter(tk, x -> x IN ('slow','dup','leak'))) AS nb
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens FROM q
+        |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2 AND nb = 0
+        |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id""".stripMargin,
     "q44_typed_stats" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(value), 4) AS avg_value,

@@ -54,6 +54,42 @@ object Curate {
     * recomputes the full chain independently (exact pair set + recursive
     * CTE clustering + the same gates).
     */
+  /** p3: the FULL curation composition under the keep-best policy —
+    * near-dup clusters drop everything but their longest member
+    * ([[Dedup.dropListKeepBest]]), then the blocklist gate, the quality
+    * gates, and the deterministic hash sample. Same cost profile as p2
+    * (bucket-join dedup chain + broadcast anti-join + per-row gates);
+    * the policy change is a different ranking inside the same plan, which
+    * is the point — curation policy is data, not new machinery. Oracle
+    * recomputes the chain with the same keep-longest ranking in SQL.
+    */
+  def p3CurateKeepBest(s: SparkSession, d: String): DataFrame = {
+    val dropList = Dedup.dropListKeepBest(s, d)
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val block = Seq("slow", "dup", "leak")
+    Tables
+      .documents(s, d)
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        size(tk).as("n_tokens"),
+        (size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)))
+          .as("sr"),
+        (size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1))).as("dr"),
+        size(filter(tk, t => t.isin(block: _*))).as("nb")
+      )
+      .filter(
+        col("n_tokens").between(20, 1000) && col("sr") <= 0.5 && col("dr") >= 0.2 &&
+          col("nb") === 0 &&
+          substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7")
+      )
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   def p2CurateNearDup(s: SparkSession, d: String): DataFrame = {
     val dropList = Dedup
       .d6DedupClusters(s, d)

@@ -221,7 +221,10 @@ object Dedup {
     * curation pipelines argue about (keep longest vs newest vs highest
     * quality score); the operator takes the ranking as a plan, not code.
     */
-  def d11KeepBest(s: SparkSession, d: String): DataFrame = {
+  /** Cluster members ranked by the keep-LONGEST policy (rn = 1 is the
+    * keeper). Shared by [[d11KeepBest]] and the p3 curation drop list.
+    */
+  private def rankedMembers(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val members = clusterMap(s, d)
       .join(
@@ -231,8 +234,17 @@ object Dedup {
     val w = Window
       .partitionBy("canonical_id")
       .orderBy(desc("len"), col("doc_id"))
-    members
-      .withColumn("rn", row_number().over(w))
+    members.withColumn("rn", row_number().over(w))
+  }
+
+  /** Drop list under the keep-longest policy: every near-dup cluster
+    * member except its keeper.
+    */
+  def dropListKeepBest(s: SparkSession, d: String): DataFrame =
+    rankedMembers(s, d).filter(col("rn") > 1).select("doc_id")
+
+  def d11KeepBest(s: SparkSession, d: String): DataFrame = {
+    rankedMembers(s, d)
       .groupBy(col("canonical_id").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
