@@ -156,6 +156,9 @@ object SparkEntry {
     "q43_rfm"                -> (Relational.q43Rfm _),
     "c9_table_stats"         -> (Maintenance.c9TableStats _),
     "q44_typed_stats"        -> (graft.api.TypedOps.q44TypedStats _),
+    "q45_mom_growth"         -> (Relational.q45MomGrowth _),
+    "e28_cooccurrence_pmi"   -> (Events.e28CooccurrencePmi _),
+    "t20_type_token_ratio"   -> (TextAnalysis.t20TypeTokenRatio _),
     "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
     "e26_gap_fill"           -> (Events.e26GapFill _),
     "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
@@ -1277,6 +1280,38 @@ object SparkEntry {
         |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2 AND nb = 0
         |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
         |ORDER BY doc_id""".stripMargin,
+    "q45_mom_growth" ->
+      """WITH m AS (
+        | SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+        |  round(sum(o_totalprice), 2) AS rev
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, mth, rev,
+        | round(rev / lag(rev) OVER (PARTITION BY r_name ORDER BY mth) - 1.0, 6) AS mom
+        |FROM m ORDER BY r_name, mth""".stripMargin,
+    "e28_cooccurrence_pmi" ->
+      """WITH cells AS (
+        | SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type FROM events),
+        |n AS (SELECT count(*) AS n_cells FROM (SELECT DISTINCT user_id, h FROM cells)),
+        |p AS (SELECT event_type, count(*) AS c FROM cells GROUP BY 1)
+        |SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c_ab,
+        | round(ln(CAST(count(*) AS DOUBLE) * max(n.n_cells) / max(pa.c) / max(pb.c)), 4) AS pmi
+        |FROM cells a
+        |JOIN cells b ON a.user_id = b.user_id AND a.h = b.h AND a.event_type < b.event_type
+        |JOIN p pa ON pa.event_type = a.event_type
+        |JOIN p pb ON pb.event_type = b.event_type
+        |CROSS JOIN n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t20_type_token_ratio" ->
+      """WITH tok AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        | FROM documents)
+        |SELECT lang, count(*) AS n_tokens, count(DISTINCT t) AS n_types,
+        | round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6) AS ttr
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
     "q44_typed_stats" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(value), 4) AS avg_value,

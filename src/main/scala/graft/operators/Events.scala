@@ -480,6 +480,42 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e28: event-type co-occurrence PMI over (user, hour) context cells —
+    * which behaviors cluster in the same activity window. Distinct
+    * (user, hour, type) cells reduce to per-type counts and one
+    * cell-keyed equi-self-join for pair counts (both shuffles on the cell
+    * key; the pair stage output is T², not event-scaled). PMI =
+    * ln(N·c_ab / (c_a·c_b)), computed with identical operation order on
+    * both engines and rounded.
+    */
+  def e28CooccurrencePmi(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables
+      .events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct()
+    val n = broadcast(cells.select("user_id", "h").distinct().agg(count(lit(1)).as("n_cells")))
+    val perType = cells.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val l = cells.select(col("user_id"), col("h"), col("event_type").as("ta"))
+    val r = cells.select(col("user_id"), col("h"), col("event_type").as("tb"))
+    l.join(r, Seq("user_id", "h"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(perType.select(col("event_type").as("ta"), col("c").as("c_a"))), "ta")
+      .join(broadcast(perType.select(col("event_type").as("tb"), col("c").as("c_b"))), "tb")
+      .crossJoin(n)
+      .select(
+        col("ta"),
+        col("tb"),
+        col("c_ab"),
+        round(
+          log(col("c_ab").cast("double") * col("n_cells") / col("c_a") / col("c_b")),
+          4
+        ).as("pmi")
+      )
+      .orderBy("ta", "tb")
+  }
+
   /** e27: audience overlap via THETA sketches — |users(A) ∩ users(B)| for
     * every event-type pair. HLL only unions; theta sketches are the
     * mergeable summary with set INTERSECTION, so per-segment KB sketches

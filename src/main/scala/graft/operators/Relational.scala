@@ -632,6 +632,25 @@ object Relational {
     * (both steps partition on o_custkey), so the shape is unchanged at
     * 100 TB.
     */
+  /** Month-over-month growth per region: the time-series business metric
+    * as a lag over the post-aggregation monthly series (regions × months
+    * rows — window cost is nil after reduction). The ratio divides
+    * pre-rounded revenues, so both engines divide identical doubles.
+    */
+  def q45MomGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("r_name").orderBy("mth")
+    Tables
+      .orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), date_trunc("month", col("o_orderdate")).cast("date").as("mth"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .withColumn("mom", round(col("rev") / lag("rev", 1).over(w) - 1.0, 6))
+      .select("r_name", "mth", "rev", "mom")
+      .orderBy("r_name", "mth")
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary) WITHOUT a
     * global sort: quintile scores come from the four exact-percentile
     * thresholds of each metric (one scalar-sized aggregate, broadcast

@@ -434,6 +434,24 @@ object TextAnalysis {
       .orderBy(desc("n"), col("bg"))
   }
 
+  /** t20: corpus vocabulary profile per language — token mass, distinct
+    * types, and type-token ratio (the Heaps-law observable that flags
+    * templated/synthetic corpora). One explode + one two-level aggregate;
+    * countDistinct plans as the standard two-phase distinct aggregate, so
+    * the per-language reducer holds types, not tokens.
+    */
+  def t20TypeTokenRatio(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("t"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("t").as("n_types")
+      )
+      .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .orderBy("lang")
+
   /** Cross-document n-gram duplication (the Dolma/C4 "duplicate n-gram
     * fraction" signal): per document, the fraction of its DISTINCT
     * 5-grams that also occur in at least one OTHER document. Grams travel
