@@ -162,4 +162,66 @@ class RandomizedSpec extends AnyFunSuite {
       assert(dab == ref && dba == ref, s"trial $trial dim=$dim")
     }
   }
+
+  test("KLL sketch quantiles bracket the exact quantiles on random data (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val n = 500 + rnd.nextInt(2000)
+      // mix of heavy-tailed and uniform values, with repeats
+      val vals = (0 until n).map { _ =>
+        if (rnd.nextDouble() < 0.3) math.exp(rnd.nextGaussian() * 2)
+        else math.round(rnd.nextDouble() * 100) / 2.0
+      }
+      val df = vals.toDF("v").repartition(7) // force partial-buffer merges
+      val ranks = Seq(0.1, 0.5, 0.9)
+      val row = df
+        .agg(graft.plans.GraftExpressions.kllSketch(col("v")).as("sk"))
+        .select(
+          ranks.map(q => graft.plans.GraftExpressions.kllQuantile(col("sk"), q).as(s"q$q")): _*
+        )
+        .collect()(0)
+      val sorted = vals.sorted
+      ranks.zipWithIndex.foreach { case (q, i) =>
+        val got = row.getDouble(i)
+        // ±3% rank tolerance (k=200 is ±1.65% at 99% confidence)
+        val lo = sorted(math.max(0, (n * (q - 0.03)).toInt))
+        val hi = sorted(math.min(n - 1, (n * (q + 0.03)).toInt))
+        assert(got >= lo && got <= hi, s"trial $trial q=$q got=$got not in [$lo, $hi]")
+      }
+    }
+  }
+
+  test("theta sketch: estimate and pairwise intersection exact below nominal k (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(9000 + trial)
+      // two overlapping key sets, both far below nominal 4096
+      val aSet = (0 until 300 + rnd.nextInt(500)).map(_ => rnd.nextInt(5000).toLong).distinct
+      val bSet = (0 until 300 + rnd.nextInt(500)).map(_ => rnd.nextInt(5000).toLong).distinct
+      val df = (aSet.map(("a", _)) ++ bSet.map(("b", _))).toDF("g", "k").repartition(5)
+      val sk = df
+        .groupBy("g")
+        .agg(graft.plans.GraftExpressions.thetaSketch(col("k")).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .toMap
+      val est = Seq("a", "b").map { g =>
+        spark
+          .range(1)
+          .select(graft.plans.GraftExpressions.thetaEstimate(lit(sk(g))).as("e"))
+          .collect()(0)
+          .getDouble(0)
+      }
+      assert(math.round(est(0)) == aSet.size && math.round(est(1)) == bSet.size, s"trial $trial")
+      val inter = spark
+        .range(1)
+        .select(
+          graft.plans.GraftExpressions.thetaIntersect(lit(sk("a")), lit(sk("b"))).as("i")
+        )
+        .collect()(0)
+        .getDouble(0)
+      assert(math.round(inter) == (aSet.toSet intersect bSet.toSet).size, s"trial $trial")
+    }
+  }
 }
