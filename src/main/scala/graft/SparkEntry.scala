@@ -157,6 +157,8 @@ object SparkEntry {
     "c9_table_stats"         -> (Maintenance.c9TableStats _),
     "q44_typed_stats"        -> (graft.api.TypedOps.q44TypedStats _),
     "q45_mom_growth"         -> (Relational.q45MomGrowth _),
+    "e29_conversion_latency" -> (Events.e29ConversionLatency _),
+    "d13_cluster_stats"      -> (Dedup.d13ClusterStats _),
     "e28_cooccurrence_pmi"   -> (Events.e28CooccurrencePmi _),
     "t20_type_token_ratio"   -> (TextAnalysis.t20TypeTokenRatio _),
     "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
@@ -1280,6 +1282,38 @@ object SparkEntry {
         |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2 AND nb = 0
         |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
         |ORDER BY doc_id""".stripMargin,
+    "e29_conversion_latency" ->
+      """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (SELECT e.user_id, min(epoch_us(e.ts) - epoch_us(fs.signup_ts)) AS lat_us
+        |  FROM events e JOIN fs USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts GROUP BY 1)
+        |SELECT CAST(least(floor(lat_us / 3600000000), 72) AS INT) AS lat_hours,
+        | count(*) AS n_users
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d13_cluster_stats" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |comp AS (SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1),
+        |cs AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        | CAST(sum(cluster_size - 1) AS BIGINT) AS n_droppable
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_mom_growth" ->
       """WITH m AS (
         | SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,

@@ -255,6 +255,23 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** d13: dedup impact report — the cluster-size distribution (how many
+    * near-dup clusters of each size, and the docs they'd remove). The
+    * table every dedup run should ship with its output: one groupBy over
+    * the cluster map, then a size-keyed count. Singleton docs aren't in
+    * the map (no pair ⇒ no cluster), so sizes start at 2.
+    */
+  def d13ClusterStats(s: SparkSession, d: String): DataFrame =
+    clusterMap(s, d)
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("n_droppable")
+      )
+      .orderBy("cluster_size")
+
   /** The dedup APPLY step: materialize the post-dedup corpus — every
     * document except non-canonical members of near-dup clusters. One
     * broadcast anti-join against the (small) drop list.

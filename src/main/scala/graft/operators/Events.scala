@@ -480,6 +480,34 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e29: conversion-latency distribution — hours from each user's FIRST
+    * signup to their FIRST subsequent purchase, bucketed into a latency
+    * histogram. Two per-user min-aggregations (map-side combine) and a
+    * tiny histogram groupBy; no window over raw events, no join — the
+    * funnel-latency question answered with two shuffles on user_id.
+    */
+  def e29ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstSignup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts").as("signup_ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    firstSignup
+      .join(purchases, "user_id")
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("p_ts")) - unix_micros(col("signup_ts"))).as("lat_us"))
+      .select(
+        least(floor(col("lat_us") / lit(3600000000L)), lit(72L)).cast("int").as("lat_hours")
+      )
+      .groupBy("lat_hours")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lat_hours")
+  }
+
   /** e28: event-type co-occurrence PMI over (user, hour) context cells —
     * which behaviors cluster in the same activity window. Distinct
     * (user, hour, type) cells reduce to per-type counts and one
