@@ -379,6 +379,24 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // global plan guard: no Cartesian products anywhere in the batch set
+  // ------------------------------------------------------------------
+  test("no batch query plans a CartesianProduct except the documented brute-force ground truths") {
+    // streaming/maintenance harnesses execute pipelines at construction
+    // time — their plan shapes are asserted in their own specs
+    val skip = (n: String) => n.startsWith("s") || (n.startsWith("c") && n != "c9_table_stats")
+    val allowed = Set("d4_ngram_jaccard", "d5_dedup_embedding") // capped all-pairs oracles
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .filterNot(allowed)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  // ------------------------------------------------------------------
   // q44: typed Aggregator (Welford) through the Dataset API
   // ------------------------------------------------------------------
   test("q44 typed Welford aggregator matches the untyped avg/var_samp plan to 1e-9") {
