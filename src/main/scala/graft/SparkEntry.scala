@@ -158,6 +158,7 @@ object SparkEntry {
     "q44_typed_stats"        -> (graft.api.TypedOps.q44TypedStats _),
     "q45_mom_growth"         -> (Relational.q45MomGrowth _),
     "e29_conversion_latency" -> (Events.e29ConversionLatency _),
+    "s13_stream_dedup_index" -> (StreamingBatch.s13StreamDedupIndex _),
     "d13_cluster_stats"      -> (Dedup.d13ClusterStats _),
     "e28_cooccurrence_pmi"   -> (Events.e28CooccurrencePmi _),
     "t20_type_token_ratio"   -> (TextAnalysis.t20TypeTokenRatio _),
@@ -1282,6 +1283,21 @@ object SparkEntry {
         |WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5 AND dr >= 0.2 AND nb = 0
         |  AND substr(md5(text),1,1) IN ('0','1','2','3','4','5','6','7')
         |ORDER BY doc_id""".stripMargin,
+    // identical to d2's oracle: the streamed index must converge to the
+    // exact batch pair set
+    "s13_stream_dedup_index" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "e29_conversion_latency" ->
       """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

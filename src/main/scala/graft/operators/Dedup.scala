@@ -44,7 +44,7 @@ object Dedup {
     * over the sorted hash arrays (identical value to string-set Jaccard
     * modulo 64-bit hash collisions — the oracle equality check covers it).
     */
-  private def withJaccard(pairs: DataFrame): DataFrame =
+  private[operators] def withJaccard(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("ji", GraftExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn(

@@ -635,6 +635,113 @@ object StreamingBatch {
     * every real window (its own far-future window never flushes). Oracle
     * is the batch COUNT(DISTINCT user_id) per hour.
     */
+  /** Staged documents as JSON lines (cached per dir like the event
+    * stagings) — the corpus as a stream, for the online-dedup harness.
+    */
+  private def stageDocsJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#docs",
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_docs_").toString
+        Tables
+          .documents(s, d)
+          .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s13: ONLINE near-dup index maintenance — d2's MinHash-LSH dedup run
+    * as a stream. Each micro-batch of documents (1) shingles + minhash-
+    * bands its own rows, (2) equi-joins its postings against the
+    * ACCUMULATED posting index (so candidates are new×all, never a
+    * rescan of old×old), (3) exact-verifies candidate Jaccard against
+    * the accumulated shingle store, and (4) appends verified pairs +
+    * its own postings/shingles to the stores. This is how a 100 TB/day
+    * ingest keeps its dedup index current: per-batch cost is new-doc
+    * postings × colliding bucket entries, and history is touched only
+    * through the bucket join. The final accumulated pair set must equal
+    * the BATCH d2 pair set exactly — same oracle.
+    */
+  def s13StreamDedupIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions
+    val dir = stageDocsJson(s, d)
+    val docSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select("r.*")
+    val root = Files.createTempDirectory("graft_s13_run_").toString
+    val (postingsPath, docsPath, pairsPath) = (s"$root/postings", s"$root/docs", s"$root/pairs")
+    val nHashes = 64
+    val rowsPerBand = 2
+    val nBands = nHashes / rowsPerBand
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sh = batch
+          .select(
+            col("doc_id"),
+            GraftExpressions.shingleHashes(split(col("text"), " "), 3).as("sh")
+          )
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint()
+        val banded = sh
+          .select(
+            col("doc_id"),
+            GraftExpressions.minhashFromHashes(col("sh"), nHashes).as("sig")
+          )
+          .select(
+            col("doc_id"),
+            posexplode(
+              transform(
+                sequence(lit(0), lit(nBands - 1)),
+                b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+              )
+            ).as(Seq("band", "bh"))
+          )
+          .localCheckpoint()
+        val oldPostings =
+          if (new java.io.File(postingsPath).exists()) spark.read.parquet(postingsPath)
+          else banded.limit(0)
+        val allPostings = oldPostings.unionByName(banded)
+        val cands = banded
+          .select(col("band"), col("bh"), col("doc_id").as("id_n"))
+          .join(allPostings.select(col("band"), col("bh"), col("doc_id").as("id_o")), Seq("band", "bh"))
+          .filter(col("id_n") =!= col("id_o"))
+          .select(
+            least(col("id_n"), col("id_o")).as("id_a"),
+            greatest(col("id_n"), col("id_o")).as("id_b")
+          )
+          .distinct()
+        val allSh =
+          (if (new java.io.File(docsPath).exists()) spark.read.parquet(docsPath)
+           else sh.limit(0)).unionByName(sh)
+        val verified = Dedup
+          .withJaccard(
+            cands
+              .join(allSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+              .join(allSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          )
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+        verified.write.mode("append").parquet(pairsPath)
+        banded.write.mode("append").parquet(postingsPath)
+        sh.write.mode("append").parquet(docsPath)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(pairsPath).distinct().orderBy("id_a", "id_b")
+  }
+
   /** s12: streaming QUANTILE-STORE maintenance — c8's mergeable KLL
     * partials kept fresh by the stream itself. Every micro-batch sketches
     * its own rows per (dt, type) and foreachBatch MERGES them into the

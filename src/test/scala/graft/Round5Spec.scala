@@ -397,6 +397,23 @@ class Round5Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // s13: online dedup index
+  // ------------------------------------------------------------------
+  test("s13 online dedup index converges to the batch d2 pair set across micro-batches") {
+    val streamed = graft.operators.StreamingBatch
+      .s13StreamDedupIndex(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = graft.operators.Dedup
+      .d2MinhashLsh(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
+  // ------------------------------------------------------------------
   // q44: typed Aggregator (Welford) through the Dataset API
   // ------------------------------------------------------------------
   test("q44 typed Welford aggregator matches the untyped avg/var_samp plan to 1e-9") {
