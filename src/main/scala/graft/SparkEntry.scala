@@ -159,6 +159,8 @@ object SparkEntry {
     "q45_mom_growth"         -> (Relational.q45MomGrowth _),
     "e29_conversion_latency" -> (Events.e29ConversionLatency _),
     "s13_stream_dedup_index" -> (StreamingBatch.s13StreamDedupIndex _),
+    "e30_bot_cadence"        -> ((s, d) => Events.e30BotCadence(s, d)),
+    "q46_forall_suppliers"   -> (Relational.q46ForallSuppliers _),
     "d13_cluster_stats"      -> (Dedup.d13ClusterStats _),
     "e28_cooccurrence_pmi"   -> (Events.e28CooccurrencePmi _),
     "t20_type_token_ratio"   -> (TextAnalysis.t20TypeTokenRatio _),
@@ -1298,6 +1300,23 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "e30_bot_cadence" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | FROM events),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+        |  round(stddev_samp(gap_us) / avg(gap_us), 4) AS gap_cv
+        | FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, avg_gap_s, gap_cv, gap_cv < 0.2 AS is_bot
+        |FROM a WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin,
+    "q46_forall_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_quantity > 48 AND l_discount >= 0.095)
+        | AND EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "e29_conversion_latency" ->
       """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

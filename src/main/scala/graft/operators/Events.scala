@@ -480,6 +480,31 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e30: bot-cadence detection — users whose inter-event gaps are too
+    * REGULAR to be human (coefficient of variation of gaps below
+    * threshold). One lag window per user partition + one grouped
+    * aggregate; the flag compares the ROUNDED cv on both engines so the
+    * boundary can't flip on stddev ulps. The traffic-quality gate that
+    * keeps scripted clients out of a training corpus.
+    */
+  def e30BotCadence(s: SparkSession, d: String, maxCv: Double = 0.2, minGaps: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1e6, 2).as("avg_gap_s"),
+        round(stddev_samp(col("gap_us")) / avg(col("gap_us")), 4).as("gap_cv")
+      )
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("is_bot", col("gap_cv") < maxCv)
+      .orderBy("user_id")
+  }
+
   /** e29: conversion-latency distribution — hours from each user's FIRST
     * signup to their FIRST subsequent purchase, bucketed into a latency
     * histogram. Two per-user min-aggregations (map-side combine) and a

@@ -632,6 +632,30 @@ object Relational {
     * (both steps partition on o_custkey), so the shape is unchanged at
     * 100 TB.
     */
+  /** The relational ALL quantifier via NOT EXISTS, as identical SQL text
+    * on both engines: suppliers none of whose lineitems carry a deep
+    * discount (and who have shipped at least once — vacuous truth
+    * excluded). Catalyst plans the two correlated subqueries as
+    * anti/semi joins.
+    */
+  def q46ForallSuppliers(s: SparkSession, d: String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vs, vl) = (s"graft_q46s_$sfx", s"graft_q46l_$sfx")
+    Tables.supplier(s, d).createOrReplaceTempView(vs)
+    Tables.lineitem(s, d).createOrReplaceTempView(vl)
+    try s.sql(
+      s"""SELECT s_suppkey, s_name FROM $vs
+         |WHERE NOT EXISTS (SELECT 1 FROM $vl
+         |  WHERE l_suppkey = s_suppkey AND l_quantity > 48 AND l_discount >= 0.095)
+         | AND EXISTS (SELECT 1 FROM $vl WHERE l_suppkey = s_suppkey)
+         |ORDER BY s_suppkey""".stripMargin
+    )
+    finally {
+      s.catalog.dropTempView(vs)
+      s.catalog.dropTempView(vl)
+    }
+  }
+
   /** Month-over-month growth per region: the time-series business metric
     * as a lag over the post-aggregation monthly series (regions × months
     * rows — window cost is nil after reduction). The ratio divides
