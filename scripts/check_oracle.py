@@ -36,10 +36,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --skip-missing: a subset Verify run wrote only some query dirs —
+    # treat the absent ones as out-of-scope instead of failing them
+    skip_missing = "--skip-missing" in sys.argv
     n_pass = n_fail = 0
     for name in sorted(oracles):
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
+            if skip_missing:
+                continue
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")

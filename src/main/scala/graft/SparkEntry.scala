@@ -195,7 +195,7 @@ object SparkEntry {
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""".stripMargin,
     "q3_join_agg" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'

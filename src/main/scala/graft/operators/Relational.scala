@@ -50,7 +50,14 @@ object Relational {
         count(lit(1)).as("n_rows")
       )
 
-  /** Q3-pattern: 3-way join + grouped revenue. customer dim broadcast. */
+  /** Q3-pattern: 3-way join + grouped revenue. customer dim broadcast.
+    * Revenue sums DECIMAL-quantized line amounts (the q36 discipline):
+    * the per-line double product is bit-identical on any engine, its
+    * decimal(18,6) quantization is exact, and decimal sums are
+    * associativity-independent — so group totals reproduce at any
+    * parallelism and any SF (double sums crossed the half-cent rounding
+    * boundary at sf0.1).
+    */
   def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1996-01-01"))
@@ -58,7 +65,12 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("decimal(38,2)")
+          .cast("double")
+          .as("revenue")
+      )
       .orderBy(desc("revenue"), col("l_orderkey"))
   }
 
