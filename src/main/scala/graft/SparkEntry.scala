@@ -171,7 +171,11 @@ object SparkEntry {
     "q41_share_of_total"     -> (Relational.q41ShareOfTotal _),
     "t19_crossdoc_ngram"     -> ((s, d) => TextAnalysis.t19CrossdocNgram(s, d)),
     "v9_pagerank"            -> ((s, d) => Similarity.v9PageRank(s, d)),
-    "s11_stream_distinct"    -> (StreamingBatch.s11StreamDistinct _)
+    "s11_stream_distinct"    -> (StreamingBatch.s11StreamDistinct _),
+    "q47_ntile"              -> (Relational.q47Ntile _),
+    "q48_unpivot"            -> (Relational.q48Unpivot _),
+    "e31_path_trigrams"      -> (Events.e31PathTrigrams _),
+    "d14_fuzzy_pairs"        -> ((s, d) => Dedup.d14FuzzyPairs(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1441,6 +1445,46 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT r_name, n_name, revenue,
         | round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS region_share
-        |FROM rev ORDER BY r_name, n_name""".stripMargin
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "q47_ntile" ->
+      """WITH t AS (
+        | SELECT c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |                      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        | FROM customer)
+        |SELECT c_mktsegment, quartile, count(*) AS n,
+        | round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin,
+    "q48_unpivot" ->
+      """WITH wide AS (
+        | SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS gross,
+        |  CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS discount_amt,
+        |  CAST(round(sum(CAST(l_extendedprice*l_tax AS DECIMAL(18,6))), 2) AS DOUBLE) AS tax_amt
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, amount FROM (
+        | SELECT l_returnflag, 'gross' AS measure, gross AS amount FROM wide
+        | UNION ALL
+        | SELECT l_returnflag, 'discount_amt', discount_amt FROM wide
+        | UNION ALL
+        | SELECT l_returnflag, 'tax_amt', tax_amt FROM wide)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "e31_path_trigrams" ->
+      """WITH t AS (
+        | SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        | FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS trigram, count(*) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 10
+        |ORDER BY n DESC, trigram""".stripMargin,
+    "d14_fuzzy_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 40
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

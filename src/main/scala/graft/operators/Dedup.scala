@@ -388,4 +388,27 @@ object Dedup {
       )
       .orderBy("id_a", "id_b")
   }
+
+  /** d14: blocked fuzzy matching by edit distance — candidate pairs come
+    * from an EQUI-join on the (lang, source) blocking key, then a
+    * Levenshtein verify on the 60-char document head. Blocking is part of
+    * the operator's declared semantics (cross-block pairs are out of
+    * scope by definition), so the plan is a plain shuffle join whose
+    * candidate volume is Σ|block|², never |corpus|² — the standard
+    * record-linkage shape. `levenshtein` is Spark's codegen'd built-in;
+    * the 60-char cap bounds the O(len²) DP per pair.
+    */
+  def d14FuzzyPairs(s: SparkSession, d: String, maxDist: Int = 40): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 60).as("head"))
+    val a = docs.toDF("id_a", "lang", "source", "head_a")
+    val b = docs.toDF("id_b", "lang", "source", "head_b")
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
 }

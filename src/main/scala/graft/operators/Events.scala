@@ -652,4 +652,26 @@ object Events {
       )
       .orderBy("event_type", "hod")
   }
+
+  /** e31: behavioral path mining — frequency of every 3-step event-type
+    * path a user walks, from two LEADs over the per-user timeline. The
+    * window partitions on user_id (millions of small partitions, no
+    * per-type task ceiling), the trigram count is one map-side-combined
+    * groupBy over ≤ |types|³ keys, and ordering ties break on event_id so
+    * both engines walk identical paths.
+    */
+  def e31PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+      .groupBy("trigram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(desc("n"), col("trigram"))
+  }
 }

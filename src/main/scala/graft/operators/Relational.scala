@@ -784,6 +784,59 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** Quartile banding via NTILE inside each market segment. The window
+    * orders on (acctbal, custkey) so tile assignment is total-order
+    * deterministic, and the sort is per-segment, not global. At 100 TB
+    * prefer the q43 percentile-threshold pattern (no sort at all); NTILE
+    * stays in the surface because its "equal-count bands" semantics
+    * (earlier tiles absorb remainders) is what BI users actually ask for
+    * and is not reproducible from thresholds when duplicates straddle a
+    * boundary.
+    */
+  def q47Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables
+      .customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo"),
+        round(max("c_acctbal"), 2).as("hi")
+      )
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  /** Wide→long reshape (UNPIVOT/MELT): the per-flag revenue components
+    * land as (flag, measure, amount) rows via `Dataset.unpivot`, which
+    * Catalyst expands to a zero-shuffle generator over the 3-row
+    * aggregate — all real work is the one map-side-combined groupBy.
+    * Amounts quantize per-line to decimal(18,6) before summing (the q3
+    * discipline) so totals are associativity-independent at any
+    * parallelism.
+    */
+  def q48Unpivot(s: SparkSession, d: String): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(18,6)")).cast("decimal(38,2)").cast("double")
+    val wide = Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_extendedprice")).as("gross"),
+        dsum(col("l_extendedprice") * col("l_discount")).as("discount_amt"),
+        dsum(col("l_extendedprice") * col("l_tax")).as("tax_amt")
+      )
+    wide
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("gross"), col("discount_amt"), col("tax_amt")),
+        "measure",
+        "amount"
+      )
+      .orderBy("l_returnflag", "measure")
+  }
+
   def q40GapsIslands(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day")
     Tables
