@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Events, Relational}
+import graft.sources.Tables
+
+/** Late round-5 additions (q47/q48/e31/d14) plus the runtime
+  * bloom-filter audit from the round-1 verdict list. Value-level
+  * correctness is the DuckDB oracle gate; these pin structure.
+  */
+class Round5bSpec extends AnyFunSuite {
+  import TestSession._
+
+  // ------------------------------------------------------------------
+  // q47: NTILE quartile banding
+  // ------------------------------------------------------------------
+  test("q47 tiles are balanced (sizes differ by <=1) and partition each segment exactly") {
+    val rows = Relational.q47Ntile(spark, sf).collect()
+    val segTotals = Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (seg, tiles) =>
+      assert(tiles.map(_.getLong(1)).sorted.toSeq == (1L to tiles.length).toSeq, s"$seg tile ids")
+      val sizes = tiles.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$seg sizes ${sizes.toSeq}")
+      assert(sizes.sum == segTotals(seg), s"$seg total")
+      // bands are ordered: each tile's hi <= next tile's lo
+      val byTile = tiles.sortBy(_.getLong(1))
+      byTile.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3) + 1e-9, s"$seg band order")
+        case _           =>
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q48: UNPIVOT reshape
+  // ------------------------------------------------------------------
+  test("q48 emits exactly 3 measures per flag and pivots back to the wide aggregate") {
+    val long = Relational.q48Unpivot(spark, sf)
+    val rows = long.collect()
+    val flags = rows.map(_.getString(0)).distinct
+    assert(rows.length == flags.length * 3)
+    // melt is lossless: re-pivot and diff against a direct recompute
+    val wide = long.groupBy("l_returnflag").pivot("measure").agg(first("amount"))
+    val direct = Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(
+      sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,2)").cast("double").as("gross"))
+    val joined = wide.join(direct.withColumnRenamed("gross", "g2"), "l_returnflag")
+      .select(abs(col("gross") - col("g2")).as("d")).collect()
+    assert(joined.forall(_.getDouble(0) < 1e-6))
+  }
+
+  // ------------------------------------------------------------------
+  // e31: behavioral path trigrams
+  // ------------------------------------------------------------------
+  test("e31 window partitions on user_id (no global sort) and trigram mass is bounded by walk length") {
+    val df = Events.e31PathTrigrams(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3 && r.getLong(1) >= 10, r.toString))
+    // total trigram instances (pre-HAVING) = sum over users of max(0, n_events - 2)
+    val walks = Tables.events(spark, sf).groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 2, lit(0L)))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum <= walks)
+  }
+
+  // ------------------------------------------------------------------
+  // d14: blocked fuzzy matching
+  // ------------------------------------------------------------------
+  test("d14 candidates come from the (lang, source) equi-join and every pair verifies") {
+    val df = Dedup.d14FuzzyPairs(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.toLowerCase.contains("cartesian"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    df.collect().foreach { r =>
+      val (a, b, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b, r.toString)
+      assert(docs(a) == docs(b), "pair crosses a block boundary")
+      assert(dist >= 0 && dist <= 40, r.toString)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Runtime bloom-filter join pruning (verdict item): Spark injects a
+  // bloom filter built from the selective side of a shuffle join into
+  // the fact scan — the standard 100 TB fact-fact win. Asserted on the
+  // optimized plan so the audit is independent of AQE runtime state.
+  // ------------------------------------------------------------------
+  test("runtime bloom filter is injected into the fact side of a selective shuffle join") {
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
+      val j = Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("might_contain"), "no bloom filter injected:\n" + opt)
+      assert(j.collect().map(_.getLong(1)).sum > 0, "join pruned everything")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
