@@ -175,7 +175,9 @@ object SparkEntry {
     "q47_ntile"              -> (Relational.q47Ntile _),
     "q48_unpivot"            -> (Relational.q48Unpivot _),
     "e31_path_trigrams"      -> (Events.e31PathTrigrams _),
-    "d14_fuzzy_pairs"        -> ((s, d) => Dedup.d14FuzzyPairs(s, d))
+    "d14_fuzzy_pairs"        -> ((s, d) => Dedup.d14FuzzyPairs(s, d)),
+    "q49_setops_all"         -> (Relational.q49SetopsAll _),
+    "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1485,6 +1487,33 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 40
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q49_setops_all" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+        | sn AS (SELECT s_nationkey AS nk FROM supplier),
+        | bag AS (
+        |  SELECT nk, 'both_bag' AS tag FROM (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn)
+        |  UNION ALL
+        |  SELECT nk, 'customer_extra' FROM (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn))
+        |SELECT nk, tag, count(*) AS n FROM bag
+        |GROUP BY 1, 2 ORDER BY tag, nk""".stripMargin,
+    "t21_zipf_slope" ->
+      """WITH toks AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        | FROM documents),
+        |f AS (SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2),
+        |r AS (SELECT lang, f, tok,
+        |  row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rank FROM f),
+        |k AS (SELECT lang,
+        |  CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,10)) AS x,
+        |  CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(12,10)) AS y
+        | FROM r WHERE rank <= 1000),
+        |g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx
+        | FROM k GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_types,
+        | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

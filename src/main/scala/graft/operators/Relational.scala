@@ -784,6 +784,28 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) over the
+    * customer-vs-supplier nation multisets: each nation keeps
+    * min(|c|,|s|) copies in the intersection and max(0,|c|-|s|) copies
+    * in the difference — semantics DISTINCT set-ops destroy. Catalyst
+    * plans both as a single hash aggregate per side plus a generate
+    * (replicate) — one shuffle each, no join. The output aggregates the
+    * multiplicities so the result is count-verifiable, not a duplicate
+    * blob.
+    */
+  def q49SetopsAll(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    val bag = cn
+      .intersectAll(sn)
+      .withColumn("tag", lit("both_bag"))
+      .unionAll(cn.exceptAll(sn).withColumn("tag", lit("customer_extra")))
+    bag
+      .groupBy("nk", "tag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tag", "nk")
+  }
+
   /** Quartile banding via NTILE inside each market segment. The window
     * orders on (acctbal, custkey) so tile assignment is total-order
     * deterministic, and the sort is per-segment, not global. At 100 TB

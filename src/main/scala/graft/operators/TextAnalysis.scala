@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.{TextFunctions => TF}
 import graft.plans.GraftExpressions
@@ -480,5 +481,48 @@ object TextAnalysis {
       )
       .withColumn("shared_frac", round(col("n_shared").cast("double") / col("n_grams"), 4))
       .orderBy("doc_id")
+  }
+
+  /** t21: Zipf rank-frequency fit per language — the corpus-health
+    * diagnostic (natural text slopes ≈ −1; templated/synthetic text
+    * flattens or steepens). Vocab counts are one equi-shuffle; the
+    * per-lang top-1000 rank window runs over the vocab table, not the
+    * corpus (and the window-top-k idiom is the shape TopKRewrite turns
+    * into the bounded-heap operator). The OLS slope is reproduced
+    * exactly on both engines by quantizing ln(f)/ln(rank) to
+    * decimal(12,10) before the regression sums (the q3 discipline:
+    * decimal sums are associativity-independent), then evaluating the
+    * closed form on bit-identical doubles.
+    */
+  def t21ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("f"), col("tok"))
+    val ranked = Tables
+      .documents(s, d)
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 1000)
+    val x = round(log(col("rank").cast("double")), 9).cast("decimal(12,10)")
+    val y = round(log(col("f").cast("double")), 9).cast("decimal(12,10)")
+    ranked
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx")
+      )
+      .select(
+        col("lang"),
+        col("n").cast("long").as("n_types"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          6
+        ).as("zipf_slope")
+      )
+      .orderBy("lang")
   }
 }
