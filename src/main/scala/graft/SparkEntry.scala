@@ -177,7 +177,8 @@ object SparkEntry {
     "e31_path_trigrams"      -> (Events.e31PathTrigrams _),
     "d14_fuzzy_pairs"        -> ((s, d) => Dedup.d14FuzzyPairs(s, d)),
     "q49_setops_all"         -> (Relational.q49SetopsAll _),
-    "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _)
+    "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _),
+    "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1514,6 +1515,12 @@ object SparkEntry {
         | FROM k GROUP BY 1)
         |SELECT lang, CAST(n AS BIGINT) AS n_types,
         | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+    "s14_stream_topk" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        | FROM documents)
+        |SELECT tok, count(*) AS n FROM toks
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin
   )
 }

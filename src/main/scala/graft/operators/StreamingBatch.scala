@@ -831,4 +831,56 @@ object StreamingBatch {
       .select(unix_timestamp(col("bucket_start")).as("bucket_s"), col("uniques"))
       .orderBy("bucket_s")
   }
+
+  /** s14: streaming top-k as an incrementally maintained materialized
+    * count view — each micro-batch folds its token counts into the keyed
+    * state table (one equi-shuffle on the token, vocab-sized state, the
+    * c6 partial-merge pattern run from a stream), and the serve side is
+    * a bounded-heap top-20 over the state. Exact, so it joins the full
+    * oracle gate (tiebreak on token makes the cut deterministic) —
+    * unlike a sketch store, this is the production shape for "top
+    * entities, updated continuously" dashboards.
+    */
+  def s14StreamTopk(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDocsJson(s, d)
+    val docSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select("r.*")
+    val root = Files.createTempDirectory("graft_s14_run_").toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+        val merged = Option(current.get()) match {
+          case Some(prev) =>
+            spark.read
+              .parquet(prev)
+              .unionByName(incoming)
+              .groupBy("tok")
+              .agg(sum("n").as("n"))
+          case None => incoming
+        }
+        val next = s"$root/state_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(current.get())
+      .orderBy(desc("n"), col("tok"))
+      .limit(20)
+      .select("tok", "n")
+  }
 }
