@@ -178,7 +178,8 @@ object SparkEntry {
     "d14_fuzzy_pairs"        -> ((s, d) => Dedup.d14FuzzyPairs(s, d)),
     "q49_setops_all"         -> (Relational.q49SetopsAll _),
     "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _),
-    "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _)
+    "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
+    "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1521,6 +1522,11 @@ object SparkEntry {
         | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         | FROM documents)
         |SELECT tok, count(*) AS n FROM toks
-        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "s15_ingest_csv" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | CAST(0 AS BIGINT) AS n_corrupt
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

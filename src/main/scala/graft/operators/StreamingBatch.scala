@@ -832,6 +832,67 @@ object StreamingBatch {
       .orderBy("bucket_s")
   }
 
+  /** Stage the events table as CSV lines (RFC-4180 quoting via `to_csv`
+    * — `props` holds JSON with embedded commas/quotes, so naive
+    * concat_ws would corrupt the wire). Timestamps serialize with the
+    * shared µs format so stream-side event times land on the oracle's
+    * instants. Cached per (JVM, source dir) like the JSON stage.
+    */
+  private def stageCsv(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#csv",
+      _ => {
+        val dir = Files.createTempDirectory("graft_stream_csv_").toString
+        Tables
+          .events(s, d)
+          .select(
+            to_csv(
+              struct(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props")),
+              java.util.Collections.singletonMap("timestampFormat", StreamIngest.csvTsFormat)
+            ).as("value")
+          )
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .text(s"$dir/csv")
+        dir
+      }
+    )
+
+  /** s15: the s1 firehose with a CSV wire format — same source →
+    * parse → keyed-repartition → partitioned parquet path, only the
+    * parse slot swapped (`wireFormat = "csv"`), which is the whole
+    * point of the config-driven ingest: the wire format is one key,
+    * nothing downstream changes. Oracle: the landed table must
+    * aggregate to what DuckDB computes from the source rows.
+    */
+  def s15IngestCsv(s: SparkSession, d: String): DataFrame = {
+    val csv = stageCsv(s, d)
+    val dir = Files.createTempDirectory("graft_s15_run_").toString
+    val q = StreamIngest.run(
+      s,
+      StreamIngest.IngestConfig(
+        source = StreamIngest.FileSource(s"$csv/csv"),
+        schema = eventSchema,
+        tsColumn = "ts",
+        outputPath = s"$dir/out",
+        checkpointPath = s"$dir/ck",
+        sinkPartitions = 16,
+        wireFormat = "csv"
+      )
+    )
+    q.awaitTermination()
+    s.read
+      .parquet(s"$dir/out")
+      .groupBy(col("dt").cast("date").as("dt"), col("hr").cast("int").as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        count(col("_corrupt")).as("n_corrupt")
+      )
+      .orderBy("dt", "hr")
+  }
+
   /** s14: streaming top-k as an incrementally maintained materialized
     * count view — each micro-batch folds its token counts into the keyed
     * state table (one equi-shuffle on the token, vocab-sized state, the

@@ -49,7 +49,7 @@ object StreamIngest {
       format: String = "parquet", // or "orc"
       sinkPartitions: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
-      wireFormat: String = "json", // or "avro" (record-oriented sources)
+      wireFormat: String = "json", // or "csv" | "avro" (record-oriented sources)
       avroWriterSchema: Option[String] = None // Avro schema JSON for wireFormat=avro
   )
 
@@ -134,6 +134,34 @@ object StreamIngest {
             col("value"),
             schema.add("_corrupt_record", org.apache.spark.sql.types.StringType),
             Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+          ).as("r")
+        )
+        .select(col("r.*"))
+        .withColumnRenamed("_corrupt_record", "_corrupt"),
+      tsColumn
+    )
+
+  /** CSV wire-format variant of [[parsed]] (one comma-separated record
+    * per line, RFC-4180 quoting — the third khose wire shape after JSON
+    * and Avro). Same PERMISSIVE contract: malformed lines keep their raw
+    * text in `_corrupt`. Timestamps travel at microsecond precision via
+    * an explicit format — CSV has no type system, so the format string
+    * IS the wire contract and must match the producer's (`toCsvMicros`
+    * on the staging side).
+    */
+  val csvTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  def parsedCsv(raw: DataFrame, schema: StructType, tsColumn: String): DataFrame =
+    timePartitioned(
+      raw
+        .select(
+          from_csv(
+            col("value"),
+            schema.add("_corrupt_record", org.apache.spark.sql.types.StringType),
+            Map(
+              "mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record",
+              "timestampFormat" -> csvTsFormat
+            )
           ).as("r")
         )
         .select(col("r.*"))
@@ -266,6 +294,7 @@ object StreamIngest {
 
   private def parsedFor(raw: DataFrame, cfg: IngestConfig): DataFrame = cfg.wireFormat match {
     case "json" => parsed(raw, cfg.schema, cfg.tsColumn)
+    case "csv"  => parsedCsv(raw, cfg.schema, cfg.tsColumn)
     case "avro" =>
       parsedAvro(
         raw,

@@ -85,6 +85,36 @@ class Round5bSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // CSV wire format: RFC-4180 quoting survives JSON-bearing fields and
+  // malformed lines follow the same permissive dead-letter contract as
+  // the JSON/Avro parse slots.
+  // ------------------------------------------------------------------
+  test("csv parse slot round-trips quoted JSON props at µs precision and quarantines bad lines") {
+    import graft.sources.StreamIngest
+    import graft.operators.StreamingBatch
+    val ev = Tables.events(spark, sf).limit(50)
+    val wire = ev.select(
+      to_csv(
+        struct(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props")),
+        java.util.Collections.singletonMap("timestampFormat", StreamIngest.csvTsFormat)
+      ).as("value")
+    )
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("not,a,valid,record,x,y,z,extra")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    )
+    val parsed = StreamIngest.parsedCsv(wire.unionByName(bad), StreamingBatch.eventSchema, "ts")
+    val good = parsed.filter(col("_corrupt").isNull)
+    assert(parsed.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(good.count() == 50)
+    // µs-exact timestamp + byte-exact props round-trip against the source
+    val diff = good.select("event_id", "ts", "props")
+      .except(ev.select("event_id", "ts", "props"))
+    assert(diff.isEmpty)
+  }
+
+  // ------------------------------------------------------------------
   // Runtime bloom-filter join pruning (verdict item): Spark injects a
   // bloom filter built from the selective side of a shuffle join into
   // the fact scan — the standard 100 TB fact-fact win. Asserted on the
