@@ -179,7 +179,9 @@ object SparkEntry {
     "q49_setops_all"         -> (Relational.q49SetopsAll _),
     "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _),
     "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
-    "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _)
+    "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
+    "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
+    "c10_fk_audit"           -> (Maintenance.c10FkAudit _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1527,6 +1529,31 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
         | count(*) AS n, round(sum(value), 2) AS sum_value,
         | CAST(0 AS BIGINT) AS n_corrupt
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q50_lateral_topn" ->
+      """SELECT r_name, n_name, rev FROM region,
+        | LATERAL (SELECT n_name, round(sum(o_totalprice), 2) AS rev
+        |   FROM nation, customer, orders
+        |   WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |     AND o_custkey = c_custkey
+        |   GROUP BY n_name ORDER BY rev DESC, n_name LIMIT 2)
+        |ORDER BY r_name, rev DESC, n_name""".stripMargin,
+    "c10_fk_audit" ->
+      """SELECT * FROM (
+        | SELECT 'orders_orphan_custkey' AS "check", count(*) AS n
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        | UNION ALL
+        | SELECT 'lineitem_orphan_orderkey', count(*)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        | UNION ALL
+        | SELECT 'customer_duplicate_key', count(*)
+        |  FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+        | UNION ALL
+        | SELECT 'lineitem_null_shipdate', count(*)
+        |  FROM lineitem WHERE l_shipdate IS NULL
+        | UNION ALL
+        | SELECT 'lineitem_discount_out_of_range', count(*)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |) ORDER BY "check"""".stripMargin
   )
 }

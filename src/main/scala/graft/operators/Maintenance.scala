@@ -400,4 +400,47 @@ object Maintenance {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("dt")
   }
+
+  /** c10: referential-integrity audit over the landed warehouse — the
+    * data-quality report a pipeline runs after every load. Each check is
+    * one anti-join count or one keyed aggregate (all equi-shuffles with
+    * map-side partials; the dimension side of each anti-join broadcasts),
+    * emitted in a tall (check, n) table so adding checks never changes
+    * the schema. n = 0 rows are kept: the report proves the check RAN.
+    */
+  def c10FkAudit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val l = Tables.lineitem(s, d)
+    def one(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check"), col("n"))
+    val orphanOrders = one(
+      "orders_orphan_custkey",
+      o.join(c, col("o_custkey") === col("c_custkey"), "left_anti").agg(count(lit(1)).as("n"))
+    )
+    val orphanLines = one(
+      "lineitem_orphan_orderkey",
+      l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti").agg(count(lit(1)).as("n"))
+    )
+    val dupCust = one(
+      "customer_duplicate_key",
+      c.groupBy("c_custkey").count().filter(col("count") > 1).agg(count(lit(1)).as("n"))
+    )
+    val nullShip = one(
+      "lineitem_null_shipdate",
+      l.agg(sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n"))
+    )
+    val badDisc = one(
+      "lineitem_discount_out_of_range",
+      l.agg(
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L).otherwise(0L)).as("n")
+      )
+    )
+    orphanOrders
+      .unionByName(orphanLines)
+      .unionByName(dupCust)
+      .unionByName(nullShip)
+      .unionByName(badDisc)
+      .orderBy("check")
+  }
 }

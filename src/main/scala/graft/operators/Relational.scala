@@ -784,6 +784,33 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** LATERAL join (correlated table subquery with ORDER BY + LIMIT) as
+    * identical SQL text on both engines — the q46 discipline applied to
+    * the per-row-subquery idiom: top-2 nations by revenue within each
+    * region. Catalyst decorrelates the lateral into a ranked join (no
+    * per-row re-execution), so the shape stays one shuffle + one window
+    * at any scale.
+    */
+  def q50LateralTopn(s: SparkSession, d: String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vr, vn, vc, vo) =
+      (s"graft_q50r_$sfx", s"graft_q50n_$sfx", s"graft_q50c_$sfx", s"graft_q50o_$sfx")
+    Tables.region(s, d).createOrReplaceTempView(vr)
+    Tables.nation(s, d).createOrReplaceTempView(vn)
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    try s.sql(
+      s"""SELECT r_name, n_name, rev FROM $vr,
+         | LATERAL (SELECT n_name, round(sum(o_totalprice), 2) AS rev
+         |   FROM $vn, $vc, $vo
+         |   WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+         |     AND o_custkey = c_custkey
+         |   GROUP BY n_name ORDER BY rev DESC, n_name LIMIT 2)
+         |ORDER BY r_name, rev DESC, n_name""".stripMargin
+    )
+    finally Seq(vr, vn, vc, vo).foreach(s.catalog.dropTempView)
+  }
+
   /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) over the
     * customer-vs-supplier nation multisets: each nation keeps
     * min(|c|,|s|) copies in the intersection and max(0,|c|-|s|) copies
