@@ -181,7 +181,8 @@ object SparkEntry {
     "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
     "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
-    "c10_fk_audit"           -> (Maintenance.c10FkAudit _)
+    "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
+    "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column

@@ -395,4 +395,146 @@ object Similarity {
       .select(col("id").as("vec_id"), round(col("pr") * col("nn"), 4).as("rank_norm"))
       .orderBy("vec_id")
   }
+
+  /** v10: product-quantization ANN — the memory-bound scale path the IVF
+    * (v7) and LSH (v2) variants don't cover: the corpus rides the ADC
+    * scan as M one-byte codes per vector (64 bits here vs 2 Kb of raw
+    * floats — 32× compression), so a 100 TB embedding table scans as
+    * ~3 TB of codes and the raw vectors are touched only for the final
+    * shortlist re-rank.
+    *
+    * Vectors are L2-normalized so min-L2² ≡ max-cosine, then split into
+    * M subspaces; each subspace gets a k-means codebook (deterministic
+    * hash-ordered seeds + fixed Lloyd rounds, centroids rounded to 6
+    * decimals — the v7 determinism discipline). ADC: per query, the
+    * M×k table of subspace distance contributions broadcasts, the code
+    * table equi-joins it on (sub, code), and one keyed sum ranks
+    * candidates; the top-R shortlist re-ranks by exact cosine.
+    * Approximate → rows-only driver check; ScalaTest gates recall@k
+    * against v1's exact answer.
+    */
+  def v10KnnPq(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      m: Int = 8, // subspaces
+      codes: Int = 16, // centroids per subspace
+      lloydIters: Int = 2,
+      shortlist: Int = 50
+  ): DataFrame = {
+    val dim = 64
+    val subDim = dim / m
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    // normalized subvectors: (vec_id, sub, sv: array<double>)
+    val subs = e
+      .select(
+        col("vec_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            sub =>
+              struct(
+                sub.as("sub"),
+                transform(
+                  slice(col("embedding"), sub * subDim + 1, lit(subDim)),
+                  x => x.cast("double") / col("nrm")
+                ).as("sv")
+              )
+          )
+        ).as("p")
+      )
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+    def centroidDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      rows.toDF("sub", "code", "cen")
+    }
+    // deterministic seeds: the `codes` hash-ordered vectors seed every
+    // subspace (their sub-slices differ per subspace, so codebooks do too)
+    val seedIds = e
+      .select(col("vec_id"))
+      .withColumn("rk", xxhash64(col("vec_id")))
+      .orderBy("rk")
+      .limit(codes)
+      .collect()
+      .map(_.getLong(0))
+      .zipWithIndex
+      .toMap
+    var codebook: DataFrame = centroidDf(
+      subs
+        .filter(col("vec_id").isin(seedIds.keys.toSeq: _*))
+        .collect()
+        .map(r => (seedIds(r.getLong(0)), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .map { case (code, sub, sv) => (sub, code, sv) }
+        .toSeq
+    )
+
+    // nearest code per (vector, subspace): broadcast codebook, min_by
+    def assign(cb: DataFrame): DataFrame =
+      subs
+        .join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"), l2sq(col("sv"), col("cen")).as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+    for (_ <- 1 to lloydIters) {
+      val updated = assign(codebook)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("idx", "v")))
+        .groupBy("sub", "code", "idx")
+        .agg(avg("v").as("c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .toSeq
+        .map { case ((sub, code), rows) =>
+          (sub, code, rows.sortBy(_.getInt(2)).map(r => math.rint(r.getDouble(3) * 1e6) / 1e6).toSeq)
+        }
+      val updatedMap = updated.map { case (sub, code, c) => (sub, code) -> c }.toMap
+      val prev = codebook.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+      codebook = centroidDf(prev.map { case ((sub, code), c) =>
+        (sub, code, updatedMap.getOrElse((sub, code), c))
+      }.toSeq)
+    }
+
+    val codeTable = assign(codebook) // (vec_id, sub, code): M bytes per vector
+    val q = subs.filter(col("vec_id") < nQueries)
+    // ADC contribution table: (q_id, sub, code, d2) — nQueries × M × k rows
+    val adc = q
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"), l2sq(col("sv"), col("cen")).as("d2"))
+    val approx = codeTable
+      .join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum("d2").as("ad2"))
+    val short = graft.plans.TopK
+      .topKPerKey(
+        approx.select(col("q_id"), col("c_id"), (-col("ad2")).as("neg")),
+        Seq("q_id"),
+        "neg",
+        "c_id",
+        shortlist
+      )
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank of the shortlist (v1's scoring, v1's tiebreak)
+    val cEmb = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val qEmb = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    short
+      .join(cEmb, "c_id")
+      .join(broadcast(qEmb), "q_id")
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
 }
