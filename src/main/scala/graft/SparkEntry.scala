@@ -182,7 +182,8 @@ object SparkEntry {
     "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
-    "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d))
+    "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
+    "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1555,6 +1556,20 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'lineitem_discount_out_of_range', count(*)
         |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
-        |) ORDER BY "check"""".stripMargin
+        |) ORDER BY "check"""".stripMargin,
+    "m6_shard_plan" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  (doc_id * 2654435761) % 4294967296 AS rk
+        | FROM documents),
+        |b AS (SELECT *, rk % 8 AS bkt FROM t),
+        |p AS (SELECT bkt, doc_id, n_chars,
+        |  COALESCE(sum(n_chars) OVER (PARTITION BY bkt ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM b)
+        |SELECT bkt * 100000 + CAST(floor(prefix / 5000.0) AS BIGINT) AS shard_id,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(doc_id) AS first_doc
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
   )
 }

@@ -165,4 +165,50 @@ object Multimodal {
       .select(col("modality"), col("doc_id"), col("n_bytes"))
       .orderBy("modality", "doc_id")
   }
+
+  /** m6: training-shard planning — assign every sample to a
+    * size-budgeted shard (the webdataset/tar-shard layout step before a
+    * training run). Samples spread over hash buckets; within a bucket an
+    * EXCLUSIVE running size prefix places each sample, and
+    * `floor(prefix / budget)` is its local shard — the distributed
+    * prefix-sum shape where each bucket plans independently (shard ids
+    * are bucket-scoped), so 100 TB plans with one bucket-keyed window
+    * and no global sort. The shuffle-order-independent part of the
+    * Knuth-style multiplicative hash keys both the spread and the
+    * in-bucket order, and is plain BIGINT arithmetic so both engines
+    * compute identical plans — no engine hash function involved.
+    */
+  def m6ShardPlan(
+      s: SparkSession,
+      d: String,
+      budgetChars: Long = 5000L,
+      nBuckets: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        (col("doc_id") * lit(2654435761L) % lit(4294967296L)).as("rk")
+      )
+      .withColumn("bkt", pmod(col("rk"), lit(nBuckets.toLong)))
+    val w = Window
+      .partitionBy("bkt")
+      .orderBy("rk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("prefix", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn(
+        "shard_id",
+        col("bkt") * lit(100000L) + floor(col("prefix") / lit(budgetChars.toDouble))
+      )
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("first_doc")
+      )
+      .orderBy("shard_id")
+  }
 }
