@@ -183,7 +183,8 @@ object SparkEntry {
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
-    "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d))
+    "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
+    "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1570,6 +1571,22 @@ object SparkEntry {
         |SELECT bkt * 100000 + CAST(floor(prefix / 5000.0) AS BIGINT) AS shard_id,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | min(doc_id) AS first_doc
-        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "c11_equidepth_hist" ->
+      """WITH src AS (SELECT l_extendedprice AS v FROM lineitem),
+        |th AS (SELECT list_transform(
+        |  quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        |  x -> round(x, 4)) AS t FROM src),
+        |binned AS (SELECT CAST(1
+        |  + CASE WHEN v > t[1] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[2] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[3] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[4] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[5] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[6] THEN 1 ELSE 0 END
+        |  + CASE WHEN v > t[7] THEN 1 ELSE 0 END AS BIGINT) AS bin, v
+        | FROM src, th)
+        |SELECT bin, count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

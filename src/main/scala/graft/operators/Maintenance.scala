@@ -443,4 +443,32 @@ object Maintenance {
       .unionByName(badDisc)
       .orderBy("check")
   }
+
+  /** c11: equi-depth histogram of a fact column — the CBO statistic c9's
+    * min/max/NDV summary can't express (selectivity under skew). Bin
+    * edges are the 7 exact interior octile thresholds (one scalar-sized
+    * aggregate, broadcast back — the q43 no-global-sort discipline), bin
+    * assignment is a comparison ladder against the ROUNDED edges so a
+    * value exactly on a boundary can't flip bins on interpolation ulp,
+    * and per-bin stats come from one map-side-combined groupBy.
+    */
+  def c11EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val th = l.agg(
+      expr(
+        "transform(percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)), x -> round(x, 4))"
+      ).as("t")
+    )
+    val bin = (1 to 7).map(i => when(col("v") > col("t").getItem(i - 1), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    l.crossJoin(broadcast(th))
+      .select(bin.cast("long").as("bin"), col("v"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("v"), 2).as("lo"),
+        round(max("v"), 2).as("hi")
+      )
+      .orderBy("bin")
+  }
 }
