@@ -184,7 +184,8 @@ object SparkEntry {
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
-    "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _)
+    "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
+    "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1587,6 +1588,21 @@ object SparkEntry {
         |  + CASE WHEN v > t[7] THEN 1 ELSE 0 END AS BIGINT) AS bin, v
         | FROM src, th)
         |SELECT bin, count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
-        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
+        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin,
+    "d15_fuzzy_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 40),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |cm AS (SELECT a AS doc_id, min(b) AS cluster_id FROM allr GROUP BY 1)
+        |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_doc
+        |FROM cm GROUP BY 1 ORDER BY cluster_id""".stripMargin
   )
 }

@@ -389,6 +389,25 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d15: transitive fuzzy-duplicate clusters — connected components
+    * over the d14 edit-distance pair graph (the d6 machinery pointed at
+    * a different edge set: GraphX CC, O(diameter) supersteps, canonical
+    * = min member id), reported as a per-cluster size summary. This is
+    * the "family of retyped variants" view record-linkage produces once
+    * pairwise matches chain.
+    */
+  def d15FuzzyClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = d14FuzzyPairs(s, d).select("id_a", "id_b")
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+    s.createDataFrame(cc)
+      .toDF("doc_id", "cluster_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   /** d14: blocked fuzzy matching by edit distance — candidate pairs come
     * from an EQUI-join on the (lang, source) blocking key, then a
     * Levenshtein verify on the 60-char document head. Blocking is part of
