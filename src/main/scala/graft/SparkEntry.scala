@@ -185,7 +185,8 @@ object SparkEntry {
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
     "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
-    "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _)
+    "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
+    "e32_attribution"        -> (Events.e32Attribution _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1603,6 +1604,20 @@ object SparkEntry {
         |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
         |cm AS (SELECT a AS doc_id, min(b) AS cluster_id FROM allr GROUP BY 1)
         |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_doc
-        |FROM cm GROUP BY 1 ORDER BY cluster_id""".stripMargin
+        |FROM cm GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    "e32_attribution" ->
+      """WITH t AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events),
+        |a AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_k
+        | FROM t)
+        |SELECT last_click_k % 10 AS campaign, count(*) AS n_purchases,
+        | round(sum(value), 2) AS revenue
+        |FROM a WHERE event_type = 'purchase' AND last_click_k IS NOT NULL
+        |GROUP BY 1 ORDER BY campaign""".stripMargin
   )
 }

@@ -653,6 +653,39 @@ object Events {
       .orderBy("event_type", "hod")
   }
 
+  /** e32: last-touch attribution — every purchase credits the user's
+    * most recent prior click (its props.k, bucketed to a campaign id),
+    * via an IGNORE-NULLS carry-forward over the per-user timeline (the
+    * e26 gap-fill primitive pointed at marketing attribution). One
+    * user-keyed window + one tiny campaign groupBy; no self-join of
+    * purchases against clicks, so the shape is immune to the
+    * purchases×clicks blowup a naive as-of formulation shuffles.
+    */
+  def e32Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .withColumn(
+        "last_click_k",
+        last(when(col("event_type") === "click", col("k")), ignoreNulls = true).over(w)
+      )
+      .filter(col("event_type") === "purchase" && col("last_click_k").isNotNull)
+      .groupBy(pmod(col("last_click_k"), lit(10L)).as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("campaign")
+  }
+
   /** e31: behavioral path mining — frequency of every 3-step event-type
     * path a user walks, from two LEADs over the per-user timeline. The
     * window partitions on user_id (millions of small partitions, no
