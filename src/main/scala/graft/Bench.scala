@@ -33,15 +33,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // deterministic run order (sorted ids): Map iteration order shifts as
+    // the query set grows, which polluted cross-round per-query compares
+    // with cache/ordering noise (round-5 VERDICT item 3)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val resultMap = results.toMap
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // Full per-query map first (humans / logs)...
     println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfNum}""")
@@ -55,7 +59,7 @@ object Bench {
       "d5b_dedup_embedding_blocked", "d6_dedup_clusters", "v1_knn_brute",
       "v2_knn_lsh", "t5_ngram_freq", "t9_tfidf", "s1_ingest_parquet",
       "s2_stream_window_agg", "c1_compact", "c2_merge_upsert", "p1_curate")
-    val hq = headline.flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
+    val hq = headline.flatMap(n => resultMap.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"sf":$sfNum}""")
     spark.stop()

@@ -1491,11 +1491,19 @@ object SparkEntry {
         |GROUP BY 1 HAVING count(*) >= 10
         |ORDER BY n DESC, trigram""".stripMargin,
     "d14_fuzzy_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b
-        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 40
+      """WITH t AS (
+        | SELECT doc_id, lang, source, substr(text, 1, 60) AS head,
+        |  row_number() OVER (PARTITION BY lang, source
+        |                     ORDER BY substr(text, 1, 60), doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        | FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source
+        |  AND b.rn BETWEEN a.rn + 1 AND a.rn + 10)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, dist
+        |FROM p WHERE dist <= 40
         |ORDER BY id_a, id_b""".stripMargin,
     "q49_setops_all" ->
       """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
@@ -1591,11 +1599,19 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
         |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin,
     "d15_fuzzy_clusters" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, source, substr(text, 1, 60) AS head,
+        |  row_number() OVER (PARTITION BY lang, source
+        |                     ORDER BY substr(text, 1, 60), doc_id) AS rn
+        | FROM documents),
+        |cand AS (
         | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM documents a JOIN documents b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 40),
+        | FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source
+        |  AND b.rn BETWEEN a.rn + 1 AND a.rn + 10
+        | WHERE levenshtein(a.head, b.head) <= 40),
+        |pairs AS (
+        | SELECT least(ia, ib) AS ia, greatest(ia, ib) AS ib FROM cand),
         |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
         |reach(a, b) AS (
         | SELECT a, b FROM edges

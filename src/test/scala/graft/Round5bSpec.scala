@@ -70,18 +70,23 @@ class Round5bSpec extends AnyFunSuite {
   // ------------------------------------------------------------------
   // d14: blocked fuzzy matching
   // ------------------------------------------------------------------
-  test("d14 candidates come from the (lang, source) equi-join and every pair verifies") {
+  test("d14 sorted-neighborhood candidates are bounded at n*window and every pair verifies") {
     val df = Dedup.d14FuzzyPairs(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.toLowerCase.contains("cartesian"))
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source")).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
-    df.collect().foreach { r =>
+    val rows = df.collect()
+    rows.foreach { r =>
       val (a, b, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(a < b, r.toString)
       assert(docs(a) == docs(b), "pair crosses a block boundary")
       assert(dist >= 0 && dist <= 40, r.toString)
     }
+    // hard candidate bound: each doc generates at most `window` (=10)
+    // neighbor comparisons, so the pair set can never exceed n*10 —
+    // the O(n) guarantee that replaced the quadratic block join
+    assert(rows.length <= docs.size * 10, s"${rows.length} pairs from ${docs.size} docs")
   }
 
   // ------------------------------------------------------------------
@@ -145,6 +150,7 @@ class Round5bSpec extends AnyFunSuite {
   // ------------------------------------------------------------------
   test("runtime bloom filter is injected into the fact side of a selective shuffle join") {
     val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold"
