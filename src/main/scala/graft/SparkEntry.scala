@@ -135,6 +135,12 @@ object SparkEntry {
     "d10_containment"        -> ((s, d) => Dedup.d10Containment(s, d)),
     "e20_churn"              -> ((s, d) => Events.e20Churn(s, d)),
     "v7_knn_ivf"             -> ((s, d) => Similarity.v7KnnIvf(s, d)),
+    // exact configurations of the ANN operators: v7 probing every cell and
+    // v10 re-ranking a corpus-sized shortlist are provably equivalent to
+    // v1 (ScalaTest-asserted), so they get v1's hard DuckDB oracle —
+    // driver-gating the IVF/PQ machinery, not just the rows-only checks
+    "v7_exhaustive"          -> ((s, d) => Similarity.v7KnnIvf(s, d, nProbe = 16)),
+    "v10_exact"              -> ((s, d) => Similarity.v10KnnPq(s, d, shortlist = Int.MaxValue)),
     "c5_range_layout"        -> (Maintenance.c5RangeLayout _),
     "c6_incremental_rollup"  -> (Maintenance.c6IncrementalRollup _),
     "e21_ewma"               -> ((s, d) => Events.e21Ewma(s, d)),
@@ -192,7 +198,23 @@ object SparkEntry {
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
     * names, same rounding, same ORDER BY — SURVEY.md §6).
     */
+  // shared by v1 and the exact ANN configurations (v7_exhaustive /
+  // v10_exact), which are ScalaTest-proven equal to brute force
+  private val knnExactSql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+      |sc AS (SELECT q_id, c_id,
+      |  list_dot_product(q_emb, c_emb)
+      |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+      | FROM c JOIN q ON c_id <> q_id),
+      |r AS (SELECT q_id, c_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+      |SELECT q_id, rn, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "v7_exhaustive" -> knnExactSql,
+    "v10_exact" -> knnExactSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -402,17 +424,7 @@ object SparkEntry {
         |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     // §2.5 similarity
-    "v1_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
-        |sc AS (SELECT q_id, c_id,
-        |  list_dot_product(q_emb, c_emb)
-        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
-        | FROM c JOIN q ON c_id <> q_id),
-        |r AS (SELECT q_id, c_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
-        |SELECT q_id, rn, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 5
-        |ORDER BY q_id, rn""".stripMargin,
+    "v1_knn_brute" -> knnExactSql,
     "v3_vector_stats" ->
       """WITH e AS (SELECT label, CAST(len(embedding) AS INT) AS dim,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
