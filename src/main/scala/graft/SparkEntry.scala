@@ -1583,7 +1583,7 @@ object SparkEntry {
     "m6_shard_plan" ->
       """WITH t AS (
         | SELECT doc_id, n_chars,
-        |  (doc_id * 2654435761) % 4294967296 AS rk
+        |  ((doc_id & 2147483647) * 2654435761) % 4294967296 AS rk
         | FROM documents),
         |b AS (SELECT *, rk % 8 AS bkt FROM t),
         |p AS (SELECT bkt, doc_id, n_chars,

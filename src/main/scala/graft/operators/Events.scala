@@ -681,7 +681,9 @@ object Events {
         last(when(col("event_type") === "click", col("k")), ignoreNulls = true).over(w)
       )
       .filter(col("event_type") === "purchase" && col("last_click_k").isNotNull)
-      .groupBy(pmod(col("last_click_k"), lit(10L)).as("campaign"))
+      // sign-preserving % (not pmod): matches the DuckDB oracle's `% 10`
+      // exactly even if a props.k is ever negative — round-5 ADVICE item 2
+      .groupBy((col("last_click_k") % lit(10L)).as("campaign"))
       .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
       .orderBy("campaign")
   }

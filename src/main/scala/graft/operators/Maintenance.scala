@@ -92,7 +92,7 @@ object Maintenance {
     * broadcast single-row aggregate (no driver-side collect).
     */
   def c2MergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c2_").toString
+    val dir = graft.TempDirs.create("graft_c2_")
     val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value", "ts")
     val bounds = ev.agg(
       min(unix_micros(col("ts"))).as("mn"),
@@ -125,7 +125,7 @@ object Maintenance {
     * source parquet.
     */
   def c3OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c3_").toString
+    val dir = graft.TempDirs.create("graft_c3_")
     Tables
       .events(s, d)
       .withColumn("dt", col("ts").cast("date"))
@@ -154,7 +154,7 @@ object Maintenance {
     * is folded in as a broadcast scalar (no driver collect).
     */
   def c4Backfill(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c4_").toString
+    val dir = graft.TempDirs.create("graft_c4_")
     val ev = Tables
       .events(s, d)
       .select(col("ts").cast("date").as("dt"), col("event_id"), col("user_id"), col("value"))
@@ -217,7 +217,7 @@ object Maintenance {
     * parquet stats.
     */
   def c5RangeLayout(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c5_").toString
+    val dir = graft.TempDirs.create("graft_c5_")
     rangeLayout(Tables.lineitem(s, d), s"$dir/data", 16, Seq(col("l_shipdate"), col("l_orderkey")))
     s.read
       .parquet(s"$dir/data")
@@ -242,7 +242,7 @@ object Maintenance {
     * must be indistinguishable from rescanning.
     */
   def c6IncrementalRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c6_").toString
+    val dir = graft.TempDirs.create("graft_c6_")
     val ev = Tables
       .events(s, d)
       .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
@@ -287,7 +287,7 @@ object Maintenance {
     */
   def c8IncrementalQuantiles(s: SparkSession, d: String): DataFrame = {
     import graft.plans.GraftExpressions
-    val dir = java.nio.file.Files.createTempDirectory("graft_c8_").toString
+    val dir = graft.TempDirs.create("graft_c8_")
     val ev = Tables
       .events(s, d)
       .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
@@ -339,7 +339,7 @@ object Maintenance {
   }
 
   def c1Compact(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c1_").toString
+    val dir = graft.TempDirs.create("graft_c1_")
     Tables
       .events(s, d)
       .withColumn("dt", col("ts").cast("date"))
@@ -385,7 +385,7 @@ object Maintenance {
     * wrong directory (or misses one) fails the hash.
     */
   def c7RetentionVacuum(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c7_").toString
+    val dir = graft.TempDirs.create("graft_c7_")
     Tables
       .events(s, d)
       .select(col("ts").cast("date").as("dt"), col("event_id"), col("user_id"), col("value"))

@@ -190,7 +190,12 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("n_chars"),
-        (col("doc_id") * lit(2654435761L) % lit(4294967296L)).as("rk")
+        // mask to 31 bits BEFORE the Knuth multiply: (2^31-1)·2654435761
+        // ≈ 5.7e18 < 2^63-1, so the product can NEVER wrap Spark's Long —
+        // while DuckDB promotes to INT128 — keeping both engines in exact
+        // agreement at any doc_id (a 32-bit mask would still overflow for
+        // ids ≥ ~3.47e9) — round-5 ADVICE item 1
+        (col("doc_id").bitwiseAND(lit(0x7fffffffL)) * lit(2654435761L) % lit(4294967296L)).as("rk")
       )
       .withColumn("bkt", pmod(col("rk"), lit(nBuckets.toLong)))
     val w = Window

@@ -636,14 +636,6 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
-  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
-    * customer via the row_number-delta trick — a day minus its per-key
-    * rank is constant exactly within a consecutive run, so islands fall
-    * out of one partitioned window pass + one groupBy. No self-join, no
-    * iteration, and nothing ever holds more than one customer's day list
-    * (both steps partition on o_custkey), so the shape is unchanged at
-    * 100 TB.
-    */
   /** The relational ALL quantifier via NOT EXISTS, as identical SQL text
     * on both engines: suppliers none of whose lineitems carry a deep
     * discount (and who have shipped at least once — vacuous truth
@@ -886,6 +878,14 @@ object Relational {
       .orderBy("l_returnflag", "measure")
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    * customer via the row_number-delta trick — a day minus its per-key
+    * rank is constant exactly within a consecutive run, so islands fall
+    * out of one partitioned window pass + one groupBy. No self-join, no
+    * iteration, and nothing ever holds more than one customer's day list
+    * (both steps partition on o_custkey), so the shape is unchanged at
+    * 100 TB.
+    */
   def q40GapsIslands(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day")
     Tables

@@ -372,8 +372,12 @@ object Similarity {
     * corpus size. Oracle: the same five unrolled iterations in SQL.
     */
   def v9PageRank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    // out-degree rides the edge list (derived, not assumed): with v5's
+    // default k every node's odeg is k, but the operator no longer
+    // silently couples to that constant — round-5 VERDICT item 5
     val edges = v5KnnGraph(s, d)
       .select(col("q_id").as("src"), col("c_id").as("dst"))
+      .withColumn("odeg", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")).cast("double"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
     val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
@@ -382,7 +386,7 @@ object Similarity {
       val contrib = edges
         .join(pr, col("src") === col("id"))
         .groupBy("dst")
-        .agg(sum(col("pr") / 3.0).as("cin"))
+        .agg(sum(col("pr") / col("odeg")).as("cin"))
       pr = nodes
         .crossJoin(nDf)
         .join(contrib, col("id") === col("dst"), "left")

@@ -67,7 +67,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#halves",
       _ => {
-        val hdir = Files.createTempDirectory("graft_s9_halves_").toString
+        val hdir = graft.TempDirs.create("graft_s9_halves_")
         val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
         val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
         val halved = ev
@@ -116,7 +116,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d,
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_").toString
+        val dir = graft.TempDirs.create("graft_stream_")
         toJsonMicros(Tables.events(s, d)).coalesce(4).write.mode("overwrite").text(s"$dir/json")
         dir
       }
@@ -134,7 +134,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#sentinel",
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_sent_").toString
+        val dir = graft.TempDirs.create("graft_stream_sent_")
         val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
         val sentinel = ev
           .agg(max(col("ts")).as("ts0"))
@@ -159,7 +159,7 @@ object StreamingBatch {
     val json = stageJson(s, d)
     // fresh sink + checkpoint per invocation — the ingest itself is what
     // runs (and is measured); only the staged input is shared
-    val dir = Files.createTempDirectory("graft_s1_run_").toString
+    val dir = graft.TempDirs.create("graft_s1_run_")
     val q = StreamIngest.run(
       s,
       StreamIngest.IngestConfig(
@@ -203,7 +203,7 @@ object StreamingBatch {
     val sessions = StreamOps.sessionize(
       stream.select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
     )
-    val out = Files.createTempDirectory("graft_s4_run_").toString
+    val out = graft.TempDirs.create("graft_s4_run_")
     val q = sessions.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -233,7 +233,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#sentinel2",
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_sent2_").toString
+        val dir = graft.TempDirs.create("graft_stream_sent2_")
         val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
         def sentinel(off: String, tpe: String, id: Long) = ev
           .agg(max(col("ts")).as("ts0"))
@@ -288,7 +288,7 @@ object StreamingBatch {
         col("c_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")
       )
-    val out = Files.createTempDirectory("graft_s8_run_").toString
+    val out = graft.TempDirs.create("graft_s8_run_")
     val q = joined.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -311,7 +311,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#dup",
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_dup_").toString
+        val dir = graft.TempDirs.create("graft_stream_dup_")
         val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
         toJsonMicros(ev.unionByName(ev)).coalesce(4).write.mode("overwrite").text(s"$dir/json")
         dir
@@ -331,7 +331,7 @@ object StreamingBatch {
       "ts"
     )
     val deduped = StreamOps.streamingDedup(stream, Seq("event_id"))
-    val out = Files.createTempDirectory("graft_s3_run_").toString
+    val out = graft.TempDirs.create("graft_s3_run_")
     val q = deduped.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -379,7 +379,7 @@ object StreamingBatch {
         col("c_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")
       )
-    val out = Files.createTempDirectory("graft_s5_run_").toString
+    val out = graft.TempDirs.create("graft_s5_run_")
     val q = joined.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -408,7 +408,7 @@ object StreamingBatch {
         "ts"
       )
       .select("user_id", "event_id", "event_type", "value", "ts")
-    val root = Files.createTempDirectory("graft_s6_run_").toString
+    val root = graft.TempDirs.create("graft_s6_run_")
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -456,7 +456,7 @@ object StreamingBatch {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    val out = Files.createTempDirectory("graft_s7_run_").toString
+    val out = graft.TempDirs.create("graft_s7_run_")
     val q = agg.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -491,7 +491,7 @@ object StreamingBatch {
     */
   def s9RestartSession(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
     import s.implicits._
-    val root = Files.createTempDirectory("graft_s9_").toString
+    val root = graft.TempDirs.create("graft_s9_")
     new java.io.File(s"$root/in").mkdirs()
     // the two halves are pure functions of the source table — stage them
     // once per (JVM, dir) like the other harness inputs; only the
@@ -547,7 +547,7 @@ object StreamingBatch {
       eventSchema,
       "ts"
     )
-    val out = Files.createTempDirectory("graft_s2_run_").toString
+    val out = graft.TempDirs.create("graft_s2_run_")
     // NOTE: no sentinel filter inside the streaming plan — a filter on the
     // grouping column gets pushed below the watermark operator, so the
     // watermark would never see the sentinel. The sentinel's own window
@@ -603,7 +603,7 @@ object StreamingBatch {
       )
       .join(broadcast(dim), Seq("user_id"), "left")
       .withColumn("nation", coalesce(col("nation"), lit("unknown")))
-    val out = Files.createTempDirectory("graft_s10_run_").toString
+    val out = graft.TempDirs.create("graft_s10_run_")
     val q = stream.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -623,18 +623,6 @@ object StreamingBatch {
       .orderBy("nation")
   }
 
-  /** s11: streaming EXACT distinct-users-per-hour — the firehose "unique
-    * visitors" metric, computed with TWO chained stateful operators:
-    * dropDuplicatesWithinWatermark on (user_id, hour-bucket) shrinks
-    * state to one row per user-hour and evicts it at the watermark, then
-    * the watermarked tumbling-window count aggregates the survivors — a
-    * distinct SET never sits in aggregation state (the scale difference
-    * vs count_distinct inside the agg, whose per-window hash set grows
-    * with cardinality). Landed via an append-mode parquet sink; the
-    * sentinel advances the final watermark so the one-shot run flushes
-    * every real window (its own far-future window never flushes). Oracle
-    * is the batch COUNT(DISTINCT user_id) per hour.
-    */
   /** Staged documents as JSON lines (cached per dir like the event
     * stagings) — the corpus as a stream, for the online-dedup harness.
     */
@@ -642,7 +630,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#docs",
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_docs_").toString
+        val dir = graft.TempDirs.create("graft_stream_docs_")
         Tables
           .documents(s, d)
           .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
@@ -677,7 +665,7 @@ object StreamingBatch {
       .text(s"$dir/json")
       .select(from_json(col("value"), docSchema).as("r"))
       .select("r.*")
-    val root = Files.createTempDirectory("graft_s13_run_").toString
+    val root = graft.TempDirs.create("graft_s13_run_")
     val (postingsPath, docsPath, pairsPath) = (s"$root/postings", s"$root/docs", s"$root/pairs")
     val nHashes = 64
     val rowsPerBand = 2
@@ -763,7 +751,7 @@ object StreamingBatch {
         "ts"
       )
       .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
-    val root = Files.createTempDirectory("graft_s12_run_").toString
+    val root = graft.TempDirs.create("graft_s12_run_")
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -802,6 +790,18 @@ object StreamingBatch {
       .orderBy("event_type")
   }
 
+  /** s11: streaming EXACT distinct-users-per-hour — the firehose "unique
+    * visitors" metric, computed with TWO chained stateful operators:
+    * dropDuplicatesWithinWatermark on (user_id, hour-bucket) shrinks
+    * state to one row per user-hour and evicts it at the watermark, then
+    * the watermarked tumbling-window count aggregates the survivors — a
+    * distinct SET never sits in aggregation state (the scale difference
+    * vs count_distinct inside the agg, whose per-window hash set grows
+    * with cardinality). Landed via an append-mode parquet sink; the
+    * sentinel advances the final watermark so the one-shot run flushes
+    * every real window (its own far-future window never flushes). Oracle
+    * is the batch COUNT(DISTINCT user_id) per hour.
+    */
   def s11StreamDistinct(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
     val dir = stageJsonSentinel(s, d)
     val stream = StreamIngest.parsed(
@@ -817,7 +817,7 @@ object StreamingBatch {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("uniques"))
       .select(col("window.start").as("bucket_start"), col("uniques"))
-    val out = Files.createTempDirectory("graft_s11_run_").toString
+    val out = graft.TempDirs.create("graft_s11_run_")
     val q = agg.writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -842,7 +842,7 @@ object StreamingBatch {
     staged.computeIfAbsent(
       d + "#csv",
       _ => {
-        val dir = Files.createTempDirectory("graft_stream_csv_").toString
+        val dir = graft.TempDirs.create("graft_stream_csv_")
         Tables
           .events(s, d)
           .select(
@@ -868,7 +868,7 @@ object StreamingBatch {
     */
   def s15IngestCsv(s: SparkSession, d: String): DataFrame = {
     val csv = stageCsv(s, d)
-    val dir = Files.createTempDirectory("graft_s15_run_").toString
+    val dir = graft.TempDirs.create("graft_s15_run_")
     val q = StreamIngest.run(
       s,
       StreamIngest.IngestConfig(
@@ -912,7 +912,7 @@ object StreamingBatch {
       .text(s"$dir/json")
       .select(from_json(col("value"), docSchema).as("r"))
       .select("r.*")
-    val root = Files.createTempDirectory("graft_s14_run_").toString
+    val root = graft.TempDirs.create("graft_s14_run_")
     val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
