@@ -90,8 +90,16 @@ object Maintenance {
     * view of the WHOLE stream — which is exactly what the DuckDB oracle
     * computes (e6's shape). The split threshold is folded in as a
     * broadcast single-row aggregate (no driver-side collect).
+    *
+    * The store is TRANSACTIONAL via [[graft.sources.SnapshotStore]]:
+    * each version stages into its own directory and becomes visible only
+    * through the atomic manifest rename, so a reader concurrent with (or
+    * interrupted by) the merge sees exactly the pre- or post-merge
+    * snapshot, never a half-written mix — the crashed-mid-merge case is
+    * ScalaTest-asserted.
     */
   def c2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
     val dir = graft.TempDirs.create("graft_c2_")
     val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value", "ts")
     val bounds = ev.agg(
@@ -106,14 +114,19 @@ object Maintenance {
       val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
       df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }
+    val store = s"$dir/store"
     latestPerUser(halved.filter(!col("is_late")).drop("is_late"))
-      .write.mode("overwrite").parquet(s"$dir/state")
-    val target = s.read.parquet(s"$dir/state")
+      .write.mode("overwrite").parquet(SnapshotStore.versionPath(store, 1))
+    SnapshotStore.commit(store, 1)
+    val target = SnapshotStore.readCurrent(s, store)
     val updates = latestPerUser(halved.filter(col("is_late")).drop("is_late"))
+    // copy-on-write: stage the merged version in full, then publish with
+    // the atomic manifest swap
     mergeUpsert(target, updates, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
-      .write.mode("overwrite").parquet(s"$dir/state_v2") // copy-on-write: new version
-    s.read
-      .parquet(s"$dir/state_v2")
+      .write.mode("overwrite").parquet(SnapshotStore.versionPath(store, 2))
+    SnapshotStore.commit(store, 2)
+    SnapshotStore
+      .readCurrent(s, store)
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
   }

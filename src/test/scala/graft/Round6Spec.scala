@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotStore
+
+/** Round-6 additions: the SnapshotStore transactional commit protocol
+  * backing c2's MERGE (round-5 VERDICT item 5). Value-level merge
+  * correctness stays with the DuckDB oracle gate; these pin the
+  * isolation contract.
+  */
+class Round6Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ------------------------------------------------------------------
+  // SnapshotStore: readers never observe a half-merged store
+  // ------------------------------------------------------------------
+  test("a crash mid-merge leaves readers on the old snapshot; commit flips atomically") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_snapshot_test_") + "/store"
+
+    // v1: the pre-merge store, fully published
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(SnapshotStore.versionPath(root, 1))
+    SnapshotStore.commit(root, 1)
+    assert(SnapshotStore.currentVersion(root).contains(1L))
+
+    // writer stages v2 but CRASHES before the manifest swap: only part
+    // of the merged output landed, and no commit happened
+    Seq((1L, "a2")).toDF("k", "v")
+      .write.parquet(SnapshotStore.versionPath(root, 2))
+
+    // a reader resolving the store now must see v1 exactly — the
+    // half-staged v2 directory is invisible without the manifest flip
+    val crashed = SnapshotStore.readCurrent(spark, root).orderBy("k").collect()
+    assert(crashed.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+
+    // the recovering writer re-stages v2 IN FULL (overwrite wipes the
+    // torn attempt) and only then publishes
+    Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(SnapshotStore.versionPath(root, 2))
+    SnapshotStore.commit(root, 2)
+    val after = SnapshotStore.readCurrent(spark, root).orderBy("k").collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(SnapshotStore.currentVersion(root).contains(2L))
+  }
+
+  test("snapshot reads are stable across a concurrent commit (no torn view)") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_snapshot_test2_") + "/store"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.parquet(SnapshotStore.versionPath(root, 1))
+    SnapshotStore.commit(root, 1)
+
+    // resolve a snapshot FIRST (manifest read happens here)...
+    val snap = SnapshotStore.readCurrent(spark, root)
+
+    // ...then a writer publishes v2 while the reader's plan is in flight
+    Seq((1L, 99.0)).toDF("k", "v").write.parquet(SnapshotStore.versionPath(root, 2))
+    SnapshotStore.commit(root, 2)
+
+    // the already-resolved reader still scans the immutable v1 files
+    assert(snap.agg(sum("v")).head().getDouble(0) == 30.0)
+    // a NEW reader sees v2
+    assert(SnapshotStore.readCurrent(spark, root).agg(sum("v")).head().getDouble(0) == 99.0)
+  }
+}
