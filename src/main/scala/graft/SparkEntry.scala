@@ -186,6 +186,7 @@ object SparkEntry {
     "t21_zipf_slope"         -> (TextAnalysis.t21ZipfSlope _),
     "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
     "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
+    "s16_ingest_proto"       -> (StreamingBatch.s16IngestProto _),
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
@@ -1550,6 +1551,11 @@ object SparkEntry {
         | FROM documents)
         |SELECT tok, count(*) AS n FROM toks
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "s16_ingest_proto" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | CAST(0 AS BIGINT) AS n_corrupt
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "s15_ingest_csv" ->
       """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
         | count(*) AS n, round(sum(value), 2) AS sum_value,

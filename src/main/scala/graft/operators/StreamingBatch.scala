@@ -859,6 +859,73 @@ object StreamingBatch {
       }
     )
 
+  /** Staged events as protobuf wire messages (binary `value` column in
+    * parquet — the file stand-in for Kafka message values), cached per
+    * dir like the other stagings. Encoding is the [[graft.sources.ProtoWire]]
+    * positional mapping over [[eventSchema]], run distributed per
+    * partition.
+    */
+  private def stageProto(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#proto",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_proto_")
+        val schema = eventSchema
+        Tables
+          .events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(row => graft.sources.ProtoWire.encode(row, schema))(
+            org.apache.spark.sql.Encoders.BINARY
+          )
+          .toDF("value")
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/proto")
+        dir
+      }
+    )
+
+  /** s16: the s1 firehose with a PROTOBUF wire format — binary message
+    * values (the Kafka-shaped payload) through the same parse →
+    * keyed-repartition → partitioned parquet path, with only the parse
+    * slot swapped (`wireFormat = "protobuf"`). Decode is the
+    * dependency-free [[graft.sources.ProtoWire]] wire-format reader;
+    * corrupt-capture (truncated varint, length past buffer, wire-type
+    * mismatch → dead-letter row) is ScalaTest-gated. Oracle: the landed
+    * table must aggregate to what DuckDB computes from the source rows.
+    */
+  def s16IngestProto(s: SparkSession, d: String): DataFrame = {
+    val proto = stageProto(s, d)
+    val dir = graft.TempDirs.create("graft_s16_run_")
+    val raw = s.readStream
+      .schema(StructType(Seq(StructField("value", org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$proto/proto")
+    val q = StreamIngest.runFromRaw(
+      raw,
+      StreamIngest.IngestConfig(
+        source = StreamIngest.FileSource(s"$proto/proto"),
+        schema = eventSchema,
+        tsColumn = "ts",
+        outputPath = s"$dir/out",
+        checkpointPath = s"$dir/ck",
+        sinkPartitions = 16,
+        wireFormat = "protobuf"
+      )
+    )
+    q.awaitTermination()
+    s.read
+      .parquet(s"$dir/out")
+      .groupBy(col("dt").cast("date").as("dt"), col("hr").cast("int").as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        count(col("_corrupt")).as("n_corrupt")
+      )
+      .orderBy("dt", "hr")
+  }
+
   /** s15: the s1 firehose with a CSV wire format — same source →
     * parse → keyed-repartition → partitioned parquet path, only the
     * parse slot swapped (`wireFormat = "csv"`), which is the whole

@@ -49,7 +49,7 @@ object StreamIngest {
       format: String = "parquet", // or "orc"
       sinkPartitions: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
-      wireFormat: String = "json", // or "csv" | "avro" (record-oriented sources)
+      wireFormat: String = "json", // or "csv" | "avro" | "protobuf" (record-oriented sources)
       avroWriterSchema: Option[String] = None // Avro schema JSON for wireFormat=avro
   )
 
@@ -248,6 +248,35 @@ object StreamIngest {
     timePartitioned(out, tsColumn)
   }
 
+  /** Protobuf wire-format variant of [[parsed]] for record-oriented
+    * sources: each `value` is ONE binary protobuf message whose field
+    * numbers map positionally onto `schema` (see [[ProtoWire]] — the
+    * fourth khose wire shape after JSON, CSV, and Avro). Same permissive
+    * contract as the Avro slot: structural damage keeps the base64 of the
+    * original bytes in `_corrupt` with typed fields null; unknown field
+    * numbers are skipped (forward compatibility), so a producer can add
+    * fields without breaking landed pipelines.
+    */
+  def parsedProto(raw: DataFrame, schema: StructType, tsColumn: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = schema.add("_corrupt", StringType)
+    val out = raw
+      .select(col("value").cast("binary").as("value"))
+      .as(Encoders.BINARY)
+      .mapPartitions { it =>
+        it.map { bytes =>
+          try Row.fromSeq(ProtoWire.decode(bytes, schema).toSeq :+ null)
+          catch {
+            case _: Exception =>
+              Row.fromSeq(schema.fields.toSeq.map(_ => null) :+
+                java.util.Base64.getEncoder.encodeToString(bytes))
+          }
+        }
+      }(Encoders.row(outSchema))
+    timePartitioned(out, tsColumn)
+  }
+
   /** Launch the ingest query: source → parse → partitioned columnar sink.
     * The repartition is keyed on the sink partition columns so each
     * (dt, hr) directory is written by one task — without the keys, every
@@ -304,6 +333,7 @@ object StreamIngest {
         cfg.schema,
         cfg.tsColumn
       )
+    case "protobuf" => parsedProto(raw, cfg.schema, cfg.tsColumn)
     case other => throw new IllegalArgumentException(s"unknown wireFormat: $other")
   }
 
