@@ -29,6 +29,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Register the FULL table set in the session catalog so any oracle
+    * SQL text runs by table NAME through `spark.sql` — the surface a SQL
+    * user (or a BI tool) drives the engine with. `events` registers
+    * through its normalizing loader so `ts` is a real TimestampType by
+    * name too. Views are lazy logical plans over the parquet scans:
+    * column pruning and predicate pushdown behave exactly as when the
+    * typed loaders are composed directly, so this adds surface, not a
+    * copy. (On a cluster with a persistent metastore the same loaders
+    * back `CREATE TABLE ... USING parquet LOCATION` DDL; temp views are
+    * the in-session equivalent.)
+    */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+      .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   /** `events` with `ts` normalized to a microsecond TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
