@@ -32,6 +32,44 @@ object IngestMetrics {
     )
   }
 
+  /** Per-micro-batch event-time lag signals (the "is ingest keeping up
+    * and what is it discarding" pair every watermarked pipeline needs on
+    * a dashboard): how far the watermark trails wall-clock at trigger
+    * time, how far it trails the newest event seen this batch, and how
+    * many rows the stateful operators dropped as too-late.
+    */
+  final case class BatchLag(
+      batchId: Long,
+      /** trigger wall-clock minus current watermark — total end-to-end
+        * lag, inflated at startup when the watermark is still at epoch */
+      watermarkDelayMs: Long,
+      /** max event time this batch minus watermark — the in-flight
+        * event-time spread the watermark has yet to absorb (-1 when the
+        * batch carried no data) */
+      eventTimeLagMs: Long,
+      /** rows discarded by watermark eviction across this batch's
+        * stateful operators — the LOSS the lateness policy actually
+        * caused, the number to alarm on */
+      lateDropped: Long
+  )
+
+  /** Lag metrics for every progress event of a WATERMARKED query (empty
+    * for stateless ingest — there is no watermark to lag).
+    */
+  def lagPerBatch(progress: Seq[StreamingQueryProgress]): Seq[BatchLag] =
+    progress
+      .filter(p => p.eventTime != null && p.eventTime.containsKey("watermark"))
+      .map { p =>
+        val wm = java.time.Instant.parse(p.eventTime.get("watermark")).toEpochMilli
+        val trig = java.time.Instant.parse(p.timestamp).toEpochMilli
+        val maxEv = Option(p.eventTime.get("max"))
+          .map(java.time.Instant.parse(_).toEpochMilli - wm)
+          .getOrElse(-1L)
+        val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        BatchLag(p.batchId, trig - wm, maxEv, dropped)
+      }
+      .toSeq
+
   /** Corrupt-record accounting over a landed table that carries the
     * permissive `_corrupt` column: (n_rows, n_corrupt, corrupt_rate).
     */

@@ -90,6 +90,42 @@ class Round6Spec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // IngestMetrics.lagPerBatch: watermark delay + late-dropped counts on
+  // a staged late-data scenario
+  // ------------------------------------------------------------------
+  test("lag metrics surface watermark delay and late-dropped rows per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 2)
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("lag_probe")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: on-time data advances the watermark to 10:50
+    input.addData((ts("2024-01-05 10:30:00"), 1L), (ts("2024-01-05 11:00:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: an event from 09:00 is far behind the watermark → dropped
+    input.addData((ts("2024-01-05 09:00:00"), 3L), (ts("2024-01-05 11:05:00"), 4L))
+    q.processAllAvailable()
+    // one more empty-ish trigger so the final watermark commit is visible
+    input.addData((ts("2024-01-05 11:06:00"), 5L))
+    q.processAllAvailable()
+    val lags = graft.sources.IngestMetrics.lagPerBatch(q.recentProgress.toSeq)
+    q.stop()
+    assert(lags.nonEmpty, "watermarked query produced no lag rows")
+    // the staged 2024 event times sit years behind wall-clock: every
+    // batch's watermark delay is large and positive once the watermark moved
+    assert(lags.exists(_.watermarkDelayMs > 0))
+    // some batch recorded in-flight event-time spread beyond the watermark
+    assert(lags.exists(_.eventTimeLagMs > 0))
+    // the 09:00 straggler was evicted by the watermark and counted
+    assert(lags.map(_.lateDropped).sum >= 1, s"no late drops in $lags")
+  }
+
   test("snapshot reads are stable across a concurrent commit (no torn view)") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test2_") + "/store"
