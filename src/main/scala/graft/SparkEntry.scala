@@ -141,6 +141,9 @@ object SparkEntry {
     // driver-gating the IVF/PQ machinery, not just the rows-only checks
     "v7_exhaustive"          -> ((s, d) => Similarity.v7KnnIvf(s, d, nProbe = 16)),
     "v10_exact"              -> ((s, d) => Similarity.v10KnnPq(s, d, shortlist = Int.MaxValue)),
+    // one table, one plane, multiprobe: the query probes BOTH sides of
+    // the single hyperplane, so every vector is a candidate — exhaustive
+    "v2_exhaustive"          -> ((s, d) => Similarity.v2KnnLsh(s, d, nTables = 1, planesPerTable = 1)),
     "c5_range_layout"        -> (Maintenance.c5RangeLayout _),
     "c6_incremental_rollup"  -> (Maintenance.c6IncrementalRollup _),
     "e21_ewma"               -> ((s, d) => Events.e21Ewma(s, d)),
@@ -216,6 +219,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "v7_exhaustive" -> knnExactSql,
     "v10_exact" -> knnExactSql,
+    "v2_exhaustive" -> knnExactSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
