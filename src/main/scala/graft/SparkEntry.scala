@@ -195,6 +195,7 @@ object SparkEntry {
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
     "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
+    "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1604,6 +1605,11 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | min(doc_id) AS first_doc
         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "c12_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c11_equidepth_hist" ->
       """WITH src AS (SELECT l_extendedprice AS v FROM lineitem),
         |th AS (SELECT list_transform(

@@ -457,6 +457,51 @@ object Maintenance {
       .orderBy("check")
   }
 
+  /** c12: BUCKETED co-located fact-fact join — the layout answer to the
+    * one shuffle AQE can't remove. orders and lineitem are written once
+    * as Spark bucketed tables (`bucketBy(8, key)` + in-bucket sort,
+    * external parquet under a temp location, registered in the session
+    * catalog); because both sides hash-bucket on the join key with the
+    * same bucket count, the subsequent sort-merge join reads bucket i
+    * against bucket i directly — ZERO Exchange on either side (the
+    * ScalaTest pins the plan). At 100 TB this is the difference between
+    * re-shuffling two fact tables every nightly join and paying the
+    * layout cost once at ingest: the join key's co-location is a TABLE
+    * property every downstream join on that key inherits. The bucketed
+    * copies are cached per (session, dir) exactly like the staged
+    * streaming inputs, so bench's second invocation measures the join,
+    * not the layout write.
+    */
+  def c12BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = math.abs(scala.util.hashing.MurmurHash3.stringHash(d)).toString
+    val (tblO, tblL) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
+    this.synchronized {
+      if (!s.catalog.tableExists(tblO)) {
+        val dir = graft.TempDirs.create("graft_c12_")
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$dir/orders").mode("overwrite").saveAsTable(tblO)
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/lineitem").mode("overwrite").saveAsTable(tblL)
+      }
+    }
+    s.table(tblL)
+      .join(s.table(tblO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,4)"))
+          .cast("double").as("revenue")
+      )
+      .select(col("o_orderpriority"), col("n_items"), round(col("revenue"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** c11: equi-depth histogram of a fact column — the CBO statistic c9's
     * min/max/NDV summary can't express (selectivity under skew). Bin
     * edges are the 7 exact interior octile thresholds (one scalar-sized

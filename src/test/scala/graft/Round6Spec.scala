@@ -91,6 +91,35 @@ class Round6Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // c12: bucketed co-located join — the join itself must plan with NO
+  // shuffle exchange on either side (bucket i reads against bucket i)
+  // ------------------------------------------------------------------
+  test("c12 bucketed fact-fact join plans with zero shuffle exchanges before the join") {
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assert exercises bucket
+      // co-location rather than a broadcast shortcut at this tiny SF
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Maintenance.c12BucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+      // no Exchange may feed the join: everything after the join node in
+      // the plan TREE is its children (scan side), and the agg above it
+      // is allowed its own exchange — so assert no shuffle text BELOW
+      // the join marker
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$belowJoin")
+      // and the result is the plain join's result
+      val expected = graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      df.collect().foreach(r => assert(expected(r.getString(0)) == r.getLong(1)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
+  // ------------------------------------------------------------------
   // IngestMetrics.lagPerBatch: watermark delay + late-dropped counts on
   // a staged late-data scenario
   // ------------------------------------------------------------------
