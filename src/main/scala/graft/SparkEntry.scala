@@ -196,6 +196,7 @@ object SparkEntry {
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
     "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
+    "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1605,6 +1606,13 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | min(doc_id) AS first_doc
         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "c13_dpp_join" ->
+      """WITH dim AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events ORDER BY 1 LIMIT 3)
+        |SELECT e.dt, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
+        |JOIN dim ON e.dt = dim.dt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c12_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue

@@ -502,6 +502,61 @@ object Maintenance {
       .orderBy("o_orderpriority")
   }
 
+  // landed day-partitioned events table per (JVM, source dir) — c13's
+  // fact side; cached like the streaming stagings so bench's second
+  // invocation measures the pruned join, not the layout write
+  private val landedByDayCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def landedByDay(s: SparkSession, d: String): String =
+    landedByDayCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c13_")
+        Tables
+          .events(s, d)
+          .withColumn("dt", col("ts").cast("date"))
+          .repartition(col("dt"))
+          .write
+          .partitionBy("dt")
+          .parquet(s"$dir/events")
+        // the day dimension: every day ranked by recency-inverse — the
+        // stored non-join column a runtime analysis filters on (DPP's
+        // planner requires a selective predicate on the pruning side)
+        Tables
+          .events(s, d)
+          .select(col("ts").cast("date").as("dt"))
+          .distinct()
+          .withColumn(
+            "day_rank",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy("dt"))
+          )
+          .coalesce(1)
+          .write
+          .parquet(s"$dir/days")
+        dir
+      }
+    )
+
+  /** c13: DYNAMIC PARTITION PRUNING over the landed day-partitioned
+    * store — the runtime complement to c5's static layout story. The
+    * fact side is the dt-partitioned events table; the dim side is a
+    * tiny filtered day list (the 3 earliest days) only known at RUN
+    * time. Catalyst plans a DynamicPruningExpression on the fact scan's
+    * partition filters (ScalaTest-pinned): the dim's broadcast result
+    * prunes fact PARTITIONS before they are read, so at 100 TB a
+    * 3-day analysis reads 3 days of files, not the full history — the
+    * single biggest scan saving a time-partitioned lake layout buys.
+    */
+  def c13DppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = landedByDay(s, d)
+    val fact = s.read.parquet(s"$dir/events")
+    val dim = s.read.parquet(s"$dir/days").filter(col("day_rank") <= 3).select("dt")
+    fact
+      .join(broadcast(dim), Seq("dt"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt")
+  }
+
   /** c11: equi-depth histogram of a fact column — the CBO statistic c9's
     * min/max/NDV summary can't express (selectivity under skew). Bin
     * edges are the 7 exact interior octile thresholds (one scalar-sized

@@ -14,6 +14,24 @@ class Round6Spec extends AnyFunSuite {
   import TestSession._
 
   // ------------------------------------------------------------------
+  // c13: dynamic partition pruning — the fact scan must carry a runtime
+  // DynamicPruningExpression in its partition filters
+  // ------------------------------------------------------------------
+  test("c13 fact scan is pruned at runtime by the dim filter (DPP in the plan)") {
+    val df = graft.operators.Maintenance.c13DppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the fact scan:\n$plan")
+    // value check: exactly the 3 earliest days survive
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val allDays = graft.sources.Tables.events(spark, sf)
+      .select(col("ts").cast("date").as("dt")).distinct()
+      .orderBy("dt").limit(3).collect().map(_.getDate(0).toString).sorted
+    assert(rows.map(_.getDate(0).toString).sorted.sameElements(allDays))
+  }
+
+  // ------------------------------------------------------------------
   // SnapshotStore: readers never observe a half-merged store
   // ------------------------------------------------------------------
   test("a crash mid-merge leaves readers on the old snapshot; commit flips atomically") {
