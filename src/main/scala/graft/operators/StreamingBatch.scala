@@ -102,6 +102,9 @@ object StreamingBatch {
     stageJsonSentinel(s, d)
     stageJsonSentinelBoth(s, d)
     stageJsonDuplicated(s, d)
+    stageDocsJson(s, d)
+    stageCsv(s, d)
+    stageProto(s, d)
     s9Halves(s, d)
   }
 
