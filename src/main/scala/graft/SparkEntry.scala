@@ -106,6 +106,7 @@ object SparkEntry {
     "d5b_dedup_embedding_blocked" -> ((s, d) => Dedup.d5bDedupEmbeddingBlocked(s, d)),
     "q34_approx_percentile"  -> (Relational.q34ApproxPercentile _),
     "c2_merge_upsert"        -> (Maintenance.c2MergeUpsert _),
+    "c2b_time_travel"        -> (Maintenance.c2bTimeTravel _),
     "t11_blocklist"          -> ((s, d) => TextAnalysis.t11Blocklist(s, d)),
     "e16_histogram"          -> (Events.e16Histogram _),
     "q35_salted_join"        -> (Relational.q35SaltedJoin _),
@@ -764,6 +765,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         | FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "c2b_time_travel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |   epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |b AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e)
+        |SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        | FROM e, b WHERE 2*tus < mn + mx
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q38_grouping_id" ->
       """SELECT

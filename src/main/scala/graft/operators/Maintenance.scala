@@ -99,8 +99,21 @@ object Maintenance {
     * ScalaTest-asserted.
     */
   def c2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val store = buildMergeStore(s, graft.TempDirs.create("graft_c2_"), d)
+    graft.sources.SnapshotStore
+      .readCurrent(s, store)
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** Stages the two-version merge store under `dir/store`: v1 = latest
+    * event per user over the EARLY half of the stream (the pre-merge
+    * snapshot), v2 = v1 merged with the late half's upserts. The split
+    * uses pure integer arithmetic (`2·µs ≥ mn+mx`) so an oracle over the
+    * same split can't drift on float division. Returns the store root.
+    */
+  private def buildMergeStore(s: SparkSession, dir: String, d: String): String = {
     import graft.sources.SnapshotStore
-    val dir = graft.TempDirs.create("graft_c2_")
     val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value", "ts")
     val bounds = ev.agg(
       min(unix_micros(col("ts"))).as("mn"),
@@ -108,7 +121,7 @@ object Maintenance {
     )
     val halved = ev
       .crossJoin(broadcast(bounds))
-      .withColumn("is_late", unix_micros(col("ts")) >= (col("mn") + col("mx")) / 2)
+      .withColumn("is_late", unix_micros(col("ts")) * 2 >= col("mn") + col("mx"))
       .drop("mn", "mx")
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
@@ -125,8 +138,30 @@ object Maintenance {
     mergeUpsert(target, updates, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
       .write.mode("overwrite").parquet(SnapshotStore.versionPath(store, 2))
     SnapshotStore.commit(store, 2)
-    SnapshotStore
-      .readCurrent(s, store)
+    store
+  }
+
+  // the merge store c2b time-travels into, built once per (JVM, source
+  // dir) so the bench measures the versioned READ, not the store build
+  private val mergeStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** c2b: TIME TRAVEL over the manifest-versioned merge store — read the
+    * PRE-merge snapshot (v1) after the merge has already published v2.
+    * Version directories are immutable and the manifest is the only
+    * visibility pointer, so the as-of read is exactly the early-half
+    * latest-per-user state; the oracle recomputes that state from raw
+    * events with the same integer-arithmetic midpoint split. This is the
+    * audit/debug read ("what did the store say before last night's
+    * merge?") a copy-on-write table format owes its operators, and it
+    * costs one manifest stat + one immutable-directory scan at any scale.
+    */
+  def c2bTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val store = mergeStoreCache.computeIfAbsent(
+      d,
+      _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d)
+    )
+    graft.sources.SnapshotStore
+      .readVersion(s, store, 1)
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
   }

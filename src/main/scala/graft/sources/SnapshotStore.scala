@@ -58,4 +58,19 @@ object SnapshotStore {
     )
     s.read.parquet(versionPath(root, v))
   }
+
+  /** TIME TRAVEL: read a specific previously-published version. Version
+    * directories are immutable once published and never vacuumed by the
+    * writer, so any `v` ≤ current is a complete, consistent snapshot —
+    * the audit/"as-of" read every copy-on-write table format offers.
+    * Unpublished (staged or crashed) versions are rejected: the manifest
+    * is the only source of visibility.
+    */
+  def readVersion(s: SparkSession, root: String, v: Long): DataFrame = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")
+    )
+    require(v >= 1 && v <= cur, s"version $v is not published (current is $cur)")
+    s.read.parquet(versionPath(root, v))
+  }
 }

@@ -173,6 +173,29 @@ class Round6Spec extends AnyFunSuite {
     assert(lags.map(_.lateDropped).sum >= 1, s"no late drops in $lags")
   }
 
+  test("time travel reads any published version; unpublished versions are invisible") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_snapshot_test3_") + "/store"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(SnapshotStore.versionPath(root, 1))
+    SnapshotStore.commit(root, 1)
+    Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(SnapshotStore.versionPath(root, 2))
+    SnapshotStore.commit(root, 2)
+
+    // as-of read: v1 is immutable and still fully consistent after v2
+    val v1 = SnapshotStore.readVersion(spark, root, 1).orderBy("k").collect()
+    assert(v1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // current read still resolves v2
+    assert(SnapshotStore.readVersion(spark, root, 2).count() == 3)
+
+    // a staged-but-uncommitted v3 must NOT be readable — the manifest is
+    // the only source of visibility
+    Seq((9L, "torn")).toDF("k", "v").write.parquet(SnapshotStore.versionPath(root, 3))
+    intercept[IllegalArgumentException](SnapshotStore.readVersion(spark, root, 3))
+    intercept[IllegalArgumentException](SnapshotStore.readVersion(spark, root, 0))
+  }
+
   test("snapshot reads are stable across a concurrent commit (no torn view)") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test2_") + "/store"
