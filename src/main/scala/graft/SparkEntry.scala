@@ -198,6 +198,7 @@ object SparkEntry {
     "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
+    "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1622,6 +1623,14 @@ object SparkEntry {
         |SELECT e.dt, count(*) AS n, round(sum(e.value), 2) AS sum_value
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c14_zorder_layout" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+        |  min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem, b
+        |WHERE l_partkey >= pmn + (pmx - pmn) // 4 AND l_partkey < pmn + (pmx - pmn) // 2
+        |  AND l_suppkey >= smn + (smx - smn) // 4 AND l_suppkey < smn + (smx - smn) // 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c12_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

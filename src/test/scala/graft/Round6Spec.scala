@@ -173,6 +173,43 @@ class Round6Spec extends AnyFunSuite {
     assert(lags.map(_.lateDropped).sum >= 1, s"no late drops in $lags")
   }
 
+  // ------------------------------------------------------------------
+  // c14: Z-order layout — per-file locality in BOTH dimensions, so a
+  // predicate on the SECOND dimension prunes files where a single-key
+  // sort keeps every file alive
+  // ------------------------------------------------------------------
+  test("c14 z-order gives two-dimensional file pruning; single-key sort does not") {
+    import graft.operators.Maintenance
+    import graft.sources.Tables
+    val dir = TempDirs.create("graft_c14spec_")
+    val li = Tables.lineitem(spark, sf)
+    Maintenance.zorderLayout(li, s"$dir/z", 16, col("l_partkey"), col("l_suppkey"))
+    Maintenance.rangeLayout(li, s"$dir/single", 16, Seq(col("l_partkey")))
+
+    // the middle quarter-span of l_suppkey — a predicate that does NOT
+    // touch the leading sort key of the single-dim layout
+    val Array(smn, smx) = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+      .toSeq.map(_.toString.toLong).toArray
+    val lo = smn + (smx - smn) / 4
+    val hi = smn + (smx - smn) / 2
+
+    def overlapFraction(path: String): Double = {
+      val files = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_suppkey").cast("long").as("lo"), max("l_suppkey").cast("long").as("hi"))
+        .collect()
+      files.count(r => r.getLong(2) >= lo && r.getLong(1) < hi).toDouble / files.length
+    }
+    val zFrac = overlapFraction(s"$dir/z")
+    val sFrac = overlapFraction(s"$dir/single")
+    // single-key sort: every file spans all suppliers — no pruning at all
+    assert(sFrac >= 0.9, s"single-dim layout unexpectedly pruned: $sFrac")
+    // z-order: the quarter-span box keeps at most ~half the files
+    assert(zFrac <= 0.6, s"z-order layout did not prune on the second dim: $zFrac")
+    // the layout is semantically invisible: landed rows == source rows
+    assert(spark.read.parquet(s"$dir/z").count() == li.count())
+  }
+
   test("time travel reads any published version; unpublished versions are invisible") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test3_") + "/store"
