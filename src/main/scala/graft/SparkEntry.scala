@@ -199,6 +199,7 @@ object SparkEntry {
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
+    "c15_bloom_index"        -> (Maintenance.c15BloomIndex _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1624,6 +1625,11 @@ object SparkEntry {
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c15_bloom_index" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)""".stripMargin,
     "c14_zorder_layout" ->
       """WITH b AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
         |  min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem)

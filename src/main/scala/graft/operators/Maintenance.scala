@@ -365,6 +365,127 @@ object Maintenance {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------------
+  // c15: per-file BLOOM secondary index
+  // --------------------------------------------------------------------
+
+  /** The k=3 bloom bit positions of `key` in an `mBits`-bit filter, by
+    * Kirsch–Mitzenmacher double hashing over two independent xxhash64
+    * values (h2 forced odd so the stride never degenerates). Pure
+    * codegen'd column arithmetic — the same expressions index build and
+    * probe, so the two sides can never disagree on a position.
+    */
+  private def bloomPositions(key: Column, mBits: Long): Seq[Column] = {
+    // reduce mod m BEFORE combining: raw xxhash64 values span the full
+    // Long range and i·h2 would overflow under ANSI arithmetic; with
+    // m a power of two the reduced stride keeps h2's low bits, so
+    // forcing h2 odd still guarantees a full-period probe sequence
+    val h1 = pmod(xxhash64(key), lit(mBits))
+    val h2 = pmod(xxhash64(key, lit("graft_bloom_salt")).bitwiseOR(lit(1L)), lit(mBits))
+    (0 until 3).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits)))
+  }
+
+  /** Filter size for ~n insertions at k=3: the next power of two ≥ 8·n
+    * keeps the load factor ≤ 0.375 bits-set (≈0.3% false positives) at
+    * ANY scale factor — a fixed-size bloom would silently saturate as
+    * files grow. The chosen size is persisted IN the index so probes
+    * can never hash against the wrong modulus.
+    */
+  private def bloomSize(nPerFile: Long): Long =
+    java.lang.Long.highestOneBit(math.max(8192L, 8L * nPerFile) * 2 - 1)
+
+  // layout + index staged once per (JVM, source dir): the bench then
+  // measures the indexed LOOKUP, which is the operator
+  private val bloomIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bloomIndexStore(s: SparkSession, d: String): String =
+    bloomIndexCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c15_")
+        // the realistic adversary: files clustered by ship date, so an
+        // order-key lookup has NO leading-key locality to prune with
+        rangeLayout(
+          Tables.lineitem(s, d),
+          s"$dir/data",
+          16,
+          Seq(col("l_shipdate"), col("l_orderkey"))
+        )
+        val data = s.read.parquet(s"$dir/data")
+        val m = bloomSize(data.count() / 16)
+        // one bloom per file: each row contributes its key's 3 bit
+        // positions; collect_set dedups them into the file's bit set.
+        // The set is KB-scale per file — an index TABLE, built with one
+        // shuffle, never driver-side state. (A packed-words
+        // representation would be 32× smaller still; the set-of-
+        // positions form keeps build and probe fully declarative.)
+        data
+          .select(
+            input_file_name().as("f"),
+            explode(array(bloomPositions(col("l_orderkey"), m): _*)).as("pos")
+          )
+          .groupBy("f")
+          .agg(sort_array(collect_set("pos")).as("bits"))
+          .withColumn("m", lit(m))
+          .coalesce(1)
+          .write
+          .parquet(s"$dir/index")
+        dir
+      }
+    )
+
+  /** The files whose bloom admits `key`, as a driver-side path list —
+    * an O(matched files) METADATA collect like c7's directory ops (the
+    * `bits` arrays themselves never leave the executors). */
+  private def bloomMatchedPaths(s: SparkSession, dir: String, key: Long): Array[String] = {
+    val idx = s.read.parquet(s"$dir/index")
+    val m = idx.select("m").head().getLong(0)
+    idx
+      .filter(bloomPositions(lit(key), m).map(p => array_contains(col("bits"), p)).reduce(_ && _))
+      .select("f")
+      .collect()
+      .map(_.getString(0))
+  }
+
+  /** c15: per-file BLOOM secondary index — the point-lookup story for a
+    * column the layout is NOT sorted by. The store is ship-date
+    * clustered (c5's layout), so an order's ~4 line items scatter
+    * across the date range and footer min/max on `l_orderkey` prune
+    * nothing; a KB-per-file bloom over the key answers "which files can
+    * contain K" instead, and the lookup reads only those files. The
+    * probe filters the 16-row index table and collects the surviving
+    * FILE LIST — an O(matched files) metadata collect like c7's
+    * directory ops, never data rows. False positives cost one wasted
+    * file read; the exact `l_orderkey = K` filter on the pruned scan
+    * keeps the answer precise, which is why the DuckDB oracle (a full
+    * scan of raw lineitem) must hash-match regardless of bloom tuning.
+    * At 100 TB: 1M files × KB blooms is a few GB — a small table
+    * filtered distributively, with only matched paths ever reaching the
+    * driver. The lookup key (a user constant in practice) is the max
+    * order key — deterministic, SF-invariant, and guaranteed present.
+    */
+  def c15BloomIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = bloomIndexStore(s, d)
+    val k = Tables.lineitem(s, d).agg(max("l_orderkey")).head().get(0).toString.toLong
+    val matched = bloomMatchedPaths(s, dir, k)
+    val pruned =
+      if (matched.isEmpty) s.read.parquet(s"$dir/data").filter(lit(false))
+      else s.read.parquet(matched.toIndexedSeq: _*)
+    pruned
+      .filter(col("l_orderkey") === lit(k))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("revenue")
+      )
+  }
+
+  /** How many of the store's files the bloom keeps alive for `key` —
+    * the ScalaTest pruning probe. */
+  private[graft] def bloomMatchedFiles(s: SparkSession, d: String, key: Long): Long = {
+    val dir = bloomIndexStore(s, d)
+    bloomMatchedPaths(s, dir, key).length.toLong
+  }
+
   /** c6: INCREMENTAL rollup maintenance — the materialized-view pattern
     * that makes 100 TB dashboards affordable: per-(day, type) partial
     * aggregates (count / sum / min / max — all mergeable) are computed

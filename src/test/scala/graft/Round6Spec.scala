@@ -210,6 +210,35 @@ class Round6Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
 
+  // ------------------------------------------------------------------
+  // c15: per-file bloom secondary index — a point lookup on the
+  // non-sort column must read a strict subset of the store's files,
+  // and the indexed answer must equal the full-scan answer
+  // ------------------------------------------------------------------
+  test("c15 bloom index prunes files for a point lookup and stays exact") {
+    import graft.operators.Maintenance
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val k = li.agg(max("l_orderkey")).head().get(0).toString.toLong
+
+    // the max order's ~4 line items scatter by ship date, but never
+    // into every file: the bloom must keep a strict subset alive
+    val matched = Maintenance.bloomMatchedFiles(spark, sf, k)
+    assert(matched >= 1 && matched < 16, s"bloom matched $matched of 16 files")
+
+    // a key OUTSIDE the domain: ~0.3% FP rate per file ⇒ almost always
+    // zero matches; allow a stray false positive but never a scan
+    val absent = Maintenance.bloomMatchedFiles(spark, sf, k * 2 + 1)
+    assert(absent <= 2, s"absent key matched $absent files — bloom saturated?")
+
+    // exactness: indexed lookup == full scan
+    val indexed = Maintenance.c15BloomIndex(spark, sf).head()
+    val full = li.filter(col("l_orderkey") === k)
+      .agg(count(lit(1)), round(sum("l_quantity"), 2), round(sum("l_extendedprice"), 2)).head()
+    assert(indexed.getLong(0) == full.getLong(0) && indexed.get(1) == full.get(1)
+      && indexed.get(2) == full.get(2))
+  }
+
   test("time travel reads any published version; unpublished versions are invisible") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test3_") + "/store"
