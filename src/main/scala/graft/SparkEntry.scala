@@ -200,6 +200,7 @@ object SparkEntry {
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
     "c15_bloom_index"        -> (Maintenance.c15BloomIndex _),
+    "c16_mv_rewrite"         -> (Maintenance.c16MvRewrite _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1625,6 +1626,13 @@ object SparkEntry {
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c16_mv_rewrite" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(sum(value) / count(*), 4) AS avg_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "c15_bloom_index" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS revenue

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-top-k → TopKPerKey rewrite + the strategy that plans it
     e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // registered-rollup answering of raw-table aggregates
+    e.injectOptimizerRule(_ => MvRewrite)
   }
 }
 
@@ -63,6 +65,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
     }
     TopK.install(spark)
   }

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
+
+/** MATERIALIZED-VIEW REWRITE (§2.8, the `Rule[LogicalPlan]` extension
+  * level): a registered rollup of mergeable partials (c6's per-(day,
+  * type) table) transparently answers aggregate queries written against
+  * the RAW fact table. At 100 TB this is the difference between a
+  * dashboard group-by costing a full-history scan and costing a scan of
+  * a days×types summary — without the query author knowing the summary
+  * exists.
+  *
+  * A registration ([[MvRegistry.register]]) binds a source parquet path
+  * to a summary table with
+  *   - `dims`: source grouping columns stored verbatim in the summary,
+  *   - one measure column, summarized as `n = count(1)`, `sm = sum(m)`,
+  *     `mn = min(m)`, `mx = max(m)` per dims row.
+  *
+  * The rule rewrites `Aggregate(G, A, scan(source))` when
+  *   - the scan reaches the source relation through pass-through
+  *     Projects only (no Filter — a predicate on raw rows cannot be
+  *     answered by pre-grouped partials unless it is dim-only; kept
+  *     conservative),
+  *   - every grouping expression is a bare dim attribute, and
+  *   - every aggregate call in `A` is `count(1)` / `count(m)` /
+  *     `sum(m)` / `min(m)` / `max(m)` / `avg(m)` on the measure, with
+  *     no DISTINCT and no FILTER clause. Scalar expressions above and
+  *     around the calls (`round(sum(m), 2)`, arithmetic, …) are
+  *     preserved — only the aggregate-function nodes are substituted.
+  *
+  * The substitution is the standard partial-merge algebra: `count(1) →
+  * sum(n)`, `sum(m) → sum(sm)`, `min(m) → min(mn)`, `max(m) → max(mx)`,
+  * `avg(m) → sum(sm) / sum(n)`. `count(m)`/`avg(m)` additionally
+  * require the registrar's `measureNonNull` attestation, because the
+  * summary's `n` counts rows, not non-null measures. Output attribute
+  * ids are preserved (aliases reuse the original exprIds), so operators
+  * above the Aggregate — sorts, projections, joins — are untouched by
+  * the swap.
+  *
+  * Correctness contract: summing per-group partial sums re-associates
+  * float addition exactly like Spark's own two-phase hash aggregate
+  * does between map-side and final partials — the same tolerance the
+  * oracle gate already admits for every grouped sum.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRegistry.isEmpty) plan
+    else
+      plan.transformUp { case agg: Aggregate =>
+        tryRewrite(agg).getOrElse(agg)
+      }
+
+  /** Walk pass-through Projects down to a parquet relation, building the
+    * exprId → source-column-name map for attributes that survive
+    * untransformed. Any other node shape disqualifies the subtree.
+    */
+  private def baseOf(plan: LogicalPlan): Option[(LogicalRelation, Map[ExprId, String])] =
+    plan match {
+      case lr: LogicalRelation =>
+        Some((lr, lr.output.map(a => a.exprId -> a.name).toMap))
+      case Project(items, child) =>
+        baseOf(child).map { case (lr, inner) =>
+          val passThrough = items.collect {
+            case a: AttributeReference if inner.contains(a.exprId) => a.exprId -> inner(a.exprId)
+            case al @ Alias(ar: AttributeReference, _) if inner.contains(ar.exprId) =>
+              al.exprId -> inner(ar.exprId)
+          }.toMap
+          (lr, passThrough)
+        }
+      case _ => None
+    }
+
+  private def sourcePaths(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+    case _                    => Seq.empty
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (lr, names) <- baseOf(agg.child)
+      mv <- MvRegistry.lookup(sourcePaths(lr))
+      rewritten <- rewriteAggregate(agg, names, mv)
+    } yield rewritten
+  }
+
+  private def rewriteAggregate(
+      agg: Aggregate,
+      names: Map[ExprId, String],
+      mv: MvRegistry.MvDef
+  ): Option[LogicalPlan] = {
+    val summary = mv.summaryPlan()
+    val sAttr: Map[String, Attribute] = summary.output.map(a => a.name -> a).toMap
+    // summary must actually carry the columns the registration promises
+    if (!(mv.dims.values ++ Seq(mv.cnt, mv.sm, mv.mn, mv.mx)).forall(sAttr.contains))
+      return None
+
+    // grouping: bare dim attributes only
+    val groupMap: Option[Seq[(Attribute, Attribute)]] =
+      agg.groupingExpressions.foldLeft(Option(Seq.empty[(Attribute, Attribute)])) {
+        case (acc, a: AttributeReference) =>
+          for {
+            seq <- acc
+            srcName <- names.get(a.exprId)
+            sumName <- mv.dims.get(srcName)
+          } yield seq :+ (a: Attribute, sAttr(sumName))
+        case _ => None
+      }
+    groupMap match {
+      case None => None
+      case Some(pairs) =>
+        val dimSub: Map[ExprId, Attribute] = pairs.map { case (src, dst) => src.exprId -> dst }.toMap
+
+        def isMeasure(e: Expression): Boolean = e match {
+          case a: AttributeReference => names.get(a.exprId).contains(mv.measure)
+          case _                     => false
+        }
+        def agge(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+
+        var ok = true
+        val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+          val replaced = ne.transformUp {
+            case AggregateExpression(fn, _, isDistinct, filter, _) =>
+              if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
+              else
+                fn match {
+                  case Count(Seq(Literal(_, _))) => agge(Sum(sAttr(mv.cnt)))
+                  case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull => agge(Sum(sAttr(mv.cnt)))
+                  case Sum(m, _) if isMeasure(m) => agge(Sum(sAttr(mv.sm)))
+                  case Min(m) if isMeasure(m)    => agge(Min(sAttr(mv.mn)))
+                  case Max(m) if isMeasure(m)    => agge(Max(sAttr(mv.mx)))
+                  case Average(m, _) if isMeasure(m) && mv.measureNonNull =>
+                    Divide(agge(Sum(sAttr(mv.sm))), Cast(agge(Sum(sAttr(mv.cnt))), DoubleType))
+                  case _ => ok = false; Literal(null)
+                }
+          }
+          val substituted = replaced.transformUp {
+            case a: AttributeReference if dimSub.contains(a.exprId) => dimSub(a.exprId)
+          }
+          // any surviving reference to the source side means an
+          // expression shape we don't cover — bail
+          substituted.foreach {
+            case a: AttributeReference if names.contains(a.exprId) => ok = false
+            case _                                                 =>
+          }
+          substituted match {
+            case a: Attribute   => Alias(a, ne.name)(exprId = ne.exprId)
+            case al: Alias      => Alias(al.child, ne.name)(exprId = ne.exprId)
+            case other          => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        if (!ok) None
+        else
+          Some(
+            agg.copy(
+              groupingExpressions = pairs.map(_._2),
+              aggregateExpressions = newAggExprs,
+              child = summary
+            )
+          )
+    }
+  }
+}
+
+/** Registry binding source parquet paths to their rollup summaries.
+  * Registration is explicit (the maintenance job that builds the
+  * summary owns the binding); lookups key on the source relation's
+  * root paths so the rule never guesses.
+  */
+object MvRegistry {
+
+  final case class MvDef(
+      summaryPlan: () => LogicalPlan,
+      dims: Map[String, String],
+      measure: String,
+      cnt: String,
+      sm: String,
+      mn: String,
+      mx: String,
+      measureNonNull: Boolean
+  )
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def isEmpty: Boolean = registry.isEmpty
+
+  /** Bind `sourcePath`'s aggregates to `summary`. `dims` maps source
+    * grouping columns to their summary columns; `cnt`/`sm`/`mn`/`mx`
+    * name the summary's count/sum/min/max partials over `measure`.
+    * `measureNonNull` attests the measure has no nulls — required for
+    * `count(m)`/`avg(m)` rewrites (the summary counts rows).
+    */
+  def register(
+      spark: SparkSession,
+      sourcePath: String,
+      summary: DataFrame,
+      dims: Map[String, String],
+      measure: String,
+      cnt: String = "n",
+      sm: String = "sv",
+      mn: String = "mnv",
+      mx: String = "mxv",
+      measureNonNull: Boolean = true
+  ): Unit = {
+    // re-resolve the summary per use: fresh attribute ids per rewrite,
+    // so two rewrites in one query can't collide
+    val builder = () => summary.queryExecution.analyzed match {
+      case lr: LogicalRelation => lr.newInstance()
+      case other               => other
+    }
+    registry.put(normalize(sourcePath), MvDef(builder, dims, measure, cnt, sm, mn, mx, measureNonNull))
+  }
+
+  def unregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
+  def clear(): Unit = registry.clear()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** The MV bound to this exact single-root relation, if any. */
+  def lookup(rootPaths: Seq[String]): Option[MvDef] = rootPaths match {
+    case Seq(only) => Option(registry.get(normalize(only)))
+    case _         => None
+  }
+}
