@@ -201,6 +201,7 @@ object SparkEntry {
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
     "c15_bloom_index"        -> (Maintenance.c15BloomIndex _),
     "c16_mv_rewrite"         -> (Maintenance.c16MvRewrite _),
+    "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
   )
@@ -1625,6 +1626,10 @@ object SparkEntry {
         |SELECT e.dt, count(*) AS n, round(sum(e.value), 2) AS sum_value
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c16b_mv_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c16_mv_rewrite" ->
       """SELECT event_type, count(*) AS n,

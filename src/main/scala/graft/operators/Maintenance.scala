@@ -546,6 +546,29 @@ object Maintenance {
       .orderBy("event_type")
   }
 
+  /** c16b: the FILTERED materialized-view rewrite — a dim-only
+    * predicate (`event_type <> 'view'`) commutes with the partials'
+    * pre-grouping, so [[graft.plans.MvRewrite]] re-applies it to the
+    * summary scan and still answers from the rollup. A predicate on any
+    * non-dim column must (and does — ScalaTest) disqualify the rewrite.
+    */
+  def c16bMvRewriteFiltered(s: SparkSession, d: String): DataFrame = {
+    val dir = mvStore(s, d)
+    graft.plans.MvRegistry.register(
+      s,
+      s"$d/events.parquet",
+      s.read.parquet(s"$dir/partials"),
+      dims = Map("event_type" -> "event_type"),
+      measure = "value"
+    )
+    Tables
+      .events(s, d)
+      .filter(col("event_type") =!= "view")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** c6: INCREMENTAL rollup maintenance — the materialized-view pattern
     * that makes 100 TB dashboards affordable: per-(day, type) partial
     * aggregates (count / sum / min / max — all mergeable) are computed

@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.DoubleType
   *
   * The rule rewrites `Aggregate(G, A, scan(source))` when
   *   - the scan reaches the source relation through pass-through
-  *     Projects only (no Filter — a predicate on raw rows cannot be
-  *     answered by pre-grouped partials unless it is dim-only; kept
-  *     conservative),
+  *     Projects and deterministic Filters whose predicates reference
+  *     ONLY dim columns (all raw rows behind one partial row share its
+  *     dim values, so a dim-only predicate commutes with the
+  *     pre-grouping and is re-applied to the summary; any finer
+  *     predicate disqualifies the rewrite),
   *   - every grouping expression is a bare dim attribute, and
   *   - every aggregate call in `A` is `count(1)` / `count(m)` /
   *     `sum(m)` / `min(m)` / `max(m)` / `avg(m)` on the measure, with
@@ -57,23 +59,32 @@ object MvRewrite extends Rule[LogicalPlan] {
         tryRewrite(agg).getOrElse(agg)
       }
 
-  /** Walk pass-through Projects down to a parquet relation, building the
-    * exprId → source-column-name map for attributes that survive
-    * untransformed. Any other node shape disqualifies the subtree.
+  /** Walk pass-through Projects and deterministic Filters down to a
+    * parquet relation, building the exprId → source-column-name map for
+    * attributes that survive untransformed and collecting filter
+    * conjuncts (validated against the MV's dims later — a predicate on
+    * anything finer than a dim cannot be answered by pre-grouped
+    * partials). Any other node shape disqualifies the subtree.
     */
-  private def baseOf(plan: LogicalPlan): Option[(LogicalRelation, Map[ExprId, String])] =
+  private def baseOf(
+      plan: LogicalPlan
+  ): Option[(LogicalRelation, Map[ExprId, String], Seq[Expression])] =
     plan match {
       case lr: LogicalRelation =>
-        Some((lr, lr.output.map(a => a.exprId -> a.name).toMap))
+        Some((lr, lr.output.map(a => a.exprId -> a.name).toMap, Seq.empty))
       case Project(items, child) =>
-        baseOf(child).map { case (lr, inner) =>
+        baseOf(child).map { case (lr, inner, conds) =>
           val passThrough = items.collect {
             case a: AttributeReference if inner.contains(a.exprId) => a.exprId -> inner(a.exprId)
             case al @ Alias(ar: AttributeReference, _) if inner.contains(ar.exprId) =>
               al.exprId -> inner(ar.exprId)
           }.toMap
-          (lr, passThrough)
+          // cumulative: lower-level ids stay resolvable so that filter
+          // conjuncts captured BELOW this Project still validate
+          (lr, inner ++ passThrough, conds)
         }
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) if cond.deterministic =>
+        baseOf(child).map { case (lr, inner, conds) => (lr, inner, conds :+ cond) }
       case _ => None
     }
 
@@ -84,15 +95,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (lr, names) <- baseOf(agg.child)
+      (lr, names, conds) <- baseOf(agg.child)
       mv <- MvRegistry.lookup(sourcePaths(lr))
-      rewritten <- rewriteAggregate(agg, names, mv)
+      rewritten <- rewriteAggregate(agg, names, conds, mv)
     } yield rewritten
   }
 
   private def rewriteAggregate(
       agg: Aggregate,
       names: Map[ExprId, String],
+      conds: Seq[Expression],
       mv: MvRegistry.MvDef
   ): Option[LogicalPlan] = {
     val summary = mv.summaryPlan()
@@ -100,6 +112,29 @@ object MvRewrite extends Rule[LogicalPlan] {
     // summary must actually carry the columns the registration promises
     if (!(mv.dims.values ++ Seq(mv.cnt, mv.sm, mv.mn, mv.mx)).forall(sAttr.contains))
       return None
+
+    // filter conjuncts: every referenced column must be a dim (all raw
+    // rows behind one partial row share its dim values, so a dim-only
+    // predicate commutes with the pre-grouping); rewrite them onto the
+    // summary attributes and apply BELOW the new aggregate
+    val rewrittenConds: Option[Seq[Expression]] =
+      conds.foldLeft(Option(Seq.empty[Expression])) { (acc, cond) =>
+        acc.flatMap { seq =>
+          var condOk = true
+          val sub = cond.transformUp {
+            case a: AttributeReference =>
+              names.get(a.exprId).flatMap(mv.dims.get) match {
+                case Some(sumName) => sAttr(sumName)
+                case None          => condOk = false; a
+              }
+          }
+          if (condOk) Some(seq :+ sub) else None
+        }
+      }
+    if (rewrittenConds.isEmpty) return None
+    val filteredSummary = rewrittenConds.get.foldLeft(summary: LogicalPlan) { (p, c) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
+    }
 
     // grouping: bare dim attributes only
     val groupMap: Option[Seq[(Attribute, Attribute)]] =
@@ -161,7 +196,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             agg.copy(
               groupingExpressions = pairs.map(_._2),
               aggregateExpressions = newAggExprs,
-              child = summary
+              child = filteredSummary
             )
           )
     }

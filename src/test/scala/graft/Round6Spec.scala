@@ -278,6 +278,22 @@ class Round6Spec extends AnyFunSuite {
         .groupBy("user_id").agg(round(sum("value"), 2).as("sv"))
       assert(nonDim.queryExecution.executedPlan.toString.contains("events.parquet"),
         "non-dim grouping was wrongly rewritten")
+
+      // a DIM-ONLY predicate commutes with the pre-grouping: the
+      // filtered aggregate must also come from the MV
+      val filtered = Maintenance.c16bMvRewriteFiltered(spark, sf)
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("graft_c16") && !fPlan.contains("events.parquet"),
+        s"dim-only filtered aggregate was not rewritten:\n$fPlan")
+      assert(filtered.collect().map(_.getString(0)).sameElements(
+        Seq("click", "error", "purchase", "signup")))
+
+      // a predicate on a NON-dim column must disqualify the rewrite
+      val fineFilter = Tables.events(spark, sf)
+        .filter(col("value") > 0)
+        .groupBy("event_type").agg(round(sum("value"), 2).as("sv"))
+      assert(fineFilter.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "non-dim predicate was wrongly rewritten onto pre-grouped partials")
     } finally graft.plans.MvRegistry.clear()
   }
 
