@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned table store with an ATOMIC publish step — the minimal
@@ -71,6 +72,43 @@ object SnapshotStore {
       throw new IllegalStateException(s"no committed version under $root")
     )
     require(v >= 1 && v <= cur, s"version $v is not published (current is $cur)")
+    if (!Files.exists(Paths.get(versionPath(root, v))))
+      throw new IllegalStateException(s"version $v was vacuumed (retention window passed)")
     s.read.parquet(versionPath(root, v))
+  }
+
+  /** VACUUM: drop version directories older than the `keep` most recent
+    * published ones, bounding the store's copy-on-write history. Pure
+    * O(versions) metadata directory deletes — survivors are never
+    * scanned or rewritten (c7's retention discipline). The manifest is
+    * untouched, so readers of retained versions (including `_CURRENT`)
+    * are unaffected; time travel below the window now fails with an
+    * explicit vacuumed error instead of a missing-file scan. Staged
+    * directories ABOVE the current version (a crashed writer's
+    * leftovers) are left for that writer's recovery overwrite. Returns
+    * the dropped version numbers.
+    */
+  def vacuum(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")
+    )
+    val cutoff = cur - keep + 1
+    val dropped = Files
+      .list(Paths.get(root))
+      .iterator()
+      .asScala
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=")) n.stripPrefix("v=").toLongOption else None
+      }
+      .filter(_ < cutoff)
+      .toSeq
+      .sorted
+    dropped.foreach { v =>
+      val dir = Paths.get(versionPath(root, v))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    dropped
   }
 }

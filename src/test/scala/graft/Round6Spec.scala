@@ -320,6 +320,30 @@ class Round6Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](SnapshotStore.readVersion(spark, root, 0))
   }
 
+  test("vacuum bounds version history; retained versions and the manifest are untouched") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_snapshot_test4_") + "/store"
+    (1 to 4).foreach { v =>
+      Seq((v.toLong, s"v$v")).toDF("k", "v")
+        .write.parquet(SnapshotStore.versionPath(root, v))
+      SnapshotStore.commit(root, v)
+    }
+    // a crashed writer's staged-but-uncommitted v5
+    Seq((5L, "staged")).toDF("k", "v").write.parquet(SnapshotStore.versionPath(root, 5))
+
+    assert(SnapshotStore.vacuum(root, keep = 2) == Seq(1L, 2L))
+
+    // current + previous still read; below the window fails explicitly
+    assert(SnapshotStore.readCurrent(spark, root).head().getString(1) == "v4")
+    assert(SnapshotStore.readVersion(spark, root, 3).head().getString(1) == "v3")
+    intercept[IllegalStateException](SnapshotStore.readVersion(spark, root, 2))
+    // the staged v5 is a recovery concern, not vacuum's — untouched
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(SnapshotStore.versionPath(root, 5))))
+    // idempotent: nothing left below the window
+    assert(SnapshotStore.vacuum(root, keep = 2).isEmpty)
+  }
+
   test("snapshot reads are stable across a concurrent commit (no torn view)") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test2_") + "/store"
