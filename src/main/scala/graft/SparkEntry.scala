@@ -153,6 +153,8 @@ object SparkEntry {
     "q38_grouping_id"        -> (Relational.q38GroupingId _),
     "q39_running_distinct"   -> (Relational.q39RunningDistinct _),
     "e22_mad_outliers"       -> ((s, d) => Events.e22MadOutliers(s, d)),
+    "e23_new_vs_returning"   -> (Events.e23NewVsReturning _),
+    "e24_decay_score"        -> (Events.e24DecayScore _),
     "t17_pii_redact"         -> (TextAnalysis.t17PiiRedact _),
     "t18_repetition"         -> (TextAnalysis.t18Repetition _),
     "v8_range_search"        -> ((s, d) => Similarity.v8RangeSearch(s, d)),
@@ -1272,6 +1274,22 @@ object SparkEntry {
         | CAST(max(CASE WHEN rn = 1 THEN len END) AS INT) AS keep_len,
         | count(*) AS n_members
         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "e23_new_vs_returning" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1)
+        |SELECT day, count(*) AS active,
+        | sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
+        | sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS returning
+        |FROM daily JOIN fd USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e24_decay_score" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT max(day) AS mxd FROM ev)
+        |SELECT user_id,
+        | round(sum(value * (1.0 / (1.0 + datediff('day', day, mxd)))), 4) AS score,
+        | count(*) AS n_scored
+        |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "e25_seasonal_baseline" ->
       """WITH cells AS (
         | SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hod, count(*) AS n

@@ -709,4 +709,50 @@ object Events {
       .filter(col("n") >= 10)
       .orderBy(desc("n"), col("trigram"))
   }
+
+  /** e23: NEW vs RETURNING decomposition of each day's active users —
+    * the growth-accounting twin of e15's DAU/WAU. A user's first-ever
+    * active day comes from one keyed min-aggregate (map-side combined);
+    * the day table then splits actives by `day == first_day`. Two
+    * hash-shuffles on high-cardinality keys (user, then day) — no
+    * windows, no self-joins — so the plan is flat in the day count and
+    * partition-parallel in users at any scale.
+    */
+  def e23NewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val firstDay = daily.groupBy("user_id").agg(min("day").as("first_day"))
+    daily
+      .join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning")
+      )
+      .orderBy("day")
+  }
+
+  /** e24: time-decayed engagement score per user: Σ value · 1/(1+age_days),
+    * age measured against the corpus max day (broadcast scalar). The
+    * RATIONAL decay kernel is deliberate: it is exactly representable in
+    * both engines, where an exp(−λ·age) kernel would drift on
+    * cross-engine `exp` ulp and fail hash parity. One keyed groupBy with
+    * map-side partials — the per-user score at 100 TB is one shuffle of
+    * (user, partial-sum) pairs.
+    */
+  def e24DecayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = ev.agg(max("day").as("mxd"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("w", lit(1.0) / (lit(1.0) + datediff(col("mxd"), col("day"))))
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * col("w")), 4).as("score"), count(lit(1)).as("n_scored"))
+      .orderBy("user_id")
+  }
 }
