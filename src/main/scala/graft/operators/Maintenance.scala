@@ -141,6 +141,20 @@ object Maintenance {
     store
   }
 
+  /** Build the cached one-time stores (c2b merge store, c13 landed
+    * partitions, c15 bloom index, c16 MV partials) untimed — same
+    * discipline as `StreamingBatch.prestage`: the timed bench entries
+    * then measure the OPERATOR (versioned read / pruned join / indexed
+    * lookup / rewritten aggregate), not whichever invocation happens to
+    * pay the shared staging first.
+    */
+  def prestage(s: SparkSession, d: String): Unit = {
+    mergeStoreCache.computeIfAbsent(d, _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d))
+    landedByDay(s, d)
+    bloomIndexStore(s, d)
+    mvStore(s, d)
+  }
+
   // the merge store c2b time-travels into, built once per (JVM, source
   // dir) so the bench measures the versioned READ, not the store build
   private val mergeStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
