@@ -358,20 +358,21 @@ object Maintenance {
     val dir = graft.TempDirs.create("graft_c14_")
     zorderLayout(Tables.lineitem(s, d), s"$dir/data", 16, col("l_partkey"), col("l_suppkey"))
     val t = s.read.parquet(s"$dir/data")
-    val b = t.agg(
-      min("l_partkey").as("pmn"),
-      max("l_partkey").as("pmx"),
-      min("l_suppkey").as("smn"),
-      max("l_suppkey").as("smx")
-    )
-    t.crossJoin(broadcast(b))
-      .filter(
-        col("l_partkey") >= expr("pmn + (pmx - pmn) div 4") &&
-          col("l_partkey") < expr("pmn + (pmx - pmn) div 2") &&
-          col("l_suppkey") >= expr("smn + (smx - smn) div 4") &&
-          col("l_suppkey") < expr("smn + (smx - smn) div 2")
-      )
-      .groupBy("l_returnflag")
+    // box bounds are LOOKUP PARAMETERS (a user supplies them in
+    // practice); collecting the 4-value min/max row makes them literals,
+    // so the box predicate reaches the scan as PushedFilters and parquet
+    // footer stats actually skip the non-overlapping z-rectangles — a
+    // broadcast-column predicate would evaluate per row instead
+    val b = t
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head()
+    val Seq(pmn, pmx, smn, smx) = b.toSeq.map(_.toString.toLong)
+    val (pLo, pHi) = (pmn + (pmx - pmn) / 4, pmn + (pmx - pmn) / 2)
+    val (sLo, sHi) = (smn + (smx - smn) / 4, smn + (smx - smn) / 2)
+    t.filter(
+      col("l_partkey") >= pLo && col("l_partkey") < pHi &&
+        col("l_suppkey") >= sLo && col("l_suppkey") < sHi
+    ).groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         round(sum("l_extendedprice"), 2).as("revenue")
