@@ -294,6 +294,18 @@ class Round6Spec extends AnyFunSuite {
         .groupBy("event_type").agg(round(sum("value"), 2).as("sv"))
       assert(fineFilter.queryExecution.executedPlan.toString.contains("events.parquet"),
         "non-dim predicate was wrongly rewritten onto pre-grouped partials")
+
+      // the SQL surface rides the same rule: a BI-tool-shaped text query
+      // over the catalog view must also be answered from the MV
+      Tables.registerAll(spark, sf)
+      val sqlQ = spark.sql(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events WHERE event_type <> 'view' GROUP BY 1 ORDER BY 1""".stripMargin)
+      val sqlPlan = sqlQ.queryExecution.executedPlan.toString
+      assert(sqlPlan.contains("graft_c16") && !sqlPlan.contains("events.parquet"),
+        s"SQL-surface aggregate was not rewritten onto the MV:\n$sqlPlan")
+      assert(sqlQ.collect().map(_.getString(0)).sameElements(
+        Seq("click", "error", "purchase", "signup")))
     } finally graft.plans.MvRegistry.clear()
   }
 
