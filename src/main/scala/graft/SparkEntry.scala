@@ -193,6 +193,7 @@ object SparkEntry {
     "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
     "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
     "s16_ingest_proto"       -> (StreamingBatch.s16IngestProto _),
+    "s17_stream_mv"          -> (StreamingBatch.s17StreamMv _),
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
@@ -1645,6 +1646,12 @@ object SparkEntry {
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s17_stream_mv" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "c16b_mv_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'

@@ -1014,4 +1014,84 @@ object StreamingBatch {
       .limit(20)
       .select("tok", "n")
   }
+
+  /** s17: STREAM-MAINTAINED MATERIALIZED VIEW — the full loop the
+    * previous pieces build toward. Each micro-batch of the event
+    * firehose folds its per-(day, type) partials (count/sum/min/max —
+    * c6's mergeable algebra) into a copy-on-write rollup store that
+    * stays days×types-sized no matter how much history has streamed
+    * through. The finished store is then REGISTERED with
+    * [[graft.plans.MvRegistry]], and the returned query — written
+    * against RAW events, as a dashboard would — is transparently
+    * answered from the stream-built rollup by the MvRewrite optimizer
+    * rule. The DuckDB oracle recomputes from raw events, so
+    * exactly-once maintenance AND the rewrite's partial-merge algebra
+    * are both on the hook for the hash. At 100 TB: the dashboard's
+    * aggregate costs a scan of a KB-scale summary that was maintained
+    * incrementally, while the query text still says `FROM events`.
+    */
+  def s17StreamMv(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 8).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val root = graft.TempDirs.create("graft_s17_run_")
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def partial(df: DataFrame): DataFrame =
+          df.select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+            .groupBy("dt", "event_type")
+            .agg(
+              count(lit(1)).as("n"),
+              sum("value").as("sv"),
+              min("value").as("mnv"),
+              max("value").as("mxv")
+            )
+        val incoming = partial(batch)
+        val merged = Option(current.get()) match {
+          case Some(prev) =>
+            spark.read
+              .parquet(prev)
+              .unionByName(incoming)
+              .groupBy("dt", "event_type")
+              .agg(
+                sum("n").as("n"),
+                sum("sv").as("sv"),
+                min("mnv").as("mnv"),
+                max("mxv").as("mxv")
+              )
+          case None => incoming
+        }
+        val next = s"$root/state_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the stream-built rollup becomes THE answer for raw-events
+    // aggregates from here on (latest registration wins the path key)
+    graft.plans.MvRegistry.register(
+      s,
+      s"$d/events.parquet",
+      s.read.parquet(current.get()),
+      dims = Map("event_type" -> "event_type"),
+      measure = "value"
+    )
+    Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value")
+      )
+      .orderBy("event_type")
+  }
 }

@@ -309,6 +309,33 @@ class Round6Spec extends AnyFunSuite {
     } finally graft.plans.MvRegistry.clear()
   }
 
+  // ------------------------------------------------------------------
+  // s17: stream-maintained MV — the raw-table dashboard aggregate must
+  // be served from the rollup the STREAM built, and the maintained
+  // store must stay summary-sized (days × types), not history-sized
+  // ------------------------------------------------------------------
+  test("s17 serves the raw-table aggregate from the stream-maintained rollup") {
+    import graft.operators.StreamingBatch
+    import graft.sources.Tables
+    try {
+      val df = StreamingBatch.s17StreamMv(spark, sf)
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_s17"), s"aggregate not served from the stream-built MV:\n$plan")
+      assert(!plan.contains("events.parquet"), s"still scanning raw events:\n$plan")
+      // value parity with the raw computation is held by the DuckDB
+      // oracle; here pin the MAINTENANCE invariant — the store carries
+      // exactly the (day, type) key space of the source
+      val storePath = "file:[^\\s\\],]*state_v\\d+".r.findFirstIn(plan)
+        .getOrElse(fail(s"no state_v path in plan:\n$plan"))
+      val store = spark.read.parquet(storePath)
+      val expectedKeys = Tables.events(spark, sf)
+        .select(col("ts").cast("date").as("dt"), col("event_type")).distinct().count()
+      assert(store.count() == expectedKeys,
+        s"store has ${store.count()} rows, want $expectedKeys (days × types)")
+    } finally graft.plans.MvRegistry.clear()
+  }
+
   test("time travel reads any published version; unpublished versions are invisible") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test3_") + "/store"
