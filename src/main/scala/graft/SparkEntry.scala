@@ -204,6 +204,7 @@ object SparkEntry {
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
     "c15_bloom_index"        -> (Maintenance.c15BloomIndex _),
     "c16_mv_rewrite"         -> (Maintenance.c16MvRewrite _),
+    "c17_gdpr_delete"        -> (Maintenance.c17GdprDelete _),
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _)
@@ -1646,6 +1647,13 @@ object SparkEntry {
         |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
         |JOIN dim ON e.dt = dim.dt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c17_gdpr_delete" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        | FROM events WHERE user_id % 100 <> 7
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "s17_stream_mv" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value,

@@ -150,6 +150,7 @@ object Maintenance {
     */
   def prestage(s: SparkSession, d: String): Unit = {
     mergeStoreCache.computeIfAbsent(d, _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d))
+    gdprStoreCache.computeIfAbsent(d, _ => buildMergeStore(s, graft.TempDirs.create("graft_c17_"), d))
     landedByDay(s, d)
     bloomIndexStore(s, d)
     mvStore(s, d)
@@ -582,6 +583,52 @@ object Maintenance {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  // c17's keyed store, staged once per (JVM, source dir): the DELETE is
+  // the operator being measured, not the store build
+  private val gdprStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** c17: keyed DELETE ("right to be forgotten") over the transactional
+    * store — the compliance job every retained-data pipeline owes its
+    * users. The deletion set arrives as a TABLE (here: the users with
+    * `user_id % 100 == 7`), is broadcast, and a LEFT ANTI join rewrites
+    * the store copy-on-write into the next snapshot version; the
+    * manifest flip publishes it atomically, so readers see pre- or
+    * post-delete state, never a partial purge. Old versions still
+    * contain the data, which is exactly what [[graft.sources
+    * .SnapshotStore.vacuum]] is for — the job vacuums history down to
+    * the new version as its final step, making the purge durable.
+    * Re-running the job is idempotent (same doomed set ⇒ identical
+    * rows). The oracle recomputes latest-per-user from raw events
+    * minus the doomed users: a missed key, a dropped survivor, or a
+    * torn rewrite all fail the hash.
+    */
+  def c17GdprDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val store = gdprStoreCache.computeIfAbsent(
+      d,
+      _ => buildMergeStore(s, graft.TempDirs.create("graft_c17_"), d)
+    )
+    val cur = SnapshotStore.currentVersion(store).get
+    val doomed = Tables
+      .events(s, d)
+      .select("user_id")
+      .distinct()
+      .filter(pmod(col("user_id"), lit(100)) === 7)
+    SnapshotStore
+      .readCurrent(s, store)
+      .join(broadcast(doomed), Seq("user_id"), "left_anti")
+      .write
+      .mode("overwrite")
+      .parquet(SnapshotStore.versionPath(store, cur + 1))
+    SnapshotStore.commit(store, cur + 1)
+    // purge durability: drop every pre-delete version from history
+    SnapshotStore.vacuum(store, keep = 1)
+    SnapshotStore
+      .readCurrent(s, store)
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
   }
 
   /** c6: INCREMENTAL rollup maintenance — the materialized-view pattern

@@ -336,6 +336,31 @@ class Round6Spec extends AnyFunSuite {
     } finally graft.plans.MvRegistry.clear()
   }
 
+  // ------------------------------------------------------------------
+  // c17: GDPR delete — the purge must be complete, durable (no
+  // pre-delete versions survive), and idempotent
+  // ------------------------------------------------------------------
+  test("c17 purges doomed users completely, durably, and idempotently") {
+    import graft.operators.Maintenance
+    val first = Maintenance.c17GdprDelete(spark, sf)
+    val rows1 = first.collect()
+    // complete: no user_id % 100 == 7 anywhere in the served state
+    assert(!rows1.exists(_.getLong(0) % 100 == 7))
+    assert(rows1.nonEmpty)
+    // durable: only the post-delete version remains on disk — the
+    // pre-delete snapshots holding the doomed rows were vacuumed
+    val plan = first.queryExecution.executedPlan.toString
+    val storeRoot = "file:([^\\s\\],]*graft_c17[^\\s\\],]*)/v=\\d+".r
+      .findFirstMatchIn(plan).map(_.group(1))
+      .getOrElse(fail(s"no c17 store path in plan:\n$plan"))
+    val versionDirs = new java.io.File(storeRoot).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    assert(versionDirs.length == 1, s"pre-delete versions survive: ${versionDirs.mkString(",")}")
+    // idempotent: a re-run serves the identical state
+    val rows2 = Maintenance.c17GdprDelete(spark, sf).collect()
+    assert(rows1.map(_.toSeq).toSeq == rows2.map(_.toSeq).toSeq)
+  }
+
   test("time travel reads any published version; unpublished versions are invisible") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test3_") + "/store"
