@@ -51,7 +51,9 @@ object PlanAudit {
       "c14_zorder_layout"           -> "z-ordered box query: the 2-D predicate reaches the scan as PushedFilters, footer stats skip non-overlapping z-rectangles",
       "c15_bloom_index"             -> "bloom-indexed point lookup: the scan's file index holds ONLY the bloom-matched files (see Location path count), residual key filter pushed",
       "c16_mv_rewrite"              -> "MV rewrite: the aggregate scans the registered partials table (graft_c16 path), raw events never read",
-      "c16b_mv_filter"              -> "filtered MV rewrite: dim-only predicate re-applied and PUSHED into the partials scan"
+      "c16b_mv_filter"              -> "filtered MV rewrite: dim-only predicate re-applied and PUSHED into the partials scan",
+      "c17_gdpr_delete"             -> "GDPR delete read-back: the served store is the post-purge snapshot (single v= path), doomed keys removed by the broadcast anti-join rewrite",
+      "s17_stream_mv"               -> "stream-maintained MV: the raw-events dashboard aggregate scans the stream-built state_v store"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

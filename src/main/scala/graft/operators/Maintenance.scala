@@ -308,6 +308,22 @@ object Maintenance {
     * leading key. At 100 TB this is the layout that serves two
     * families of selective queries from one copy of the data.
     */
+  /** The 16-bit Morton code of two 8-bit bucket ids (a in the even bit
+    * positions, b in the odd), built from plain codegen'd shift/and/or
+    * columns — differentially tested against a per-bit reference
+    * implementation in ScalaTest.
+    */
+  private[graft] def mortonInterleave(a: Column, b: Column): Column = {
+    // spread an 8-bit value's bits into the even positions of 16
+    def spread(c: Column): Column = {
+      val m = c.bitwiseAND(lit(0xffL))
+      val s1 = m.bitwiseOR(shiftleft(m, 4)).bitwiseAND(lit(0x0f0fL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 2)).bitwiseAND(lit(0x3333L))
+      s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x5555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
   def zorderLayout(
       df: DataFrame,
       outPath: String,
@@ -325,15 +341,10 @@ object Maintenance {
     // closed integer domain (the +1 keeps v=mx inside the last bucket)
     def bucket(c: Column, mn: Column, mx: Column): Column =
       width_bucket(c.cast("long"), mn, mx + lit(1L), lit(256)) - lit(1L)
-    // spread an 8-bit value's bits into the even positions of 16
-    def spread(c: Column): Column = {
-      val m = c.bitwiseAND(lit(0xffL))
-      val a = m.bitwiseOR(shiftleft(m, 4)).bitwiseAND(lit(0x0f0fL))
-      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
-      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
-    }
-    val z = spread(bucket(dimA, col("_amn"), col("_amx")))
-      .bitwiseOR(shiftleft(spread(bucket(dimB, col("_bmn"), col("_bmx"))), 1))
+    val z = mortonInterleave(
+      bucket(dimA, col("_amn"), col("_amx")),
+      bucket(dimB, col("_bmn"), col("_bmx"))
+    )
     df.crossJoin(broadcast(bounds))
       .withColumn("_z", z)
       .drop("_amn", "_amx", "_bmn", "_bmx")

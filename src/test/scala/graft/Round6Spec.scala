@@ -361,6 +361,27 @@ class Round6Spec extends AnyFunSuite {
     assert(rows1.map(_.toSeq).toSeq == rows2.map(_.toSeq).toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // c14's Morton interleave: the shift/and/or column chain must equal a
+  // per-bit reference implementation on every 8-bit pair
+  // ------------------------------------------------------------------
+  test("morton interleave column chain matches the per-bit reference for all 8-bit pairs") {
+    import spark.implicits._
+    def ref(a: Int, b: Int): Long =
+      (0 until 8).foldLeft(0L)((z, i) =>
+        z | ((a >> i) & 1).toLong << (2 * i) | ((b >> i) & 1).toLong << (2 * i + 1))
+    // the full 256×256 domain — exhaustive, not sampled
+    val pairs = for { a <- 0 until 256; b <- 0 until 256 } yield (a.toLong, b.toLong)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.Maintenance.mortonInterleave(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == ref(a.toInt, b.toInt), s"morton($a, $b) = $z, want ${ref(a.toInt, b.toInt)}")
+    }
+  }
+
   test("time travel reads any published version; unpublished versions are invisible") {
     import spark.implicits._
     val root = TempDirs.create("graft_snapshot_test3_") + "/store"
