@@ -43,7 +43,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "t14_stratified_sample", "m6_shard_plan",
     "c1_compact", "c3_orc_roundtrip", "c4_backfill", "c5_range_layout",
     "c6_incremental_rollup", "c7_retention_vacuum",
-    "s3_stream_dedup", "s10_stream_static_join"
+    "s3_stream_dedup", "s10_stream_static_join",
+    // round 6 (c14 uses DuckDB `//`, e24 its 3-arg datediff, c17 the
+    // microseconds date_trunc — those stay on the DuckDB gate)
+    "c15_bloom_index", "c16_mv_rewrite", "c16b_mv_filter",
+    "s17_stream_mv", "e23_new_vs_returning"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
