@@ -46,7 +46,7 @@ object VectorFunctions {
     */
   def lshBucket(v: Column, planes: Seq[Array[Float]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*).cast("array<float>")
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*).cast("array<float>")
       when(dot(v, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
