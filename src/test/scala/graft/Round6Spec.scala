@@ -310,6 +310,47 @@ class Round6Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // MvRegistry with TWO registered sources: each aggregate must route
+  // to ITS OWN summary, never the other's
+  // ------------------------------------------------------------------
+  test("multiple registered MVs route by source path") {
+    import graft.operators.Maintenance
+    import graft.sources.Tables
+    try {
+      // events MV (the c16 registration)
+      Maintenance.c16MvRewrite(spark, sf).collect()
+      // raw anchor BEFORE registration — afterwards this path is served
+      // by the MV and would no longer be an independent check
+      val expected = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("sq"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // a second MV: lineitem rolled up by return flag
+      val liDir = TempDirs.create("graft_mvli_")
+      Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sv"),
+          min("l_quantity").as("mnv"), max("l_quantity").as("mxv"))
+        .write.parquet(s"$liDir/partials")
+      graft.plans.MvRegistry.register(spark, s"$sf/lineitem.parquet",
+        spark.read.parquet(s"$liDir/partials"),
+        dims = Map("l_returnflag" -> "l_returnflag"), measure = "l_quantity")
+
+      val liQ = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("sq"))
+      val liPlan = liQ.queryExecution.executedPlan.toString
+      assert(liPlan.contains("graft_mvli") && !liPlan.contains("lineitem.parquet"),
+        s"lineitem aggregate not routed to its MV:\n$liPlan")
+      liQ.collect().foreach(r => assert(expected(r.getString(0)) == r.getDouble(1)))
+
+      val evQ = Tables.events(spark, sf)
+        .groupBy("event_type").agg(round(sum("value"), 2).as("sv"))
+      val evPlan = evQ.queryExecution.executedPlan.toString
+      assert(evPlan.contains("graft_c16") && !evPlan.contains("graft_mvli"),
+        s"events aggregate routed to the wrong MV:\n$evPlan")
+    } finally graft.plans.MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
   // s17: stream-maintained MV — the raw-table dashboard aggregate must
   // be served from the rollup the STREAM built, and the maintained
   // store must stay summary-sized (days × types), not history-sized
