@@ -14,8 +14,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q17MultiJoinChain(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every builder starts from an EMPTY [[graft.plans.MvRegistry]]: the
+    * MV entries (c16/c16b/s17) register their rollup at build time and
+    * the rewrite fires lazily when the harness executes the returned
+    * DataFrame, so a `finally`-unregister inside the entry would defeat
+    * the rewrite — instead the registration is scoped to last exactly
+    * until the NEXT entry is built. Verify and Bench both build+execute
+    * entries strictly sequentially, so no other query's aggregate can be
+    * silently answered from a stale rollup (which would contaminate its
+    * bench timing and tie its correctness to summary freshness).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        graft.plans.MvRegistry.clear(); fn(s, d)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 relational
     "q1_agg"                 -> (Relational.q1Agg _),
     "q2_filter_project"      -> (Relational.q2FilterProject _),
@@ -1280,8 +1298,8 @@ object SparkEntry {
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |fd AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1)
         |SELECT day, count(*) AS active,
-        | sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
-        | sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS returning
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning
         |FROM daily JOIN fd USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e24_decay_score" ->

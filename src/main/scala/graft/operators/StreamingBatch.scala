@@ -1030,6 +1030,57 @@ object StreamingBatch {
     * aggregate costs a scan of a KB-scale summary that was maintained
     * incrementally, while the query text still says `FROM events`.
     */
+  /** s17's durable version pointer: an on-disk commit log of
+    * `commit_<batchId>` marker files next to the `state_v<batchId>`
+    * rollup versions, highest committed id wins. This is the
+    * SnapshotStore manifest discipline applied to the rollup pointer —
+    * it, not an in-memory reference, is what makes the exactly-once
+    * claim hold across foreachBatch retries and checkpoint restarts.
+    */
+  private[graft] def s17LatestCommitted(root: String): Option[String] = {
+    val ids = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+      .collect { case n if n.startsWith("commit_") => n.stripPrefix("commit_").toLong }
+    if (ids.isEmpty) None else Some(s"$root/state_v${ids.max}")
+  }
+
+  /** Fold one micro-batch of raw events into the next rollup version.
+    * Idempotent under retry: a batchId whose marker already exists is
+    * skipped (no double-fold); a retry that died between the state
+    * write and the marker recomputes from the latest COMMITTED version
+    * and overwrites — deterministic batch content ⇒ identical bytes —
+    * then commits. The marker creation is the atomic commit point.
+    */
+  private[graft] def s17Fold(root: String, batchId: Long, batch: DataFrame): Unit = {
+    if (new java.io.File(s"$root/commit_$batchId").exists()) return
+    val spark = batch.sparkSession
+    val incoming = batch
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+      .groupBy("dt", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").as("sv"),
+        min("value").as("mnv"),
+        max("value").as("mxv")
+      )
+    val merged = s17LatestCommitted(root) match {
+      case Some(prev) =>
+        spark.read
+          .parquet(prev)
+          .unionByName(incoming)
+          .groupBy("dt", "event_type")
+          .agg(
+            sum("n").as("n"),
+            sum("sv").as("sv"),
+            min("mnv").as("mnv"),
+            max("mxv").as("mxv")
+          )
+      case None => incoming
+    }
+    merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+    new java.io.File(s"$root/commit_$batchId").createNewFile()
+    ()
+  }
+
   def s17StreamMv(s: SparkSession, d: String): DataFrame = {
     val dir = stageJson(s, d)
     val stream = StreamIngest.parsed(
@@ -1038,38 +1089,8 @@ object StreamingBatch {
       "ts"
     )
     val root = graft.TempDirs.create("graft_s17_run_")
-    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        def partial(df: DataFrame): DataFrame =
-          df.select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
-            .groupBy("dt", "event_type")
-            .agg(
-              count(lit(1)).as("n"),
-              sum("value").as("sv"),
-              min("value").as("mnv"),
-              max("value").as("mxv")
-            )
-        val incoming = partial(batch)
-        val merged = Option(current.get()) match {
-          case Some(prev) =>
-            spark.read
-              .parquet(prev)
-              .unionByName(incoming)
-              .groupBy("dt", "event_type")
-              .agg(
-                sum("n").as("n"),
-                sum("sv").as("sv"),
-                min("mnv").as("mnv"),
-                max("mxv").as("mxv")
-              )
-          case None => incoming
-        }
-        val next = s"$root/state_v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
-      }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => s17Fold(root, batchId, batch) }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1079,7 +1100,7 @@ object StreamingBatch {
     graft.plans.MvRegistry.register(
       s,
       s"$d/events.parquet",
-      s.read.parquet(current.get()),
+      s.read.parquet(s17LatestCommitted(root).get),
       dims = Map("event_type" -> "event_type"),
       measure = "value"
     )

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** MATERIALIZED-VIEW REWRITE (§2.8, the `Rule[LogicalPlan]` extension
   * level): a registered rollup of mergeable partials (c6's per-(day,
@@ -161,19 +161,42 @@ object MvRewrite extends Rule[LogicalPlan] {
         var ok = true
         val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
           val replaced = ne.transformUp {
-            case AggregateExpression(fn, _, isDistinct, filter, _) =>
+            case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
               if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
-              else
-                fn match {
-                  case Count(Seq(Literal(_, _))) => agge(Sum(sAttr(mv.cnt)))
-                  case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull => agge(Sum(sAttr(mv.cnt)))
-                  case Sum(m, _) if isMeasure(m) => agge(Sum(sAttr(mv.sm)))
-                  case Min(m) if isMeasure(m)    => agge(Min(sAttr(mv.mn)))
-                  case Max(m) if isMeasure(m)    => agge(Max(sAttr(mv.mx)))
+              else {
+                // count → Coalesce(sum(n), 0): a GLOBAL aggregate over a
+                // dim-filtered summary that matches zero rows must still
+                // return 0, but Sum over no rows is NULL (grouped shapes
+                // are safe either way — empty groups vanish on both
+                // sides). count(NULL-literal) is excluded: it must stay 0
+                // on the raw side, not become the row count.
+                val substituted: Option[Expression] = fn match {
+                  case Count(Seq(Literal(v, _))) if v != null =>
+                    Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
+                  case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull =>
+                    Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
+                  case Sum(m, _) if isMeasure(m) => Some(agge(Sum(sAttr(mv.sm))))
+                  case Min(m) if isMeasure(m)    => Some(agge(Min(sAttr(mv.mn))))
+                  case Max(m) if isMeasure(m)    => Some(agge(Max(sAttr(mv.mx))))
                   case Average(m, _) if isMeasure(m) && mv.measureNonNull =>
-                    Divide(agge(Sum(sAttr(mv.sm))), Cast(agge(Sum(sAttr(mv.cnt))), DoubleType))
-                  case _ => ok = false; Literal(null)
+                    // cast BOTH sides: Divide requires same-type inputs,
+                    // and Sum(long-typed partials) would otherwise build
+                    // an ill-typed long/double division post-analysis
+                    Some(Divide(
+                      Cast(agge(Sum(sAttr(mv.sm))), DoubleType),
+                      Cast(agge(Sum(sAttr(mv.cnt))), DoubleType)))
+                  case _ => None
                 }
+                // the substitution runs POST-analysis: parent operators
+                // were resolved against the original dataType, so any
+                // width change (decimal-sum precision growth, int vs
+                // long partials) disqualifies the rewrite rather than
+                // silently retyping the column
+                substituted match {
+                  case Some(e) if e.dataType == ae.dataType => e
+                  case _                                    => ok = false; Literal(null)
+                }
+              }
           }
           val substituted = replaced.transformUp {
             case a: AttributeReference if dimSub.contains(a.exprId) => dimSub(a.exprId)

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: the MvRewrite edge cases from the round-6 advice
+  * (global-aggregate NULL vs 0, count(NULL) literals, result-dtype
+  * drift, JVM-lifetime registration leakage) and s17's durable
+  * commit-log pointer. Value-level MV parity stays with the DuckDB
+  * oracle gate; these pin the semantic corners the gate can't reach.
+  */
+class Round7Spec extends AnyFunSuite {
+  import TestSession._
+  import graft.sources.Tables
+  import graft.plans.MvRegistry
+
+  private def registerEventsMv(): String = {
+    val dir = TempDirs.create("graft_r7mv_")
+    Tables.events(spark, sf)
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"))
+      .groupBy("dt", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+        min("value").as("mnv"), max("value").as("mxv"))
+      .write.parquet(s"$dir/partials")
+    MvRegistry.register(spark, s"$sf/events.parquet",
+      spark.read.parquet(s"$dir/partials"),
+      dims = Map("event_type" -> "event_type"), measure = "value")
+    dir
+  }
+
+  // ------------------------------------------------------------------
+  // A GLOBAL (no GROUP BY) count over a dim filter that matches zero
+  // rows: raw returns 0; the rewritten Sum(n) over an empty summary
+  // scan is NULL without the Coalesce guard
+  // ------------------------------------------------------------------
+  test("mv rewrite: global count over an empty dim-filtered scan returns 0, not NULL") {
+    try {
+      registerEventsMv()
+      val q = Tables.events(spark, sf)
+        .filter(col("event_type") === "no_such_type")
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_r7mv") && !plan.contains("events.parquet"),
+        s"global dim-filtered count was not rewritten:\n$plan")
+      val row = q.collect().head
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+        s"rewritten global count must be 0, got ${row.get(0)}")
+      // and a NON-empty global aggregate still matches raw
+      MvRegistry.clear()
+      val raw = Tables.events(spark, sf).agg(count(lit(1)).as("n")).collect().head.getLong(0)
+      registerEventsMv()
+      val mv = Tables.events(spark, sf).agg(count(lit(1)).as("n"))
+      assert(mv.queryExecution.executedPlan.toString.contains("graft_r7mv"))
+      assert(mv.collect().head.getLong(0) == raw)
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // count(NULL) must stay 0, never the summary row count. In practice
+  // Spark's NullPropagation folds count(null)→0 before the MV rule
+  // runs (so the surviving count(1) may still rewrite); the rule's own
+  // non-null-literal guard is defense-in-depth for any path that
+  // reaches it unfolded. Pin the VALUE contract.
+  // ------------------------------------------------------------------
+  test("mv rewrite: count(null literal) stays 0 alongside a rewritten count(1)") {
+    try {
+      val raw = Tables.events(spark, sf).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      registerEventsMv()
+      val q = Tables.events(spark, sf)
+        .groupBy("event_type")
+        .agg(count(lit(null)).as("n_null"), count(lit(1)).as("n"))
+      q.collect().foreach { r =>
+        assert(r.getLong(2) == raw(r.getString(0)), "count(1) diverged from raw")
+        assert(r.getLong(1) == 0L, s"count(NULL) must be 0, got ${r.get(1)}")
+      }
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // Result-dtype guard: a DECIMAL measure's Sum widens precision when
+  // re-summed over partials, so the rewrite must bail rather than
+  // retype a column the parent operators were resolved against
+  // ------------------------------------------------------------------
+  test("mv rewrite: decimal measure disqualifies the rewrite (dtype drift)") {
+    try {
+      val dir = TempDirs.create("graft_r7dec_")
+      // a decimal-measure copy of events plus its decimal-typed summary
+      Tables.events(spark, sf)
+        .withColumn("value", col("value").cast("decimal(12,2)"))
+        .write.parquet(s"$dir/src")
+      spark.read.parquet(s"$dir/src")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          min("value").as("mnv"), max("value").as("mxv"))
+        .write.parquet(s"$dir/partials")
+      MvRegistry.register(spark, s"$dir/src",
+        spark.read.parquet(s"$dir/partials"),
+        dims = Map("event_type" -> "event_type"), measure = "value")
+      val q = spark.read.parquet(s"$dir/src")
+        .groupBy("event_type").agg(sum("value").as("sv"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(s"src") && !plan.contains("partials"),
+        s"decimal-measure sum was rewritten despite the precision change:\n$plan")
+      // count(1) over the same source keeps its LongType and is still
+      // eligible — the guard is per-aggregate-call, not per-table
+      val c = spark.read.parquet(s"$dir/src")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(c.queryExecution.executedPlan.toString.contains("partials"),
+        "long-typed count over a decimal-measure MV should still rewrite")
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // Registration scoping: building ANY SparkEntry queries() entry must
+  // start from an empty registry, so c16's rollup can never silently
+  // answer a LATER entry's aggregate (bench contamination)
+  // ------------------------------------------------------------------
+  test("SparkEntry entries are built against an empty MvRegistry") {
+    try {
+      // building c16 registers its MV...
+      SparkEntry.queries("c16_mv_rewrite")(spark, sf)
+      assert(!MvRegistry.isEmpty, "c16 build should leave its own registration")
+      // ...and building the next (non-MV) entry clears it, so its
+      // events aggregate reads raw
+      val e15 = SparkEntry.queries("e15_active_users")(spark, sf)
+      assert(MvRegistry.isEmpty, "a non-MV entry must start from an empty registry")
+      assert(e15.queryExecution.executedPlan.toString.contains("events.parquet"))
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // s17's commit log: a foreachBatch RETRY of an already-committed
+  // batch is a no-op (no double-fold), and the pointer is rebuilt from
+  // disk, not from session memory
+  // ------------------------------------------------------------------
+  test("s17 fold is idempotent under batch retry and restart-discoverable") {
+    import graft.operators.StreamingBatch
+    val root = TempDirs.create("graft_r7s17_")
+    val batch = Tables.events(spark, sf).limit(500)
+    StreamingBatch.s17Fold(root, 0L, batch)
+    val after1 = spark.read.parquet(StreamingBatch.s17LatestCommitted(root).get)
+      .agg(sum("n").as("rows")).collect().head.getLong(0)
+    // retry the SAME batch id: the commit marker short-circuits the fold
+    StreamingBatch.s17Fold(root, 0L, batch)
+    val after2 = spark.read.parquet(StreamingBatch.s17LatestCommitted(root).get)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(after1 == 500L && after2 == 500L, s"retry double-folded: $after1 -> $after2")
+    // a second batch advances the pointer; the pointer survives with no
+    // in-memory state (rebuilt by scanning the commit log)
+    StreamingBatch.s17Fold(root, 1L, batch)
+    assert(StreamingBatch.s17LatestCommitted(root).get.endsWith("state_v1"))
+    val after3 = spark.read.parquet(s"$root/state_v1")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(after3 == 1000L)
+  }
+}
