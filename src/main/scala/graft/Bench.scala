@@ -29,6 +29,9 @@ object Bench {
       // bloom index, MV partials): the timed entries measure the lookup/
       // read operators, not the one-time store builds
       graft.operators.Maintenance.prestage(spark, sfDir)
+      // PNG media fixtures for m7/m8: the timed entries measure the
+      // ImageIO decode + downstream, not the one-time encode
+      graft.operators.Multimodal.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
     // optional comma-separated subset for focused iteration:
     //   SPARK_GRAFT_ONLY=d2_dedup_minhash_lsh,d6_dedup_clusters

@@ -225,7 +225,10 @@ object SparkEntry {
     "c17_gdpr_delete"        -> (Maintenance.c17GdprDelete _),
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
-    "e32_attribution"        -> (Events.e32Attribution _)
+    "e32_attribution"        -> (Events.e32Attribution _),
+    // round 7: REAL image decode (javax.imageio) — driver-gated
+    "m7_image_decode"        -> (Multimodal.m7ImageDecode _),
+    "m8_image_neardup"       -> ((s, d) => Multimodal.m8ImageNearDup(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -480,6 +483,19 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS INT) AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Fletcher-style position-weighted modular checksum: md5-derived
+    // token hashes, exact BIGINT arithmetic on both engines
+    "t4_fingerprint_rolling" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t.i + 1 AS ord,
+        |   CAST('0x' || substr(md5(l[t.i + 1]), 1, 8) AS BIGINT) AS th
+        |  FROM tk JOIN generate_series(0, 255) t(i) ON t.i < len(l))
+        |SELECT d.doc_id,
+        | CAST(COALESCE(sum(th), 0) % 34359738337 AS BIGINT) AS fp_sum,
+        | CAST(COALESCE(sum(ord * th), 0) % 34359738337 AS BIGINT) AS fp_pos
+        |FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+        |GROUP BY 1 ORDER BY d.doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, CAST(length(text) AS INT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1658,6 +1674,34 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | min(doc_id) AS first_doc
         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // m7/m8: the Spark side DECODES genuine PNG bytes (javax.imageio);
+    // the oracle recomputes what a correct decode must return from the
+    // deterministic generating arithmetic (PNG is lossless, so the
+    // decoded samples must equal the encoded formulas exactly). Feature
+    // sums are exact integers carried in doubles, so cosine agrees
+    // bit-for-bit across engines (sqrt/divide on identical doubles).
+    "m7_image_decode" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS INT) AS h FROM documents)
+        |SELECT m.doc_id, w, h, CAST(w*h AS INT) AS n_px,
+        | CAST(sum((m.doc_id*31 + t.i*7919) % 256) AS BIGINT) AS px_sum
+        |FROM m JOIN generate_series(0, 223) t(i) ON t.i < m.w * m.h
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    "m8_image_neardup" ->
+      """WITH px AS (SELECT doc_id, t.i AS i,
+        |  CASE WHEN t.i = 0 THEN (doc_id*11) % 16
+        |       ELSE (((doc_id % 25) * 8 + t.i // 32 + 1) * ((doc_id % 25) * 8 + t.i // 32 + 1)
+        |             * 2654435761) % 4294967296 // 16777216 END AS v
+        | FROM documents, generate_series(0, 255) t(i)),
+        |f AS (SELECT doc_id, CAST(i // 32 AS INT) AS k, CAST(sum(v) AS DOUBLE) AS fv
+        | FROM px GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(fv ORDER BY k) AS emb FROM f GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        | FROM v a JOIN v b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.998
+        |ORDER BY id_a, id_b""".stripMargin,
     "c13_dpp_join" ->
       """WITH dim AS (
         | SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events ORDER BY 1 LIMIT 3)

@@ -8,11 +8,14 @@ import graft.plans.GraftExpressions
 /** §2.7 multimodal column plumbing.
   *
   * Media payloads are opaque `binary` columns + typed metadata; the Spark
-  * side (schema, partitioning, batch shape, column pruning) is real. The
-  * actual codec work (image decode, resampling) needs native libs that
-  * are NOT in this container — the decode step is a clearly-marked
-  * deterministic fake deriving pseudo-metadata from the bytes, so the
-  * pipeline shape is fully testable and swap-in-able for a real decoder.
+  * side (schema, partitioning, batch shape, column pruning) is real.
+  * Two tiers of codec:
+  *   - m7/m8 decode GENUINE PNG bytes with the JDK's
+  *     [[javax.imageio.ImageIO]] (no native deps needed) and are
+  *     hash-gated against oracles that recompute the expected pixels;
+  *   - m1–m4 model codecs the container genuinely lacks (video/audio) —
+  *     their decode step is a clearly-marked deterministic fake, so the
+  *     pipeline shape is fully testable and swap-in-able.
   */
 object Multimodal {
 
@@ -164,6 +167,174 @@ object Multimodal {
       .topKPerKey(base, Seq("modality"), "rk", "doc_id", k)
       .select(col("modality"), col("doc_id"), col("n_bytes"))
       .orderBy("modality", "doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // m7/m8: REAL image decode via JDK javax.imageio (zero new deps).
+  // The staged media table carries genuine PNG bytes whose dimensions
+  // and pixel values are deterministic functions of doc_id, so a DuckDB
+  // oracle can recompute what a CORRECT decode must return — the decode
+  // itself (not a fake) is driver-gated.
+  // ------------------------------------------------------------------
+
+  // staged once per (JVM, source dir): the PNG encode is the fixture
+  // build, the timed queries measure decode + downstream
+  private val mediaStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Encode a w×h 8-bit grayscale PNG with `px(i)` at row-major index i.
+    * PNG is lossless, so every sample round-trips exactly through
+    * [[javax.imageio.ImageIO]].
+    */
+  private[graft] def encodePng(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) { raster.setSample(i % w, i / w, 0, px(i) & 0xff); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m7's per-doc image: size and pixels are pure doc_id arithmetic
+    * (the DuckDB oracle replays the same formulas).
+    */
+  private def pngMeta(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 4 + ((id * 7) % 11).toInt
+    encodePng(w, h, i => ((id * 31 + i.toLong * 7919) % 256).toInt)
+  }
+
+  /** m8's image: 16×16, content keyed by the doc's GROUP (doc_id % 25) —
+    * per-bucket-constant values from a squared-index Knuth hash (linear
+    * index × constant would leave cross-group vectors affine ⇒ cosine 1)
+    * — plus a small per-DOC perturbation at pixel 0, making same-group
+    * images near- but not exact-duplicates.
+    */
+  private def pngGroup(id: Long): Array[Byte] = {
+    val g = id % 25
+    encodePng(
+      16,
+      16,
+      i =>
+        if (i == 0) ((id * 11) % 16).toInt
+        else {
+          val x = g * 8 + i / 32 + 1
+          ((x * x * 2654435761L) % 4294967296L / 16777216L).toInt
+        }
+    )
+  }
+
+  /** Stage genuine PNG payloads for every document, once per (JVM,
+    * source dir). Encoding happens on EXECUTORS (mapPartitions over the
+    * doc ids) — the driver never holds image bytes.
+    */
+  def mediaStore(s: SparkSession, d: String): String =
+    mediaStoreCache.computeIfAbsent(
+      d,
+      _ => {
+        import s.implicits._
+        val dir = graft.TempDirs.create("graft_media_")
+        Tables
+          .documents(s, d)
+          .select(col("doc_id"))
+          .as[Long]
+          .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id))))
+          .toDF("doc_id", "png_meta", "png_grp")
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/media")
+        dir
+      }
+    )
+
+  /** Bench hook: build the media store untimed so the timed m7/m8
+    * entries measure decode, not the one-time PNG staging.
+    */
+  def prestage(s: SparkSession, d: String): Unit = { mediaStore(s, d); () }
+
+  /** m7: REAL image decode — [[javax.imageio.ImageIO]] parses the PNG
+    * container and inflates the scanlines on executors (iterator-shaped,
+    * constant memory); the emitted width/height/pixel-sum are compared
+    * by the driver against a DuckDB oracle that recomputes them from the
+    * generating arithmetic, so a wrong decode (dimensions, bit depth,
+    * sample order) fails the hash. This closes the round-6 "codec is a
+    * stub" gap with a genuine in-sandbox decoder.
+    */
+  def m7ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sumPx = 0L
+          var i = 0
+          while (i < w * h) { sumPx += raster.getSample(i % w, i / w, 0); i += 1 }
+          (id, w, h, w * h, sumPx)
+        }
+      }
+      .toDF("doc_id", "w", "h", "n_px", "px_sum")
+      .orderBy("doc_id")
+  }
+
+  /** m8: image near-dup over REAL decoded pixels — features are 8
+    * bucket-sums of the decoded grayscale samples (exact integers in
+    * doubles, so both engines agree bit-for-bit), pairs via the balanced
+    * block self-join (d5b's equi-join-only shape), similarity =
+    * pixel-feature cosine. The DuckDB oracle recomputes features from
+    * the generating arithmetic and brute-forces all pairs, so BOTH the
+    * decode and the verify stage are hash-gated — the driver-gated
+    * companion to m4's rows-only fake-embedder pipeline. At 100 TB the
+    * pair source would be LSH buckets (d2) instead of all blocks; the
+    * feature/verify machinery is unchanged.
+    */
+  def m8ImageNearDup(s: SparkSession, d: String, tau: Double = 0.998, nBlocks: Int = 8): DataFrame = {
+    import s.implicits._
+    val feats = s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_grp"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val raster = img.getRaster
+          val f = new Array[Double](8)
+          var i = 0
+          while (i < 256) { f(i / 32) += raster.getSample(i % 16, i / 16, 0); i += 1 }
+          (id, f)
+        }
+      }
+      .toDF("doc_id", "emb")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val sided = feats.select(
+      col("doc_id"),
+      col("emb"),
+      sqrt(dot(col("emb"), col("emb"))).as("nrm"),
+      pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int").as("blk")
+    )
+    val l = sided.select(
+      col("doc_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"),
+      col("blk").as("k1"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("k2")
+    )
+    val r = sided.select(
+      col("doc_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"),
+      explode(sequence(lit(0), col("blk"))).as("k1"), col("blk").as("k2")
+    )
+    l.join(r, Seq("k1", "k2"))
+      .filter((col("k1") === col("k2") && col("id_a") < col("id_b")) || col("k1") < col("k2"))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos"), 4).as("cos")
+      )
+      .orderBy("id_a", "id_b")
   }
 
   /** m6: training-shard planning — assign every sample to a

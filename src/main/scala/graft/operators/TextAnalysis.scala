@@ -68,12 +68,39 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("fp_md5"), length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 
-  /** Rolling-hash fingerprint variant (rows-only; order-sensitive). */
-  def t4FingerprintRolling(s: SparkSession, d: String): DataFrame =
+  /** Order-sensitive rolling fingerprint, PORTABLE form (round-7: was
+    * rows-only). Fletcher-style modular checksum over per-token hashes:
+    * `fp_sum = Σ h(tok) mod M` and `fp_pos = Σ ord·h(tok) mod M` — the
+    * position weighting makes it order-sensitive (swapping two distinct
+    * tokens changes fp_pos), exactly the Fletcher/Adler checksum
+    * algebra. The token hash is the first 8 md5 hex digits as an
+    * integer, so BOTH engines compute identical values and the query is
+    * hash-gated by the driver; M·maxOrd·nTok stays far under 2^63, so
+    * every product/sum is exact BIGINT arithmetic on either engine.
+    * The non-portable rotl/XOR variant ([[TF.rollingFingerprint]])
+    * remains ScalaTest-covered.
+    */
+  def t4FingerprintRolling(s: SparkSession, d: String): DataFrame = {
+    val M = 34359738337L
+    val toks = TF.tokens(col("text"))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val fpSum = pmod(aggregate(hashes, lit(0L), (a, x) => a + x), lit(M))
+    val fpPos = when(
+      size(toks) > 0,
+      pmod(
+        aggregate(
+          zip_with(hashes, sequence(lit(1), size(toks)), (h, i) => h * i.cast("long")),
+          lit(0L),
+          (a, x) => a + x
+        ),
+        lit(M)
+      )
+    ).otherwise(lit(0L))
     Tables
       .documents(s, d)
-      .select(col("doc_id"), TF.rollingFingerprint(TF.tokens(col("text"))).as("fp_roll"))
+      .select(col("doc_id"), fpSum.as("fp_sum"), fpPos.as("fp_pos"))
       .orderBy("doc_id")
+  }
 
   /** Corpus-LM quality score: average unigram log-probability per
     * document (fluency proxy — the classic cheap LM filter in

@@ -131,6 +131,43 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // m7/m8: the ImageIO decode path. Value parity with the generating
+  // arithmetic is held by the DuckDB oracle; here pin the codec
+  // round-trip itself and the planted near-dup structure.
+  // ------------------------------------------------------------------
+  test("PNG encode->ImageIO decode round-trips every 8-bit sample exactly") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(w, h, i => px(i))))
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        assert(raster.getSample(i % w, i / w, 0) == px(i), s"sample $i diverged at ${w}x$h")
+        i += 1
+      }
+    }
+  }
+
+  test("m8 finds exactly the planted same-group near-dup pairs on real decoded pixels") {
+    val pairs = graft.operators.Multimodal.m8ImageNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    // every surviving pair is a same-group pair (images differ only in
+    // the per-doc perturbation pixel), and every group is fully paired
+    pairs.foreach(r => assert(r.getLong(0) % 25 == r.getLong(1) % 25,
+      s"cross-group pair survived tau: ${r.getLong(0)} ${r.getLong(1)} cos=${r.getDouble(2)}"))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val perGroup = nDocs / 25
+    assert(pairs.length == 25 * (perGroup * (perGroup - 1)) / 2,
+      s"expected all within-group pairs, got ${pairs.length}")
+  }
+
+  // ------------------------------------------------------------------
   // s17's commit log: a foreachBatch RETRY of an already-committed
   // batch is a no-op (no double-fold), and the pointer is rebuilt from
   // disk, not from session memory
