@@ -224,6 +224,7 @@ object SparkEntry {
     "c16_mv_rewrite"         -> (Maintenance.c16MvRewrite _),
     "c17_gdpr_delete"        -> (Maintenance.c17GdprDelete _),
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
+    "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
@@ -1726,6 +1727,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // month-grain dashboard answered from day-grain partials: the
+    // oracle recomputes from raw events; avg as sum/count so both
+    // engines evaluate the identical double division
+    "c16c_mv_month" ->
+      """SELECT date_trunc('month', CAST(ts AS DATE)) AS month_start, event_type,
+        | count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(sum(value) / count(*), 4) AS avg_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c16_mv_rewrite" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value,

@@ -516,7 +516,7 @@ object Maintenance {
   // the registered-MV summary staged once per (JVM, source dir) — c16
   // measures the REWRITTEN query, which is the feature
   private val mvStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def mvStore(s: SparkSession, d: String): String =
+  private[graft] def mvStore(s: SparkSession, d: String): String =
     mvStoreCache.computeIfAbsent(
       d,
       _ => {
@@ -538,6 +538,21 @@ object Maintenance {
       }
     )
 
+  /** Bind the per-(day, type) partials to raw-events aggregates. Both
+    * dims are declared: `event_type` as a bare column and the DAY as
+    * the derived expression `cast(ts as date)` — registered against the
+    * [[Tables.events]] VIEW so the template matcher sees the same
+    * nanos→timestamp normalization chain every query goes through.
+    */
+  private[graft] def registerEventsMv(s: SparkSession, d: String, dir: String): Unit =
+    graft.plans.MvRegistry.register(
+      s,
+      Tables.events(s, d),
+      s.read.parquet(s"$dir/partials"),
+      dims = Map("event_type" -> "event_type", "cast(ts as date)" -> "dt"),
+      measure = "value"
+    )
+
   /** c16: transparent MATERIALIZED-VIEW rewrite — the query is written
     * against RAW events (`groupBy(event_type).agg(count/sum/avg/min/
     * max)`), but [[graft.plans.MvRewrite]] swaps the scan for the
@@ -553,13 +568,7 @@ object Maintenance {
     */
   def c16MvRewrite(s: SparkSession, d: String): DataFrame = {
     val dir = mvStore(s, d)
-    graft.plans.MvRegistry.register(
-      s,
-      s"$d/events.parquet",
-      s.read.parquet(s"$dir/partials"),
-      dims = Map("event_type" -> "event_type"),
-      measure = "value"
-    )
+    registerEventsMv(s, d, dir)
     Tables
       .events(s, d)
       .groupBy("event_type")
@@ -581,19 +590,43 @@ object Maintenance {
     */
   def c16bMvRewriteFiltered(s: SparkSession, d: String): DataFrame = {
     val dir = mvStore(s, d)
-    graft.plans.MvRegistry.register(
-      s,
-      s"$d/events.parquet",
-      s.read.parquet(s"$dir/partials"),
-      dims = Map("event_type" -> "event_type"),
-      measure = "value"
-    )
+    registerEventsMv(s, d, dir)
     Tables
       .events(s, d)
       .filter(col("event_type") =!= "view")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** c16c: MV rewrite across a TIME-GRAIN HIERARCHY — the query groups
+    * raw events by MONTH, the registered summary holds DAY-grain
+    * partials, and [[graft.plans.MvRewrite]] still answers from the
+    * rollup: `trunc(cast(ts as date), 'month')` is a deterministic
+    * function of the registered day dim, and re-aggregating partials
+    * under the coarser key is the partial-merge algebra applied twice
+    * (day→month is how every OLAP time hierarchy rolls up). At 100 TB
+    * the monthly dashboard costs a scan of days×types rows — no
+    * month-grain summary need exist. The DuckDB oracle computes from
+    * raw events; the plan swap is ScalaTest-pinned.
+    */
+  def c16cMvMonthRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = mvStore(s, d)
+    registerEventsMv(s, d, dir)
+    Tables
+      .events(s, d)
+      .groupBy(
+        trunc(col("ts").cast("date"), "month").as("month_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value")
+      )
+      .orderBy("month_start", "event_type")
   }
 
   // c17's keyed store, staged once per (JVM, source dir): the DELETE is

@@ -1099,7 +1099,7 @@ object StreamingBatch {
     // aggregates from here on (latest registration wins the path key)
     graft.plans.MvRegistry.register(
       s,
-      s"$d/events.parquet",
+      Tables.events(s, d),
       s.read.parquet(s17LatestCommitted(root).get),
       dims = Map("event_type" -> "event_type"),
       measure = "value"

@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
 
 /** MATERIALIZED-VIEW REWRITE (§2.8, the `Rule[LogicalPlan]` extension
   * level): a registered rollup of mergeable partials (c6's per-(day,
@@ -16,20 +17,37 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * a days×types summary — without the query author knowing the summary
   * exists.
   *
-  * A registration ([[MvRegistry.register]]) binds a source parquet path
-  * to a summary table with
-  *   - `dims`: source grouping columns stored verbatim in the summary,
+  * A registration ([[MvRegistry.register]]) binds a source VIEW (any
+  * chain of deterministic projections over one parquet relation) to a
+  * summary table with
+  *   - `dims`: grouping dimensions, each given as a SQL expression over
+  *     the source view's columns (a bare column name, or a derived form
+  *     like `cast(ts as date)`) mapped to the summary column that
+  *     stores it,
   *   - one measure column, summarized as `n = count(1)`, `sm = sum(m)`,
   *     `mn = min(m)`, `mx = max(m)` per dims row.
   *
+  * Matching is STRUCTURAL, not name-based: both the registered dim
+  * expressions and the query's expressions are normalized into
+  * templates — their attribute references rewritten down the
+  * projection chain to name-keyed placeholders on the base relation —
+  * and compared with `semanticEquals`. A query names nothing; it just
+  * computes the same thing the summary grouped by.
+  *
   * The rule rewrites `Aggregate(G, A, scan(source))` when
-  *   - the scan reaches the source relation through pass-through
-  *     Projects and deterministic Filters whose predicates reference
-  *     ONLY dim columns (all raw rows behind one partial row share its
-  *     dim values, so a dim-only predicate commutes with the
-  *     pre-grouping and is re-applied to the summary; any finer
-  *     predicate disqualifies the rewrite),
-  *   - every grouping expression is a bare dim attribute, and
+  *   - the scan reaches the source relation through deterministic
+  *     Projects and Filters,
+  *   - every filter conjunct, after replacing each maximal
+  *     dim-matching subtree with its summary column, references ONLY
+  *     summary columns (all raw rows behind one partial row share its
+  *     dim values, so a dims-only predicate commutes with the
+  *     pre-grouping; any finer predicate disqualifies the rewrite),
+  *   - every grouping expression is deterministic and, after the same
+  *     substitution, references only summary columns — so grouping by
+  *     a dim, or by ANY function of dims (`trunc(dt, 'month')`), is
+  *     admitted: re-aggregating partials under a coarser grouping is
+  *     the partial-merge algebra applied twice (day→month is exactly
+  *     the month-from-day rollup), and
   *   - every aggregate call in `A` is `count(1)` / `count(m)` /
   *     `sum(m)` / `min(m)` / `max(m)` / `avg(m)` on the measure, with
   *     no DISTINCT and no FILTER clause. Scalar expressions above and
@@ -59,36 +77,84 @@ object MvRewrite extends Rule[LogicalPlan] {
         tryRewrite(agg).getOrElse(agg)
       }
 
-  /** Walk pass-through Projects and deterministic Filters down to a
-    * parquet relation, building the exprId → source-column-name map for
-    * attributes that survive untransformed and collecting filter
-    * conjuncts (validated against the MV's dims later — a predicate on
-    * anything finer than a dim cannot be answered by pre-grouped
-    * partials). Any other node shape disqualifies the subtree.
+  /** A name-keyed placeholder for a base-relation column: the exprId is
+    * a pure function of the (lowercased) column name, so structurally
+    * equal expressions from DIFFERENT plan instances canonicalize
+    * identically and compare with `semanticEquals`. The id space is
+    * offset into the high range so it can't collide with the analyzer's
+    * sequential ids within any realistic process lifetime.
     */
-  private def baseOf(
+  private def templateAttr(a: Attribute): AttributeReference = {
+    val n = a.name.toLowerCase(java.util.Locale.ROOT)
+    AttributeReference(n, a.dataType, nullable = true)(
+      exprId = ExprId(0x4000000000000000L | (n.hashCode.toLong & 0x3fffffffL))
+    )
+  }
+
+  /** Rewrite `e` into its base-relation template: every attribute
+    * reference replaced by its recorded template (itself an expression
+    * over name-keyed base columns). None if `e` is non-deterministic or
+    * touches an attribute the projection chain didn't carry.
+    */
+  private[graft] def templateOf(
+      e: Expression,
+      names: Map[ExprId, Expression]
+  ): Option[Expression] = {
+    if (!e.deterministic) return None
+    var ok = true
+    val t = e.transformUp {
+      case a: AttributeReference =>
+        names.get(a.exprId) match {
+          case Some(tm) => tm
+          case None     => ok = false; a
+        }
+    }
+    if (ok) Some(foldConstants(t)) else None
+  }
+
+  /** Normalize constant subtrees to literals so templates captured
+    * pre-optimization compare equal to query shapes the optimizer has
+    * already constant-folded (`ts div cast(1000 as bigint)` vs
+    * `ts div 1000`). Evaluation failures keep the node as-is.
+    */
+  private def foldConstants(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[Literal] =>
+      try Literal.create(f.eval(null), f.dataType)
+      catch { case _: Exception => f }
+  }
+
+  /** Walk deterministic Projects and Filters down to a parquet
+    * relation, building the exprId → base-template map for every
+    * attribute the chain carries (bare columns AND deterministic
+    * derived aliases — `timestamp_micros(ts div 1000) as ts`,
+    * `cast(ts as date) as dt`, …) and collecting filter conjuncts
+    * (validated against the MV's dims later). Any other node shape
+    * disqualifies the subtree.
+    */
+  private[graft] def baseOf(
       plan: LogicalPlan
-  ): Option[(LogicalRelation, Map[ExprId, String], Seq[Expression])] =
+  ): Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
       case lr: LogicalRelation =>
-        Some((lr, lr.output.map(a => a.exprId -> a.name).toMap, Seq.empty))
+        Some((lr, lr.output.map(a => a.exprId -> (templateAttr(a): Expression)).toMap, Seq.empty))
       case Project(items, child) =>
         baseOf(child).map { case (lr, inner, conds) =>
-          val passThrough = items.collect {
-            case a: AttributeReference if inner.contains(a.exprId) => a.exprId -> inner(a.exprId)
-            case al @ Alias(ar: AttributeReference, _) if inner.contains(ar.exprId) =>
-              al.exprId -> inner(ar.exprId)
+          val carried = items.flatMap {
+            case a: AttributeReference if inner.contains(a.exprId) =>
+              Some(a.exprId -> inner(a.exprId))
+            case al: Alias => templateOf(al.child, inner).map(t => al.exprId -> t)
+            case _         => None
           }.toMap
           // cumulative: lower-level ids stay resolvable so that filter
           // conjuncts captured BELOW this Project still validate
-          (lr, inner ++ passThrough, conds)
+          (lr, inner ++ carried, conds)
         }
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) if cond.deterministic =>
         baseOf(child).map { case (lr, inner, conds) => (lr, inner, conds :+ cond) }
       case _ => None
     }
 
-  private def sourcePaths(lr: LogicalRelation): Seq[String] = lr.relation match {
+  private[graft] def sourcePaths(lr: LogicalRelation): Seq[String] = lr.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
     case _                    => Seq.empty
   }
@@ -103,126 +169,180 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rewriteAggregate(
       agg: Aggregate,
-      names: Map[ExprId, String],
+      names: Map[ExprId, Expression],
       conds: Seq[Expression],
       mv: MvRegistry.MvDef
   ): Option[LogicalPlan] = {
     val summary = mv.summaryPlan()
     val sAttr: Map[String, Attribute] = summary.output.map(a => a.name -> a).toMap
     // summary must actually carry the columns the registration promises
-    if (!(mv.dims.values ++ Seq(mv.cnt, mv.sm, mv.mn, mv.mx)).forall(sAttr.contains))
+    if (!(mv.dimTemplates.map(_._2) ++ Seq(mv.cnt, mv.sm, mv.mn, mv.mx)).forall(sAttr.contains))
       return None
 
-    // filter conjuncts: every referenced column must be a dim (all raw
-    // rows behind one partial row share its dim values, so a dim-only
-    // predicate commutes with the pre-grouping); rewrite them onto the
-    // summary attributes and apply BELOW the new aggregate
-    val rewrittenConds: Option[Seq[Expression]] =
-      conds.foldLeft(Option(Seq.empty[Expression])) { (acc, cond) =>
-        acc.flatMap { seq =>
-          var condOk = true
-          val sub = cond.transformUp {
-            case a: AttributeReference =>
-              names.get(a.exprId).flatMap(mv.dims.get) match {
-                case Some(sumName) => sAttr(sumName)
-                case None          => condOk = false; a
-              }
-          }
-          if (condOk) Some(seq :+ sub) else None
-        }
+    // Substitution happens in TEMPLATE space: the query expression is
+    // first normalized down the projection chain (so shapes the
+    // optimizer re-rooted — PullOutGroupingExpressions'
+    // `_groupingexpression` aliases — still match structurally), then
+    // every maximal dim-template subtree becomes its summary column.
+    def substTemplate(t: Expression): Expression =
+      mv.dimTemplates.collectFirst { case (dt, c) if dt.semanticEquals(t) => sAttr(c) } match {
+        case Some(attr) => attr
+        case None       => t.mapChildren(substTemplate)
       }
-    if (rewrittenConds.isEmpty) return None
-    val filteredSummary = rewrittenConds.get.foldLeft(summary: LogicalPlan) { (p, c) =>
+    def isPlaceholder(a: Attribute): Boolean = (a.exprId.id & 0x4000000000000000L) != 0
+    def fullySubstituted(e: Expression): Boolean =
+      !e.exists { case a: AttributeReference => isPlaceholder(a); case _ => false }
+    def subDims(e: Expression): Expression =
+      templateOf(e, names) match {
+        case Some(t) =>
+          val r = substTemplate(t)
+          if (fullySubstituted(r)) r else e.mapChildren(subDims)
+        case None => e.mapChildren(subDims)
+      }
+    // after substitution, no reference may still point at the source
+    def clean(e: Expression): Boolean = e.references.forall(a => !names.contains(a.exprId))
+
+    // DAY-BOUNDARY PREDICATE LIFT: the optimizer unwraps
+    // `cast(ts as date) = D` into `ts >= midnight(D) AND ts <
+    // midnight(D+1) AND isnotnull(ts)` (UnwrapCastInBinaryComparison)
+    // long before this rule runs, so a dashboard's day filter never
+    // survives in dim form. When a dim is registered as
+    // `cast(X as date)`, a comparison of X against an EXACT local
+    // midnight is equivalent to a date comparison on the dim — rows on
+    // either side of the boundary land in disjoint day partials — and
+    // is lifted back; any intra-day instant disqualifies the conjunct.
+    val dateDims: Seq[(Expression, Attribute)] = mv.dimTemplates.collect {
+      case (Cast(inner, DateType, _, _), c) => (inner, sAttr(c))
+    }
+    val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+    def tsDim(x: Expression): Option[Attribute] =
+      templateOf(x, names).flatMap(t =>
+        dateDims.collectFirst { case (inner, attr) if inner.semanticEquals(t) => attr })
+    def dayBoundary(l: Literal): Option[Int] = l match {
+      case Literal(micros: Long, TimestampType) =>
+        val days = DateTimeUtils.microsToDays(micros, zone)
+        if (DateTimeUtils.daysToMicros(days, zone) == micros) Some(days) else None
+      case _ => None
+    }
+    // `isnotnull(X)` where some dim is `cast(f(X) as date)` and f is a
+    // null-faithful chain (null in ⇔ null out): equivalent to
+    // isnotnull(dim) — the null rows are exactly the null-dim partials
+    def nullFaithful(inner: Expression, xt: Expression): Boolean =
+      inner.semanticEquals(xt) || {
+        val whitelisted = !inner.exists {
+          case _: AttributeReference | _: Literal => false
+          case e =>
+            !Seq("Cast", "MicrosToTimestamp", "MillisToTimestamp", "SecondsToTimestamp",
+              "IntegralDivide", "Divide", "Multiply", "Add", "Subtract", "UnaryMinus")
+              .contains(e.getClass.getSimpleName)
+        }
+        whitelisted && (xt match {
+          case a: AttributeReference => inner.references.map(_.exprId).toSet == Set(a.exprId)
+          case _                     => false
+        })
+      }
+    def liftDay(c: Expression): Option[Expression] = c match {
+      case IsNotNull(x) =>
+        templateOf(x, names).flatMap(xt =>
+          dateDims.collectFirst { case (inner, attr) if nullFaithful(inner, xt) => IsNotNull(attr) })
+      case GreaterThanOrEqual(x, l: Literal) =>
+        for { a <- tsDim(x); d <- dayBoundary(l) } yield GreaterThanOrEqual(a, Literal(d, DateType))
+      case LessThan(x, l: Literal) =>
+        for { a <- tsDim(x); d <- dayBoundary(l) } yield LessThan(a, Literal(d, DateType))
+      case LessThanOrEqual(l: Literal, x) =>
+        for { a <- tsDim(x); d <- dayBoundary(l) } yield GreaterThanOrEqual(a, Literal(d, DateType))
+      case GreaterThan(l: Literal, x) =>
+        for { a <- tsDim(x); d <- dayBoundary(l) } yield LessThan(a, Literal(d, DateType))
+      case _ => None
+    }
+
+    // filter conjuncts: rewrite each onto the summary (structural match
+    // first, day-boundary lift second) and apply BELOW the new
+    // aggregate; a conjunct touching anything finer than the dims
+    // cannot be answered by pre-grouped partials
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case x         => Seq(x)
+    }
+    val newConds: Seq[Option[Expression]] = conds.flatMap(conjunctsOf).map { c =>
+      val generic = subDims(c)
+      if (clean(generic)) Some(generic) else liftDay(c)
+    }
+    if (!newConds.forall(_.isDefined)) return None
+    val filteredSummary = newConds.flatten.foldLeft(summary: LogicalPlan) { (p, c) =>
       org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
     }
 
-    // grouping: bare dim attributes only
-    val groupMap: Option[Seq[(Attribute, Attribute)]] =
-      agg.groupingExpressions.foldLeft(Option(Seq.empty[(Attribute, Attribute)])) {
-        case (acc, a: AttributeReference) =>
-          for {
-            seq <- acc
-            srcName <- names.get(a.exprId)
-            sumName <- mv.dims.get(srcName)
-          } yield seq :+ (a: Attribute, sAttr(sumName))
-        case _ => None
+    // grouping: any deterministic expression over dims — a coarser
+    // grouping of partials merges exactly like Spark's own partial/
+    // final aggregate split
+    if (!agg.groupingExpressions.forall(_.deterministic)) return None
+    val newGrouping = agg.groupingExpressions.map(subDims)
+    if (!newGrouping.forall(clean)) return None
+
+    def isMeasure(e: Expression): Boolean =
+      templateOf(e, names).exists(_.semanticEquals(mv.measureTemplate))
+    def agge(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+
+    var ok = true
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val replaced = ne.transformUp {
+        case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
+          if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
+          else {
+            // count → Coalesce(sum(n), 0): a GLOBAL aggregate over a
+            // dim-filtered summary that matches zero rows must still
+            // return 0, but Sum over no rows is NULL (grouped shapes
+            // are safe either way — empty groups vanish on both
+            // sides). count(NULL-literal) is excluded: it must stay 0
+            // on the raw side, not become the row count.
+            val substituted: Option[Expression] = fn match {
+              case Count(Seq(Literal(v, _))) if v != null =>
+                Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
+              case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull =>
+                Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
+              case Sum(m, _) if isMeasure(m) => Some(agge(Sum(sAttr(mv.sm))))
+              case Min(m) if isMeasure(m)    => Some(agge(Min(sAttr(mv.mn))))
+              case Max(m) if isMeasure(m)    => Some(agge(Max(sAttr(mv.mx))))
+              case Average(m, _) if isMeasure(m) && mv.measureNonNull =>
+                // cast BOTH sides: Divide requires same-type inputs,
+                // and Sum(long-typed partials) would otherwise build
+                // an ill-typed long/double division post-analysis
+                Some(Divide(
+                  Cast(agge(Sum(sAttr(mv.sm))), DoubleType),
+                  Cast(agge(Sum(sAttr(mv.cnt))), DoubleType)))
+              case _ => None
+            }
+            // the substitution runs POST-analysis: parent operators
+            // were resolved against the original dataType, so any
+            // width change (decimal-sum precision growth, int vs
+            // long partials) disqualifies the rewrite rather than
+            // silently retyping the column
+            substituted match {
+              case Some(e) if e.dataType == ae.dataType => e
+              case _                                    => ok = false; Literal(null)
+            }
+          }
       }
-    groupMap match {
-      case None => None
-      case Some(pairs) =>
-        val dimSub: Map[ExprId, Attribute] = pairs.map { case (src, dst) => src.exprId -> dst }.toMap
-
-        def isMeasure(e: Expression): Boolean = e match {
-          case a: AttributeReference => names.get(a.exprId).contains(mv.measure)
-          case _                     => false
-        }
-        def agge(fn: AggregateFunction): Expression = fn.toAggregateExpression()
-
-        var ok = true
-        val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
-          val replaced = ne.transformUp {
-            case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
-              if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
-              else {
-                // count → Coalesce(sum(n), 0): a GLOBAL aggregate over a
-                // dim-filtered summary that matches zero rows must still
-                // return 0, but Sum over no rows is NULL (grouped shapes
-                // are safe either way — empty groups vanish on both
-                // sides). count(NULL-literal) is excluded: it must stay 0
-                // on the raw side, not become the row count.
-                val substituted: Option[Expression] = fn match {
-                  case Count(Seq(Literal(v, _))) if v != null =>
-                    Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
-                  case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull =>
-                    Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
-                  case Sum(m, _) if isMeasure(m) => Some(agge(Sum(sAttr(mv.sm))))
-                  case Min(m) if isMeasure(m)    => Some(agge(Min(sAttr(mv.mn))))
-                  case Max(m) if isMeasure(m)    => Some(agge(Max(sAttr(mv.mx))))
-                  case Average(m, _) if isMeasure(m) && mv.measureNonNull =>
-                    // cast BOTH sides: Divide requires same-type inputs,
-                    // and Sum(long-typed partials) would otherwise build
-                    // an ill-typed long/double division post-analysis
-                    Some(Divide(
-                      Cast(agge(Sum(sAttr(mv.sm))), DoubleType),
-                      Cast(agge(Sum(sAttr(mv.cnt))), DoubleType)))
-                  case _ => None
-                }
-                // the substitution runs POST-analysis: parent operators
-                // were resolved against the original dataType, so any
-                // width change (decimal-sum precision growth, int vs
-                // long partials) disqualifies the rewrite rather than
-                // silently retyping the column
-                substituted match {
-                  case Some(e) if e.dataType == ae.dataType => e
-                  case _                                    => ok = false; Literal(null)
-                }
-              }
-          }
-          val substituted = replaced.transformUp {
-            case a: AttributeReference if dimSub.contains(a.exprId) => dimSub(a.exprId)
-          }
-          // any surviving reference to the source side means an
-          // expression shape we don't cover — bail
-          substituted.foreach {
-            case a: AttributeReference if names.contains(a.exprId) => ok = false
-            case _                                                 =>
-          }
-          substituted match {
-            case a: Attribute   => Alias(a, ne.name)(exprId = ne.exprId)
-            case al: Alias      => Alias(al.child, ne.name)(exprId = ne.exprId)
-            case other          => Alias(other, ne.name)(exprId = ne.exprId)
-          }
-        }
-        if (!ok) None
-        else
-          Some(
-            agg.copy(
-              groupingExpressions = pairs.map(_._2),
-              aggregateExpressions = newAggExprs,
-              child = filteredSummary
-            )
-          )
+      val substituted = subDims(replaced)
+      // any surviving reference to the source side means an
+      // expression shape we don't cover — bail
+      if (!clean(substituted)) ok = false
+      substituted match {
+        case a: Attribute => Alias(a, ne.name)(exprId = ne.exprId)
+        case al: Alias    => Alias(al.child, ne.name)(exprId = ne.exprId)
+        case other        => Alias(other, ne.name)(exprId = ne.exprId)
+      }
     }
+    if (!ok) None
+    else
+      Some(
+        agg.copy(
+          groupingExpressions = newGrouping,
+          aggregateExpressions = newAggExprs,
+          child = filteredSummary
+        )
+      )
   }
 }
 
@@ -235,8 +355,8 @@ object MvRegistry {
 
   final case class MvDef(
       summaryPlan: () => LogicalPlan,
-      dims: Map[String, String],
-      measure: String,
+      dimTemplates: Seq[(Expression, String)],
+      measureTemplate: Expression,
       cnt: String,
       sm: String,
       mn: String,
@@ -248,15 +368,18 @@ object MvRegistry {
 
   def isEmpty: Boolean = registry.isEmpty
 
-  /** Bind `sourcePath`'s aggregates to `summary`. `dims` maps source
-    * grouping columns to their summary columns; `cnt`/`sm`/`mn`/`mx`
-    * name the summary's count/sum/min/max partials over `measure`.
+  /** Bind aggregates over `source` — a view of deterministic
+    * projections over ONE parquet relation (e.g. `Tables.events`) — to
+    * `summary`. `dims` maps a SQL expression over the source view's
+    * columns (bare name or derived, e.g. `cast(ts as date)`) to the
+    * summary column storing it; `cnt`/`sm`/`mn`/`mx` name the summary's
+    * count/sum/min/max partials over the `measure` expression.
     * `measureNonNull` attests the measure has no nulls — required for
     * `count(m)`/`avg(m)` rewrites (the summary counts rows).
     */
   def register(
       spark: SparkSession,
-      sourcePath: String,
+      source: DataFrame,
       summary: DataFrame,
       dims: Map[String, String],
       measure: String,
@@ -266,13 +389,55 @@ object MvRegistry {
       mx: String = "mxv",
       measureNonNull: Boolean = true
   ): Unit = {
+    val (lr, names, conds) = MvRewrite
+      .baseOf(source.queryExecution.analyzed)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          "MV source must be deterministic projections over a single parquet relation"))
+    require(conds.isEmpty, "MV source view must be unfiltered — partials over a filtered view would answer unfiltered queries")
+    val path = MvRewrite.sourcePaths(lr) match {
+      case Seq(only) => only
+      case other =>
+        throw new IllegalArgumentException(s"MV source must have exactly one root path, got $other")
+    }
+    // resolve each registered expression against the source view, then
+    // normalize to a base-relation template for structural matching
+    def tmpl(sql: String): Expression = {
+      val analyzed = source
+        .select(org.apache.spark.sql.functions.expr(sql).as("__mv_t"))
+        .queryExecution
+        .analyzed
+      val child = analyzed match {
+        case Project(Seq(al: Alias), _) => al.child
+        case other =>
+          throw new IllegalArgumentException(s"cannot resolve MV expression '$sql': $other")
+      }
+      MvRewrite
+        .templateOf(child, names)
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"MV expression '$sql' must be deterministic over source columns"))
+    }
     // re-resolve the summary per use: fresh attribute ids per rewrite,
     // so two rewrites in one query can't collide
-    val builder = () => summary.queryExecution.analyzed match {
-      case lr: LogicalRelation => lr.newInstance()
-      case other               => other
-    }
-    registry.put(normalize(sourcePath), MvDef(builder, dims, measure, cnt, sm, mn, mx, measureNonNull))
+    val builder = () =>
+      summary.queryExecution.analyzed match {
+        case lr: LogicalRelation => lr.newInstance()
+        case other               => other
+      }
+    registry.put(
+      normalize(path),
+      MvDef(
+        builder,
+        dims.toSeq.map { case (k, v) => (tmpl(k), v) },
+        tmpl(measure),
+        cnt,
+        sm,
+        mn,
+        mx,
+        measureNonNull
+      )
+    )
   }
 
   def unregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))

@@ -331,7 +331,7 @@ class Round6Spec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sv"),
           min("l_quantity").as("mnv"), max("l_quantity").as("mxv"))
         .write.parquet(s"$liDir/partials")
-      graft.plans.MvRegistry.register(spark, s"$sf/lineitem.parquet",
+      graft.plans.MvRegistry.register(spark, Tables.lineitem(spark, sf),
         spark.read.parquet(s"$liDir/partials"),
         dims = Map("l_returnflag" -> "l_returnflag"), measure = "l_quantity")
 

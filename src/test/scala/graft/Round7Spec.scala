@@ -22,7 +22,7 @@ class Round7Spec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum("value").as("sv"),
         min("value").as("mnv"), max("value").as("mxv"))
       .write.parquet(s"$dir/partials")
-    MvRegistry.register(spark, s"$sf/events.parquet",
+    MvRegistry.register(spark, Tables.events(spark, sf),
       spark.read.parquet(s"$dir/partials"),
       dims = Map("event_type" -> "event_type"), measure = "value")
     dir
@@ -95,7 +95,7 @@ class Round7Spec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("value").as("sv"),
           min("value").as("mnv"), max("value").as("mxv"))
         .write.parquet(s"$dir/partials")
-      MvRegistry.register(spark, s"$dir/src",
+      MvRegistry.register(spark, spark.read.parquet(s"$dir/src"),
         spark.read.parquet(s"$dir/partials"),
         dims = Map("event_type" -> "event_type"), measure = "value")
       val q = spark.read.parquet(s"$dir/src")
@@ -127,6 +127,80 @@ class Round7Spec extends AnyFunSuite {
       val e15 = SparkEntry.queries("e15_active_users")(spark, sf)
       assert(MvRegistry.isEmpty, "a non-MV entry must start from an empty registry")
       assert(e15.queryExecution.executedPlan.toString.contains("events.parquet"))
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // c16c: time-grain hierarchy rewrite — month-grain queries answered
+  // from day-grain partials. Value parity is the DuckDB oracle's job;
+  // here pin the plan swap, value parity vs raw, and the bail paths.
+  // ------------------------------------------------------------------
+  test("mv rewrite: month grouping answers from day-grain partials") {
+    try {
+      // raw anchor BEFORE any registration
+      val raw = graft.operators.Maintenance
+        .c16cMvMonthRollup(spark, sf) // registers, but compute raw first:
+      MvRegistry.clear()
+      val expected = Tables.events(spark, sf)
+        .groupBy(trunc(col("ts").cast("date"), "month").as("month_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val q = graft.operators.Maintenance.c16cMvMonthRollup(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_c16") && !plan.contains("events.parquet"),
+        s"month-grain aggregate not answered from the day partials:\n$plan")
+      val rows = q.collect()
+      assert(rows.nonEmpty && rows.length == expected.size)
+      rows.foreach { r =>
+        val (n, sv) = expected((r.getDate(0).toString, r.getString(1)))
+        assert(r.getLong(2) == n && r.getDouble(3) == sv,
+          s"month rollup diverged for ${r.getDate(0)}/${r.getString(1)}")
+      }
+      assert(raw.columns.sameElements(q.columns))
+    } finally MvRegistry.clear()
+  }
+
+  test("mv rewrite: month grouping bails when the day dim is not registered") {
+    try {
+      registerEventsMv() // event_type only — no day dim
+      val q = Tables.events(spark, sf)
+        .groupBy(trunc(col("ts").cast("date"), "month").as("m"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("events.parquet") && !plan.contains("graft_r7mv"),
+        s"month grouping must not rewrite without a registered day dim:\n$plan")
+    } finally MvRegistry.clear()
+  }
+
+  test("mv rewrite: derived-dim FILTER commutes onto the summary; finer predicates bail") {
+    try {
+      val dir = graft.operators.Maintenance.mvStore(spark, sf)
+      graft.operators.Maintenance.registerEventsMv(spark, sf, dir)
+      val cutoff = Tables.events(spark, sf)
+        .agg(max(col("ts").cast("date")).as("mx")).collect().head.getDate(0)
+      // a predicate on cast(ts as date) IS a dim predicate now
+      val q = Tables.events(spark, sf)
+        .filter(col("ts").cast("date") === lit(cutoff))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_c16") && !plan.contains("events.parquet"),
+        s"day-dim filter should rewrite onto the summary:\n$plan")
+      MvRegistry.clear()
+      val raw = Tables.events(spark, sf)
+        .filter(col("ts").cast("date") === lit(cutoff))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.Maintenance.registerEventsMv(spark, sf, dir)
+      q.collect().foreach(r => assert(raw(r.getString(0)) == r.getLong(1)))
+      // an HOUR-grain predicate is finer than the day dim — must bail
+      val fine = Tables.events(spark, sf)
+        .filter(hour(col("ts")) === 3)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(fine.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "hour-grain predicate must disqualify the day-grain rewrite")
     } finally MvRegistry.clear()
   }
 
