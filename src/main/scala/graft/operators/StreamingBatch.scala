@@ -51,6 +51,17 @@ object StreamingBatch {
     * session's batch parallelism is restored before the returned
     * DataFrame (lazy) is ever executed.
     */
+  /** Final stateful-operator row counts per harness, captured from the
+    * last StreamingQueryProgress after each AvailableNow run. The design
+    * notes claim watermark eviction keeps state bounded; these let
+    * ScalaTests pin that claim to measured rows instead of prose.
+    */
+  private[graft] val lastStateRows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def recordStateRows(name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    Option(q.lastProgress).foreach { p =>
+      lastStateRows.put(name, p.stateOperators.map(_.numRowsTotal).sum)
+    }
+
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -215,6 +226,7 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateRows("s4", q)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("start_s")
     s.read
       .parquet(s"$out/data")
@@ -468,6 +480,7 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateRows("s7", q)
     s.read
       .parquet(s"$out/data")
       .filter(col("user_id") >= 0) // sentinel session (if flushed) excluded
@@ -829,6 +842,7 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateRows("s11", q)
     s.read
       .parquet(s"$out/data")
       .select(unix_timestamp(col("bucket_start")).as("bucket_s"), col("uniques"))

@@ -205,6 +205,61 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // AQE skew handling: q35 proves deterministic salting; this pins the
+  // OTHER half of the 100×-skew story — that with skew-join enabled, a
+  // planted hot key makes AQE split the skewed partition at runtime
+  // (OptimizeSkewedJoin), so the claim rests on an executed plan, not
+  // on configuration defaults.
+  // ------------------------------------------------------------------
+  test("AQE splits a planted skewed join partition (OptimizeSkewedJoin fires)") {
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scale thresholds: the same mechanism that fires at 256 MB
+      // partitions on a cluster fires here at 64 KB
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force a sort-merge join: broadcast would dodge the skew machinery
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // one hot key (0) carrying ~95% of the left side; the payload is
+      // incompressible (md5 hex) and consumed downstream, so the hot
+      // partition's shuffle bytes actually exceed the skew threshold
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 190000, 0L).otherwise(pmod(col("id"), lit(64))).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 64).select(col("id").as("k"), (col("id") * 7).as("attr"))
+      // GLOBAL aggregate above the join: a groupBy on the join key would
+      // REQUIRE the join's hash partitioning, and OptimizeSkewedJoin
+      // declines to split a partitioning a parent depends on — which is
+      // itself the correct behavior at any scale
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum("attr").as("s"), sum(length(col("payload"))).as("pl"))
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) == 200000L, "join lost rows")
+      assert(rows.head.getLong(2) == 200000L * 32, "payload lost")
+      // the FINAL adaptive plan must carry the skew=true SMJ marker
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the planted hot key:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // m7/m8: the ImageIO decode path. Value parity with the generating
   // arithmetic is held by the DuckDB oracle; here pin the codec
   // round-trip itself and the planted near-dup structure.
@@ -239,6 +294,32 @@ class Round7Spec extends AnyFunSuite {
     val perGroup = nDocs / 25
     assert(pairs.length == 25 * (perGroup * (perGroup - 1)) / 2,
       s"expected all within-group pairs, got ${pairs.length}")
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming state stays BOUNDED: the harness docstrings claim
+  // watermark eviction caps state; measure numRowsTotal at the end of
+  // each run and pin it to the prediction. At termination the watermark
+  // sits 2h short of the far-future sentinel, so every REAL user's
+  // session/window/dedup row has been evicted — only sentinel-held
+  // state (≤ one row per stateful operator per key-space) survives.
+  // A missing watermark or broken eviction would leave user- or
+  // event-scaled state here and fail loudly at 100 TB.
+  // ------------------------------------------------------------------
+  test("s4/s7/s11 end-of-run state is sentinel-sized, not user-sized") {
+    import graft.operators.StreamingBatch
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    StreamingBatch.s4StreamSession(spark, sf).count()
+    StreamingBatch.s7StreamSessionWindow(spark, sf).count()
+    StreamingBatch.s11StreamDistinct(spark, sf).count()
+    def state(n: String): Long = StreamingBatch.lastStateRows.getOrDefault(n, -1L)
+    println(s"[state-rows] s4=${state("s4")} s7=${state("s7")} s11=${state("s11")} users=$users")
+    for (n <- Seq("s4", "s7", "s11")) {
+      assert(state(n) >= 0, s"$n recorded no progress")
+      assert(state(n) < users,
+        s"$n final state ${state(n)} is user-scaled (users=$users) — eviction broken")
+      assert(state(n) <= 8, s"$n final state ${state(n)} exceeds the sentinel-only prediction")
+    }
   }
 
   // ------------------------------------------------------------------
