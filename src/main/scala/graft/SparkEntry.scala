@@ -225,6 +225,7 @@ object SparkEntry {
     "c17_gdpr_delete"        -> (Maintenance.c17GdprDelete _),
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
+    "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
@@ -1727,6 +1728,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // multi-measure MV dashboard (quantity + revenue from one partials
+    // table, grouping coarser than the summary); oracle from raw
+    // lineitem, avg as sum/count
+    "c16d_mv_multi" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(max(l_quantity), 2) AS max_qty,
+        | round(sum(l_extendedprice), 2) AS revenue,
+        | round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+        | round(min(l_extendedprice), 2) AS min_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // month-grain dashboard answered from day-grain partials: the
     // oracle recomputes from raw events; avg as sum/count so both
     // engines evaluate the identical double division

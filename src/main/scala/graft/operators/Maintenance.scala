@@ -154,6 +154,7 @@ object Maintenance {
     landedByDay(s, d)
     bloomIndexStore(s, d)
     mvStore(s, d)
+    mvLineitemStore(s, d)
   }
 
   // the merge store c2b time-travels into, built once per (JVM, source
@@ -627,6 +628,72 @@ object Maintenance {
         round(max("value"), 2).as("max_value")
       )
       .orderBy("month_start", "event_type")
+  }
+
+  // c16d's multi-measure lineitem partials, staged once per (JVM, dir)
+  private val mvLineitemCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mvLineitemStore(s: SparkSession, d: String): String =
+    mvLineitemCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c16d_")
+        Tables
+          .lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("l_quantity").as("sq"),
+            min("l_quantity").as("mnq"),
+            max("l_quantity").as("mxq"),
+            sum("l_extendedprice").as("sp"),
+            min("l_extendedprice").as("mnp"),
+            max("l_extendedprice").as("mxp")
+          )
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/partials")
+        dir
+      }
+    )
+
+  private[graft] def registerLineitemMv(s: SparkSession, d: String, dir: String): Unit =
+    graft.plans.MvRegistry.registerMeasures(
+      s,
+      Tables.lineitem(s, d),
+      s.read.parquet(s"$dir/partials"),
+      dims = Map("l_returnflag" -> "l_returnflag", "l_linestatus" -> "l_linestatus"),
+      cnt = "n",
+      measures = Seq(
+        graft.plans.MvRegistry.MeasureSpec("l_quantity", "sq", "mnq", "mxq"),
+        graft.plans.MvRegistry.MeasureSpec("l_extendedprice", "sp", "mnp", "mxp")
+      )
+    )
+
+  /** c16d: MULTI-MEASURE materialized view — one (returnflag, linestatus)
+    * partials table carries the shared row count plus sum/min/max for
+    * BOTH `l_quantity` and `l_extendedprice`, and a raw-lineitem
+    * dashboard mixing the two measures (and grouping COARSER than the
+    * summary — by returnflag only) is answered entirely from it. This is
+    * the warehouse rollup economics at 100 TB: k measures share one
+    * summary scan instead of k single-measure MVs; an unregistered
+    * measure (`l_discount`) still disqualifies the rewrite
+    * (ScalaTest-pinned). The DuckDB oracle computes from raw lineitem.
+    */
+  def c16dMvMultiMeasure(s: SparkSession, d: String): DataFrame = {
+    val dir = mvLineitemStore(s, d)
+    registerLineitemMv(s, d, dir)
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(max("l_quantity"), 2).as("max_qty"),
+        round(sum("l_extendedprice"), 2).as("revenue"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(min("l_extendedprice"), 2).as("min_price")
+      )
+      .orderBy("l_returnflag")
   }
 
   // c17's keyed store, staged once per (JVM, source dir): the DELETE is

@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType
   *     the source view's columns (a bare column name, or a derived form
   *     like `cast(ts as date)`) mapped to the summary column that
   *     stores it,
-  *   - one measure column, summarized as `n = count(1)`, `sm = sum(m)`,
-  *     `mn = min(m)`, `mx = max(m)` per dims row.
+  *   - one or more measures, summarized per dims row as a shared
+  *     `n = count(1)` plus `sm = sum(m)`, `mn = min(m)`, `mx = max(m)`
+  *     for each ([[MvRegistry.registerMeasures]] — the warehouse rollup
+  *     shape where one partials table answers several dashboards).
   *
   * Matching is STRUCTURAL, not name-based: both the registered dim
   * expressions and the query's expressions are normalized into
@@ -176,8 +178,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     val summary = mv.summaryPlan()
     val sAttr: Map[String, Attribute] = summary.output.map(a => a.name -> a).toMap
     // summary must actually carry the columns the registration promises
-    if (!(mv.dimTemplates.map(_._2) ++ Seq(mv.cnt, mv.sm, mv.mn, mv.mx)).forall(sAttr.contains))
-      return None
+    val promised =
+      mv.dimTemplates.map(_._2) ++ (mv.cnt +: mv.measures.flatMap(m => Seq(m.sm, m.mn, m.mx)))
+    if (!promised.forall(sAttr.contains)) return None
 
     // Substitution happens in TEMPLATE space: the query expression is
     // first normalized down the projection chain (so shapes the
@@ -280,8 +283,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newGrouping = agg.groupingExpressions.map(subDims)
     if (!newGrouping.forall(clean)) return None
 
-    def isMeasure(e: Expression): Boolean =
-      templateOf(e, names).exists(_.semanticEquals(mv.measureTemplate))
+    def measureFor(e: Expression): Option[MvRegistry.MvMeasure] =
+      templateOf(e, names).flatMap(t => mv.measures.find(_.template.semanticEquals(t)))
     def agge(fn: AggregateFunction): Expression = fn.toAggregateExpression()
 
     var ok = true
@@ -299,17 +302,20 @@ object MvRewrite extends Rule[LogicalPlan] {
             val substituted: Option[Expression] = fn match {
               case Count(Seq(Literal(v, _))) if v != null =>
                 Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
-              case Count(Seq(m)) if isMeasure(m) && mv.measureNonNull =>
+              case Count(Seq(m)) if measureFor(m).exists(_.nonNull) =>
                 Some(Coalesce(Seq(agge(Sum(sAttr(mv.cnt))), Literal(0L, LongType))))
-              case Sum(m, _) if isMeasure(m) => Some(agge(Sum(sAttr(mv.sm))))
-              case Min(m) if isMeasure(m)    => Some(agge(Min(sAttr(mv.mn))))
-              case Max(m) if isMeasure(m)    => Some(agge(Max(sAttr(mv.mx))))
-              case Average(m, _) if isMeasure(m) && mv.measureNonNull =>
+              case Sum(m, _) if measureFor(m).isDefined =>
+                Some(agge(Sum(sAttr(measureFor(m).get.sm))))
+              case Min(m) if measureFor(m).isDefined =>
+                Some(agge(Min(sAttr(measureFor(m).get.mn))))
+              case Max(m) if measureFor(m).isDefined =>
+                Some(agge(Max(sAttr(measureFor(m).get.mx))))
+              case Average(m, _) if measureFor(m).exists(_.nonNull) =>
                 // cast BOTH sides: Divide requires same-type inputs,
                 // and Sum(long-typed partials) would otherwise build
                 // an ill-typed long/double division post-analysis
                 Some(Divide(
-                  Cast(agge(Sum(sAttr(mv.sm))), DoubleType),
+                  Cast(agge(Sum(sAttr(measureFor(m).get.sm))), DoubleType),
                   Cast(agge(Sum(sAttr(mv.cnt))), DoubleType)))
               case _ => None
             }
@@ -353,15 +359,36 @@ object MvRewrite extends Rule[LogicalPlan] {
   */
 object MvRegistry {
 
-  final case class MvDef(
-      summaryPlan: () => LogicalPlan,
-      dimTemplates: Seq[(Expression, String)],
-      measureTemplate: Expression,
-      cnt: String,
+  /** One summarized measure: the source expression's base template plus
+    * the summary columns carrying its sum/min/max partials. `nonNull`
+    * is the registrar's attestation that the measure has no nulls
+    * (required for `count(m)`/`avg(m)`, since `cnt` counts rows).
+    */
+  final case class MvMeasure(
+      template: Expression,
       sm: String,
       mn: String,
       mx: String,
-      measureNonNull: Boolean
+      nonNull: Boolean
+  )
+
+  /** A measure registration request: `expr` is a SQL expression over
+    * the source view's columns; `sm`/`mn`/`mx` name the summary's
+    * sum/min/max partial columns for it.
+    */
+  final case class MeasureSpec(
+      expr: String,
+      sm: String,
+      mn: String,
+      mx: String,
+      nonNull: Boolean = true
+  )
+
+  final case class MvDef(
+      summaryPlan: () => LogicalPlan,
+      dimTemplates: Seq[(Expression, String)],
+      cnt: String,
+      measures: Seq[MvMeasure]
   )
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
@@ -388,6 +415,21 @@ object MvRegistry {
       mn: String = "mnv",
       mx: String = "mxv",
       measureNonNull: Boolean = true
+  ): Unit =
+    registerMeasures(spark, source, summary, dims, cnt, Seq(MeasureSpec(measure, sm, mn, mx, measureNonNull)))
+
+  /** The multi-measure form: one summary row carries the shared row
+    * count plus sum/min/max partials for EVERY registered measure —
+    * the usual warehouse rollup shape (a lineitem summary answering
+    * both quantity and revenue dashboards from the same partials).
+    */
+  def registerMeasures(
+      spark: SparkSession,
+      source: DataFrame,
+      summary: DataFrame,
+      dims: Map[String, String],
+      cnt: String,
+      measures: Seq[MeasureSpec]
   ): Unit = {
     val (lr, names, conds) = MvRewrite
       .baseOf(source.queryExecution.analyzed)
@@ -430,12 +472,8 @@ object MvRegistry {
       MvDef(
         builder,
         dims.toSeq.map { case (k, v) => (tmpl(k), v) },
-        tmpl(measure),
         cnt,
-        sm,
-        mn,
-        mx,
-        measureNonNull
+        measures.map(m => MvMeasure(tmpl(m.expr), m.sm, m.mn, m.mx, m.nonNull))
       )
     )
   }

@@ -162,6 +162,34 @@ class Round7Spec extends AnyFunSuite {
     } finally MvRegistry.clear()
   }
 
+  test("mv rewrite: multi-measure summary answers mixed dashboards; unregistered measure bails") {
+    try {
+      // raw anchor before any registration
+      val raw = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"),
+          round(sum("l_extendedprice"), 2).as("sp"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val q = graft.operators.Maintenance.c16dMvMultiMeasure(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_c16d") && !plan.contains("lineitem.parquet"),
+        s"multi-measure dashboard not answered from the partials:\n$plan")
+      q.collect().foreach { r =>
+        val (n, sq, sp) = raw(r.getString(0))
+        assert(r.getLong(1) == n && r.getDouble(2) == sq && r.getDouble(4) == sp,
+          s"multi-measure rollup diverged for ${r.getString(0)}")
+      }
+      // an UNREGISTERED measure in the same query must kill the rewrite
+      val bail = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sq"), round(sum("l_discount"), 2).as("sd"))
+      assert(bail.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+        "sum over an unregistered measure must scan raw")
+    } finally MvRegistry.clear()
+  }
+
   test("mv rewrite: month grouping bails when the day dim is not registered") {
     try {
       registerEventsMv() // event_type only — no day dim
