@@ -53,7 +53,11 @@ object PlanAudit {
       "c16_mv_rewrite"              -> "MV rewrite: the aggregate scans the registered partials table (graft_c16 path), raw events never read",
       "c16b_mv_filter"              -> "filtered MV rewrite: dim-only predicate re-applied and PUSHED into the partials scan",
       "c17_gdpr_delete"             -> "GDPR delete read-back: the served store is the post-purge snapshot (single v= path), doomed keys removed by the broadcast anti-join rewrite",
-      "s17_stream_mv"               -> "stream-maintained MV: the raw-events dashboard aggregate scans the stream-built state_v store"
+      "s17_stream_mv"               -> "stream-maintained MV: the raw-events dashboard aggregate scans the stream-built state_v store",
+      "c16c_mv_month"               -> "time-grain hierarchy MV: month grouping computed over the day-grain partials scan (trunc applied to the summary's dt), raw events never read",
+      "c16d_mv_multi"               -> "multi-measure MV: quantity and revenue aggregates both resolve to one partials scan, grouping coarser than the summary",
+      "m7_image_decode"             -> "real ImageIO decode: mapPartitions iterator over the staged PNG store, constant memory per task",
+      "m8_image_neardup"            -> "image near-dup verify: balanced block self-join + codegen'd 8-term dot product, no cartesian, no HOF lambdas"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
