@@ -226,6 +226,7 @@ object SparkEntry {
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
+    "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
@@ -1728,6 +1729,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MV selection: value parity vs raw regardless of which summary the
+    // optimizer picks (the routing itself is ScalaTest-pinned)
+    "c16e_mv_select" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // multi-measure MV dashboard (quantity + revenue from one partials
     // table, grouping coarser than the summary); oracle from raw
     // lineitem, avg as sum/count

@@ -630,6 +630,58 @@ object Maintenance {
       .orderBy("month_start", "event_type")
   }
 
+  // c16e's TYPE-ONLY events rollup (T rows — three orders of magnitude
+  // smaller than the day×type partials), staged once per (JVM, dir)
+  private val mvTypeRollupCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mvTypeRollupStore(s: SparkSession, d: String): String =
+    mvTypeRollupCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c16e_")
+        Tables
+          .events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("value").as("sv"),
+            min("value").as("mnv"),
+            max("value").as("mxv")
+          )
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/rollup")
+        dir
+      }
+    )
+
+  /** c16e: MV SELECTION — two summaries serve the same raw table (the
+    * day×type partials AND a type-only rollup) and the rule picks the
+    * COARSEST one that can answer: the type-grouped dashboard scans the
+    * T-row rollup, not the D×T partials, not raw history. At 100 TB
+    * that's the aggregation-lattice economics every OLAP engine chases —
+    * and a day-grouped query still routes to the finer partials
+    * (ScalaTest pins both routings). Oracle from raw events.
+    */
+  def c16eMvSelection(s: SparkSession, d: String): DataFrame = {
+    registerEventsMv(s, d, mvStore(s, d))
+    graft.plans.MvRegistry.register(
+      s,
+      Tables.events(s, d),
+      s.read.parquet(s"${mvTypeRollupStore(s, d)}/rollup"),
+      dims = Map("event_type" -> "event_type"),
+      measure = "value"
+    )
+    Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(max("value"), 2).as("max_value")
+      )
+      .orderBy("event_type")
+  }
+
   // c16d's multi-measure lineitem partials, staged once per (JVM, dir)
   private val mvLineitemCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def mvLineitemStore(s: SparkSession, d: String): String =

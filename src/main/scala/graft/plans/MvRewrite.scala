@@ -161,11 +161,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _                    => Seq.empty
   }
 
+  /** Try every summary registered for the scanned relation, COARSEST
+    * first (fewest dims — the smallest partials table), and take the
+    * first that can answer the aggregate: classic MV selection. A
+    * type-only rollup (T rows) beats day×type partials (D×T rows)
+    * for a type-grouped dashboard; the finer summary still catches
+    * queries the coarse one must bail on.
+    */
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (lr, names, conds) <- baseOf(agg.child)
-      mv <- MvRegistry.lookup(sourcePaths(lr))
-      rewritten <- rewriteAggregate(agg, names, conds, mv)
+      candidates = MvRegistry.lookup(sourcePaths(lr))
+      rewritten <- candidates.view.flatMap(mv => rewriteAggregate(agg, names, conds, mv)).headOption
     } yield rewritten
   }
 
@@ -391,7 +398,7 @@ object MvRegistry {
       measures: Seq[MvMeasure]
   )
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]()
 
   def isEmpty: Boolean = registry.isEmpty
 
@@ -467,14 +474,19 @@ object MvRegistry {
         case lr: LogicalRelation => lr.newInstance()
         case other               => other
       }
-    registry.put(
+    val mvDef = MvDef(
+      builder,
+      dims.toSeq.map { case (k, v) => (tmpl(k), v) },
+      cnt,
+      measures.map(m => MvMeasure(tmpl(m.expr), m.sm, m.mn, m.mx, m.nonNull))
+    )
+    // several summaries may serve one source (a type-only rollup AND
+    // day×type partials); keep them coarsest-first so selection scans
+    // the smallest admissible table, newest-first within equal arity
+    // (a re-registration supersedes its predecessor)
+    registry.compute(
       normalize(path),
-      MvDef(
-        builder,
-        dims.toSeq.map { case (k, v) => (tmpl(k), v) },
-        cnt,
-        measures.map(m => MvMeasure(tmpl(m.expr), m.sm, m.mn, m.mx, m.nonNull))
-      )
+      (_, old) => (mvDef +: Option(old).getOrElse(Vector.empty)).sortBy(_.dimTemplates.size)
     )
   }
 
@@ -484,9 +496,9 @@ object MvRegistry {
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
-  /** The MV bound to this exact single-root relation, if any. */
-  def lookup(rootPaths: Seq[String]): Option[MvDef] = rootPaths match {
-    case Seq(only) => Option(registry.get(normalize(only)))
-    case _         => None
+  /** The MVs bound to this exact single-root relation, coarsest first. */
+  def lookup(rootPaths: Seq[String]): Seq[MvDef] = rootPaths match {
+    case Seq(only) => Option(registry.get(normalize(only))).getOrElse(Vector.empty)
+    case _         => Seq.empty
   }
 }

@@ -190,6 +190,33 @@ class Round7Spec extends AnyFunSuite {
     } finally MvRegistry.clear()
   }
 
+  test("mv rewrite: selection picks the coarsest admissible summary") {
+    try {
+      val q = graft.operators.Maintenance.c16eMvSelection(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      // type-grouped dashboard → the T-row rollup, not the D×T partials
+      assert(plan.contains("graft_c16e_") && !plan.contains("graft_c16_") &&
+        !plan.contains("events.parquet"),
+        s"type query should scan the type-only rollup:\n$plan")
+      // a day-grouped query can't use the type rollup — must route to
+      // the finer day×type partials (both are still registered)
+      val dayQ = Tables.events(spark, sf)
+        .groupBy(col("ts").cast("date").as("dt"))
+        .agg(count(lit(1)).as("n"))
+      val dayPlan = dayQ.queryExecution.executedPlan.toString
+      assert(dayPlan.contains("graft_c16_") && !dayPlan.contains("graft_c16e_") &&
+        !dayPlan.contains("events.parquet"),
+        s"day query should fall through to the day-grain partials:\n$dayPlan")
+      // value parity for the fall-through routing
+      MvRegistry.clear()
+      val raw = Tables.events(spark, sf)
+        .groupBy(col("ts").cast("date").as("dt")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      graft.operators.Maintenance.c16eMvSelection(spark, sf)
+      dayQ.collect().foreach(r => assert(raw(r.getDate(0).toString) == r.getLong(1)))
+    } finally MvRegistry.clear()
+  }
+
   test("mv rewrite: month grouping bails when the day dim is not registered") {
     try {
       registerEventsMv() // event_type only — no day dim
