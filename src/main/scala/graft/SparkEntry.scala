@@ -88,6 +88,7 @@ object SparkEntry {
     "q19_range_join"         -> (Relational.q19RangeJoin _),
     "q20_pivot"              -> (Relational.q20Pivot _),
     "t6_hash_sample"         -> (TextAnalysis.t6HashSample _),
+    "t22_mixture_sample"     -> (TextAnalysis.t22MixtureSample _),
     "d6_dedup_clusters"      -> (Dedup.d6DedupClusters _),
     "c1_compact"             -> (Maintenance.c1Compact _),
     "q21_window_analytics"   -> (Relational.q21WindowAnalytics _),
@@ -547,6 +548,24 @@ object SparkEntry {
     "t6_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(text),1,1) IN ('0','1') ORDER BY doc_id""".stripMargin,
+    // temperature mixture sampling: integer counts until the one double
+    // division, sqrt (IEEE-exact) for alpha=0.5, decimal-quantized
+    // normalizer sum, rates rounded to 6dp BEFORE the integer hash
+    // threshold — the accept set is engine-independent
+    "t22_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_i FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_i) AS nt FROM c),
+        |pw AS (SELECT lang, CAST(n_i AS DOUBLE) / nt AS s_i,
+        |        sqrt(CAST(n_i AS DOUBLE) / nt) AS p_i FROM c, t),
+        |z AS (SELECT CAST(sum(CAST(p_i AS DECIMAL(20,15))) AS DOUBLE) AS zp FROM pw),
+        |r AS (SELECT lang, p_i / zp / s_i AS rate FROM pw, z),
+        |m AS (SELECT max(rate) AS rmax FROM r),
+        |f AS (SELECT lang, round(rate / rmax, 6) AS rate FROM r, m)
+        |SELECT d.doc_id, d.lang, f.rate
+        |FROM documents d JOIN f USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      < CAST(floor(rate * 4294967296) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "d6_dedup_clusters" ->
       """WITH RECURSIVE
         |s AS (

@@ -552,4 +552,50 @@ object TextAnalysis {
       )
       .orderBy("lang")
   }
+
+  /** t22: TEMPERATURE-REWEIGHTED MIXTURE SAMPLING — the data-mixing
+    * step of a pretraining pipeline (XLM/mBERT-style multinomial
+    * smoothing): target shares `q_i ∝ s_i^α` flatten the LANGUAGE
+    * distribution (the corpus is en-heavy; α=0.5, computed as
+    * IEEE-exact `sqrt` so both engines agree bit-for-bit), per-doc
+    * acceptance rate
+    * `r_i = (q_i/s_i) / max_j(q_j/s_j)` keeps ~all of the rarest source
+    * and downsamples common ones, and the accept decision is a
+    * deterministic md5-fraction threshold per doc_id — reproducible
+    * across runs AND engines, no RNG state.
+    *
+    * Cross-engine exactness: source counts stay integer until the one
+    * double division; the α-share normalizer sums few per-source
+    * doubles through decimal(20,15) (the q3 discipline) so its value is
+    * association-independent; rates round to 6 decimals BEFORE the
+    * integer threshold compare (`hash32 < floor(rate·2^32)`), so the
+    * accept set is identical on any engine.
+    *
+    * Scale shape: two kilobyte-sized aggregates broadcast back; the
+    * corpus is scanned ONCE with a per-row filter that pushes into the
+    * scan — no shuffle of document data at any width.
+    */
+  def t22MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_i"))
+    val tot = counts.agg(sum("n_i").as("nt"))
+    val pw = counts
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), (col("n_i").cast("double") / col("nt")).as("s_i"))
+      .withColumn("p_i", sqrt(col("s_i")))
+    val z = pw.agg(sum(col("p_i").cast("decimal(20,15)")).cast("double").as("zp"))
+    val rates = pw
+      .crossJoin(broadcast(z))
+      .select(col("lang"), (col("p_i") / col("zp") / col("s_i")).as("rate"))
+    val rmax = rates.agg(max("rate").as("rmax"))
+    val fin = rates
+      .crossJoin(broadcast(rmax))
+      .select(col("lang"), round(col("rate") / col("rmax"), 6).as("rate"))
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    docs
+      .join(broadcast(fin), "lang")
+      .filter(hv < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy("doc_id")
+  }
 }

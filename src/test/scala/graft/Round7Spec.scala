@@ -378,6 +378,30 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // t22 mixture sampling: value parity is the oracle's job; pin the
+  // REWEIGHTING direction — the dominant language is downsampled
+  // hardest, the rarest keeps (nearly) everything, and the sampled mix
+  // is flatter than the corpus mix.
+  // ------------------------------------------------------------------
+  test("t22 temperature sampling flattens the language mix") {
+    val corpus = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.operators.TextAnalysis.t22MixtureSample(spark, sf)
+    val rates = out.select("lang", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (maxLang, _) = corpus.maxBy(_._2)
+    val (minLang, _) = corpus.minBy(_._2)
+    assert(rates(maxLang) == rates.values.min, "dominant language must get the lowest rate")
+    assert(rates(minLang) == 1.0, "rarest language keeps everything (rate normalized to 1)")
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    val sampled = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def share(m: Map[String, Long], l: String) = m(l).toDouble / m.values.sum
+    assert(share(sampled, maxLang) < share(corpus, maxLang),
+      "sampled mix must be flatter than the corpus mix")
+  }
+
+  // ------------------------------------------------------------------
   // s17's commit log: a foreachBatch RETRY of an already-committed
   // batch is a no-op (no double-fold), and the pointer is rebuilt from
   // disk, not from session memory
