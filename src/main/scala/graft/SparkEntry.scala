@@ -228,6 +228,7 @@ object SparkEntry {
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
+    "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
@@ -1748,6 +1749,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming month dashboard: stream-maintained day partials,
+    // month regrouping at query time; oracle from raw events
+    "s18_stream_mv_month" ->
+      """SELECT date_trunc('month', CAST(ts AS DATE)) AS month_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // MV selection: value parity vs raw regardless of which summary the
     // optimizer picks (the routing itself is ScalaTest-pinned)
     "c16e_mv_select" ->

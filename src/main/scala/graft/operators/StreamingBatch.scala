@@ -1095,7 +1095,12 @@ object StreamingBatch {
     ()
   }
 
-  def s17StreamMv(s: SparkSession, d: String): DataFrame = {
+  /** Run the s17 maintenance stream and register the stream-built
+    * rollup as THE answer for raw-events aggregates — with BOTH dims
+    * declared (type and the `cast(ts as date)` day), so grain-coarsening
+    * queries (month dashboards) are admitted too.
+    */
+  private def runStreamMv(s: SparkSession, d: String): Unit = {
     val dir = stageJson(s, d)
     val stream = StreamIngest.parsed(
       s.readStream.option("maxFilesPerTrigger", 8).text(s"$dir/json"),
@@ -1109,15 +1114,17 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the stream-built rollup becomes THE answer for raw-events
-    // aggregates from here on (latest registration wins the path key)
     graft.plans.MvRegistry.register(
       s,
       Tables.events(s, d),
       s.read.parquet(s17LatestCommitted(root).get),
-      dims = Map("event_type" -> "event_type"),
+      dims = Map("event_type" -> "event_type", "cast(ts as date)" -> "dt"),
       measure = "value"
     )
+  }
+
+  def s17StreamMv(s: SparkSession, d: String): DataFrame = {
+    runStreamMv(s, d)
     Tables
       .events(s, d)
       .groupBy("event_type")
@@ -1128,5 +1135,24 @@ object StreamingBatch {
         round(max("value"), 2).as("max_value")
       )
       .orderBy("event_type")
+  }
+
+  /** s18: the STREAMING half of c16c — a month-grain dashboard answered
+    * from the stream-maintained day×type rollup (s17's store), composing
+    * incremental stream maintenance with the time-grain-hierarchy
+    * rewrite: the firehose keeps the day partials current, and every
+    * coarser time grain is a regrouping of them at query time. Oracle
+    * recomputes from raw events; the plan swap is ScalaTest-pinned.
+    */
+  def s18StreamMvMonth(s: SparkSession, d: String): DataFrame = {
+    runStreamMv(s, d)
+    Tables
+      .events(s, d)
+      .groupBy(
+        trunc(col("ts").cast("date"), "month").as("month_start"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("month_start", "event_type")
   }
 }

@@ -378,6 +378,19 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // s18: month dashboard served from the STREAM-maintained day rollup
+  // ------------------------------------------------------------------
+  test("s18 month aggregate scans the stream-built rollup, not raw events") {
+    try {
+      val df = graft.operators.StreamingBatch.s18StreamMvMonth(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_s17"), s"not served from the stream-built store:\n$plan")
+      assert(!plan.contains("events.parquet"), s"still scanning raw events:\n$plan")
+      assert(df.count() > 0)
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
   // t22 mixture sampling: value parity is the oracle's job; pin the
   // REWEIGHTING direction — the dominant language is downsampled
   // hardest, the rarest keeps (nearly) everything, and the sampled mix
