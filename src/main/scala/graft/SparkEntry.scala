@@ -97,6 +97,7 @@ object SparkEntry {
     "e8_resample"            -> (Events.e8Resample _),
     "e9_collect_nested"      -> (Events.e9CollectNested _),
     "p1_curate"              -> (graft.operators.Curate.p1Curate _),
+    "p4_curate_mixture"      -> ((s, d) => graft.operators.Curate.p4CurateMixture(s, d)),
     "t7_unigram_logprob"     -> (TextAnalysis.t7UnigramLogprob _),
     "q24_topk_custom"        -> (Relational.q24TopkCustom _),
     "d7_dedup_apply"         -> (Dedup.d7DedupApply _),
@@ -621,6 +622,42 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         | string_agg(event_type, '|' ORDER BY event_id) AS types_s
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full mixture-curation chain recomputed end-to-end: t22's rate
+    // arithmetic, the quality gates, keep-min dedup, m6's shard algebra
+    "p4_curate_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_i FROM documents GROUP BY 1),
+        |t0 AS (SELECT sum(n_i) AS nt FROM c),
+        |pw AS (SELECT lang, CAST(n_i AS DOUBLE) / nt AS s_i,
+        |        sqrt(CAST(n_i AS DOUBLE) / nt) AS p_i FROM c, t0),
+        |z AS (SELECT CAST(sum(CAST(p_i AS DECIMAL(20,15))) AS DOUBLE) AS zp FROM pw),
+        |r AS (SELECT lang, p_i / zp / s_i AS rate FROM pw, z),
+        |m0 AS (SELECT max(rate) AS rmax FROM r),
+        |f AS (SELECT lang, round(rate / rmax, 6) AS rate FROM r, m0),
+        |acc AS (SELECT d.doc_id, d.text, d.n_chars
+        | FROM documents d JOIN f USING (lang)
+        | WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       < CAST(floor(rate * 4294967296) AS BIGINT)),
+        |g0 AS (SELECT doc_id, text, n_chars,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM acc),
+        |g AS (SELECT doc_id, text, n_chars, CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / greatest(len(tk), 1) AS sr
+        | FROM g0),
+        |gg AS (SELECT doc_id, text, n_chars FROM g
+        | WHERE n_tokens BETWEEN 20 AND 1000 AND sr <= 0.5),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM gg GROUP BY md5(text)),
+        |sv AS (SELECT gg.doc_id, gg.n_chars,
+        |  ((gg.doc_id & 2147483647) * 2654435761) % 4294967296 AS rk
+        | FROM gg JOIN kept USING (doc_id)),
+        |b AS (SELECT *, rk % 8 AS bkt FROM sv),
+        |p AS (SELECT bkt, doc_id, n_chars,
+        |  COALESCE(sum(n_chars) OVER (PARTITION BY bkt ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM b)
+        |SELECT bkt * 100000 + CAST(floor(prefix / 5000.0) AS BIGINT) AS shard_id,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(doc_id) AS first_doc
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "p1_curate" ->
       """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |t AS (SELECT d.doc_id, d.lang, d.text,

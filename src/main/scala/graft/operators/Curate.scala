@@ -18,6 +18,73 @@ import graft.sources.Tables
   */
 object Curate {
 
+  /** p4: MIXTURE-AWARE curation → training shards, the full pretraining
+    * data-prep composition:
+    *
+    *   temperature mixture sample (t22: flatten the language mix)
+    *     → quality gate (token count, stopword ratio)
+    *     → exact dedup (keep min-id per content hash among survivors)
+    *     → size-budgeted shard plan (m6's bucket-scoped prefix sums)
+    *
+    * Cost profile at 100 TB: the mixture rates are a KB broadcast, the
+    * gates are per-row pushed filters, dedup is the one content-hash
+    * shuffle, and sharding is a bucket-keyed window — no stage holds
+    * more than a key-partitioned slice. The DuckDB oracle recomputes
+    * the ENTIRE chain (same rate arithmetic, gates, keep-min ranking,
+    * and shard prefix sums), so a drift anywhere in the composition
+    * fails the hash.
+    */
+  def p4CurateMixture(
+      s: SparkSession,
+      d: String,
+      budgetChars: Long = 5000L,
+      nBuckets: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val accepted = TextAnalysis.t22MixtureSample(s, d).select("doc_id")
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val gated = docs
+      .join(accepted, "doc_id")
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("n_chars"),
+        size(tk).as("n_tokens"),
+        (size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)))
+          .as("sr")
+      )
+      .filter(col("n_tokens").between(20, 1000) && col("sr") <= 0.5)
+    val kept = gated
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val surviving = gated.join(kept, "doc_id").select(
+      col("doc_id"),
+      col("n_chars"),
+      (col("doc_id").bitwiseAND(lit(0x7fffffffL)) * lit(2654435761L) % lit(4294967296L)).as("rk")
+    )
+    val w = Window
+      .partitionBy("bkt")
+      .orderBy("rk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    surviving
+      .withColumn("bkt", pmod(col("rk"), lit(nBuckets.toLong)))
+      .withColumn("prefix", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn(
+        "shard_id",
+        col("bkt") * lit(100000L) + floor(col("prefix") / lit(budgetChars.toDouble))
+      )
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("first_doc")
+      )
+      .orderBy("shard_id")
+  }
+
   def p1Curate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val kept = docs
