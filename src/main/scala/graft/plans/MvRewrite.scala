@@ -88,8 +88,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private def templateAttr(a: Attribute): AttributeReference = {
     val n = a.name.toLowerCase(java.util.Locale.ROOT)
+    // 62-bit id from two independent murmur passes: a 30-bit hash could
+    // plausibly collide between two columns of one wide relation, which
+    // would alias two different dims and corrupt the rewrite
+    val h = (scala.util.hashing.MurmurHash3.stringHash(n, 0x9747b28c).toLong << 31) ^
+      (scala.util.hashing.MurmurHash3.stringHash(n, 0x85ebca6b).toLong & 0x7fffffffL)
     AttributeReference(n, a.dataType, nullable = true)(
-      exprId = ExprId(0x4000000000000000L | (n.hashCode.toLong & 0x3fffffffL))
+      exprId = ExprId(0x4000000000000000L | (h & 0x3fffffffffffffffL))
     )
   }
 
