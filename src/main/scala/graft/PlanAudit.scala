@@ -57,7 +57,11 @@ object PlanAudit {
       "c16c_mv_month"               -> "time-grain hierarchy MV: month grouping computed over the day-grain partials scan (trunc applied to the summary's dt), raw events never read",
       "c16d_mv_multi"               -> "multi-measure MV: quantity and revenue aggregates both resolve to one partials scan, grouping coarser than the summary",
       "m7_image_decode"             -> "real ImageIO decode: mapPartitions iterator over the staged PNG store, constant memory per task",
-      "m8_image_neardup"            -> "image near-dup verify: balanced block self-join + codegen'd 8-term dot product, no cartesian, no HOF lambdas"
+      "m8_image_neardup"            -> "image near-dup verify: balanced block self-join + codegen'd 8-term dot product, no cartesian, no HOF lambdas",
+      "c16e_mv_select"              -> "MV selection: the type-grouped dashboard scans the T-row type rollup (graft_c16e path), not the day-by-type partials",
+      "s18_stream_mv_month"         -> "streaming month dashboard: month regrouping over the stream-maintained day partials (graft_s17 state_v path)",
+      "t22_mixture_sample"          -> "temperature mixture sample: KB rate table broadcast, one corpus scan, accept filter pushed per-row",
+      "p4_curate_mixture"           -> "mixture curation capstone: broadcast rates -> pushed gates -> one content-hash shuffle -> bucket-keyed shard windows"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
