@@ -73,7 +73,9 @@ object Bench {
       "e15_active_users", "d1_dedup_exact", "d2_dedup_minhash_lsh",
       "d5b_dedup_embedding_blocked", "d6_dedup_clusters", "v1_knn_brute",
       "v2_knn_lsh", "t5_ngram_freq", "t9_tfidf", "s1_ingest_parquet",
-      "s2_stream_window_agg", "c1_compact", "c2_merge_upsert", "p1_curate")
+      "s2_stream_window_agg", "c1_compact", "c2_merge_upsert", "p1_curate",
+      // round-7 additions: real decode, MV lattice, mixture curation
+      "m8_image_neardup", "c16c_mv_month", "t22_mixture_sample", "p4_curate_mixture")
     val hq = headline.flatMap(n => resultMap.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"sf":$sfNum}""")
