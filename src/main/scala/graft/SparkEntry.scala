@@ -230,6 +230,7 @@ object SparkEntry {
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
+    "c18_changelog"          -> (Maintenance.c18Changelog _),
     "d15_fuzzy_clusters"     -> (Dedup.d15FuzzyClusters _),
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
@@ -1786,6 +1787,28 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC between store versions: both versions recomputed from raw
+    // events (c2b's exact integer midpoint split) and diffed
+    "c18_changelog" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |   epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |b AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e),
+        |v1 AS (SELECT user_id, event_id AS old_event, round(value,2) AS old_value FROM (
+        |  SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e, b WHERE 2*tus < mn + mx) WHERE rn = 1),
+        |v2 AS (SELECT user_id, event_id AS new_event, round(value,2) AS new_value FROM (
+        |  SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1)
+        |SELECT user_id,
+        | CASE WHEN old_event IS NULL THEN 'insert'
+        |      WHEN new_event IS NULL THEN 'delete'
+        |      ELSE 'update' END AS op,
+        | old_event, new_event, old_value, new_value
+        |FROM v1 FULL OUTER JOIN v2 USING (user_id)
+        |WHERE old_event IS NULL OR new_event IS NULL OR old_event <> new_event
+        |ORDER BY user_id""".stripMargin,
     // streaming month dashboard: stream-maintained day partials,
     // month regrouping at query time; oracle from raw events
     "s18_stream_mv_month" ->

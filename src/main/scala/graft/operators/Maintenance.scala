@@ -630,6 +630,48 @@ object Maintenance {
       .orderBy("month_start", "event_type")
   }
 
+  /** c18: CHANGE DATA CAPTURE between two committed versions of the
+    * copy-on-write store (Delta CDF / Iceberg changelog-scan shape):
+    * a full-outer key join of v1 and v2 classifies every key as
+    * insert / update / delete (this upsert-only store never deletes —
+    * the delete arm exists for the c17 path) and emits old/new values.
+    * Downstream consumers get the incremental diff instead of
+    * re-reading the whole snapshot — at 100 TB the changelog is
+    * O(changed keys), and the join is one shuffle on the store key
+    * (or zero with co-located version layouts). The DuckDB oracle
+    * recomputes both versions from raw events (c2b's exact integer
+    * midpoint split) and diffs them independently; ScalaTest pins the
+    * CDC invariant — applying the changelog to v1 reproduces v2.
+    */
+  /** The cached two-version merge store root (test access). */
+  private[graft] def mergeStoreFor(s: SparkSession, d: String): String =
+    mergeStoreCache.computeIfAbsent(
+      d,
+      _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d)
+    )
+
+  def c18Changelog(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val store = mergeStoreFor(s, d)
+    val v1 = s.read
+      .parquet(SnapshotStore.versionPath(store, 1))
+      .select(col("user_id"), col("event_id").as("old_event"), round(col("value"), 2).as("old_value"))
+    val v2 = s.read
+      .parquet(SnapshotStore.versionPath(store, 2))
+      .select(col("user_id"), col("event_id").as("new_event"), round(col("value"), 2).as("new_value"))
+    v1.join(v2, Seq("user_id"), "full_outer")
+      .withColumn(
+        "op",
+        when(col("old_event").isNull, "insert")
+          .when(col("new_event").isNull, "delete")
+          .when(col("old_event") =!= col("new_event"), "update")
+          .otherwise("unchanged")
+      )
+      .filter(col("op") =!= "unchanged")
+      .select("user_id", "op", "old_event", "new_event", "old_value", "new_value")
+      .orderBy("user_id")
+  }
+
   // c16e's TYPE-ONLY events rollup (T rows — three orders of magnitude
   // smaller than the day×type partials), staged once per (JVM, dir)
   private val mvTypeRollupCache = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -391,6 +391,29 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // c18 CDC: the changelog must be exactly the delta — applying it to
+  // v1 reproduces v2 (key-for-key), and this upsert-only store can
+  // never emit deletes.
+  // ------------------------------------------------------------------
+  test("c18 changelog applied to v1 reproduces v2") {
+    import graft.sources.SnapshotStore
+    val cdc = graft.operators.Maintenance.c18Changelog(spark, sf).collect()
+    assert(cdc.nonEmpty)
+    assert(cdc.forall(r => r.getString(1) != "delete"), "upsert-only store emitted a delete")
+    val store = graft.operators.Maintenance.mergeStoreFor(spark, sf)
+    def keyed(v: Long): Map[Long, Long] = spark.read
+      .parquet(SnapshotStore.versionPath(store, v))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v1 = keyed(1)
+    val v2 = keyed(2)
+    val applied = cdc.foldLeft(v1) { (m, r) =>
+      m.updated(r.getLong(0), r.getLong(3)) // new_event
+    }
+    assert(applied == v2, "v1 + changelog must equal v2")
+  }
+
+  // ------------------------------------------------------------------
   // t22 mixture sampling: value parity is the oracle's job; pin the
   // REWEIGHTING direction — the dominant language is downsampled
   // hardest, the rarest keeps (nearly) everything, and the sampled mix
