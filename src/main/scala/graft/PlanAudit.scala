@@ -61,7 +61,8 @@ object PlanAudit {
       "c16e_mv_select"              -> "MV selection: the type-grouped dashboard scans the T-row type rollup (graft_c16e path), not the day-by-type partials",
       "s18_stream_mv_month"         -> "streaming month dashboard: month regrouping over the stream-maintained day partials (graft_s17 state_v path)",
       "t22_mixture_sample"          -> "temperature mixture sample: KB rate table broadcast, one corpus scan, accept filter pushed per-row",
-      "p4_curate_mixture"           -> "mixture curation capstone: broadcast rates -> pushed gates -> one content-hash shuffle -> bucket-keyed shard windows"
+      "p4_curate_mixture"           -> "mixture curation capstone: broadcast rates -> pushed gates -> one content-hash shuffle -> bucket-keyed shard windows",
+      "c18_changelog"               -> "CDC between store versions: one full-outer key join of two version scans, op classification per-row"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
