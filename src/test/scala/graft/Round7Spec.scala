@@ -391,6 +391,61 @@ class Round7Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // MV rewrite property sweep: every combination of admissible
+  // grouping × aggregate set × dim filter must (a) actually rewrite
+  // and (b) produce values equal to the raw computation. 40 combos —
+  // broad protection for the template/coarsening/selection machinery
+  // beyond the hand-picked cases above.
+  // ------------------------------------------------------------------
+  test("mv rewrite: all admissible grouping/filter/aggregate combos match raw") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    val groupings: Seq[(String, Seq[Column])] = Seq(
+      "type"       -> Seq(col("event_type")),
+      "day"        -> Seq(col("ts").cast("date").as("dt")),
+      "month"      -> Seq(trunc(col("ts").cast("date"), "month").as("m")),
+      "type+day"   -> Seq(col("event_type"), col("ts").cast("date").as("dt")),
+      "global"     -> Seq.empty
+    )
+    val aggSets: Seq[(String, Seq[Column])] = Seq(
+      "count"      -> Seq(count(lit(1)).as("n")),
+      "sum+min"    -> Seq(sum("value").as("sv"), min("value").as("mnv")),
+      "avg+max"    -> Seq(avg("value").as("av"), max("value").as("mxv")),
+      "mixed"      -> Seq(count(lit(1)).as("n"), sum("value").as("sv"), avg("value").as("av"))
+    )
+    val filters: Seq[(String, Option[Column])] = Seq(
+      "none"       -> None,
+      "dim-filter" -> Some(col("event_type") =!= "view")
+    )
+    def build(g: Seq[Column], a: Seq[Column], f: Option[Column]): DataFrame = {
+      val base = f.foldLeft(Tables.events(spark, sf))((df, c) => df.filter(c))
+      if (g.isEmpty) base.agg(a.head, a.tail: _*) else base.groupBy(g: _*).agg(a.head, a.tail: _*)
+    }
+    def canon(df: DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*)
+        .collect()
+        .map(_.toSeq.map {
+          case d: Double => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+          case other     => String.valueOf(other)
+        })
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    val dir = graft.operators.Maintenance.mvStore(spark, sf)
+    try {
+      for ((gn, g) <- groupings; (an, a) <- aggSets; (fn, f) <- filters) {
+        MvRegistry.clear()
+        val raw = canon(build(g, a, f))
+        graft.operators.Maintenance.registerEventsMv(spark, sf, dir)
+        val rewritten = build(g, a, f)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_c16") && !plan.contains("events.parquet"),
+          s"[$gn × $an × $fn] did not rewrite:\n$plan")
+        assert(canon(rewritten) == raw, s"[$gn × $an × $fn] values diverged from raw")
+      }
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
   // c18 CDC: the changelog must be exactly the delta — applying it to
   // v1 reproduces v2 (key-for-key), and this upsert-only store can
   // never emit deletes.
