@@ -89,6 +89,7 @@ object SparkEntry {
     "q20_pivot"              -> (Relational.q20Pivot _),
     "t6_hash_sample"         -> (TextAnalysis.t6HashSample _),
     "t22_mixture_sample"     -> (TextAnalysis.t22MixtureSample _),
+    "t23_token_mixture"      -> (TextAnalysis.t23TokenMixture _),
     "d6_dedup_clusters"      -> (Dedup.d6DedupClusters _),
     "c1_compact"             -> (Maintenance.c1Compact _),
     "q21_window_analytics"   -> (Relational.q21WindowAnalytics _),
@@ -555,6 +556,24 @@ object SparkEntry {
     // division, sqrt (IEEE-exact) for alpha=0.5, decimal-quantized
     // normalizer sum, rates rounded to 6dp BEFORE the integer hash
     // threshold — the accept set is engine-independent
+    // token-budget mixture: identical algebra over exact BIGINT token
+    // sums instead of doc counts
+    "t23_token_mixture" ->
+      """WITH c AS (SELECT lang,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_i
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_i) AS nt FROM c),
+        |pw AS (SELECT lang, CAST(n_i AS DOUBLE) / nt AS s_i,
+        |        sqrt(CAST(n_i AS DOUBLE) / nt) AS p_i FROM c, t),
+        |z AS (SELECT CAST(sum(CAST(p_i AS DECIMAL(20,15))) AS DOUBLE) AS zp FROM pw),
+        |r AS (SELECT lang, p_i / zp / s_i AS rate FROM pw, z),
+        |m AS (SELECT max(rate) AS rmax FROM r),
+        |f AS (SELECT lang, round(rate / rmax, 6) AS rate FROM r, m)
+        |SELECT d.doc_id, d.lang, f.rate
+        |FROM documents d JOIN f USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      < CAST(floor(rate * 4294967296) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "t22_mixture_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_i FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_i) AS nt FROM c),

@@ -575,9 +575,23 @@ object TextAnalysis {
     * corpus is scanned ONCE with a per-row filter that pushes into the
     * scan — no shuffle of document data at any width.
     */
-  def t22MixtureSample(s: SparkSession, d: String): DataFrame = {
+  def t22MixtureSample(s: SparkSession, d: String): DataFrame =
+    mixtureSampleBy(s, d, lit(1L))
+
+  /** t23: the same temperature mixture computed over TOKEN budgets —
+    * the measure a pretraining mix actually allocates. Shares are
+    * per-language whitespace-token sums (exact BIGINT on both engines)
+    * instead of document counts; everything downstream (sqrt smoothing,
+    * decimal-quantized normalizer, rounded rates, md5-fraction accept)
+    * is identical, so a language of few long documents is weighted by
+    * its true token mass.
+    */
+  def t23TokenMixture(s: SparkSession, d: String): DataFrame =
+    mixtureSampleBy(s, d, TF.tokenCount(col("text")).cast("long"))
+
+  private def mixtureSampleBy(s: SparkSession, d: String, weight: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(s, d)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_i"))
+    val counts = docs.groupBy("lang").agg(sum(weight).as("n_i"))
     val tot = counts.agg(sum("n_i").as("nt"))
     val pw = counts
       .crossJoin(broadcast(tot))
