@@ -446,6 +446,28 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // d3 (round-8 promotion): the md5-derived 64-bit token hash is exact
+    // integer arithmetic both engines share, so DuckDB replays the
+    // signature votes and xor/bit_count hamming bit-for-bit. The Spark
+    // side emits only band-join candidates, but 4×16-bit bands are EXACT
+    // for hamming ≤ 3 (pigeonhole), so the all-pairs oracle is the same
+    // set.
+    "d3_dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(tkn), 1, 16) AS UBIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(l) AS tkn FROM tk)),
+        |votes AS (SELECT doc_id, b.b AS b,
+        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, generate_series(0, 63) b(b) GROUP BY 1, 2),
+        |sig AS (SELECT d.doc_id,
+        |   COALESCE(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END), 0) AS sim
+        |  FROM documents d LEFT JOIN votes ON d.doc_id = votes.doc_id GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH s AS (
         | SELECT doc_id,
@@ -496,9 +518,8 @@ object SparkEntry {
     "t4_fingerprint_rolling" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
         |  FROM documents),
-        |tok AS (SELECT doc_id, t.i + 1 AS ord,
-        |   CAST('0x' || substr(md5(l[t.i + 1]), 1, 8) AS BIGINT) AS th
-        |  FROM tk JOIN generate_series(0, 255) t(i) ON t.i < len(l))
+        |tok AS (SELECT doc_id, ord, CAST('0x' || substr(md5(tkn), 1, 8) AS BIGINT) AS th
+        |  FROM (SELECT doc_id, unnest(l) AS tkn, unnest(range(1, len(l) + 1)) AS ord FROM tk))
         |SELECT d.doc_id,
         | CAST(COALESCE(sum(th), 0) % 34359738337 AS BIGINT) AS fp_sum,
         | CAST(COALESCE(sum(ord * th), 0) % 34359738337 AS BIGINT) AS fp_pos

@@ -102,14 +102,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup: 64-bit signature (one-pass custom expression),
-    * candidates via 4×16-bit band join (any pair at hamming ≤ 3 must
-    * agree on ≥1 of 4 bands), verified by exact hamming distance.
+  /** SimHash near-dup: 64-bit signature (one-pass custom vote
+    * expression), candidates via 4×16-bit band join (any pair at
+    * hamming ≤ 3 must agree on ≥1 of 4 bands — pigeonhole, so the band
+    * join is EXACT for the ≤3 threshold, not approximate), verified by
+    * exact hamming distance.
+    *
+    * PORTABLE form (round-8: was rows-only): the per-token 64-bit hash
+    * is the first 16 md5 hex digits (two 32-bit halves shifted
+    * together — exact integer arithmetic both engines share), so the
+    * DuckDB oracle replays signature votes and xor/bit_count hamming
+    * bit-for-bit and the driver hash-gates the full pair set. The
+    * xxhash64-seeded signature ([[GraftExpressions.simhash64]]) remains
+    * the zero-allocation scale variant, ScalaTest-covered
+    * (EquivalenceSpec); the vote loop here is the same custom
+    * expression machinery over the portable hashes.
     */
   def d3Simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val hexes = transform(TF.tokens(col("text")), t => md5(t))
+    val th = transform(
+      hexes,
+      h =>
+        shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+    )
     val sh = Tables
       .documents(s, d)
-      .select(col("doc_id"), GraftExpressions.simhash64(TF.tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), GraftExpressions.simhash64FromHashes(th).as("sim"))
 
     val banded = sh.select(
       col("doc_id"),

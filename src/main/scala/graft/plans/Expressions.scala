@@ -32,6 +32,9 @@ object GraftExpressions {
   def simhash64(tokens: Column): Column =
     column(SimHash64(GraftColumnBridge.expression(tokens)))
 
+  def simhash64FromHashes(hashes: Column): Column =
+    column(SimHash64FromHashes(GraftColumnBridge.expression(hashes)))
+
   def shingleHashes(tokens: Column, k: Int): Column =
     column(ShingleHashes(GraftColumnBridge.expression(tokens), k))
 
@@ -237,6 +240,51 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash64 over PRE-HASHED tokens (`array<long>`): the same vote loop
+  * as [[SimHash64]], with the 64-bit token hash supplied by the caller.
+  * This is the portable-oracle form — d3 feeds md5-derived hashes both
+  * engines compute identically, so the DuckDB gate can replay the votes
+  * bit-for-bit (xxhash64-seeded [[SimHash64]] has no DuckDB twin). Null
+  * elements are skipped.
+  */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SimHash64FromHashes needs array<long>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }

@@ -226,8 +226,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     // midnight is equivalent to a date comparison on the dim — rows on
     // either side of the boundary land in disjoint day partials — and
     // is lifted back; any intra-day instant disqualifies the conjunct.
+    // Only admit Cast dims whose analyzed timeZoneId matches the CURRENT
+    // session timezone: the midnight boundaries below are computed with
+    // the session zone, so a dim registered under a different zone would
+    // lift `ts >= midnight(D)` to a WRONG `dt >= D` (different rows on
+    // either side of the boundary). Mismatch disables the lift (the
+    // structural path stays safe — Cast.semanticEquals compares zones).
     val dateDims: Seq[(Expression, Attribute)] = mv.dimTemplates.collect {
-      case (Cast(inner, DateType, _, _), c) => (inner, sAttr(c))
+      case (Cast(inner, DateType, tz, _), c) if tz.contains(conf.sessionLocalTimeZone) =>
+        (inner, sAttr(c))
     }
     val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
     def tsDim(x: Expression): Option[Attribute] =
@@ -242,13 +249,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     // `isnotnull(X)` where some dim is `cast(f(X) as date)` and f is a
     // null-faithful chain (null in ⇔ null out): equivalent to
     // isnotnull(dim) — the null rows are exactly the null-dim partials
+    def nonZeroLiteral(e: Expression): Boolean = e match {
+      case Literal(null, _)                                  => false
+      case Literal(v: java.lang.Number, _)                   => v.doubleValue() != 0.0
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => !d.isZero
+      case _                                                 => false
+    }
     def nullFaithful(inner: Expression, xt: Expression): Boolean =
       inner.semanticEquals(xt) || {
+        // divisions are null-faithful ONLY with a provably non-zero
+        // literal divisor: under ANSI-off, x/0 is NULL for non-null x,
+        // so a variable (or zero) divisor would let the isnotnull(X) →
+        // IsNotNull(dim) lift drop rows the raw query keeps
         val whitelisted = !inner.exists {
           case _: AttributeReference | _: Literal => false
+          case d: Divide                          => !nonZeroLiteral(d.right)
+          case d: IntegralDivide                  => !nonZeroLiteral(d.right)
           case e =>
             !Seq("Cast", "MicrosToTimestamp", "MillisToTimestamp", "SecondsToTimestamp",
-              "IntegralDivide", "Divide", "Multiply", "Add", "Subtract", "UnaryMinus")
+              "Multiply", "Add", "Subtract", "UnaryMinus")
               .contains(e.getClass.getSimpleName)
         }
         whitelisted && (xt match {
@@ -487,11 +506,19 @@ object MvRegistry {
     )
     // several summaries may serve one source (a type-only rollup AND
     // day×type partials); keep them coarsest-first so selection scans
-    // the smallest admissible table, newest-first within equal arity
-    // (a re-registration supersedes its predecessor)
+    // the smallest admissible table. Re-registering the SAME dim set
+    // truly supersedes (prior def dropped) — otherwise superseded defs
+    // accumulate in long-lived sessions and a stale one (e.g. pointing
+    // at a deleted temp summary dir) could still be selected whenever
+    // the newer def bails.
+    def sameDims(a: MvDef): Boolean =
+      a.dimTemplates.size == mvDef.dimTemplates.size &&
+        mvDef.dimTemplates.forall { case (t, _) => a.dimTemplates.exists(_._1.semanticEquals(t)) }
     registry.compute(
       normalize(path),
-      (_, old) => (mvDef +: Option(old).getOrElse(Vector.empty)).sortBy(_.dimTemplates.size)
+      (_, old) =>
+        (mvDef +: Option(old).getOrElse(Vector.empty).filterNot(sameDims))
+          .sortBy(_.dimTemplates.size)
     )
   }
 

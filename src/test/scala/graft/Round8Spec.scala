@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions: the MvRewrite soundness corners from the round-7
+  * advice — the day-boundary lift under a session-timezone change, the
+  * null-faithfulness of division chains in the isnotnull lift, and true
+  * supersede semantics for re-registration. Value-level MV parity stays
+  * with the DuckDB oracle gate; these pin the bail paths the gate can't
+  * reach (a bail produces correct-but-unrewritten plans, so only plan
+  * assertions can distinguish sound from lucky).
+  */
+class Round8Spec extends AnyFunSuite {
+  import TestSession._
+  import graft.operators.Maintenance
+  import graft.plans.{MvRegistry, MvRewrite}
+  import graft.sources.Tables
+
+  // ------------------------------------------------------------------
+  // Day-boundary lift vs session timezone: the lift computes midnight
+  // boundaries with the CURRENT session zone, so a day dim registered
+  // under a different zone maps `ts >= midnight(D)` to different rows
+  // than `dt >= D`. The rule must disable the lift (bail to raw scan),
+  // never lift wrongly.
+  // ------------------------------------------------------------------
+  test("mv rewrite: day-boundary lift disabled when session timezone differs from registration") {
+    val tzKey = "spark.sql.session.timeZone"
+    val originalTz = spark.conf.get(tzKey)
+    try {
+      val dir = Maintenance.mvStore(spark, sf)
+      Maintenance.registerEventsMv(spark, sf, dir) // Cast dims carry tz=UTC
+      def dayFiltered() = Tables.events(spark, sf)
+        .filter(col("ts").cast("date") >= lit(java.sql.Date.valueOf("2024-01-10")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      // same zone: the unwrapped midnight comparison lifts back onto the
+      // summary's dt column and the rollup answers the dashboard
+      val lifted = dayFiltered()
+      val liftedPlan = lifted.queryExecution.executedPlan.toString
+      assert(liftedPlan.contains("graft_c16") && !liftedPlan.contains("events.parquet"),
+        s"day-filtered aggregate should answer from partials under the registration zone:\n$liftedPlan")
+      // changed zone: midnight(2024-01-10, NY) is an intra-day instant of
+      // the UTC-built dt partials — the lift MUST NOT fire
+      spark.conf.set(tzKey, "America/New_York")
+      val bailed = dayFiltered()
+      val bailedPlan = bailed.queryExecution.executedPlan.toString
+      assert(bailedPlan.contains("events.parquet") && !bailedPlan.contains("graft_c16"),
+        s"day filter under a different session zone must scan raw, not lift:\n$bailedPlan")
+      // and the raw-scan answer equals the registry-free answer (bail is
+      // invisible to results)
+      val withMv = bailed.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val noMv = dayFiltered().collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(withMv == noMv)
+    } finally {
+      spark.conf.set(tzKey, originalTz)
+      MvRegistry.clear()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // isnotnull lift null-faithfulness: under ANSI-off, x div 0 is NULL
+  // for non-null x, so a dim chain dividing by zero is NOT null-
+  // faithful — lifting isnotnull(x) to isnotnull(dim) would drop every
+  // row the raw query keeps. Division is only admitted with a provably
+  // non-zero literal divisor.
+  // ------------------------------------------------------------------
+  test("mv rewrite: isnotnull lift rejects div-by-zero dim chains, admits non-zero literal divisors") {
+    val dir = TempDirs.create("graft_r8div_")
+    try {
+      spark.range(200)
+        .select(
+          when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).cast("long").as("x"),
+          (col("id") % 7).cast("double").as("v"))
+        .write.parquet(s"$dir/src")
+      val src = spark.read.parquet(s"$dir/src")
+      def summarize(dimSql: String, out: String): Unit =
+        src.groupBy(expr(dimSql).as("dt"))
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mnv"), max("v").as("mxv"))
+          .write.parquet(out)
+
+      // div-by-zero chain (try_divide: a TRY-mode Divide, the same class
+      // the whitelist admits): dim is NULL for every row, but x is
+      // non-null on 4/5 of them — the lift would hand those rows' counts
+      // to the dropped NULL partial. Must bail to the raw scan.
+      val zeroDim = "cast(timestamp_seconds(try_divide(x, 0)) as date)"
+      summarize(zeroDim, s"$dir/partials_zero")
+      MvRegistry.register(spark, src, spark.read.parquet(s"$dir/partials_zero"),
+        dims = Map(zeroDim -> "dt"), measure = "v")
+      val qZero = src.filter(col("x").isNotNull)
+        .groupBy(expr(zeroDim).as("dt")).agg(count(lit(1)).as("n"))
+      val zeroPlan = qZero.queryExecution.executedPlan.toString
+      assert(zeroPlan.contains("src") && !zeroPlan.contains("partials_zero"),
+        s"isnotnull over a div-by-zero dim chain must not lift:\n$zeroPlan")
+      // value sanity: one NULL-dt group carrying the 160 non-null xs
+      val zeroRows = qZero.collect()
+      assert(zeroRows.length == 1 && zeroRows.head.isNullAt(0) && zeroRows.head.getLong(1) == 160L)
+
+      // non-zero literal divisor: null in ⇔ null out holds, the lift is
+      // sound and the rollup answers the filtered aggregate
+      MvRegistry.clear()
+      val okDim = "cast(timestamp_seconds(x div 2) as date)"
+      summarize(okDim, s"$dir/partials_ok")
+      MvRegistry.register(spark, src, spark.read.parquet(s"$dir/partials_ok"),
+        dims = Map(okDim -> "dt"), measure = "v")
+      val qOk = src.filter(col("x").isNotNull)
+        .groupBy(expr(okDim).as("dt")).agg(count(lit(1)).as("n"))
+      val okPlan = qOk.queryExecution.executedPlan.toString
+      assert(okPlan.contains("partials_ok") && !okPlan.contains("src"),
+        s"isnotnull over a non-zero-literal division chain should lift:\n$okPlan")
+      val got = qOk.collect().map(r => Option(r.getDate(0)).map(_.toString) -> r.getLong(1)).toMap
+      MvRegistry.clear()
+      val raw = src.filter(col("x").isNotNull)
+        .groupBy(expr(okDim).as("dt")).agg(count(lit(1)).as("n"))
+        .collect().map(r => Option(r.getDate(0)).map(_.toString) -> r.getLong(1)).toMap
+      assert(got == raw)
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // Registration supersede: re-registering the SAME dim set replaces
+  // the prior def (no unbounded accumulation, no stale summary path
+  // reachable); a DIFFERENT dim set still accumulates (the lattice).
+  // ------------------------------------------------------------------
+  test("mv registry: equal-dims re-registration supersedes; different dims accumulate") {
+    val dir = TempDirs.create("graft_r8reg_")
+    try {
+      val events = Tables.events(spark, sf)
+      val Some((lr, _, _)) = MvRewrite.baseOf(events.queryExecution.analyzed)
+      val paths = MvRewrite.sourcePaths(lr)
+      def buildTypeRollup(out: String): Unit =
+        events.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+            min("value").as("mnv"), max("value").as("mxv"))
+          .write.parquet(out)
+      buildTypeRollup(s"$dir/gen1")
+      MvRegistry.register(spark, events, spark.read.parquet(s"$dir/gen1"),
+        dims = Map("event_type" -> "event_type"), measure = "value")
+      assert(MvRegistry.lookup(paths).size == 1)
+      // same dims again → still exactly one def, and it is the NEW one
+      buildTypeRollup(s"$dir/gen2")
+      MvRegistry.register(spark, events, spark.read.parquet(s"$dir/gen2"),
+        dims = Map("event_type" -> "event_type"), measure = "value")
+      assert(MvRegistry.lookup(paths).size == 1,
+        "equal-dims re-registration must supersede, not accumulate")
+      val q = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("gen2") && !plan.contains("gen1"),
+        s"superseded summary must be unreachable:\n$plan")
+      // a different dim set joins the lattice instead of superseding
+      Maintenance.registerEventsMv(spark, sf, Maintenance.mvStore(spark, sf)) // (type, day)
+      assert(MvRegistry.lookup(paths).size == 2)
+    } finally MvRegistry.clear()
+  }
+}
