@@ -1803,6 +1803,25 @@ object SparkEntry {
         | FROM v a JOIN v b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.998
         |ORDER BY id_a, id_b""".stripMargin,
+    // m4 (round-8 promotion): the stand-in featurizer is centered byte
+    // stride-sums — exact integers replayed here from the text column
+    // (pure-ASCII fixtures: byte == code point) — and the verify dot
+    // runs in doubles on both sides, so the full decode→featurize→
+    // verify chain is hash-gated like m8.
+    "m4_media_neardup" ->
+      """WITH ch AS (SELECT doc_id,
+        |  generate_subscripts(string_split(text, ''), 1) AS i,
+        |  unnest(list_transform(string_split(text, ''), c -> unicode(c))) - 100 AS b
+        | FROM documents),
+        |f AS (SELECT doc_id, (i-1) % 8 AS dd, CAST(sum(b) AS DOUBLE) AS v
+        | FROM ch GROUP BY 1, 2),
+        |emb AS (SELECT doc_id, list(v ORDER BY dd) AS e FROM f GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_dot_product(a.e, b.e)
+        |   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        | FROM emb a JOIN emb b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.98
+        |ORDER BY id_a, id_b""".stripMargin,
     "c13_dpp_join" ->
       """WITH dim AS (
         | SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events ORDER BY 1 LIMIT 3)

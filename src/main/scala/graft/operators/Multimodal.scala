@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.plans.GraftExpressions
 
 /** §2.7 multimodal column plumbing.
   *
@@ -80,25 +79,37 @@ object Multimodal {
 
   /** m4: the multimodal near-dup capstone — binary payloads through the
     * decode→featurize stage ([[decodeFeatures]]: iterator-shaped,
-    * deterministic FAKE features standing in for a real image/audio
+    * deterministic features standing in for a real image/audio
     * embedder) and then feature-cosine near-dup pairs via the balanced
-    * block self-join (Dedup.d5b's shape — equi-join only). rows-only in
-    * the driver gate (the byte-fold featurizer isn't SQL-expressible);
-    * ScalaTest pins determinism and agreement with exact payload dup
-    * pairs.
+    * block self-join (Dedup.d5b's shape — equi-join only).
+    *
+    * PROMOTED to the oracle gate (round 8, was rows-only): the stand-in
+    * featurizer is centered byte stride-sums — exact integer arithmetic
+    * over the payload bytes that DuckDB replays from the text column
+    * (the fixtures are pure ASCII, so byte == code point), and the
+    * verify stage casts the float features to double before the
+    * left-to-right dot, so both engines run identical IEEE arithmetic
+    * and the rounded cosines hash-match. BOTH stages of the media
+    * near-dup pipeline are now driver-gated; a real embedder swaps into
+    * [[decodeFeatures]] without touching the verify machinery.
     */
-  def m4MediaNearDup(s: SparkSession, d: String, tau: Double = 0.95, nBlocks: Int = 8): DataFrame = {
+  def m4MediaNearDup(s: SparkSession, d: String, tau: Double = 0.98, nBlocks: Int = 8): DataFrame = {
     import s.implicits._
     val media = Tables
       .documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
+    // fixed 8-dim features: codegen'd getItem arithmetic (m8's lesson —
+    // interpreted HOF lambdas cost 7× on the pair stage), double-cast so
+    // the float-held exact integers multiply exactly in both engines
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until 8).map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double")).reduce(_ + _)
     val feats = decodeFeatures(media)
       .toDF()
       .select(
         col("doc_id"),
         col("features").as("embedding"),
-        sqrt(GraftExpressions.dotF(col("features"), col("features"))).as("nrm"),
+        sqrt(dot(col("features"), col("features"))).as("nrm"),
         pmod(xxhash64(col("doc_id")), lit(nBlocks)).cast("int").as("blk")
       )
     val l = feats.select(
@@ -111,7 +122,7 @@ object Multimodal {
     )
     l.join(r, Seq("k1", "k2"))
       .filter((col("k1") === col("k2") && col("id_a") < col("id_b")) || col("k1") < col("k2"))
-      .withColumn("cos", GraftExpressions.dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= tau)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
@@ -123,21 +134,25 @@ object Multimodal {
 
   /** The per-partition "decode + featurize" stage: the shape a real
     * decoder plugs into (iterator-to-iterator, no per-row JVM↔native
-    * churn, constant memory). Feature extraction here is a deterministic
-    * fake (byte-sum folds), clearly marked.
+    * churn, constant memory). The stand-in featurizer is PORTABLE exact
+    * integer arithmetic — dim `i` holds the sum of centered byte values
+    * `(b - 100)` at stride-`dim` positions `j ≡ i` — accumulated in
+    * Long and emitted as Float (|sum| ≤ ~11k for the fixture docs, far
+    * inside Float's 2^24 exact-integer range), so a SQL oracle can
+    * recompute the features from the text column byte-for-byte.
+    * Centering decorrelates the vectors (raw ASCII byte sums all point
+    * near the all-ones axis, collapsing every cosine toward 1).
     */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        // FAKE-DECODE: real impl would decode media and run a featurizer.
-        val feats = Array.tabulate(dim) { i =>
-          var acc = 17L + i
-          var j = i
-          while (j < m.payload.length) { acc = acc * 31 + (m.payload(j) & 0xff); j += dim }
-          (acc % 1000L).toFloat / 1000f
-        }
-        MediaFeatures(m.doc_id, m.payload.length, feats)
+        // stand-in decode: a real impl would decode media and run a
+        // featurizer here; the verify stage downstream is codec-agnostic
+        val acc = new Array[Long](dim)
+        var j = 0
+        while (j < m.payload.length) { acc(j % dim) += (m.payload(j) & 0xff) - 100; j += 1 }
+        MediaFeatures(m.doc_id, m.payload.length, acc.map(_.toFloat))
       }
     }
   }

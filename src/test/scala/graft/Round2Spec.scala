@@ -597,8 +597,8 @@ class Round2Spec extends AnyFunSuite {
     val a = Multimodal.m4MediaNearDup(spark, sf).collect()
     val b = Multimodal.m4MediaNearDup(spark, sf).collect()
     assert(a.nonEmpty)
-    assert(a.toSeq == b.toSeq) // fake decode + block join fully deterministic
-    assert(a.forall(_.getDouble(2) >= 0.95))
+    assert(a.toSeq == b.toSeq) // stand-in decode + block join fully deterministic
+    assert(a.forall(_.getDouble(2) >= 0.98))
     val plan = Multimodal.m4MediaNearDup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
