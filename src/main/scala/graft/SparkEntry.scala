@@ -229,6 +229,7 @@ object SparkEntry {
     "c16b_mv_filter"         -> (Maintenance.c16bMvRewriteFiltered _),
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
+    "c16f_mv_join"           -> (Maintenance.c16fMvJoin _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1903,6 +1904,19 @@ object SparkEntry {
         | round(min(value), 2) AS min_value,
         | round(max(value), 2) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // star-join MV dashboard: the oracle recomputes from raw events
+    // with the category dim inlined as VALUES; avg as sum/count so
+    // both engines evaluate the identical double division
+    "c16f_mv_join" ->
+      """WITH dim(etype, category) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('signup', 'acquisition'), ('purchase', 'revenue'),
+        |  ('error', 'ops'))
+        |SELECT category, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | round(sum(value) / count(*), 4) AS avg_value
+        |FROM events JOIN dim ON event_type = etype
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c16_mv_rewrite" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value,

@@ -630,6 +630,43 @@ object Maintenance {
       .orderBy("month_start", "event_type")
   }
 
+  /** c16f: MV rewrite THROUGH A STAR JOIN — the dashboard joins raw
+    * events to a category dim table on `event_type` and groups by the
+    * dim's `category`, and [[graft.plans.MvRewrite]] still answers from
+    * the per-(day, type) partials: an inner join ON registered dims
+    * commutes with the pre-grouping exactly like a dim filter does
+    * (every raw row behind one partial row joins identically), so the
+    * summary replaces the fact scan INSIDE the join and the partial-
+    * merge algebra runs above it. At 100 TB this is the star-schema
+    * dashboard — category rollups over a joined dimension — costing a
+    * days×types summary scan plus a kilobyte broadcast, with the query
+    * still written against raw events. The DuckDB oracle recomputes
+    * from raw events with the dim inlined as VALUES; the plan swap and
+    * the non-dim-key bail are ScalaTest-pinned.
+    */
+  def c16fMvJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = mvStore(s, d)
+    registerEventsMv(s, d, dir)
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement"),
+      ("view", "engagement"),
+      ("signup", "acquisition"),
+      ("purchase", "revenue"),
+      ("error", "ops")
+    ).toDF("etype", "category")
+    Tables
+      .events(s, d)
+      .join(broadcast(dim), col("event_type") === col("etype"))
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value")
+      )
+      .orderBy("category")
+  }
+
   /** c18: CHANGE DATA CAPTURE between two committed versions of the
     * copy-on-write store (Delta CDF / Iceberg changelog-scan shape):
     * a full-outer key join of v1 and v2 classifies every key as

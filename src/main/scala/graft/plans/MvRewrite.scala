@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -156,10 +157,46 @@ object MvRewrite extends Rule[LogicalPlan] {
           // conjuncts captured BELOW this Project still validate
           (lr, inner ++ carried, conds)
         }
-      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) if cond.deterministic =>
+      case Filter(cond, child) if cond.deterministic =>
         baseOf(child).map { case (lr, inner, conds) => (lr, inner, conds :+ cond) }
       case _ => None
     }
+
+  /** Walk deterministic Projects and Filters down to an INNER equi-ish
+    * Join — the star-dashboard shape `Aggregate(fact ⋈ dim)` after
+    * column pruning has stacked pass-through/alias Projects above the
+    * join. Returns the join plus alias definitions and filter conjuncts
+    * RESOLVED down to join-output attributes (a `_groupingexpression`
+    * alias or a filter above the top Project references names that
+    * don't exist at the join — resolution rewrites them in terms of the
+    * two join sides, so the fact/dim split can be decided per subtree).
+    */
+  private[graft] def joinOf(
+      plan: LogicalPlan
+  ): Option[(Join, Map[ExprId, Expression], Seq[Expression])] = plan match {
+    case j: Join => Some((j, Map.empty, Seq.empty))
+    case Project(items, child) =>
+      joinOf(child).flatMap { case (j, above, conds) =>
+        def resolve(e: Expression): Expression = e.transformUp {
+          case a: AttributeReference => above.getOrElse(a.exprId, a)
+        }
+        var ok = true
+        val added = items.flatMap {
+          case _: AttributeReference                => None
+          case al: Alias if al.child.deterministic  => Some(al.exprId -> resolve(al.child))
+          case _                                    => ok = false; None
+        }
+        if (ok) Some((j, above ++ added, conds)) else None
+      }
+    case Filter(cond, child) if cond.deterministic =>
+      joinOf(child).map { case (j, above, conds) =>
+        val resolved = cond.transformUp {
+          case a: AttributeReference => above.getOrElse(a.exprId, a)
+        }
+        (j, above, conds :+ resolved)
+      }
+    case _ => None
+  }
 
   private[graft] def sourcePaths(lr: LogicalRelation): Seq[String] = lr.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
@@ -173,7 +210,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * for a type-grouped dashboard; the finer summary still catches
     * queries the coarse one must bail on.
     */
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    tryRewriteScan(agg).orElse(tryRewriteJoin(agg))
+
+  private def tryRewriteScan(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (lr, names, conds) <- baseOf(agg.child)
       candidates = MvRegistry.lookup(sourcePaths(lr))
@@ -181,11 +221,50 @@ object MvRewrite extends Rule[LogicalPlan] {
     } yield rewritten
   }
 
+  /** STAR-JOIN rewrite: `Aggregate(G, A, fact ⋈ dim)` answered from the
+    * fact's registered rollup when the join keys on the fact side are
+    * registered dims. Soundness is the same commuting argument as dim
+    * filters: every raw row behind one partial row carries identical
+    * dim values, so an inner join ON dims treats the whole partial
+    * uniformly — each summary row is matched (or dropped, or
+    * duplicated) exactly as each of its raw rows would be. count/sum
+    * scale with the duplication on both sides; min/max are duplication-
+    * insensitive; avg divides two identically-scaled sums. Grouping and
+    * filtering may freely mix dim-table attributes with registered
+    * dims; any aggregate ARGUMENT from the dim side bails (a summary
+    * carries no dim-table partials).
+    */
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] =
+    joinOf(agg.child).filter { case (j, _, _) =>
+      j.joinType == Inner && j.condition.exists(_.deterministic)
+    }.flatMap { case (j, above, aboveConds) =>
+      def attempt(factSide: LogicalPlan, factLeft: Boolean): Option[LogicalPlan] =
+        baseOf(factSide).flatMap { case (lr, names, factConds) =>
+          val resolve: Expression => Expression = e =>
+            e.transformUp { case a: AttributeReference => above.getOrElse(a.exprId, a) }
+          MvRegistry
+            .lookup(sourcePaths(lr))
+            .view
+            .flatMap(mv =>
+              rewriteAggregate(agg, names, factConds ++ aboveConds, mv, resolve,
+                joinWrap = Some((j, factLeft))))
+            .headOption
+        }
+      attempt(j.left, factLeft = true).orElse(attempt(j.right, factLeft = false))
+    }
+
+  /** `resolve` maps query-side expressions down to join-output
+    * attributes before template matching (identity on the scan path);
+    * `joinWrap` carries the star join to rebuild around the summary on
+    * the fact side.
+    */
   private def rewriteAggregate(
       agg: Aggregate,
       names: Map[ExprId, Expression],
       conds: Seq[Expression],
-      mv: MvRegistry.MvDef
+      mv: MvRegistry.MvDef,
+      resolve: Expression => Expression = identity,
+      joinWrap: Option[(Join, Boolean)] = None
   ): Option[LogicalPlan] = {
     val summary = mv.summaryPlan()
     val sAttr: Map[String, Attribute] = summary.output.map(a => a.name -> a).toMap
@@ -303,15 +382,23 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (clean(generic)) Some(generic) else liftDay(c)
     }
     if (!newConds.forall(_.isDefined)) return None
-    val filteredSummary = newConds.flatten.foldLeft(summary: LogicalPlan) { (p, c) =>
-      org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
+    // star path: a conjunct may legitimately reference dim-table
+    // attributes (a filter above the join) — those must stay ABOVE the
+    // rebuilt join; summary-only conjuncts go below it (scan path:
+    // everything is summary-only by construction)
+    val summaryAttrs = AttributeSet(summary.output)
+    val (belowConds, aboveJoinConds) =
+      newConds.flatten.partition(_.references.subsetOf(summaryAttrs))
+    if (joinWrap.isEmpty && aboveJoinConds.nonEmpty) return None
+    val filteredSummary = belowConds.foldLeft(summary: LogicalPlan) { (p, c) =>
+      Filter(c, p)
     }
 
     // grouping: any deterministic expression over dims — a coarser
     // grouping of partials merges exactly like Spark's own partial/
     // final aggregate split
     if (!agg.groupingExpressions.forall(_.deterministic)) return None
-    val newGrouping = agg.groupingExpressions.map(subDims)
+    val newGrouping = agg.groupingExpressions.map(e => subDims(resolve(e)))
     if (!newGrouping.forall(clean)) return None
 
     def measureFor(e: Expression): Option[MvRegistry.MvMeasure] =
@@ -320,7 +407,7 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     var ok = true
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
-      val replaced = ne.transformUp {
+      val replaced = resolve(ne).transformUp {
         case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
           if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
           else {
@@ -371,15 +458,27 @@ object MvRewrite extends Rule[LogicalPlan] {
         case other        => Alias(other, ne.name)(exprId = ne.exprId)
       }
     }
-    if (!ok) None
-    else
-      Some(
-        agg.copy(
-          groupingExpressions = newGrouping,
-          aggregateExpressions = newAggExprs,
-          child = filteredSummary
-        )
+    if (!ok) return None
+    val newChild: LogicalPlan = joinWrap match {
+      case None => filteredSummary
+      case Some((j, factLeft)) =>
+        // the join condition itself must land entirely on registered
+        // dims (+ dim-table attrs): a key the summary didn't group by
+        // cannot re-join the partials
+        val newCond = j.condition.map(subDims)
+        if (!newCond.forall(clean)) return None
+        val rebuilt =
+          if (factLeft) j.copy(left = filteredSummary, condition = newCond)
+          else j.copy(right = filteredSummary, condition = newCond)
+        aboveJoinConds.foldLeft(rebuilt: LogicalPlan)((p, c) => Filter(c, p))
+    }
+    Some(
+      agg.copy(
+        groupingExpressions = newGrouping,
+        aggregateExpressions = newAggExprs,
+        child = newChild
       )
+    )
   }
 }
 

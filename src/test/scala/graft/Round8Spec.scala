@@ -119,6 +119,68 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Star-join rewrite (c16f): an inner join ON a registered dim
+  // commutes with the pre-grouping, so the summary replaces the fact
+  // scan INSIDE the join; a join on a non-dim fact key, or an
+  // aggregate argument from the dim side, must bail to the raw scan.
+  // ------------------------------------------------------------------
+  test("mv rewrite through star join: dim-key join lifts, non-dim key and dim-side measures bail") {
+    import spark.implicits._
+    try {
+      val dir = Maintenance.mvStore(spark, sf)
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val dim = Seq(("click", "engagement", 1.5), ("purchase", "revenue", 9.0))
+        .toDF("etype", "category", "weight")
+      val events = Tables.events(spark, sf)
+
+      // join on the registered dim, group by the dim table's attribute
+      val starQ = events.join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val starPlan = starQ.queryExecution.executedPlan.toString
+      assert(starPlan.contains("graft_c16") && !starPlan.contains("events.parquet"),
+        s"star join on a registered dim should answer from partials:\n$starPlan")
+      // and values equal the registry-free run
+      val got = starQ.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val raw = starQ.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == raw)
+
+      // join key NOT a registered dim (user_id): partials can't re-join
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val userDim = Seq((1L, "vip"), (2L, "basic")).toDF("uid", "tier")
+      val badKey = events.join(broadcast(userDim), col("user_id") === col("uid"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"))
+      val badKeyPlan = badKey.queryExecution.executedPlan.toString
+      assert(badKeyPlan.contains("events.parquet") && !badKeyPlan.contains("graft_c16"),
+        s"join on a non-dim fact key must scan raw:\n$badKeyPlan")
+
+      // aggregate argument from the dim side: no partials exist for it
+      val dimMeasure = events.join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy("category")
+        .agg(round(sum("weight"), 2).as("sum_weight"))
+      val dimMeasurePlan = dimMeasure.queryExecution.executedPlan.toString
+      assert(dimMeasurePlan.contains("events.parquet") && !dimMeasurePlan.contains("graft_c16"),
+        s"dim-side aggregate argument must scan raw:\n$dimMeasurePlan")
+
+      // dim-side FILTER above the join is fine: partials still answer,
+      // with the filter kept above the rebuilt join
+      val filtered = events.join(broadcast(dim), col("event_type") === col("etype"))
+        .filter(col("weight") > 2.0)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val filteredPlan = filtered.queryExecution.executedPlan.toString
+      assert(filteredPlan.contains("graft_c16") && !filteredPlan.contains("events.parquet"),
+        s"dim-side filter should not block the star rewrite:\n$filteredPlan")
+      val gotF = filtered.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val rawF = filtered.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(gotF == rawF)
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
   // Registration supersede: re-registering the SAME dim set replaces
   // the prior def (no unbounded accumulation, no stale summary path
   // reachable); a DIFFERENT dim set still accumulates (the lattice).
