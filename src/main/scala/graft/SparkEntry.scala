@@ -230,6 +230,7 @@ object SparkEntry {
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "c16f_mv_join"           -> (Maintenance.c16fMvJoin _),
+    "c19_stats_join"         -> (Maintenance.c19StatsJoin _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1904,6 +1905,12 @@ object SparkEntry {
         | round(min(value), 2) AS min_value,
         | round(max(value), 2) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stats-driven join: the catalog only moves the physical plan, so
+    // the oracle is the plain relational join
+    "c19_stats_join" ->
+      """SELECT n_name, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // star-join MV dashboard: the oracle recomputes from raw events
     // with the category dim inlined as VALUES; avg as sum/count so
     // both engines evaluate the identical double division

@@ -630,6 +630,53 @@ object Maintenance {
       .orderBy("month_start", "event_type")
   }
 
+  // the persisted stats catalog staged once per (JVM, source dir):
+  // c19 measures the stats-DRIVEN join, not the ANALYZE pass
+  private val statsStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def statsStore(s: SparkSession, d: String): String =
+    statsStoreCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c19_")
+        graft.plans.StatsPlanner.save(
+          s, dir, "supplier",
+          graft.plans.StatsPlanner.analyze(Tables.supplier(s, d), Seq("s_nationkey")))
+        graft.plans.StatsPlanner.save(
+          s, dir, "nation",
+          graft.plans.StatsPlanner.analyze(
+            Tables.nation(s, d).select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+            Seq("s_nationkey")))
+        dir
+      }
+    )
+
+  /** c19: STATS-DRIVEN JOIN — the supplier⋈nation dashboard planned by
+    * [[graft.plans.StatsPlanner.statsJoin]] from the PERSISTED catalog
+    * (c9's ANALYZE stats finally consumed): nation's stored byte
+    * estimate selects the broadcast build side with Spark's own
+    * auto-broadcast sizing out of the decision. The DuckDB oracle
+    * recomputes the join from raw tables (the decision moves the plan,
+    * never the values); the catalog-counterfactual plan flips
+    * (truthful → broadcast, falsified-huge → shuffle, skewed → salted)
+    * are ScalaTest-pinned.
+    */
+  def c19StatsJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = statsStore(s, d)
+    val cat = graft.plans.StatsPlanner.loadCatalog(s, dir, Seq("supplier", "nation"))
+    graft.plans.StatsPlanner
+      .statsJoin(
+        Tables.supplier(s, d).select("s_nationkey", "s_acctbal"),
+        "supplier",
+        Tables.nation(s, d).select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+        "nation",
+        "s_nationkey",
+        cat
+      )
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
   /** c16f: MV rewrite THROUGH A STAR JOIN — the dashboard joins raw
     * events to a category dim table on `event_type` and groups by the
     * dim's `category`, and [[graft.plans.MvRewrite]] still answers from

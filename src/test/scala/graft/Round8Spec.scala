@@ -181,6 +181,69 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Stats-driven planning (c19): the SAME physical tables planned under
+  // truthful and falsified catalogs, with Spark's own auto-broadcast
+  // sizing disabled — the join strategy must follow the CATALOG
+  // (truthful small dim → broadcast; falsified-huge → shuffle;
+  // falsified-skewed probe → salted), with value parity throughout.
+  // ------------------------------------------------------------------
+  test("stats-driven join: catalog flips broadcast / shuffle / salt, values invariant") {
+    import graft.plans.StatsPlanner
+    import graft.plans.StatsPlanner.{KeyStats, TableStats}
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aabtKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val abt = spark.conf.get(abtKey)
+    val aabt = spark.conf.getOption(aabtKey)
+    try {
+      spark.conf.set(abtKey, "-1")
+      spark.conf.set(aabtKey, "-1")
+      val supplier = Tables.supplier(spark, sf).select("s_nationkey", "s_acctbal")
+      val nation = Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      val truth = Map(
+        "supplier" -> StatsPlanner.analyze(supplier, Seq("s_nationkey")),
+        "nation" -> StatsPlanner.analyze(nation, Seq("s_nationkey")))
+      def join(cat: Map[String, TableStats]) =
+        StatsPlanner.statsJoin(supplier, "supplier", nation, "nation", "s_nationkey", cat)
+      def planOf(cat: Map[String, TableStats]) = join(cat).queryExecution.executedPlan.toString
+
+      // truthful: nation is a few kB by its stored estimate → broadcast,
+      // even though Spark's own sizing is disabled
+      val pTruth = planOf(truth)
+      assert(pTruth.contains("BroadcastHashJoin"), pTruth)
+
+      // falsified sizes: both sides claimed GiB-scale → plain shuffle join
+      val bigNation = truth("nation").copy(estBytes = 1L << 30)
+      val bigSupplier = truth("supplier").copy(estBytes = 2L << 30)
+      val bigCat = Map("supplier" -> bigSupplier, "nation" -> bigNation)
+      val pBig = planOf(bigCat)
+      assert(!pBig.contains("BroadcastHashJoin") && !pBig.contains("_salt"), pBig)
+
+      // falsified skew: the probe side's stored top-key frequency claims
+      // one nationkey dominates → deterministic salting kicks in
+      val skewCat = Map(
+        "supplier" -> bigSupplier.copy(keys =
+          Map("s_nationkey" -> KeyStats(ndv = 25, topKey = "7", topFreq = bigSupplier.nRows))),
+        "nation" -> bigNation)
+      val pSkew = planOf(skewCat)
+      assert(pSkew.contains("_salt"), pSkew)
+
+      // the catalog moves the plan, never the values
+      def vals(cat: Map[String, TableStats]) = join(cat)
+        .groupBy("n_name").agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = vals(truth)
+      assert(vals(bigCat) == expected && vals(skewCat) == expected)
+    } finally {
+      spark.conf.set(abtKey, abt)
+      aabt match {
+        case Some(v) => spark.conf.set(aabtKey, v)
+        case None    => spark.conf.unset(aabtKey)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Registration supersede: re-registering the SAME dim set replaces
   // the prior def (no unbounded accumulation, no stale summary path
   // reachable); a DIFFERENT dim set still accumulates (the lattice).
