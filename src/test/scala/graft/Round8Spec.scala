@@ -244,6 +244,24 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // v2 LSH recall at BENCH scale (sf0.1): the recall=1.0 measurement
+  // lived at sf0.01 — a 10× corpus packs each LSH bucket 10× denser,
+  // so this pins that multiprobe quality scales with the corpus (the
+  // brute side broadcasts 10 query vectors; cheap at any SF).
+  // ------------------------------------------------------------------
+  test("v2 LSH recall@5 >= 0.9 at sf0.1") {
+    import graft.operators.Similarity
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/embeddings.parquet").exists)
+    val exact = Similarity.v1KnnBrute(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.v2KnnLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 at sf0.1 = $recall")
+  }
+
+  // ------------------------------------------------------------------
   // Registration supersede: re-registering the SAME dim set replaces
   // the prior def (no unbounded accumulation, no stale summary path
   // reachable); a DIFFERENT dim set still accumulates (the lattice).
