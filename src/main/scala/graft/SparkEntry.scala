@@ -230,6 +230,7 @@ object SparkEntry {
     "c16c_mv_month"          -> (Maintenance.c16cMvMonthRollup _),
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "c16f_mv_join"           -> (Maintenance.c16fMvJoin _),
+    "c16g_mv_dim_measure"    -> (Maintenance.c16gMvJoinDimMeasure _),
     "c19_stats_join"         -> (Maintenance.c19StatsJoin _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
@@ -1922,6 +1923,22 @@ object SparkEntry {
         |SELECT category, count(*) AS n,
         | round(sum(value), 2) AS sum_value,
         | round(sum(value) / count(*), 4) AS avg_value
+        |FROM events JOIN dim ON event_type = etype
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dim-side measure through the star join: sum(weight) has no
+    // partials anywhere — the rewrite weights the dim constant by the
+    // summary row count; the oracle recomputes from raw rows (weights
+    // are multiples of 0.5, exact in doubles both ways)
+    "c16g_mv_dim_measure" ->
+      """WITH dim AS (SELECT etype, category, CAST(weight AS DOUBLE) AS weight
+        |  FROM (VALUES
+        |   ('click', 'engagement', 1.5), ('view', 'engagement', 0.5),
+        |   ('signup', 'acquisition', 4.0), ('purchase', 'revenue', 9.5),
+        |   ('error', 'ops', 0.0)) v(etype, category, weight))
+        |SELECT category, count(*) AS n,
+        | round(sum(weight), 2) AS sum_weight,
+        | round(min(weight), 2) AS min_weight,
+        | round(sum(value), 2) AS sum_value
         |FROM events JOIN dim ON event_type = etype
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c16_mv_rewrite" ->

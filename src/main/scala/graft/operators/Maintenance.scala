@@ -714,6 +714,41 @@ object Maintenance {
       .orderBy("category")
   }
 
+  /** c16g: star-join MV rewrite with a DIM-SIDE MEASURE — the dashboard
+    * sums a weight CARRIED BY THE DIM TABLE (plus a fact measure) over
+    * the joined events, and the rollup still answers it: the weight is
+    * constant across every raw row behind one partial row, so
+    * `sum(weight)` becomes `sum(weight × n)` over the joined summary
+    * (the group-constant algebra; `min`/`max` pass through unchanged).
+    * No weight partials exist anywhere — the summary only ever stored
+    * `value` partials and the row count. Weights are multiples of 0.5,
+    * so both the raw repeated addition and the rewritten product are
+    * exact in doubles and the oracle hash cannot drift on association.
+    */
+  def c16gMvJoinDimMeasure(s: SparkSession, d: String): DataFrame = {
+    val dir = mvStore(s, d)
+    registerEventsMv(s, d, dir)
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement", 1.5),
+      ("view", "engagement", 0.5),
+      ("signup", "acquisition", 4.0),
+      ("purchase", "revenue", 9.5),
+      ("error", "ops", 0.0)
+    ).toDF("etype", "category", "weight")
+    Tables
+      .events(s, d)
+      .join(broadcast(dim), col("event_type") === col("etype"))
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("weight"), 2).as("sum_weight"),
+        round(min("weight"), 2).as("min_weight"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("category")
+  }
+
   /** c18: CHANGE DATA CAPTURE between two committed versions of the
     * copy-on-write store (Delta CDF / Iceberg changelog-scan shape):
     * a full-outer key join of v1 and v2 classifies every key as

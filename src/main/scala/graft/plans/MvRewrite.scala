@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampType}
 
 /** MATERIALIZED-VIEW REWRITE (§2.8, the `Rule[LogicalPlan]` extension
   * level): a registered rollup of mergeable partials (c6's per-(day,
@@ -435,6 +435,41 @@ object MvRewrite extends Rule[LogicalPlan] {
                 Some(Divide(
                   Cast(agge(Sum(sAttr(measureFor(m).get.sm))), DoubleType),
                   Cast(agge(Sum(sAttr(mv.cnt))), DoubleType)))
+              // GROUP-CONSTANT fallback (round 8): an argument whose
+              // substituted form is deterministic and entirely off the
+              // fact side — a dim-table column through the star join,
+              // or any function of registered dims — is CONSTANT across
+              // every raw row behind one partial row, so it aggregates
+              // over the summary by weighting with the row count:
+              // sum(g) → sum(g×n), count(g) → sum(n where g non-null),
+              // min/max(g) unchanged. This is how a star dashboard
+              // sums a dim-carried weight without any dim partials
+              // existing. (The measure cases above must stay first:
+              // a fact measure's raw column never substitutes clean.)
+              case Sum(m, _) =>
+                val m2 = subDims(m)
+                if (!clean(m2) || !m2.deterministic) None
+                else
+                  m2.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType =>
+                      Some(agge(Sum(Multiply(Cast(m2, LongType), Cast(sAttr(mv.cnt), LongType)))))
+                    case FloatType | DoubleType =>
+                      Some(agge(Sum(Multiply(Cast(m2, DoubleType), Cast(sAttr(mv.cnt), DoubleType)))))
+                    case _ => None // decimal: precision algebra differs — bail
+                  }
+              case Min(m) =>
+                val m2 = subDims(m)
+                if (clean(m2) && m2.deterministic) Some(agge(Min(m2))) else None
+              case Max(m) =>
+                val m2 = subDims(m)
+                if (clean(m2) && m2.deterministic) Some(agge(Max(m2))) else None
+              case Count(Seq(m)) =>
+                val m2 = subDims(m)
+                if (clean(m2) && m2.deterministic)
+                  Some(Coalesce(Seq(
+                    agge(Sum(If(IsNotNull(m2), Cast(sAttr(mv.cnt), LongType), Literal(0L, LongType)))),
+                    Literal(0L, LongType))))
+                else None
               case _ => None
             }
             // the substitution runs POST-analysis: parent operators

@@ -156,13 +156,29 @@ class Round8Spec extends AnyFunSuite {
       assert(badKeyPlan.contains("events.parquet") && !badKeyPlan.contains("graft_c16"),
         s"join on a non-dim fact key must scan raw:\n$badKeyPlan")
 
-      // aggregate argument from the dim side: no partials exist for it
+      // dim-side aggregate argument (c16g): no weight partials exist,
+      // but weight is group-constant, so sum(weight) rewrites to
+      // sum(weight × n) over the joined summary — with value parity
       val dimMeasure = events.join(broadcast(dim), col("event_type") === col("etype"))
         .groupBy("category")
-        .agg(round(sum("weight"), 2).as("sum_weight"))
+        .agg(round(sum("weight"), 2).as("sum_weight"), round(min("weight"), 2).as("min_weight"))
       val dimMeasurePlan = dimMeasure.queryExecution.executedPlan.toString
-      assert(dimMeasurePlan.contains("events.parquet") && !dimMeasurePlan.contains("graft_c16"),
-        s"dim-side aggregate argument must scan raw:\n$dimMeasurePlan")
+      assert(dimMeasurePlan.contains("graft_c16") && !dimMeasurePlan.contains("events.parquet"),
+        s"group-constant dim measure should answer from partials:\n$dimMeasurePlan")
+      val gotW = dimMeasure.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val rawW = dimMeasure.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(gotW == rawW)
+      Maintenance.registerEventsMv(spark, sf, dir)
+
+      // avg of a dim-side column has no group-constant substitution
+      // implemented — must bail to the raw scan
+      val dimAvg = events.join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy("category")
+        .agg(round(avg("weight"), 4).as("avg_weight"))
+      val dimAvgPlan = dimAvg.queryExecution.executedPlan.toString
+      assert(dimAvgPlan.contains("events.parquet") && !dimAvgPlan.contains("graft_c16"),
+        s"dim-side avg must scan raw:\n$dimAvgPlan")
 
       // dim-side FILTER above the join is fine: partials still answer,
       // with the filter kept above the rebuilt join
