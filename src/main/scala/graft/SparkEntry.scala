@@ -231,6 +231,7 @@ object SparkEntry {
     "c16d_mv_multi"          -> (Maintenance.c16dMvMultiMeasure _),
     "c16f_mv_join"           -> (Maintenance.c16fMvJoin _),
     "c16g_mv_dim_measure"    -> (Maintenance.c16gMvJoinDimMeasure _),
+    "c16h_mv_distinct"       -> (Maintenance.c16hMvDistinct _),
     "c19_stats_join"         -> (Maintenance.c19StatsJoin _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
@@ -1941,6 +1942,14 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value
         |FROM events JOIN dim ON event_type = etype
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct-over-dims dashboard answered from the rollup; the
+    // oracle recomputes from raw events
+    "c16h_mv_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        | count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "c16_mv_rewrite" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value,

@@ -749,6 +749,29 @@ object Maintenance {
       .orderBy("category")
   }
 
+  /** c16h: DISTINCT aggregates from the rollup — `count(distinct
+    * cast(ts as date))` (active days per event type) has no partial
+    * column anywhere, but the summary carries EXACTLY the distinct
+    * (day, type) combinations, so [[graft.plans.MvRewrite]] runs the
+    * distinct unchanged over the summary's dt column next to the
+    * n-weighted measures. The classic "days active" dashboard: at
+    * 100 TB a distinct-date scan of raw events becomes a distinct over
+    * days×types summary rows.
+    */
+  def c16hMvDistinct(s: SparkSession, d: String): DataFrame = {
+    val dir = mvStore(s, d)
+    registerEventsMv(s, d, dir)
+    Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("ts").cast("date")).as("n_days"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("event_type")
+  }
+
   /** c18: CHANGE DATA CAPTURE between two committed versions of the
     * copy-on-write store (Delta CDF / Iceberg changelog-scan shape):
     * a full-outer key join of v1 and v2 classifies every key as

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -236,20 +236,32 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] =
     joinOf(agg.child).filter { case (j, _, _) =>
-      j.joinType == Inner && j.condition.exists(_.deterministic)
+      j.condition.exists(_.deterministic)
     }.flatMap { case (j, above, aboveConds) =>
+      // the FACT must be the preserved side: a dim-preserved outer join
+      // emits one null-extended row per unmatched dim row, which the
+      // summary's n-weighted algebra cannot see (sum over a null n
+      // skips the row the raw side keeps)
+      def typeOk(factLeft: Boolean): Boolean = j.joinType match {
+        case Inner                           => true
+        case LeftOuter | LeftSemi | LeftAnti => factLeft
+        case RightOuter                      => !factLeft
+        case _                               => false
+      }
       def attempt(factSide: LogicalPlan, factLeft: Boolean): Option[LogicalPlan] =
-        baseOf(factSide).flatMap { case (lr, names, factConds) =>
-          val resolve: Expression => Expression = e =>
-            e.transformUp { case a: AttributeReference => above.getOrElse(a.exprId, a) }
-          MvRegistry
-            .lookup(sourcePaths(lr))
-            .view
-            .flatMap(mv =>
-              rewriteAggregate(agg, names, factConds ++ aboveConds, mv, resolve,
-                joinWrap = Some((j, factLeft))))
-            .headOption
-        }
+        if (!typeOk(factLeft)) None
+        else
+          baseOf(factSide).flatMap { case (lr, names, factConds) =>
+            val resolve: Expression => Expression = e =>
+              e.transformUp { case a: AttributeReference => above.getOrElse(a.exprId, a) }
+            MvRegistry
+              .lookup(sourcePaths(lr))
+              .view
+              .flatMap(mv =>
+                rewriteAggregate(agg, names, factConds ++ aboveConds, mv, resolve,
+                  joinWrap = Some((j, factLeft))))
+              .headOption
+          }
       attempt(j.left, factLeft = true).orElse(attempt(j.right, factLeft = false))
     }
 
@@ -409,8 +421,22 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       val replaced = resolve(ne).transformUp {
         case ae @ AggregateExpression(fn, _, isDistinct, filter, _) =>
-          if (isDistinct || filter.nonEmpty) { ok = false; Literal(null) }
-          else {
+          if (filter.nonEmpty) { ok = false; Literal(null) }
+          else if (isDistinct) {
+            // DISTINCT over group-constant arguments (round 8): the
+            // summary carries EXACTLY the distinct dim combinations
+            // (groupBy never emits an empty group), so the distinct
+            // aggregate runs unchanged over the substituted args —
+            // `count(distinct cast(ts as date))` is answered by a
+            // distinct over the summary's dt column. Any argument
+            // touching a real measure stays a bail.
+            val newArgs = fn.children.map(subDims)
+            if (newArgs.forall(a => clean(a) && a.deterministic)) {
+              val fn2 = fn.withNewChildren(newArgs).asInstanceOf[AggregateFunction]
+              if (fn2.dataType == ae.dataType) ae.copy(aggregateFunction = fn2)
+              else { ok = false; Literal(null) }
+            } else { ok = false; Literal(null) }
+          } else {
             // count → Coalesce(sum(n), 0): a GLOBAL aggregate over a
             // dim-filtered summary that matches zero rows must still
             // return 0, but Sum over no rows is NULL (grouped shapes

@@ -260,6 +260,72 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // DISTINCT-over-dims and fact-preserved OUTER joins: the two round-8
+  // algebra extensions the oracle gate can't plan-distinguish. A
+  // distinct on a measure must still bail; a dim-preserved outer join
+  // (dim LEFT OUTER fact) must bail — its null-extended dim rows are
+  // invisible to the n-weighted summary algebra.
+  // ------------------------------------------------------------------
+  test("mv rewrite: distinct-over-dims lifts, distinct-over-measure bails; outer joins only fact-preserved") {
+    import spark.implicits._
+    try {
+      val dir = Maintenance.mvStore(spark, sf)
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val events = Tables.events(spark, sf)
+
+      // count(distinct day) answered by a distinct over summary dt
+      val q = events.groupBy("event_type")
+        .agg(countDistinct(col("ts").cast("date")).as("n_days"), count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("graft_c16") && !p.contains("events.parquet"), p)
+      val got = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      MvRegistry.clear()
+      val raw = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == raw)
+
+      // distinct over a real measure: no partials can answer it
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val qBad = events.groupBy("event_type").agg(countDistinct(col("value")).as("nv"))
+      val pBad = qBad.queryExecution.executedPlan.toString
+      assert(pBad.contains("events.parquet") && !pBad.contains("graft_c16"), pBad)
+
+      // fact-preserved LEFT OUTER join lifts (fact LEFT OUTER dim)...
+      val dim = Seq(("click", "engagement"), ("purchase", "revenue")).toDF("etype", "category")
+      val qOuter = events.join(broadcast(dim), col("event_type") === col("etype"), "left_outer")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val pOuter = qOuter.queryExecution.executedPlan.toString
+      assert(pOuter.contains("graft_c16") && !pOuter.contains("events.parquet"), pOuter)
+      val gotO = qOuter.collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val rawO = qOuter.collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(gotO == rawO)
+
+      // ...and a dim-preserved outer join (dim LEFT OUTER fact) bails
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val qDimOuter = dim.join(events, col("etype") === col("event_type"), "left_outer")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"))
+      val pDimOuter = qDimOuter.queryExecution.executedPlan.toString
+      assert(pDimOuter.contains("events.parquet") && !pDimOuter.contains("graft_c16"), pDimOuter)
+
+      // semi join on the dim key lifts too
+      Maintenance.registerEventsMv(spark, sf, dir)
+      val qSemi = events.join(broadcast(dim), col("event_type") === col("etype"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val pSemi = qSemi.queryExecution.executedPlan.toString
+      assert(pSemi.contains("graft_c16") && !pSemi.contains("events.parquet"), pSemi)
+      val gotS = qSemi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      MvRegistry.clear()
+      val rawS = qSemi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotS == rawS)
+    } finally MvRegistry.clear()
+  }
+
+  // ------------------------------------------------------------------
   // v2 LSH recall at BENCH scale (sf0.1): the recall=1.0 measurement
   // lived at sf0.01 — a 10× corpus packs each LSH bucket 10× denser,
   // so this pins that multiprobe quality scales with the corpus (the
