@@ -29,7 +29,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
-        graft.plans.MvRegistry.clear(); fn(s, d)
+        graft.plans.MvRegistry.clear()
+        graft.plans.StatsPlanner.StatsRegistry.clear()
+        fn(s, d)
       }
     }
 

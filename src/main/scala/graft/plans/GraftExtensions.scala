@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => TopKStrategy)
     // registered-rollup answering of raw-table aggregates
     e.injectOptimizerRule(_ => MvRewrite)
+    // stored-stats broadcast pricing of registered-table joins
+    e.injectOptimizerRule(_ => StatsPlanner.StatsBroadcastRule)
   }
 }
 
@@ -69,6 +71,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(MvRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(StatsPlanner.StatsBroadcastRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ StatsPlanner.StatsBroadcastRule
     }
     TopK.install(spark)
   }

@@ -1,6 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
@@ -102,6 +105,66 @@ object StatsPlanner {
         .toMap
       name -> TableStats(rows.head.getLong(1), rows.head.getLong(2), keys)
     }.toMap
+
+  /** Bind a parquet table's collected stats to its root path, so
+    * [[StatsBroadcastRule]] can price ANY query's joins over it without
+    * the query opting in ([[MvRegistry]]'s registration pattern).
+    */
+  object StatsRegistry {
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[String, TableStats]()
+    def isEmpty: Boolean = registry.isEmpty
+    def register(df: DataFrame, stats: TableStats): Unit = {
+      val (lr, _, _) = MvRewrite
+        .baseOf(df.queryExecution.analyzed)
+        .getOrElse(throw new IllegalArgumentException(
+          "stats source must be deterministic projections over a single parquet relation"))
+      MvRewrite.sourcePaths(lr) match {
+        case Seq(only) => registry.put(normalize(only), stats)
+        case other =>
+          throw new IllegalArgumentException(s"stats source must have one root path, got $other")
+      }
+    }
+    def get(rootPath: String): Option[TableStats] = Option(registry.get(normalize(rootPath)))
+    def clear(): Unit = registry.clear()
+    private def normalize(p: String): String = p.stripPrefix("file:").replaceAll("/+$", "")
+  }
+
+  /** TRANSPARENT stats-driven broadcast: for an inner equi-join whose
+    * sides walk down (through deterministic Projects/Filters) to
+    * registered parquet relations, inject a BROADCAST hint on the side
+    * whose STORED byte estimate fits the threshold — the query itself
+    * never opts in, exactly like the MV rewrite. Filters only shrink a
+    * side, so the stored full-table estimate is an upper bound and the
+    * hint stays safe under pushed-down predicates. An existing hint on
+    * the join is always respected (user wins).
+    */
+  object StatsBroadcastRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (StatsRegistry.isEmpty) plan
+      else {
+        val threshold =
+          conf.getConfString("spark.graft.statsBroadcastBytes", (8L << 20).toString).toLong
+        plan.transformUp {
+          case j: Join
+              if j.joinType == Inner && j.condition.nonEmpty && j.hint == JoinHint.NONE =>
+            def estOf(side: LogicalPlan): Option[Long] =
+              MvRewrite.baseOf(side).flatMap { case (lr, _, _) =>
+                MvRewrite.sourcePaths(lr) match {
+                  case Seq(only) => StatsRegistry.get(only).map(_.estBytes)
+                  case _         => None
+                }
+              }
+            (estOf(j.left), estOf(j.right)) match {
+              case (Some(l), Some(r)) if math.min(l, r) <= threshold =>
+                val hint = HintInfo(strategy = Some(BROADCAST))
+                if (r <= l) j.copy(hint = JoinHint(None, Some(hint)))
+                else j.copy(hint = JoinHint(Some(hint), None))
+              case _ => j
+            }
+        }
+      }
+  }
 
   /** Inner equi-join on the same-named `key`, with the physical
     * strategy chosen from the CATALOG: broadcast the smaller side if

@@ -260,6 +260,63 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Transparent stats broadcast: with BOTH sides' stats registered by
+  // root path, a plain join (no hint, Spark sizing off) gets the
+  // broadcast hint from the catalog; unregistered or falsified-huge
+  // catalogs leave the shuffle join. The MvRewrite registration
+  // pattern applied to CBO pricing.
+  // ------------------------------------------------------------------
+  test("transparent stats broadcast rule follows the registered catalog") {
+    import graft.plans.StatsPlanner
+    import graft.plans.StatsPlanner.StatsRegistry
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aabtKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val abt = spark.conf.get(abtKey)
+    val aabt = spark.conf.getOption(aabtKey)
+    try {
+      spark.conf.set(abtKey, "-1")
+      spark.conf.set(aabtKey, "-1")
+      graft.plans.GraftExtensions.register(spark) // idempotent
+      val supplier = Tables.supplier(spark, sf).select("s_nationkey", "s_acctbal")
+      val nation = Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      def plan() = supplier.join(nation, Seq("s_nationkey"))
+        .queryExecution.executedPlan.toString
+
+      StatsRegistry.clear()
+      val pNone = plan()
+      assert(!pNone.contains("BroadcastHashJoin"), pNone)
+
+      val supStats = StatsPlanner.analyze(supplier, Seq("s_nationkey"))
+      val natStats = StatsPlanner.analyze(nation, Seq("s_nationkey"))
+      StatsRegistry.register(Tables.supplier(spark, sf), supStats)
+      StatsRegistry.register(Tables.nation(spark, sf), natStats)
+      val pReg = plan()
+      assert(pReg.contains("BroadcastHashJoin"), pReg)
+
+      // falsified: both sides claimed huge -> hint withheld
+      StatsRegistry.register(Tables.nation(spark, sf), natStats.copy(estBytes = 1L << 30))
+      StatsRegistry.register(Tables.supplier(spark, sf), supStats.copy(estBytes = 2L << 30))
+      val pBig = plan()
+      assert(!pBig.contains("BroadcastHashJoin"), pBig)
+
+      // an explicit user hint always wins over the catalog
+      StatsRegistry.register(Tables.nation(spark, sf), natStats)
+      StatsRegistry.register(Tables.supplier(spark, sf), supStats)
+      val pUser = supplier.join(nation.hint("shuffle_merge"), Seq("s_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(!pUser.contains("BroadcastHashJoin"), pUser)
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set(abtKey, abt)
+      aabt match {
+        case Some(v) => spark.conf.set(aabtKey, v)
+        case None    => spark.conf.unset(aabtKey)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // DISTINCT-over-dims and fact-preserved OUTER joins: the two round-8
   // algebra extensions the oracle gate can't plan-distinguish. A
   // distinct on a measure must still bail; a dim-preserved outer join
