@@ -155,6 +155,7 @@ object Maintenance {
     bloomIndexStore(s, d)
     mvStore(s, d)
     mvLineitemStore(s, d)
+    statsStore(s, d)
   }
 
   // the merge store c2b time-travels into, built once per (JVM, source
