@@ -242,7 +242,11 @@ object SparkEntry {
     "e32_attribution"        -> (Events.e32Attribution _),
     // round 7: REAL image decode (javax.imageio) — driver-gated
     "m7_image_decode"        -> (Multimodal.m7ImageDecode _),
-    "m8_image_neardup"       -> ((s, d) => Multimodal.m8ImageNearDup(s, d))
+    "m8_image_neardup"       -> ((s, d) => Multimodal.m8ImageNearDup(s, d)),
+    // round 8: substring dedup, BM25 retrieval, stream-fed star MV
+    "d16_substring_dedup"    -> ((s, d) => Dedup.d16SubstringDedup(s, d)),
+    "t24_bm25"               -> ((s, d) => TextAnalysis.t24Bm25(s, d)),
+    "s19_stream_star_mv"     -> (StreamingBatch.s19StreamStarMv _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2029,6 +2033,56 @@ object SparkEntry {
         |SELECT last_click_k % 10 AS campaign, count(*) AS n_purchases,
         | round(sum(value), 2) AS revenue
         |FROM a WHERE event_type = 'purchase' AND last_click_k IS NOT NULL
-        |GROUP BY 1 ORDER BY campaign""".stripMargin
+        |GROUP BY 1 ORDER BY campaign""".stripMargin,
+    // round 8 — d16: same whitespace tokenizer, k-gram keys replayed as
+    // plain strings, identical gaps-and-islands interval merge
+    "d16_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |  array_to_string(toks[i+1:i+8], ' ') AS g
+        | FROM d, unnest(range(0, len(toks) - 8 + 1)) t(i)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, start, start + 7 AS e FROM g JOIN dup USING (g)),
+        |brk AS (SELECT doc_id, start, e,
+        |  CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |   THEN 1 ELSE 0 END AS b
+        | FROM hits),
+        |isl AS (SELECT doc_id, start, e,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        | FROM brk)
+        |SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+        | max(e) - min(start) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // t24: identical BM25 algebra; rank on the ROUNDED score + doc_id so
+    // the top-k cutoff can't flip on fp noise
+    "t24_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        | FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |ad AS (SELECT avg(len) AS avgdl FROM dl),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tc FROM tok
+        |  WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |   * (tf.tc * 2.2) / (tf.tc + 1.2 * (1 - 0.75 + 0.75 * dl.len / ad.avgdl)) AS s
+        | FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad)
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // s19: the stream-built rollup + join rewrite answer; the oracle
+    // recomputes the star dashboard from raw events
+    "s19_stream_star_mv" ->
+      """WITH dim(etype, category) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('signup', 'acquisition'), ('purchase', 'revenue'),
+        |  ('error', 'ops'))
+        |SELECT category, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN dim ON event_type = etype
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

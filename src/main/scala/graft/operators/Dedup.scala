@@ -451,6 +451,56 @@ object Dedup {
   def d14FuzzyPairs(s: SparkSession, d: String, maxDist: Int = 40, window: Int = 10): DataFrame =
     fuzzyPairsUnsorted(s, d, maxDist, window).orderBy("id_a", "id_b")
 
+  /** d16: exact duplicated-SUBSTRING spans — the distributed restatement
+    * of suffix-array ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): any run of ≥ k
+    * consecutive tokens that appears verbatim in ≥ 2 documents is a
+    * duplicated span, and overlapping/adjacent spans merge into maximal
+    * removal intervals per document. Shape: every k-gram with its start
+    * offset (positions from one codegen'd `transform(sequence)` over the
+    * token array — no window over raw tokens), one groupBy to find
+    * cross-doc grams, one equi-join back, then a per-doc interval merge
+    * (gaps-and-islands window) that runs only over the HIT positions —
+    * O(duplicated content), not O(corpus). At 100 TB the gram join keys
+    * on `xxhash64(gram)` instead of the gram text (64-bit keys ride the
+    * shuffle, text never does); the plain-text key here keeps the DuckDB
+    * oracle replaying the identical strings.
+    */
+  def d16SubstringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+        ))
+      )
+      .select(col("doc_id"), col("pos").cast("long").as("start"), col("col").as("g"))
+    val dup = grams
+      .groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val hits = grams.join(dup, "g").select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    hits
+      .withColumn("prev_e", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("b", when(col("prev_e").isNull || col("start") > col("prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("start").as("span_start"),
+        max("e").as("span_end"),
+        (max("e") - min("start") + 1).as("span_tokens")
+      )
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** The chainCache'd pair set itself (no output sort) — d15 consumes
     * this directly so its GraphX edge scan doesn't pay d14's ORDER BY.
     */

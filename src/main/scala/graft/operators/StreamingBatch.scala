@@ -1155,4 +1155,35 @@ object StreamingBatch {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("month_start", "event_type")
   }
+
+  /** s19: the stream-maintained rollup answers a STAR dashboard — the
+    * query joins raw events to a category dim and groups by the dim
+    * attribute, and MvRewrite's join path (c16f) swaps the fact scan
+    * for the rollup that foreachBatch built incrementally. This closes
+    * the loop between the two round-8 MV capabilities: INCREMENTAL
+    * MAINTENANCE (s17's exactly-once fold) and JOIN-AWARE ANSWERING
+    * (c16f's commute-through-broadcast-join), composed. At 100 TB the
+    * dashboard costs a KB summary scan + a KB dim broadcast while the
+    * ingest pipeline keeps the summary fresh per micro-batch — the
+    * lambda-architecture dashboard without the lambda. The oracle
+    * recomputes from raw events with the dim inlined as VALUES, so the
+    * stream fold AND the rewrite algebra are both on the hash hook.
+    */
+  def s19StreamStarMv(s: SparkSession, d: String): DataFrame = {
+    runStreamMv(s, d)
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement"),
+      ("view", "engagement"),
+      ("signup", "acquisition"),
+      ("purchase", "revenue"),
+      ("error", "ops")
+    ).toDF("etype", "category")
+    Tables
+      .events(s, d)
+      .join(broadcast(dim), col("event_type") === col("etype"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("category")
+  }
 }

@@ -612,4 +612,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rate"))
       .orderBy("doc_id")
   }
+
+  /** t24: BM25 ranked retrieval — score every document against a fixed
+    * query-term set with Okapi BM25 (k1 = 1.2, b = 0.75,
+    * idf = ln((N − df + ½)/(df + ½) + 1)) and keep the top k. The plan
+    * is pure partial-aggregable relational algebra: the token stream is
+    * filtered to QUERY TERMS before any shuffle (tf rows ∝ matching
+    * docs, never the corpus), df/N/avgdl are kilobyte broadcast
+    * aggregates, and the final per-doc sum is one groupBy on doc_id.
+    * Ranking sorts on the ROUNDED score with a doc_id tiebreak so the
+    * top-k cutoff is reproducible across engines (fp-noise ties can't
+    * flip selection) — the same determinism discipline as t22's accept
+    * set. At 100 TB: a TopK (q24-style) replaces the global sort; the
+    * tf join to doc lengths is keyed on doc_id and skew-free by
+    * construction (one row per doc per query term).
+    */
+  def t24Bm25(s: SparkSession, d: String, topK: Int = 15): DataFrame = {
+    val k1 = 1.2
+    val b  = 0.75
+    val qterms = Seq("spark", "join", "window")
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tok = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val avgdl = docLen.agg(avg(col("len")).as("avgdl"))
+    val tf = tok.filter(col("t").isin(qterms: _*)).groupBy("doc_id", "t").agg(count(lit(1)).as("tc"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "t")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn(
+        "s_t",
+        col("idf") * (col("tc") * (k1 + 1)) /
+          (col("tc") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))
+      )
+      .groupBy("doc_id")
+      .agg(round(sum("s_t"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -435,4 +435,91 @@ class Round8Spec extends AnyFunSuite {
       assert(MvRegistry.lookup(paths).size == 2)
     } finally MvRegistry.clear()
   }
+
+  // ------------------------------------------------------------------
+  // d16 exact-substring dedup: the whole distributed pipeline (gram
+  // anchoring → cross-doc vocabulary → interval merge) must reproduce
+  // an independent single-threaded reference implementation exactly.
+  // The DuckDB oracle re-runs the same SQL shape; this recompute shares
+  // NO code or query structure with the operator.
+  // ------------------------------------------------------------------
+  test("d16 substring spans equal an independent driver-side recompute") {
+    val k = 8
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .sortBy(_._1)
+    val gramDocs = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, toks) <- docs; i <- 0 to toks.length - k)
+      gramDocs.getOrElseUpdate(toks.slice(i, i + k).mkString(" "), scala.collection.mutable.Set.empty) += id
+    val expected = docs.flatMap { case (id, toks) =>
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for (i <- 0 to toks.length - k
+           if gramDocs(toks.slice(i, i + k).mkString(" ")).size >= 2) {
+        val (s0, e0) = (i.toLong, (i + k - 1).toLong)
+        if (spans.nonEmpty && s0 <= spans.last._2 + 1)
+          spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e0))
+        else spans += ((s0, e0))
+      }
+      spans.map { case (a, b) => (id, a, b, b - a + 1) }
+    }
+    val got = graft.operators.Dedup.d16SubstringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "fixture should contain duplicated spans")
+    assert(got == expected.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // t24 BM25: distributed scoring + rounded-rank selection must equal a
+  // from-scratch in-memory BM25 (same k1/b/idf definitions).
+  // ------------------------------------------------------------------
+  test("t24 BM25 top-15 equals an independent driver-side recompute") {
+    val q = Seq("spark", "join", "window")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val n = docs.length.toDouble
+    val lens = docs.map { case (id, t) => id -> t.length }.toMap
+    val withToks = lens.values.count(_ > 0)
+    val avgdl = lens.values.filter(_ > 0).map(_.toLong).sum.toDouble / withToks
+    val df = q.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val s = q.map { t =>
+        val tc = toks.count(_ == t).toDouble
+        if (tc == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) * (tc * 2.2) /
+          (tc + 1.2 * (1 - 0.75 + 0.75 * lens(id) / avgdl))
+      }.sum
+      if (s > 0) Some(id -> math.round(s * 1e6) / 1e6) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(15)
+    val got = graft.operators.TextAnalysis.t24Bm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // s19: the stream-maintained rollup must be what ANSWERS the star
+  // dashboard (fact scan replaced by the foreachBatch-built summary),
+  // with values equal to the registry-free raw recompute.
+  // ------------------------------------------------------------------
+  test("s19: stream-built rollup answers the star dashboard through the join rewrite") {
+    import spark.implicits._
+    try {
+      val dashboard = graft.operators.StreamingBatch.s19StreamStarMv(spark, sf)
+      val plan = dashboard.queryExecution.executedPlan.toString
+      assert(plan.contains("state_v") && !plan.contains("events.parquet"),
+        s"star dashboard should answer from the stream-built rollup:\n$plan")
+      val got = dashboard.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      MvRegistry.clear()
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("signup", "acquisition"), ("purchase", "revenue"), ("error", "ops")
+      ).toDF("etype", "category")
+      val raw = Tables.events(spark, sf)
+        .join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == raw)
+    } finally MvRegistry.clear()
+  }
 }
