@@ -246,7 +246,11 @@ object SparkEntry {
     // round 8: substring dedup, BM25 retrieval, stream-fed star MV
     "d16_substring_dedup"    -> ((s, d) => Dedup.d16SubstringDedup(s, d)),
     "t24_bm25"               -> ((s, d) => TextAnalysis.t24Bm25(s, d)),
-    "s19_stream_star_mv"     -> (StreamingBatch.s19StreamStarMv _)
+    "s19_stream_star_mv"     -> (StreamingBatch.s19StreamStarMv _),
+    // round 8: one-pass expectation suite, perplexity gate, SemDeDup
+    "c20_expectations"       -> (Maintenance.c20Expectations _),
+    "t25_perplexity"         -> (TextAnalysis.t25PerplexityFilter _),
+    "d17_semdedup"           -> ((s, d) => Dedup.d17SemDedup(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2083,6 +2087,73 @@ object SparkEntry {
         |  ('error', 'ops'))
         |SELECT category, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events JOIN dim ON event_type = etype
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c20: identical expectation algebra; sums cast BIGINT (DuckDB sums
+    // int to HUGEINT), "check" quoted (reserved word)
+    "c20_expectations" ->
+      """WITH li AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ship_nn,
+        |  count(DISTINCT l_orderkey * 8 + l_linenumber) AS pk_d,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS disc_ok,
+        |  CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS rf_ok
+        | FROM lineitem),
+        |ord AS (SELECT count(*) AS o_n,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_ok
+        | FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT * FROM (
+        | SELECT 'lineitem_discount_in_unit_range' AS "check", round(disc_ok / n, 6) AS metric, disc_ok = n AS passed FROM li
+        | UNION ALL SELECT 'lineitem_pk_uniqueness', round(pk_d / n, 6), pk_d = n FROM li
+        | UNION ALL SELECT 'lineitem_quantity_min_nonneg', min_qty, min_qty >= 0.0 FROM li
+        | UNION ALL SELECT 'lineitem_returnflag_accepted', round(rf_ok / n, 6), rf_ok = n FROM li
+        | UNION ALL SELECT 'lineitem_shipdate_completeness', round(ship_nn / n, 6), ship_nn = n FROM li
+        | UNION ALL SELECT 'orders_custkey_containment', round(fk_ok / o_n, 6), fk_ok = o_n FROM ord
+        |) ORDER BY "check"""".stripMargin,
+    // t25: same bigram-LM algebra, decimal-quantized ln sums (the t21
+    // discipline), identical ntile ordering (score DESC, doc_id)
+    "t25_perplexity" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+        | FROM tk),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |cu AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |  sum(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(20,10))) AS slp
+        | FROM bg JOIN cb USING (bg) JOIN cu ON string_split(bg.bg, ' ')[1] = cu.w1
+        | GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, n_bigrams,
+        |  round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS score FROM sc),
+        |t AS (SELECT doc_id, lang, n_bigrams, score,
+        |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS tercile
+        | FROM r)
+        |SELECT doc_id, lang, n_bigrams, score, tercile, tercile <= 2 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // d17: centroids/assignment replayed with the same rounding and
+    // decimal-quantized distances; verify cosine via list_dot_product
+    "d17_semdedup" ->
+      """WITH comp AS (SELECT vec_id, label, u.i AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+        |  SELECT vec_id, label,
+        |   unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)),
+        |cen AS (SELECT label AS c_label, idx AS c_idx, round(avg(v), 4) + 0.0 AS c
+        | FROM comp GROUP BY 1, 2),
+        |dist AS (SELECT vec_id, c_label,
+        |  sum(CAST(round((v - c) * (v - c), 10) AS DECIMAL(24,12))) AS dist
+        | FROM comp JOIN cen ON idx = c_idx GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, CAST(c_label AS BIGINT) AS cluster FROM (
+        |  SELECT vec_id, c_label,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM dist)
+        | WHERE rn = 1),
+        |m AS (SELECT e.vec_id, cluster, embedding::DOUBLE[] AS emb
+        | FROM embeddings e JOIN assign ON e.vec_id = assign.vec_id),
+        |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
+        |SELECT m.vec_id, cluster, dup.vec_id IS NULL AS keep
+        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin
   )
 }

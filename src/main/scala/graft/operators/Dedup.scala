@@ -532,4 +532,62 @@ object Dedup {
           col("dist")
         )
     }
+
+  /** d17: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space, compute pairwise cosine ONLY within
+    * clusters, and drop every vector semantically close (cos ≥ τ) to a
+    * lower-id cluster-mate — pair work is Σ(cluster²), never corpus²,
+    * which is the entire reason SemDeDup scales where d5's exact
+    * all-pairs cannot. Clustering here is one deterministic Lloyd
+    * assignment step against label-seeded centroids (v4's component
+    * means — k×dim values, broadcast): at 100 TB the centroids come
+    * from the v7 IVF trainer and this operator is unchanged — the
+    * assignment join, the within-cluster equi-join (no Cartesian node),
+    * and the keep-lowest-id rule are the same plan at any k.
+    * Cross-engine-exact: centroids rounded to 4 decimals (v4's
+    * discipline), squared component distances quantized to
+    * decimal(24,12) before the sum so the argmin is associativity-free,
+    * ties broken by label; the verify cosine is the codegen'd
+    * FloatVecDot double fold, bit-identical to list_dot_product.
+    */
+  def d17SemDedup(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val comp = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .select(col("vec_id"), col("idx"), col("v").cast("double").as("v"))
+    val cen = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("label").as("c_label"), col("idx").as("c_idx"))
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0)).as("c"))
+    val dist = comp
+      .join(broadcast(cen), col("idx") === col("c_idx"))
+      .withColumn("sq", round((col("v") - col("c")) * (col("v") - col("c")), 10).cast("decimal(24,12)"))
+      .groupBy("vec_id", "c_label")
+      .agg(sum("sq").as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_label"))
+    val assign = dist
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").cast("long").as("cluster"))
+    val m = e
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
+      )
+      .join(assign, "vec_id")
+    val a = m.select(col("vec_id").as("id_a"), col("cluster"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = m.select(col("vec_id").as("id_b"), col("cluster"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val dup = a
+      .join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(GraftExpressions.dotF(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    m.select(col("vec_id"), col("cluster"))
+      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
 }

@@ -1319,4 +1319,56 @@ object Maintenance {
       )
       .orderBy("bin")
   }
+
+  /** c20: declarative data-quality EXPECTATION SUITE (the Deequ
+    * VerificationSuite shape) evaluated in ONE pass per table — every
+    * scalar expectation over lineitem (completeness, key uniqueness,
+    * range membership, accepted-values, min bound) is an ordinary
+    * partial-aggregable function fused into a single Aggregate, so the
+    * whole suite costs one scan + a scalar reduce; the referential
+    * check is a broadcast left join on orders (dims are KBs at any
+    * fact scale). Contrast with c10's per-check jobs: 100 TB of
+    * quality gating is ONE pass here, N passes there. Exact NDV keeps
+    * the oracle checkable; production swaps approx_count_distinct into
+    * the identical plan. Output: (check, metric, passed) — the report
+    * a pipeline publishes next to every landed partition.
+    */
+  def c20Expectations(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    // l_linenumber is 1..7, so orderkey*8 + linenumber is an injective
+    // composite-key encoding both engines compute identically
+    val li = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_shipdate").isNotNull, 1L).otherwise(0L)).as("ship_nn"),
+      countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("pk_d"),
+      round(min("l_quantity"), 2).as("min_qty"),
+      sum(when(col("l_discount") >= 0.0 && col("l_discount") <= 1.0, 1L).otherwise(0L)).as("disc_ok"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("rf_ok")
+    )
+    val ord = o
+      .join(broadcast(c.select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("o_n"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("fk_ok")
+      )
+    def check(name: String, metric: Column, passed: Column) =
+      struct(lit(name).as("check"), metric.as("metric"), passed.as("passed"))
+    li.crossJoin(ord)
+      .select(
+        explode(
+          array(
+            check("lineitem_discount_in_unit_range", round(col("disc_ok") / col("n"), 6), col("disc_ok") === col("n")),
+            check("lineitem_pk_uniqueness", round(col("pk_d") / col("n"), 6), col("pk_d") === col("n")),
+            check("lineitem_quantity_min_nonneg", col("min_qty"), col("min_qty") >= 0.0),
+            check("lineitem_returnflag_accepted", round(col("rf_ok") / col("n"), 6), col("rf_ok") === col("n")),
+            check("lineitem_shipdate_completeness", round(col("ship_nn") / col("n"), 6), col("ship_nn") === col("n")),
+            check("orders_custkey_containment", round(col("fk_ok") / col("o_n"), 6), col("fk_ok") === col("o_n"))
+          )
+        ).as("e")
+      )
+      .select(col("e.check").as("check"), col("e.metric").as("metric"), col("e.passed").as("passed"))
+      .orderBy("check")
+  }
 }

@@ -653,4 +653,59 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** t25: PERPLEXITY-style quality gating (the CCNet recipe, Wenzek et
+    * al. 2020): score each document by its mean bigram log-probability
+    * under the corpus's OWN bigram LM (t13's algebra), then split each
+    * language into head/middle/tail terciles and keep head+middle —
+    * the standard LM-based web-corpus filter, with the external KenLM
+    * replaced by the self-trained corpus model. Cross-engine-exact by
+    * the t21 discipline: per-bigram ln quantized to decimal(20,10)
+    * BEFORE the sum (associativity-free), the mean evaluated in double
+    * on the exact decimal total, terciles via ntile over (score DESC,
+    * doc_id) so rank ties can't flip buckets. Plan shape: the bigram
+    * count tables are one shuffle each, the per-doc score one more, and
+    * the tercile window partitions by language — at 100 TB the LM
+    * tables are the corpus vocabulary (broadcastable head after t10
+    * pruning) and nothing else shuffles. Docs with <2 tokens have no
+    * bigram evidence and are excluded (stated contract, same rows both
+    * engines).
+    */
+  def t25PerplexityFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val bg = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), n1),
+            slice(col("tk"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("bg")
+      )
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val cu = bg
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1")
+      .agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(cb, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cu, "w1")
+      .withColumn("lp", round(log(col("c2").cast("double") / col("c1")), 9).cast("decimal(20,10)"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .withColumn("score", round(col("slp").cast("double") / col("n_bigrams"), 6))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .withColumn("keep", col("tercile") <= 2)
+      .select("doc_id", "lang", "n_bigrams", "score", "tercile", "keep")
+      .orderBy("doc_id")
+  }
 }

@@ -522,4 +522,116 @@ class Round8Spec extends AnyFunSuite {
       assert(got == raw)
     } finally MvRegistry.clear()
   }
+
+  // ------------------------------------------------------------------
+  // c20 expectation suite: every metric must equal an independent
+  // driver-side recompute over the collected fixture, and the suite
+  // must actually FAIL a violated expectation (the fixture's composite
+  // key is genuinely non-unique) — a suite that always passes tests
+  // nothing.
+  // ------------------------------------------------------------------
+  test("c20 expectations equal a driver-side recompute and catch the real PK violation") {
+    val l = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_discount", "l_returnflag")
+      .collect()
+    val n = l.length.toDouble
+    val pkD = l.map(r => (r.getLong(0), r.getInt(1))).distinct.length / n
+    val discOk = l.count(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) / n
+    val rfOk = l.count(r => Set("A", "N", "R")(r.getString(5))) / n
+    val shipNn = l.count(!_.isNullAt(2)) / n
+    val minQty = math.round(l.map(_.getDouble(3)).min * 100) / 100.0
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val got = Maintenance.c20Expectations(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got("lineitem_pk_uniqueness") == ((r6(pkD), pkD == 1.0)))
+    assert(!got("lineitem_pk_uniqueness")._2, "fixture's composite key is non-unique; suite must flag it")
+    assert(got("lineitem_discount_in_unit_range") == ((r6(discOk), discOk == 1.0)))
+    assert(got("lineitem_returnflag_accepted") == ((r6(rfOk), rfOk == 1.0)))
+    assert(got("lineitem_shipdate_completeness") == ((r6(shipNn), shipNn == 1.0)))
+    assert(got("lineitem_quantity_min_nonneg") == ((minQty, minQty >= 0.0)))
+  }
+
+  // ------------------------------------------------------------------
+  // t25 perplexity gate: scores and terciles must equal an independent
+  // in-memory bigram-LM recompute (same decimal quantization, same
+  // ntile semantics), and the keep rule must drop exactly the tail.
+  // ------------------------------------------------------------------
+  test("t25 perplexity terciles equal an independent driver-side bigram-LM recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    val bigrams = docs.flatMap { case (id, lang, tk) =>
+      tk.sliding(2).filter(_.length == 2).map(p => (id, lang, p(0) + " " + p(1)))
+    }
+    val c2 = bigrams.groupBy(_._3).map { case (g, v) => g -> v.length }
+    val c1 = bigrams.groupBy(_._3.split(" ")(0)).map { case (w, v) => w -> v.length }
+    val scored = bigrams.groupBy(b => (b._1, b._2)).map { case ((id, lang), bs) =>
+      val slp = bs.map { b =>
+        BigDecimal(math.round(math.log(c2(b._3).toDouble / c1(b._3.split(" ")(0))) * 1e9))./(BigDecimal(1e9))
+      }.sum
+      (id, lang, bs.length.toLong, math.round(slp.toDouble / bs.length * 1e6) / 1e6)
+    }.toSeq
+    val expected = scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy { case (id, _, _, s) => (-s, id) }
+      val n = sorted.length
+      val (base, extra) = (n / 3, n % 3)
+      sorted.zipWithIndex.map { case ((id, lang, nb, s), i) =>
+        val tercile = // ntile: first `extra` buckets get base+1 rows
+          if (i < (base + 1) * extra) i / (base + 1) + 1
+          else extra + (i - (base + 1) * extra) / base + 1
+        (id, lang, nb, s, tercile.toLong, tercile <= 2)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.TextAnalysis.t25PerplexityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    assert(got.exists(!_._6) && got.count(_._6) > got.length / 2)
+  }
+
+  // ------------------------------------------------------------------
+  // d17 SemDeDup: assignment + within-cluster dup decisions must equal
+  // an independent recompute, the pair join must be a cluster equi-join
+  // (no Cartesian/BNLJ node), and some semantic dups must exist.
+  // ------------------------------------------------------------------
+  test("d17 semdedup equals an independent recompute; pair stage is an equi-join") {
+    val df = graft.operators.Dedup.d17SemDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"within-cluster pairs must come from the cluster equi-join:\n$plan")
+    val e = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val dim = e.head._3.length
+    val cen = e.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> Array.tabulate(dim) { i =>
+        math.round(vs.map(_._3(i).toDouble).sum / vs.length * 1e4) / 1e4
+      }
+    }
+    val assign = e.map { case (id, _, v) =>
+      val dists = cen.toSeq.map { case (lbl, c) =>
+        val d0 = (0 until dim).map { i =>
+          val sq = (v(i).toDouble - c(i)) * (v(i).toDouble - c(i))
+          BigDecimal(math.round(sq * 1e10)) / BigDecimal(1e10)
+        }.sum
+        (d0, lbl)
+      }
+      id -> dists.minBy { case (d0, lbl) => (d0, lbl) }._2.toLong
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d0, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- 0 until dim) {
+        d0 += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = e.map(x => x._1 -> x._3).toMap
+    val dup = (for {
+      (ia, _, _) <- e; (ib, _, _) <- e
+      if ia < ib && assign(ia) == assign(ib) && cos(byId(ia), byId(ib)) >= 0.4
+    } yield ib).toSet
+    val expected = e.map(_._1).sorted.map(id => (id, assign(id), !dup(id)))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected.toSeq)
+    assert(dup.nonEmpty, "fixture should contain semantic duplicates")
+  }
 }
