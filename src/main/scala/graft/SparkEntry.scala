@@ -250,7 +250,9 @@ object SparkEntry {
     // round 8: one-pass expectation suite, perplexity gate, SemDeDup
     "c20_expectations"       -> (Maintenance.c20Expectations _),
     "t25_perplexity"         -> (TextAnalysis.t25PerplexityFilter _),
-    "d17_semdedup"           -> ((s, d) => Dedup.d17SemDedup(s, d))
+    "d17_semdedup"           -> ((s, d) => Dedup.d17SemDedup(s, d)),
+    // round 8: the LLM-era curation chain (t25 → d17 → d16 composed)
+    "p5_curate_llm"          -> ((s, d) => graft.operators.Curate.p5CurateLlm(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2154,6 +2156,68 @@ object SparkEntry {
         | WHERE list_dot_product(a.emb, b.emb)
         |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
         |SELECT m.vec_id, cluster, dup.vec_id IS NULL AS keep
-        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin
+        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin,
+    // p5: the ENTIRE curation chain replayed — t25's gate, d17's drops
+    // restricted to survivors, d16's spans over what's kept
+    "p5_curate_llm" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |bgx AS (SELECT doc_id, lang,
+        |  unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+        | FROM tk),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bgx GROUP BY 1),
+        |cu AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bgx GROUP BY 1),
+        |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |  sum(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(20,10))) AS slp
+        | FROM bgx JOIN cb USING (bg) JOIN cu ON string_split(bgx.bg, ' ')[1] = cu.w1
+        | GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(ntile(3) OVER (PARTITION BY lang
+        |  ORDER BY round(CAST(slp AS DOUBLE) / n_bigrams, 6) DESC, doc_id) AS BIGINT) AS tercile
+        | FROM sc),
+        |k1 AS (SELECT doc_id FROM t WHERE tercile <= 2),
+        |comp AS (SELECT vec_id, label, u.i AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+        |  SELECT vec_id, label,
+        |   unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)),
+        |cen AS (SELECT label AS c_label, idx AS c_idx, round(avg(v), 4) + 0.0 AS c
+        | FROM comp GROUP BY 1, 2),
+        |dist AS (SELECT vec_id, c_label,
+        |  sum(CAST(round((v - c) * (v - c), 10) AS DECIMAL(24,12))) AS dist
+        | FROM comp JOIN cen ON idx = c_idx GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, c_label AS cluster FROM (
+        |  SELECT vec_id, c_label,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM dist)
+        | WHERE rn = 1),
+        |m AS (SELECT e.vec_id, cluster, embedding::DOUBLE[] AS emb
+        | FROM embeddings e JOIN assign USING (vec_id) JOIN k1 ON e.vec_id = k1.doc_id),
+        |sdup AS (SELECT DISTINCT b.vec_id AS doc_id FROM m a JOIN m b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4),
+        |k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN (SELECT doc_id FROM sdup)),
+        |d AS (SELECT tk.doc_id, ts AS toks FROM tk JOIN k2 USING (doc_id)),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |  array_to_string(toks[i+1:i+8], ' ') AS g
+        | FROM d, unnest(range(0, len(toks) - 8 + 1)) t(i)),
+        |dupg AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, start, start + 7 AS e FROM g JOIN dupg USING (g)),
+        |brk AS (SELECT doc_id, start, e,
+        |  CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |   THEN 1 ELSE 0 END AS b
+        | FROM hits),
+        |isl AS (SELECT doc_id, start, e,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        | FROM brk),
+        |spans AS (SELECT doc_id, min(start) AS s0, max(e) AS e0 FROM isl GROUP BY doc_id, island),
+        |rem AS (SELECT doc_id, CAST(sum(e0 - s0 + 1) AS BIGINT) AS removed_tokens
+        | FROM spans GROUP BY 1)
+        |SELECT d2.doc_id, d2.lang, CAST(len(d2.ts) AS BIGINT) AS n_tokens,
+        | coalesce(rem.removed_tokens, 0) AS removed_tokens,
+        | CAST(len(d2.ts) AS BIGINT) - coalesce(rem.removed_tokens, 0) AS kept_tokens
+        |FROM (SELECT tk.doc_id, lang, ts FROM tk JOIN k2 USING (doc_id)) d2
+        |LEFT JOIN rem ON d2.doc_id = rem.doc_id
+        |ORDER BY d2.doc_id""".stripMargin
   )
 }

@@ -85,6 +85,55 @@ object Curate {
       .orderBy("shard_id")
   }
 
+  /** p5: the LLM-ERA curation chain — the round-8 operators composed the
+    * way a modern pretraining pipeline runs them:
+    *
+    *   perplexity gate (t25: per-language head+middle terciles)
+    *     → SEMANTIC dedup among survivors (d17's cluster equi-join;
+    *       docs without an embedding pass through — they can't be
+    *       semantically deduplicated, only filtered)
+    *     → exact-substring trim (d16's spans recomputed over what's
+    *       KEPT, so spans reflect duplication in the surviving corpus)
+    *     → per-doc token budget report (tokens before/removed/after)
+    *
+    * Dedup decisions are made AMONG SURVIVORS, not globally: a span is
+    * only a dup if ≥2 kept docs share it, and a vector is only dropped
+    * for a kept lower-id mate — the order of stages changes the answer,
+    * which is exactly why the whole chain is one oracle-gated unit.
+    * Cost at 100 TB: t25's LM tables are the vocabulary shuffles,
+    * semantic pairs are Σ(cluster²) inside kept clusters, the span scan
+    * is O(kept grams), the report a per-row map — no stage is corpus².
+    * The DuckDB oracle replays the entire composition.
+    */
+  def p5CurateLlm(s: SparkSession, d: String, tau: Double = 0.4, k: Int = 8): DataFrame = {
+    val kept1 = TextAnalysis.t25PerplexityFilter(s, d).filter(col("keep")).select("doc_id")
+    val members = Dedup
+      .semDedupMembers(s, d)
+      .join(kept1.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+    val semDrops = Dedup.semDedupDrops(members, tau).withColumnRenamed("vec_id", "doc_id")
+    val kept2 = kept1.join(broadcast(semDrops), Seq("doc_id"), "left_anti")
+    val docs2 = Tables.documents(s, d).join(kept2, "doc_id")
+    val removed = Dedup
+      .substringSpans(docs2.select("doc_id", "text"), k)
+      .groupBy("doc_id")
+      .agg(sum("span_tokens").as("removed_tokens"))
+    docs2
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens")
+      )
+      .join(removed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L))).as("kept_tokens")
+      )
+      .orderBy("doc_id")
+  }
+
   def p1Curate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val kept = docs

@@ -466,10 +466,15 @@ object Dedup {
     * shuffle, text never does); the plain-text key here keeps the DuckDB
     * oracle replaying the identical strings.
     */
-  def d16SubstringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+  def d16SubstringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    substringSpans(Tables.documents(s, d), k)
+
+  /** The d16 core over any (doc_id, text) corpus slice — p5 runs it on
+    * curation survivors, so spans reflect duplication among what's KEPT.
+    */
+  def substringSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables
-      .documents(s, d)
+    val grams = docs
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(
@@ -551,6 +556,18 @@ object Dedup {
     * FloatVecDot double fold, bit-identical to list_dot_product.
     */
   def d17SemDedup(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    val m = semDedupMembers(s, d)
+    val dup = semDedupDrops(m, tau)
+    m.select(col("vec_id"), col("cluster"))
+      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-assigned embedding rows (vec_id, cluster, embedding, nrm) —
+    * the deterministic Lloyd assignment described on [[d17SemDedup]].
+    */
+  def semDedupMembers(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val comp = e
@@ -570,24 +587,23 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").cast("long").as("cluster"))
-    val m = e
-      .select(
-        col("vec_id"),
-        col("embedding"),
-        sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
-      )
-      .join(assign, "vec_id")
-    val a = m.select(col("vec_id").as("id_a"), col("cluster"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = m.select(col("vec_id").as("id_b"), col("cluster"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val dup = a
-      .join(b, Seq("cluster"))
+    e.select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
+    ).join(assign, "vec_id")
+  }
+
+  /** The drop half of SemDeDup over a (possibly filtered) member set:
+    * every vec_id with cosine ≥ τ to a LOWER-id member of its cluster.
+    */
+  def semDedupDrops(members: DataFrame, tau: Double): DataFrame = {
+    val a = members.select(col("vec_id").as("id_a"), col("cluster"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = members.select(col("vec_id").as("id_b"), col("cluster"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(GraftExpressions.dotF(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
       .select(col("id_b").as("vec_id"))
       .distinct()
-    m.select(col("vec_id"), col("cluster"))
-      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("keep"))
-      .orderBy("vec_id")
   }
 }

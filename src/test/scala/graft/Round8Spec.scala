@@ -634,4 +634,31 @@ class Round8Spec extends AnyFunSuite {
     assert(got == expected.toSeq)
     assert(dup.nonEmpty, "fixture should contain semantic duplicates")
   }
+
+  // ------------------------------------------------------------------
+  // p5 chain wiring: value parity is the full-chain DuckDB oracle; this
+  // pins the composition semantics — the survivor set is exactly
+  // (t25-keep minus semantic drops among survivors), span trimming is
+  // computed over survivors only (never more removal than the global
+  // d16 restricted to the same docs), and the trim actually fires.
+  // ------------------------------------------------------------------
+  test("p5: survivor set composes the staged decisions; spans trim survivors only") {
+    import graft.operators.{Curate, Dedup, TextAnalysis}
+    val p5 = Curate.p5CurateLlm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val kept1 = TextAnalysis.t25PerplexityFilter(spark, sf)
+      .filter(col("keep")).select("doc_id")
+    val members = Dedup.semDedupMembers(spark, sf)
+      .join(kept1.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+    val drops = Dedup.semDedupDrops(members, 0.4).collect().map(_.getLong(0)).toSet
+    val expectedIds = kept1.collect().map(_.getLong(0)).filterNot(drops).sorted
+    assert(p5.map(_._1).toSeq == expectedIds.toSeq)
+    assert(p5.forall { case (_, n, rem, kept) => kept == n - rem && rem >= 0 && kept >= 0 })
+    assert(p5.exists(_._3 > 0), "fixture should contain trimmable duplicated spans")
+    // survivor-scoped spans can only shrink vs the global span set
+    val globalRemoved = Dedup.d16SubstringDedup(spark, sf).groupBy("doc_id")
+      .agg(sum("span_tokens").as("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p5.forall { case (id, _, rem, _) => rem <= globalRemoved.getOrElse(id, 0L) })
+  }
 }
