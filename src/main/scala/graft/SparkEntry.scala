@@ -252,7 +252,9 @@ object SparkEntry {
     "t25_perplexity"         -> (TextAnalysis.t25PerplexityFilter _),
     "d17_semdedup"           -> ((s, d) => Dedup.d17SemDedup(s, d)),
     // round 8: the LLM-era curation chain (t25 → d17 → d16 composed)
-    "p5_curate_llm"          -> ((s, d) => graft.operators.Curate.p5CurateLlm(s, d))
+    "p5_curate_llm"          -> ((s, d) => graft.operators.Curate.p5CurateLlm(s, d)),
+    // round 8: streaming SemDeDup (order-insensitive pair index ≡ d17)
+    "s20_stream_semdedup"    -> ((s, d) => StreamingBatch.s20StreamSemDedup(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -260,6 +262,33 @@ object SparkEntry {
     */
   // shared by v1 and the exact ANN configurations (v7_exhaustive /
   // v10_exact), which are ScalaTest-proven equal to brute force
+  /** SemDeDup replay (see Dedup.d17SemDedup): shared by d17 and its
+    * streaming twin s20 — the pair index is arrival-order-insensitive,
+    * so both builds produce the identical table.
+    */
+  private val semDedupSql =
+    """WITH comp AS (SELECT vec_id, label, u.i AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+      |  SELECT vec_id, label,
+      |   unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
+      |  FROM embeddings)),
+      |cen AS (SELECT label AS c_label, idx AS c_idx, round(avg(v), 4) + 0.0 AS c
+      | FROM comp GROUP BY 1, 2),
+      |dist AS (SELECT vec_id, c_label,
+      |  sum(CAST(round((v - c) * (v - c), 10) AS DECIMAL(24,12))) AS dist
+      | FROM comp JOIN cen ON idx = c_idx GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, CAST(c_label AS BIGINT) AS cluster FROM (
+      |  SELECT vec_id, c_label,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM dist)
+      | WHERE rn = 1),
+      |m AS (SELECT e.vec_id, cluster, embedding::DOUBLE[] AS emb
+      | FROM embeddings e JOIN assign ON e.vec_id = assign.vec_id),
+      |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+      |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      | WHERE list_dot_product(a.emb, b.emb)
+      |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
+      |SELECT m.vec_id, cluster, dup.vec_id IS NULL AS keep
+      |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin
+
   private val knnExactSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
@@ -2134,29 +2163,11 @@ object SparkEntry {
         |SELECT doc_id, lang, n_bigrams, score, tercile, tercile <= 2 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
     // d17: centroids/assignment replayed with the same rounding and
-    // decimal-quantized distances; verify cosine via list_dot_product
-    "d17_semdedup" ->
-      """WITH comp AS (SELECT vec_id, label, u.i AS idx, CAST(u.v AS DOUBLE) AS v FROM (
-        |  SELECT vec_id, label,
-        |   unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
-        |  FROM embeddings)),
-        |cen AS (SELECT label AS c_label, idx AS c_idx, round(avg(v), 4) + 0.0 AS c
-        | FROM comp GROUP BY 1, 2),
-        |dist AS (SELECT vec_id, c_label,
-        |  sum(CAST(round((v - c) * (v - c), 10) AS DECIMAL(24,12))) AS dist
-        | FROM comp JOIN cen ON idx = c_idx GROUP BY 1, 2),
-        |assign AS (SELECT vec_id, CAST(c_label AS BIGINT) AS cluster FROM (
-        |  SELECT vec_id, c_label,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM dist)
-        | WHERE rn = 1),
-        |m AS (SELECT e.vec_id, cluster, embedding::DOUBLE[] AS emb
-        | FROM embeddings e JOIN assign ON e.vec_id = assign.vec_id),
-        |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
-        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        | WHERE list_dot_product(a.emb, b.emb)
-        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
-        |SELECT m.vec_id, cluster, dup.vec_id IS NULL AS keep
-        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin,
+    // decimal-quantized distances; verify cosine via list_dot_product.
+    // s20 is the STREAMING build of the identical result (pair index ≡
+    // batch), so it shares the oracle text.
+    "d17_semdedup" -> semDedupSql,
+    "s20_stream_semdedup" -> semDedupSql,
     // p5: the ENTIRE curation chain replayed — t25's gate, d17's drops
     // restricted to survivors, d16's spans over what's kept
     "p5_curate_llm" ->

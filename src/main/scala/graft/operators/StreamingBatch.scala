@@ -1169,6 +1169,123 @@ object StreamingBatch {
     * recomputes from raw events with the dim inlined as VALUES, so the
     * stream fold AND the rewrite algebra are both on the hash hook.
     */
+  private def stageEmbeddingsJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#emb",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_emb_")
+        Tables
+          .embeddings(s, d)
+          .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s20: STREAMING semantic dedup — d17's SemDeDup run online, the way
+    * an ingest pipeline actually meets new vectors: the cluster model
+    * (label-centroid means, k×dim values — kilobytes, the v7-style
+    * offline artifact) is trained once and rebuilt inside every
+    * micro-batch; each batch assigns its vectors, compares NEW members
+    * against stored-plus-batch cluster-mates only (s13's new×all index
+    * discipline — old×old is never rescanned), and appends normalized
+    * similar-pairs to the pair store. Keep decisions materialize at
+    * read time from the accumulated pairs (drop any vector similar to a
+    * lower-id mate), which makes the result arrival-order-INSENSITIVE:
+    * a pair is found whichever side arrives first, so the final table
+    * is provably identical to batch [[Dedup.d17SemDedup]] — same DuckDB
+    * oracle, and ScalaTest asserts row-level equivalence. At 100 TB the
+    * per-batch pair work is batch × cluster-occupancy, never corpus².
+    */
+  def s20StreamSemDedup(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    import graft.plans.GraftExpressions
+    val dir = stageEmbeddingsJson(s, d)
+    val cenRows = Tables
+      .embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("label"), col("idx"))
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    val schema = StructType(
+      Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))
+      )
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), schema).as("r"))
+      .select("r.*")
+    val root = graft.TempDirs.create("graft_s20_run_")
+    val (memberPath, pairsPath) = (s"$root/members", s"$root/pairs")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cen = broadcast(cenRows.toDF("c_label", "c_idx", "c"))
+        val dist = batch
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .select(col("vec_id"), col("idx"), col("v").cast("double").as("v"))
+          .join(cen, col("idx") === col("c_idx"))
+          .withColumn("sq", round((col("v") - col("c")) * (col("v") - col("c")), 10).cast("decimal(24,12)"))
+          .groupBy("vec_id", "c_label")
+          .agg(sum("sq").as("dist"))
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_label"))
+        val members = batch
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
+          )
+          .join(
+            dist
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select(col("vec_id"), col("c_label").cast("long").as("cluster")),
+            "vec_id"
+          )
+          .localCheckpoint()
+        val old =
+          if (new java.io.File(memberPath).exists()) spark.read.parquet(memberPath)
+          else members.limit(0)
+        val pairs = members
+          .select(col("vec_id").as("id_n"), col("cluster"), col("embedding").as("en"), col("nrm").as("nn"))
+          .join(
+            old.unionByName(members)
+              .select(col("vec_id").as("id_o"), col("cluster"), col("embedding").as("eo"), col("nrm").as("no")),
+            Seq("cluster")
+          )
+          .filter(col("id_n") =!= col("id_o"))
+          .filter(GraftExpressions.dotF(col("en"), col("eo")) / (col("nn") * col("no")) >= tau)
+          .select(least(col("id_n"), col("id_o")).as("id_a"), greatest(col("id_n"), col("id_o")).as("id_b"))
+          .distinct()
+        pairs.write.mode("append").parquet(pairsPath)
+        members.write.mode("append").parquet(memberPath)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dup =
+      if (new java.io.File(pairsPath).exists())
+        s.read.parquet(pairsPath).select(col("id_b").as("vec_id")).distinct()
+      else s.read.parquet(memberPath).select("vec_id").limit(0)
+    s.read
+      .parquet(memberPath)
+      .select("vec_id", "cluster")
+      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   def s19StreamStarMv(s: SparkSession, d: String): DataFrame = {
     runStreamMv(s, d)
     import s.implicits._

@@ -661,4 +661,19 @@ class Round8Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p5.forall { case (id, _, rem, _) => rem <= globalRemoved.getOrElse(id, 0L) })
   }
+
+  // ------------------------------------------------------------------
+  // s20 ≡ d17: the stream-built pair index must reproduce the batch
+  // SemDeDup table row for row — the point of the order-insensitive
+  // pair design (a similar pair is recorded whichever side arrives
+  // first, so keep decisions can't depend on batch boundaries).
+  // ------------------------------------------------------------------
+  test("s20 streaming semdedup table equals batch d17 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val streamed = rows(graft.operators.StreamingBatch.s20StreamSemDedup(spark, sf))
+    val batch = rows(graft.operators.Dedup.d17SemDedup(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.exists(!_._3), "fixture should contain semantic duplicates")
+  }
 }
