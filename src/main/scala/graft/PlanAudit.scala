@@ -62,15 +62,23 @@ object PlanAudit {
       "s18_stream_mv_month"         -> "streaming month dashboard: month regrouping over the stream-maintained day partials (graft_s17 state_v path)",
       "t22_mixture_sample"          -> "temperature mixture sample: KB rate table broadcast, one corpus scan, accept filter pushed per-row",
       "p4_curate_mixture"           -> "mixture curation capstone: broadcast rates -> pushed gates -> one content-hash shuffle -> bucket-keyed shard windows",
-      "c18_changelog"               -> "CDC between store versions: one full-outer key join of two version scans, op classification per-row"
+      "c18_changelog"               -> "CDC between store versions: one full-outer key join of two version scans, op classification per-row",
+      "c16f_mv_join"                -> "star-join MV rewrite: the dim join commutes with the pre-grouping — the rollup scan replaces the fact INSIDE the broadcast join",
+      "c19_stats_join"              -> "stats-driven join: broadcast side chosen from the STORED catalog estimate, not Spark's file sizing",
+      "d16_substring_dedup"         -> "substring spans: gram explode + one cross-doc groupBy + equi-join back; interval merge windows over HIT positions only",
+      "t24_bm25"                    -> "BM25: token stream filtered to query terms BEFORE the tf shuffle; df/N/avgdl as broadcast scalar aggregates",
+      "c20_expectations"            -> "expectation suite: every scalar check fused into ONE aggregate pass; referential check via broadcast left join",
+      "t25_perplexity"              -> "perplexity gate: bigram LM tables as keyed shuffles, per-language tercile window over the KB score table",
+      "d17_semdedup"                -> "SemDeDup: broadcast centroid assignment + within-cluster pair equi-join — no cartesian, pair space cluster-bounded",
+      "p5_curate_llm"               -> "LLM curation chain: t25 gate -> survivor-scoped cluster pairs -> survivor-scoped gram spans -> per-doc report"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
     sb ++= s"\nSource data: `$sf`; plans are pre-execution (initial AQE plan).\n"
-    sb ++= "\nNote: the only nested-loop join in this file is t12's Cross join " +
-      "against a BROADCAST SINGLE-ROW aggregate (the corpus token total) — " +
-      "the standard way to fold a scalar into a distributed plan without a " +
-      "driver-side collect; it compares 1 row, not a pair space.\n"
+    sb ++= "\nNote: every nested-loop join in this file (t12, t24's N/avgdl, " +
+      "c20's orders scalar) is a Cross join against a BROADCAST SINGLE-ROW " +
+      "aggregate — the standard way to fold a scalar into a distributed plan " +
+      "without a driver-side collect; each compares 1 row, not a pair space.\n"
     targets.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
