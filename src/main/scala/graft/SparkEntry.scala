@@ -254,7 +254,10 @@ object SparkEntry {
     // round 8: the LLM-era curation chain (t25 → d17 → d16 composed)
     "p5_curate_llm"          -> ((s, d) => graft.operators.Curate.p5CurateLlm(s, d)),
     // round 8: streaming SemDeDup (order-insensitive pair index ≡ d17)
-    "s20_stream_semdedup"    -> ((s, d) => StreamingBatch.s20StreamSemDedup(s, d))
+    "s20_stream_semdedup"    -> ((s, d) => StreamingBatch.s20StreamSemDedup(s, d)),
+    // round 8: MMR diversified re-rank, schema evolution across store gens
+    "v11_mmr"                -> ((s, d) => Similarity.v11Mmr(s, d)),
+    "c21_schema_evolution"   -> (Maintenance.c21SchemaEvolution _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2229,6 +2232,76 @@ object SparkEntry {
         | CAST(len(d2.ts) AS BIGINT) - coalesce(rem.removed_tokens, 0) AS kept_tokens
         |FROM (SELECT tk.doc_id, lang, ts FROM tk JOIN k2 USING (doc_id)) d2
         |LEFT JOIN rem ON d2.doc_id = rem.doc_id
-        |ORDER BY d2.doc_id""".stripMargin
+        |ORDER BY d2.doc_id""".stripMargin,
+    // v11: the 5 greedy MMR rounds unrolled; λ=0.5 (exact in IEEE AND as
+    // a SQL literal), scores rounded before each argmax, vec_id tiebreak
+    "v11_mmr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id, emb,
+        |  list_dot_product(emb, qe)
+        |   / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))) AS rel
+        | FROM e, q WHERE vec_id <> 0),
+        |s1 AS (SELECT vec_id, emb, round(0.5 * rel, 6) AS score FROM c
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |p1 AS (SELECT vec_id, emb FROM s1),
+        |c2 AS (SELECT c.vec_id, c.emb, c.rel,
+        |  (SELECT max(list_dot_product(c.emb, p.emb)
+        |    / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(p.emb, p.emb))))
+        |   FROM p1 p) AS mx
+        | FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)),
+        |s2 AS (SELECT vec_id, emb, round(0.5 * rel - 0.5 * mx, 6) AS score FROM c2
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT * FROM p1 UNION ALL SELECT vec_id, emb FROM s2),
+        |c3 AS (SELECT c.vec_id, c.emb, c.rel,
+        |  (SELECT max(list_dot_product(c.emb, p.emb)
+        |    / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(p.emb, p.emb))))
+        |   FROM p2 p) AS mx
+        | FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM p2)),
+        |s3 AS (SELECT vec_id, emb, round(0.5 * rel - 0.5 * mx, 6) AS score FROM c3
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |p3 AS (SELECT * FROM p2 UNION ALL SELECT vec_id, emb FROM s3),
+        |c4 AS (SELECT c.vec_id, c.emb, c.rel,
+        |  (SELECT max(list_dot_product(c.emb, p.emb)
+        |    / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(p.emb, p.emb))))
+        |   FROM p3 p) AS mx
+        | FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM p3)),
+        |s4 AS (SELECT vec_id, emb, round(0.5 * rel - 0.5 * mx, 6) AS score FROM c4
+        | ORDER BY score DESC, vec_id LIMIT 1),
+        |p4 AS (SELECT * FROM p3 UNION ALL SELECT vec_id, emb FROM s4),
+        |c5 AS (SELECT c.vec_id, c.emb, c.rel,
+        |  (SELECT max(list_dot_product(c.emb, p.emb)
+        |    / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(p.emb, p.emb))))
+        |   FROM p4 p) AS mx
+        | FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM p4)),
+        |s5 AS (SELECT vec_id, emb, round(0.5 * rel - 0.5 * mx, 6) AS score FROM c5
+        | ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS rank, vec_id, score FROM s1
+        | UNION ALL SELECT 2, vec_id, score FROM s2
+        | UNION ALL SELECT 3, vec_id, score FROM s3
+        | UNION ALL SELECT 4, vec_id, score FROM s4
+        | UNION ALL SELECT 5, vec_id, score FROM s5)
+        |ORDER BY rank""".stripMargin,
+    // c21: same generation split (pivot = min day + 15), same float
+    // round-trip for gen1 (CAST AS REAL), same evolution defaults
+    "c21_schema_evolution" ->
+      """WITH pv AS (SELECT min(CAST(ts AS DATE)) + 15 AS pv FROM events),
+        |g1 AS (SELECT event_type,
+        |  CAST(CAST(CAST(value AS REAL) AS DOUBLE) AS DECIMAL(18,6)) AS v
+        | FROM events, pv WHERE CAST(ts AS DATE) < pv),
+        |g2 AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |  CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+        | FROM events, pv WHERE CAST(ts AS DATE) >= pv)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS generation, event_type, count(*) AS n,
+        |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_value,
+        |  CAST(0 AS BIGINT) AS n_channel_known
+        | FROM g1 GROUP BY 2
+        | UNION ALL
+        | SELECT 2, event_type, count(*), CAST(round(sum(v), 2) AS DOUBLE),
+        |  CAST(sum(CASE WHEN channel <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM g2 GROUP BY 2)
+        |ORDER BY generation, event_type""".stripMargin
   )
 }

@@ -1333,6 +1333,62 @@ object Maintenance {
     * the identical plan. Output: (check, metric, passed) — the report
     * a pipeline publishes next to every landed partition.
     */
+  /** c21: SCHEMA EVOLUTION across store generations — the lake problem
+    * table formats solve with column mapping + type widening, reduced to
+    * its read-path core: generation 1 landed with a NARROW schema
+    * (value as float, no channel column), generation 2 widened value to
+    * double and added channel. The unified read evolves each generation
+    * to the LATEST schema explicitly — float widened per-row (exact),
+    * the missing column filled with the evolution default — and the
+    * dashboard groups over the union. At 100 TB this is the only shape
+    * that works: old files are NEVER rewritten (generations are
+    * append-only directories), evolution is a per-row projection decided
+    * at read time from per-directory schemas, and the decimal-quantized
+    * sums (q3 discipline) make the float-widened totals engine-exact.
+    * The oracle replays the same split, the same float round-trip
+    * (CAST(value AS REAL)), and the same defaults from raw events.
+    */
+  def c21SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.TempDirs.create("graft_c21_")
+    val ev = Tables
+      .events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val pivot = broadcast(ev.agg(date_add(min(col("ts").cast("date")), 15).as("pv")))
+    val tagged = ev.crossJoin(pivot)
+    tagged
+      .filter(col("ts").cast("date") < col("pv"))
+      .select(col("event_id"), col("event_type"), col("value").cast("float").as("value"))
+      .write.mode("overwrite").parquet(s"$dir/gen1")
+    tagged
+      .filter(col("ts").cast("date") >= col("pv"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        when(col("user_id") % 2 === 0, "web").otherwise("app").as("channel")
+      )
+      .write.mode("overwrite").parquet(s"$dir/gen2")
+    val g1 = s.read
+      .parquet(s"$dir/gen1")
+      .select(
+        lit(1L).as("generation"),
+        col("event_type"),
+        col("value").cast("double").as("value"),
+        lit("unknown").as("channel")
+      )
+    val g2 = s.read
+      .parquet(s"$dir/gen2")
+      .select(lit(2L).as("generation"), col("event_type"), col("value"), col("channel"))
+    g1.unionByName(g2)
+      .groupBy("generation", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"),
+        sum(when(col("channel") =!= "unknown", 1L).otherwise(0L)).as("n_channel_known")
+      )
+      .orderBy("generation", "event_type")
+  }
+
   def c20Expectations(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)

@@ -541,4 +541,72 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** v11: MMR diversified top-k re-rank (Carbonell & Goldstein 1998) —
+    * greedy selection of k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s): the standard fix for ANN
+    * result lists that return k near-copies of the same neighborhood
+    * (after SemDeDup-era corpora, the retrieval-side counterpart).
+    * MMR is inherently k sequential rounds; each round here is ONE
+    * distributed argmax over the candidate set (score → orderBy desc →
+    * limit 1), with the ≤k selected vectors riding along as literal
+    * columns — kilobytes, the same model-sized driver state as v7's
+    * centroids. The corpus is scanned k times but never shuffled and
+    * never pairwise-joined; at 100 TB you'd run MMR over a v2/v7
+    * shortlist (thousands of rows), where k tiny argmax jobs are noise.
+    * Engine-exact by the selection discipline: scores rounded to 6
+    * decimals before the argmax, doc-id tiebreak, and norm products
+    * associated (candidate × selected) to match the oracle's algebra.
+    */
+  def v11Mmr(s: SparkSession, d: String, k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    import graft.plans.GraftExpressions
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select("embedding").head()
+    val qe = q.getSeq[Float](0).toArray
+    def litVec(v: Array[Float]) = array(v.toIndexedSeq.map(lit): _*).cast("array<float>")
+    def seqDot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qNrm = math.sqrt(seqDot(qe, qe))
+    val cands = e
+      .filter(col("vec_id") =!= 0)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(GraftExpressions.dotF(col("embedding"), col("embedding"))).as("nrm")
+      )
+      .withColumn("rel", GraftExpressions.dotF(col("embedding"), litVec(qe)) / (col("nrm") * lit(qNrm)))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Double, Array[Float])] // (id, score, emb)
+    for (_ <- 1 to k) {
+      val sims = selected.map { case (_, _, se) =>
+        GraftExpressions.dotF(col("embedding"), litVec(se)) /
+          (col("nrm") * lit(math.sqrt(seqDot(se, se))))
+      }
+      val mx = sims match {
+        case Seq()    => lit(0.0)
+        case Seq(one) => one
+        case many     => greatest(many: _*)
+      }
+      val score =
+        if (selected.isEmpty) round(lit(lambda) * col("rel"), 6)
+        else round(lit(lambda) * col("rel") - lit(1 - lambda) * mx, 6)
+      val pick = cands
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .withColumn("score", score)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select("vec_id", "score", "embedding")
+        .head()
+      selected :+= ((pick.getLong(0), pick.getDouble(1), pick.getSeq[Float](2).toArray))
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, sc, _), i) => (i + 1L, id, sc) }
+      .toDF("rank", "vec_id", "score")
+      .orderBy("rank")
+  }
 }

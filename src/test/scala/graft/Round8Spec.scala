@@ -668,6 +668,72 @@ class Round8Spec extends AnyFunSuite {
   // pair design (a similar pair is recorded whichever side arrives
   // first, so keep decisions can't depend on batch boundaries).
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // v11 MMR: the greedy diversified selection must equal an independent
+  // driver-side recompute (same λ, same rounding-before-argmax, same
+  // tiebreak) — the oracle replays it in SQL, this replays it in plain
+  // Scala with no shared code.
+  // ------------------------------------------------------------------
+  test("v11 MMR selection equals an independent greedy recompute") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qe = e.find(_._1 == 0L).get._2
+    val qn = math.sqrt(dot(qe, qe))
+    val cands = e.filter(_._1 != 0L).map { case (id, v) =>
+      (id, v, dot(v, qe) / (math.sqrt(dot(v, v)) * qn))
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    var sel = Vector.empty[(Long, Double, Array[Float])]
+    for (_ <- 1 to 5) {
+      val scored = cands.filter(c => !sel.exists(_._1 == c._1)).map { case (id, v, rel) =>
+        val mx =
+          if (sel.isEmpty) 0.0
+          else sel.map(s => dot(v, s._3) / (math.sqrt(dot(v, v)) * math.sqrt(dot(s._3, s._3)))).max
+        (id, r6(0.5 * rel - 0.5 * mx), v)
+      }
+      sel :+= scored.minBy { case (id, sc, _) => (-sc, id) }
+    }
+    val expected = sel.zipWithIndex.map { case ((id, sc, _), i) => (i + 1L, id, sc) }
+    val got = graft.operators.Similarity.v11Mmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).distinct.length == 5)
+  }
+
+  // ------------------------------------------------------------------
+  // c21 schema evolution: the landed generations must genuinely differ
+  // in schema (narrow float / no channel vs wide double + channel), and
+  // the evolved dashboard must equal a driver recompute that replays
+  // the float round-trip and decimal quantization.
+  // ------------------------------------------------------------------
+  test("c21 evolved read equals a recompute replaying the float round-trip") {
+    val ev = Tables.events(spark, sf)
+      .select(col("ts").cast("date").as("dt"), col("event_type"), col("value"), col("user_id"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDouble(2), r.getLong(3)))
+    val pivot = ev.map(_._1).min.plusDays(15)
+    def q2(vs: Seq[Double]): Double = {
+      val s = vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      s.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val g1 = ev.filter(_._1.isBefore(pivot)).groupBy(_._2).map { case (t, rows) =>
+      (1L, t, rows.length.toLong, q2(rows.toSeq.map(r => r._3.toFloat.toDouble)), 0L)
+    }
+    val g2 = ev.filter(r => !r._1.isBefore(pivot)).groupBy(_._2).map { case (t, rows) =>
+      (2L, t, rows.length.toLong, q2(rows.toSeq.map(_._3)), rows.length.toLong)
+    }
+    val expected = (g1 ++ g2).toSeq.sortBy(r => (r._1, r._2))
+    val got = Maintenance.c21SchemaEvolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(g1.nonEmpty && g2.nonEmpty, "pivot must split the fixture into two generations")
+  }
+
   test("s20 streaming semdedup table equals batch d17 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
