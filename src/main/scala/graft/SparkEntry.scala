@@ -257,7 +257,9 @@ object SparkEntry {
     "s20_stream_semdedup"    -> ((s, d) => StreamingBatch.s20StreamSemDedup(s, d)),
     // round 8: MMR diversified re-rank, schema evolution across store gens
     "v11_mmr"                -> ((s, d) => Similarity.v11Mmr(s, d)),
-    "c21_schema_evolution"   -> (Maintenance.c21SchemaEvolution _)
+    "c21_schema_evolution"   -> (Maintenance.c21SchemaEvolution _),
+    // round 8: naive-Bayes domain classifier (fit + predict as one plan)
+    "t26_domain_nb"          -> (TextAnalysis.t26DomainNb _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2302,6 +2304,33 @@ object SparkEntry {
         | SELECT 2, event_type, count(*), CAST(round(sum(v), 2) AS DOUBLE),
         |  CAST(sum(CASE WHEN channel <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
         | FROM g2 GROUP BY 2)
-        |ORDER BY generation, event_type""".stripMargin
+        |ORDER BY generation, event_type""".stripMargin,
+    // t26: identical NB algebra — decimal-quantized ln, decimal(8,0)
+    // counts so the product scale matches, argmax on the exact decimal
+    "t26_domain_nb" ->
+      """WITH tok AS (SELECT doc_id, source, t AS w, count(*) AS cnt FROM (
+        |  SELECT doc_id, source,
+        |   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents) GROUP BY 1, 2, 3),
+        |cc AS (SELECT source AS c, w, CAST(sum(cnt) AS BIGINT) AS c_wc FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT c, CAST(sum(c_wc) AS BIGINT) AS tkn_c FROM cc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v_size FROM cc),
+        |pr AS (SELECT source AS c, count(*) AS n_c FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT d.doc_id, d.source, d.c,
+        |  sum(CAST(d.cnt AS DECIMAL(8,0))
+        |    * CAST(round(ln((coalesce(cc.c_wc, 0) + 1) / (d.tkn_c + v.v_size)), 9) AS DECIMAL(20,10))) AS sw
+        | FROM (SELECT tok.doc_id, tok.source, tc.c, tok.w, tok.cnt, tc.tkn_c
+        |        FROM tok CROSS JOIN tc) d
+        | LEFT JOIN cc ON d.w = cc.w AND d.c = cc.c CROSS JOIN v
+        | GROUP BY 1, 2, 3),
+        |tot AS (SELECT sc.doc_id, sc.source, sc.c,
+        |  sc.sw + CAST(round(ln(pr.n_c / n.n_docs), 9) AS DECIMAL(20,10)) AS score
+        | FROM sc JOIN pr ON sc.c = pr.c CROSS JOIN n),
+        |r AS (SELECT doc_id, source, c, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn FROM tot)
+        |SELECT doc_id, source, c AS pred_source,
+        | round(CAST(score AS DOUBLE), 6) AS score, c = source AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

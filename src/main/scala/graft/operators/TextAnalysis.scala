@@ -671,6 +671,58 @@ object TextAnalysis {
     * bigram evidence and are excluded (stated contract, same rows both
     * engines).
     */
+  /** t26: DOMAIN CLASSIFICATION via multinomial naive Bayes trained on
+    * the corpus's own source labels — the domain-mixing signal
+    * (C4/Dolma-style: route documents to domain buckets so the mixture
+    * sampler can rebalance them). Training IS aggregation: class-term
+    * counts, class token totals, vocabulary size, and priors are four
+    * groupBys; scoring joins each doc's term counts against the
+    * class-conditional table and Laplace-smooths misses — so "fit +
+    * predict" is one relational plan with no iterative state, and at
+    * 100 TB both halves scale as keyed shuffles (the model tables are
+    * vocabulary-sized, the score stream is tokens × classes).
+    * Engine-exact argmax: every ln is quantized to decimal BEFORE the
+    * per-class sum (t21 discipline), counts ride as decimal(8,0) so the
+    * product scale is identical in both engines, and the winner is
+    * chosen on the EXACT decimal score with a class-name tiebreak —
+    * the argmax never sees a float.
+    */
+  def t26DomainNb(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val cc = tok.groupBy(col("source").as("c"), col("w")).agg(sum("cnt").as("c_wc"))
+    val tc = cc.groupBy("c").agg(sum("c_wc").as("tkn_c"))
+    val v = cc.agg(countDistinct("w").as("v_size"))
+    val pr = docs.groupBy(col("source").as("c")).agg(count(lit(1)).as("n_c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    def lnq(x: org.apache.spark.sql.Column) = round(log(x), 9).cast("decimal(20,10)")
+    val sc = tok
+      .crossJoin(broadcast(tc))
+      .join(cc, Seq("w", "c"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", lnq((coalesce(col("c_wc"), lit(0L)) + 1) / (col("tkn_c") + col("v_size"))))
+      .groupBy("doc_id", "source", "c")
+      .agg(sum(col("cnt").cast("decimal(8,0)") * col("lp")).as("sw"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("c"))
+    sc.join(broadcast(pr), "c")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("sw") + lnq(col("n_c") / col("n_docs")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("c").as("pred_source"),
+        round(col("score").cast("double"), 6).as("score"),
+        (col("c") === col("source")).as("correct")
+      )
+      .orderBy("doc_id")
+  }
+
   def t25PerplexityFilter(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n1 = greatest(size(col("tk")) - 1, lit(0))

@@ -734,6 +734,39 @@ class Round8Spec extends AnyFunSuite {
     assert(g1.nonEmpty && g2.nonEmpty, "pivot must split the fixture into two generations")
   }
 
+  // ------------------------------------------------------------------
+  // t26 naive Bayes: predictions must equal an independent in-memory
+  // NB (same Laplace smoothing, same decimal quantization, same exact-
+  // decimal argmax), and the classifier must beat the random baseline.
+  // ------------------------------------------------------------------
+  test("t26 NB predictions equal an independent recompute and beat chance") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    val classes = docs.map(_._2).distinct.sorted
+    val cc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for ((_, src, toks) <- docs; w <- toks) cc((src, w)) += 1
+    val tknC = classes.map(c => c -> cc.collect { case ((s2, _), n) if s2 == c => n }.sum).toMap
+    val vSize = cc.keys.map(_._2).toSet.size
+    val nC = docs.groupBy(_._2).map { case (c, v) => c -> v.length }
+    def lnq(x: Double) = BigDecimal(math.round(math.log(x) * 1e9)) / BigDecimal(1e9)
+    val expected = docs.sortBy(_._1).map { case (id, src, toks) =>
+      val counts = toks.groupBy(identity).map { case (w, v) => w -> v.length }
+      val scores = classes.map { c =>
+        val sw = counts.map { case (w, cnt) =>
+          BigDecimal(cnt) * lnq((cc((c, w)) + 1).toDouble / (tknC(c) + vSize))
+        }.sum
+        c -> (sw + lnq(nC(c).toDouble / docs.length))
+      }
+      val (pred, score) = scores.minBy { case (c, s2) => (-s2, c) }
+      (id, src, pred, math.round(score.toDouble * 1e6) / 1e6, pred == src)
+    }
+    val got = graft.operators.TextAnalysis.t26DomainNb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected.toSeq)
+    val acc = got.count(_._5).toDouble / got.length
+    assert(acc > 1.5 / classes.length, s"accuracy $acc should beat the ${1.0 / classes.length} random baseline")
+  }
+
   test("s20 streaming semdedup table equals batch d17 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
