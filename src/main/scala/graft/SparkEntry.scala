@@ -259,7 +259,15 @@ object SparkEntry {
     "v11_mmr"                -> ((s, d) => Similarity.v11Mmr(s, d)),
     "c21_schema_evolution"   -> (Maintenance.c21SchemaEvolution _),
     // round 8: naive-Bayes domain classifier (fit + predict as one plan)
-    "t26_domain_nb"          -> (TextAnalysis.t26DomainNb _)
+    "t26_domain_nb"          -> (TextAnalysis.t26DomainNb _),
+    // round 8: REAL audio decode (javax.sound.sampled) — driver-gated
+    "m9_wav_decode"          -> (Multimodal.m9WavDecode _),
+    // round 8: hybrid metadata-filtered vector top-k
+    "v12_filtered_knn"       -> ((s, d) => Similarity.v12FilteredKnn(s, d)),
+    // round 8: URL-canonicalization dedup (crawl-pipeline stage)
+    "d18_url_dedup"          -> (Dedup.d18UrlDedup _),
+    // round 8: DSIR-style importance weighting (hashed-bigram domain ratio)
+    "t27_dsir"               -> ((s, d) => TextAnalysis.t27Dsir(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2331,6 +2339,69 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn FROM tot)
         |SELECT doc_id, source, c AS pred_source,
         | round(CAST(score AS DOUBLE), 6) AS score, c = source AS correct
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // m9: the oracle recomputes the decoded sample statistics from the
+    // generating arithmetic (PCM-in-WAV is lossless, so a correct RIFF
+    // parse must return the encoded int16 samples exactly); every output
+    // is an exact integer, so the hash compare is engine-independent
+    "m9_wav_decode" ->
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 41 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, n.ns,
+        |  ((n.doc_id*31 + t.i*t.i*7919) % 65536) - 32768 AS v
+        | FROM n JOIN generate_series(0, 104) t(i) ON t.i < n.ns)
+        |SELECT doc_id, CAST(8000 AS INT) AS sr, CAST(ns AS BIGINT) AS n_samples,
+        | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
+        | CAST(sum(v*v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // v12: v1's exact-kNN algebra with the metadata predicate applied to
+    // the candidate side before ranking
+    "v12_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings WHERE label < 5),
+        |sc AS (SELECT q_id, c_id,
+        |  list_dot_product(q_emb, c_emb)
+        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+        | FROM c JOIN q ON c_id <> q_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+        |SELECT q_id, rn, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+    // d18: the oracle PREDICTS the canonical URL from the generating
+    // arithmetic (source + doc_id), so the Spark-side regex
+    // canonicalizer is what the hash gate actually checks
+    "d18_url_dedup" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  'https://' || source || '.example.com/page/' || CAST(doc_id % 60 AS VARCHAR) AS canon
+        | FROM documents),
+        |r AS (SELECT canon, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY canon ORDER BY n_chars DESC, doc_id) AS rn FROM c),
+        |g AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars FROM c GROUP BY 1)
+        |SELECT g.canon AS canonical_url, r.doc_id AS keep_id, g.n_dups, g.max_chars
+        |FROM g JOIN r ON g.canon = r.canon AND r.rn = 1
+        |ORDER BY canonical_url""".stripMargin,
+    // t27: identical DSIR algebra — md5-derived bucket ids, 9-decimal
+    // quantized log-ratios carried as decimals, keep on the exact sum
+    "t27_dsir" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg FROM t),
+        |f AS (SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 256 AS b, count(*) AS cnt
+        | FROM bg GROUP BY 1, 2, 3),
+        |bs AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS ct
+        | FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS stot, CAST(sum(ct) AS BIGINT) AS ttot FROM bs),
+        |w AS (SELECT b,
+        |  CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (ttot + 256)), 9) AS DECIMAL(20,10))
+        |  - CAST(round(ln(CAST(cs + 1 AS DOUBLE) / (stot + 256)), 9) AS DECIMAL(20,10)) AS wb
+        | FROM bs CROSS JOIN tot),
+        |sc AS (SELECT f.doc_id, f.lang, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+        |  sum(CAST(f.cnt AS DECIMAL(8,0)) * w.wb) AS lw
+        | FROM f JOIN w USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_feats, round(CAST(lw AS DOUBLE), 6) AS logw, lw > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

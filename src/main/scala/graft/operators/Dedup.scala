@@ -606,4 +606,63 @@ object Dedup {
       .select(col("id_b").as("vec_id"))
       .distinct()
   }
+
+  /** d18: URL-canonicalization dedup — the web-crawl pipeline stage that
+    * collapses scheme/host case, `www.` prefixes, default ports,
+    * tracking query params (`utm_*`), fragments, and trailing slashes
+    * before keeping the best document per canonical URL. The raw URLs
+    * are a deterministic in-plan fixture (documents carry no URL
+    * column), spread over four surface variants per canonical target;
+    * the canonicalizer itself is GENERAL string logic — regex over the
+    * raw value, not variant-aware — and the DuckDB oracle predicts the
+    * canonical form from the generating arithmetic, so any
+    * normalization bug breaks the hash. Keep-best is a window over the
+    * canonical key (high cardinality ⇒ well-spread partitions); one
+    * shuffle end to end, scan-shaped otherwise.
+    */
+  def d18UrlDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // path key doc_id%60 vs the fixture's source=doc_id%20 ⇒ canonical
+    // groups of stride 60; surface variant steps by ⌊doc_id/20⌋ so every
+    // group mixes all four raw forms (a group member exists per variant)
+    val p = pmod(col("doc_id"), lit(60)).cast("string")
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/page/"), p)
+    val v = pmod(floor(col("doc_id") / lit(20)), lit(4))
+    val raw = when(v === 0, concat(lit("https://"), host, path))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host), path, lit("/")))
+      .when(v === 2, concat(lit("https://www."), host, path, lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("https://"), host, lit(":443"), path, lit("#sec-2")))
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("n_chars"), raw.as("raw_url"))
+    // the canonicalizer: fragment → tracking params → dangling '&' →
+    // scheme/host case + www. + https default port → trailing slash
+    val noFrag = regexp_replace(col("raw_url"), "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+    val fixQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val scheme = lower(regexp_extract(fixQ, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(fixQ, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val rest = regexp_replace(fixQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val hostLc = regexp_replace(lower(hostPort), "^www\\.", "")
+    val hostNoPort = when(scheme === "https", regexp_replace(hostLc, ":443$", "")).otherwise(hostLc)
+    val pathClean = regexp_replace(rest, "/$", "")
+    val canon = docs.withColumn(
+      "canonical_url",
+      concat(scheme, lit("://"), hostNoPort, pathClean)
+    )
+    val w = Window.partitionBy("canonical_url").orderBy(col("n_chars").desc, col("doc_id"))
+    canon
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("canonical_url")))
+      .withColumn("max_chars", max("n_chars").over(Window.partitionBy("canonical_url")))
+      .filter(col("rn") === 1)
+      .select(
+        col("canonical_url"),
+        col("doc_id").as("keep_id"),
+        col("n_dups").cast("long").as("n_dups"),
+        col("max_chars").cast("long").as("max_chars")
+      )
+      .orderBy("canonical_url")
+  }
 }

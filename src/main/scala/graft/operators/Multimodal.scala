@@ -239,9 +239,39 @@ object Multimodal {
     )
   }
 
-  /** Stage genuine PNG payloads for every document, once per (JVM,
+  /** Encode 16-bit signed little-endian mono PCM at 8 kHz into a genuine
+    * RIFF/WAVE container via [[javax.sound.sampled.AudioSystem]] — the
+    * audio twin of [[encodePng]]. PCM is lossless, so every sample
+    * round-trips exactly through the JDK's WAV parser.
+    */
+  private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** m9's per-doc clip: length and samples are pure doc_id arithmetic
+    * (the DuckDB oracle replays the same formulas).
+    */
+  private def wavMeta(id: Long): Array[Byte] = {
+    val n = 64 + (id % 41).toInt
+    val samples = Array.tabulate(n)(i => (((id * 31 + i.toLong * i * 7919) % 65536) - 32768).toShort)
+    encodeWav(samples)
+  }
+
+  /** Stage genuine PNG + WAV payloads for every document, once per (JVM,
     * source dir). Encoding happens on EXECUTORS (mapPartitions over the
-    * doc ids) — the driver never holds image bytes.
+    * doc ids) — the driver never holds media bytes.
     */
   def mediaStore(s: SparkSession, d: String): String =
     mediaStoreCache.computeIfAbsent(
@@ -253,8 +283,8 @@ object Multimodal {
           .documents(s, d)
           .select(col("doc_id"))
           .as[Long]
-          .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id))))
-          .toDF("doc_id", "png_meta", "png_grp")
+          .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id), wavMeta(id))))
+          .toDF("doc_id", "png_meta", "png_grp", "wav_meta")
           .write
           .mode("overwrite")
           .parquet(s"$dir/media")
@@ -356,6 +386,50 @@ object Multimodal {
         round(col("cos"), 4).as("cos")
       )
       .orderBy("id_a", "id_b")
+  }
+
+  /** m9: REAL audio decode — [[javax.sound.sampled.AudioSystem]] parses
+    * the RIFF/WAVE container on executors (iterator-shaped, constant
+    * memory) and the emitted sample statistics are hash-gated against a
+    * DuckDB oracle that recomputes them from the generating arithmetic,
+    * so a wrong decode (header offset, endianness, sign, sample width)
+    * fails the gate — the audio companion to m7's ImageIO path. All
+    * emitted stats are exact integers, so the hash compare is
+    * engine-independent by construction.
+    */
+  def m9WavDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("wav_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val sr = fmt.getSampleRate.toInt
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var sumS = 0L
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            // 16-bit signed little-endian mono, as declared by the format
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+            sumS += v
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, sr, n.toLong, sumS, peak, sumSq)
+        }
+      }
+      .toDF("doc_id", "sr", "n_samples", "sum_s", "peak", "sum_sq")
+      .orderBy("doc_id")
   }
 
   /** m6: training-shard planning — assign every sample to a

@@ -609,4 +609,34 @@ object Similarity {
       .toDF("rank", "vec_id", "score")
       .orderBy("rank")
   }
+
+  /** v12: predicate-filtered kNN — hybrid "metadata WHERE + vector top-k"
+    * in one declarative plan. The label predicate prunes the corpus
+    * BEFORE the similarity kernel (Catalyst pushes it into the parquet
+    * scan), so filter selectivity translates directly into less kernel
+    * work — the hybrid-search shape every vector store exposes. The exact
+    * brute kernel shares v1's broadcast-query / never-shuffle-the-corpus
+    * plan and is oracle-gated; at 100 TB the same pushed filter composes
+    * ahead of v7's IVF candidate generation (filter, then probe lists),
+    * leaving the ranking machinery unchanged.
+    */
+  def v12FilteredKnn(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"), VF.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // a RANGE predicate so the filter is parquet-pushable (plan-pinned in
+    // the spec): the scan itself skips non-matching row groups, which is
+    // exactly the pruning a 100 TB hybrid search needs
+    val c = e.filter(col("label") < 5)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
 }

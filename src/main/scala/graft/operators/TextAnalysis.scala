@@ -760,4 +760,68 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_bigrams", "score", "tercile", "keep")
       .orderBy("doc_id")
   }
+
+  /** t27: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every document by how much more likely its hashed-bigram features
+    * are under a TARGET domain (here `lang='en'`) than under the raw
+    * SOURCE pool, log w(x) = Σ_f cnt_f · (ln p̂_t[f] − ln p̂_s[f]) with
+    * Laplace-smoothed bucket models. Everything is partial-aggregable:
+    * bigram→bucket counts are one scan + one keyed aggregate, the two
+    * bucket models are a 256-row broadcast, and the per-doc score is a
+    * second keyed aggregate — no shuffle carries raw text. Engine-exact
+    * by the t26 discipline: bucket log-ratios rounded to 9 decimals and
+    * carried as decimals, counts as decimal(8,0), and the keep decision
+    * taken on the EXACT decimal sum. The md5-derived bucket id is
+    * portable to the DuckDB oracle.
+    */
+  def t27Dsir(s: SparkSession, d: String, nBuckets: Int = 256): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val bg = docs
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), n1),
+            slice(col("tk"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("bg")
+      )
+    val f = bg
+      .withColumn("b", conv(substring(md5(col("bg").cast("binary")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val bs = f
+      .groupBy("b")
+      .agg(
+        sum("cnt").as("cs"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct")
+      )
+    val tot = bs.agg(sum("cs").as("stot"), sum("ct").as("ttot"))
+    val wtab = bs
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b"),
+        (round(log((col("ct") + 1).cast("double") / (col("ttot") + nBuckets)), 9).cast("decimal(20,10)")
+          - round(log((col("cs") + 1).cast("double") / (col("stot") + nBuckets)), 9).cast("decimal(20,10)")).as("wb")
+      )
+    f.join(broadcast(wtab), "b")
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum("cnt").as("n_feats"),
+        sum(col("cnt").cast("decimal(8,0)") * col("wb")).as("lw")
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_feats").cast("long").as("n_feats"),
+        round(col("lw").cast("double"), 6).as("logw"),
+        (col("lw") > 0).as("keep")
+      )
+      .orderBy("doc_id")
+  }
 }

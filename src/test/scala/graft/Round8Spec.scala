@@ -775,4 +775,144 @@ class Round8Spec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.exists(!_._3), "fixture should contain semantic duplicates")
   }
+
+  // ------------------------------------------------------------------
+  // m9: the JDK RIFF/WAVE parse must return exactly the encoded int16
+  // samples (PCM is lossless). The oracle gate hash-checks the same
+  // equality; this pins it in-suite with an independent driver-side
+  // replay of the generating arithmetic.
+  // ------------------------------------------------------------------
+  test("m9 WAV decode equals the generating arithmetic (real RIFF parse)") {
+    val got = graft.operators.Multimodal.m9WavDecode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got.nonEmpty)
+    val expected = got.map(_._1).map { id =>
+      val n = 64 + (id % 41).toInt
+      val vs = Array.tabulate(n)(i => ((id * 31 + i.toLong * i * 7919) % 65536) - 32768)
+      (id, 8000, n.toLong, vs.sum, vs.map(math.abs).max, vs.map(v => v * v).sum)
+    }
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------------
+  // v12: hybrid filtered kNN — every neighbor satisfies the metadata
+  // predicate, the predicate reaches the parquet scan (the 100 TB
+  // pruning claim), and ranks equal an independent driver-side brute
+  // recompute over the filtered corpus.
+  // ------------------------------------------------------------------
+  test("v12 filtered knn: predicate pushed to scan, neighbors filtered, ranks exact") {
+    val df = graft.operators.Similarity.v12FilteredKnn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,5)"), s"label range predicate should be pushed:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labels = embs.map(e => e._1 -> e._3).toMap
+    assert(got.nonEmpty && got.forall { case (_, _, cid) => labels(cid) < 5 })
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expected = embs.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qe, _) =>
+      val qn = math.sqrt(dot(qe, qe))
+      embs
+        .filter(e => e._3 < 5 && e._1 != qid)
+        .map(e => (e._1, dot(qe, e._2) / (qn * math.sqrt(dot(e._2, e._2)))))
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((cid, _), i) => (qid, i + 1, cid) }
+    }.toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------------
+  // d18: the regex canonicalizer must agree with an independent
+  // character-level normalizer on every raw URL, and the fixture must
+  // genuinely mix surface variants inside each canonical group (else
+  // the cross-variant collapse — the point of the operator — is
+  // untested).
+  // ------------------------------------------------------------------
+  test("d18 url dedup: canonicalizer equals independent recompute; groups mix variants") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def rawUrl(id: Long): String = {
+      val host = s"src${id % 20}.example.com"
+      val path = s"/page/${id % 60}"
+      (id / 20) % 4 match {
+        case 0 => s"https://$host$path"
+        case 1 => s"HTTPS://${host.toUpperCase}$path/"
+        case 2 => s"https://www.$host$path?utm_source=feed&utm_campaign=x"
+        case _ => s"https://$host:443$path#sec-2"
+      }
+    }
+    // independent canonicalizer: java.net.URI parse, not regex
+    def canon(raw: String): String = {
+      val u = new java.net.URI(raw)
+      val scheme = u.getScheme.toLowerCase
+      val host = u.getHost.toLowerCase.stripPrefix("www.")
+      val port = if (u.getPort == 443 && scheme == "https" || u.getPort == -1) "" else s":${u.getPort}"
+      val path = u.getPath.stripSuffix("/")
+      val query = Option(u.getQuery)
+        .map(_.split("&").filterNot(_.startsWith("utm_")).mkString("&"))
+        .filter(_.nonEmpty)
+        .map("?" + _)
+        .getOrElse("")
+      s"$scheme://$host$port$path$query"
+    }
+    val byCanon = docs.groupBy { case (id, _) => canon(rawUrl(id)) }
+    // every group spans more than one raw surface form
+    assert(byCanon.values.forall(g => g.map { case (id, _) => rawUrl(id) }.distinct.length > 1))
+    val expected = byCanon.toSeq.map { case (c, g) =>
+      val keep = g.minBy { case (id, nc) => (-nc, id) }
+      (c, keep._1, g.length.toLong, g.map(_._2).max)
+    }.sortBy(_._1)
+    val got = graft.operators.Dedup.d18UrlDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------------
+  // t27: DSIR importance weights — exact-decimal recompute agreement
+  // plus the semantic point: target-domain (en) documents must score
+  // higher on average than off-domain ones.
+  // ------------------------------------------------------------------
+  test("t27 DSIR weights equal a BigDecimal recompute and prefer the target domain") {
+    val got = graft.operators.TextAnalysis.t27Dsir(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    def bucket(bg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16) % 256
+    }
+    val feats = docs.map { case (id, lang, ts) =>
+      (id, lang, ts.sliding(2).filter(_.length == 2).map(p => bucket(p.mkString(" ")))
+        .toSeq.groupBy(identity).map { case (b, o) => b -> o.size.toLong })
+    }.filter(_._3.nonEmpty)
+    val cs = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((_, lang, fm) <- feats; (b, c) <- fm) {
+      cs(b) += c; if (lang == "en") ct(b) += c
+    }
+    val (stot, ttot) = (cs.values.sum, ct.values.sum)
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val wb = cs.keys.map { b =>
+      b -> (q9(math.log((ct(b) + 1).toDouble / (ttot + 256))) - q9(math.log((cs(b) + 1).toDouble / (stot + 256))))
+    }.toMap
+    val expected = feats.map { case (id, lang, fm) =>
+      val lw = fm.map { case (b, c) => BigDecimal(c) * wb(b) }.sum
+      // cast-to-double FIRST, then round — the operator/oracle order
+      (id, lang, fm.values.sum, BigDecimal(lw.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, lw > 0)
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    val (en, rest) = got.partition(_._2 == "en")
+    assert(en.map(_._4).sum / en.size > rest.map(_._4).sum / rest.size,
+      "target-domain docs should carry higher importance weight")
+  }
 }
