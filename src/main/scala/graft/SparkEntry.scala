@@ -267,7 +267,9 @@ object SparkEntry {
     // round 8: URL-canonicalization dedup (crawl-pipeline stage)
     "d18_url_dedup"          -> (Dedup.d18UrlDedup _),
     // round 8: DSIR-style importance weighting (hashed-bigram domain ratio)
-    "t27_dsir"               -> ((s, d) => TextAnalysis.t27Dsir(s, d))
+    "t27_dsir"               -> ((s, d) => TextAnalysis.t27Dsir(s, d)),
+    // round 8: watermark late-data audit (drop semantics oracle-replayed)
+    "s21_late_data"          -> (StreamingBatch.s21LateDataAudit _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2402,6 +2404,30 @@ object SparkEntry {
         |  sum(CAST(f.cnt AS DECIMAL(8,0)) * w.wb) AS lw
         | FROM f JOIN w USING (b) GROUP BY 1, 2)
         |SELECT doc_id, lang, n_feats, round(CAST(lw AS DOUBLE), 6) AS logw, lw > 0 AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // s21: the oracle replays Spark's watermark algebra exactly — per
+    // arrival batch, max event time floored to MILLISECONDS
+    // (EventTimeStats precision) minus the 2 h delay; a row survives iff
+    // its day-window end exceeds the watermark in force DURING its batch
+    // (equality drops, matching the engine's <= predicate). The in-force
+    // watermark reflects stats through batch N-2 (measured on 4.1.2:
+    // batch N's offsets/watermark are planned before batch N-1's
+    // event-time stats commit), hence the 2-PRECEDING frame.
+    "s21_late_data" ->
+      """WITH m AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+        |e AS (SELECT ts, event_type, value, CAST(ts AS DATE) AS day,
+        |  CAST(date_diff('day', m.d0, CAST(ts AS DATE)) // 3 AS INT)
+        |  + CASE user_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS arr
+        | FROM events CROSS JOIN m),
+        |fm AS (SELECT arr, max(epoch_us(ts)) AS mx FROM e GROUP BY 1),
+        |wm AS (SELECT arr,
+        |  (max(mx) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) // 1000) * 1000
+        |  - 7200000000 AS wm_us
+        | FROM fm),
+        |acc AS (SELECT e.day, e.event_type, e.value FROM e JOIN wm USING (arr)
+        | WHERE wm.wm_us IS NULL OR epoch_us(CAST(e.day + 1 AS TIMESTAMP)) > wm.wm_us)
+        |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        |FROM acc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1303,4 +1303,127 @@ object StreamingBatch {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("category")
   }
+
+  // ------------------------------------------------------------------
+  // s21: watermark late-data semantics, driver-gated.
+  // ------------------------------------------------------------------
+
+  /** s21's staging: events written as ONE file PER ARRIVAL BATCH, named
+    * and modification-timed in arrival order so the file stream source
+    * replays the schedule deterministically. Arrival batch = 3-day
+    * event-time bucket, except planted stragglers: `user_id % 7 == 1`
+    * events arrive one batch late, `user_id % 7 == 0` two batches late.
+    * A far-future sentinel file closes the run (flushes every window
+    * through the append sink).
+    */
+  private def stageArrivalOrdered(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#late",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_late_")
+        val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val d0 = ev.agg(to_date(min("ts")).as("d0"))
+        val shift = when(pmod(col("user_id"), lit(7)) === 0, 2)
+          .when(pmod(col("user_id"), lit(7)) === 1, 1)
+          .otherwise(0)
+        val arr = ev
+          .crossJoin(broadcast(d0))
+          .withColumn("arr", (datediff(to_date(col("ts")), col("d0")) / 3).cast("int") + shift)
+          .drop("d0")
+        val sentinel = ev
+          .agg(max(col("ts")).as("ts0"))
+          .select(
+            lit(-1L).as("event_id"),
+            (col("ts0") + expr("interval 48 hours")).as("ts"),
+            lit(-1L).as("user_id"),
+            lit("__sentinel__").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props"),
+            lit(999).as("arr")
+          )
+        arr
+          .unionByName(sentinel)
+          .select(
+            to_json(
+              struct(eventSchema.fieldNames.map(col).toIndexedSeq: _*),
+              Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            ).as("value"),
+            col("arr")
+          )
+          .repartition(1)
+          .write
+          .partitionBy("arr")
+          .mode("overwrite")
+          .text(s"$dir/stage")
+        // driver-side renumber: O(arrival batches) directory moves, not O(rows)
+        val stageDir = new java.io.File(s"$dir/stage")
+        val jsonDir = new java.io.File(s"$dir/json"); jsonDir.mkdirs()
+        val base = System.currentTimeMillis() - 1000000L
+        stageDir
+          .listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("arr="))
+          .sortBy(_.getName.stripPrefix("arr=").toInt)
+          .zipWithIndex
+          .foreach { case (sub, i) =>
+            val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+            val dst = new java.io.File(jsonDir, f"batch_$i%04d.json")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(base + i * 60000L)
+          }
+        dir
+      }
+    )
+
+  /** s21: WATERMARK LATE-DATA AUDIT — the windowed aggregate under a
+    * 2-hour watermark against a deterministic out-of-order arrival
+    * schedule (one file per arrival batch, `maxFilesPerTrigger=1` ⇒ one
+    * micro-batch each). One-batch-late stragglers land inside the
+    * watermark and must be COUNTED; two-batch-late stragglers are past
+    * it and must be DROPPED. The DuckDB oracle replays Spark's exact
+    * watermark algebra — per-batch max event time floored to
+    * MILLISECONDS (EventTimeStats precision), minus the delay, windows
+    * emitted only where `window_end > watermark_before_their_batch` — so
+    * the hash gate checks the drop semantics themselves, not just the
+    * happy path. [[lastDroppedByWatermark]] exposes the engine's own
+    * dropped-row counter for the spec to prove rows were genuinely
+    * discarded by state, not filtered upstream.
+    */
+  val lastDroppedByWatermark = new java.util.concurrent.atomic.AtomicLong(-1L)
+  def s21LateDataAudit(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    val dir = stageArrivalOrdered(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val out = graft.TempDirs.create("graft_s21_run_")
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv")
+      )
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastDroppedByWatermark.set(
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    )
+    s.read
+      .parquet(s"$out/data")
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(
+        to_date(col("window.start")).as("day"),
+        col("event_type"),
+        col("n"),
+        col("sv").cast("decimal(38,2)").cast("double").as("sum_value")
+      )
+      .orderBy("day", "event_type")
+  }
 }

@@ -875,6 +875,31 @@ class Round8Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // s21: the value-level drop semantics are the oracle gate's job; this
+  // spec pins what the gate can't see — that rows were discarded by the
+  // WATERMARK STATE (the engine's own counter), not filtered upstream,
+  // and that the drop volume brackets the planted lateness schedule
+  // (every one-batch-late straggler survives, only two-batch-late ones
+  // can drop).
+  // ------------------------------------------------------------------
+  test("s21: late rows genuinely dropped by watermark state, one-batch-late rows survive") {
+    val out = graft.operators.StreamingBatch.s21LateDataAudit(spark, sf)
+    val kept = out.agg(sum("n")).head().getLong(0)
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val d0 = ev.agg(to_date(min("ts"))).head().getDate(0)
+    val shift2 = ev
+      .filter(pmod(col("user_id"), lit(7)) === 0)
+      .withColumn("pos", pmod(datediff(to_date(col("ts")), lit(d0)), lit(3)))
+    val shift2All = shift2.count()
+    val shift2Early = shift2.filter(col("pos") < 2).count()
+    assert(graft.operators.StreamingBatch.lastDroppedByWatermark.get() > 0,
+      "engine's dropped-by-watermark counter must fire")
+    assert(kept <= total - shift2Early, "early-position two-batch-late stragglers must drop")
+    assert(kept >= total - shift2All, "nothing beyond the two-batch-late cohort may drop")
+  }
+
+  // ------------------------------------------------------------------
   // t27: DSIR importance weights — exact-decimal recompute agreement
   // plus the semantic point: target-domain (en) documents must score
   // higher on average than off-domain ones.
