@@ -9,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   *
   *  - AQE on: runtime coalescing + skew-join splitting is the 100 TB
   *    answer to skewed shuffle keys.
-  *  - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS)
-  *    which Spark's vectorized reader rejects; we read the raw int64 and
+  *  - `nanosAsLong`: an `events` table carrying parquet TIMESTAMP(NANOS)
+  *    (one of the three encodings upstream producers emit) is rejected by
+  *    Spark's vectorized reader; with the flag we read the raw int64 and
   *    convert to a microsecond timestamp in [[graft.sources.Tables]].
+  *  - `inferTimestampNTZ=false`: parquet TIMESTAMP(isAdjustedToUTC=false)
+  *    reads as instant-semantics TimestampType instead of TIMESTAMP_NTZ.
+  *    With the session timezone pinned UTC the instant is identical, and
+  *    every downstream consumer (`unix_micros`, `Row.getTimestamp`,
+  *    watermarks) sees ONE timestamp type regardless of which of the
+  *    three producer encodings (int64-nanos, µs-UTC, µs-NTZ) a file
+  *    arrived in. [[graft.sources.Tables.normalizeTs]] is the belt-and-
+  *    braces second layer for sessions not built through here.
   *  - UTC session timezone: oracle (DuckDB) parity for date arithmetic.
   */
 object GraftSession {
@@ -20,6 +29,7 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // dims (region/nation/supplier/part at any SF; customer at small SF)

@@ -127,7 +127,11 @@ object SparkEntry {
     "e15_active_users"       -> (Events.e15ActiveUsers _),
     // round 2
     "d5b_dedup_embedding_blocked" -> ((s, d) => Dedup.d5bDedupEmbeddingBlocked(s, d)),
-    "q34_approx_percentile"  -> (Relational.q34ApproxPercentile _),
+    "q34_approx_percentile"  -> ((s, d) => Relational.q34ApproxPercentile(s, d)),
+    // GK sketch with rank error ≤ n/1e7: exact for any group under 10M
+    // rows, so the driver hash-gates the same operator the rows-only q34
+    // runs at production accuracy (the v2_exhaustive promotion pattern)
+    "q34_exact"              -> ((s, d) => Relational.q34ApproxPercentile(s, d, accuracy = 10000000)),
     "c2_merge_upsert"        -> (Maintenance.c2MergeUpsert _),
     "c2b_time_travel"        -> (Maintenance.c2bTimeTravel _),
     "t11_blocklist"          -> ((s, d) => TextAnalysis.t11Blocklist(s, d)),
@@ -235,6 +239,11 @@ object SparkEntry {
     "c16g_mv_dim_measure"    -> (Maintenance.c16gMvJoinDimMeasure _),
     "c16h_mv_distinct"       -> (Maintenance.c16hMvDistinct _),
     "c19_stats_join"         -> (Maintenance.c19StatsJoin _),
+    "c19b_stats_broadcast"   -> (Maintenance.c19bStatsBroadcast _),
+    // round 9
+    "t28_semantic_decontaminate" -> ((s, d) => TextAnalysis.t28SemanticDecontaminate(s, d)),
+    "s22_stream_curate"      -> ((s, d) => StreamingBatch.s22StreamCurate(s, d)),
+    "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1294,6 +1303,73 @@ object SparkEntry {
         | array_to_string(range(0, CAST(1 + doc_id % 5 AS INT), 2), ',') AS frame_idx,
         | CAST(len(range(0, CAST(1 + doc_id % 5 AS INT), 2)) AS INT) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // e27 (round-9 promotion): theta sketches are EXACT below their
+    // nominal-entry budget (4096) and the staged corpora top out at 150
+    // distinct users per event type, so the sketch intersections equal
+    // the true set intersections and the driver can hash-gate the query
+    // like any relational one. Above the budget the operator degrades to
+    // the documented relative error — the ScalaTest exactness gate and
+    // the overlap(A,A)=|A| identity still cover that regime.
+    "e27_audience_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(count(*) AS BIGINT) AS overlap_est
+        |FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q34_exact: with rank error < 1 the GK sketch returns the first
+    // retained sample at Spark's target rank ceil(p·n) (1-indexed, the
+    // Postgres percentile_disc convention) — replayed here by direct
+    // sorted-list indexing so the rank algebra is explicit in the text
+    "q34_exact" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  list_sort(list(l_extendedprice)) AS ep,
+        |  list_sort(list(l_quantity)) AS qt,
+        |  count(*) AS n
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        | round(ep[CAST(ceil(0.5*n) AS BIGINT)], 2) AS med_price,
+        | round(ep[CAST(ceil(0.9*n) AS BIGINT)], 2) AS p90_price,
+        | round(qt[CAST(ceil(0.25*n) AS BIGINT)], 2) AS p25_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // t28: semantic decontamination — exact by construction (no ANN
+    // shortcut), so the whole corpus×benchmark max-cosine is replayed;
+    // doubles are identical on both engines (d5's ::DOUBLE[] discipline),
+    // argmax ties break to the smaller benchmark id on both sides
+    "t28_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  substr(md5(CAST(vec_id AS VARCHAR)),1,1) = '0' AS is_bench FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, emb AS b_emb FROM e WHERE is_bench),
+        |c AS (SELECT vec_id, emb FROM e WHERE NOT is_bench),
+        |p AS (SELECT c.vec_id, b.b_id,
+        |  list_dot_product(c.emb, b.b_emb)
+        |   / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(b.b_emb, b.b_emb))) AS cos
+        | FROM c CROSS JOIN b),
+        |m AS (SELECT vec_id, max(cos) AS mc FROM p GROUP BY 1),
+        |am AS (SELECT p.vec_id, min(p.b_id) AS bench_id
+        | FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.mc GROUP BY 1)
+        |SELECT m.vec_id, round(m.mc, 4) AS max_cos, am.bench_id,
+        | m.mc >= 0.4 AS contaminated
+        |FROM m JOIN am USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    // s22: the landed curation index must equal the batch replay of the
+    // same gate+dedup algebra; the stream stages every doc TWICE, so
+    // copy counts double and the canonical min-id is unchanged
+    "s22_stream_curate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |q AS (SELECT doc_id, md5(text) AS fp FROM t
+        |  WHERE len(tk) >= 10
+        |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.3)
+        |SELECT min(doc_id) AS doc_id, fp, CAST(2 * count(*) AS BIGINT) AS n_copies
+        |FROM q GROUP BY fp ORDER BY doc_id""".stripMargin,
+    // c22: the IVM contract — the signed-fold-maintained summary must
+    // equal a from-scratch recompute of the post-changelog state
+    "c22_mv_retraction" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |kept AS (SELECT e.ts, e.event_type, e.value FROM events e CROSS JOIN b
+        |  WHERE NOT (epoch_us(e.ts) < (b.mn + b.mx) // 2 AND e.event_id % 7 = 0))
+        |SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e15_active_users" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |days AS (SELECT DISTINCT day FROM daily),
@@ -1968,6 +2044,14 @@ object SparkEntry {
     "c19_stats_join" ->
       """SELECT n_name, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c19b: transparent catalog broadcast — the rule moves only the
+    // physical plan (inline require pins it), values are the plain join
+    "c19b_stats_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // star-join MV dashboard: the oracle recomputes from raw events
     // with the category dim inlined as VALUES; avg as sum/count so

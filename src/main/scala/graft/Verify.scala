@@ -24,7 +24,26 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A query that throws must surface as a RED correctness row, not
+        // an absent one (the driver treats a missing output dir as
+        // out-of-scope — in round 8 that hid 14 crash regressions). Write
+        // a ZERO-row marker with a sentinel schema: fails the hash/schema
+        // compare for oracle queries AND the rows>0 check for rows-only
+        // queries (a non-empty marker could fake-pass the latter). The
+        // message goes to a sidecar next to the dir, outside the parquet
+        // glob.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_graft_error", org.apache.spark.sql.types.StringType))))
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          Files.writeString(Paths.get(s"$outDir/$name.error.txt"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

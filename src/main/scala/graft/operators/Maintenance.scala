@@ -156,6 +156,7 @@ object Maintenance {
     mvStore(s, d)
     mvLineitemStore(s, d)
     statsStore(s, d)
+    tpchStatsStore(s, d)
   }
 
   // the merge store c2b time-travels into, built once per (JVM, source
@@ -676,6 +677,75 @@ object Maintenance {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
       .orderBy("n_name")
+  }
+
+  // TPC-H customer/orders catalog for c19b, staged once per (JVM, dir)
+  private val tpchStatsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def tpchStatsStore(s: SparkSession, d: String): String =
+    tpchStatsCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c19b_")
+        graft.plans.StatsPlanner.save(
+          s, dir, "customer",
+          graft.plans.StatsPlanner.analyze(Tables.customer(s, d), Seq("c_custkey")))
+        graft.plans.StatsPlanner.save(
+          s, dir, "orders",
+          graft.plans.StatsPlanner.analyze(Tables.orders(s, d), Seq("o_custkey")))
+        dir
+      }
+    )
+
+  /** c19b: TRANSPARENT stats-driven broadcast on a headline TPC-H join —
+    * the q3-shaped customer⋈orders revenue rollup written with NO hint,
+    * planned into a broadcast hash join by
+    * [[graft.plans.StatsPlanner.StatsBroadcastRule]] from the PERSISTED
+    * catalog while Spark's own file-size-based auto-broadcast is
+    * DISABLED (threshold −1 during planning). The inline `require`
+    * plan-pins that the broadcast decision came from the stored
+    * estimates, not Spark's sizing; the DuckDB oracle gates the values.
+    * This is the catalog serving the query a user actually writes —
+    * c19's programmatic `statsJoin` made the decision explicit, this
+    * makes it invisible.
+    */
+  def c19bStatsBroadcast(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // idempotent: installs the rule
+    val dir = tpchStatsStore(s, d)
+    val cat = graft.plans.StatsPlanner.loadCatalog(s, dir, Seq("customer", "orders"))
+    graft.plans.StatsPlanner.StatsRegistry.register(Tables.customer(s, d), cat("customer"))
+    graft.plans.StatsPlanner.StatsRegistry.register(Tables.orders(s, d), cat("orders"))
+    val q = Tables
+      .orders(s, d)
+      .select("o_custkey", "o_totalprice")
+      .join( // no broadcast() hint — the catalog rule must supply it
+        Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey")
+      )
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = Tables
+        .orders(s, d)
+        .select("o_custkey", "o_totalprice")
+        .join(
+          Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey")
+        )
+      val phys = pinned.queryExecution.sparkPlan
+      val hasBhj = phys.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+      require(hasBhj,
+        s"StatsBroadcastRule did not plan a broadcast join from the catalog:\n$phys")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    q
   }
 
   /** c16f: MV rewrite THROUGH A STAR JOIN — the dashboard joins raw
@@ -1426,5 +1496,67 @@ object Maintenance {
       )
       .select(col("e.check").as("check"), col("e.metric").as("metric"), col("e.passed").as("passed"))
       .orderBy("check")
+  }
+
+  /** c22 (round 9): MV maintenance under RETRACTIONS — the missing half
+    * of the c6/c16/s17 additive story. A summary kept by partial-merge
+    * handles inserts for free, but real changelogs carry DELETES (GDPR
+    * erasure, late corrections, CDC updates = delete+insert), and the
+    * answer is the classic incremental-view-maintenance signed fold:
+    * every additive measure (count, sum) absorbs a delta row with sign
+    * ±1, so the maintained summary is `partials ⊕ Σ(+inserts ⊕
+    * −deletes)` per group — groups whose count reaches zero vanish.
+    * Here the v1 partials are built from the first half of the event
+    * timeline (integer-µs midpoint, the s9 split convention), the
+    * changelog inserts the second half and retracts the first-half rows
+    * with `event_id % 7 = 0`, and the fold touches ONLY the day×type
+    * summary and the delta aggregate — raw history is never rescanned,
+    * which is the property that keeps a 100 TB store maintainable.
+    * Money math rides decimal(18,6) end-to-end so the signed fold is
+    * associativity-exact and hash-matches the DuckDB oracle, which
+    * recomputes the final state from scratch (the maintained view and
+    * the recomputation must agree row-for-row — the IVM correctness
+    * contract).
+    */
+  def c22MvRetraction(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")
+    )
+    val tagged = ev
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_v1", unix_micros(col("ts")) < expr("(mn + mx) div 2"))
+      .drop("mn", "mx")
+    def rollup(df: DataFrame, signCol: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          sum(signCol).as("n"),
+          sum(signCol.cast("decimal(18,6)") * col("value").cast("decimal(18,6)")).as("sv")
+        )
+    // v1 summary: first-half partials (what the store already holds)
+    val partials = rollup(tagged.filter(col("is_v1")), lit(1L))
+    // changelog: +1 for each second-half insert, −1 for each retracted
+    // first-half row — ONE delta aggregate over the changelog only
+    val deltas = rollup(
+      tagged
+        .filter(!col("is_v1") || (col("is_v1") && col("event_id") % 7 === 0))
+        .withColumn("sign", when(col("is_v1"), lit(-1L)).otherwise(lit(1L))),
+      col("sign")
+    )
+    partials
+      .unionByName(deltas)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"), sum("sv").as("sv"))
+      .filter(col("n") > 0)
+      .select(
+        col("day"),
+        col("event_type"),
+        col("n"),
+        col("sv").cast("decimal(38,2)").cast("double").as("sum_value")
+      )
+      .orderBy("day", "event_type")
   }
 }

@@ -505,14 +505,14 @@ object Relational {
     * engine); the ScalaTest gate bounds it against q11's exact values
     * (accuracy parameter 10000 ⇒ rank error ≤ n/10000).
     */
-  def q34ApproxPercentile(s: SparkSession, d: String): DataFrame =
+  def q34ApproxPercentile(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
     Tables
       .lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2).as("med_price"),
-        round(expr("approx_percentile(l_extendedprice, 0.9D, 10000)"), 2).as("p90_price"),
-        round(expr("approx_percentile(l_quantity, 0.25D, 10000)"), 2).as("p25_qty")
+        round(expr(s"approx_percentile(l_extendedprice, 0.5D, $accuracy)"), 2).as("med_price"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.9D, $accuracy)"), 2).as("p90_price"),
+        round(expr(s"approx_percentile(l_quantity, 0.25D, $accuracy)"), 2).as("p25_qty")
       )
       .orderBy("l_returnflag")
 

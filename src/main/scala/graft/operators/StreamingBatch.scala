@@ -658,6 +658,28 @@ object StreamingBatch {
       }
     )
 
+  /** Docs staged TWICE across many files (s3's duplicated-stage pattern,
+    * applied to documents): the corpus has no exact duplicates of its
+    * own, so s22's cross-batch fingerprint fold is proven by making
+    * every document arrive in two different micro-batches — the landed
+    * index must count both and keep one canonical id.
+    */
+  private def stageDocsJsonDuplicated(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#docsdup",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_docsdup_")
+        val docs = Tables.documents(s, d).select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        docs
+          .unionByName(docs)
+          .coalesce(8)
+          .write
+          .mode("overwrite")
+          .text(s"$dir/json")
+        dir
+      }
+    )
+
   /** s13: ONLINE near-dup index maintenance — d2's MinHash-LSH dedup run
     * as a stream. Each micro-batch of documents (1) shingles + minhash-
     * bands its own rows, (2) equi-joins its postings against the
@@ -1425,5 +1447,70 @@ object StreamingBatch {
         col("sv").cast("decimal(38,2)").cast("double").as("sum_value")
       )
       .orderBy("day", "event_type")
+  }
+
+  /** s22 (round 9): STREAMING CURATION — the ingest-side form of the
+    * batch curation gate: documents arrive as a JSON stream and each
+    * micro-batch (1) applies the deterministic quality screen (token
+    * count + distinct-token ratio, t2's rule shapes) to ITS OWN rows
+    * only, and (2) folds the survivors' content fingerprints into a
+    * persisted dedup index via an s6-style copy-on-write upsert of
+    * (fingerprint → min doc_id, copy count). Both folds are min/sum —
+    * associative and commutative — so the landed index is provably
+    * ARRIVAL-ORDER-INSENSITIVE: whatever the file order, the final
+    * canonical per fingerprint is the global min id and the count is
+    * the global count, which is what lets a batch DuckDB oracle
+    * hash-gate a streaming pipeline. State is O(distinct fingerprints)
+    * (the dedup index a 100 TB/day ingest tier must carry anyway);
+    * old×old is never rescanned — each upsert touches the KB/MB index
+    * plus one micro-batch.
+    */
+  def s22StreamCurate(s: SparkSession, d: String, minTokens: Int = 10, minDistinctRatio: Double = 0.3): DataFrame = {
+    val dir = stageDocsJsonDuplicated(s, d)
+    val docSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select("r.*")
+    val root = graft.TempDirs.create("graft_s22_run_")
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val incoming = batch
+          .select(col("doc_id"), col("text"), tk.as("tk"))
+          .filter(
+            size(col("tk")) >= minTokens &&
+              size(array_distinct(col("tk"))).cast("double") /
+                greatest(size(col("tk")), lit(1)) >= minDistinctRatio
+          )
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        val merged = Option(current.get()) match {
+          case Some(prev) =>
+            spark.read
+              .parquet(prev)
+              .unionByName(incoming)
+              .groupBy("fp")
+              .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
+          case None => incoming
+        }
+        val next = s"$root/index_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(current.get())
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
   }
 }

@@ -824,4 +824,55 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** t28 (round 9): SEMANTIC DECONTAMINATION — the embedding-space twin
+    * of [[t16Decontaminate]]'s n-gram screen, and the modern default for
+    * eval-set leakage (paraphrased or reformatted contamination that
+    * shares no 5-gram with the benchmark). Benchmark membership reuses
+    * t16's md5-prefix convention on the id; every corpus vector is
+    * scored by its MAX cosine against the whole benchmark set and
+    * flagged at τ. The benchmark side is tiny at ANY corpus scale (a
+    * benchmark suite is KB–MB), so the plan is the one you want at
+    * 100 TB: one corpus scan against a broadcast benchmark table
+    * (v1's join shape — the non-equi guard is vacuously true since the
+    * md5 split makes the id sets disjoint), one keyed max — no shuffle
+    * of embeddings, no pair materialization. Exact by construction (no
+    * ANN shortcut), so the driver hash-gates the values: cosines are
+    * identical doubles on both engines (float entries widen exactly,
+    * [[VF.dot]] accumulates in double, DuckDB replays with
+    * `::DOUBLE[]` + `list_dot_product`), and the argmax benchmark id
+    * breaks ties toward the smaller id on both sides. An
+    * ANN-accelerated form at extreme scale would prefilter candidates
+    * with v7's IVF and exact-verify survivors — same emitted rows.
+    */
+  def t28SemanticDecontaminate(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        VF.norm(col("embedding")).as("nrm"),
+        (substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) === "0").as("is_bench")
+      )
+    val bench = e
+      .filter(col("is_bench"))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val corp = e.filter(!col("is_bench")).select(col("vec_id"), col("embedding"), col("nrm"))
+    corp
+      .join(broadcast(bench), col("vec_id") =!= col("b_id"))
+      .withColumn("cos", VF.dot(col("embedding"), col("b_emb")) / (col("nrm") * col("b_nrm")))
+      .groupBy("vec_id")
+      .agg(
+        max(col("cos")).as("mc"),
+        min_by(col("b_id"), struct((-col("cos")).as("nc"), col("b_id"))).as("bench_id")
+      )
+      .select(
+        col("vec_id"),
+        round(col("mc"), 4).as("max_cos"),
+        col("bench_id"),
+        (col("mc") >= tau).as("contaminated")
+      )
+      .orderBy("vec_id")
+  }
 }

@@ -37,8 +37,25 @@ object ProtoWire {
     out.write(v.toInt)
   }
 
-  private def micros(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  /** Epoch-micros from whichever JVM type the row carries: TimestampType
+    * externalizes as java.sql.Timestamp, TIMESTAMP_NTZ as LocalDateTime
+    * (UTC wall-clock — the session tz is pinned UTC so the instant is the
+    * same), and java.time.Instant appears under
+    * spark.sql.datetime.java8API.enabled. Tolerating all three keeps the
+    * encoder working whatever timestamp flavor the upstream frame landed
+    * in — `Row.getTimestamp` on a LocalDateTime is a ClassCastException.
+    */
+  private def microsOf(v: Any): Long = v match {
+    case ts: java.sql.Timestamp =>
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    case ldt: java.time.LocalDateTime =>
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp value: $other (${other.getClass})")
+  }
 
   /** Encode one row (the producer side — used by the staging harness and
     * any test fixture; a deployment's producer writes the same bytes from
@@ -56,8 +73,8 @@ object ProtoWire {
             writeVarint(out, (num << 3) | 0); writeVarint(out, row.getInt(i).toLong)
           case BooleanType =>
             writeVarint(out, (num << 3) | 0); writeVarint(out, if (row.getBoolean(i)) 1L else 0L)
-          case TimestampType =>
-            writeVarint(out, (num << 3) | 0); writeVarint(out, micros(row.getTimestamp(i)))
+          case TimestampType | TimestampNTZType =>
+            writeVarint(out, (num << 3) | 0); writeVarint(out, microsOf(row.get(i)))
           case DoubleType =>
             writeVarint(out, (num << 3) | 1)
             val bits = java.lang.Double.doubleToLongBits(row.getDouble(i))

@@ -7,12 +7,20 @@ import org.apache.spark.sql.functions._
   *
   * Plain tables are read as-is (schema lives in the parquet footer; Catalyst
   * handles column pruning + predicate pushdown into the scan). The `events`
-  * table needs normalization: its `ts` column is parquet TIMESTAMP(NANOS),
-  * which Spark only reads via `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (set in [[graft.GraftSession]]) as a raw int64 of epoch-nanoseconds.
-  * [[events]] converts it to a microsecond TimestampType with integer
-  * division (`ts div 1000` — no double round-trip, which would lose
-  * precision above 2^53).
+  * table needs normalization: upstream producers have shipped its `ts`
+  * column in THREE parquet encodings across data regenerations —
+  * TIMESTAMP(NANOS) (readable only via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as int64
+  * epoch-nanos), µs TIMESTAMP(isAdjustedToUTC=true) (TimestampType), and
+  * µs TIMESTAMP(isAdjustedToUTC=false) (TIMESTAMP_NTZ under Spark 4's
+  * default inference). [[normalizeTs]] folds all three to a microsecond
+  * instant-semantics TimestampType: nanos convert with integer division
+  * (`ts div 1000` — no double round-trip, which would lose precision
+  * above 2^53); NTZ casts to TimestampType (the session timezone is
+  * pinned UTC in [[graft.GraftSession]], so the wall-clock reading IS the
+  * instant). An engine that only handles the encoding of the last
+  * regeneration breaks on the next one — this loader is the single choke
+  * point where that can never happen again.
   */
 object Tables {
 
@@ -47,12 +55,25 @@ object Tables {
   }
 
   /** `events` with `ts` normalized to a microsecond TimestampType. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    // With nanosAsLong the nanos column arrives as LongType; otherwise
-    // (future Spark versions reading nanos natively) keep it untouched.
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Fold any of the three producer timestamp encodings to an
+    * instant-semantics TimestampType (see object doc). Public and
+    * DataFrame→DataFrame so the encoding matrix is unit-testable without
+    * staging parquet in every combination.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    raw.schema(tsCol).dataType match {
+      case LongType => // nanosAsLong: int64 epoch-nanos
+        raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType => // session tz is UTC: wall-clock == instant
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol has unsupported type $other — expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
   }
 }

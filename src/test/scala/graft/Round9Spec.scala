@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions. The headline is the timestamp-encoding matrix:
+  * round 8 ended red because the regenerated events table switched its
+  * parquet `ts` encoding (int64-nanos → µs NTZ) and the loader only
+  * normalized the nanos case. These tests pin all three producer
+  * encodings through [[graft.sources.Tables.normalizeTs]] so the next
+  * regeneration is a non-event.
+  */
+class TsEncodingMatrixSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.sources.Tables
+
+  private val microInstants = Seq(
+    1700000000000000L, // 2023-11-14T22:13:20Z
+    1700000123456789L, // sub-second µs precision must survive
+    0L                 // epoch
+  )
+
+  private def microsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("encoding matrix: int64-nanos column normalizes to the same instants") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ts_nanos_")
+    microInstants.map(_ * 1000L).toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(microsOf(got) == microInstants.sorted)
+  }
+
+  test("encoding matrix: µs TIMESTAMP (instant) round-trips unchanged") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ts_tz_")
+    microInstants.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampType)
+    val got = Tables.normalizeTs(raw)
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(microsOf(got) == microInstants.sorted)
+  }
+
+  test("encoding matrix: µs TIMESTAMP_NTZ parquet normalizes to the same instants") {
+    // The round-8 breakage: parquet TIMESTAMP(isAdjustedToUTC=false).
+    // A Spark-written NTZ file keeps NTZ through its embedded schema
+    // metadata (footer-less producers like the driver's are instead
+    // covered by inferTimestampNTZ=false — pinned on live data below),
+    // so this exercises the loader's NTZ branch against a genuine
+    // parquet scan: post-normalize the type AND the instants must match
+    // the other two encodings.
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ts_ntz_")
+    microInstants.toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType) // scan preserves; loader folds
+    val got = Tables.normalizeTs(raw)
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(microsOf(got) == microInstants.sorted)
+  }
+
+  test("normalizeTs folds an in-memory TIMESTAMP_NTZ column (second defense layer)") {
+    // A session built WITHOUT GraftSession.configure still normalizes:
+    // the loader's NTZ branch casts to TimestampType under UTC.
+    val ntz = spark.sql(
+      "SELECT cast(timestamp_micros(v) AS timestamp_ntz) AS ts FROM VALUES (1700000123456789) t(v)")
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val got = graft.sources.Tables.normalizeTs(ntz)
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(got.select(unix_micros(col("ts"))).head().getLong(0) == 1700000123456789L)
+  }
+
+  test("normalizeTs rejects a non-timestamp encoding loudly (no silent pass-through)") {
+    import spark.implicits._
+    val bad = Seq("not-a-ts").toDF("ts")
+    val e = intercept[IllegalArgumentException](graft.sources.Tables.normalizeTs(bad))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("t4_fingerprint_rolling is exact beyond 256 tokens (no series cap in engine or oracle)") {
+    // The staged corpora max out at 99 whitespace tokens, so the driver
+    // gate never probes long documents; this fixture pins the checksum
+    // algebra at 300 tokens against an independent JVM recompute
+    // (MessageDigest md5 — no Spark expressions shared with the
+    // implementation under test).
+    import spark.implicits._
+    val words = (1 to 300).map(i => s"tok$i")
+    val dir = TempDirs.create("graft_t4_long_")
+    Seq((1L, words.mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.t4FingerprintRolling(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val M = 34359738337L
+    def h(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val hs = words.map(h)
+    val expSum = hs.sum % M
+    val expPos = hs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum % M
+    assert(got.toSeq == Seq((1L, expSum, expPos), (2L, 0L, 0L)))
+  }
+
+  test("t28 semantic decontamination equals an independent driver-side recompute") {
+    val got = graft.operators.TextAnalysis.t28SemanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    // independent recompute: plain Scala doubles over the raw table
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val (bench, corp) = all.partition { case (id, _) => md5hex(id.toString).startsWith("0") }
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val exp = corp.map { case (id, e) =>
+      val scored = bench.map { case (bid, be) =>
+        (bid, dot(e, be) / (math.sqrt(dot(e, e)) * math.sqrt(dot(be, be))))
+      }
+      val mc = scored.map(_._2).max
+      val bid = scored.filter(_._2 == mc).map(_._1).min
+      (id, math.rint(mc * 1e4) / 1e4, bid, mc >= 0.4)
+    }.sortBy(_._1)
+    assert(got.length == exp.length && got.length == corp.length)
+    // dot-product association differs between the recompute (pairwise
+    // zip-sum) and the engine's left fold, so compare cosines to 1e-9
+    // and everything else exactly
+    got.zip(exp).foreach { case ((gi, gc, gb, gf), (ei, ec, eb, ef)) =>
+      assert(gi == ei && gb == eb && gf == ef && math.abs(gc - ec) <= 1e-9, s"vec $gi")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4), "tau should split the corpus at this geometry")
+  }
+
+  test("s22 streaming curation index equals the batch gate+dedup replay; copies counted across batches") {
+    val got = graft.operators.StreamingBatch.s22StreamCurate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val exp = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), tk.as("tk"))
+      .filter(size(col("tk")) >= 10 &&
+        size(array_distinct(col("tk"))).cast("double") / greatest(size(col("tk")), lit(1)) >= 0.3)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"), (count(lit(1)) * 2).as("n_copies"))
+      .select("doc_id", "fp", "n_copies").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+    assert(got.forall(_._3 == 2L), "every doc staged twice, no intra-corpus exact dups")
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(got.length < nDocs, "the quality gate must reject something")
+  }
+
+  test("c22 retraction-maintained summary equals a from-scratch recompute of the final state") {
+    val got = graft.operators.Maintenance.c22MvRetraction(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val Array(b) = ev.agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).collect()
+    val mid = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val exp = ev
+      .filter(!(unix_micros(col("ts")) < mid && col("event_id") % 7 === 0))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+      .orderBy("day", "event_type").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exp.toSeq)
+    // the changelog genuinely retracted rows: maintained totals < raw totals
+    assert(got.map(_._3).sum < ev.count())
+  }
+
+  test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // raw scan: the driver's files carry no Spark schema metadata, so
+      // this pins inferTimestampNTZ=false doing its job on no-tz µs files
+      // (and nanosAsLong on nanos files — whichever encoding is staged)
+      val rawT = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      assert(rawT == TimestampType || rawT == LongType, s"$d raw ts=$rawT")
+      val e = graft.sources.Tables.events(spark, d)
+      assert(e.schema("ts").dataType == TimestampType, s"$d ts=${e.schema("ts").dataType}")
+      assert(e.where(col("ts").isNull).count() == 0L)
+    }
+  }
+}
