@@ -242,6 +242,8 @@ object SparkEntry {
     "c19b_stats_broadcast"   -> (Maintenance.c19bStatsBroadcast _),
     // round 9
     "t28_semantic_decontaminate" -> ((s, d) => TextAnalysis.t28SemanticDecontaminate(s, d)),
+    "t29_bpe_pair_stats"     -> ((s, d) => TextAnalysis.t29BpePairStats(s, d)),
+    "t30_gopher_rules"       -> (TextAnalysis.t30GopherRules _),
     "s22_stream_curate"      -> ((s, d) => StreamingBatch.s22StreamCurate(s, d)),
     "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
@@ -1350,6 +1352,41 @@ object SparkEntry {
         |SELECT m.vec_id, round(m.mc, 4) AS max_cos, am.bench_id,
         | m.mc >= 0.4 AS contaminated
         |FROM m JOIN am USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    // t29: first-round BPE pair statistics — exact integer counts with
+    // the canonical (count desc, pair lexico) rank determinism; the
+    // series bound derives from the measured max word length (the t4
+    // lesson: no hard-coded caps)
+    "t29_bpe_pair_stats" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS wf FROM w GROUP BY 1),
+        |p AS (SELECT substr(wf.w, t.i, 1) AS l, substr(wf.w, t.i + 1, 1) AS r, wf.wf
+        | FROM wf, (SELECT unnest(range(1, (SELECT max(length(w)) FROM wf))) AS i) t
+        | WHERE t.i < length(wf.w)),
+        |c AS (SELECT l, r, CAST(sum(wf) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+        |rk AS (SELECT row_number() OVER (ORDER BY cnt DESC, l, r) AS rank, l, r, cnt FROM c)
+        |SELECT CAST(rank AS INT) AS rank, l, r, cnt FROM rk
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // t30: every rule replayed on the rounded metrics both engines
+    // compute identically (plain-ASCII classes are Java-regex/RE2 safe)
+    "t30_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_words,
+        |  round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / greatest(len(tk), 1), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |    / greatest(len(tk), 1), 4) AS alpha_frac,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS INT) AS n_stop
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        | n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+        | mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        | alpha_frac >= 0.8 AS ok_alpha,
+        | n_stop >= 2 AS ok_stop,
+        | (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |  AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // s22: the landed curation index must equal the batch replay of the
     // same gate+dedup algebra; the stream stages every doc TWICE, so
     // copy counts double and the canonical min-id is unchanged

@@ -875,4 +875,151 @@ object TextAnalysis {
       )
       .orderBy("vec_id")
   }
+
+  /** t29 (round 9): BPE PAIR STATISTICS — the distributed half of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016). Real
+    * trainers (the SentencePiece/fastBPE architecture) split exactly
+    * here: the CORPUS-scale work is one word-frequency aggregation
+    * (Heaps' law keeps the vocab table KB–MB at any corpus size), and
+    * the merge loop then runs over that model-sized table locally —
+    * re-scanning 100 TB of text per merge would be absurd when the
+    * sufficient statistic fits in memory. This query emits the top-k
+    * first-round merge candidates: per-word character pairs weighted by
+    * word frequency, ranked with the canonical (count desc, pair lexico)
+    * determinism so both engines agree on ties. The pair table is
+    * O(symbol alphabet²) — the global rank window runs on a model-sized
+    * aggregate, not corpus rows. [[trainBpeMerges]] is the full loop.
+    */
+  def t29BpePairStats(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val wf = Tables
+      .documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wf"))
+    val chars = transform(sequence(lit(1), length(col("w"))), i => substring(col("w"), i, lit(1)))
+    val n1 = greatest(size(col("cs")) - 1, lit(0))
+    val pairs = wf
+      .select(col("wf"), chars.as("cs"))
+      .select(
+        col("wf"),
+        explode(
+          zip_with(
+            slice(col("cs"), lit(1), n1),
+            slice(col("cs"), lit(2), n1),
+            (a, b) => struct(a.as("l"), b.as("r"))
+          )
+        ).as("p")
+      )
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wf").as("cnt"))
+    // global window over the alphabet²-sized aggregate: O(model), like
+    // v7's centroid table — not a corpus sort
+    val w = Window.orderBy(desc("cnt"), col("l"), col("r"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("l"), col("r"), col("cnt"))
+      .orderBy("rank")
+  }
+
+  /** The full BPE merge loop over the collected word-frequency table —
+    * O(vocab) driver state, the documented model-sized exception (v7
+    * centroids / StatsPlanner catalog discipline). Greedy argmax with
+    * (count desc, pair lexico) ties, left-to-right non-overlapping
+    * apply; returns the merge table (rank, left, right, pair_count).
+    * ScalaTest-gated against a hand-computed fixture and pinned
+    * consistent with [[t29BpePairStats]]'s oracle-gated first round.
+    */
+  def trainBpeMerges(s: SparkSession, d: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    val vocab0: Seq[(Vector[String], Long)] = Tables
+      .documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wf"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+      .toSeq
+    var vocab = vocab0
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2 // left-to-right non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "l", "r", "cnt").orderBy("rank")
+  }
+
+  /** t30 (round 9): the GOPHER QUALITY RULE BATTERY (Rae et al. 2021,
+    * §A1.1) — the published heuristic screen most production corpora
+    * pass through before model-based filters: word-count bounds, mean
+    * word length bounds, alphabetic-word fraction, stop-word presence.
+    * (The line-shaped rules — bullet/ellipsis line fractions — are
+    * vacuous on this single-line corpus and omitted rather than faked.)
+    * Every rule is a per-row codegen'd expression over the token array:
+    * zero shuffle at any scale, the same plan at 100 TB. Plain-ASCII
+    * character classes keep Java-regex and RE2 semantics identical for
+    * the oracle.
+    */
+  def t30GopherRules(s: SparkSession, d: String): DataFrame = {
+    val tk = TF.tokens(col("text"))
+    val df = Tables
+      .documents(s, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_words"),
+        round(
+          aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).cast("double") /
+            greatest(size(col("tk")), lit(1)),
+          4
+        ).as("mean_word_len"),
+        round(
+          size(filter(col("tk"), t => t.rlike("[a-zA-Z]"))).cast("double") /
+            greatest(size(col("tk")), lit(1)),
+          4
+        ).as("alpha_frac"),
+        size(filter(col("tk"), t => t.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+          .as("n_stop")
+      )
+    df.select(
+        col("doc_id"),
+        col("n_words"),
+        col("mean_word_len"),
+        col("alpha_frac"),
+        col("n_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_word_count"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_word_len"),
+        (col("alpha_frac") >= 0.8).as("ok_alpha"),
+        (col("n_stop") >= 2).as("ok_stop")
+      )
+      .withColumn(
+        "keep",
+        col("ok_word_count") && col("ok_word_len") && col("ok_alpha") && col("ok_stop")
+      )
+      .orderBy("doc_id")
+  }
 }

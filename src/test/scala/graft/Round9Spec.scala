@@ -173,6 +173,46 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < ev.count())
   }
 
+  test("BPE trainer reproduces the hand-computed merge sequence on a fixture corpus") {
+    // Sennrich-style fixture: freqs low:5 lower:2 newest:6 widest:3.
+    // Hand computation (greedy, ties lexico-smallest pair):
+    //  round 1: (e,s) 9 — ties (s,t) 9, lexico picks (e,s)
+    //  round 2: (es,t) 9
+    //  round 3: (l,o) 7 — ties (o,w) 7, lexico picks (l,o)
+    //  round 4: (lo,w) 7
+    //  round 5: (e,w) 6 — ties (n,e)/(w,est) 6, lexico picks (e,w)
+    import spark.implicits._
+    val dir = TempDirs.create("graft_bpe_fix_")
+    val docs = Seq.fill(5)("low").++(Seq.fill(2)("lower")).++(Seq.fill(6)("newest")).++(Seq.fill(3)("widest"))
+    docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.trainBpeMerges(spark, dir, nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L)
+    ), merges.toSeq.toString)
+  }
+
+  test("BPE trainer round 1 equals the oracle-gated pair-stats argmax on the corpus") {
+    val top = graft.operators.TextAnalysis.t29BpePairStats(spark, sf, k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    val m1 = graft.operators.TextAnalysis.trainBpeMerges(spark, sf, nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    assert(top == m1)
+  }
+
+  test("t30 gopher battery: rules computed from the token array, keep = conjunction, both outcomes occur") {
+    val rows = graft.operators.TextAnalysis.t30GopherRules(spark, sf).collect()
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val conj = r.getAs[Boolean]("ok_word_count") && r.getAs[Boolean]("ok_word_len") &&
+        r.getAs[Boolean]("ok_alpha") && r.getAs[Boolean]("ok_stop")
+      assert(keep == conj)
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")) && rows.exists(!_.getAs[Boolean]("keep")),
+      "thresholds should split this corpus")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
