@@ -70,7 +70,11 @@ object PlanAudit {
       "c20_expectations"            -> "expectation suite: every scalar check fused into ONE aggregate pass; referential check via broadcast left join",
       "t25_perplexity"              -> "perplexity gate: bigram LM tables as keyed shuffles, per-language tercile window over the KB score table",
       "d17_semdedup"                -> "SemDeDup: broadcast centroid assignment + within-cluster pair equi-join — no cartesian, pair space cluster-bounded",
-      "p5_curate_llm"               -> "LLM curation chain: t25 gate -> survivor-scoped cluster pairs -> survivor-scoped gram spans -> per-doc report"
+      "p5_curate_llm"               -> "LLM curation chain: t25 gate -> survivor-scoped cluster pairs -> survivor-scoped gram spans -> per-doc report",
+      "t28_semantic_decontaminate"  -> "semantic decontamination: one corpus scan x broadcast benchmark + keyed max — no embedding shuffle, no pair table",
+      "t29_bpe_pair_stats"          -> "BPE pair stats: corpus-scale word-freq aggregate; rank window runs on the alphabet²-sized model table",
+      "c22_mv_retraction"           -> "IVM signed fold: summary ⊕ changelog deltas only — raw history never rescanned",
+      "c19b_stats_broadcast"        -> "transparent catalog broadcast: hint-free join planned into BHJ from stored estimates (Spark sizing disabled at pin time)"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

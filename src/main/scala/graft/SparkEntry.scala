@@ -189,7 +189,12 @@ object SparkEntry {
     "m5_balanced_sample"     -> ((s, d) => Multimodal.m5BalancedSample(s, d)),
     "s10_stream_static_join" -> (StreamingBatch.s10StreamStaticJoin _),
     "q40_gaps_islands"       -> (Relational.q40GapsIslands _),
-    "c8_incremental_quantiles" -> (Maintenance.c8IncrementalQuantiles _),
+    "c8_incremental_quantiles" -> ((s, d) => Maintenance.c8IncrementalQuantiles(s, d)),
+    // KLL at k=65535 retains every value below 64Ki per merged group —
+    // no compaction, exact quantiles — so the driver hash-gates the
+    // same incremental-merge operator c8 runs at production k (the
+    // q34_exact promotion pattern for the KLL family)
+    "c8_exact"               -> ((s, d) => Maintenance.c8IncrementalQuantiles(s, d, k = 65535)),
     "d11_keep_best"          -> (Dedup.d11KeepBest _),
     "q42_not_in_null"        -> (Relational.q42NotInNull _),
     "q43_rfm"                -> (Relational.q43Rfm _),
@@ -1398,6 +1403,17 @@ object SparkEntry {
         |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.3)
         |SELECT min(doc_id) AS doc_id, fp, CAST(2 * count(*) AS BIGINT) AS n_copies
         |FROM q GROUP BY fp ORDER BY doc_id""".stripMargin,
+    // c8_exact: uncompacted KLL returns the element at inclusive rank
+    // ceil(p·n) — replayed by sorted-list indexing per type (the
+    // q34_exact convention)
+    "c8_exact" ->
+      """WITH a AS (SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+        | FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | round(vs[CAST(ceil(0.5*n) AS BIGINT)], 2) AS p50_approx,
+        | round(vs[CAST(ceil(0.95*n) AS BIGINT)], 2) AS p95_approx,
+        | round(vs[CAST(ceil(0.99*n) AS BIGINT)], 2) AS p99_approx
+        |FROM a ORDER BY event_type""".stripMargin,
     // c22: the IVM contract — the signed-fold-maintained summary must
     // equal a from-scratch recompute of the post-changelog state
     "c22_mv_retraction" ->

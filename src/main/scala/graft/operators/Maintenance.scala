@@ -1103,7 +1103,7 @@ object Maintenance {
     * ScalaTest gate bounds every estimate between the exact quantiles at
     * rank ± 0.05.
     */
-  def c8IncrementalQuantiles(s: SparkSession, d: String): DataFrame = {
+  def c8IncrementalQuantiles(s: SparkSession, d: String, k: Int = 200): DataFrame = {
     import graft.plans.GraftExpressions
     val dir = graft.TempDirs.create("graft_c8_")
     val ev = Tables
@@ -1113,14 +1113,14 @@ object Maintenance {
     val tagged = ev.crossJoin(broadcast(bounds))
     def sketchBy(df: DataFrame): DataFrame =
       df.groupBy("dt", "event_type")
-        .agg(GraftExpressions.kllSketch(col("value")).as("sk"), count(lit(1)).as("n"))
+        .agg(GraftExpressions.kllSketch(col("value"), k).as("sk"), count(lit(1)).as("n"))
     sketchBy(tagged.filter(col("dt") < col("mxd"))).write.mode("overwrite").parquet(s"$dir/partials")
     val newDay = sketchBy(tagged.filter(col("dt") === col("mxd")))
     s.read
       .parquet(s"$dir/partials")
       .unionByName(newDay)
       .groupBy("event_type")
-      .agg(GraftExpressions.kllMerge(col("sk")).as("m"), sum("n").as("n"))
+      .agg(GraftExpressions.kllMerge(col("sk"), k).as("m"), sum("n").as("n"))
       .select(
         col("event_type"),
         col("n"),
