@@ -210,7 +210,11 @@ object SparkEntry {
     "t20_type_token_ratio"   -> (TextAnalysis.t20TypeTokenRatio _),
     "e27_audience_overlap"   -> (Events.e27AudienceOverlap _),
     "e26_gap_fill"           -> (Events.e26GapFill _),
-    "s12_stream_quantile"    -> (StreamingBatch.s12StreamQuantile _),
+    "s12_stream_quantile"    -> ((s, d) => StreamingBatch.s12StreamQuantile(s, d)),
+    // the stream-maintained quantile store at the exact-KLL config
+    // (c8_exact's k=65535): the landed sketches retain every value, so
+    // the streaming fold is hash-gated against the same sorted-list rank
+    "s12_exact"              -> ((s, d) => StreamingBatch.s12StreamQuantile(s, d, k = 65535)),
     "e25_seasonal_baseline"  -> (Events.e25SeasonalBaseline _),
     "q41_share_of_total"     -> (Relational.q41ShareOfTotal _),
     "t19_crossdoc_ngram"     -> ((s, d) => TextAnalysis.t19CrossdocNgram(s, d)),
@@ -251,6 +255,7 @@ object SparkEntry {
     "t30_gopher_rules"       -> (TextAnalysis.t30GopherRules _),
     "s22_stream_curate"      -> ((s, d) => StreamingBatch.s22StreamCurate(s, d)),
     "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
+    "p6_curate_decontam"     -> ((s, d) => graft.operators.Curate.p6CurateDecontam(s, d)),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1392,6 +1397,34 @@ object SparkEntry {
         | (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |  AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // p6: the whole gopher→decontaminate→budget chain as ONE oracle —
+    // any drift in rule thresholds, the cosine screen, the bench
+    // holdout, or the per-source running cut fails the hash
+    "p6_curate_decontam" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |m AS (SELECT doc_id, source, len(tk) AS n_words,
+        |  round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / greatest(len(tk), 1), 4) AS mwl,
+        |  round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |    / greatest(len(tk), 1), 4) AS af,
+        |  len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS ns
+        | FROM t),
+        |g AS (SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens FROM m
+        | WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |  AND af >= 0.8 AND ns >= 2
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0' AS is_bench FROM embeddings),
+        |mx AS (SELECT c.vec_id AS doc_id, max(list_dot_product(c.emb, b.emb)
+        |   / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS mc
+        | FROM e c CROSS JOIN e b WHERE NOT c.is_bench AND b.is_bench GROUP BY 1),
+        |s AS (SELECT g.* FROM g JOIN mx USING (doc_id) WHERE mx.mc < 0.4),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        | FROM s)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM r
+        |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
     // s22: the landed curation index must equal the batch replay of the
     // same gate+dedup algebra; the stream stages every doc TWICE, so
     // copy counts double and the canonical min-id is unchanged
@@ -1407,6 +1440,16 @@ object SparkEntry {
     // ceil(p·n) — replayed by sorted-list indexing per type (the
     // q34_exact convention)
     "c8_exact" ->
+      """WITH a AS (SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+        | FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | round(vs[CAST(ceil(0.5*n) AS BIGINT)], 2) AS p50_approx,
+        | round(vs[CAST(ceil(0.95*n) AS BIGINT)], 2) AS p95_approx,
+        | round(vs[CAST(ceil(0.99*n) AS BIGINT)], 2) AS p99_approx
+        |FROM a ORDER BY event_type""".stripMargin,
+    // s12_exact: same rank algebra as c8_exact — the streaming fold must
+    // land the identical exact quantiles
+    "s12_exact" ->
       """WITH a AS (SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
         | FROM events GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) AS n,

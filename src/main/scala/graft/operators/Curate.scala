@@ -233,4 +233,52 @@ object Curate {
       .select("doc_id", "lang", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** p6 (round 9): GOPHER + SEMANTIC-DECONTAMINATION curation — the
+    * round-9 operators composed into the screen a modern pretraining
+    * pipeline actually runs before tokenization:
+    *
+    *   Gopher rule battery (t30: word-count / word-length / alpha /
+    *   stop-word gates)
+    *     → semantic decontamination (t28: drop docs whose embedding
+    *       sits within τ of ANY benchmark vector; benchmark docs
+    *       themselves never enter the training pool)
+    *     → per-source token budget (running token sum over survivors
+    *       in doc_id order, cut at B per source — the sampling step
+    *       that balances the source mix)
+    *
+    * The chain is order-sensitive end-to-end: a doc the Gopher gate
+    * drops never consumes budget, and a decontaminated doc frees budget
+    * for every later doc in its source — so the whole composition is
+    * one oracle-gated unit (the p5 discipline). Cost at 100 TB: gates
+    * are per-row pushed filters, decontamination is a corpus scan ×
+    * broadcast benchmark, and the budget is one window per source key —
+    * no stage shuffles more than (source, doc) keys.
+    */
+  def p6CurateDecontam(s: SparkSession, d: String, tau: Double = 0.4, budgetTokens: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gophKeep = TextAnalysis.t30GopherRules(s, d).filter(col("keep")).select("doc_id")
+    val contaminated = TextAnalysis
+      .t28SemanticDecontaminate(s, d, tau)
+      .filter(col("contaminated"))
+      .select(col("vec_id").as("doc_id"))
+    // benchmark docs (t28's md5-prefix convention) are held out entirely
+    val isBench = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0"
+    val survivors = Tables
+      .documents(s, d)
+      .filter(!isBench)
+      .join(gophKeep, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens")
+      )
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    survivors
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
 }

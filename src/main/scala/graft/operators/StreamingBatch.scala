@@ -779,7 +779,7 @@ object StreamingBatch {
     * within rank error → rows-only; the ScalaTest gate bounds them
     * between the exact quantiles at rank ± 0.05.
     */
-  def s12StreamQuantile(s: SparkSession, d: String): DataFrame = {
+  def s12StreamQuantile(s: SparkSession, d: String, k: Int = 200): DataFrame = {
     import graft.plans.GraftExpressions
     val dir = stageJson(s, d)
     val stream = StreamIngest
@@ -796,14 +796,14 @@ object StreamingBatch {
         val spark = batch.sparkSession
         val incoming = batch
           .groupBy("dt", "event_type")
-          .agg(GraftExpressions.kllSketch(col("value")).as("sk"), count(lit(1)).as("n"))
+          .agg(GraftExpressions.kllSketch(col("value"), k).as("sk"), count(lit(1)).as("n"))
         val merged = Option(current.get()) match {
           case Some(prev) =>
             spark.read
               .parquet(prev)
               .unionByName(incoming)
               .groupBy("dt", "event_type")
-              .agg(GraftExpressions.kllMerge(col("sk")).as("sk"), sum("n").as("n"))
+              .agg(GraftExpressions.kllMerge(col("sk"), k).as("sk"), sum("n").as("n"))
           case None => incoming
         }
         val next = s"$root/state_v$batchId"
@@ -817,7 +817,7 @@ object StreamingBatch {
     s.read
       .parquet(current.get())
       .groupBy("event_type")
-      .agg(GraftExpressions.kllMerge(col("sk")).as("m"), sum("n").as("n"))
+      .agg(GraftExpressions.kllMerge(col("sk"), k).as("m"), sum("n").as("n"))
       .select(
         col("event_type"),
         col("n"),

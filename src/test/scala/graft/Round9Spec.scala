@@ -213,6 +213,29 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
       "thresholds should split this corpus")
   }
 
+  test("p6 chain: survivors pass every stage, budget cut is per-source monotone") {
+    val out = graft.operators.Curate.p6CurateDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val goph = graft.operators.TextAnalysis.t30GopherRules(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = graft.operators.TextAnalysis.t28SemanticDecontaminate(spark, sf)
+      .filter(col("contaminated")).select("vec_id").collect().map(_.getLong(0)).toSet
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    out.foreach { case (id, _, _, cum) =>
+      assert(goph.contains(id) && !contaminated.contains(id) && !md5hex(id.toString).startsWith("0"))
+      assert(cum <= 600L)
+    }
+    // per-source cumulative sums are consistent and ordered by doc_id
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var acc = 0L
+      sorted.foreach { case (_, _, n, cum) => acc += n; assert(cum == acc) }
+    }
+    assert(out.nonEmpty && out.length < goph.size, "budget and decon must cut below the gate-pass set")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
