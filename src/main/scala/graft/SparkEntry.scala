@@ -256,6 +256,7 @@ object SparkEntry {
     "s22_stream_curate"      -> ((s, d) => StreamingBatch.s22StreamCurate(s, d)),
     "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
     "p6_curate_decontam"     -> ((s, d) => graft.operators.Curate.p6CurateDecontam(s, d)),
+    "e33_cusum_drift"        -> (Events.e33CusumDrift _),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1397,6 +1398,27 @@ object SparkEntry {
         | (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |  AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // e33: the CUSUM recursion replayed via the same closed form
+    // (running sum + running min of the decimal-centered series) — any
+    // drift in the reduction or the decimal discipline fails the hash
+    "e33_cusum_drift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, CAST(round(avg(n), 6) AS DECIMAL(18,6)) AS mu
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT day, daily.event_type, n,
+        |  sum(CAST(n AS DECIMAL(18,6)) - mu)
+        |    OVER (PARTITION BY daily.event_type ORDER BY day) AS c
+        | FROM daily JOIN mu ON daily.event_type = mu.event_type),
+        |s AS (SELECT day, event_type, n, c,
+        |  least(CAST(0 AS DECIMAL(18,6)),
+        |    min(c) OVER (PARTITION BY event_type ORDER BY day)) AS cmin
+        | FROM c)
+        |SELECT s.day, s.event_type, CAST(s.n AS BIGINT) AS n,
+        | CAST(s.c - s.cmin AS DOUBLE) AS cusum,
+        | (s.c - s.cmin) > mu.mu AS drift_alarm
+        |FROM s JOIN mu ON s.event_type = mu.event_type
+        |ORDER BY s.day, s.event_type""".stripMargin,
     // p6: the whole gopher→decontaminate→budget chain as ONE oracle —
     // any drift in rule thresholds, the cosine screen, the bench
     // holdout, or the per-source running cut fails the hash

@@ -755,4 +755,45 @@ object Events {
       .agg(round(sum(col("value") * col("w")), 4).as("score"), count(lit(1)).as("n_scored"))
       .orderBy("user_id")
   }
+
+  /** e33 (round 9): CUSUM DRIFT DETECTION on the daily event-rate series
+    * — the classic sequential changepoint statistic
+    * `S_t = max(0, S_{t−1} + (x_t − μ))`, which looks un-distributable
+    * (a per-row recursion) until the closed form
+    * `S_t = c_t − min(0, min_{j≤t} c_j)` (c = prefix sums of the
+    * centered series; the process resets exactly at the running
+    * minimum) turns it into TWO ordinary window functions — running sum
+    * + running min per event type, both on the day-grain series.
+    * The recursion-to-window reduction is the whole point: at 100 TB
+    * the daily series is a T×types-row table and the windows are keyed
+    * scans, no sequential state anywhere. All arithmetic rides
+    * decimal(18,6) (window aggregation ORDER is engine-internal, so
+    * double prefix sums would be association-sensitive; decimals are
+    * exact), making the statistic hash-gateable. Alarm when the
+    * cumulative excess exceeds one day's mean rate.
+    */
+  def e33CusumDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mu = daily
+      .groupBy("event_type")
+      .agg(round(avg("n"), 6).cast("decimal(18,6)").as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .join(broadcast(mu), "event_type")
+      .withColumn("y", col("n").cast("decimal(18,6)") - col("mu"))
+      .withColumn("c", sum("y").over(w))
+      .withColumn("cmin", least(lit(0).cast("decimal(18,6)"), min("c").over(w)))
+      .select(
+        col("day"),
+        col("event_type"),
+        col("n"),
+        (col("c") - col("cmin")).cast("decimal(38,6)").cast("double").as("cusum"),
+        ((col("c") - col("cmin")) > col("mu")).as("drift_alarm")
+      )
+      .orderBy("day", "event_type")
+  }
 }

@@ -236,6 +236,23 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.length < goph.size, "budget and decon must cut below the gate-pass set")
   }
 
+  test("e33 closed-form CUSUM equals the sequential max(0, S+y) recursion") {
+    val got = graft.operators.Events.e33CusumDrift(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getDate(0).toString), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+    val daily = got.groupBy(_._1._1).view.mapValues(_.sortBy(_._1._2)).toMap
+    daily.foreach { case (_, rows) =>
+      val ns = rows.map(_._2._1)
+      val mu = BigDecimal((ns.sum.toDouble / ns.length).formatted("%.6f"))
+      var sRec = BigDecimal(0)
+      rows.foreach { case (_, (n, cusum, alarm)) =>
+        sRec = (sRec + (BigDecimal(n) - mu)).max(BigDecimal(0))
+        assert(math.abs(sRec.toDouble - cusum) < 1e-9, s"recursion $sRec vs window $cusum")
+        assert(alarm == (sRec > mu))
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
