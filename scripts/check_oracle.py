@@ -39,8 +39,16 @@ def main():
     # --skip-missing: a subset Verify run wrote only some query dirs —
     # treat the absent ones as out-of-scope instead of failing them
     skip_missing = "--skip-missing" in sys.argv
+    # --only a,b,c: restrict the compare (and the rows-only sweep) to the
+    # named queries — lets a wrapper drive per-oracle timeouts/timings
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
             if skip_missing:
@@ -71,6 +79,8 @@ def main():
     # queries without oracle: report rows-only
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
+        if only is not None and name not in only:
+            continue
         if name not in oracles:
             n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
             print(f"ROWS-ONLY {name}: {n} rows")

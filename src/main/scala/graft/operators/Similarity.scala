@@ -416,6 +416,16 @@ object Similarity {
     * candidates; the top-R shortlist re-ranks by exact cosine.
     * Approximate → rows-only driver check; ScalaTest gates recall@k
     * against v1's exact answer.
+    *
+    * Measured shape at sf0.1 (n=2000, m=8, k=16, 10 queries,
+    * shortlist=50): the ADC phase touches 16k code rows (8 B/vector vs
+    * 256 B of floats — the 32× compression), a 1,280-row broadcast ADC
+    * table, 160k codegen'd contribution rows into one keyed sum, and
+    * exactly 500 full-precision re-ranks (50/query = 2.5% of the
+    * corpus). Steady sf0.1 wall time is dominated by the fixed-cost
+    * codebook training (2 Lloyd rounds with a model-sized collect
+    * each), not the ADC scan — at 100 TB the codebook is trained once
+    * on a sample and the scan term is the only one that grows.
     */
   def v10KnnPq(
       s: SparkSession,

@@ -51,7 +51,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // round 7 (c16c's date_trunc returns TIMESTAMP on Spark vs DATE on
     // DuckDB; m7/m8/t4_rolling use generate_series / list_* — those
     // stay on the DuckDB gate)
-    "c16d_mv_multi"
+    "c16d_mv_multi",
+    // round 9 (q34_exact/c8_exact/s12_exact/t28/t29/t30/s22/p6 use
+    // list_* / unnest / epoch_us — those stay on the DuckDB gate)
+    "e27_audience_overlap", "c19b_stats_broadcast", "e33_cusum_drift"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
