@@ -74,7 +74,9 @@ object PlanAudit {
       "t28_semantic_decontaminate"  -> "semantic decontamination: one corpus scan x broadcast benchmark + keyed max — no embedding shuffle, no pair table",
       "t29_bpe_pair_stats"          -> "BPE pair stats: corpus-scale word-freq aggregate; rank window runs on the alphabet²-sized model table",
       "c22_mv_retraction"           -> "IVM signed fold: summary ⊕ changelog deltas only — raw history never rescanned",
-      "c19b_stats_broadcast"        -> "transparent catalog broadcast: hint-free join planned into BHJ from stored estimates (Spark sizing disabled at pin time)"
+      "c19b_stats_broadcast"        -> "transparent catalog broadcast: hint-free join planned into BHJ from stored estimates (Spark sizing disabled at pin time)",
+      "e33_cusum_drift"             -> "CUSUM drift: the sequential recursion as running-sum + running-min windows, keyed on event_type",
+      "p6_curate_decontam"          -> "gopher -> decontaminate -> per-source budget: pushed gates, scan x broadcast benchmark, one window per source"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -114,6 +114,8 @@ object StreamingBatch {
     stageJsonSentinelBoth(s, d)
     stageJsonDuplicated(s, d)
     stageDocsJson(s, d)
+    stageDocsJsonDuplicated(s, d)
+    stageEmbeddingsJson(s, d)
     stageCsv(s, d)
     stageProto(s, d)
     s9Halves(s, d)
