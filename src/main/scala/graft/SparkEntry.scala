@@ -257,6 +257,7 @@ object SparkEntry {
     "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
     "p6_curate_decontam"     -> ((s, d) => graft.operators.Curate.p6CurateDecontam(s, d)),
     "e33_cusum_drift"        -> (Events.e33CusumDrift _),
+    "m10_contrastive_pairs"  -> ((s, d) => Multimodal.m10ContrastivePairs(s, d)),
     "c16e_mv_select"         -> (Maintenance.c16eMvSelection _),
     "s18_stream_mv_month"    -> (StreamingBatch.s18StreamMvMonth _),
     "c18_changelog"          -> (Maintenance.c18Changelog _),
@@ -1398,6 +1399,20 @@ object SparkEntry {
         | (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |  AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // m10: in-batch hard-negative mining replayed per md5 bucket —
+    // identical doubles (d5 discipline), (cos desc, id) rank ties
+    "m10_contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS b
+        | FROM embeddings),
+        |p AS (SELECT a.vec_id AS doc_id, c.vec_id AS neg_id,
+        |  list_dot_product(a.emb, c.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+        | FROM e a JOIN e c ON a.b = c.b AND a.vec_id <> c.vec_id),
+        |r AS (SELECT doc_id, neg_id, cos,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, neg_id) AS neg_rank FROM p)
+        |SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank, neg_id, round(cos, 4) AS cos
+        |FROM r WHERE neg_rank <= 4 ORDER BY doc_id, neg_rank""".stripMargin,
     // e33: the CUSUM recursion replayed via the same closed form
     // (running sum + running min of the decimal-centered series) — any
     // drift in the reduction or the decimal discipline fails the hash

@@ -482,4 +482,44 @@ object Multimodal {
       )
       .orderBy("shard_id")
   }
+
+  /** m10 (round 9): CONTRASTIVE PAIR CONSTRUCTION — the batch-building
+    * step of CLIP-style multimodal training: each (caption, media
+    * embedding) anchor needs HARD negatives, and real trainers mine
+    * them IN-BATCH (the similarity matrix is computed inside each
+    * training batch anyway), which is also the only shape that scales:
+    * global top-k negative mining is an n×n problem, while in-batch
+    * mining over deterministic hash buckets of ~n/B rows costs Σ(n/B)²
+    * per bucket = n·(n/B) TOTAL — linear in n for a fixed batch size.
+    * Buckets come from the md5-derived id hash (portable to the
+    * oracle, t27's convention), pairs are an equi-join on the bucket
+    * key (no cartesian node), and the per-anchor top-k ranks with the
+    * deterministic (cos desc, id) order over B-row partitions. The
+    * emitted (anchor, neg_rank, neg_id, cos) table IS the training
+    * manifest a dataloader consumes; cosines are engine-exact doubles
+    * (d5's discipline).
+    */
+  def m10ContrastivePairs(s: SparkSession, d: String, nBatches: Int = 16, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{VectorFunctions => VF}
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        VF.norm(col("embedding")).as("nrm"),
+        (conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nBatches).as("b")
+      )
+    val a = e.select(col("vec_id").as("doc_id"), col("embedding").as("ea"), col("nrm").as("na"), col("b"))
+    val c = e.select(col("vec_id").as("neg_id"), col("embedding").as("ec"), col("nrm").as("nc"), col("b"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cos"), col("neg_id"))
+    a.join(c, Seq("b"))
+      .filter(col("doc_id") =!= col("neg_id"))
+      .withColumn("cos", VF.dot(col("ea"), col("ec")) / (col("na") * col("nc")))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("doc_id"), col("neg_rank"), col("neg_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("doc_id", "neg_rank")
+  }
 }

@@ -253,6 +253,25 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("m10 contrastive pairs: negatives are in-batch, ranks dense, cosines descend") {
+    val rows = graft.operators.Multimodal.m10ContrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md, 16) % 16
+    }
+    rows.groupBy(_._1).foreach { case (anchor, negs) =>
+      val sorted = negs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4; case _ => true })
+      sorted.foreach { case (_, _, nid, _) =>
+        assert(bucket(nid) == bucket(anchor) && nid != anchor)
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
