@@ -272,6 +272,28 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("randomized: the three ts encodings normalize to identical instants (10 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 10) {
+      val rnd = new scala.util.Random(9000 + trial)
+      // instants across 1970..2100 with full µs precision — the range a
+      // real events feed can carry (and where a ms/µs/ns slip would show)
+      val micros = Seq.fill(40)(math.abs(rnd.nextLong()) % 4102444800000000L)
+      val dir = TempDirs.create(s"graft_ts_rand_${trial}_")
+      micros.map(_ * 1000L).toDF("ts").write.mode("overwrite").parquet(s"$dir/nanos.parquet")
+      micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/tz.parquet")
+      micros.toDF("us").select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/ntz.parquet")
+      val got = Seq("nanos", "tz", "ntz").map { enc =>
+        val df = Tables.normalizeTs(spark.read.parquet(s"$dir/$enc.parquet"))
+        assert(df.schema("ts").dataType == TimestampType, s"trial $trial $enc")
+        df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+      }
+      assert(got.distinct.size == 1 && got.head == micros.sorted, s"trial $trial")
+    }
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
