@@ -292,7 +292,10 @@ object SparkEntry {
     // round 8: DSIR-style importance weighting (hashed-bigram domain ratio)
     "t27_dsir"               -> ((s, d) => TextAnalysis.t27Dsir(s, d)),
     // round 8: watermark late-data audit (drop semantics oracle-replayed)
-    "s21_late_data"          -> (StreamingBatch.s21LateDataAudit _)
+    "s21_late_data"          -> (StreamingBatch.s21LateDataAudit _),
+    // round 9 (cont.): soft dedup weighting, Markov next-event model
+    "d20_soft_dedup"         -> (Dedup.d20SoftDedup _),
+    "e34_markov_next"        -> (Events.e34MarkovNext _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1821,6 +1824,50 @@ object SparkEntry {
         |SELECT cluster_size, count(*) AS n_clusters,
         | CAST(sum(cluster_size - 1) AS BIGINT) AS n_droppable
         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // d20 shares d6's exact-Jaccard cluster replay; weight = 1/|cluster|
+    // with singletons (absent from the map) at weight 1
+    "d20_soft_dedup" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |comp AS (SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1),
+        |cs AS (SELECT canonical_id, count(*) AS n FROM comp GROUP BY 1),
+        |m AS (SELECT comp.doc_id, cs.n FROM comp JOIN cs USING (canonical_id))
+        |SELECT d.doc_id, CAST(COALESCE(m.n, 1) AS INT) AS cluster_size,
+        | round(CAST(1 AS DOUBLE) / COALESCE(m.n, 1), 6) AS weight
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // e34: Laplace-smoothed transition argmax; probabilities rounded to
+    // 6dp BEFORE the argmax so the tie-break is engine-independent
+    "e34_markov_next" ->
+      """WITH tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        | WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT event_type) AS v FROM events),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM tr GROUP BY 1),
+        |p AS (SELECT tr.prev_type, tr.next_type, tr.n,
+        |  round(CAST(tr.n + 1 AS DOUBLE) / (t.tot + v.v), 6) AS p
+        | FROM tr JOIN t USING (prev_type) CROSS JOIN v),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY prev_type ORDER BY p DESC, next_type) AS rn
+        | FROM p)
+        |SELECT prev_type, next_type AS pred_next, p AS prob, CAST(n AS BIGINT) AS n_obs
+        |FROM r WHERE rn = 1 ORDER BY prev_type""".stripMargin,
     "q45_mom_growth" ->
       """WITH m AS (
         | SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,

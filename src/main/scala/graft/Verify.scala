@@ -21,8 +21,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a rerun into the same outDir must not leave a stale crash
+        // sidecar next to a now-green result
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.error.txt"))
+      }
       catch { case e: Throwable =>
         // A query that throws must surface as a RED correctness row, not
         // an absent one (the driver treats a missing output dir as

@@ -665,4 +665,32 @@ object Dedup {
       )
       .orderBy("canonical_url")
   }
+
+  /** d20: SOFT dedup — instead of dropping near-dup cluster members
+    * (d7's hard apply), weight every document by 1/|cluster| so
+    * downstream samplers see each near-dup cluster with the total mass
+    * of exactly ONE document (the SlimPajama-style soft-dedup policy,
+    * generalized from exact-hash groups to near-dup clusters). One
+    * broadcast join of the corpus against the cluster-size map — the
+    * map is bounded by near-dup membership, KB-scale next to the
+    * corpus; singletons (absent from the map) keep weight 1. At 100 TB
+    * this is the dedup policy that preserves corpus statistics while
+    * removing duplication bias: same cluster machinery as d6, zero
+    * extra shuffles beyond it.
+    */
+  def d20SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val sizes = clusterMap(s, d)
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("cs"))
+    val weights = clusterMap(s, d).join(sizes, "canonical_id").select(col("doc_id"), col("cs"))
+    Tables
+      .documents(s, d)
+      .join(broadcast(weights), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cs"), lit(1L)).cast("int").as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cs"), lit(1L)), 6).as("weight")
+      )
+      .orderBy("doc_id")
+  }
 }

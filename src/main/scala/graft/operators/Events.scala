@@ -796,4 +796,47 @@ object Events {
       )
       .orderBy("day", "event_type")
   }
+
+  /** e34: first-order MARKOV next-event model — fit + argmax prediction
+    * as one relational plan. Transition counts (e13's lag-window shape)
+    * are Laplace-smoothed over the event-type vocabulary,
+    * `P(next|prev) = (c+1)/(total_prev + V)`, and the most likely next
+    * type per antecedent is selected with probabilities rounded to
+    * decimal BEFORE the argmax (t26's engine-exact discipline — the
+    * tie-break, lexicographically-lowest next type, never sees a raw
+    * float). Unsmoothed-unobserved successors can never win (their
+    * smoothed mass is strictly below any observed count's), so the
+    * argmax runs over observed transitions only. Scale shape: one
+    * per-user sort (the lag window), one keyed count — the model and
+    * the prediction table are both |types|²-bounded, broadcast-sized
+    * at any corpus scale.
+    */
+  def e34MarkovNext(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = Tables.events(s, d).agg(countDistinct("event_type").as("v"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("tot"))
+    val probs = trans
+      .join(totals, "prev_type")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", round((col("n") + 1).cast("double") / (col("tot") + col("v")), 6))
+    val aw = Window.partitionBy("prev_type").orderBy(desc("p"), col("next_type"))
+    probs
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(
+        col("prev_type"),
+        col("next_type").as("pred_next"),
+        col("p").as("prob"),
+        col("n").cast("long").as("n_obs")
+      )
+      .orderBy("prev_type")
+  }
 }

@@ -294,6 +294,38 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("d20 soft dedup: weights sum to one per cluster, singletons weigh 1, mass = dedup'd corpus") {
+    import graft.operators.Dedup
+    val w = Dedup.d20SoftDedup(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(w.length == docs, "every document is weighted")
+    // singleton ⇒ weight exactly 1; member ⇒ weight = 1/cluster_size
+    assert(w.forall { r =>
+      val cs = r.getAs[Int]("cluster_size")
+      math.abs(r.getAs[Double]("weight") - 1.0 / cs) < 1e-6
+    })
+    // total soft mass == what hard dedup (d7, keep one per cluster) keeps
+    val softMass = w.map(_.getAs[Double]("weight")).sum
+    val hardKept = Dedup.d7DedupApply(spark, sf).count()
+    assert(math.abs(softMass - hardKept) < 0.01, s"soft=$softMass hard=$hardKept")
+  }
+
+  test("e34 markov: one prediction per antecedent, prob in (0,1], argmax beats siblings") {
+    import graft.operators.Events
+    val preds = Events.e34MarkovNext(spark, sf).collect()
+    val types = preds.map(_.getAs[String]("prev_type"))
+    assert(types.distinct.length == types.length && preds.nonEmpty)
+    assert(preds.forall(r => r.getAs[Double]("prob") > 0 && r.getAs[Double]("prob") <= 1))
+    // the predicted successor must carry the max observed count for its
+    // antecedent (smoothing is monotone in the count)
+    val trans = Events.e13Transitions(spark, sf).collect()
+      .groupBy(_.getAs[String]("prev_type"))
+    preds.foreach { r =>
+      val sib = trans(r.getAs[String]("prev_type")).map(_.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_obs") == sib.max)
+    }
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
