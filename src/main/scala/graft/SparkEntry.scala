@@ -295,7 +295,9 @@ object SparkEntry {
     "s21_late_data"          -> (StreamingBatch.s21LateDataAudit _),
     // round 9 (cont.): soft dedup weighting, Markov next-event model
     "d20_soft_dedup"         -> (Dedup.d20SoftDedup _),
-    "e34_markov_next"        -> (Events.e34MarkovNext _)
+    "e34_markov_next"        -> (Events.e34MarkovNext _),
+    // round 9 (cont.): recursive hierarchy closure by repeated squaring
+    "q51_hierarchy"          -> (Relational.q51Hierarchy _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1851,6 +1853,27 @@ object SparkEntry {
         | round(CAST(1 AS DOUBLE) / COALESCE(m.n, 1), 6) AS weight
         |FROM documents d LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q51: the log-round repeated-squaring closure must equal the
+    // sequential recursive-CTE semantics exactly — depth AND subtree size
+    "q51_hierarchy" ->
+      """WITH RECURSIVE
+        |par AS (SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey = 0 THEN NULL
+        |   ELSE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % c_custkey
+        |  END AS p
+        | FROM customer),
+        |walk(k, anc, d) AS (
+        | SELECT k, p, 1 FROM par WHERE p IS NOT NULL
+        | UNION ALL
+        | SELECT w.k, pp.p, w.d + 1 FROM walk w JOIN par pp ON pp.k = w.anc
+        | WHERE pp.p IS NOT NULL),
+        |dep AS (SELECT k, max(d) AS depth FROM walk GROUP BY 1),
+        |st AS (SELECT anc AS k, count(DISTINCT walk.k) AS n_desc FROM walk GROUP BY 1)
+        |SELECT p.k AS c_custkey,
+        | CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth,
+        | CAST(COALESCE(st.n_desc, 0) + 1 AS BIGINT) AS subtree_size
+        |FROM par p LEFT JOIN dep ON dep.k = p.k LEFT JOIN st ON st.k = p.k
+        |ORDER BY 1""".stripMargin,
     // e34: Laplace-smoothed transition argmax; probabilities rounded to
     // 6dp BEFORE the argmax so the tie-break is engine-independent
     "e34_markov_next" ->

@@ -899,4 +899,59 @@ object Relational {
       .select("o_custkey", "run_start", "run_end", "n_days")
       .orderBy("o_custkey", "run_start")
   }
+
+  /** q51: RECURSIVE HIERARCHY CLOSURE — the `WITH RECURSIVE` workload
+    * (org charts, BOM explosions, referral trees) Spark SQL has no
+    * native construct for, expressed as distributed transitive closure
+    * by REPEATED SQUARING: each round joins the closure-so-far with
+    * itself (`R ∪ R∘R`), so path lengths double per round and a
+    * depth-D forest closes in ⌈log₂D⌉ joins — not D sequential steps
+    * like the textbook frontier walk. Every round is one equi-join +
+    * distinct (both shuffle on ancestor keys), with `localCheckpoint()`
+    * truncating the lineage so the plan doesn't grow with iterations —
+    * the shape that survives a 1000-executor graph. The forest is
+    * data-derived (parent(k) = md5-hash(k) mod k — strictly smaller, so
+    * acyclic with root 0) and the closure powers the two canonical
+    * hierarchy analytics: node depth (max ancestor distance) and
+    * subtree size (descendant count + self). The oracle replays it as a
+    * genuine DuckDB recursive CTE, so the log-round plan is value-pinned
+    * against the sequential semantics. Full-closure row count is
+    * n·avg-depth (≈ n·ln n here); when only root/depth is needed at
+    * extreme scale, pointer doubling over the (k, anc, d) triple alone
+    * drops that to O(n) per round — same join shape.
+    */
+  def q51Hierarchy(s: SparkSession, d: String): DataFrame = {
+    val custs = Tables.customer(s, d).select(col("c_custkey"))
+    val h = conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10).cast("long")
+    val par = custs
+      .filter(col("c_custkey") > 0)
+      .select(col("c_custkey").as("k"), (h % col("c_custkey")).as("anc"), lit(1L).as("d"))
+    var closure = par.localCheckpoint()
+    var size = closure.count()
+    var grew = true
+    var iter = 0
+    while (grew && iter < 40) {
+      val right = closure.select(col("k").as("r_k"), col("anc").as("r_anc"), col("d").as("r_d"))
+      val next = closure
+        .join(right, closure("anc") === right("r_k"))
+        .select(col("k"), col("r_anc").as("anc"), (col("d") + col("r_d")).as("d"))
+      val grown = closure.unionByName(next).distinct().localCheckpoint()
+      val n = grown.count()
+      grew = n > size
+      size = n
+      closure = grown
+      iter += 1
+    }
+    val depths = closure.groupBy("k").agg(max("d").as("depth"))
+    val subtree = closure.groupBy(col("anc").as("k2")).agg(countDistinct("k").as("n_desc"))
+    custs
+      .join(depths, col("c_custkey") === col("k"), "left")
+      .join(subtree, col("c_custkey") === col("k2"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("depth"), lit(0L)).as("depth"),
+        (coalesce(col("n_desc"), lit(0L)) + 1).as("subtree_size")
+      )
+      .orderBy("c_custkey")
+  }
 }

@@ -326,6 +326,21 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 hierarchy closure: root covers all, pair-count conservation, depths start at root") {
+    import graft.operators.Relational
+    val rows = Relational.q51Hierarchy(spark, sf).collect()
+    val n = rows.length
+    val byKey = rows.map(r => r.getAs[Long]("c_custkey") ->
+      (r.getAs[Long]("depth"), r.getAs[Long]("subtree_size"))).toMap
+    assert(byKey(0L) == (0L, n.toLong), "node 0 is the unique root and ancestors everyone")
+    assert(rows.forall(r => r.getAs[Long]("c_custkey") == 0L || r.getAs[Long]("depth") >= 1))
+    // every (node, ancestor) pair is counted once from each side:
+    // Σ depth (pairs seen from the descendant) == Σ (subtree−1) (from the ancestor)
+    val sumDepth = rows.map(_.getAs[Long]("depth")).sum
+    val sumDesc = rows.map(_.getAs[Long]("subtree_size") - 1).sum
+    assert(sumDepth == sumDesc && sumDepth >= n - 1)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
