@@ -297,7 +297,9 @@ object SparkEntry {
     "d20_soft_dedup"         -> (Dedup.d20SoftDedup _),
     "e34_markov_next"        -> (Events.e34MarkovNext _),
     // round 9 (cont.): recursive hierarchy closure by repeated squaring
-    "q51_hierarchy"          -> (Relational.q51Hierarchy _)
+    "q51_hierarchy"          -> (Relational.q51Hierarchy _),
+    // round 9 (cont.): explicit zone-map skipping index
+    "c23_zone_map"           -> (Maintenance.c23ZoneMap _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1853,6 +1855,14 @@ object SparkEntry {
         | round(CAST(1 AS DOUBLE) / COALESCE(m.n, 1), 6) AS weight
         |FROM documents d LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // c23: the zone-map-pruned scan must be value-identical to the raw
+    // full scan under the same predicate (decimal sums both sides)
+    "c23_zone_map" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events WHERE value >= 100.0 AND value <= 120.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q51: the log-round repeated-squaring closure must equal the
     // sequential recursive-CTE semantics exactly — depth AND subtree size
     "q51_hierarchy" ->

@@ -1559,4 +1559,101 @@ object Maintenance {
       )
       .orderBy("day", "event_type")
   }
+
+  // ---------------------------------------------------------------------
+  // c23: explicit ZONE-MAP skipping index (file-level min/max as an
+  // engine-owned TABLE, not parquet footer metadata)
+
+  private val zoneMapCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage once per (JVM, source dir): events range-clustered by `value`
+    * into 16 files, plus the zone-map table — one row per file carrying
+    * min/max of every skip-eligible column and the row count. Built with
+    * ONE scan of the clustered copy (`input_file_name()` groupBy); the
+    * map is O(files) rows, stored as its own parquet artifact.
+    */
+  private[graft] def zoneMapStore(s: SparkSession, d: String): String =
+    zoneMapCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c23_")
+        rangeLayout(
+          Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+          s"$dir/data",
+          16,
+          Seq(col("value"), col("event_id"))
+        )
+        s.read
+          .parquet(s"$dir/data")
+          .groupBy(input_file_name().as("f"))
+          .agg(
+            min("value").as("mn_value"),
+            max("value").as("mx_value"),
+            min("user_id").as("mn_user"),
+            max("user_id").as("mx_user"),
+            count(lit(1)).as("n_rows")
+          )
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/zonemap")
+        dir
+      }
+    )
+
+  /** Files whose [min, max] value-zone overlaps [lo, hi] — the pruning
+    * probe. An O(files) metadata filter; only surviving PATHS reach the
+    * driver, never data rows.
+    */
+  private[graft] def zoneMatchedPaths(
+      s: SparkSession,
+      dir: String,
+      lo: Double,
+      hi: Double
+  ): Array[String] =
+    s.read
+      .parquet(s"$dir/zonemap")
+      .filter(col("mn_value") <= hi && col("mx_value") >= lo)
+      .select("f")
+      .collect()
+      .map(_.getString(0))
+
+  /** c23: ZONE-MAP data skipping — the Snowflake-micro-partition /
+    * Delta-file-stats pattern: persist per-file min/max as a first-class
+    * index table and plan scans from IT, not from file footers. c5
+    * already shows parquet footers pruning a clustered layout, but at
+    * 100 TB "ask each footer" is a million random metadata reads at PLAN
+    * time; the zone-map table answers the same question with one KB→MB
+    * scan, works for any file format (the stats outlive the format), and
+    * composes with c15's blooms (range zones for range predicates,
+    * blooms for point lookups on unclustered keys). The value-range
+    * query consults the map, reads only overlapping files, and must be
+    * value-identical to the raw full scan (the DuckDB oracle); the
+    * actual file-count pruning is ScalaTest-pinned. Sums ride
+    * decimal(18,2) so the answer is reproducible at any parallelism.
+    */
+  def c23ZoneMap(s: SparkSession, d: String): DataFrame = {
+    val dir = zoneMapStore(s, d)
+    val (lo, hi) = (100.0, 120.0)
+    val paths = zoneMatchedPaths(s, dir, lo, hi)
+    val pruned =
+      if (paths.isEmpty) s.read.parquet(s"$dir/data").filter(lit(false))
+      else s.read.parquet(paths.toIndexedSeq: _*)
+    pruned
+      .filter(col("value") >= lo && col("value") <= hi)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value"),
+        countDistinct("user_id").as("n_users")
+      )
+      .orderBy("event_type")
+  }
+
+  /** How many files the zone map keeps alive for [lo, hi] — the
+    * ScalaTest pruning probe (mirrors [[bloomMatchedFiles]]). */
+  private[graft] def zoneMatchedFiles(s: SparkSession, d: String, lo: Double, hi: Double): Long = {
+    val dir = zoneMapStore(s, d)
+    zoneMatchedPaths(s, dir, lo, hi).length.toLong
+  }
 }

@@ -341,6 +341,26 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(sumDepth == sumDesc && sumDepth >= n - 1)
   }
 
+  test("c23 zone map: the value-range probe prunes files, and pruning never changes the answer") {
+    import graft.operators.Maintenance
+    val total = Maintenance.zoneMatchedFiles(spark, sf, Double.MinValue, Double.MaxValue)
+    val hit = Maintenance.zoneMatchedFiles(spark, sf, 100.0, 120.0)
+    assert(total == 16L, s"zone map covers every file (got $total)")
+    assert(hit < total && hit >= 1, s"selective range must prune ($hit of $total)")
+    // a range outside the domain prunes everything
+    assert(Maintenance.zoneMatchedFiles(spark, sf, 1e9, 2e9) == 0L)
+    // semantic invisibility: pruned result == raw-table scan result
+    val pruned = Maintenance.c23ZoneMap(spark, sf).collect()
+    val raw = graft.sources.Tables.events(spark, sf)
+      .filter(col("value") >= 100.0 && col("value") <= 120.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type").collect()
+    assert(pruned.map(_.toString).toSeq == raw.map(_.toString).toSeq)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
