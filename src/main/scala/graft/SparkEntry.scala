@@ -299,7 +299,9 @@ object SparkEntry {
     // round 9 (cont.): recursive hierarchy closure by repeated squaring
     "q51_hierarchy"          -> (Relational.q51Hierarchy _),
     // round 9 (cont.): explicit zone-map skipping index
-    "c23_zone_map"           -> (Maintenance.c23ZoneMap _)
+    "c23_zone_map"           -> (Maintenance.c23ZoneMap _),
+    // round 9 (cont.): CDC apply with tombstones under reversed delivery
+    "s23_stream_cdc"         -> (StreamingBatch.s23StreamCdc _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1855,6 +1857,15 @@ object SparkEntry {
         | round(CAST(1 AS DOUBLE) / COALESCE(m.n, 1), 6) AS weight
         |FROM documents d LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // s23: CDC apply under newest-first delivery — the store must land on
+    // the latest non-deleted row per key regardless of arrival order
+    "s23_stream_cdc" ->
+      """WITH ch AS (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM ch WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // c23: the zone-map-pruned scan must be value-identical to the raw
     // full scan under the same predicate (decimal sums both sides)
     "c23_zone_map" ->

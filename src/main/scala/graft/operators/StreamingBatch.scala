@@ -455,6 +455,92 @@ object StreamingBatch {
       .orderBy("user_id")
   }
 
+  /** s23's staging: the changelog delivered NEWEST-FIRST — each of the 4
+    * staged files holds one descending time range (repartitionByRange on
+    * ts desc), so `maxFilesPerTrigger=1` replays the stream with every
+    * micro-batch OLDER than the one before. The adversarial arrival
+    * order for a CDC consumer: any unguarded "incoming overwrites
+    * store" merge ends with the OLDEST state.
+    */
+  private def stageJsonReversed(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#reversed",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_rev_")
+        toJsonMicros(Tables.events(s, d).repartitionByRange(4, col("ts").desc, col("event_id").desc))
+          .write
+          .mode("overwrite")
+          .text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s23: streaming CDC APPLY — tombstones + sequence discipline under
+    * out-of-order delivery. The changelog interprets every event as an
+    * upsert to the per-user keyed store and `error` events as DELETES
+    * (tombstones); the sequence key is (ts, event_id). Staging is
+    * NEWEST-FIRST (see [[stageJsonReversed]]), so correctness hinges on
+    * the two CDC rules s6's in-order upsert never exercises:
+    * (1) the merge is seq-GUARDED — `latest by (ts, event_id) over
+    * prev ∪ incoming`, never "incoming wins"; (2) tombstones are
+    * RETAINED in the store and filtered only at snapshot read, so a
+    * late-arriving pre-delete update cannot resurrect a deleted key
+    * (drop the tombstone at merge time and batch 2's older rows would).
+    * Final snapshot = latest non-deleted row per user — replayed
+    * independently by the DuckDB oracle from raw events; ScalaTest pins
+    * the arrival order really is reversed and that tombstones exist in
+    * the store but not the snapshot. At 100 TB the merge is one keyed
+    * shuffle per batch over O(store) rows — the standard CDC-compaction
+    * shape; tombstone retention windows (vacuum after max-lateness)
+    * bound the store exactly like c7's retention pass.
+    */
+  def s23StreamCdc(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJsonReversed(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val root = graft.TempDirs.create("graft_s23_run_")
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def latestBySeq(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = latestBySeq(batch)
+        val merged = Option(current.get()) match {
+          case Some(prev) => latestBySeq(spark.read.parquet(prev).unionByName(incoming))
+          case None       => incoming
+        }
+        val next = s"$root/state_v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s23LastStore.put(d, current.get())
+    s.read
+      .parquet(current.get())
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** Final store path of the last [[s23StreamCdc]] run per source dir
+    * (test access: the store must RETAIN tombstones the snapshot drops).
+    */
+  private[graft] val s23LastStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** s7 (oracle form): NATIVE streaming session aggregation — the
     * built-in `session_window` under a watermark (Spark's merging
     * session state), landed via an append parquet sink with the sentinel

@@ -361,6 +361,26 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(pruned.map(_.toString).toSeq == raw.map(_.toString).toSeq)
   }
 
+  test("s23 CDC: reversed arrival really is reversed; tombstones live in the store, not the snapshot") {
+    import graft.operators.StreamingBatch
+    val snap = StreamingBatch.s23StreamCdc(spark, sf).collect()
+    // no user whose latest event is an error survives in the snapshot
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val latest = graft.sources.Tables.events(spark, sf)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val deletedUsers = latest.filter(col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deletedUsers.nonEmpty, "fixture must exercise the tombstone arm")
+    assert(snap.map(_.getAs[Long]("user_id")).toSet.intersect(deletedUsers).isEmpty)
+    // the store RETAINS the tombstones the snapshot dropped
+    val store = spark.read.parquet(StreamingBatch.s23LastStore.get(sf))
+    val storeD = store.filter(col("op") === "D").select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(storeD == deletedUsers, "every deleted key is tombstoned in the store")
+    assert(store.count() == snap.length + deletedUsers.size)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
