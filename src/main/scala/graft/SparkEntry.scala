@@ -301,7 +301,9 @@ object SparkEntry {
     // round 9 (cont.): explicit zone-map skipping index
     "c23_zone_map"           -> (Maintenance.c23ZoneMap _),
     // round 9 (cont.): CDC apply with tombstones under reversed delivery
-    "s23_stream_cdc"         -> (StreamingBatch.s23StreamCdc _)
+    "s23_stream_cdc"         -> (StreamingBatch.s23StreamCdc _),
+    // round 9 (cont.): SQ8 quantized ANN (deterministic → fully oracle-gated)
+    "v13_knn_sq8"            -> ((s, d) => Similarity.v13KnnSq8(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1857,6 +1859,32 @@ object SparkEntry {
         | round(CAST(1 AS DOUBLE) / COALESCE(m.n, 1), 6) AS weight
         |FROM documents d LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // v13: the whole SQ8 prefilter→rerank chain is deterministic (floor
+    // quantization, integer dots exact in doubles), so it hash-gates like
+    // an exact query — no sketch exemption needed
+    "v13_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) AS mx
+        | FROM embeddings),
+        |qz AS (SELECT vec_id, emb,
+        |  list_transform(emb, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS DOUBLE)) AS q8
+        | FROM e),
+        |qs AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM qz WHERE vec_id < 10),
+        |sl AS (SELECT q_id, c.vec_id AS c_id,
+        |  row_number() OVER (PARTITION BY q_id
+        |    ORDER BY list_dot_product(q_q8, c.q8)
+        |      / (sqrt(list_dot_product(q_q8, q_q8)) * sqrt(list_dot_product(c.q8, c.q8)))
+        |      DESC, c.vec_id) AS srn
+        | FROM qz c JOIN qs ON c.vec_id <> q_id),
+        |cand AS (SELECT q_id, c_id FROM sl WHERE srn <= 20),
+        |ex AS (SELECT q_id, c_id,
+        |  list_dot_product(q.emb, c.emb)
+        |   / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+        | FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM ex)
+        |SELECT q_id, rn, c_id, round(cos, 4) AS cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
     // s23: CDC apply under newest-first delivery — the store must land on
     // the latest non-deleted row per key regardless of arrival order
     "s23_stream_cdc" ->

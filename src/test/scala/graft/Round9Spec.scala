@@ -381,6 +381,22 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(store.count() == snap.length + deletedUsers.size)
   }
 
+  test("v13 SQ8: shortlist=corpus degenerates to v1 exactly; tight shortlist keeps high recall") {
+    import graft.operators.Similarity
+    val n = graft.sources.Tables.embeddings(spark, sf).count().toInt
+    val exact = Similarity.v13KnnSq8(spark, sf, shortlist = n).collect()
+    val brute = Similarity.v1KnnBrute(spark, sf).collect()
+    assert(exact.map(_.toString).toSeq == brute.map(_.toString).toSeq,
+      "full-shortlist SQ8 rerank must equal brute-force exactly")
+    val sq8 = Similarity.v13KnnSq8(spark, sf).collect()
+    def tops(rows: Array[org.apache.spark.sql.Row]) = rows
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val (bt, st) = (tops(brute), tops(sq8))
+    val recall = bt.keysIterator.map(q => (bt(q) & st(q)).size.toDouble / bt(q).size).sum / bt.size
+    assert(recall >= 0.9, s"SQ8 recall@5 with shortlist 20 was $recall")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
