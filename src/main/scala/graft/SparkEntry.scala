@@ -303,7 +303,9 @@ object SparkEntry {
     // round 9 (cont.): CDC apply with tombstones under reversed delivery
     "s23_stream_cdc"         -> (StreamingBatch.s23StreamCdc _),
     // round 9 (cont.): SQ8 quantized ANN (deterministic → fully oracle-gated)
-    "v13_knn_sq8"            -> ((s, d) => Similarity.v13KnnSq8(s, d))
+    "v13_knn_sq8"            -> ((s, d) => Similarity.v13KnnSq8(s, d)),
+    // round 9 (cont.): incremental frontier dedup via broadcast bloom
+    "d21_incremental_dedup"  -> (Dedup.d21IncrementalDedup _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2718,6 +2720,19 @@ object SparkEntry {
         |SELECT g.canon AS canonical_url, r.doc_id AS keep_id, g.n_dups, g.max_chars
         |FROM g JOIN r ON g.canon = r.canon AND r.rn = 1
         |ORDER BY canonical_url""".stripMargin,
+    // d21: the bloom prefilter is performance-only — the exact confirm
+    // join makes the answer identical to this plain reference join
+    "d21_incremental_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/page/' || CAST(doc_id % 60 AS VARCHAR) AS canonical_url
+        | FROM documents),
+        |cut AS (SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS cut FROM documents),
+        |old AS (SELECT u.* FROM u, cut WHERE doc_id < cut),
+        |nw AS (SELECT u.* FROM u, cut WHERE doc_id >= cut),
+        |refs AS (SELECT canonical_url, min(doc_id) AS ref_doc_id FROM old GROUP BY 1)
+        |SELECT nw.doc_id, nw.canonical_url, refs.ref_doc_id
+        |FROM nw JOIN refs USING (canonical_url)
+        |ORDER BY nw.doc_id""".stripMargin,
     // t27: identical DSIR algebra — md5-derived bucket ids, 9-decimal
     // quantized log-ratios carried as decimals, keep on the exact sum
     "t27_dsir" ->

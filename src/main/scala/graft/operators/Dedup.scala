@@ -620,8 +620,11 @@ object Dedup {
     * canonical key (high cardinality ⇒ well-spread partitions); one
     * shuffle end to end, scan-shaped otherwise.
     */
-  def d18UrlDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, n_chars, canonical_url) for the whole corpus — d18's raw
+    * URL fixture run through the REAL canonicalizer. Shared by d18 and
+    * the incremental-dedup frontier check (d21).
+    */
+  private def canonicalUrls(s: SparkSession, d: String): DataFrame = {
     // path key doc_id%60 vs the fixture's source=doc_id%20 ⇒ canonical
     // groups of stride 60; surface variant steps by ⌊doc_id/20⌋ so every
     // group mixes all four raw forms (a group member exists per variant)
@@ -647,10 +650,14 @@ object Dedup {
     val hostLc = regexp_replace(lower(hostPort), "^www\\.", "")
     val hostNoPort = when(scheme === "https", regexp_replace(hostLc, ":443$", "")).otherwise(hostLc)
     val pathClean = regexp_replace(rest, "/$", "")
-    val canon = docs.withColumn(
-      "canonical_url",
-      concat(scheme, lit("://"), hostNoPort, pathClean)
-    )
+    docs
+      .withColumn("canonical_url", concat(scheme, lit("://"), hostNoPort, pathClean))
+      .drop("raw_url")
+  }
+
+  def d18UrlDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = canonicalUrls(s, d)
     val w = Window.partitionBy("canonical_url").orderBy(col("n_chars").desc, col("doc_id"))
     canon
       .withColumn("rn", row_number().over(w))
@@ -692,5 +699,65 @@ object Dedup {
         round(lit(1.0) / coalesce(col("cs"), lit(1L)), 6).as("weight")
       )
       .orderBy("doc_id")
+  }
+
+  /** d21: INCREMENTAL dedup against an already-indexed reference corpus —
+    * the crawl-frontier check ("have we seen this URL before?") that at
+    * 100 TB must NOT re-join the whole historical corpus per batch. The
+    * reference half (doc_id below the midpoint — "everything ingested so
+    * far") is folded into ONE bloom filter with Spark's own
+    * BloomFilterAggregate (a mergeable KB–MB sketch, one aggregate scan,
+    * broadcast to the probe side); new arrivals probe the bloom first —
+    * no false negatives, so misses (the overwhelming majority of a real
+    * frontier) short-circuit without touching the index — and only
+    * bloom-admitted candidates reach the exact confirm join that kills
+    * false positives and attaches the matched reference doc. The answer
+    * is therefore EXACT (the DuckDB oracle is the plain join) while the
+    * expensive join runs over O(dups + fp) rows instead of O(new);
+    * ScalaTest pins the prefilter admitting every true dup and its
+    * false-positive rate. Keys are canonical URLs (d18's canonicalizer)
+    * because the fixture corpus has no exact-text dups across halves.
+    */
+  def d21IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val canon = canonicalUrls(s, d)
+    val cut = canon.agg(
+      floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut")
+    )
+    val withCut = canon.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") < col("cut"))
+    val nw = withCut.filter(col("doc_id") >= col("cut"))
+    // the sketch itself is the only driver-side state: KB–MB at any
+    // corpus scale (might_contain requires a CONSTANT filter — the same
+    // O(model) collect discipline as the IVF centroids / PQ codebooks)
+    val bloomBytes = old
+      .agg(GraftExpressions.bloomAgg(xxhash64(col("canonical_url")), 100000L, 1L << 20).as("bf"))
+      .head()
+      .getAs[Array[Byte]]("bf")
+    val cand =
+      nw.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("canonical_url"))))
+    val refs = old.groupBy("canonical_url").agg(min("doc_id").as("ref_doc_id"))
+    cand
+      .join(refs, Seq("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"), col("ref_doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-admitted candidate count for [[d21IncrementalDedup]] (test
+    * access: true dups must all pass; false-positive overhead bounded).
+    */
+  private[graft] def d21BloomAdmitted(s: SparkSession, d: String): Long = {
+    val canon = canonicalUrls(s, d)
+    val cut = canon.agg(
+      floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut")
+    )
+    val withCut = canon.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") < col("cut"))
+    val nw = withCut.filter(col("doc_id") >= col("cut"))
+    val bloomBytes = old
+      .agg(GraftExpressions.bloomAgg(xxhash64(col("canonical_url")), 100000L, 1L << 20).as("bf"))
+      .head()
+      .getAs[Array[Byte]]("bf")
+    nw.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("canonical_url"))))
+      .count()
   }
 }

@@ -26,6 +26,29 @@ object GraftExpressions {
   def dotF(a: Column, b: Column): Column =
     column(FloatVecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Spark's own BloomFilterAggregate (the runtime-filtering sketch)
+    * surfaced as a user Column: a mergeable bloom over a LONG key
+    * column, returned as the serialized filter bytes. KB–MB-scale
+    * broadcast state for membership prefilters (d21).
+    */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumnBridge.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits)
+      ).toAggregateExpression()
+    )
+
+  /** Membership probe against [[bloomAgg]] bytes — no false negatives. */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftColumnBridge.expression(bloom),
+        GraftColumnBridge.expression(key)
+      )
+    )
+
   def minhashSig(shingles: Column, k: Int): Column =
     column(MinHashSig(GraftColumnBridge.expression(shingles), k))
 

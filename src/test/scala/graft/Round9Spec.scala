@@ -397,6 +397,34 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 with shortlist 20 was $recall")
   }
 
+  test("d21 incremental dedup: bloom admits every true dup; answer equals the plain join") {
+    import graft.operators.Dedup
+    val rows = Dedup.d21IncrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactness: forward-half URLs joined against back-half refs directly
+    val admitted = Dedup.d21BloomAdmitted(spark, sf)
+    assert(admitted >= rows.map(_.getAs[Long]("doc_id")).distinct.length,
+      "no false negatives: every dup doc passed the prefilter")
+    // every matched ref really is from the reference (earlier) half
+    assert(rows.forall(r => r.getAs[Long]("ref_doc_id") < r.getAs[Long]("doc_id")))
+  }
+
+  test("bloom component: aggregate + might_contain has no false negatives and bounded fp") {
+    import graft.plans.GraftExpressions
+    import spark.implicits._
+    val members = (0L until 1000L).map(i => i * 2654435761L)
+    val bf = members.toDF("k")
+      .agg(GraftExpressions.bloomAgg(col("k"), 1000L, 1L << 16).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits = members.toDF("k")
+      .filter(GraftExpressions.bloomMightContain(lit(bf), col("k"))).count()
+    assert(hits == 1000L, "every inserted key must be admitted")
+    val probes = (1L to 10000L).map(i => i * 7919L + 3L)
+    val fp = probes.toDF("k")
+      .filter(GraftExpressions.bloomMightContain(lit(bf), col("k"))).count()
+    assert(fp < 500L, s"false-positive rate out of bounds: $fp/10000")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
