@@ -305,7 +305,9 @@ object SparkEntry {
     // round 9 (cont.): SQ8 quantized ANN (deterministic → fully oracle-gated)
     "v13_knn_sq8"            -> ((s, d) => Similarity.v13KnnSq8(s, d)),
     // round 9 (cont.): incremental frontier dedup via broadcast bloom
-    "d21_incremental_dedup"  -> (Dedup.d21IncrementalDedup _)
+    "d21_incremental_dedup"  -> (Dedup.d21IncrementalDedup _),
+    // round 9 (cont.): stupid-backoff bigram LM scoring of held-out docs
+    "t31_backoff_lm"         -> (TextAnalysis.t31BackoffLm _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2720,6 +2722,37 @@ object SparkEntry {
         |SELECT g.canon AS canonical_url, r.doc_id AS keep_id, g.n_dups, g.max_chars
         |FROM g JOIN r ON g.canon = r.canon AND r.rn = 1
         |ORDER BY canonical_url""".stripMargin,
+    // t31: stupid backoff (Brants 2007) — train on even ids, score odd;
+    // both arms fire and the 0.4 penalties replay exactly
+    "t31_backoff_lm" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |mt AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        |st AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+        |mbg AS (SELECT bg, count(*) AS c2 FROM (
+        |  SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg FROM mt)
+        | GROUP BY 1),
+        |mu AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ts) AS w FROM mt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM mu),
+        |sb AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+        | FROM st),
+        |sp AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        | FROM sb),
+        |j AS (SELECT sp.doc_id, mbg.c2, a.c1 AS c1prev, b.c1 AS c1cur, tot.nt
+        | FROM sp LEFT JOIN mbg USING (bg)
+        | LEFT JOIN mu a ON a.w = sp.w1
+        | LEFT JOIN mu b ON b.w = sp.w2
+        | CROSS JOIN tot),
+        |sc AS (SELECT doc_id, c2,
+        |  CASE WHEN c2 IS NOT NULL THEN CAST(c2 AS DOUBLE) / c1prev
+        |       ELSE 0.4 * (CASE WHEN c1cur IS NOT NULL THEN CAST(c1cur AS DOUBLE) / nt
+        |                        ELSE 0.4 / nt END)
+        |  END AS sc
+        | FROM j)
+        |SELECT doc_id, round(avg(ln(sc)), 3) AS avg_logscore,
+        | CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        | count(*) AS n_pos
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // d21: the bloom prefilter is performance-only — the exact confirm
     // join makes the answer identical to this plain reference join
     "d21_incremental_dedup" ->

@@ -1022,4 +1022,66 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** t31: STUPID-BACKOFF bigram LM scoring of held-out documents — the
+    * missing piece between t13 (in-corpus bigram logprob, where every
+    * bigram is trivially attested) and t25 (unigram perplexity gate).
+    * The model trains on the even-id half of the corpus and scores the
+    * odd half, so BOTH arms genuinely fire: attested bigrams score
+    * c(w₁w₂)/c(w₁); unseen ones back off to 0.4·c(w₂)/N; OOV words to
+    * the 0.4²/N floor (Brants et al. 2007 — no normalization, which is
+    * exactly what makes it embarrassingly distributable: every position
+    * scores independently from three count tables). The plan is two
+    * keyed count aggregates (the model), then the scoring side LEFT-
+    * joins bigram and unigram tables — shuffle-on-key shapes that scale
+    * to any corpus; N rides a 1-row broadcast. Per-doc output: mean log
+    * score and how many positions backed off.
+    */
+  def t31BackoffLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    def bigrams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      explode(
+        zip_with(
+          slice(col("tk"), lit(1), n1),
+          slice(col("tk"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))
+        )
+      ).as("p")
+    )
+    val model = docs.filter(col("doc_id") % 2 === 0)
+    val mbg = bigrams(model)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val muni = model
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c1"))
+    val tot = muni.agg(sum("c1").cast("double").as("nt"))
+    val score = bigrams(docs.filter(col("doc_id") % 2 === 1))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(mbg, Seq("w1", "w2"), "left")
+      .join(muni.select(col("w").as("w1"), col("c1").as("c1prev")), Seq("w1"), "left")
+      .join(muni.select(col("w").as("w2"), col("c1").as("c1cur")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "sc",
+        when(col("c2").isNotNull, col("c2").cast("double") / col("c1prev"))
+          .otherwise(
+            lit(0.4) * when(col("c1cur").isNotNull, col("c1cur").cast("double") / col("nt"))
+              .otherwise(lit(0.4) / col("nt"))
+          )
+      )
+    score
+      .groupBy("doc_id")
+      .agg(
+        round(avg(log(col("sc"))), 3).as("avg_logscore"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        count(lit(1)).as("n_pos")
+      )
+      .orderBy("doc_id")
+  }
 }

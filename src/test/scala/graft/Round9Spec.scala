@@ -425,6 +425,16 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(fp < 500L, s"false-positive rate out of bounds: $fp/10000")
   }
 
+  test("t31 backoff LM: held-out split, both scoring arms fire, scores are log-probabilities") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.t31BackoffLm(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("doc_id") % 2 == 1), "only held-out docs scored")
+    val backoff = rows.map(_.getAs[Long]("n_backoff")).sum
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum
+    assert(backoff > 0 && backoff < pos, s"both arms must fire ($backoff of $pos backed off)")
+    assert(rows.forall(_.getAs[Double]("avg_logscore") < 0.0), "mean log score strictly negative")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
