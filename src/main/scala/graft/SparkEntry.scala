@@ -307,7 +307,9 @@ object SparkEntry {
     // round 9 (cont.): incremental frontier dedup via broadcast bloom
     "d21_incremental_dedup"  -> (Dedup.d21IncrementalDedup _),
     // round 9 (cont.): stupid-backoff bigram LM scoring of held-out docs
-    "t31_backoff_lm"         -> (TextAnalysis.t31BackoffLm _)
+    "t31_backoff_lm"         -> (TextAnalysis.t31BackoffLm _),
+    // round 9 (cont.): real-decode audio VAD segmentation
+    "m11_audio_segments"     -> ((s, d) => Multimodal.m11AudioSegments(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2695,6 +2697,26 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
         | CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // m11: decode→window→adaptive-gate→islands, all exact integers; the
+    // oracle replays the WAV store's generating arithmetic like m9
+    "m11_audio_segments" ->
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 41 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, t.i AS i,
+        |  ((n.doc_id*31 + t.i*t.i*7919) % 65536) - 32768 AS v
+        | FROM n JOIN generate_series(0, 104) t(i) ON t.i < n.ns),
+        |w AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS w_idx, count(*) AS len_w,
+        |  CAST(sum(v*v) AS BIGINT) AS sq_w
+        | FROM s GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(sq_w) AS BIGINT) AS tot_sq,
+        |  CAST(sum(len_w) AS BIGINT) AS tot_len FROM w GROUP BY 1),
+        |f AS (SELECT w.* FROM w JOIN tt USING (doc_id)
+        | WHERE sq_w * tot_len >= tot_sq * len_w),
+        |v AS (SELECT doc_id, w_idx,
+        |  w_idx - row_number() OVER (PARTITION BY doc_id ORDER BY w_idx) AS grp FROM f),
+        |r AS (SELECT doc_id, grp, count(*) AS run FROM v GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_segments, CAST(max(run) AS BIGINT) AS max_run,
+        | CAST(sum(run) AS BIGINT) AS n_voiced
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // v12: v1's exact-kNN algebra with the metadata predicate applied to
     // the candidate side before ranking
     "v12_filtered_knn" ->

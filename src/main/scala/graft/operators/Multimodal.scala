@@ -432,6 +432,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m11: AUDIO SEGMENTATION over the decoded PCM — the
+    * voice-activity-detection step an audio curation pipeline runs
+    * between decode (m9) and training-shard planning: window the
+    * samples (16-sample frames), gate each window on energy against the
+    * clip's own mean (adaptive threshold — exact integer cross-multiply
+    * `sq_w·tot_len ≥ tot_sq·len_w`, no float ratio anywhere), and merge
+    * consecutive voiced windows into segments with q40's gaps-and-
+    * islands window. The decode is REAL (javax.sound on executors,
+    * emitting per-window energy sums directly so only O(windows) rows
+    * ride the shuffle, never raw samples); the oracle replays the
+    * store's generating arithmetic in exact BIGINTs, so the full
+    * decode→window→gate→segment chain is hash-gated like m7/m9. Scale
+    * shape: per-clip windows only (no cross-doc joins), one keyed
+    * aggregate + one partitioned window.
+    */
+  def m11AudioSegments(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wrows = s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("wav_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          (0 until n by win).map { st =>
+            val end = math.min(st + win, n)
+            var sq = 0L
+            var i = st
+            while (i < end) {
+              val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+              sq += v * v
+              i += 1
+            }
+            (id, (st / win).toLong, (end - st).toLong, sq)
+          }
+        }
+      }
+      .toDF("doc_id", "w_idx", "len_w", "sq_w")
+    val tot = wrows.groupBy("doc_id").agg(sum("sq_w").as("tot_sq"), sum("len_w").as("tot_len"))
+    val voiced = wrows
+      .join(tot, "doc_id")
+      .filter(col("sq_w") * col("tot_len") >= col("tot_sq") * col("len_w"))
+    val w = Window.partitionBy("doc_id").orderBy("w_idx")
+    voiced
+      .withColumn("grp", col("w_idx") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        max("run").as("max_run"),
+        sum("run").as("n_voiced")
+      )
+      .orderBy("doc_id")
+  }
+
   /** m6: training-shard planning — assign every sample to a
     * size-budgeted shard (the webdataset/tar-shard layout step before a
     * training run). Samples spread over hash buckets; within a bucket an

@@ -435,6 +435,22 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("avg_logscore") < 0.0), "mean log score strictly negative")
   }
 
+  test("m11 audio VAD: every clip segmented, islands conserve voiced mass, gate is non-trivial") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.m11AudioSegments(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "adaptive gate keeps at least one voiced window per clip")
+    rows.foreach { r =>
+      val (seg, mx, voiced) = (r.getAs[Long]("n_segments"), r.getAs[Long]("max_run"), r.getAs[Long]("n_voiced"))
+      assert(seg >= 1 && mx >= 1 && voiced >= seg && mx <= voiced - seg + 1)
+    }
+    // the gate must actually DROP windows somewhere (else it's a no-op)
+    val totalWindows = rows.map { r =>
+      val id = r.getAs[Long]("doc_id"); (64 + id % 41 + 15) / 16
+    }.sum
+    assert(rows.map(_.getAs[Long]("n_voiced")).sum < totalWindows)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
