@@ -309,7 +309,9 @@ object SparkEntry {
     // round 9 (cont.): stupid-backoff bigram LM scoring of held-out docs
     "t31_backoff_lm"         -> (TextAnalysis.t31BackoffLm _),
     // round 9 (cont.): real-decode audio VAD segmentation
-    "m11_audio_segments"     -> ((s, d) => Multimodal.m11AudioSegments(s, d))
+    "m11_audio_segments"     -> ((s, d) => Multimodal.m11AudioSegments(s, d)),
+    // round 9 (cont.): online bloom-gated frontier dedup
+    "s24_stream_bloom_dedup" -> (StreamingBatch.s24StreamBloomDedup _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2697,6 +2699,17 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
         | CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // s24: the online dedup must land exactly "every doc after its URL's
+    // first" — the bloom is a prefilter, never the answer
+    "s24_stream_bloom_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/page/' || CAST(doc_id % 60 AS VARCHAR) AS canonical_url
+        | FROM documents),
+        |f AS (SELECT canonical_url, min(doc_id) AS ref_doc_id FROM u GROUP BY 1)
+        |SELECT u.doc_id, u.canonical_url, f.ref_doc_id
+        |FROM u JOIN f USING (canonical_url)
+        |WHERE u.doc_id > f.ref_doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     // m11: decode→window→adaptive-gate→islands, all exact integers; the
     // oracle replays the WAV store's generating arithmetic like m9
     "m11_audio_segments" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{TextFunctions => TF}
@@ -624,24 +624,29 @@ object Dedup {
     * URL fixture run through the REAL canonicalizer. Shared by d18 and
     * the incremental-dedup frontier check (d21).
     */
-  private def canonicalUrls(s: SparkSession, d: String): DataFrame = {
-    // path key doc_id%60 vs the fixture's source=doc_id%20 ⇒ canonical
-    // groups of stride 60; surface variant steps by ⌊doc_id/20⌋ so every
-    // group mixes all four raw forms (a group member exists per variant)
-    val p = pmod(col("doc_id"), lit(60)).cast("string")
-    val host = concat(col("source"), lit(".example.com"))
+  /** The raw-URL fixture expression over (doc_id, source) — path key
+    * doc_id%60 vs the fixture's source=doc_id%20 ⇒ canonical groups of
+    * stride 60; surface variant steps by ⌊doc_id/20⌋ so every group
+    * mixes all four raw forms (a group member exists per variant).
+    */
+  private[graft] def rawUrlFixture(docId: Column, source: Column): Column = {
+    val p = pmod(docId, lit(60)).cast("string")
+    val host = concat(source, lit(".example.com"))
     val path = concat(lit("/page/"), p)
-    val v = pmod(floor(col("doc_id") / lit(20)), lit(4))
-    val raw = when(v === 0, concat(lit("https://"), host, path))
+    val v = pmod(floor(docId / lit(20)), lit(4))
+    when(v === 0, concat(lit("https://"), host, path))
       .when(v === 1, concat(lit("HTTPS://"), upper(host), path, lit("/")))
       .when(v === 2, concat(lit("https://www."), host, path, lit("?utm_source=feed&utm_campaign=x")))
       .otherwise(concat(lit("https://"), host, lit(":443"), path, lit("#sec-2")))
-    val docs = Tables
-      .documents(s, d)
-      .select(col("doc_id"), col("n_chars"), raw.as("raw_url"))
-    // the canonicalizer: fragment → tracking params → dangling '&' →
-    // scheme/host case + www. + https default port → trailing slash
-    val noFrag = regexp_replace(col("raw_url"), "#.*$", "")
+  }
+
+  /** The general URL canonicalizer: fragment → tracking params →
+    * dangling '&' → scheme/host case + www. + https default port →
+    * trailing slash. Pure codegen'd regex columns, usable in batch
+    * (d18/d21) and per-micro-batch (s24) alike.
+    */
+  private[graft] def canonicalizeUrl(rawUrl: Column): Column = {
+    val noFrag = regexp_replace(rawUrl, "#.*$", "")
     val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
     val fixQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
     val scheme = lower(regexp_extract(fixQ, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -650,10 +655,17 @@ object Dedup {
     val hostLc = regexp_replace(lower(hostPort), "^www\\.", "")
     val hostNoPort = when(scheme === "https", regexp_replace(hostLc, ":443$", "")).otherwise(hostLc)
     val pathClean = regexp_replace(rest, "/$", "")
-    docs
-      .withColumn("canonical_url", concat(scheme, lit("://"), hostNoPort, pathClean))
-      .drop("raw_url")
+    concat(scheme, lit("://"), hostNoPort, pathClean)
   }
+
+  private def canonicalUrls(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        canonicalizeUrl(rawUrlFixture(col("doc_id"), col("source"))).as("canonical_url")
+      )
 
   def d18UrlDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1601,4 +1601,161 @@ object StreamingBatch {
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
   }
+
+  /** s24's staging: (doc_id, raw_url) JSON lines in ascending-id file
+    * ranges, so `maxFilesPerTrigger=1` replays the crawl frontier in
+    * arrival order.
+    */
+  private def stageUrlJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#urls",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_url_")
+        val docs = Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.operators.Dedup.rawUrlFixture(col("doc_id"), col("source")).as("raw_url")
+          )
+        val mx = docs.agg((max("doc_id") + 1).as("mxp1"))
+        docs
+          .crossJoin(broadcast(mx))
+          .withColumn("arr", floor(col("doc_id") * 4 / col("mxp1")).cast("int"))
+          .select(to_json(struct(col("doc_id"), col("raw_url"))).as("value"), col("arr"))
+          .repartition(1)
+          .write
+          .partitionBy("arr")
+          .mode("overwrite")
+          .text(s"$dir/stage")
+        // arrival order must BE the id order: one file per id-quartile,
+        // renamed + mtime-stamped ascending (s21's staging discipline —
+        // same-mtime part files give FileStreamSource no defined order)
+        val stageDir = new java.io.File(s"$dir/stage")
+        val jsonDir = new java.io.File(s"$dir/json"); jsonDir.mkdirs()
+        val base = System.currentTimeMillis() - 1000000L
+        stageDir
+          .listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("arr="))
+          .sortBy(_.getName.stripPrefix("arr=").toInt)
+          .zipWithIndex
+          .foreach { case (sub, i) =>
+            val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+            val dst = new java.io.File(jsonDir, f"batch_$i%04d.json")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(base + i * 60000L)
+          }
+        dir
+      }
+    )
+
+  /** s24: STREAMING BLOOM-GATED DEDUP — d21's frontier check run online.
+    * URLs arrive raw and are canonicalized PER MICRO-BATCH; the
+    * cross-batch state is (a) one OR-mergeable bloom sketch (Spark's
+    * BloomFilterAggregate bytes, merged driver-side per batch — KB-scale
+    * however long the stream runs) and (b) the exact (url → first doc)
+    * index, copy-on-write like s6. Each batch: only bloom-ADMITTED rows
+    * join the exact index (misses — the frontier majority — never touch
+    * it; no false negatives, so nothing is missed), a left join keeps
+    * bloom false positives harmless (null ref ⇒ not a dup), in-batch
+    * copies resolve against the batch minimum, and the landed dup report
+    * appends (doc_id, canonical_url, ref_doc_id = GLOBAL first). The
+    * batch oracle replays "every doc after its URL's first" — arrival
+    * order is the staged id order, so the streaming result is exactly
+    * the batch answer. State: bloom KB + index O(distinct urls).
+    */
+  def s24StreamBloomDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = stageUrlJson(s, d)
+    val urlSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("raw_url", StringType))
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), urlSchema).as("r"))
+      .select("r.*")
+    val root = graft.TempDirs.create("graft_s24_run_")
+    val idxRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val bloomRef = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](null)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val canon = batch.select(
+          col("doc_id"),
+          graft.operators.Dedup.canonicalizeUrl(col("raw_url")).as("u")
+        )
+        // bloom prefilter decides who is ALLOWED to consult the index
+        val flagged = Option(bloomRef.get) match {
+          case Some(bytes) =>
+            canon.withColumn(
+              "maybe",
+              graft.plans.GraftExpressions.bloomMightContain(lit(bytes), xxhash64(col("u")))
+            )
+          case None => canon.withColumn("maybe", lit(false))
+        }
+        val admitted = Option(idxRef.get) match {
+          case Some(prev) =>
+            flagged
+              .filter(col("maybe"))
+              .join(spark.read.parquet(prev), Seq("u"), "left") // ref0 nullable: fp stays harmless
+          case None => flagged.filter(col("maybe")).withColumn("ref0", lit(null).cast("long"))
+        }
+        val joined = admitted.unionByName(
+          flagged.filter(!col("maybe")).withColumn("ref0", lit(null).cast("long"))
+        )
+        val w = Window.partitionBy("u")
+        val withRef = joined
+          .withColumn("bmin", min("doc_id").over(w))
+          .withColumn("ref", coalesce(col("ref0"), col("bmin")))
+        // ids arrive ascending, so a cross-batch ref is always below every
+        // current id: one predicate covers both dup arms
+        withRef
+          .filter(col("doc_id") > col("ref"))
+          .select(col("doc_id"), col("u"), col("ref").as("ref_doc_id"))
+          .write
+          .mode("append")
+          .parquet(s"$root/dups")
+        val newUniques = withRef
+          .filter(col("ref0").isNull && col("doc_id") === col("bmin"))
+          .select(col("u"), col("doc_id").as("ref0"))
+        val mergedIdx = Option(idxRef.get) match {
+          case Some(prev) => spark.read.parquet(prev).unionByName(newUniques)
+          case None       => newUniques
+        }
+        val next = s"$root/index_v$batchId"
+        mergedIdx.write.mode("overwrite").parquet(next)
+        idxRef.set(next)
+        // a batch of pure dups contributes no new keys — the aggregate
+        // returns null bytes and the carried bloom stays as-is
+        val bb = Option(
+          newUniques
+            .agg(
+              graft.plans.GraftExpressions.bloomAgg(xxhash64(col("u")), 100000L, 1L << 20).as("bf")
+            )
+            .head()
+            .getAs[Array[Byte]]("bf")
+        )
+        (Option(bloomRef.get), bb) match {
+          case (Some(prevB), Some(nb)) =>
+            val a = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(prevB))
+            val b = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(nb))
+            a.mergeInPlace(b)
+            val out = new java.io.ByteArrayOutputStream()
+            a.writeTo(out)
+            bloomRef.set(out.toByteArray)
+          case (None, Some(nb)) => bloomRef.set(nb)
+          case _                => ()
+        }
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$root/dups")
+      .select(col("doc_id"), col("u").as("canonical_url"), col("ref_doc_id"))
+      .orderBy("doc_id")
+  }
 }

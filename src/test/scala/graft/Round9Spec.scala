@@ -451,6 +451,26 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_voiced")).sum < totalWindows)
   }
 
+  test("s24 online bloom dedup: equals the batch answer; dups cross micro-batch boundaries") {
+    import graft.operators.StreamingBatch
+    val rows = StreamingBatch.s24StreamBloomDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // batch recompute: every doc after its canonical URL's first
+    val batch = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/page/"),
+          pmod(col("doc_id"), lit(60)).cast("string")).as("u"))
+    val firsts = batch.groupBy("u").agg(min("doc_id").as("ref"))
+    val expect = batch.join(firsts, "u").filter(col("doc_id") > col("ref"))
+      .select(col("doc_id"), col("ref")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_doc_id"))).toSet
+    assert(got == expect, s"streaming=${got.size} batch=${expect.size}")
+    // the cross-batch arm fired: some dup's first lives in an earlier id-quartile
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.exists(r => r.getAs[Long]("doc_id") * 4 / n != r.getAs[Long]("ref_doc_id") * 4 / n))
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
