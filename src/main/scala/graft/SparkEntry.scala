@@ -311,7 +311,9 @@ object SparkEntry {
     // round 9 (cont.): real-decode audio VAD segmentation
     "m11_audio_segments"     -> ((s, d) => Multimodal.m11AudioSegments(s, d)),
     // round 9 (cont.): online bloom-gated frontier dedup
-    "s24_stream_bloom_dedup" -> (StreamingBatch.s24StreamBloomDedup _)
+    "s24_stream_bloom_dedup" -> (StreamingBatch.s24StreamBloomDedup _),
+    // round 9 (cont.): partition-spec evolution behind one reader
+    "c24_partition_evolution" -> (Maintenance.c24PartitionEvolution _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2699,6 +2701,19 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
         | CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // c24: the two-generation reader must equal the raw-table scan under
+    // the same derived split-day arithmetic
+    "c24_partition_evolution" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) + 1 AS d1,
+        |  CAST(min(ts) AS DATE)
+        |   + CAST(datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) // 2 AS INT) + 1 AS d2
+        | FROM events)
+        |SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE CAST(ts AS DATE) = b.d1
+        |   OR (CAST(ts AS DATE) = b.d2 AND CAST(strftime(ts, '%H') AS INT) BETWEEN 6 AND 11)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s24: the online dedup must land exactly "every doc after its URL's
     // first" — the bloom is a prefilter, never the answer
     "s24_stream_bloom_dedup" ->

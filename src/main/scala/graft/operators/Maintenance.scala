@@ -157,6 +157,8 @@ object Maintenance {
     mvLineitemStore(s, d)
     statsStore(s, d)
     tpchStatsStore(s, d)
+    zoneMapStore(s, d)
+    partEvoStore(s, d)
   }
 
   // the merge store c2b time-travels into, built once per (JVM, source
@@ -1655,5 +1657,99 @@ object Maintenance {
   private[graft] def zoneMatchedFiles(s: SparkSession, d: String, lo: Double, hi: Double): Long = {
     val dir = zoneMapStore(s, d)
     zoneMatchedPaths(s, dir, lo, hi).length.toLong
+  }
+
+  // ---------------------------------------------------------------------
+  // c24: PARTITION-SPEC EVOLUTION (Iceberg-style): one table, two
+  // physical layouts — history partitioned by day, the recent half
+  // re-specced to (day, hr) — behind one reader.
+
+  private val partEvoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage once per (JVM, source dir): events split at the midpoint day;
+    * the old half lands under `gen1/` partitioned by `day`, the new half
+    * under `gen2/` partitioned by `(day, hr)` — the spec change a table
+    * makes when hourly dashboards arrive and daily files get too big.
+    */
+  private[graft] def partEvoStore(s: SparkSession, d: String): String =
+    partEvoCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = graft.TempDirs.create("graft_c24_")
+        val ev = Tables
+          .events(s, d)
+          .withColumn("day", col("ts").cast("date"))
+          .withColumn("hr", hour(col("ts")))
+        val split = ev.agg(
+          date_add(min("day"), (datediff(max("day"), min("day")) / 2).cast("int")).as("sp")
+        )
+        val tagged = ev.crossJoin(broadcast(split))
+        tagged
+          .filter(col("day") < col("sp"))
+          .drop("sp")
+          .write
+          .partitionBy("day")
+          .mode("overwrite")
+          .parquet(s"$dir/gen1")
+        tagged
+          .filter(col("day") >= col("sp"))
+          .drop("sp")
+          .write
+          .partitionBy("day", "hr")
+          .mode("overwrite")
+          .parquet(s"$dir/gen2")
+        dir
+      }
+    )
+
+  /** The evolved table behind ONE reader: both generations scanned with
+    * their own partition columns and aligned by name (test access —
+    * plan assertions read the per-generation scans).
+    */
+  private[graft] def partEvoRead(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val g1 = s.read.parquet(s"$dir/gen1").withColumn("hr", hour(col("ts")))
+    val g2 = s.read.parquet(s"$dir/gen2")
+    (g1, g2)
+  }
+
+  /** c24: PARTITION-SPEC EVOLUTION — the lakehouse reality c21's column
+    * evolution doesn't cover: a table's physical partitioning CHANGES
+    * mid-life (daily files grow too big → re-spec new data to
+    * (day, hr)), old data is NOT rewritten (at 100 TB that rewrite is
+    * the thing you're avoiding), and every query must keep planning
+    * partition pruning against EACH generation's own spec — day-prune
+    * into gen1, (day, hr)-prune into gen2, missing physical columns
+    * derived (gen1's `hr` comes from `ts` at read). The probe query
+    * spans the boundary: full-day traffic from one gen1 day plus a
+    * morning-hours slice of one gen2 day; the DuckDB oracle computes
+    * both from raw events with the same derived split-day arithmetic,
+    * so a reader that drops, double-reads, or mis-prunes either
+    * generation fails the hash. Partition-directory pruning on both
+    * gens is ScalaTest-pinned via inputFiles. Sums ride decimal(18,2).
+    */
+  def c24PartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = partEvoStore(s, d)
+    val (g1, g2) = partEvoRead(s, dir)
+    val both = g1.select("event_type", "value", "day", "hr")
+      .unionByName(g2.select("event_type", "value", "day", "hr"))
+    val bounds = Tables
+      .events(s, d)
+      .select(col("ts").cast("date").as("day"))
+      .agg(
+        date_add(min("day"), 1).as("d1"),
+        date_add(min("day"), (datediff(max("day"), min("day")) / 2).cast("int") + 1).as("d2")
+      )
+    both
+      .crossJoin(broadcast(bounds))
+      .filter(
+        col("day") === col("d1") ||
+          (col("day") === col("d2") && col("hr") >= 6 && col("hr") <= 11)
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value")
+      )
+      .orderBy("event_type")
   }
 }

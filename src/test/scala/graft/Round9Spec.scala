@@ -471,6 +471,22 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("doc_id") * 4 / n != r.getAs[Long]("ref_doc_id") * 4 / n))
   }
 
+  test("c24 partition evolution: each generation prunes under its OWN spec") {
+    import graft.operators.Maintenance
+    val dir = Maintenance.partEvoStore(spark, sf)
+    val (g1, g2) = Maintenance.partEvoRead(spark, dir)
+    // gen1 (day-partitioned): a day predicate is a PartitionFilter
+    val q1 = g1.filter(col("day") === g1.select(min("day")).head().getDate(0))
+    assert(q1.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(day"))
+    // gen2 ((day, hr)-partitioned): the HOUR predicate also partition-prunes
+    val q2 = g2.filter(col("hr") >= 6 && col("hr") <= 11)
+    val scan2 = q2.queryExecution.executedPlan.toString
+    assert(scan2.contains("PartitionFilters:") && scan2.contains("(hr"))
+    // both generations contribute rows to the evolved-table probe
+    assert(q1.count() > 0 && q2.count() > 0)
+    assert(Maintenance.c24PartitionEvolution(spark, sf).count() > 0)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
