@@ -313,7 +313,9 @@ object SparkEntry {
     // round 9 (cont.): online bloom-gated frontier dedup
     "s24_stream_bloom_dedup" -> (StreamingBatch.s24StreamBloomDedup _),
     // round 9 (cont.): partition-spec evolution behind one reader
-    "c24_partition_evolution" -> (Maintenance.c24PartitionEvolution _)
+    "c24_partition_evolution" -> (Maintenance.c24PartitionEvolution _),
+    // round 9 (cont.): the audio curation chain (decode→VAD→gate→shards)
+    "p7_curate_audio"        -> ((s, d) => graft.operators.Curate.p7CurateAudio(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2701,6 +2703,38 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
         | CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // p7: m11's VAD algebra + speech-density gate + m6's shard packing
+    // replayed end-to-end in exact integers
+    "p7_curate_audio" ->
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 41 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, t.i AS i,
+        |  ((n.doc_id*31 + t.i*t.i*7919) % 65536) - 32768 AS v
+        | FROM n JOIN generate_series(0, 104) t(i) ON t.i < n.ns),
+        |w AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS w_idx, count(*) AS len_w,
+        |  CAST(sum(v*v) AS BIGINT) AS sq_w
+        | FROM s GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(sq_w) AS BIGINT) AS tot_sq,
+        |  CAST(sum(len_w) AS BIGINT) AS tot_len FROM w GROUP BY 1),
+        |f AS (SELECT w.* FROM w JOIN tt USING (doc_id)
+        | WHERE sq_w * tot_len >= tot_sq * len_w),
+        |vv AS (SELECT doc_id, w_idx,
+        |  w_idx - row_number() OVER (PARTITION BY doc_id ORDER BY w_idx) AS grp FROM f),
+        |r AS (SELECT doc_id, grp, count(*) AS run FROM vv GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(run) AS max_run, CAST(sum(run) AS BIGINT) AS n_voiced
+        | FROM r GROUP BY 1),
+        |g AS (SELECT m.doc_id, m.n_voiced FROM m JOIN n USING (doc_id)
+        | WHERE m.max_run >= 2
+        |   AND m.n_voiced * 2 >= CAST(floor((n.ns + 15) / 16.0) AS BIGINT)),
+        |b AS (SELECT doc_id, n_voiced,
+        |  ((doc_id & 2147483647) * 2654435761) % 4294967296 AS rk FROM g),
+        |p AS (SELECT doc_id, n_voiced, rk, rk % 4 AS bkt,
+        |  COALESCE(sum(n_voiced) OVER (PARTITION BY rk % 4 ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM b)
+        |SELECT bkt * 100000 + CAST(floor(prefix / 60.0) AS BIGINT) AS shard_id,
+        | count(*) AS n_clips, CAST(sum(n_voiced) AS BIGINT) AS total_voiced,
+        | min(doc_id) AS first_doc
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // c24: the two-generation reader must equal the raw-table scan under
     // the same derived split-day arithmetic
     "c24_partition_evolution" ->

@@ -281,4 +281,52 @@ object Curate {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
   }
+
+  /** p7: the AUDIO curation chain — m9's real decode, m11's VAD
+    * segmentation, a speech-density gate, and m6's budgeted shard
+    * algebra composed into ONE oracle-gated unit: clips must show a
+    * sustained voiced run (max_run ≥ 2 windows) and at least half their
+    * windows voiced (`2·n_voiced ≥ n_windows`, windows from the DECODED
+    * sample count — integer arithmetic end-to-end), then survivors pack
+    * into voiced-window-budgeted training shards via the Knuth-hash
+    * bucket + exclusive running prefix (p4's discipline: the gate
+    * changes who consumes budget, so stage order is part of the hash).
+    * Everything from PCM bytes to shard ids is exact integers — the
+    * whole multimodal pipeline (decode → analyze → gate → plan) rides
+    * the driver gate like a relational query.
+    */
+  def p7CurateAudio(
+      s: SparkSession,
+      d: String,
+      budgetWindows: Double = 60.0,
+      nBuckets: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = graft.operators.Multimodal.m11AudioSegments(s, d)
+    val stats = graft.operators.Multimodal.m9WavDecode(s, d).select(col("doc_id"), col("n_samples"))
+    val survivors = seg
+      .join(stats, "doc_id")
+      .withColumn("n_windows", floor((col("n_samples") + lit(15L)) / lit(16.0)).cast("long"))
+      .filter(col("max_run") >= 2 && col("n_voiced") * 2 >= col("n_windows"))
+    val rk = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+    val b = survivors
+      .withColumn("rk", rk)
+      .withColumn("bkt", pmod(col("rk"), lit(nBuckets)))
+    val w = Window
+      .partitionBy("bkt")
+      .orderBy("rk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("prefix", coalesce(sum("n_voiced").over(w), lit(0L)))
+      .withColumn(
+        "shard_id",
+        col("bkt") * 100000 + floor(col("prefix") / lit(budgetWindows)).cast("long")
+      )
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum("n_voiced").cast("long").as("total_voiced"),
+        min("doc_id").as("first_doc")
+      )
+      .orderBy("shard_id")
+  }
 }

@@ -487,6 +487,25 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(Maintenance.c24PartitionEvolution(spark, sf).count() > 0)
   }
 
+  test("p7 audio chain: the gate actually drops clips and shard mass equals survivor mass") {
+    import graft.operators.{Curate, Multimodal}
+    val shards = Curate.p7CurateAudio(spark, sf).collect()
+    assert(shards.nonEmpty)
+    val seg = Multimodal.m11AudioSegments(spark, sf).collect()
+    val clips = seg.length
+    val packed = shards.map(_.getAs[Long]("n_clips")).sum
+    assert(packed < clips, s"the speech-density gate must drop clips ($packed of $clips packed)")
+    assert(packed > 0)
+    // conservation: voiced windows in shards == voiced windows of survivors
+    val stats = Multimodal.m9WavDecode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_samples")).toMap
+    val survivorMass = seg.filter { r =>
+      val nw = (stats(r.getAs[Long]("doc_id")) + 15) / 16
+      r.getAs[Long]("max_run") >= 2 && r.getAs[Long]("n_voiced") * 2 >= nw
+    }.map(_.getAs[Long]("n_voiced")).sum
+    assert(shards.map(_.getAs[Long]("total_voiced")).sum == survivorMass)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
