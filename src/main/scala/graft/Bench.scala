@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same fully-extended session as Verify — timed numbers always
+    // reflect the extension stack, not registration order
+    graft.plans.GraftExtensions.register(spark)
+    graft.plans.TopK.install(spark)
     // untimed warmup at the smallest SF: JIT + codegen + classloading
     // otherwise land on whichever queries run first
     try {

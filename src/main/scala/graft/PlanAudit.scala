@@ -76,7 +76,17 @@ object PlanAudit {
       "c22_mv_retraction"           -> "IVM signed fold: summary ⊕ changelog deltas only — raw history never rescanned",
       "c19b_stats_broadcast"        -> "transparent catalog broadcast: hint-free join planned into BHJ from stored estimates (Spark sizing disabled at pin time)",
       "e33_cusum_drift"             -> "CUSUM drift: the sequential recursion as running-sum + running-min windows, keyed on event_type",
-      "p6_curate_decontam"          -> "gopher -> decontaminate -> per-source budget: pushed gates, scan x broadcast benchmark, one window per source"
+      "p6_curate_decontam"          -> "gopher -> decontaminate -> per-source budget: pushed gates, scan x broadcast benchmark, one window per source",
+      "d20_soft_dedup"              -> "soft dedup: corpus scan + broadcast cluster-size map — one join, weights per-row",
+      "e34_markov_next"             -> "Markov fit+predict: lag window -> keyed counts -> broadcast vocab -> argmax window on the types² model table",
+      "c23_zone_map"                -> "zone-map skipping: scan planned over ONLY the map-admitted file paths (see Location count), residual range filter pushed",
+      "v13_knn_sq8"                 -> "SQ8 ANN: quantized-cosine shortlist via TopKPerKey, exact rerank joins only the candidate rows",
+      "d21_incremental_dedup"       -> "incremental dedup: bloom-bytes literal prefilter per-row, exact confirm join only on admitted candidates",
+      "t31_backoff_lm"              -> "stupid backoff: two model aggregates + left joins; N as a 1-row broadcast; no per-position state",
+      "m11_audio_segments"          -> "audio VAD: real decode emits per-window energy rows, adaptive gate via broadcast-free keyed join, islands window per clip",
+      "c24_partition_evolution"     -> "partition evolution: two generation scans union'd, each with its own PartitionFilters",
+      "p7_curate_audio"             -> "audio chain: decode stats joined to VAD runs, integer density gate, bucket-keyed shard windows",
+      "q51_hierarchy"               -> "hierarchy closure: final depth/subtree aggregates over the squared closure (iterative joins happen pre-plan via localCheckpoint)"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

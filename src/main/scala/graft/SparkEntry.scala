@@ -315,7 +315,9 @@ object SparkEntry {
     // round 9 (cont.): partition-spec evolution behind one reader
     "c24_partition_evolution" -> (Maintenance.c24PartitionEvolution _),
     // round 9 (cont.): the audio curation chain (decode→VAD→gate→shards)
-    "p7_curate_audio"        -> ((s, d) => graft.operators.Curate.p7CurateAudio(s, d))
+    "p7_curate_audio"        -> ((s, d) => graft.operators.Curate.p7CurateAudio(s, d)),
+    // round 9 (cont.): native as-of join (custom physical operator)
+    "e7b_asof_native"        -> (Events.e7bAsofNative _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -349,6 +351,15 @@ object SparkEntry {
       |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4)
       |SELECT m.vec_id, cluster, dup.vec_id IS NULL AS keep
       |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id ORDER BY m.vec_id""".stripMargin
+
+  private val asofSql =
+    """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS p_event_id, p.user_id, c.event_id AS click_event_id,
+      | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p_event_id""".stripMargin
 
   private val knnExactSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -657,14 +668,10 @@ object SparkEntry {
         | CAST(32 + (octet_length(encode(text)) * 7) % 64 AS INT) AS h,
         | CAST(1 + doc_id % 5 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "e7_asof_join" ->
-      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
-        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM e WHERE event_type = 'click')
-        |SELECT p.event_id AS p_event_id, p.user_id, c.event_id AS click_event_id,
-        | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p_event_id""".stripMargin,
+    "e7_asof_join" -> asofSql,
+    // e7b: the NATIVE AsofJoinExec must be value-identical to both the
+    // composed window form (e7) and DuckDB's own ASOF JOIN
+    "e7b_asof_native" -> asofSql,
     "q19_range_join" ->
       """SELECT label, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem JOIN (VALUES (0,10,'low'),(10,25,'mid'),(25,100,'high')) r(lo,hi,label)

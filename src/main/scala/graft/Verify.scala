@@ -17,6 +17,13 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // install the extension stack (MvRewrite/TopK/SQL fns) up front:
+    // previously whichever query called register() first flipped the
+    // session's planning for every LATER query, so what the gate proved
+    // depended on Map iteration order — now every query verifies under
+    // the same fully-extended session the engine ships with
+    graft.plans.GraftExtensions.register(spark)
+    graft.plans.TopK.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

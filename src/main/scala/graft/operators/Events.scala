@@ -122,6 +122,39 @@ object Events {
       .orderBy("p_event_id")
   }
 
+  /** e7b: e7's as-of join through the NATIVE [[graft.plans.AsofJoinExec]]
+    * operator instead of the union-tag window composition — purchases
+    * and clicks each hash-cluster on user and sort (user, time) exactly
+    * like a SortMergeJoin's children, then one forward merge per
+    * partition attaches the latest click at-or-before each purchase.
+    * Same oracle as e7, so the custom physical operator is value-pinned
+    * against both the composed form and DuckDB.
+    */
+  def e7bAsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user_id"),
+        col("event_id").as("cid"),
+        unix_micros(col("ts")).as("ctus")
+      )
+    graft.plans.AsofJoin
+      .asof(purchases, clicks, "user_id", "tus", "c_user_id", "ctus", "cid")
+      .select(
+        col("event_id").as("p_event_id"),
+        col("user_id"),
+        col("cid").as("click_event_id"),
+        (col("tus") - col("ctus")).as("gap_us")
+      )
+      .orderBy("p_event_id")
+  }
+
   /** Time-series resample / gap-fill: a dense (event_type × hour) spine
     * generated with `sequence`, left-joined to the sparse hourly counts,
     * missing buckets zero-filled. The spine is a broadcast-size cross of

@@ -77,5 +77,6 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ StatsPlanner.StatsBroadcastRule
     }
     TopK.install(spark)
+    AsofJoin.install(spark)
   }
 }

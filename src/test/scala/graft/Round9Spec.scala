@@ -506,6 +506,18 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(shards.map(_.getAs[Long]("total_voiced")).sum == survivorMass)
   }
 
+  test("e7b native as-of join: plans AsofJoinExec and equals the composed window form row-for-row") {
+    import graft.operators.Events
+    val native = Events.e7bAsofNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in plan:\n${plan.take(800)}")
+    val composed = Events.e7AsofJoin(spark, sf).collect().map(_.toString)
+    val got = native.collect().map(_.toString)
+    assert(got.toSeq == composed.toSeq, "native operator must equal the window composition")
+    // the fixture exercises BOTH arms: matched purchases and no-prior-click nulls
+    assert(got.exists(_.contains("null")) && got.exists(!_.contains("null")))
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
