@@ -86,7 +86,8 @@ object PlanAudit {
       "m11_audio_segments"          -> "audio VAD: real decode emits per-window energy rows, adaptive gate via broadcast-free keyed join, islands window per clip",
       "c24_partition_evolution"     -> "partition evolution: two generation scans union'd, each with its own PartitionFilters",
       "p7_curate_audio"             -> "audio chain: decode stats joined to VAD runs, integer density gate, bucket-keyed shard windows",
-      "q51_hierarchy"               -> "hierarchy closure: final depth/subtree aggregates over the squared closure (iterative joins happen pre-plan via localCheckpoint)"
+      "q51_hierarchy"               -> "hierarchy closure: final depth/subtree aggregates over the squared closure (iterative joins happen pre-plan via localCheckpoint)",
+      "e7b_asof_native"             -> "native as-of join: AsofJoinExec between the EnsureRequirements-planned exchanges and (key, time, tie) sorts"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -119,6 +119,8 @@ object StreamingBatch {
     stageCsv(s, d)
     stageProto(s, d)
     s9Halves(s, d)
+    stageJsonReversed(s, d)
+    stageUrlJson(s, d)
   }
 
   private def toJsonMicros(df: DataFrame): DataFrame =
