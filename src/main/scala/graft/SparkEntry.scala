@@ -317,7 +317,9 @@ object SparkEntry {
     // round 9 (cont.): the audio curation chain (decode→VAD→gate→shards)
     "p7_curate_audio"        -> ((s, d) => graft.operators.Curate.p7CurateAudio(s, d)),
     // round 9 (cont.): native as-of join (custom physical operator)
-    "e7b_asof_native"        -> (Events.e7bAsofNative _)
+    "e7b_asof_native"        -> (Events.e7bAsofNative _),
+    // round 9 (cont.): streaming as-of join (O(1)-state per key)
+    "s25_stream_asof"        -> (StreamingBatch.s25StreamAsof _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -669,9 +671,11 @@ object SparkEntry {
         | CAST(1 + doc_id % 5 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e7_asof_join" -> asofSql,
-    // e7b: the NATIVE AsofJoinExec must be value-identical to both the
-    // composed window form (e7) and DuckDB's own ASOF JOIN
+    // e7b/s25: the NATIVE AsofJoinExec and the STREAMING state machine
+    // must both be value-identical to the composed form (e7) and to
+    // DuckDB's own ASOF JOIN — one oracle, three execution strategies
     "e7b_asof_native" -> asofSql,
+    "s25_stream_asof" -> asofSql,
     "q19_range_join" ->
       """SELECT label, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem JOIN (VALUES (0,10,'low'),(10,25,'mid'),(25,100,'high')) r(lo,hi,label)

@@ -121,6 +121,7 @@ object StreamingBatch {
     s9Halves(s, d)
     stageJsonReversed(s, d)
     stageUrlJson(s, d)
+    stageJsonTsOrdered(s, d)
   }
 
   private def toJsonMicros(df: DataFrame): DataFrame =
@@ -455,6 +456,95 @@ object StreamingBatch {
       .parquet(current.get())
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
+  }
+
+  /** s25's staging: events in TIME-ASCENDING file ranges (value-based
+    * quarters of the ts span, so equal timestamps can never straddle a
+    * batch boundary), with s21's explicit-mtime discipline. The arrival
+    * contract the streaming as-of's O(1) state requires.
+    */
+  private def stageJsonTsOrdered(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#tsorder",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_tso_")
+        val ev =
+          Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val bounds = ev.agg(
+          unix_micros(min("ts")).as("mn"),
+          (unix_micros(max("ts")) + 1).as("mxp1")
+        )
+        ev.crossJoin(broadcast(bounds))
+          .withColumn(
+            "arr",
+            floor((unix_micros(col("ts")) - col("mn")) * 4 / (col("mxp1") - col("mn"))).cast("int")
+          )
+          .select(
+            to_json(
+              struct(eventSchema.fieldNames.map(col).toIndexedSeq: _*),
+              Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            ).as("value"),
+            col("arr")
+          )
+          .repartition(1)
+          .write
+          .partitionBy("arr")
+          .mode("overwrite")
+          .text(s"$dir/stage")
+        val stageDir = new java.io.File(s"$dir/stage")
+        val jsonDir = new java.io.File(s"$dir/json"); jsonDir.mkdirs()
+        val base = System.currentTimeMillis() - 1000000L
+        stageDir
+          .listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("arr="))
+          .sortBy(_.getName.stripPrefix("arr=").toInt)
+          .zipWithIndex
+          .foreach { case (sub, i) =>
+            val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+            val dst = new java.io.File(jsonDir, f"batch_$i%04d.json")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(base + i * 60000L)
+          }
+        dir
+      }
+    )
+
+  /** s25: STREAMING AS-OF JOIN — the third implementation of e7's
+    * semantics (after the window composition and the native
+    * [[graft.plans.AsofJoinExec]]), this one as an online state machine:
+    * [[graft.streaming.StreamOps.streamAsof]] keeps ONE row per user
+    * (the latest click) and attaches it to each arriving purchase.
+    * Same oracle as e7/e7b, so batch plan, custom physical operator,
+    * and streaming state machine are all pinned to one DuckDB ASOF
+    * answer. Arrival is time-ordered by staging (see
+    * [[stageJsonTsOrdered]]); state is O(users), not O(events).
+    */
+  def s25StreamAsof(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val dir = stageJsonTsOrdered(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.StreamOps.AsofEvent]
+    val joined = graft.streaming.StreamOps.streamAsof(stream)
+    val out = graft.TempDirs.create("graft_s25_run_")
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .select("p_event_id", "user_id", "click_event_id", "gap_us")
+      .orderBy("p_event_id")
   }
 
   /** s23's staging: the changelog delivered NEWEST-FIRST — each of the 4

@@ -56,6 +56,50 @@ object StreamOps {
   private def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  final case class AsofEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+  final case class AsofOut(
+      p_event_id: Long,
+      user_id: Long,
+      click_event_id: Option[Long],
+      gap_us: Option[Long]
+  )
+  final case class LastClick(cts: Long, cid: Long)
+
+  /** STREAMING as-of join as a per-key state machine: for every purchase,
+    * attach the latest click at-or-before it. State per user is O(1) —
+    * just the last click seen — which is the whole point versus a
+    * stream-stream interval join's buffered ranges: an as-of with an
+    * unbounded lookback needs only the running extremum. Within a batch
+    * events fold in (time, click-before-purchase, id) order — e7's exact
+    * window order — and across batches correctness needs time-ordered
+    * arrival (the staging contract; a production deployment bounds
+    * disorder with a watermark and sorts per batch the same way).
+    * Purchases with no prior click emit None — e7's left-outer arm.
+    */
+  def streamAsof(events: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def fn(
+        uid: Long,
+        batch: Iterator[AsofEvent],
+        state: GroupState[LastClick]
+    ): Iterator[AsofOut] = {
+      val sorted = batch.toSeq.sortBy(e =>
+        (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id)
+      )
+      var last = state.getOption
+      val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+      sorted.foreach { e =>
+        if (e.event_type == "click") last = Some(LastClick(micros(e.ts), e.event_id))
+        else out += AsofOut(e.event_id, uid, last.map(_.cid), last.map(l => micros(e.ts) - l.cts))
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * EVENT-time timeouts: a session closes either in-batch (a later event
     * arrives past the gap) or when the watermark passes last+gap.

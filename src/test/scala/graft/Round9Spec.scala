@@ -518,6 +518,54 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(got.exists(_.contains("null")) && got.exists(!_.contains("null")))
   }
 
+  test("asof property: native exec equals the window composition on randomized (key, time) data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      // clustered keys, colliding timestamps, empty-key arms all exercised
+      val leftRows = (1 to 300).map { i =>
+        (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(50).toLong)
+      }
+      val rightRows = (1 to 300).map { i =>
+        (rnd.nextInt(25).toLong, (1000 + i).toLong, rnd.nextInt(50).toLong)
+      }
+      val l = leftRows.toDF("k", "lid", "lt")
+      val r = rightRows.toDF("rk", "rid", "rt")
+      val native = graft.plans.AsofJoin
+        .asof(l, r, "k", "lt", "rk", "rt", "rid")
+        .select(col("k"), col("lid"), col("lt"), col("rid"), col("rt"))
+      // reference: max (rt, rid) per (left row) with rt <= lt on the key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "lid").orderBy(desc("rt"), desc("rid"))
+      val ref = l.join(r, col("k") === col("rk") && col("rt") <= col("lt"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("lid"), col("lt"), col("rid"), col("rt"))
+      val a = native.collect().map(_.toString).sorted.toSeq
+      val b = ref.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"trial $trial: native=${a.size} ref=${b.size}")
+    }
+  }
+
+  test("s25 streaming as-of: equals the batch window form; clicks carry across micro-batches") {
+    import graft.operators.{Events, StreamingBatch}
+    val streamed = StreamingBatch.s25StreamAsof(spark, sf).collect()
+    val batch = Events.e7AsofJoin(spark, sf).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"streaming=${streamed.length} batch=${batch.length}")
+    // state must carry across batch boundaries: some purchase's matched
+    // click is in an earlier ts-quartile of the staged span
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (mn, mx) = (ev.values.min, ev.values.max + 1)
+    def quart(us: Long): Long = (us - mn) * 4 / (mx - mn)
+    val crossBatch = streamed.filter(r => !r.isNullAt(2)).exists { r =>
+      quart(ev(r.getAs[Long]("p_event_id"))) != quart(ev(r.getAs[Long]("click_event_id")))
+    }
+    assert(crossBatch, "no purchase matched a click from an earlier micro-batch")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
