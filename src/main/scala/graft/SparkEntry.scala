@@ -319,7 +319,9 @@ object SparkEntry {
     // round 9 (cont.): native as-of join (custom physical operator)
     "e7b_asof_native"        -> (Events.e7bAsofNative _),
     // round 9 (cont.): streaming as-of join (O(1)-state per key)
-    "s25_stream_asof"        -> (StreamingBatch.s25StreamAsof _)
+    "s25_stream_asof"        -> (StreamingBatch.s25StreamAsof _),
+    // round 9 (cont.): zero-copy shallow clone + divergence
+    "c25_shallow_clone"      -> (Maintenance.c25ShallowClone _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2714,6 +2716,21 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak,
         | CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // c25: a clone that mutated its source (or a source leaking into the
+    // diverged clone) fails this both-sides hash
+    "c25_shallow_clone" ->
+      """WITH latest AS (SELECT user_id, value FROM (
+        |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT side, count(*) AS n_users,
+        | CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mod7,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT 'source' AS side, user_id, value FROM latest
+        | UNION ALL
+        | SELECT 'clone' AS side, user_id, value FROM latest WHERE user_id % 7 <> 0)
+        |GROUP BY side ORDER BY side""".stripMargin,
     // p7: m11's VAD algebra + speech-density gate + m6's shard packing
     // replayed end-to-end in exact integers
     "p7_curate_audio" ->

@@ -1659,6 +1659,50 @@ object Maintenance {
     zoneMatchedPaths(s, dir, lo, hi).length.toLong
   }
 
+  /** c25: SHALLOW CLONE + divergence — the zero-copy snapshot a
+    * lakehouse offers for dev/test forks of a 100 TB table:
+    * [[SnapshotStore.shallowClone]] writes an O(1) manifest pointing at
+    * the source's current (immutable) version directory, the clone's
+    * first real write stages its OWN version and flips the manifest
+    * local, and from then on the two tables evolve independently — the
+    * source's files are never rewritten, the clone only owns its delta.
+    * The probe diverges the clone (drop every user ≡ 0 mod 7, a COW
+    * rewrite of the small keyed store) and reports both sides; the
+    * oracle recomputes both from raw events, so a clone that mutated
+    * its source, or a source that leaked into the diverged clone, fails
+    * the hash. Zero-copy-ness itself (clone reads the SOURCE's files
+    * before divergence, its own after; source file set untouched) is
+    * ScalaTest-pinned via inputFiles.
+    */
+  def c25ShallowClone(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val src = mergeStoreFor(s, d)
+    val clone = s"${graft.TempDirs.create("graft_c25c_")}/clone"
+    SnapshotStore.shallowClone(src, clone)
+    SnapshotStore
+      .readCurrent(s, clone)
+      .filter(pmod(col("user_id"), lit(7)) =!= 0)
+      .write
+      .mode("overwrite")
+      .parquet(SnapshotStore.versionPath(clone, 1))
+    SnapshotStore.commit(clone, 1)
+    SnapshotStore
+      .readCurrent(s, src)
+      .select(lit("source").as("side"), col("user_id"), col("value"))
+      .unionByName(
+        SnapshotStore
+          .readCurrent(s, clone)
+          .select(lit("clone").as("side"), col("user_id"), col("value"))
+      )
+      .groupBy("side")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum((pmod(col("user_id"), lit(7)) === 0).cast("long")).as("n_mod7"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value")
+      )
+      .orderBy("side")
+  }
+
   // ---------------------------------------------------------------------
   // c24: PARTITION-SPEC EVOLUTION (Iceberg-style): one table, two
   // physical layouts — history partitioned by day, the recent half

@@ -32,10 +32,17 @@ object SnapshotStore {
 
   private def manifest(root: String): Path = Paths.get(root, "_CURRENT")
 
-  /** The currently-published version, if any commit has happened. */
+  /** The currently-published LOCAL version, if any commit has happened
+    * (None also for a fresh shallow clone, whose manifest is an external
+    * pointer — its first local commit starts its own version history).
+    */
   def currentVersion(root: String): Option[Long] = {
     val m = manifest(root)
-    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+    if (!Files.exists(m)) None
+    else {
+      val v = Files.readString(m).trim
+      if (v.startsWith("@")) None else Some(v.toLong)
+    }
   }
 
   /** Directory a writer stages version `v` into (not yet visible). */
@@ -53,11 +60,39 @@ object SnapshotStore {
     * version — the reader's view cannot change mid-query even if a
     * writer commits concurrently.
     */
-  def readCurrent(s: SparkSession, root: String): DataFrame = {
-    val v = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed version under $root")
+  def readCurrent(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(currentDataPath(root))
+
+  /** SHALLOW CLONE: create a new store whose manifest POINTS AT the
+    * source's current version directory — zero data copied, O(1)
+    * metadata work at any table size (Delta's SHALLOW CLONE / Iceberg
+    * snapshot-ref pattern). The clone then diverges independently: its
+    * next writer stages a local `v=N/` and commits, flipping the
+    * manifest from the external pointer to a local version; the source
+    * is never touched (version dirs are immutable, so the borrowed
+    * directory cannot change under the clone). Manifest grammar:
+    * `N` = local version, `@<absolute dir>` = external pointer.
+    */
+  def shallowClone(srcRoot: String, cloneRoot: String): Unit = {
+    val v = currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed version under $srcRoot")
     )
-    s.read.parquet(versionPath(root, v))
+    Files.createDirectories(Paths.get(cloneRoot))
+    val target = Paths.get(versionPath(srcRoot, v)).toAbsolutePath.toString
+    val tmp = Paths.get(cloneRoot, "_CURRENT.tmp.clone")
+    Files.writeString(tmp, s"@$target")
+    Files.move(tmp, manifest(cloneRoot), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The data directory `_CURRENT` resolves to: a local version dir or
+    * a shallow-clone external pointer.
+    */
+  def currentDataPath(root: String): String = {
+    val m = manifest(root)
+    if (!Files.exists(m))
+      throw new IllegalStateException(s"no committed version under $root")
+    val v = Files.readString(m).trim
+    if (v.startsWith("@")) v.drop(1) else versionPath(root, v.toLong)
   }
 
   /** TIME TRAVEL: read a specific previously-published version. Version

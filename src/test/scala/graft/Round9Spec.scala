@@ -566,6 +566,31 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(crossBatch, "no purchase matched a click from an earlier micro-batch")
   }
 
+  test("c25 shallow clone: zero-copy before divergence, independent after, source untouched") {
+    import graft.operators.Maintenance
+    import graft.sources.SnapshotStore
+    val src = Maintenance.mergeStoreFor(spark, sf)
+    val srcFilesBefore = SnapshotStore.readCurrent(spark, src).inputFiles.sorted.toSeq
+    val clone = s"${TempDirs.create("graft_c25_test_")}/clone"
+    SnapshotStore.shallowClone(src, clone)
+    // zero-copy: the clone reads the SOURCE's files, owns none of its own
+    val borrowed = SnapshotStore.readCurrent(spark, clone).inputFiles
+    assert(borrowed.nonEmpty && borrowed.forall(_.contains(src.stripPrefix("file:"))))
+    assert(SnapshotStore.currentVersion(clone).isEmpty, "a fresh clone has no local version")
+    // diverge the clone
+    SnapshotStore.readCurrent(spark, clone)
+      .filter(pmod(col("user_id"), lit(7)) =!= 0)
+      .write.mode("overwrite").parquet(SnapshotStore.versionPath(clone, 1))
+    SnapshotStore.commit(clone, 1)
+    val after = SnapshotStore.readCurrent(spark, clone)
+    assert(after.inputFiles.forall(_.contains("clone")), "diverged clone reads its own files")
+    assert(after.filter(pmod(col("user_id"), lit(7)) === 0).count() == 0)
+    // the source: same file set, mod-7 users still present
+    assert(SnapshotStore.readCurrent(spark, src).inputFiles.sorted.toSeq == srcFilesBefore)
+    assert(SnapshotStore.readCurrent(spark, src)
+      .filter(pmod(col("user_id"), lit(7)) === 0).count() > 0)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
