@@ -321,7 +321,10 @@ object SparkEntry {
     // round 9 (cont.): streaming as-of join (O(1)-state per key)
     "s25_stream_asof"        -> (StreamingBatch.s25StreamAsof _),
     // round 9 (cont.): zero-copy shallow clone + divergence
-    "c25_shallow_clone"      -> (Maintenance.c25ShallowClone _)
+    "c25_shallow_clone"      -> (Maintenance.c25ShallowClone _),
+    // round 9 (cont.): the composed IVF→SQ8→rerank production ANN stack,
+    // registered at its provably-exact configuration
+    "v14_ivf_sq8"            -> ((s, d) => Similarity.v14KnnIvfSq8(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -381,6 +384,10 @@ object SparkEntry {
     "v7_exhaustive" -> knnExactSql,
     "v10_exact" -> knnExactSql,
     "v2_exhaustive" -> knnExactSql,
+    // v14 registers AT the exhaustive config (nProbe=nLists, full
+    // shortlist), so the composed IVF→SQ8→rerank pipeline must equal
+    // exact brute force; production-config recall is ScalaTest-bounded
+    "v14_ivf_sq8" -> knnExactSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

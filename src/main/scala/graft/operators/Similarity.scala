@@ -210,19 +210,20 @@ object Similarity {
     * [[v1KnnBrute]] (asserted in ScalaTest); the recall of the default
     * 4/16 probe is measured there too.
     */
-  def v7KnnIvf(
+  /** The IVF index shared by v7 and the v14 composition: deterministic
+    * Lloyd training (hash-seeded, 6-decimal-rounded centroid updates)
+    * and the one-cell-per-vector inverted file. Returns (corpus with
+    * norms, cells, centroids).
+    */
+  private def ivfIndex(
       s: SparkSession,
       d: String,
-      nQueries: Int = 10,
-      k: Int = 5,
-      nLists: Int = 16,
-      nProbe: Int = 4,
-      lloydIters: Int = 2
-  ): DataFrame = {
+      nLists: Int,
+      lloydIters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables
       .embeddings(s, d)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-    val dim = 64
 
     // deterministic seeds: top-nLists corpus vectors by id hash
     def centroidDf(rows: Seq[(Int, Seq[Double])]): DataFrame = {
@@ -277,7 +278,19 @@ object Similarity {
       centroids = centroidDf(prev.map { case (l, c) => l -> updatedMap.getOrElse(l, c) }.toSeq)
     }
 
-    val cells = assign(centroids) // (vec_id, list_id): the inverted file
+    (e, assign(centroids), centroids) // cells = (vec_id, list_id): the inverted file
+  }
+
+  def v7KnnIvf(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val (e, cells, centroids) = ivfIndex(s, d, nLists, lloydIters)
     val q = e.filter(col("vec_id") < nQueries)
     // per-query nProbe nearest cells via the bounded-heap top-k operator
     val qScores = q
@@ -300,6 +313,81 @@ object Similarity {
     candidates
       .join(cEmb, "c_id")
       .join(broadcast(qEmb), "q_id")
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** v14: the PRODUCTION ANN stack — IVF + SQ8 + exact rerank composed:
+    * v7's inverted file restricts the search to `nProbe` lists, v13's
+    * int8 quantized-cosine kernel ranks ONLY those candidates (4× less
+    * memory bandwidth on the scan that dominates at 100 TB), and full
+    * precision touches just `shortlist` rows per query. Registered at
+    * its provably-EXACT configuration (`nProbe = nLists`,
+    * `shortlist = corpus` ⇒ identical to v1 — the v2/v7/v10 exact-twin
+    * discipline), so the composed three-stage pipeline is driver
+    * hash-gated; the production configuration's recall is
+    * ScalaTest-bounded against v1.
+    */
+  def v14KnnIvfSq8(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nLists: Int = 16,
+      nProbe: Int = 16,
+      lloydIters: Int = 2,
+      shortlist: Int = Int.MaxValue
+  ): DataFrame = {
+    val (e, cells, centroids) = ivfIndex(s, d, nLists, lloydIters)
+    val qz = e
+      .withColumn(
+        "mx",
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-30))
+      )
+      .withColumn(
+        "q8",
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * (lit(127.0) / col("mx")) + lit(0.5)).cast("float")
+        )
+      )
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("q8"))
+    val q = qz.filter(col("vec_id") < nQueries)
+    val qScores = q
+      .join(broadcast(centroids))
+      .select(
+        col("vec_id").as("q_id"),
+        col("list_id"),
+        (VF.dot(col("embedding"), col("centroid").cast("array<float>")) / col("nrm")).as("score")
+      )
+    val probes = graft.plans.TopK
+      .topKPerKey(qScores, Seq("q_id"), "score", "list_id", nProbe)
+      .select(col("q_id"), col("list_id"))
+    val candidates = cells
+      .join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val sw = Window.partitionBy("q_id").orderBy(desc("qdot"), col("c_id"))
+    val shortlisted = candidates
+      .join(
+        qz.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("q8").as("c_q8")),
+        "c_id"
+      )
+      .join(
+        broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("q8").as("q_q8"))),
+        "q_id"
+      )
+      .withColumn(
+        "qdot",
+        VF.dot(col("q_q8"), col("c_q8")) / (VF.norm(col("q_q8")) * VF.norm(col("c_q8")))
+      )
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    shortlisted
       .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -591,6 +591,28 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
       .filter(pmod(col("user_id"), lit(7)) === 0).count() > 0)
   }
 
+  test("v14 IVF+SQ8 stack: exhaustive config equals v1; production config keeps useful recall") {
+    import graft.operators.Similarity
+    val exact = Similarity.v14KnnIvfSq8(spark, sf).collect()
+    val brute = Similarity.v1KnnBrute(spark, sf).collect()
+    assert(exact.map(_.toString).toSeq == brute.map(_.toString).toSeq)
+    val prod = Similarity.v14KnnIvfSq8(spark, sf, nProbe = 4, shortlist = 20).collect()
+    def tops(rows: Array[org.apache.spark.sql.Row]) = rows
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val (bt, pt) = (tops(brute), tops(prod))
+    val recall = bt.keysIterator
+      .map(q => (bt(q) & pt.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
+      .sum / bt.size
+    // uniform-random corpus: IVF probing bounds recall like v7's; the
+    // SQ8 stage must not degrade it further than the probe already does
+    val v7 = tops(Similarity.v7KnnIvf(spark, sf).collect())
+    val v7recall = bt.keysIterator
+      .map(q => (bt(q) & v7.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
+      .sum / bt.size
+    assert(recall >= v7recall - 0.1, s"SQ8 stage degraded IVF recall: $recall vs $v7recall")
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
