@@ -54,7 +54,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "c16d_mv_multi",
     // round 9 (q34_exact/c8_exact/s12_exact/t28/t29/t30/s22/p6 use
     // list_* / unnest / epoch_us — those stay on the DuckDB gate)
-    "e27_audience_overlap", "c19b_stats_broadcast", "e33_cusum_drift"
+    "e27_audience_overlap", "c19b_stats_broadcast", "e33_cusum_drift",
+    // round 9 session 2 (q51 recursive CTE, t31/v13/v14/d20/d21/s24
+    // list_*/||-VARCHAR forms, c24/c25 strftime+//-microseconds,
+    // e7b/s25/p7/m11 epoch_us/generate_series — DuckDB gate)
+    "e34_markov_next", "s23_stream_cdc", "c23_zone_map"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
