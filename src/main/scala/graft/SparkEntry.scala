@@ -324,7 +324,9 @@ object SparkEntry {
     "c25_shallow_clone"      -> (Maintenance.c25ShallowClone _),
     // round 9 (cont.): the composed IVF→SQ8→rerank production ANN stack,
     // registered at its provably-exact configuration
-    "v14_ivf_sq8"            -> ((s, d) => Similarity.v14KnnIvfSq8(s, d))
+    "v14_ivf_sq8"            -> ((s, d) => Similarity.v14KnnIvfSq8(s, d)),
+    // round 9 (cont.): real-decode box-average image resize
+    "m12_image_resize"       -> ((s, d) => Multimodal.m12ImageResize(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2794,6 +2796,21 @@ object SparkEntry {
         |FROM u JOIN f USING (canonical_url)
         |WHERE u.doc_id > f.ref_doc_id
         |ORDER BY u.doc_id""".stripMargin,
+    // m12: box-average resize replayed from the generating pixel
+    // arithmetic — wrong box boundaries / rounding fail the hash
+    "m12_image_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS INT) AS h FROM documents),
+        |px AS (SELECT m.doc_id, w, h, t.i AS i,
+        |  (m.doc_id*31 + t.i*7919) % 256 AS v
+        | FROM m JOIN generate_series(0, 223) t(i) ON t.i < w*h),
+        |b AS (SELECT doc_id,
+        |  CAST(((i // w) * 2) // h AS BIGINT) AS ty,
+        |  CAST(((i % w) * 2) // w AS BIGINT) AS tx, v
+        | FROM px)
+        |SELECT doc_id, ty, tx, CAST(count(*) AS BIGINT) AS n_px,
+        | CAST(sum(v) // count(*) AS BIGINT) AS v
+        |FROM b GROUP BY 1, 2, 3 ORDER BY doc_id, ty, tx""".stripMargin,
     // m11: decode→window→adaptive-gate→islands, all exact integers; the
     // oracle replays the WAV store's generating arithmetic like m9
     "m11_audio_segments" ->

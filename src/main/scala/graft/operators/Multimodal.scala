@@ -326,6 +326,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m12: IMAGE RESIZE over REAL decoded pixels — the missing member of
+    * the decode (m7) / feature-extract (m4/m8) / frame-sample (m3)
+    * quartet: every PNG downscales to a 2×2 thumbnail by BOX-AVERAGE
+    * (each target pixel owns the source box `⌊x·T/w⌋ = tx`, value =
+    * ⌊Σpx / n⌋ — pure integer arithmetic, so the whole decode→resize
+    * chain is hash-gated like m7: the oracle replays the box algebra
+    * from the generating formulas and a wrong box boundary, sample
+    * order, or rounding mode fails the hash). Decode and resize both
+    * run executor-side per image (constant memory, O(pixels) work);
+    * only the T² thumbnail rows ride the shuffle — exactly how a 100 TB
+    * thumbnailing pass should ship its output.
+    */
+  def m12ImageResize(s: SparkSession, d: String, target: Int = 2): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val sums = Array.ofDim[Long](target * target)
+          val counts = Array.ofDim[Long](target * target)
+          var i = 0
+          while (i < w * h) {
+            val (x, y) = (i % w, i / w)
+            val slot = (y * target / h) * target + (x * target / w)
+            sums(slot) += raster.getSample(x, y, 0)
+            counts(slot) += 1
+            i += 1
+          }
+          (0 until target * target).map { sIdx =>
+            (id, (sIdx / target).toLong, (sIdx % target).toLong, counts(sIdx), sums(sIdx) / counts(sIdx))
+          }
+        }
+      }
+      .toDF("doc_id", "ty", "tx", "n_px", "v")
+      .orderBy("doc_id", "ty", "tx")
+  }
+
   /** m8: image near-dup over REAL decoded pixels — features are 8
     * bucket-sums of the decoded grayscale samples (exact integers in
     * doubles, so both engines agree bit-for-bit), pairs via the balanced

@@ -613,6 +613,23 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(recall >= v7recall - 0.1, s"SQ8 stage degraded IVF recall: $recall vs $v7recall")
   }
 
+  test("m12 resize: thumbnails conserve pixel mass and box-partition every source pixel") {
+    import graft.operators.Multimodal
+    val thumbs = Multimodal.m12ImageResize(spark, sf).collect()
+    val metas = Multimodal.m7ImageDecode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_px"), r.getAs[Long]("px_sum"))).toMap
+    val byDoc = thumbs.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == metas.size)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length == 4, "2x2 thumbnail per image")
+      val (nPx, pxSum) = metas(id)
+      assert(rows.map(_.getAs[Long]("n_px")).sum == nPx.toLong, "boxes partition the pixels")
+      // box-average floors: reconstructed mass within one rounding unit per box
+      val approx = rows.map(r => r.getAs[Long]("v") * r.getAs[Long]("n_px")).sum
+      assert(approx <= pxSum && pxSum - approx < rows.map(_.getAs[Long]("n_px")).sum)
+    }
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
