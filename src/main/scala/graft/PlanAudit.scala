@@ -87,7 +87,9 @@ object PlanAudit {
       "c24_partition_evolution"     -> "partition evolution: two generation scans union'd, each with its own PartitionFilters",
       "p7_curate_audio"             -> "audio chain: decode stats joined to VAD runs, integer density gate, bucket-keyed shard windows",
       "q51_hierarchy"               -> "hierarchy closure: final depth/subtree aggregates over the squared closure (iterative joins happen pre-plan via localCheckpoint)",
-      "e7b_asof_native"             -> "native as-of join: AsofJoinExec between the EnsureRequirements-planned exchanges and (key, time, tie) sorts"
+      "e7b_asof_native"             -> "native as-of join: AsofJoinExec between the EnsureRequirements-planned exchanges and (key, time, tie) sorts",
+      "v14_ivf_sq8"                 -> "IVF+SQ8+rerank: probed cells only reach the quantized kernel; TopKPerKey shortlists; full precision touches the shortlist",
+      "m12_image_resize"            -> "real-decode resize: executor-side ImageIO + box sums, only thumbnail rows ride the shuffle"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
