@@ -326,7 +326,9 @@ object SparkEntry {
     // registered at its provably-exact configuration
     "v14_ivf_sq8"            -> ((s, d) => Similarity.v14KnnIvfSq8(s, d)),
     // round 9 (cont.): real-decode box-average image resize
-    "m12_image_resize"       -> ((s, d) => Multimodal.m12ImageResize(s, d))
+    "m12_image_resize"       -> ((s, d) => Multimodal.m12ImageResize(s, d)),
+    // round 9 (cont.): chi-square independence test as a relational plan
+    "e36_chi_square"         -> (Events.e36ChiSquare _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2796,6 +2798,27 @@ object SparkEntry {
         |FROM u JOIN f USING (canonical_url)
         |WHERE u.doc_id > f.ref_doc_id
         |ORDER BY u.doc_id""".stripMargin,
+    // e36: per-cell terms quantized to 6dp BEFORE the statistic's sum
+    // (decimal-carried), so the chi² hash is engine-independent
+    "e36_chi_square" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(dayofweek(ts) AS INT) IN (0, 6) AS is_weekend FROM events),
+        |cells AS (SELECT event_type, is_weekend, count(*) AS obs FROM e GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(obs) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT is_weekend, sum(obs) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(obs) AS n FROM cells),
+        |terms AS (SELECT c.event_type, c.is_weekend, c.obs,
+        |  CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS exp,
+        |  round((c.obs - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+        |      * (c.obs - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+        |      / (CAST(rt.rt AS DOUBLE) * ct.ct / n.n), 6) AS term
+        | FROM cells c JOIN rt USING (event_type) JOIN ct USING (is_weekend) CROSS JOIN n),
+        |k AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT is_weekend) - 1) AS BIGINT) AS df
+        | FROM terms)
+        |SELECT event_type, is_weekend, obs, round(exp, 4) AS expected, term, chi2, df
+        |FROM terms CROSS JOIN k
+        |ORDER BY event_type, is_weekend""".stripMargin,
     // m12: box-average resize replayed from the generating pixel
     // arithmetic — wrong box boundaries / rounding fail the hash
     "m12_image_resize" ->

@@ -155,6 +155,56 @@ object Events {
       .orderBy("p_event_id")
   }
 
+  /** e36: CHI-SQUARE INDEPENDENCE TEST as a relational plan — the
+    * statistical-testing family (is event mix independent of
+    * weekend/weekday?) an analytics engine needs beyond point
+    * aggregates. Contingency counts are one groupBy; marginals re-join
+    * (broadcast — |types|- and 2-row tables); expected counts
+    * `rowTot·colTot/N` and the statistic `Σ (obs−exp)²/exp` are
+    * per-cell arithmetic with the per-cell terms rounded to 6dp BEFORE
+    * the final sum (a types×2-cell table — the quantized-term
+    * discipline makes the sum association-proof and the hash
+    * engine-independent). Emits the statistic, df, and the per-cell
+    * table; the decision threshold (chi² at α) is the caller's — the
+    * engine's job is the exact statistic. Scale shape: one scan + KB
+    * joins at any event volume.
+    */
+  def e36ChiSquare(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")).isin(1, 7)).as("is_weekend"))
+    val cells = e.groupBy("event_type", "is_weekend").agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("event_type").agg(sum("obs").as("rt"))
+    val colTot = cells.groupBy("is_weekend").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("n"))
+    val terms = cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "is_weekend")
+      .crossJoin(broadcast(n))
+      .withColumn("exp", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn(
+        "term",
+        round((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"), 6)
+      )
+    val k = terms
+      .agg(
+        sum(col("term").cast("decimal(18,6)")).cast("double").as("chi2"),
+        countDistinct("event_type").as("r"),
+        countDistinct("is_weekend").as("c")
+      )
+      .select(round(col("chi2"), 4).as("chi2"), ((col("r") - 1) * (col("c") - 1)).as("df"))
+    terms
+      .select(
+        col("event_type"),
+        col("is_weekend"),
+        col("obs"),
+        round(col("exp"), 4).as("expected"),
+        col("term")
+      )
+      .crossJoin(broadcast(k))
+      .orderBy("event_type", "is_weekend")
+  }
+
   /** Time-series resample / gap-fill: a dense (event_type × hour) spine
     * generated with `sequence`, left-joined to the sparse hourly counts,
     * missing buckets zero-filled. The spine is a broadcast-size cross of

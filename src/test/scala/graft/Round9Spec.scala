@@ -630,6 +630,17 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("e36 chi-square: cells partition the events, expected mass equals observed, statistic sums the terms") {
+    import graft.operators.Events
+    val rows = Events.e36ChiSquare(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - total) < 0.01)
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(rows.forall(r => r.getAs[Double]("chi2") == chi2 && r.getAs[Long]("df") == (rows.map(_.getAs[String]("event_type")).distinct.length - 1)))
+    assert(math.abs(rows.map(_.getAs[Double]("term")).sum - chi2) < 1e-3 && chi2 >= 0)
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
