@@ -63,6 +63,47 @@ object SnapshotStore {
   def readCurrent(s: SparkSession, root: String): DataFrame =
     s.read.parquet(currentDataPath(root))
 
+  /** OPTIMISTIC-CONCURRENCY commit: publish `v` only if the store is
+    * still at `expected` (None = no commit yet). Plain [[commit]] is
+    * last-writer-wins — fine for a single owner, silently lost updates
+    * with two; this is the compare-and-swap every multi-writer table
+    * format implements on its manifest. POSIX rename can't CAS file
+    * CONTENT, so the check+swap runs under a short-lived lock file
+    * (`Files.createFile` is atomic fail-if-exists); a crashed locker is
+    * bounded by `lockTimeoutMs` staleness takeover. Returns true iff
+    * this writer won; a false return means another writer committed
+    * first — re-read, re-stage against the new current, retry (the
+    * retry loop is the caller's, because re-staging is table-specific).
+    */
+  def commitIfCurrent(
+      root: String,
+      expected: Option[Long],
+      v: Long,
+      lockTimeoutMs: Long = 30000L
+  ): Boolean = {
+    Files.createDirectories(Paths.get(root))
+    val lock = Paths.get(root, "_COMMIT_LOCK")
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    var locked = false
+    while (!locked) {
+      try { Files.createFile(lock); locked = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - lockTimeoutMs
+          } catch { case _: java.nio.file.NoSuchFileException => false }
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"commit lock on $root held past $lockTimeoutMs ms")
+          else Thread.sleep(5)
+      }
+    }
+    try {
+      if (currentVersion(root) != expected) false
+      else { commit(root, v); true }
+    } finally Files.deleteIfExists(lock)
+  }
+
   /** SHALLOW CLONE: create a new store whose manifest POINTS AT the
     * source's current version directory — zero data copied, O(1)
     * metadata work at any table size (Delta's SHALLOW CLONE / Iceberg

@@ -641,6 +641,35 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("term")).sum - chi2) < 1e-3 && chi2 >= 0)
   }
 
+  test("OCC commit: racing writers linearize — exactly one winner per version, no lost updates") {
+    import graft.sources.SnapshotStore
+    import java.util.concurrent.atomic.AtomicInteger
+    val root = TempDirs.create("graft_occ_") + "/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val wins = new AtomicInteger(0)
+    val retries = new AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        var committed = 0
+        while (committed < 25) {
+          val cur = SnapshotStore.currentVersion(root)
+          val next = cur.getOrElse(0L) + 1
+          // (staging the version dir would happen here)
+          if (SnapshotStore.commitIfCurrent(root, cur, next)) {
+            wins.incrementAndGet(); committed += 1
+          } else retries.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 4 writers x 25 wins each = version advanced exactly 100 times
+    assert(wins.get() == 100 && SnapshotStore.currentVersion(root).contains(100L))
+    assert(retries.get() > 0, "contention must actually occur for the test to mean anything")
+    // stale expectations can never win
+    assert(!SnapshotStore.commitIfCurrent(root, Some(50L), 101L))
+    assert(SnapshotStore.currentVersion(root).contains(100L))
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
