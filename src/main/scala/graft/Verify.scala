@@ -4,6 +4,50 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** A query that throws must surface as a RED correctness row, not an
+    * absent one (the driver treats a missing output dir as out-of-scope
+    * — in round 8 that hid 14 crash regressions). The marker is a
+    * ZERO-row parquet with a sentinel `_graft_error` schema: it fails
+    * the hash/schema compare for oracle queries AND the rows>0 check
+    * for rows-only queries (a non-empty marker could fake-pass the
+    * latter). The message goes to a sidecar next to the dir, outside
+    * the parquet glob.
+    */
+  private[graft] def writeErrorMarker(
+      spark: SparkSession,
+      outDir: String,
+      name: String,
+      e: Throwable
+  ): Unit = {
+    spark
+      .createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("_graft_error", org.apache.spark.sql.types.StringType)
+          )
+        )
+      )
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/$name")
+    Files.writeString(
+      Paths.get(s"$outDir/$name.error.txt"),
+      s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n"
+    )
+  }
+
+  /** A rerun into the same outDir must not leave a stale crash sidecar
+    * next to a now-green result.
+    */
+  private[graft] def clearErrorMarker(outDir: String, name: String): Unit = {
+    Files.deleteIfExists(Paths.get(s"$outDir/$name.error.txt"))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names (local iteration)
@@ -31,29 +75,12 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // a rerun into the same outDir must not leave a stale crash
-        // sidecar next to a now-green result
-        Files.deleteIfExists(Paths.get(s"$outDir/$name.error.txt"))
+        clearErrorMarker(outDir, name)
       }
       catch { case e: Throwable =>
-        // A query that throws must surface as a RED correctness row, not
-        // an absent one (the driver treats a missing output dir as
-        // out-of-scope — in round 8 that hid 14 crash regressions). Write
-        // a ZERO-row marker with a sentinel schema: fails the hash/schema
-        // compare for oracle queries AND the rows>0 check for rows-only
-        // queries (a non-empty marker could fake-pass the latter). The
-        // message goes to a sidecar next to the dir, outside the parquet
-        // glob.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        try {
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("_graft_error", org.apache.spark.sql.types.StringType))))
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-          Files.writeString(Paths.get(s"$outDir/$name.error.txt"),
-            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
-        } catch { case e2: Throwable =>
+        try writeErrorMarker(spark, outDir, name, e)
+        catch { case e2: Throwable =>
           System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
         }
       }

@@ -670,6 +670,21 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(SnapshotStore.currentVersion(root).contains(100L))
   }
 
+  test("crash marker contract: a throwing query is a RED row (zero-row sentinel schema), never a hole") {
+    val out = TempDirs.create("graft_marker_")
+    Verify.writeErrorMarker(spark, out, "boom_query", new RuntimeException("synthetic failure"))
+    val marker = spark.read.parquet(s"$out/boom_query")
+    // zero rows + sentinel schema: fails the oracle hash/schema compare
+    // AND the rows>0 check — check_oracle reports FAIL, not absent
+    assert(marker.count() == 0L)
+    assert(marker.schema.fieldNames.toSeq == Seq("_graft_error"))
+    val sidecar = java.nio.file.Paths.get(s"$out/boom_query.error.txt")
+    assert(java.nio.file.Files.readString(sidecar).contains("synthetic failure"))
+    // the success path clears a stale sidecar
+    Verify.clearErrorMarker(out, "boom_query")
+    assert(!java.nio.file.Files.exists(sidecar))
+  }
+
   test("live testdata: events.ts is TimestampType at every staged SF (raw scan AND loader)") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // raw scan: the driver's files carry no Spark schema metadata, so
