@@ -89,7 +89,8 @@ object PlanAudit {
       "q51_hierarchy"               -> "hierarchy closure: final depth/subtree aggregates over the squared closure (iterative joins happen pre-plan via localCheckpoint)",
       "e7b_asof_native"             -> "native as-of join: AsofJoinExec between the EnsureRequirements-planned exchanges and (key, time, tie) sorts",
       "v14_ivf_sq8"                 -> "IVF+SQ8+rerank: probed cells only reach the quantized kernel; TopKPerKey shortlists; full precision touches the shortlist",
-      "m12_image_resize"            -> "real-decode resize: executor-side ImageIO + box sums, only thumbnail rows ride the shuffle"
+      "m12_image_resize"            -> "real-decode resize: executor-side ImageIO + box sums, only thumbnail rows ride the shuffle",
+      "e36_chi_square"              -> "chi-square test: one contingency groupBy + broadcast marginals; statistic folded from quantized per-cell terms"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
