@@ -63,17 +63,33 @@ object SnapshotStore {
   def readCurrent(s: SparkSession, root: String): DataFrame =
     s.read.parquet(currentDataPath(root))
 
+  /** Per-root intra-process mutex. OS file locks ([[java.nio.channels.FileLock]])
+    * are held per-JVM, not per-thread — two threads of one process locking
+    * the same file get OverlappingFileLockException, not exclusion — so
+    * in-process writers serialize here first, and the file lock below only
+    * arbitrates between PROCESSES.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
   /** OPTIMISTIC-CONCURRENCY commit: publish `v` only if the store is
     * still at `expected` (None = no commit yet). Plain [[commit]] is
     * last-writer-wins — fine for a single owner, silently lost updates
     * with two; this is the compare-and-swap every multi-writer table
     * format implements on its manifest. POSIX rename can't CAS file
-    * CONTENT, so the check+swap runs under a short-lived lock file
-    * (`Files.createFile` is atomic fail-if-exists); a crashed locker is
-    * bounded by `lockTimeoutMs` staleness takeover. Returns true iff
-    * this writer won; a false return means another writer committed
-    * first — re-read, re-stage against the new current, retry (the
-    * retry loop is the caller's, because re-staging is table-specific).
+    * CONTENT, so the check+swap runs under an exclusive OS file lock on
+    * `_COMMIT_LOCK` (plus a per-root JVM mutex for same-process threads).
+    * An OS lock — unlike the mtime-staleness takeover this replaces —
+    * cannot be stolen from a live-but-paused holder, and a CRASHED
+    * holder's lock is released by the kernel with the process, so the
+    * leftover `_COMMIT_LOCK` file is inert (its presence is not the
+    * lock). `lockTimeoutMs` bounds only how long a waiter queues; it is
+    * never license to break a holder's critical section. On an object
+    * store this whole slot would be a conditional PUT / ETag CAS.
+    * Returns true iff this writer won; false means another writer
+    * committed first — re-read, re-stage against the new current, retry
+    * (the retry loop is the caller's, because re-staging is
+    * table-specific).
     */
   def commitIfCurrent(
       root: String,
@@ -82,26 +98,37 @@ object SnapshotStore {
       lockTimeoutMs: Long = 30000L
   ): Boolean = {
     Files.createDirectories(Paths.get(root))
-    val lock = Paths.get(root, "_COMMIT_LOCK")
-    val deadline = System.currentTimeMillis() + lockTimeoutMs
-    var locked = false
-    while (!locked) {
-      try { Files.createFile(lock); locked = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale = try {
-            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - lockTimeoutMs
-          } catch { case _: java.nio.file.NoSuchFileException => false }
-          if (stale) Files.deleteIfExists(lock)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(s"commit lock on $root held past $lockTimeoutMs ms")
-          else Thread.sleep(5)
-      }
-    }
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    val mutex = jvmLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!mutex.tryLock(lockTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(s"commit lock on $root held past $lockTimeoutMs ms")
     try {
-      if (currentVersion(root) != expected) false
-      else { commit(root, v); true }
-    } finally Files.deleteIfExists(lock)
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE
+      )
+      try {
+        val deadline = System.currentTimeMillis() + lockTimeoutMs
+        // OverlappingFileLockException = this JVM holds the lock through
+        // some OTHER channel (e.g. a non-commitIfCurrent holder): that is
+        // contention to wait out, not a crash.
+        def attempt(): java.nio.channels.FileLock =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        var fl: java.nio.channels.FileLock = attempt()
+        while (fl == null) {
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"commit lock on $root held past $lockTimeoutMs ms")
+          Thread.sleep(5)
+          fl = attempt()
+        }
+        try {
+          if (currentVersion(root) != expected) false
+          else { commit(root, v); true }
+        } finally fl.release()
+      } finally ch.close()
+    } finally mutex.unlock()
   }
 
   /** SHALLOW CLONE: create a new store whose manifest POINTS AT the
