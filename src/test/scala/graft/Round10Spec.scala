@@ -11,6 +11,107 @@ import org.scalatest.funsuite.AnyFunSuite
   * never be stolen. These tests pin the two ends of that contract that
   * the round-9 racing test never exercised.
   */
+/** The ingest DAEMON (graft.IngestMain): khose's user contract is a
+  * config-driven service that runs until stopped, not a library call.
+  * This spec drives the identical path `main` runs (config-file parse →
+  * launch → metrics listener → stop-file drain) against a FileSource,
+  * then restarts from the checkpoint and pins exactly-once across the
+  * stop/restart boundary.
+  */
+class IngestDaemonSpec extends AnyFunSuite {
+  import TestSession._
+  import java.nio.file.{Files, Paths}
+
+  private def awaitUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) { Thread.sleep(100); ok = cond }
+    ok
+  }
+
+  test("parseConfig: properties lines and flat JSON produce the same map") {
+    val props = IngestMain.parseConfig(
+      """# khose-style properties
+        |source.type=file
+        |source.path=/data/in
+        |schema.ddl=event_id BIGINT, ts TIMESTAMP
+        |""".stripMargin)
+    val json = IngestMain.parseConfig(
+      """{"source.type": "file", "source.path": "/data/in",
+        | "schema.ddl": "event_id BIGINT, ts TIMESTAMP"}""".stripMargin)
+    assert(props == json)
+    assert(props("schema.ddl") == "event_id BIGINT, ts TIMESTAMP")
+  }
+
+  test("daemon: config file -> >=2 metered micro-batches -> stop-file drain -> checkpoint restart is exactly-once") {
+    val root = TempDirs.create("graft_daemon_")
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val stopFile = s"$root/STOP"
+    val confFile = Paths.get(s"$root/ingest.conf")
+    Files.writeString(confFile,
+      s"""source.type=file
+         |source.path=$in
+         |source.maxPerTrigger=1
+         |schema.ddl=event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING
+         |ts.column=ts
+         |sink.path=$root/out
+         |sink.checkpoint=$root/ck
+         |sink.partitions=1
+         |trigger.mode=processingTime
+         |trigger.intervalMs=100
+         |control.stopFile=$stopFile
+         |""".stripMargin)
+    def line(id: Long, t: String) =
+      s"""{"event_id": $id, "user_id": ${id % 3}, "ts": "$t", "event_type": "click"}"""
+    Files.writeString(Paths.get(s"$in/a.json"),
+      (1L to 3L).map(i => line(i, s"2024-01-01 0$i:00:00")).mkString("\n"))
+    Files.writeString(Paths.get(s"$in/b.json"),
+      (4L to 5L).map(i => line(i, s"2024-01-02 0${i - 3}:00:00")).mkString("\n"))
+
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val conf = IngestMain.parseConfig(Files.readString(confFile))
+    val daemon = IngestMain.launch(spark, conf, metrics.add(_))
+    val awaiter = new Thread(() => daemon.await(pollMs = 100L))
+    awaiter.start()
+    try {
+      def landed(): Long =
+        try spark.read.parquet(s"$root/out").count() catch { case _: Exception => 0L }
+      assert(awaitUntil(60000)(landed() == 5L), s"expected 5 landed rows, got ${landed()}")
+      // maxPerTrigger=1 forces the two staged files into >=2 data batches,
+      // each of which must have emitted a metrics line
+      assert(awaitUntil(20000) {
+        metrics.toArray(Array.empty[String]).count(m =>
+          m.startsWith("[ingest-metrics]") && !m.contains("\"rows\":0")) >= 2
+      }, s"expected >=2 data-batch metrics lines, got:\n${metrics.toArray.mkString("\n")}")
+      // ops stop: touch the control file; the daemon drains and await() returns
+      Files.writeString(Paths.get(stopFile), "")
+      awaiter.join(60000)
+      assert(!awaiter.isAlive && daemon.queries.forall(!_.isActive))
+      // time partitioning reached the sink layout
+      assert(Files.exists(Paths.get(s"$root/out/dt=2024-01-01/hr=01")))
+
+      // restart from the SAME checkpoint with one new file: only the new
+      // file lands — nothing is re-ingested, nothing is lost
+      Files.delete(Paths.get(stopFile))
+      Files.writeString(Paths.get(s"$in/c.json"),
+        (6L to 9L).map(i => line(i, s"2024-01-03 0${i - 5}:00:00")).mkString("\n"))
+      val daemon2 = IngestMain.launch(spark, conf, metrics.add(_))
+      val awaiter2 = new Thread(() => daemon2.await(pollMs = 100L))
+      awaiter2.start()
+      try {
+        assert(awaitUntil(60000)(landed() == 9L), s"expected 9 rows after restart, got ${landed()}")
+        val ids = spark.read.parquet(s"$root/out")
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids == (1L to 9L), s"exactly-once violated: $ids")
+      } finally {
+        Files.writeString(Paths.get(stopFile), "")
+        awaiter2.join(60000)
+        daemon2.stop()
+      }
+    } finally { daemon.stop(); awaiter.join(10000) }
+  }
+}
+
 class SnapshotLockSpec extends AnyFunSuite {
   import graft.sources.SnapshotStore
 
