@@ -929,14 +929,35 @@ object TextAnalysis {
     * apply; returns the merge table (rank, left, right, pair_count).
     * ScalaTest-gated against a hand-computed fixture and pinned
     * consistent with [[t29BpePairStats]]'s oracle-gated first round.
+    *
+    * DRIVER-SIZE BOUND: Heaps' law keeps word types ≈ K·N^β (β≈0.5) —
+    * KB–MB at test SF but 10⁸⁺ types on a 100 TB web corpus, multi-GB
+    * if collected raw. So the collect is bounded on BOTH axes before it
+    * leaves the cluster, exactly where production trainers
+    * (SentencePiece/fastBPE) threshold: `minCount` drops the long tail
+    * of hapax types inside the aggregate (they cannot win a merge
+    * argmax against any repeated type until vocab-sized counts, and
+    * real trainers discard them wholesale), and `maxVocab` is a hard
+    * top-N cap (freq desc, word lexico for determinism) planned as
+    * TakeOrderedAndProject — O(maxVocab) per partition, no global sort
+    * shuffle. The driver table is ≤ maxVocab rows at ANY corpus size.
     */
-  def trainBpeMerges(s: SparkSession, d: String, nMerges: Int = 10): DataFrame = {
+  def trainBpeMerges(
+      s: SparkSession,
+      d: String,
+      nMerges: Int = 10,
+      minCount: Long = 1L,
+      maxVocab: Int = 1 << 20
+  ): DataFrame = {
     import s.implicits._
     val vocab0: Seq[(Vector[String], Long)] = Tables
       .documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("wf"))
+      .filter(col("wf") >= minCount)
+      .orderBy(desc("wf"), col("w"))
+      .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
       .toSeq

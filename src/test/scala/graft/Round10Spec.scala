@@ -112,6 +112,54 @@ class IngestDaemonSpec extends AnyFunSuite {
   }
 }
 
+/** t29's driver-vocab bound (VERDICT r9 scale complaint #1): the BPE
+  * trainer's collect is now capped by a minCount floor and a maxVocab
+  * top-N inside the plan. The floor/cap must be EXACTLY equivalent to
+  * physically removing the sub-threshold words from the corpus — no
+  * other merge may move.
+  */
+class BpeVocabBoundSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.operators.TextAnalysis
+
+  // Sennrich fixture from Round9Spec: low:5 lower:2 newest:6 widest:3
+  private def stage(words: Seq[(String, Int)]): String = {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_bpe_bound_")
+    words.flatMap { case (w, n) => Seq.fill(n)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+  private def merges(dir: String, minCount: Long = 1L, maxVocab: Int = 1 << 20) =
+    TextAnalysis.trainBpeMerges(spark, dir, nMerges = 5, minCount = minCount, maxVocab = maxVocab)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("minCount floor == training on the corpus with sub-threshold words removed") {
+    val full = stage(Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3))
+    val pruned = stage(Seq("low" -> 5, "newest" -> 6, "widest" -> 3)) // 'lower' (wf=2) dropped
+    assert(merges(full, minCount = 3L) == merges(pruned))
+    // and the floor genuinely changed something vs the unbounded run
+    assert(merges(full, minCount = 3L) != merges(full))
+  }
+
+  test("maxVocab cap == training on only the top-N words (freq desc, lexico ties)") {
+    val full = stage(Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3))
+    val top2 = stage(Seq("low" -> 5, "newest" -> 6))
+    assert(merges(full, maxVocab = 2) == merges(top2))
+  }
+
+  test("the capped aggregate plans as a top-N (TakeOrderedAndProject), not a global sort") {
+    import org.apache.spark.sql.functions._
+    val dir = stage(Seq("low" -> 5, "newest" -> 6))
+    val capped = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .filter(col("wf") >= 2L).orderBy(desc("wf"), col("w")).limit(1000)
+    assert(capped.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+}
+
 class SnapshotLockSpec extends AnyFunSuite {
   import graft.sources.SnapshotStore
 
