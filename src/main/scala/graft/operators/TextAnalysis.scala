@@ -676,16 +676,25 @@ object TextAnalysis {
     * (C4/Dolma-style: route documents to domain buckets so the mixture
     * sampler can rebalance them). Training IS aggregation: class-term
     * counts, class token totals, vocabulary size, and priors are four
-    * groupBys; scoring joins each doc's term counts against the
-    * class-conditional table and Laplace-smooths misses — so "fit +
-    * predict" is one relational plan with no iterative state, and at
-    * 100 TB both halves scale as keyed shuffles (the model tables are
-    * vocabulary-sized, the score stream is tokens × classes).
+    * groupBys — so "fit + predict" is one relational plan with no
+    * iterative state. Scoring is SPARSE (the standard NB identity):
+    * score(d,c) = Σ_{w∈d, (w,c) observed} cnt·lp(w,c)
+    *            + (T_d − Σ_{w∈d, (w,c) observed} cnt) · lp_miss(c),
+    * where lp_miss(c) = ln(1/(tkn_c + V)) is the Laplace missing-mass
+    * log-prob every word unseen in class c shares. The token stream is
+    * joined only against OBSERVED class-conditional rows (inner join on
+    * w) — never densified to tokens × classes as a crossJoin would be —
+    * and the missing-mass correction rides on the per-doc totals table
+    * (docs × classes rows, ≪ tokens × classes). At 100 TB both halves
+    * scale as keyed shuffles and the model tables stay vocabulary-sized
+    * broadcasts.
     * Engine-exact argmax: every ln is quantized to decimal BEFORE the
     * per-class sum (t21 discipline), counts ride as decimal(8,0) so the
     * product scale is identical in both engines, and the winner is
     * chosen on the EXACT decimal score with a class-name tiebreak —
-    * the argmax never sees a float.
+    * the argmax never sees a float. The missing-mass factoring is
+    * decimal-exact too (one multiply replaces a sum of equal decimal
+    * terms), so the sparse form is hash-identical to the dense one.
     */
   def t26DomainNb(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -700,13 +709,40 @@ object TextAnalysis {
     val pr = docs.groupBy(col("source").as("c")).agg(count(lit(1)).as("n_c"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     def lnq(x: org.apache.spark.sql.Column) = round(log(x), 9).cast("decimal(20,10)")
-    val sc = tok
-      .crossJoin(broadcast(tc))
-      .join(cc, Seq("w", "c"), "left")
+    // class model: one row per class (token total, V, missing-mass lp)
+    val cls = tc
       .crossJoin(broadcast(v))
-      .withColumn("lp", lnq((coalesce(col("c_wc"), lit(0L)) + 1) / (col("tkn_c") + col("v_size"))))
-      .groupBy("doc_id", "source", "c")
-      .agg(sum(col("cnt").cast("decimal(8,0)") * col("lp")).as("sw"))
+      .withColumn("lp_miss", lnq(lit(1) / (col("tkn_c") + col("v_size"))))
+    // observed half: inner join — only (w, c) pairs training actually saw
+    val obs = tok
+      .join(cc, "w")
+      .join(broadcast(cls.select("c", "tkn_c", "v_size")), "c")
+      .withColumn("lp", lnq((col("c_wc") + 1) / (col("tkn_c") + col("v_size"))))
+      .groupBy("doc_id", "c")
+      .agg(
+        sum(col("cnt").cast("decimal(8,0)") * col("lp")).as("s_obs"),
+        sum(col("cnt").cast("decimal(8,0)")).as("n_obs")
+      )
+    // doc spine: per-doc totals × classes (docs × C, not tokens × C)
+    val tot = tok
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt").cast("decimal(8,0)")).as("t_d"))
+    val sc = tot
+      .crossJoin(broadcast(cls.select("c", "lp_miss")))
+      .join(obs, Seq("doc_id", "c"), "left")
+      .withColumn(
+        "sw",
+        // decimal-type discipline: both addends at (27,10) keeps the
+        // add's result precision <= 38 WITHOUT a scale reduction, so the
+        // sparse sw carries the exact same scale-10 value the dense
+        // single-sum did; the final cast restores the dense sum's
+        // decimal(38,10) type so the downstream + prior rounds
+        // identically in both forms
+        (coalesce(col("s_obs"), lit(0).cast("decimal(20,10)")).cast("decimal(27,10)") +
+          ((col("t_d") - coalesce(col("n_obs"), lit(0).cast("decimal(18,0)")))
+            .cast("decimal(8,0)") * col("lp_miss")).cast("decimal(27,10)"))
+          .cast("decimal(38,10)")
+      )
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("c"))
     sc.join(broadcast(pr), "c")
       .crossJoin(broadcast(n))
