@@ -68,23 +68,23 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    // Full per-query map first (humans / logs)...
-    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"queries":$qs,"sf":$sfNum}""")
-    // ...then ONE compact line LAST: the driver keeps only the final ~2000
-    // chars of output, so the parseable line must fit there with room for
-    // sbt's [success] footer. Headline subset only, 3-decimal times.
-    val headline = Seq(
-      "q1_agg", "q3_join_agg", "q9_topk_group", "q17_multi_join_chain",
-      "q24_topk_custom", "e2_sessionize", "e7_asof_join", "e12_outliers",
-      "e15_active_users", "d1_dedup_exact", "d2_dedup_minhash_lsh",
-      "d5b_dedup_embedding_blocked", "d6_dedup_clusters", "v1_knn_brute",
-      "v2_knn_lsh", "t5_ngram_freq", "t9_tfidf", "s1_ingest_parquet",
-      "s2_stream_window_agg", "c1_compact", "c2_merge_upsert", "p1_curate",
-      // round-7 additions: real decode, MV lattice, mixture curation
-      "m8_image_neardup", "c16c_mv_month", "t22_mixture_sample", "p4_curate_mixture")
-    val hq = headline.flatMap(n => resultMap.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"queries":$hq,"sf":$sfNum}""")
+    // Full per-query map: printed for logs AND written to BENCH_FULL.json
+    // in the repo (committed per round) — the driver's captured tail is
+    // ~2000 chars, far too small for 236 name:time pairs, so the file is
+    // the mechanical-triage record.
+    val fullLine =
+      s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"queries":$qs,"sf":$sfNum}"""
+    println(fullLine)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    // ...then ONE compact line LAST, sized to survive the driver's
+    // 2000-char tail (plus sbt's [success] footer): EVERY query's
+    // steady-state seconds as `qv`, an array in sorted-name order —
+    // ~6 chars/query instead of ~25, so the full surface fits. The name
+    // for qv[i] is the i-th of sort(SparkEntry.queries.keys) (restricted
+    // to SPARK_GRAFT_ONLY when set), spelled out in BENCH_FULL.json.
+    val qv = results.map(r => fmt(r._2)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"order":"sorted_names","full":"BENCH_FULL.json","qv":$qv,"sf":$sfNum}""")
     spark.stop()
   }
 }
