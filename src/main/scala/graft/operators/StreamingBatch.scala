@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{StreamIngest, Tables}
+import graft.sources.{SnapshotStore, StreamIngest, Tables}
 import graft.streaming.StreamOps
 
 /** One-shot (Trigger.AvailableNow) harnesses that run the §2.3 streaming
@@ -411,13 +411,60 @@ object StreamingBatch {
     s.read.parquet(s"$out/data").orderBy("p_id", "c_id")
   }
 
+  /** Latest-event-per-user reduction — s6/occUpsert's merge semantic.
+    * The (ts desc, event_id desc) order is total per user, so merge
+    * results are batch-order-independent.
+    */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** LATEST-WINS upsert of a batch into a [[SnapshotStore]] COW keyed
+    * store under OPTIMISTIC CONCURRENCY: read the current version, merge,
+    * stage the next version under a UNIQUE path, publish with
+    * [[SnapshotStore.commitStagedIfCurrent]]; on a lost race, discard the
+    * stale staged merge and re-derive against the new current. A single
+    * streaming writer commits first-try every time; with concurrent
+    * writers (two ingest pipelines upserting one store) the CAS loop is
+    * what guarantees no batch's merge is silently lost — the
+    * last-writer-wins manifest overwrite this replaces dropped a whole
+    * writer's merge whenever two landed together. Returns the published
+    * version.
+    */
+  def occUpsertLatestWins(incoming: DataFrame, store: String): Long = {
+    val spark = incoming.sparkSession
+    val inc = latestPerUser(incoming)
+    var published: Option[Long] = None
+    while (published.isEmpty) {
+      val cur = SnapshotStore.currentVersion(store)
+      val merged = cur match {
+        case Some(v) =>
+          latestPerUser(spark.read.parquet(SnapshotStore.versionPath(store, v)).unionByName(inc))
+        case None => inc
+      }
+      val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
+      merged.write.mode("overwrite").parquet(staged)
+      published = SnapshotStore.commitStagedIfCurrent(store, cur, staged)
+      if (published.isEmpty) {
+        // lost the race: this merge is stale against the new current
+        val p = java.nio.file.Paths.get(staged)
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    published.get
+  }
+
   /** s6 (oracle form): foreachBatch CDC-style upsert — each micro-batch
     * (maxFilesPerTrigger=1 ⇒ genuinely multiple batches) is reduced to
     * its latest-event-per-user and merged LATEST-WINS into a versioned
-    * keyed parquet store (copy-on-write: read v(n), write v(n+1); the
-    * (ts desc, event_id desc) order is total per user, so the final
-    * state is batch-order-independent). The final store must equal the
-    * batch latest-event-per-key view — e6's oracle.
+    * [[SnapshotStore]] via [[occUpsertLatestWins]]: copy-on-write
+    * staging under a unique path, OCC manifest publish, full version
+    * history retained (time-travel-able, vacuum-able). The final store
+    * must equal the batch latest-event-per-key view — e6's oracle.
     */
   def s6ForeachBatchUpsert(s: SparkSession, d: String): DataFrame = {
     val dir = stageJson(s, d)
@@ -429,31 +476,15 @@ object StreamingBatch {
       )
       .select("user_id", "event_id", "event_type", "value", "ts")
     val root = graft.TempDirs.create("graft_s6_run_")
-    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
-    def latestPerUser(df: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id")
-        .orderBy(desc("ts"), desc("event_id"))
-      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-    }
+    val store = s"$root/store"
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val incoming = latestPerUser(batch)
-        val merged = Option(current.get()) match {
-          case Some(prev) => latestPerUser(spark.read.parquet(prev).unionByName(incoming))
-          case None       => incoming
-        }
-        val next = s"$root/state_v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => occUpsertLatestWins(batch, store): Unit }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read
-      .parquet(current.get())
+    SnapshotStore
+      .readCurrent(s, store)
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
   }

@@ -96,7 +96,53 @@ object SnapshotStore {
       expected: Option[Long],
       v: Long,
       lockTimeoutMs: Long = 30000L
-  ): Boolean = {
+  ): Boolean =
+    withCommitLock(root, lockTimeoutMs) {
+      if (currentVersion(root) != expected) false
+      else { commit(root, v); true }
+    }
+
+  /** OCC commit of an INDEPENDENTLY-STAGED directory: under the commit
+    * lock, if the store is still at `expected`, move `stagedDir` into
+    * place as version `expected+1` and publish it. Racing writers must
+    * stage under UNIQUE paths (e.g. `<root>/_stage_<uuid>`) — staging
+    * directly at the target version path would let a losing racer
+    * overwrite the winner's just-published data files. Returns
+    * Some(newVersion) on win; None on a lost race, with `stagedDir`
+    * left intact for the caller to discard or re-derive (the merge it
+    * holds is stale against the new current).
+    */
+  def commitStagedIfCurrent(
+      root: String,
+      expected: Option[Long],
+      stagedDir: String,
+      lockTimeoutMs: Long = 30000L
+  ): Option[Long] =
+    withCommitLock(root, lockTimeoutMs) {
+      if (currentVersion(root) != expected) None
+      else {
+        val v = expected.getOrElse(0L) + 1
+        val target = Paths.get(versionPath(root, v))
+        // a crashed PRE-publish writer may have left debris at v (it was
+        // never visible — the manifest is the only source of visibility)
+        if (Files.exists(target))
+          Files.walk(target).sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+        Files.move(Paths.get(stagedDir), target)
+        commit(root, v)
+        Some(v)
+      }
+    }
+
+  /** Run `f` under the store's exclusive commit lock: a per-root JVM
+    * mutex (OS file locks are per-process) then an OS FileLock on
+    * `_COMMIT_LOCK`. An OS lock — unlike an mtime-staleness takeover —
+    * cannot be stolen from a live-but-paused holder, and a CRASHED
+    * holder's lock is released by the kernel with the process, so a
+    * leftover `_COMMIT_LOCK` file is inert (its presence is not the
+    * lock). `lockTimeoutMs` bounds only how long a waiter queues; it is
+    * never license to break a holder's critical section.
+    */
+  private def withCommitLock[T](root: String, lockTimeoutMs: Long)(f: => T): T = {
     Files.createDirectories(Paths.get(root))
     val key = Paths.get(root).toAbsolutePath.normalize.toString
     val mutex = jvmLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
@@ -123,10 +169,8 @@ object SnapshotStore {
           Thread.sleep(5)
           fl = attempt()
         }
-        try {
-          if (currentVersion(root) != expected) false
-          else { commit(root, v); true }
-        } finally fl.release()
+        try f
+        finally fl.release()
       } finally ch.close()
     } finally mutex.unlock()
   }
