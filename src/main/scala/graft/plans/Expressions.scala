@@ -192,159 +192,31 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
-/** k-function MinHash signature over an `array<string>` shingle set in a
-  * SINGLE pass: each shingle is xxhash64'd once (seed 42, Spark's XXH64 —
-  * same family as the `xxhash64` builtin), then the k signature slots use
-  * a (a_i·h + b_i) universal-hash remix — integer ops instead of the
-  * composed form's per-(i, shingle) string concatenation (64× fewer
-  * hashes, zero allocation). Candidate-generation only: d2's exact-verify
-  * stage makes the final output independent of the hash family.
+/** Static kernels for the d2/d3-path expressions, shared by interpreted
+  * eval AND generated code: each expression's `doGenCode` emits a single
+  * static call on the child's evaluated ArrayData, so the surrounding
+  * operators stay inside ONE WholeStageCodegen span (no per-row
+  * `InternalRow` boxing through a CodegenFallback eval, no span break).
+  * A plain top-level object compiles to a class with static forwarders,
+  * callable from janino-generated Java as `graft.plans.ExprKernels.x(...)`.
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+object ExprKernels {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"MinHashSig needs array<string>, got $other")
-    }
+  /** MinHash remix coefficients for k slots (splitmix64 constants),
+    * cached per k — computed once per executor, not per row.
+    */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(
+      k,
+      kk =>
+        (Array.tabulate(kk)(i => 0x9e3779b97f4a7c15L * (2L * i + 1L) | 1L),
+          Array.tabulate(kk)(i => 0xbf58476d1ce4e5b9L * (i + 1L)))
+    )
 
-  // deterministic odd multipliers / offsets (splitmix64 constants)
-  private val as: Array[Long] = Array.tabulate(k)(i => 0x9e3779b97f4a7c15L * (2L * i + 1L) | 1L)
-  private val bs: Array[Long] = Array.tabulate(k)(i => 0xbf58476d1ce4e5b9L * (i + 1L))
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(k)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var i = 0
-      while (i < k) {
-        val m = as(i) * h + bs(i)
-        if (m < sig(i)) sig(i) = m
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(sig)
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** 64-bit SimHash over an `array<string>` token multiset. Semantically
-  * identical to the composed form (xxhash64 seed 42 per token, bit b
-  * votes ±1, sign → bit) but one pass with an int[64] vote buffer
-  * instead of two array-valued lambda folds per token.
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"SimHash64 needs array<string>, got $other")
-    }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      j += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** SimHash64 over PRE-HASHED tokens (`array<long>`): the same vote loop
-  * as [[SimHash64]], with the 64-bit token hash supplied by the caller.
-  * This is the portable-oracle form — d3 feeds md5-derived hashes both
-  * engines compute identically, so the DuckDB gate can replay the votes
-  * bit-for-bit (xxhash64-seeded [[SimHash64]] has no DuckDB twin). Null
-  * elements are skipped.
-  */
-case class SimHash64FromHashes(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"SimHash64FromHashes needs array<long>, got $other")
-    }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val h = arr.getLong(j)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      j += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** Distinct word-k-shingle HASHES of a token array, sorted ascending, in
-  * one pass: each token xxhash64'd once, k-gram hashes combined with an
-  * order-sensitive FNV-style fold, then sort + dedupe. Near-dup operators
-  * only ever need shingle identity (minhash remix, set intersection), so
-  * shipping 8-byte hashes instead of shingle strings removes all string
-  * allocation AND shrinks every downstream shuffle. Empty tokens are
-  * skipped (split artifacts).
-  */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"ShingleHashes needs array<string>, got $other")
-    }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def shingleHashes(arr: ArrayData, k: Int): ArrayData = {
     val n0 = arr.numElements()
-    // token hashes, skipping empties
     val th = new Array[Long](n0)
     var m = 0
     var j = 0
@@ -371,7 +243,6 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with
       i += 1
     }
     java.util.Arrays.sort(out)
-    // dedupe in place
     var w = 1
     i = 1
     while (i < nsh) {
@@ -381,29 +252,27 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** MinHash signature over an `array<long>` of (already distinct) element
-  * hashes — the paired fast path for [[ShingleHashes]]: k-slot
-  * (a_i·h + b_i) remix per element, zero hashing, zero allocation beyond
-  * the signature itself.
-  */
-case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"MinHashFromHashes needs array<long>, got $other")
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coefs(k)
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var i = 0
+      while (i < k) {
+        val m = as(i) * h + bs(i)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
     }
+    new GenericArrayData(sig)
+  }
 
-  private val as: Array[Long] = Array.tabulate(k)(i => 0x9e3779b97f4a7c15L * (2L * i + 1L) | 1L)
-  private val bs: Array[Long] = Array.tabulate(k)(i => 0xbf58476d1ce4e5b9L * (i + 1L))
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def minHashFromHashes(arr: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coefs(k)
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
@@ -419,6 +288,181 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
     }
     new GenericArrayData(sig)
   }
+
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simHash64FromHashes(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** k-function MinHash signature over an `array<string>` shingle set in a
+  * SINGLE pass: each shingle is xxhash64'd once (seed 42, Spark's XXH64 —
+  * same family as the `xxhash64` builtin), then the k signature slots use
+  * a (a_i·h + b_i) universal-hash remix — integer ops instead of the
+  * composed form's per-(i, shingle) string concatenation (64× fewer
+  * hashes, zero allocation). Candidate-generation only: d2's exact-verify
+  * stage makes the final output independent of the hash family.
+  * Codegen'd via the [[ExprKernels]] static-call pattern.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MinHashSig needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minHashSig(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprKernels.minHashSig($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an `array<string>` token multiset. Semantically
+  * identical to the composed form (xxhash64 seed 42 per token, bit b
+  * votes ±1, sign → bit) but one pass with an int[64] vote buffer
+  * instead of two array-valued lambda folds per token.
+  * Codegen'd via the [[ExprKernels]] static-call pattern.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SimHash64 needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.simHash64(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash64 over PRE-HASHED tokens (`array<long>`): the same vote loop
+  * as [[SimHash64]], with the 64-bit token hash supplied by the caller.
+  * This is the portable-oracle form — d3 feeds md5-derived hashes both
+  * engines compute identically, so the DuckDB gate can replay the votes
+  * bit-for-bit (xxhash64-seeded [[SimHash64]] has no DuckDB twin). Null
+  * elements are skipped.
+  */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SimHash64FromHashes needs array<long>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.simHash64FromHashes(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprKernels.simHash64FromHashes($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word-k-shingle HASHES of a token array, sorted ascending, in
+  * one pass: each token xxhash64'd once, k-gram hashes combined with an
+  * order-sensitive FNV-style fold, then sort + dedupe. Near-dup operators
+  * only ever need shingle identity (minhash remix, set intersection), so
+  * shipping 8-byte hashes instead of shingle strings removes all string
+  * allocation AND shrinks every downstream shuffle. Empty tokens are
+  * skipped (split artifacts).
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ShingleHashes needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.shingleHashes(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprKernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over an `array<long>` of (already distinct) element
+  * hashes — the paired fast path for [[ShingleHashes]]: k-slot
+  * (a_i·h + b_i) remix per element, zero hashing, zero allocation beyond
+  * the signature itself.
+  */
+case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MinHashFromHashes needs array<long>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minHashFromHashes(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprKernels.minHashFromHashes($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

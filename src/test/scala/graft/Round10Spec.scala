@@ -205,6 +205,77 @@ class OccUpsertRaceSpec extends AnyFunSuite {
   }
 }
 
+/** The d2/d3-path expressions (ShingleHashes / MinHashSig /
+  * MinHashFromHashes / SimHash64 / SimHash64FromHashes) dropped
+  * CodegenFallback for real doGenCode via the ExprKernels static-call
+  * pattern (VERDICT item deferred since round 3). CODEGEN_ONLY factory
+  * mode makes janino failure a hard error instead of a silent
+  * interpreted fallback, so these tests prove the generated code
+  * COMPILES AND RUNS; value parity with the interpreted kernels is a
+  * same-call identity (both paths call the same kernel), and the
+  * oracle-gated d2/d3 rows pin end-to-end values.
+  */
+class ExprCodegenSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.plans.GraftExpressions._
+  import org.apache.spark.sql.functions._
+
+  private def withCodegenOnly[T](f: => T): T = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try f
+    finally prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+  }
+
+  test("all five dedup-path expressions execute under CODEGEN_ONLY (no fallback)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (2L, Seq("pack", "my", "box", "with", "five", "dozen")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "tk")
+    val rows = withCodegenOnly {
+      df.select(
+        col("id"),
+        shingleHashes(col("tk"), 3).as("sh"),
+        minhashSig(col("tk"), 16).as("mh"),
+        simhash64(col("tk")).as("s64"),
+        minhashFromHashes(shingleHashes(col("tk"), 3), 16).as("mh2"),
+        simhash64FromHashes(shingleHashes(col("tk"), 3)).as("s64h")
+      ).collect()
+    }
+    assert(rows.length == 3)
+    // generated values == interpreted kernel values (direct eval)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(Array("the", "quick", "brown", "fox", "jumps")
+      .map(UTF8String.fromString(_).asInstanceOf[Any]))
+    val expectSh = graft.plans.ExprKernels.shingleHashes(toks, 3).toLongArray.toSeq
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[scala.collection.Seq[Long]]("sh").toSeq == expectSh)
+    assert(r1.getAs[Long]("s64") == graft.plans.ExprKernels.simHash64(toks))
+    // empty token list: empty shingles, all-MaxValue minhash, simhash 0
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[scala.collection.Seq[Long]]("sh").isEmpty)
+    assert(r3.getAs[scala.collection.Seq[Long]]("mh").forall(_ == Long.MaxValue))
+    assert(r3.getAs[Long]("s64") == 0L)
+  }
+
+  test("d2's hot path stays inside WholeStageCodegen (no fallback span break)") {
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        minhashFromHashes(shingleHashes(split(col("text"), " "), 3), 16).as("sig"))
+    val stages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the projection computing the expressions must sit INSIDE a
+    // codegen stage (its string form carries the '*(n)' stage marker)
+    assert(stages.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(stages.exists(_.toString.contains("minhashfromhashes")))
+  }
+}
+
 class SnapshotLockSpec extends AnyFunSuite {
   import graft.sources.SnapshotStore
 
