@@ -2799,11 +2799,17 @@ object SparkEntry {
         |WHERE u.doc_id > f.ref_doc_id
         |ORDER BY u.doc_id""".stripMargin,
     // e36: per-cell terms quantized to 6dp BEFORE the statistic's sum
-    // (decimal-carried), so the chi² hash is engine-independent
+    // (decimal-carried), so the chi² hash is engine-independent; the
+    // cell table is a DENSE domain cross (empty cells contribute their
+    // (0-exp)^2/exp term), mirroring the Spark-side spine
     "e36_chi_square" ->
       """WITH e AS (SELECT event_type,
         |  CAST(dayofweek(ts) AS INT) IN (0, 6) AS is_weekend FROM events),
-        |cells AS (SELECT event_type, is_weekend, count(*) AS obs FROM e GROUP BY 1, 2),
+        |obs0 AS (SELECT event_type, is_weekend, count(*) AS obs FROM e GROUP BY 1, 2),
+        |cells AS (SELECT et.event_type, wk.is_weekend, coalesce(o.obs, 0) AS obs
+        | FROM (SELECT DISTINCT event_type FROM e) et
+        | CROSS JOIN (SELECT DISTINCT is_weekend FROM e) wk
+        | LEFT JOIN obs0 o ON o.event_type = et.event_type AND o.is_weekend = wk.is_weekend),
         |rt AS (SELECT event_type, sum(obs) AS rt FROM cells GROUP BY 1),
         |ct AS (SELECT is_weekend, sum(obs) AS ct FROM cells GROUP BY 1),
         |n AS (SELECT sum(obs) AS n FROM cells),

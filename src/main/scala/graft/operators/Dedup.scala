@@ -730,7 +730,16 @@ object Dedup {
     * false-positive rate. Keys are canonical URLs (d18's canonicalizer)
     * because the fixture corpus has no exact-text dups across halves.
     */
-  def d21IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+  /** d21's shared pipeline front half: midpoint cut, (reference, new)
+    * halves, reference bloom. ONE definition consumed by both the
+    * oracle-gated query and the test probe, so an edit to the cut
+    * arithmetic or bloom parameters cannot silently make the probe
+    * measure a different query than the one being pinned (r9 ADVICE).
+    * The sketch is the only driver-side state: KB–MB at any corpus
+    * scale (might_contain requires a CONSTANT filter — the same
+    * O(model) collect discipline as the IVF centroids / PQ codebooks).
+    */
+  private def d21Halves(s: SparkSession, d: String): (DataFrame, DataFrame, Array[Byte]) = {
     val canon = canonicalUrls(s, d)
     val cut = canon.agg(
       floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut")
@@ -738,13 +747,15 @@ object Dedup {
     val withCut = canon.crossJoin(broadcast(cut))
     val old = withCut.filter(col("doc_id") < col("cut"))
     val nw = withCut.filter(col("doc_id") >= col("cut"))
-    // the sketch itself is the only driver-side state: KB–MB at any
-    // corpus scale (might_contain requires a CONSTANT filter — the same
-    // O(model) collect discipline as the IVF centroids / PQ codebooks)
     val bloomBytes = old
       .agg(GraftExpressions.bloomAgg(xxhash64(col("canonical_url")), 100000L, 1L << 20).as("bf"))
       .head()
       .getAs[Array[Byte]]("bf")
+    (old, nw, bloomBytes)
+  }
+
+  def d21IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val (old, nw, bloomBytes) = d21Halves(s, d)
     val cand =
       nw.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("canonical_url"))))
     val refs = old.groupBy("canonical_url").agg(min("doc_id").as("ref_doc_id"))
@@ -758,17 +769,7 @@ object Dedup {
     * access: true dups must all pass; false-positive overhead bounded).
     */
   private[graft] def d21BloomAdmitted(s: SparkSession, d: String): Long = {
-    val canon = canonicalUrls(s, d)
-    val cut = canon.agg(
-      floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut")
-    )
-    val withCut = canon.crossJoin(broadcast(cut))
-    val old = withCut.filter(col("doc_id") < col("cut"))
-    val nw = withCut.filter(col("doc_id") >= col("cut"))
-    val bloomBytes = old
-      .agg(GraftExpressions.bloomAgg(xxhash64(col("canonical_url")), 100000L, 1L << 20).as("bf"))
-      .head()
-      .getAs[Array[Byte]]("bf")
+    val (_, nw, bloomBytes) = d21Halves(s, d)
     nw.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("canonical_url"))))
       .count()
   }

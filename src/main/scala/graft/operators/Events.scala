@@ -173,7 +173,16 @@ object Events {
     val e = Tables
       .events(s, d)
       .select(col("event_type"), (dayofweek(col("ts")).isin(1, 7)).as("is_weekend"))
-    val cells = e.groupBy("event_type", "is_weekend").agg(count(lit(1)).as("obs"))
+    // DENSE cell spine (distinct row domain × distinct column domain):
+    // an empty (event_type, is_weekend) combination still contributes
+    // its (0−exp)²/exp term — dropping it understated the statistic
+    // while df kept counting the full dimensions (r9 ADVICE).
+    val observed = e.groupBy("event_type", "is_weekend").agg(count(lit(1)).as("obs"))
+    val cells = e
+      .select("event_type").distinct()
+      .crossJoin(e.select("is_weekend").distinct())
+      .join(observed, Seq("event_type", "is_weekend"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
     val rowTot = cells.groupBy("event_type").agg(sum("obs").as("rt"))
     val colTot = cells.groupBy("is_weekend").agg(sum("obs").as("ct"))
     val n = cells.agg(sum("obs").as("n"))

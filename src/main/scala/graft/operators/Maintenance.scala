@@ -1730,7 +1730,11 @@ object Maintenance {
         val tagged = ev.crossJoin(broadcast(split))
         tagged
           .filter(col("day") < col("sp"))
-          .drop("sp")
+          // gen1 predates the hourly spec: drop `hr` so the old
+          // generation genuinely lacks the evolved partition column and
+          // the read side must DERIVE it from ts (not shadow a stored
+          // copy — r9 ADVICE)
+          .drop("sp", "hr")
           .write
           .partitionBy("day")
           .mode("overwrite")

@@ -37,8 +37,9 @@ import org.apache.spark.sql.types.LongType
   * LongType (an id and unix_micros — the universal as-of shape); a
   * right-side tie expression gives equal-time rows a deterministic
   * winner (the last under (time, tie) ascending). Null keys/times are
-  * not supported (the fixture has none; a production build would null-
-  * filter first).
+  * rejected at RUNTIME with an explicit error (silently unboxing null
+  * to 0L would join null rows under key/time 0) — null-filter the
+  * inputs first.
   */
 case class AsofJoinNode(
     leftKey: Expression,
@@ -116,24 +117,36 @@ case class AsofJoinExec(
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
       var hasMatch = false
+      // a NULL key or time would silently unbox to 0L and join under
+      // key/time 0 — reject loudly instead (the documented restriction,
+      // now enforced at runtime)
+      def evalLong(e: Expression, row: InternalRow, role: String): Long = {
+        val v = e.eval(row)
+        if (v == null)
+          throw new IllegalArgumentException(s"AsofJoin: NULL $role — null-filter the input first")
+        v.asInstanceOf[Long]
+      }
       lIt.map { lrow =>
-        val lk = lkB.eval(lrow).asInstanceOf[Long]
-        val lt = ltB.eval(lrow).asInstanceOf[Long]
+        val lk = evalLong(lkB, lrow, "left key")
+        val lt = evalLong(ltB, lrow, "left time")
         // the right pointer only moves forward: consume everything at or
-        // before (lk, lt); the last same-key row consumed is the match
-        while (rBuf.hasNext && {
-                 val h = rBuf.head
-                 val hk = rkB.eval(h).asInstanceOf[Long]
-                 hk < lk || (hk == lk && rtB.eval(h).asInstanceOf[Long] <= lt)
-               }) {
-          val h = rBuf.next()
-          val hk = rkB.eval(h).asInstanceOf[Long]
-          if (hk == lk) {
-            // eval results alias the reused input row — retain a copy
-            lastMatch = h.copy()
-            lastMatchKey = hk
-            hasMatch = true
-          }
+        // before (lk, lt); the last same-key row consumed is the match.
+        // The head's key is evaluated ONCE per consumed row (the check
+        // and the consume share the eval).
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val h = rBuf.head
+          val hk = evalLong(rkB, h, "right key")
+          if (hk < lk || (hk == lk && evalLong(rtB, h, "right time") <= lt)) {
+            rBuf.next()
+            if (hk == lk) {
+              // eval results alias the reused input row — retain a copy
+              // BEFORE the next head() pull can overwrite the backing row
+              lastMatch = h.copy()
+              lastMatchKey = hk
+              hasMatch = true
+            }
+          } else scanning = false
         }
         val rrow = if (hasMatch && lastMatchKey == lk) lastMatch else nullRight
         proj(joined(lrow, rrow))

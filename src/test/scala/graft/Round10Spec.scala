@@ -276,6 +276,39 @@ class ExprCodegenSpec extends AnyFunSuite {
   }
 }
 
+/** Remaining r9 ADVICE fixes with observable behavior: the as-of exec
+  * rejects null keys/times loudly (previously null unboxed to 0L and
+  * silently joined under key 0), and c24's gen1 genuinely lacks the
+  * evolved partition column on disk.
+  */
+class AdviceFixSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("AsofJoinExec rejects a NULL key/time at runtime instead of joining under 0") {
+    import spark.implicits._
+    val left = Seq((Some(1L), 10L), (None: Option[Long], 20L))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "t", "tie")
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    val joined = graft.plans.AsofJoin.asof(left, right, "k", "t", "rk", "rt", "tie")
+    val ex = intercept[Exception](joined.collect())
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(ex).exists(m => m != null && m.contains("NULL left key")), chain(ex).toString)
+  }
+
+  test("c24 gen1 files physically lack hr; the reader derives it from ts") {
+    val dir = graft.operators.Maintenance.partEvoStore(spark, sf)
+    val g1raw = spark.read.parquet(s"$dir/gen1")
+    assert(!g1raw.columns.contains("hr"), g1raw.columns.mkString(","))
+    val (g1, _) = graft.operators.Maintenance.partEvoRead(spark, dir)
+    assert(g1.columns.contains("hr"))
+    // derived hr matches ts for every row
+    assert(g1.filter(col("hr") =!= hour(col("ts"))).count() == 0)
+  }
+}
+
 class SnapshotLockSpec extends AnyFunSuite {
   import graft.sources.SnapshotStore
 
