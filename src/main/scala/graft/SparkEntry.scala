@@ -328,7 +328,14 @@ object SparkEntry {
     // round 9 (cont.): real-decode box-average image resize
     "m12_image_resize"       -> ((s, d) => Multimodal.m12ImageResize(s, d)),
     // round 9 (cont.): chi-square independence test as a relational plan
-    "e36_chi_square"         -> (Events.e36ChiSquare _)
+    "e36_chi_square"         -> (Events.e36ChiSquare _),
+    // round 10: TPC-H Q8-shape market share (conditional agg over a star)
+    "q52_market_share"       -> (Relational.q52MarketShare _),
+    // round 10: graft.IngestMain's full service path under the oracle gate
+    "s26_daemon_ingest"      -> (StreamingBatch.s26DaemonIngest _),
+    // round 10: incremental dedup -> gate -> OCC store publish, reported
+    // from the LANDED version
+    "p8_curate_incremental"  -> ((s, d) => graft.operators.Curate.p8CurateIncremental(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -2977,6 +2984,46 @@ object SparkEntry {
         | WHERE wm.wm_us IS NULL OR epoch_us(CAST(e.day + 1 AS TIMESTAMP)) > wm.wm_us)
         |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
-        |FROM acc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM acc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q52: decimal(18,6) revenue terms before the sums (q3 discipline),
+    // 2dp-rounded decimals cast to double, share divided as doubles
+    "q52_market_share" ->
+      """WITH sup AS (SELECT s_suppkey, (r_name = 'ASIA') AS is_asia
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey),
+        |rev AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)) AS rv, is_asia
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN sup ON l_suppkey = s_suppkey),
+        |agg AS (SELECT o_year, round(sum(rv), 2) AS total,
+        |  round(sum(CASE WHEN is_asia THEN rv ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS asia
+        | FROM rev GROUP BY 1)
+        |SELECT o_year, CAST(total AS DOUBLE) AS total_revenue,
+        | CAST(asia AS DOUBLE) AS asia_revenue,
+        | round(CAST(asia AS DOUBLE) / CAST(total AS DOUBLE), 6) AS asia_share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    // s26: the daemon lands the same exactly-once (dt, hr) table s1's
+    // library call does — the oracle is the raw-events truth
+    "s26_daemon_ingest" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // p8: the full incremental chain replayed — content-segment frontier
+    // URLs, the exact dup set (the bloom is a prefilter only), the token
+    // gate, and the per-source landed report
+    "p8_curate_incremental" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  source || '/' || substr(md5(text), 1, 2) AS url_key,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |cut AS (SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS cut FROM documents),
+        |old AS (SELECT u.* FROM u, cut WHERE doc_id < cut),
+        |nw AS (SELECT u.* FROM u, cut WHERE doc_id >= cut),
+        |dup AS (SELECT DISTINCT nw.doc_id FROM nw
+        |  JOIN (SELECT DISTINCT url_key FROM old) o USING (url_key))
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM nw
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup) AND n_tokens BETWEEN 5 AND 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

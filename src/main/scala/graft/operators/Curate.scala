@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{SnapshotStore, Tables}
 
 /** p1: the end-to-end training-data curation pipeline — the composition
   * the individual d/t operators exist for:
@@ -328,5 +328,69 @@ object Curate {
         min("doc_id").as("first_doc")
       )
       .orderBy("shard_id")
+  }
+
+  /** p8: the INCREMENTAL-PUBLISH chain — what a production frontier
+    * actually runs per ingest cycle, composed into one oracle-gated
+    * unit:
+    *
+    *   new arrivals (doc_id ≥ midpoint — d21's frontier model)
+    *     → incremental URL dedup against the reference half
+    *       (d21's bloom prefilter + exact confirm join)
+    *     → token-count quality gate
+    *     → PUBLISH to a [[SnapshotStore]] via the OCC staged commit
+    *       (unique staging dir + commitStagedIfCurrent — s6's protocol)
+    *     → report FROM THE LANDED VERSION (not the in-flight frame)
+    *
+    * Reading the report back from the committed store version makes the
+    * publish step itself load-bearing in the hash: a torn commit, a
+    * wrong manifest flip, or a staging clobber surfaces as a value
+    * mismatch, not just a test failure. Cost shape at 100 TB: the bloom
+    * is KB–MB broadcast state, the confirm join runs over O(dups+fp)
+    * rows, the gate is a per-row filter, and the publish is one
+    * manifest rename.
+    */
+  def p8CurateIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions
+    // frontier URL keyed by a content-derived path segment: d21's %60
+    // URL fixture SATURATES (every arrival's URL exists in any
+    // half-corpus reference), which would make incremental dedup drop
+    // the whole frontier; a 256-bucket md5(text) segment leaves both
+    // seen and fresh URLs at every SF — the realistic frontier mix
+    val urlKey =
+      concat(col("source"), lit("/"), substring(md5(col("text").cast("binary")), 1, 2))
+    val docs = Tables.documents(s, d).withColumn("url_key", urlKey)
+    val cut = docs.agg(floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("doc_id") < col("cut"))
+    val arrivals = withCut.filter(col("doc_id") >= col("cut"))
+    // d21's bloom-prefilter + exact-confirm shape: the sketch is the
+    // only driver state, misses short-circuit, the confirm join kills
+    // the false positives — the answer stays exact
+    val bloomBytes = old
+      .agg(GraftExpressions.bloomAgg(xxhash64(col("url_key")), 100000L, 1L << 20).as("bf"))
+      .head()
+      .getAs[Array[Byte]]("bf")
+    val admitted =
+      arrivals.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("url_key"))))
+    val dups = admitted
+      .join(old.select(col("url_key")).distinct(), Seq("url_key"), "left_semi")
+      .select("doc_id")
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val survivors = arrivals
+      .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), size(tk).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").between(5, 2000))
+    val store = graft.TempDirs.create("graft_p8_") + "/store"
+    val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
+    survivors.write.mode("overwrite").parquet(staged)
+    val v = SnapshotStore
+      .commitStagedIfCurrent(store, None, staged)
+      .getOrElse(throw new IllegalStateException("fresh p8 store must accept the first commit"))
+    SnapshotStore
+      .readVersion(s, store, v)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("source")
   }
 }

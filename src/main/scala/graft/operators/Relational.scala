@@ -954,4 +954,48 @@ object Relational {
       )
       .orderBy("c_custkey")
   }
+
+  /** q52: MARKET SHARE (TPC-H Q8 shape on the available tables) — per
+    * order-year, the share of lineitem revenue supplied by suppliers
+    * whose nation sits in one region. The canonical share-of-total over
+    * a star: ONE fact-fact shuffle join (lineitem ⋈ orders on orderkey —
+    * both sides hash on the key, AQE handles skew), every dimension
+    * (supplier→nation→region flag) folded into a broadcast before
+    * touching the fact stream, and the share computed by CONDITIONAL
+    * aggregation in the same single groupBy pass (`sum(when(asia))` /
+    * `sum(all)`) — not a self-join of two filtered aggregates, which
+    * would scan and shuffle the facts twice. Revenue terms ride
+    * decimal(18,6) before the sums (q3's associativity-free discipline)
+    * so the share's numerator/denominator are engine-exact; the final
+    * division happens once per year-row on exact decimals.
+    */
+  def q52MarketShare(s: SparkSession, d: String): DataFrame = {
+    val supFlag = Tables
+      .supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), (col("r_name") === "ASIA").as("is_asia"))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+    Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(rev).cast("decimal(38,2)").as("total"),
+        sum(when(col("is_asia"), rev).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(38,2)")
+          .as("asia")
+      )
+      .select(
+        col("o_year"),
+        col("total").cast("double").as("total_revenue"),
+        col("asia").cast("double").as("asia_revenue"),
+        // divide as DOUBLES (both engines cast the same exact 2dp
+        // decimals to identical doubles): decimal-division scale rules
+        // differ across engines, IEEE division doesn't
+        round(col("asia").cast("double") / col("total").cast("double"), 6).as("asia_share")
+      )
+      .orderBy("o_year")
+  }
 }

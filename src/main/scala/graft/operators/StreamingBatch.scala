@@ -202,6 +202,42 @@ object StreamingBatch {
       .orderBy("dt", "hr")
   }
 
+  /** s26: the INGEST DAEMON under the oracle gate — [[graft.IngestMain]]'s
+    * full service path (config-file text → parseConfig → launch →
+    * metrics listener → await → clean stop) pointed at the staged JSON
+    * with `trigger.mode=availableNow` (drain the backlog, then exit —
+    * the daemon's batch-backfill mode), then the landed (dt, hr)
+    * partitioned table re-read and aggregated. s1 gates the library
+    * call; this row gates the SERVICE wrapper a khose user actually
+    * runs: config parsing, trigger selection, daemon lifecycle, and the
+    * same exactly-once landing — a wrapper bug (wrong trigger mapping,
+    * dropped config key, premature stop) fails the hash, not just a
+    * ScalaTest.
+    */
+  def s26DaemonIngest(s: SparkSession, d: String): DataFrame = {
+    val json = stageJson(s, d)
+    val dir = graft.TempDirs.create("graft_s26_run_")
+    val conf = graft.IngestMain.parseConfig(
+      s"""# the khose-style properties file a deployment ships
+         |source.type=file
+         |source.path=$json/json
+         |schema.ddl=event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING
+         |ts.column=ts
+         |sink.path=$dir/out
+         |sink.checkpoint=$dir/ck
+         |sink.partitions=16
+         |trigger.mode=availableNow
+         |""".stripMargin
+    )
+    val daemon = graft.IngestMain.launch(s, conf, _ => ())
+    daemon.await(pollMs = 50L)
+    s.read
+      .parquet(s"$dir/out")
+      .groupBy(col("dt").cast("date").as("dt"), col("hr").cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt", "hr")
+  }
+
   /** s4 (oracle form): STATEFUL streaming sessionization run end-to-end
     * over the staged stream — flatMapGroupsWithState with event-time
     * timers, landed via an append-mode parquet sink. The far-future

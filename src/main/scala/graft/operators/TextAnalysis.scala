@@ -713,9 +713,12 @@ object TextAnalysis {
     val cls = tc
       .crossJoin(broadcast(v))
       .withColumn("lp_miss", lnq(lit(1) / (col("tkn_c") + col("v_size"))))
-    // observed half: inner join — only (w, c) pairs training actually saw
+    // observed half: inner join — only (w, c) pairs training actually
+    // saw. cc is MODEL-sized (vocab × classes — the same broadcastable
+    // class as t9's vocab tables), so the token stream is probed by a
+    // broadcast hash join rather than shuffled on w.
     val obs = tok
-      .join(cc, "w")
+      .join(broadcast(cc), "w")
       .join(broadcast(cls.select("c", "tkn_c", "v_size")), "c")
       .withColumn("lp", lnq((col("c_wc") + 1) / (col("tkn_c") + col("v_size"))))
       .groupBy("doc_id", "c")
@@ -723,10 +726,18 @@ object TextAnalysis {
         sum(col("cnt").cast("decimal(8,0)") * col("lp")).as("s_obs"),
         sum(col("cnt").cast("decimal(8,0)")).as("n_obs")
       )
-    // doc spine: per-doc totals × classes (docs × C, not tokens × C)
-    val tot = tok
-      .groupBy("doc_id", "source")
-      .agg(sum(col("cnt").cast("decimal(8,0)")).as("t_d"))
+    // doc spine: per-doc totals × classes (docs × C, not tokens × C).
+    // The total is the token-array SIZE straight off the scan — a
+    // per-row map, NOT a third replay of the explode+groupBy shuffle
+    // (docs with zero tokens never enter tok and are excluded here too,
+    // matching the tok-driven dense form)
+    val tot = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(TF.tokens(col("text"))).cast("decimal(8,0)").as("t_d")
+      )
+      .filter(col("t_d") > 0)
     val sc = tot
       .crossJoin(broadcast(cls.select("c", "lp_miss")))
       .join(obs, Seq("doc_id", "c"), "left")

@@ -309,6 +309,47 @@ class AdviceFixSpec extends AnyFunSuite {
   }
 }
 
+/** Round-10 surface additions: q52 market share, s26 daemon-gated
+  * ingest, p8 incremental publish. The oracle rows gate values; these
+  * pin the structural claims.
+  */
+class Round10QuerySpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("q52: asia revenue is a genuine partition of total (0 < share < 1 somewhere, never > total)") {
+    val rows = graft.operators.Relational.q52MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, a) = (r.getAs[Double]("total_revenue"), r.getAs[Double]("asia_revenue"))
+      assert(a >= 0 && a <= t)
+      assert(math.abs(r.getAs[Double]("asia_share") - a / t) < 1e-6)
+    }
+    assert(rows.exists(r => r.getAs[Double]("asia_share") > 0 && r.getAs[Double]("asia_share") < 1))
+  }
+
+  test("q52 plans exactly one fact-fact exchange pair; dims ride broadcasts") {
+    val plan = graft.operators.Relational.q52MarketShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "supplier-flag dim must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("s26 daemon ingest lands exactly what s1's library call lands") {
+    val viaDaemon = graft.operators.StreamingBatch.s26DaemonIngest(spark, sf).collect()
+    val viaLib = graft.operators.StreamingBatch.s1IngestParquet(spark, sf).collect()
+    assert(viaDaemon.map(_.toString).toSeq == viaLib.map(_.toString).toSeq)
+  }
+
+  test("p8: the frontier mix is genuine — some arrivals dedup away, some survive, store has 1 version") {
+    val out = graft.operators.Curate.p8CurateIncremental(spark, sf).collect()
+    val nSurvived = out.map(_.getAs[Long]("n_docs")).sum
+    val half = graft.sources.Tables.documents(spark, sf).count() / 2
+    assert(nSurvived > 0, "dedup must not drop the whole frontier")
+    assert(nSurvived < half, "dedup must drop SOMETHING (saturated-URL regression guard)")
+  }
+}
+
 class SnapshotLockSpec extends AnyFunSuite {
   import graft.sources.SnapshotStore
 
