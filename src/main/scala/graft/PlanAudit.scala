@@ -90,7 +90,10 @@ object PlanAudit {
       "e7b_asof_native"             -> "native as-of join: AsofJoinExec between the EnsureRequirements-planned exchanges and (key, time, tie) sorts",
       "v14_ivf_sq8"                 -> "IVF+SQ8+rerank: probed cells only reach the quantized kernel; TopKPerKey shortlists; full precision touches the shortlist",
       "m12_image_resize"            -> "real-decode resize: executor-side ImageIO + box sums, only thumbnail rows ride the shuffle",
-      "e36_chi_square"              -> "chi-square test: one contingency groupBy + broadcast marginals; statistic folded from quantized per-cell terms"
+      "e36_chi_square"              -> "chi-square test: one DENSE-spine contingency groupBy + broadcast marginals; statistic folded from quantized per-cell terms",
+      "q52_market_share"            -> "market share: ONE fact-fact shuffle join; supplier/nation/region folded to a broadcast flag; asia+total in a single conditional-agg pass",
+      "p8_curate_incremental"       -> "incremental publish: bloom-literal prefilter per-row, exact confirm semi-join, gate pushed, report scans the LANDED store version",
+      "t26_domain_nb"               -> "sparse NB scoring: token stream probed by BROADCAST class-conditional joins (observed pairs only); missing mass on the docs x classes spine"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
