@@ -335,7 +335,13 @@ object SparkEntry {
     "s26_daemon_ingest"      -> (StreamingBatch.s26DaemonIngest _),
     // round 10: incremental dedup -> gate -> OCC store publish, reported
     // from the LANDED version
-    "p8_curate_incremental"  -> ((s, d) => graft.operators.Curate.p8CurateIncremental(s, d))
+    "p8_curate_incremental"  -> ((s, d) => graft.operators.Curate.p8CurateIncremental(s, d)),
+    // round 10: burst islands — hourly rate vs per-type mean, cross-multiplied exact
+    "e37_burst_windows"      -> (Events.e37BurstWindows _),
+    // round 10: scene segmentation over the synthetic frame model (m11's shape on the frame axis)
+    "m13_scene_segments"     -> ((s, d) => Multimodal.m13SceneSegments(s, d)),
+    // round 10: per-doc trigram novelty vs the reference half
+    "t32_ngram_novelty"      -> (TextAnalysis.t32NgramNovelty _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3024,6 +3030,59 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM nw
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup) AND n_tokens BETWEEN 5 AND 2000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e37: burst hour iff cnt*n_hours >= 2*total (cross-multiplied — no
+    // division anywhere), islands via the hour-index - row_number delta
+    "e37_burst_windows" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, sum(cnt) AS total, count(*) AS n_hours
+        | FROM hourly GROUP BY 1),
+        |b AS (SELECT h.event_type, h.h, h.cnt,
+        |  CAST(epoch_us(h.h) // 3600000000 AS BIGINT) AS hi
+        | FROM hourly h JOIN base USING (event_type)
+        | WHERE h.cnt * base.n_hours >= base.total * 2),
+        |g AS (SELECT *, hi - row_number() OVER (PARTITION BY event_type ORDER BY hi) AS grp FROM b)
+        |SELECT event_type, min(h) AS start_h, max(h) AS end_h,
+        | count(*) AS n_hours_burst, CAST(max(cnt) AS BIGINT) AS peak,
+        | CAST(sum(cnt) AS BIGINT) AS n_events
+        |FROM g GROUP BY event_type, grp
+        |ORDER BY event_type, start_h""".stripMargin,
+    // m13: the synthetic frame model replayed (m11's oracle discipline);
+    // scene = running sum of |delta| >= 96 cuts
+    "m13_scene_segments" ->
+      """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
+        |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
+        | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),
+        |c AS (SELECT doc_id, i, v,
+        |  CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |       OR abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i)) >= 96
+        |  THEN 1 ELSE 0 END AS cut
+        | FROM f),
+        |sc AS (SELECT doc_id, i, v,
+        |  sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_id FROM c)
+        |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+        | CAST(min(i) AS BIGINT) AS start_f, CAST(max(i) AS BIGINT) AS end_f,
+        | count(*) AS n_frames, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t32: distinct-trigram novelty of each frontier doc vs the
+    // reference half's trigram set
+    "t32_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |g0 AS (SELECT doc_id,
+        |  unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS g
+        | FROM t),
+        |g AS (SELECT DISTINCT doc_id, g FROM g0),
+        |cut AS (SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS cut FROM documents),
+        |ref AS (SELECT DISTINCT g.g FROM g, cut WHERE doc_id < cut),
+        |nw AS (SELECT g.* FROM g, cut WHERE doc_id >= cut),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM nw
+        | WHERE g NOT IN (SELECT g FROM ref) GROUP BY 1)
+        |SELECT nw.doc_id, count(*) AS n_grams,
+        | CAST(coalesce(any_value(nv.n_novel), 0) AS BIGINT) AS n_novel,
+        | round(CAST(coalesce(any_value(nv.n_novel), 0) AS DOUBLE) / count(*), 4) AS novelty
+        |FROM nw LEFT JOIN nv USING (doc_id)
+        |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
   )
 }

@@ -931,4 +931,45 @@ object Events {
       )
       .orderBy("prev_type")
   }
+
+  /** e37: BURST DETECTION — the rate-anomaly workload between e14's
+    * sliding rate and e33's CUSUM: per event type, hourly counts against
+    * the type's own mean hourly rate, with a burst = any maximal run of
+    * consecutive hours at ≥ 2× the mean (integer-exact: `2·n·H ≥ 2·N`
+    * avoided — the comparison is `cnt·H ≥ 2·total` so no division ever
+    * happens). Runs found by the gaps-and-islands delta (hour_index −
+    * row_number over burst hours), one window per type. Emits one row
+    * per burst: start/end hour, length, peak and total events. Plan
+    * shape: one hourly groupBy (keyed shuffle), a 2-row-per-type
+    * broadcast of the baselines, and type-keyed windows over the
+    * HOURLY table (8760 rows/type/year — model-sized at any event
+    * volume).
+    */
+  def e37BurstWindows(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = hourly
+      .groupBy("event_type")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("n_hours"))
+    val bursts = hourly
+      .join(broadcast(base), "event_type")
+      // burst hour: cnt ≥ 2 × (total / n_hours), cross-multiplied exact
+      .filter(col("cnt") * col("n_hours") >= col("total") * 2)
+      .withColumn("hi", (unix_micros(col("h")) / lit(3600000000L)).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("hi")
+    bursts
+      .withColumn("grp", col("hi") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(
+        min("h").as("start_h"),
+        max("h").as("end_h"),
+        count(lit(1)).as("n_hours_burst"),
+        max("cnt").as("peak"),
+        sum("cnt").as("n_events")
+      )
+      .select("event_type", "start_h", "end_h", "n_hours_burst", "peak", "n_events")
+      .orderBy("event_type", "start_h")
+  }
 }

@@ -625,4 +625,44 @@ object Multimodal {
       .select(col("doc_id"), col("neg_rank"), col("neg_id"), round(col("cos"), 4).as("cos"))
       .orderBy("doc_id", "neg_rank")
   }
+
+  /** m13: VIDEO SCENE SEGMENTATION — m11's decode→gate→islands shape
+    * applied to the frame axis: per clip, a deterministic per-frame
+    * luma proxy (the m9/m11 synthetic-media convention — integer
+    * arithmetic both engines replay exactly), a scene CUT wherever the
+    * absolute frame-to-frame delta reaches `tau`, and scenes as the
+    * running sum of cuts (each scene one row: frame span, length, luma
+    * mass). Plan shape: the frame table is a zero-shuffle generator
+    * expand off the manifest, then ONE per-clip window pass + keyed
+    * groupBy — frames never shuffle more than once, and at 100 TB the
+    * real decoder slots into the frame-value column exactly like m7/m9
+    * (executor-side, only per-frame scalars ride the shuffle).
+    */
+  def m13SceneSegments(s: SparkSession, d: String, tau: Int = 96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nF = (lit(24) + col("doc_id") % 40).cast("int")
+    val frames = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(sequence(lit(0), nF - 1)).as("i"))
+      .withColumn("v", (col("doc_id") * 31 + col("i") * col("i") * 7919) % 256)
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    frames
+      .withColumn("pv", lag("v", 1).over(w))
+      .withColumn(
+        "cut",
+        when(col("pv").isNull || abs(col("v") - col("pv")) >= tau, 1).otherwise(0)
+      )
+      .withColumn(
+        "scene_id",
+        sum("cut").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("doc_id", "scene_id")
+      .agg(
+        min("i").cast("long").as("start_f"),
+        max("i").cast("long").as("end_f"),
+        count(lit(1)).as("n_frames"),
+        sum("v").cast("long").as("sum_v")
+      )
+      .orderBy("doc_id", "scene_id")
+  }
 }

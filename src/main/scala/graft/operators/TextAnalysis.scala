@@ -1152,4 +1152,51 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** t32: N-GRAM NOVELTY scoring — the data-freshness signal an
+    * incremental pretraining pipeline runs per crawl cycle: for every
+    * NEW document (doc_id ≥ midpoint — d21/p8's frontier model), the
+    * fraction of its DISTINCT word trigrams never seen in the reference
+    * half. High-novelty docs carry new content; near-zero novelty means
+    * the doc restates the existing corpus even when no dedup rule fires
+    * — the soft complement to d21's hard URL dedup. Trigrams build with
+    * the t25 slice+zip_with discipline (empty-safe, no UDF); scoring is
+    * two keyed shuffles on the gram string (per-doc distinct grams,
+    * reference distinct set) + one left-anti join — at 100 TB the
+    * reference set rides a d21-style bloom prefilter in front of the
+    * exact anti-join, same answer. Docs with < 3 tokens have no trigram
+    * evidence and are excluded (stated contract, same rows both
+    * engines).
+    */
+  def t32NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cut = docs.agg(floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+    val m = greatest(size(col("t")) - 2, lit(0))
+    val tri = zip_with(
+      zip_with(slice(col("t"), lit(1), m), slice(col("t"), lit(2), m), (a, b) => concat(a, lit(" "), b)),
+      slice(col("t"), lit(3), m),
+      (ab, c) => concat(ab, lit(" "), c)
+    )
+    val grams = docs
+      .crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut"), TF.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("cut"), explode(tri).as("g"))
+      .distinct()
+    val ref = grams.filter(col("doc_id") < col("cut")).select("g").distinct()
+    val nw = grams.filter(col("doc_id") >= col("cut"))
+    val novel = nw
+      .join(ref, Seq("g"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_novel"))
+    nw.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"), 4).as("novelty")
+      )
+      .orderBy("doc_id")
+  }
 }

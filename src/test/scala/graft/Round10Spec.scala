@@ -341,6 +341,56 @@ class Round10QuerySpec extends AnyFunSuite {
     assert(viaDaemon.map(_.toString).toSeq == viaLib.map(_.toString).toSeq)
   }
 
+  test("e37: bursts are maximal runs — every burst hour is >= 2x its type's mean, islands don't touch") {
+    val rows = graft.operators.Events.e37BurstWindows(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getAs[java.sql.Timestamp]("start_h").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // maximality: consecutive islands are separated by > 1 hour
+          assert(b.getAs[java.sql.Timestamp]("start_h").getTime -
+            a.getAs[java.sql.Timestamp]("end_h").getTime > 3600000L)
+        case _ => ()
+      }
+      bs.foreach(r => assert(r.getAs[Long]("peak") <= r.getAs[Long]("n_events")))
+    }
+  }
+
+  test("m13: scenes partition every clip's frames exactly, spans are contiguous") {
+    val rows = graft.operators.Multimodal.m13SceneSegments(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (docId, scenes) =>
+      val sorted = scenes.sortBy(_.getAs[Long]("scene_id"))
+      val nf = 24 + docId % 40
+      // scenes tile [0, nf): each starts where the last ended + 1
+      assert(sorted.head.getAs[Long]("start_f") == 0L)
+      assert(sorted.last.getAs[Long]("end_f") == nf - 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Long]("start_f") == a.getAs[Long]("end_f") + 1)
+        case _ => ()
+      }
+      assert(sorted.map(_.getAs[Long]("n_frames")).sum == nf)
+    }
+  }
+
+  test("t32: novelty in [0,1]; a doc duplicated verbatim across the halves scores 0") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_t32_")
+    // doc 0 (reference) and doc 2 (frontier) share the exact text; doc 3 is fresh
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally new words never seen before")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.t32NgramNovelty(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(out(2L) == 0.0, s"verbatim dup must have zero novelty: $out")
+    assert(out(3L) == 1.0, s"fresh doc must be fully novel: $out")
+    val real = graft.operators.TextAnalysis.t32NgramNovelty(spark, sf).collect()
+    assert(real.forall(r => r.getAs[Double]("novelty") >= 0 && r.getAs[Double]("novelty") <= 1))
+  }
+
   test("p8: the frontier mix is genuine — some arrivals dedup away, some survive, store has 1 version") {
     val out = graft.operators.Curate.p8CurateIncremental(spark, sf).collect()
     val nSurvived = out.map(_.getAs[Long]("n_docs")).sum
