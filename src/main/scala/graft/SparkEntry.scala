@@ -3031,8 +3031,9 @@ object SparkEntry {
         |FROM nw
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup) AND n_tokens BETWEEN 5 AND 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // e37: burst hour iff cnt*n_hours >= 2*total (cross-multiplied — no
-    // division anywhere), islands via the hour-index - row_number delta
+    // e37: burst hour iff 2*cnt*n_hours >= 3*total (1.5x mean,
+    // cross-multiplied — no division anywhere), islands via the
+    // hour-index - row_number delta
     "e37_burst_windows" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
         | FROM events GROUP BY 1, 2),
@@ -3041,7 +3042,7 @@ object SparkEntry {
         |b AS (SELECT h.event_type, h.h, h.cnt,
         |  CAST(epoch_us(h.h) // 3600000000 AS BIGINT) AS hi
         | FROM hourly h JOIN base USING (event_type)
-        | WHERE h.cnt * base.n_hours >= base.total * 2),
+        | WHERE h.cnt * base.n_hours * 2 >= base.total * 3),
         |g AS (SELECT *, hi - row_number() OVER (PARTITION BY event_type ORDER BY hi) AS grp FROM b)
         |SELECT event_type, min(h) AS start_h, max(h) AS end_h,
         | count(*) AS n_hours_burst, CAST(max(cnt) AS BIGINT) AS peak,

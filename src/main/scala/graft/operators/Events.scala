@@ -935,9 +935,11 @@ object Events {
   /** e37: BURST DETECTION — the rate-anomaly workload between e14's
     * sliding rate and e33's CUSUM: per event type, hourly counts against
     * the type's own mean hourly rate, with a burst = any maximal run of
-    * consecutive hours at ≥ 2× the mean (integer-exact: `2·n·H ≥ 2·N`
-    * avoided — the comparison is `cnt·H ≥ 2·total` so no division ever
-    * happens). Runs found by the gaps-and-islands delta (hour_index −
+    * consecutive hours at ≥ 1.5× the mean (integer-exact: the
+    * comparison is cross-multiplied `2·cnt·H ≥ 3·total` so no division
+    * ever happens; 1.5× keeps bursts NON-EMPTY at every staged SF —
+    * denser corpora concentrate hourly counts near the mean and a 2×
+    * gate goes silent at sf0.1). Runs found by the gaps-and-islands delta (hour_index −
     * row_number over burst hours), one window per type. Emits one row
     * per burst: start/end hour, length, peak and total events. Plan
     * shape: one hourly groupBy (keyed shuffle), a 2-row-per-type
@@ -955,8 +957,8 @@ object Events {
       .agg(sum("cnt").as("total"), count(lit(1)).as("n_hours"))
     val bursts = hourly
       .join(broadcast(base), "event_type")
-      // burst hour: cnt ≥ 2 × (total / n_hours), cross-multiplied exact
-      .filter(col("cnt") * col("n_hours") >= col("total") * 2)
+      // burst hour: cnt ≥ 1.5 × (total / n_hours), cross-multiplied exact
+      .filter(col("cnt") * col("n_hours") * 2 >= col("total") * 3)
       .withColumn("hi", (unix_micros(col("h")) / lit(3600000000L)).cast("long"))
     val w = Window.partitionBy("event_type").orderBy("hi")
     bursts

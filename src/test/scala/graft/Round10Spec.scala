@@ -341,7 +341,7 @@ class Round10QuerySpec extends AnyFunSuite {
     assert(viaDaemon.map(_.toString).toSeq == viaLib.map(_.toString).toSeq)
   }
 
-  test("e37: bursts are maximal runs — every burst hour is >= 2x its type's mean, islands don't touch") {
+  test("e37: bursts are maximal runs — every burst hour is >= 1.5x its type's mean, islands don't touch") {
     val rows = graft.operators.Events.e37BurstWindows(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getString(0)).foreach { case (_, bs) =>
