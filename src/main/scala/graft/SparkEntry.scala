@@ -341,7 +341,12 @@ object SparkEntry {
     // round 10: scene segmentation over the synthetic frame model (m11's shape on the frame axis)
     "m13_scene_segments"     -> ((s, d) => Multimodal.m13SceneSegments(s, d)),
     // round 10: per-doc trigram novelty vs the reference half
-    "t32_ngram_novelty"      -> (TextAnalysis.t32NgramNovelty _)
+    "t32_ngram_novelty"      -> (TextAnalysis.t32NgramNovelty _),
+    // round 10: t32's streaming twin — frontier docs scored per micro-batch
+    // against the static reference gram set (shares t32's oracle)
+    "s27_stream_novelty"     -> (StreamingBatch.s27StreamNovelty _),
+    // round 10: hybrid dense+lexical retrieval fused by reciprocal rank fusion
+    "v15_hybrid_rrf"         -> ((s, d) => Similarity.v15HybridRrf(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3066,24 +3071,59 @@ object SparkEntry {
         | CAST(min(i) AS BIGINT) AS start_f, CAST(max(i) AS BIGINT) AS end_f,
         | count(*) AS n_frames, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // t32: distinct-trigram novelty of each frontier doc vs the
-    // reference half's trigram set
-    "t32_ngram_novelty" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
-        | FROM documents),
-        |g0 AS (SELECT doc_id,
-        |  unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS g
-        | FROM t),
-        |g AS (SELECT DISTINCT doc_id, g FROM g0),
-        |cut AS (SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS cut FROM documents),
-        |ref AS (SELECT DISTINCT g.g FROM g, cut WHERE doc_id < cut),
-        |nw AS (SELECT g.* FROM g, cut WHERE doc_id >= cut),
-        |nv AS (SELECT doc_id, count(*) AS n_novel FROM nw
-        | WHERE g NOT IN (SELECT g FROM ref) GROUP BY 1)
-        |SELECT nw.doc_id, count(*) AS n_grams,
-        | CAST(coalesce(any_value(nv.n_novel), 0) AS BIGINT) AS n_novel,
-        | round(CAST(coalesce(any_value(nv.n_novel), 0) AS DOUBLE) / count(*), 4) AS novelty
-        |FROM nw LEFT JOIN nv USING (doc_id)
-        |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
+    // t32 + s27: distinct-trigram novelty of each frontier doc vs the
+    // reference half's trigram set — ONE oracle pins the batch query
+    // AND the streaming scoring pipeline (the as-of-triad discipline)
+    "t32_ngram_novelty" -> noveltySql,
+    "s27_stream_novelty" -> noveltySql,
+    // v15: both arms' ranks recomputed (cosine rank, token-Jaccard
+    // rank), RRF from INTEGER ranks, rounded BEFORE the fusion rank
+    "v15_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+        |vsc AS (SELECT q_id, c_id,
+        |  list_dot_product(q_emb, c_emb)
+        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+        | FROM c JOIN q ON c_id <> q_id),
+        |vr AS (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn_vec FROM vsc),
+        |tk AS (SELECT doc_id,
+        |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents),
+        |lsc AS (SELECT qt.doc_id AS q_id, ct.doc_id AS c_id,
+        |  len(list_intersect(qt.t, ct.t)) AS inter,
+        |  len(qt.t) + len(ct.t) - len(list_intersect(qt.t, ct.t)) AS uni
+        | FROM tk ct JOIN tk qt ON qt.doc_id < 10 AND ct.doc_id <> qt.doc_id),
+        |lr AS (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id
+        |    ORDER BY (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE)/uni ELSE 0.0 END) DESC, c_id) AS rn_lex
+        | FROM lsc),
+        |f AS (SELECT vr.q_id, vr.c_id,
+        |  round(CAST(1 AS DOUBLE)/(60 + rn_vec) + CAST(1 AS DOUBLE)/(60 + rn_lex), 6) AS rrf,
+        |  rn_vec, rn_lex
+        | FROM vr JOIN lr ON vr.q_id = lr.q_id AND vr.c_id = lr.c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn FROM f)
+        |SELECT q_id, rn, c_id, rrf, rn_vec, rn_lex FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin
   )
+
+  /** t32/s27's shared novelty oracle: one SQL pins the batch query and
+    * the streaming scoring pipeline.
+    */
+  private val noveltySql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      | FROM documents),
+      |g0 AS (SELECT doc_id,
+      |  unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS g
+      | FROM t),
+      |g AS (SELECT DISTINCT doc_id, g FROM g0),
+      |cut AS (SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS cut FROM documents),
+      |ref AS (SELECT DISTINCT g.g FROM g, cut WHERE doc_id < cut),
+      |nw AS (SELECT g.* FROM g, cut WHERE doc_id >= cut),
+      |nv AS (SELECT doc_id, count(*) AS n_novel FROM nw
+      | WHERE g NOT IN (SELECT g FROM ref) GROUP BY 1)
+      |SELECT nw.doc_id, count(*) AS n_grams,
+      | CAST(coalesce(any_value(nv.n_novel), 0) AS BIGINT) AS n_novel,
+      | round(CAST(coalesce(any_value(nv.n_novel), 0) AS DOUBLE) / count(*), 4) AS novelty
+      |FROM nw LEFT JOIN nv USING (doc_id)
+      |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
 }

@@ -805,4 +805,60 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** v15: HYBRID SEARCH — dense + lexical retrieval fused by RECIPROCAL
+    * RANK FUSION (Cormack et al. 2009), the standard production RAG
+    * retrieval stack: the vector arm ranks candidates by exact cosine
+    * (v1's ordering), the lexical arm by distinct-token Jaccard of the
+    * ALIGNED documents (vec_id ≡ doc_id), and the fused score is
+    * `1/(60+rank_vec) + 1/(60+rank_lex)` — rank-space fusion needs no
+    * score calibration between arms, which is exactly why RRF won in
+    * practice. Determinism discipline: each arm ranks with an id
+    * tiebreak, the RRF score is computed from INTEGER ranks (identical
+    * in both engines by construction) and rounded BEFORE the fusion
+    * rank, so the hash never sees a float comparison. Scale shape: the
+    * query set broadcasts to both arms; at 100 TB each arm emits its
+    * own top-N shortlist first (v7/v13's ANN machinery on the dense
+    * side, an inverted index on the lexical side) and RRF fuses the
+    * shortlists — the fusion join is O(queries × shortlist) regardless
+    * of corpus size; this exhaustive-rank config is the provably-exact
+    * oracle anchor for that pipeline.
+    */
+  def v15HybridRrf(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5, kRrf: Int = 60): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wv = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    val vec = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn_vec", row_number().over(wv))
+      .select("q_id", "c_id", "rn_vec")
+    val toks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("tk"))
+    val qt = toks.filter(col("doc_id") < nQueries).select(col("doc_id").as("q_id"), col("tk").as("q_tk"))
+    val ct = toks.select(col("doc_id").as("c_id"), col("tk").as("c_tk"))
+    val wl = Window.partitionBy("q_id").orderBy(desc("jac"), col("c_id"))
+    val lex = ct.join(broadcast(qt), col("c_id") =!= col("q_id"))
+      .withColumn("inter", size(array_intersect(col("q_tk"), col("c_tk"))))
+      .withColumn("uni", size(col("q_tk")) + size(col("c_tk")) - col("inter"))
+      .withColumn("jac", when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(lit(0.0)))
+      .withColumn("rn_lex", row_number().over(wl))
+      .select("q_id", "c_id", "rn_lex")
+    val wf = Window.partitionBy("q_id").orderBy(desc("rrf"), col("c_id"))
+    vec
+      .join(lex, Seq("q_id", "c_id"))
+      .withColumn(
+        "rrf",
+        round(lit(1.0) / (lit(kRrf) + col("rn_vec")) + lit(1.0) / (lit(kRrf) + col("rn_lex")), 6)
+      )
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), col("rrf"), col("rn_vec"), col("rn_lex"))
+      .orderBy("q_id", "rn")
+  }
 }

@@ -911,6 +911,79 @@ object StreamingBatch {
     * every document arrive in two different micro-batches — the landed
     * index must count both and keep one canonical id.
     */
+  /** s27's staging: FRONTIER documents (doc_id ≥ midpoint — t32/p8's
+    * arrival model) as JSON lines. Scoring is stateless per doc, so no
+    * arrival-order discipline is needed — any batching gives the same
+    * landed rows.
+    */
+  private def stageFrontierDocsJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#frontier",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_frontier_")
+        val docs = Tables.documents(s, d)
+        val cut = docs.agg(floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+        docs
+          .crossJoin(broadcast(cut))
+          .filter(col("doc_id") >= col("cut"))
+          .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s27: STREAMING NOVELTY SCORING — t32's trigram-novelty metric run
+    * as the arriving half of an ingest pipeline: frontier documents
+    * stream in, each micro-batch scores its own docs' distinct
+    * trigrams against the STATIC reference gram set (built once from
+    * the history half, cached for the run — at 100 TB this is the
+    * inverted reference index a scoring tier holds), and the per-doc
+    * scores land append-only. Stateless per doc ⇒ batch boundaries
+    * can't change any row, and the landed table must equal the batch
+    * t32 answer — the two share t32's DuckDB oracle AND the
+    * `distinctTrigrams`/`noveltyScore` code (d21Halves discipline: the
+    * stream can't silently diverge from the query it mirrors).
+    */
+  def s27StreamNovelty(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val dir = stageFrontierDocsJson(s, d)
+    val docsAll = Tables.documents(s, d)
+    val cut = docsAll.agg(floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+    val ref = TextAnalysis
+      .distinctTrigrams(docsAll.crossJoin(broadcast(cut)).filter(col("doc_id") < col("cut")))
+      .select("g")
+      .distinct()
+      .cache()
+    try {
+      ref.count() // materialize once, not per micro-batch
+      val docSchema = StructType(
+        Seq(StructField("doc_id", LongType), StructField("text", StringType))
+      )
+      val root = graft.TempDirs.create("graft_s27_run_")
+      val q = s.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(s"$dir/json")
+        .select(from_json(col("value"), docSchema).as("r"))
+        .select("r.*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextAnalysis
+            .noveltyScore(TextAnalysis.distinctTrigrams(batch), ref)
+            .write
+            .mode("append")
+            .parquet(s"$root/out")
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out").orderBy("doc_id")
+    } finally ref.unpersist()
+  }
+
   private def stageDocsJsonDuplicated(s: SparkSession, d: String): String =
     staged.computeIfAbsent(
       d + "#docsdup",

@@ -1171,24 +1171,41 @@ object TextAnalysis {
   def t32NgramNovelty(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val cut = docs.agg(floor((max("doc_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+    val grams = distinctTrigrams(docs.crossJoin(broadcast(cut)), keep = Seq("cut"))
+    val ref = grams.filter(col("doc_id") < col("cut")).select("g").distinct()
+    noveltyScore(grams.filter(col("doc_id") >= col("cut")).select("doc_id", "g"), ref)
+  }
+
+  /** Distinct word trigrams per document (empty-safe slice+zip_with —
+    * docs with < 3 tokens emit no rows). ONE definition shared by t32
+    * and its streaming twin s27 (the d21Halves discipline: the batch
+    * query and the stream can't silently diverge). `keep` carries extra
+    * columns through.
+    */
+  private[graft] def distinctTrigrams(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val m = greatest(size(col("t")) - 2, lit(0))
     val tri = zip_with(
       zip_with(slice(col("t"), lit(1), m), slice(col("t"), lit(2), m), (a, b) => concat(a, lit(" "), b)),
       slice(col("t"), lit(3), m),
       (ab, c) => concat(ab, lit(" "), c)
     )
-    val grams = docs
-      .crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("cut"), TF.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("cut"), explode(tri).as("g"))
+    docs
+      .select((col("doc_id") +: keep.map(col)) :+ TF.tokens(col("text")).as("t"): _*)
+      .select((col("doc_id") +: keep.map(col)) :+ explode(tri).as("g"): _*)
       .distinct()
-    val ref = grams.filter(col("doc_id") < col("cut")).select("g").distinct()
-    val nw = grams.filter(col("doc_id") >= col("cut"))
-    val novel = nw
+  }
+
+  /** Per-doc novelty of `grams` (doc_id, g — distinct) against the
+    * reference gram set `ref` (g): n_grams, n_novel, novelty ∈ [0, 1].
+    * Shared by t32 and s27.
+    */
+  private[graft] def noveltyScore(grams: DataFrame, ref: DataFrame): DataFrame = {
+    val novel = grams
       .join(ref, Seq("g"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_novel"))
-    nw.groupBy("doc_id")
+    grams
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"))
       .join(novel, Seq("doc_id"), "left")
       .select(

@@ -224,6 +224,36 @@ object SnapshotStore {
     s.read.parquet(versionPath(root, v))
   }
 
+  /** ORPHAN GC: delete crashed or lost-race writers' staging debris.
+    * Staged dirs (`_stage_*`) are invisible to readers (the manifest is
+    * the only source of visibility) and are consumed by rename at
+    * commit, so any `_stage_*` still present belongs to a writer that
+    * died or abandoned its attempt; the age guard keeps an IN-FLIGHT
+    * writer's staging safe. Version dirs and the manifest are never
+    * touched — [[vacuum]] owns version retention; this owns the space
+    * the crash-safety story leaks. Returns the deleted dir names.
+    */
+  def gcOrphans(root: String, olderThanMs: Long = 3600000L): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Nil
+    val doomed = Files
+      .list(rootP)
+      .iterator()
+      .asScala
+      .filter { p =>
+        p.getFileName.toString.startsWith("_stage_") &&
+        (try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.nio.file.NoSuchFileException => false })
+      }
+      .toSeq
+    doomed.foreach { dir =>
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+    }
+    doomed.map(_.getFileName.toString)
+  }
+
   /** VACUUM: drop version directories older than the `keep` most recent
     * published ones, bounding the store's copy-on-write history. Pure
     * O(versions) metadata directory deletes — survivors are never

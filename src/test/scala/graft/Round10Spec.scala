@@ -391,12 +391,62 @@ class Round10QuerySpec extends AnyFunSuite {
     assert(real.forall(r => r.getAs[Double]("novelty") >= 0 && r.getAs[Double]("novelty") <= 1))
   }
 
+  test("v15: fusion is load-bearing — fused top-k matches neither arm's own top-k everywhere") {
+    val rows = graft.operators.Similarity.v15HybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0)
+    rows.foreach { r =>
+      val (rv, rl) = (r.getAs[Int]("rn_vec"), r.getAs[Int]("rn_lex"))
+      val expect = math.round(
+        (1.0 / (60 + rv) + 1.0 / (60 + rl)) * 1e6
+      ) / 1e6
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-9)
+    }
+    // if fusion always equaled the vector arm, rn == rn_vec for every row
+    assert(rows.exists(r => r.getAs[Int]("rn") != r.getAs[Int]("rn_vec")),
+      "fusion never disagreed with the vector arm — lexical arm is dead weight")
+  }
+
+  test("s27 streaming novelty lands exactly t32's batch answer") {
+    val stream = graft.operators.StreamingBatch.s27StreamNovelty(spark, sf).collect()
+    val batch = graft.operators.TextAnalysis.t32NgramNovelty(spark, sf).collect()
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("p8: the frontier mix is genuine — some arrivals dedup away, some survive, store has 1 version") {
     val out = graft.operators.Curate.p8CurateIncremental(spark, sf).collect()
     val nSurvived = out.map(_.getAs[Long]("n_docs")).sum
     val half = graft.sources.Tables.documents(spark, sf).count() / 2
     assert(nSurvived > 0, "dedup must not drop the whole frontier")
     assert(nSurvived < half, "dedup must drop SOMETHING (saturated-URL regression guard)")
+  }
+}
+
+/** Orphan-staging GC: the space the OCC crash-safety story leaks
+  * (crashed writers' `_stage_*` dirs) is reclaimable without touching
+  * versions, the manifest, or an in-flight writer's fresh staging.
+  */
+class OrphanGcSpec extends AnyFunSuite {
+  import graft.sources.SnapshotStore
+  import java.nio.file.{Files, Paths}
+
+  test("gcOrphans removes only aged _stage_ dirs; versions, manifest, fresh staging survive") {
+    val root = TempDirs.create("graft_gc_") + "/store"
+    Files.createDirectories(Paths.get(root, "v=1"))
+    Files.writeString(Paths.get(root, "v=1/data.txt"), "published")
+    SnapshotStore.commit(root, 1L)
+    val oldStage = Paths.get(root, "_stage_dead-writer")
+    Files.createDirectories(oldStage)
+    Files.writeString(oldStage.resolve("part.txt"), "crashed mid-stage")
+    Files.setLastModifiedTime(oldStage,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    val freshStage = Paths.get(root, "_stage_inflight")
+    Files.createDirectories(freshStage)
+    val gone = SnapshotStore.gcOrphans(root, olderThanMs = 3600000L)
+    assert(gone == Seq("_stage_dead-writer"))
+    assert(!Files.exists(oldStage))
+    assert(Files.exists(freshStage), "in-flight staging must survive the age guard")
+    assert(SnapshotStore.currentVersion(root).contains(1L))
+    assert(Files.exists(Paths.get(root, "v=1/data.txt")))
   }
 }
 
