@@ -346,7 +346,13 @@ object SparkEntry {
     // against the static reference gram set (shares t32's oracle)
     "s27_stream_novelty"     -> (StreamingBatch.s27StreamNovelty _),
     // round 10: hybrid dense+lexical retrieval fused by reciprocal rank fusion
-    "v15_hybrid_rrf"         -> ((s, d) => Similarity.v15HybridRrf(s, d))
+    "v15_hybrid_rrf"         -> ((s, d) => Similarity.v15HybridRrf(s, d)),
+    // round 10: triangles + clustering coefficient over the kNN graph
+    "v16_triangle_count"     -> ((s, d) => Similarity.v16TriangleCount(s, d)),
+    // round 10: autocorrelation of the hourly count series (seasonality fingerprint)
+    "e38_acf"                -> ((s, d) => Events.e38Acf(s, d)),
+    // round 10: RAKE keyword extraction (phrase runs + deg/freq scoring)
+    "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3036,6 +3042,88 @@ object SparkEntry {
         |FROM nw
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup) AND n_tokens BETWEEN 5 AND 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v16_triangle_count" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+        |und AS (SELECT DISTINCT least(q_id, c_id) AS a, greatest(q_id, c_id) AS b
+        | FROM r WHERE rn <= 3),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        | FROM und e1 JOIN und e2 ON e1.b = e2.a
+        | JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT v AS vec_id, count(*) AS n_tri FROM (
+        |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        | GROUP BY 1),
+        |deg AS (SELECT v AS vec_id, count(*) AS degree FROM (
+        |  SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+        |SELECT deg.vec_id, deg.degree,
+        | CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        | CASE WHEN deg.degree >= 2
+        |  THEN round(CAST(coalesce(pn.n_tri, 0) AS DOUBLE) * 2 / (deg.degree * (deg.degree - 1)), 4)
+        |  ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn USING (vec_id)
+        |ORDER BY deg.vec_id""".stripMargin,
+    // t33: RAKE replayed — zipped parallel unnests give (pos, w), runs
+    // via the islands delta, word scores quantized decimal(16,6) before
+    // the exact phrase sum
+    "t33_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |tok0 AS (SELECT doc_id,
+        |  unnest(range(1, len(ts)+1)) AS pos, unnest(ts) AS w FROM t),
+        |tok AS (SELECT * FROM tok0
+        | WHERE w NOT IN ('the','a','of','and','to','in','is','it')),
+        |runs AS (SELECT doc_id, pos, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM tok),
+        |withlen AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM runs),
+        |ws AS (SELECT doc_id, w,
+        |  CAST(round(CAST(sum(plen) AS DOUBLE) / count(*), 6) AS DECIMAL(16,6)) AS wscore
+        | FROM withlen GROUP BY 1, 2),
+        |ph AS (SELECT wl.doc_id, wl.grp,
+        |  string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+        |  count(*) AS n_words, sum(ws.wscore) AS ps
+        | FROM withlen wl JOIN ws ON wl.doc_id = ws.doc_id AND wl.w = ws.w
+        | GROUP BY 1, 2),
+        |r AS (SELECT doc_id, phrase, n_words, ps,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY ps DESC, phrase) AS rank FROM ph)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, n_words,
+        | CAST(round(ps, 4) AS DOUBLE) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // e38: dense-spine hourly series; deviations quantized to
+    // decimal(16,8) before any product (t21 discipline), double
+    // division once per (type, lag)
+    "e38_acf" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |spine AS (SELECT t.event_type, gs.h
+        | FROM (SELECT DISTINCT event_type FROM e) t
+        | CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b) gs),
+        |cnt AS (SELECT event_type, h, count(*) AS x FROM e GROUP BY 1, 2),
+        |series AS (SELECT s.event_type, s.h, coalesce(cnt.x, 0) AS x
+        | FROM spine s LEFT JOIN cnt ON s.h = cnt.h AND s.event_type = cnt.event_type),
+        |st AS (SELECT event_type,
+        |  CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 9) AS DECIMAL(20,10)) AS xbar
+        | FROM series GROUP BY 1),
+        |dv AS (SELECT s.event_type, s.h,
+        |  CAST(round(s.x - st.xbar, 8) AS DECIMAL(19,8)) AS dev
+        | FROM series s JOIN st USING (event_type)),
+        |ld AS (SELECT event_type, h, dev,
+        |  lead(dev, 1) OVER w AS d1, lead(dev, 2) OVER w AS d2, lead(dev, 3) OVER w AS d3,
+        |  lead(dev, 4) OVER w AS d4, lead(dev, 5) OVER w AS d5, lead(dev, 6) OVER w AS d6
+        | FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |ag AS (SELECT event_type, sum(dev*dev) AS den,
+        |  sum(dev*d1) AS n1, sum(dev*d2) AS n2, sum(dev*d3) AS n3,
+        |  sum(dev*d4) AS n4, sum(dev*d5) AS n5, sum(dev*d6) AS n6
+        | FROM ld GROUP BY 1)
+        |SELECT event_type, lag,
+        | round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |FROM ag
+        | CROSS JOIN LATERAL (VALUES (1, n1), (2, n2), (3, n3), (4, n4), (5, n5), (6, n6)) v(lag, num)
+        |ORDER BY event_type, lag""".stripMargin,
     // e37: burst hour iff 2*cnt*n_hours >= 3*total (1.5x mean,
     // cross-multiplied — no division anywhere), islands via the
     // hour-index - row_number delta

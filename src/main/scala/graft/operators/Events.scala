@@ -974,4 +974,57 @@ object Events {
       .select("event_type", "start_h", "end_h", "n_hours_burst", "peak", "n_events")
       .orderBy("event_type", "start_h")
   }
+
+  /** e38: AUTOCORRELATION FUNCTION of each type's hourly count series —
+    * the seasonality fingerprint (daily cycle ⇒ a lag-24 peak) a
+    * time-series engine reports before any model fitting. The series is
+    * the DENSE zero-filled hourly spine (e8's discipline — a missing
+    * hour is a real 0, not an absent row); r_l = Σ(dev_t·dev_{t+l}) /
+    * Σ(dev_t²) with dev = x − x̄. Engine-exact by the t21 quantization
+    * discipline: x̄ rounded to 9dp, deviations quantized to
+    * decimal(16,8) BEFORE any product (products decimal(33,16), sums
+    * exact — no float ever enters an aggregation), the one double
+    * division per (type, lag) at the end. One window pass produces all
+    * `maxLag` lead columns; the spine is type×hours — model-sized at
+    * any event volume.
+    */
+  def e38Acf(s: SparkSession, d: String, maxLag: Int = 6): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val bounds = e.agg(min("h").as("mn"), max("h").as("mx"))
+    val spine = e
+      .select("event_type")
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h")
+      )
+    val cnt = e.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val series = spine
+      .join(cnt, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val stats = series
+      .groupBy("event_type")
+      .agg(sum("x").as("sx"), count(lit(1)).as("nh"))
+      .withColumn("xbar", round(col("sx").cast("double") / col("nh"), 9).cast("decimal(20,10)"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    var dev = series
+      .join(broadcast(stats.select("event_type", "xbar")), "event_type")
+      .withColumn("dev", round(col("x") - col("xbar"), 8).cast("decimal(16,8)"))
+    (1 to maxLag).foreach(l => dev = dev.withColumn(s"dev_$l", lead("dev", l).over(w)))
+    val lagCols = (1 to maxLag).map(l =>
+      sum(col("dev") * col(s"dev_$l")).as(s"num_$l")
+    )
+    val agg = dev
+      .groupBy("event_type")
+      .agg(sum(col("dev") * col("dev")).as("den"), lagCols: _*)
+    val rows = (1 to maxLag).map(l =>
+      agg.select(
+        col("event_type"),
+        lit(l).as("lag"),
+        round(col(s"num_$l").cast("double") / col("den").cast("double"), 6).as("acf")
+      )
+    )
+    rows.reduce(_ unionByName _).orderBy("event_type", "lag")
+  }
 }

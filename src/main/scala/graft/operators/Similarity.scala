@@ -861,4 +861,50 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("c_id"), col("rrf"), col("rn_vec"), col("rn_lex"))
       .orderBy("q_id", "rn")
   }
+
+  /** v16: TRIANGLE COUNT + local clustering coefficient over the kNN
+    * graph — the graph-analytics companion to v9's PageRank (community
+    * structure: a node whose neighbors know each other sits inside a
+    * cluster; embedding-space triangles are the standard signal). Edges
+    * are v5's exact kNN (k=3), symmetrized to distinct undirected pairs
+    * (a < b); triangles enumerate once each via the ordered two-hop
+    * join E(a,b) ⋈ E(b,c) ⋈ E(a,c) with a < b < c — the node-iterator
+    * algorithm every distributed triangle counter uses: two keyed
+    * equi-joins over the edge table, never a matrix product or an
+    * all-pairs stage. Coefficient = 2·T / (deg·(deg−1)) — all
+    * integer-derived, so the one double division is engine-identical.
+    */
+  def v16TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val und = v5KnnGraph(s, d)
+      .select(least(col("q_id"), col("c_id")).as("a"), greatest(col("q_id"), col("c_id")).as("b"))
+      .distinct()
+    val tri = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select("a", "b", "c")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_tri"))
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(perNode, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(
+          col("degree") >= 2,
+          round(
+            coalesce(col("n_tri"), lit(0L)).cast("double") * 2 /
+              (col("degree") * (col("degree") - 1)),
+            4
+          )
+        ).otherwise(lit(0.0)).as("clustering")
+      )
+      .orderBy("vec_id")
+  }
 }

@@ -1216,4 +1216,61 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** t33: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the classic
+    * unsupervised keyword extractor: candidate phrases are maximal runs
+    * of consecutive NON-stopword tokens (the stopword positions are the
+    * delimiters), each word scores deg/freq within its document (deg =
+    * Σ length of phrases containing the occurrence — co-occurrence
+    * degree; freq = occurrence count), and a phrase scores the sum of
+    * its words' scores; top-k phrases per doc. Pure window algebra: one
+    * posexplode, phrase runs via the pos − row_number islands delta,
+    * phrase length via a partition count, word stats via one keyed
+    * groupBy — per-doc work, no corpus-wide stage beyond the scan.
+    * Engine-exact: word scores are integer-ratio doubles quantized to
+    * decimal(16,6) BEFORE the phrase sum (t21 discipline — the sum is
+    * exact decimal), phrase text is built from the position-sorted
+    * struct array, and ranks break ties on the phrase string.
+    */
+  def t33RakeKeywords(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val tok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(!col("w").isin(stops: _*))
+    val wrun = Window.partitionBy("doc_id").orderBy("pos")
+    val tokp = tok
+      .withColumn("grp", col("pos") - row_number().over(wrun))
+      .withColumn("plen", count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wordScore = tokp
+      .groupBy("doc_id", "w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .withColumn("wscore", round(col("deg").cast("double") / col("freq"), 6).cast("decimal(16,6)"))
+    val phrases = tokp
+      .join(wordScore.select("doc_id", "w", "wscore"), Seq("doc_id", "w"))
+      .groupBy("doc_id", "grp")
+      .agg(
+        concat_ws(
+          " ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))), x => x.getField("w"))
+        ).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum("wscore").as("ps")
+      )
+    val wr = Window.partitionBy("doc_id").orderBy(desc("ps"), col("phrase"))
+    phrases
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(
+        col("doc_id"),
+        col("rank"),
+        col("phrase"),
+        col("n_words"),
+        // round the EXACT decimal, then cast: rounding the double instead
+        // hits the round-at-5 representation edge (1267.98095 -> .981 vs
+        // .9809 across engines)
+        round(col("ps"), 4).cast("double").as("score")
+      )
+      .orderBy("doc_id", "rank")
+  }
 }

@@ -412,6 +412,43 @@ class Round10QuerySpec extends AnyFunSuite {
     assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("v16: triangle counts respect the handshake bound and coefficients live in [0,1]") {
+    val rows = graft.operators.Similarity.v16TriangleCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, cc) =
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Double]("clustering"))
+      assert(tri <= deg * (deg - 1) / 2, s"more triangles than neighbor pairs: $r")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // a kNN graph over clustered-ish embeddings has SOME triangles
+    assert(rows.map(_.getAs[Long]("n_tri")).sum > 0)
+  }
+
+  test("e38: acf(0) would be 1 by construction — every reported lag is in [-1,1], all types x lags present") {
+    val rows = graft.operators.Events.e38Acf(spark, sf).collect()
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    assert(rows.length == types * 6)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9, r.toString))
+  }
+
+  test("t33: RAKE on a hand corpus — multi-word phrase outranks single stopword-split words") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_rake_")
+    // 'deep neural networks' is a 3-word run; 'data' appears alone twice
+    Seq((0L, "deep neural networks in the data and data of it"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.t33RakeKeywords(spark, dir).collect()
+    assert(rows.head.getAs[String]("phrase") == "deep neural networks",
+      rows.map(_.toString).mkString("\n"))
+    // deg/freq: each of the 3 run words scores 3/1; phrase sums to 9
+    assert(rows.head.getAs[Double]("score") == 9.0)
+    // 'data' scores 1 per occurrence (runs of length 1): phrase score 1
+    val dataRow = rows.find(_.getAs[String]("phrase") == "data").get
+    assert(dataRow.getAs[Double]("score") == 1.0)
+  }
+
   test("p8: the frontier mix is genuine — some arrivals dedup away, some survive, store has 1 version") {
     val out = graft.operators.Curate.p8CurateIncremental(spark, sf).collect()
     val nSurvived = out.map(_.getAs[Long]("n_docs")).sum
