@@ -458,6 +458,47 @@ class Round10QuerySpec extends AnyFunSuite {
   }
 }
 
+/** graft.SqlMain — the query half of the khose user contract: a SQL
+  * script against the landed tables, multi-statement (temp views feed
+  * the final SELECT), results printed or landed.
+  */
+class SqlMainSpec extends AnyFunSuite {
+  import TestSession._
+  import java.nio.file.{Files, Paths}
+
+  test("splitStatements: comments stripped, ; inside quotes preserved, blanks dropped") {
+    val stmts = SqlMain.splitStatements(
+      """-- report script
+        |CREATE TEMP VIEW v AS SELECT 'a;b' AS s; -- trailing comment
+        |
+        |SELECT * FROM v;""".stripMargin)
+    assert(stmts.length == 2)
+    assert(stmts.head.contains("'a;b'"))
+    assert(stmts(1) == "SELECT * FROM v")
+  }
+
+  test("end-to-end: register staged tables, run a multi-statement script, land csv") {
+    val out = TempDirs.create("graft_sqlmain_") + "/report"
+    val views = SqlMain.registerTables(spark, sf)
+    assert(views.contains("lineitem") && views.contains("events") && views.contains("documents"))
+    val result = SqlMain.runScript(spark,
+      """CREATE OR REPLACE TEMP VIEW big AS
+        | SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1;
+        |SELECT count(*) AS n_orders, CAST(sum(qty) AS DOUBLE) AS total_qty FROM big
+        |""".stripMargin)
+    val row = result.collect().head
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect().head.getDouble(0)
+    assert(row.getAs[Double]("total_qty") == expect)
+    // graft extension functions resolve through the SQL surface
+    val g = SqlMain.runScript(spark,
+      "SELECT graft_simhash64(array('a','b','c')) AS h").collect().head
+    assert(g.schema.fieldNames.sameElements(Array("h")))
+    result.write.mode("overwrite").format("csv").option("header", "true").save(out)
+    assert(spark.read.option("header", "true").csv(out).count() == 1)
+  }
+}
+
 /** Orphan-staging GC: the space the OCC crash-safety story leaks
   * (crashed writers' `_stage_*` dirs) is reclaimable without touching
   * versions, the manifest, or an in-flight writer's fresh staging.
