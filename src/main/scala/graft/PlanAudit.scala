@@ -93,7 +93,12 @@ object PlanAudit {
       "e36_chi_square"              -> "chi-square test: one DENSE-spine contingency groupBy + broadcast marginals; statistic folded from quantized per-cell terms",
       "q52_market_share"            -> "market share: ONE fact-fact shuffle join; supplier/nation/region folded to a broadcast flag; asia+total in a single conditional-agg pass",
       "p8_curate_incremental"       -> "incremental publish: bloom-literal prefilter per-row, exact confirm semi-join, gate pushed, report scans the LANDED store version",
-      "t26_domain_nb"               -> "sparse NB scoring: token stream probed by BROADCAST class-conditional joins (observed pairs only); missing mass on the docs x classes spine"
+      "t26_domain_nb"               -> "sparse NB scoring: token stream probed by BROADCAST class-conditional joins (observed pairs only); missing mass on the docs x classes spine",
+      "v15_hybrid_rrf"              -> "hybrid RRF: both arms rank with broadcast query sets; fusion joins the two rank tables on (q, c) — no score crosses arms",
+      "v16_triangle_count"          -> "triangles: ordered two-hop equi-joins over the symmetrized kNN edge table (node-iterator), per-node counts via explode+groupBy",
+      "e38_acf"                     -> "ACF: dense spine left-join + one window pass for all lags; decimal products aggregate exactly",
+      "t33_rake_keywords"           -> "RAKE: posexplode -> islands window -> keyed word stats -> decimal phrase sums; per-doc windows only",
+      "t32_ngram_novelty"           -> "trigram novelty: two keyed gram shuffles + left-anti join; frontier vs reference halves of one scan"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
