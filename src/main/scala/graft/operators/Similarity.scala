@@ -874,10 +874,19 @@ object Similarity {
     * all-pairs stage. Coefficient = 2·T / (deg·(deg−1)) — all
     * integer-derived, so the one double division is engine-identical.
     */
-  def v16TriangleCount(s: SparkSession, d: String): DataFrame = {
-    val und = v5KnnGraph(s, d)
-      .select(least(col("q_id"), col("c_id")).as("a"), greatest(col("q_id"), col("c_id")).as("b"))
-      .distinct()
+  def v16TriangleCount(s: SparkSession, d: String): DataFrame =
+    triangleStats(
+      v5KnnGraph(s, d)
+        .select(least(col("q_id"), col("c_id")).as("a"), greatest(col("q_id"), col("c_id")).as("b"))
+        .distinct()
+    )
+
+  /** The triangle/clustering machinery over an arbitrary DISTINCT
+    * undirected edge set (a < b) — factored out of [[v16TriangleCount]]
+    * so the randomized differential test can drive it with seeded
+    * random graphs against a brute-force triple count.
+    */
+  private[graft] def triangleStats(und: DataFrame): DataFrame = {
     val tri = und
       .join(und.select(col("a").as("b"), col("b").as("c")), "b")
       .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
