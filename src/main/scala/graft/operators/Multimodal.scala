@@ -665,4 +665,49 @@ object Multimodal {
       )
       .orderBy("doc_id", "scene_id")
   }
+
+  /** m14: PERCEPTUAL dHASH — the difference-hash image fingerprint
+    * production image dedup runs before any embedding model (pHash/
+    * dHash family): downsample to an 8×8 grid (nearest-neighbor over
+    * the deterministic synthetic pixel model — m12's source), emit one
+    * bit per horizontal neighbor comparison (7 per row ⇒ a 56-bit
+    * hash, kept under the BIGINT sign bit so both engines build it
+    * with exact integer arithmetic), then group equal hashes into dup
+    * clusters (count + canonical min id). Per-row work is 56 integer
+    * lookups — no pixel ever shuffles; the one shuffle is the
+    * hash-equality groupBy, exactly d1's exact-dedup shape on a
+    * perceptual key. A real decoder slots in at the pixel expression
+    * like m7/m12.
+    */
+  def m14DHash(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        (lit(4) + col("doc_id") % 13).cast("long").as("w"),
+        (lit(4) + (col("doc_id") * 7) % 11).cast("long").as("h")
+      )
+      .select(col("doc_id"), col("w"), col("h"), explode(sequence(lit(0), lit(7))).as("r"))
+      .select(col("doc_id"), col("w"), col("h"), col("r"), explode(sequence(lit(0), lit(6))).as("c"))
+    def gAt(cc: org.apache.spark.sql.Column) =
+      (col("doc_id") * 31 +
+        (least(floor(col("r") * col("h") / 8), col("h") - 1) * col("w") +
+          least(floor(cc * col("w") / 8), col("w") - 1)) * 7919) % 256
+    val hashes = grid
+      .withColumn(
+        "term",
+        when(gAt(col("c")) > gAt(col("c") + 1),
+          pow(lit(2.0), col("r") * 7 + col("c")).cast("long")
+        ).otherwise(lit(0L))
+      )
+      .groupBy("doc_id")
+      .agg(sum("term").as("dhash"))
+    val groups = hashes
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_same"), min("doc_id").as("canonical_id"))
+    hashes
+      .join(groups, "dhash")
+      .select(col("doc_id"), col("dhash"), col("n_same"), col("canonical_id"))
+      .orderBy("doc_id")
+  }
 }
