@@ -152,13 +152,31 @@ object IngestMain {
     new Daemon(spark, queries, listener, conf.get("control.stopFile").map(Paths.get(_)))
   }
 
+  /** stdout plus (when `metrics.file` is configured) an append-only
+    * JSON-lines file — the liveness/lag record an ops dashboard tails
+    * without scraping the process's stdout.
+    */
+  private[graft] def metricsSink(conf: Map[String, String]): String => Unit = {
+    val toFile: Option[String => Unit] = conf.get("metrics.file").map { path =>
+      Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+      line =>
+        Files.writeString(
+          Paths.get(path),
+          line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND
+        ): Unit
+    }
+    line => { println(line); toFile.foreach(_(line)) }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: graft.IngestMain <config-file>")
     val conf = parseConfig(Files.readString(Paths.get(args(0))))
     val spark = GraftSession.local(
       conf.get("spark.cores").map(_.toInt).getOrElse(Runtime.getRuntime.availableProcessors().min(32))
     )
-    val daemon = launch(spark, conf)
+    val daemon = launch(spark, conf, metricsSink(conf))
     sys.addShutdownHook(daemon.stop())
     try daemon.await()
     finally {

@@ -43,6 +43,15 @@ class IngestDaemonSpec extends AnyFunSuite {
     assert(props("schema.ddl") == "event_id BIGINT, ts TIMESTAMP")
   }
 
+  test("metrics.file sink: metrics lines append to the configured file AND stdout sink") {
+    val root = TempDirs.create("graft_msink_")
+    val sink = IngestMain.metricsSink(Map("metrics.file" -> s"$root/m/ingest.metrics"))
+    sink("[ingest-metrics] {\"batch\":0}")
+    sink("[ingest-metrics] {\"batch\":1}")
+    val lines = Files.readAllLines(Paths.get(s"$root/m/ingest.metrics"))
+    assert(lines.size == 2 && lines.get(1).contains("\"batch\":1"))
+  }
+
   test("daemon: config file -> >=2 metered micro-batches -> stop-file drain -> checkpoint restart is exactly-once") {
     val root = TempDirs.create("graft_daemon_")
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
