@@ -98,7 +98,8 @@ object PlanAudit {
       "v16_triangle_count"          -> "triangles: ordered two-hop equi-joins over the symmetrized kNN edge table (node-iterator), per-node counts via explode+groupBy",
       "e38_acf"                     -> "ACF: dense spine left-join + one window pass for all lags; decimal products aggregate exactly",
       "t33_rake_keywords"           -> "RAKE: posexplode -> islands window -> keyed word stats -> decimal phrase sums; per-doc windows only",
-      "t32_ngram_novelty"           -> "trigram novelty: two keyed gram shuffles + left-anti join; frontier vs reference halves of one scan"
+      "t32_ngram_novelty"           -> "trigram novelty: two keyed gram shuffles + left-anti join; frontier vs reference halves of one scan",
+      "m14_dhash"                   -> "perceptual dHash: 56 integer grid lookups per row, one hash-equality groupBy (d1's exact-dedup shape on a perceptual key)"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
