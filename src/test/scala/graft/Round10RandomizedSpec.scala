@@ -67,6 +67,94 @@ class Round10RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("m13 scenes == direct Scala islands over the same synthetic frames (all docs)") {
+    val got = graft.operators.Multimodal.m13SceneSegments(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val docIds = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    docIds.foreach { id =>
+      val nf = (24 + id % 40).toInt
+      val v = (0 until nf).map(i => (id * 31 + i.toLong * i * 7919) % 256)
+      // direct: cut where |delta| >= 96, scene = running cut count
+      val cuts = (0 until nf).map(i => if (i == 0 || math.abs(v(i) - v(i - 1)) >= 96) 1 else 0)
+      val sid = cuts.scanLeft(0)(_ + _).tail
+      val expect = sid.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map { case (s0, xs) =>
+        (s0.toLong, xs.map(_._2).min.toLong, xs.map(_._2).max.toLong, xs.size.toLong,
+          xs.map(x => v(x._2)).sum)
+      }
+      val g = got(id).sortBy(_.getAs[Long]("scene_id")).map(r =>
+        (r.getAs[Long]("scene_id"), r.getAs[Long]("start_f"), r.getAs[Long]("end_f"),
+          r.getAs[Long]("n_frames"), r.getAs[Long]("sum_v"))).toSeq
+      assert(g == expect, s"doc $id")
+    }
+  }
+
+  test("m14 dHash == direct Scala hash on every doc; clusters consistent") {
+    val got = graft.operators.Multimodal.m14DHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dhash")).toMap
+    got.keys.foreach { id =>
+      val w = (4 + id % 13).toInt; val h = (4 + (id * 7) % 11).toInt
+      def px(i: Long) = (id * 31 + i * 7919) % 256
+      var hash = 0L
+      for (r <- 0 until 8; c <- 0 until 7) {
+        def g(cc: Int) = px(math.min(r * h / 8, h - 1).toLong * w + math.min(cc * w / 8, w - 1))
+        if (g(c) > g(c + 1)) hash |= (1L << (r * 7 + c))
+      }
+      assert(got(id) == hash, s"doc $id: ${got(id)} vs $hash")
+    }
+  }
+
+  test("e37 bursts == direct Scala detection from the raw hourly counts") {
+    val got = graft.operators.Events.e37BurstWindows(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("start_h").getTime,
+        r.getAs[java.sql.Timestamp]("end_h").getTime, r.getAs[Long]("n_events"))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val total = cnt.map(_._2).sum; val nh = cnt.size
+      val burst = cnt.filter { case (_, c) => c * nh * 2 >= total * 3 }
+      // islands over consecutive hour indices
+      val runs = scala.collection.mutable.Buffer.empty[Seq[(Long, Long)]]
+      var cur = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      burst.foreach { case (h, c) =>
+        if (cur.nonEmpty && h - cur.last._1 != 3600000000L) { runs += cur.toSeq; cur = scala.collection.mutable.Buffer.empty }
+        cur += ((h, c))
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.map(r => (tpe, r.head._1 / 1000, r.last._1 / 1000, r.map(_._2).sum))
+    }.toSet
+    assert(got == expect, s"got ${got.size} bursts vs ${expect.size}")
+  }
+
+  test("q52 market share == direct Scala recompute from collected rows") {
+    val got = graft.operators.Relational.q52MarketShare(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val asiaSup = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), (col("r_name") === "ASIA").as("asia"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).as("y"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+    val byYear = li.groupBy(_.getInt(0))
+    byYear.foreach { case (y, xs) =>
+      def dec(r: org.apache.spark.sql.Row) =
+        BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val total = xs.map(dec).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val asia = xs.filter(r => asiaSup(r.getLong(1))).map(dec).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val (gt, ga) = got(y)
+      assert(math.abs(gt - total.toDouble) < 1e-6 && math.abs(ga - asia.toDouble) < 1e-6,
+        s"year $y: ($gt,$ga) vs ($total,$asia)")
+    }
+  }
+
   test("t33 RAKE == direct Scala RAKE on 5 seeded random corpora") {
     import spark.implicits._
     val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
