@@ -354,7 +354,9 @@ object SparkEntry {
     // round 10: RAKE keyword extraction (phrase runs + deg/freq scoring)
     "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d)),
     // round 10: perceptual dHash image fingerprint + dup clusters
-    "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d))
+    "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
+    // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
+    "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3147,21 +3149,8 @@ object SparkEntry {
     // e37: burst hour iff 2*cnt*n_hours >= 3*total (1.5x mean,
     // cross-multiplied — no division anywhere), islands via the
     // hour-index - row_number delta
-    "e37_burst_windows" ->
-      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
-        | FROM events GROUP BY 1, 2),
-        |base AS (SELECT event_type, sum(cnt) AS total, count(*) AS n_hours
-        | FROM hourly GROUP BY 1),
-        |b AS (SELECT h.event_type, h.h, h.cnt,
-        |  CAST(epoch_us(h.h) // 3600000000 AS BIGINT) AS hi
-        | FROM hourly h JOIN base USING (event_type)
-        | WHERE h.cnt * base.n_hours * 2 >= base.total * 3),
-        |g AS (SELECT *, hi - row_number() OVER (PARTITION BY event_type ORDER BY hi) AS grp FROM b)
-        |SELECT event_type, min(h) AS start_h, max(h) AS end_h,
-        | count(*) AS n_hours_burst, CAST(max(cnt) AS BIGINT) AS peak,
-        | CAST(sum(cnt) AS BIGINT) AS n_events
-        |FROM g GROUP BY event_type, grp
-        |ORDER BY event_type, start_h""".stripMargin,
+    "e37_burst_windows" -> burstSql,
+    "s28_stream_bursts" -> burstSql,
     // m13: the synthetic frame model replayed (m11's oracle discipline);
     // scene = running sum of |delta| >= 96 cuts
     "m13_scene_segments" ->
@@ -3213,6 +3202,25 @@ object SparkEntry {
         |SELECT q_id, rn, c_id, rrf, rn_vec, rn_lex FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin
   )
+
+  /** e37/s28's shared burst oracle: one SQL pins the batch detector
+    * and the streaming OCC-folded twin.
+    */
+  private val burstSql =
+    """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |base AS (SELECT event_type, sum(cnt) AS total, count(*) AS n_hours
+      | FROM hourly GROUP BY 1),
+      |b AS (SELECT h.event_type, h.h, h.cnt,
+      |  CAST(epoch_us(h.h) // 3600000000 AS BIGINT) AS hi
+      | FROM hourly h JOIN base USING (event_type)
+      | WHERE h.cnt * base.n_hours * 2 >= base.total * 3),
+      |g AS (SELECT *, hi - row_number() OVER (PARTITION BY event_type ORDER BY hi) AS grp FROM b)
+      |SELECT event_type, min(h) AS start_h, max(h) AS end_h,
+      | count(*) AS n_hours_burst, CAST(max(cnt) AS BIGINT) AS peak,
+      | CAST(sum(cnt) AS BIGINT) AS n_events
+      |FROM g GROUP BY event_type, grp
+      |ORDER BY event_type, start_h""".stripMargin
 
   /** t32/s27's shared novelty oracle: one SQL pins the batch query and
     * the streaming scoring pipeline.

@@ -947,11 +947,19 @@ object Events {
     * HOURLY table (8760 rows/type/year — model-sized at any event
     * volume).
     */
-  def e37BurstWindows(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables
-      .events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+  def e37BurstWindows(s: SparkSession, d: String): DataFrame =
+    burstReport(
+      Tables
+        .events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+    )
+
+  /** The burst-report half of e37 over an hourly count table
+    * (event_type, h, cnt) — ONE definition shared by the batch query
+    * and its streaming twin s28 (the d21Halves discipline).
+    */
+  private[graft] def burstReport(hourly: DataFrame): DataFrame = {
     val base = hourly
       .groupBy("event_type")
       .agg(sum("cnt").as("total"), count(lit(1)).as("n_hours"))

@@ -911,6 +911,64 @@ object StreamingBatch {
     * every document arrive in two different micro-batches — the landed
     * index must count both and keep one canonical id.
     */
+  /** s28: STREAMING BURST MONITORING — e37's detector maintained
+    * online: each micro-batch's hourly counts fold into a COW hourly
+    * table published through the OCC snapshot commit (sum-folds are
+    * associative+commutative, so the landed table — and therefore the
+    * burst report — is provably arrival-order-insensitive), and the
+    * final report runs e37's `burstReport` over the CURRENT store
+    * version. Shares e37's DuckDB oracle AND its report code (the
+    * as-of-triad discipline: one answer pins the batch plan and the
+    * online fold), and is the second streaming consumer of
+    * `commitStagedIfCurrent` after s6. State is O(types × hours) —
+    * KB/MB however long the stream runs.
+    */
+  def s28StreamBursts(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val root = graft.TempDirs.create("graft_s28_run_")
+    val store = s"$root/store"
+    val q = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("event_type"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        var committed = false
+        while (!committed) {
+          val cur = SnapshotStore.currentVersion(store)
+          val merged = cur match {
+            case Some(v) =>
+              spark.read
+                .parquet(SnapshotStore.versionPath(store, v))
+                .unionByName(incoming)
+                .groupBy("event_type", "h")
+                .agg(sum("cnt").as("cnt"))
+            case None => incoming
+          }
+          val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
+          merged.write.mode("overwrite").parquet(staged)
+          committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
+          if (!committed) {
+            val p = java.nio.file.Paths.get(staged)
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.burstReport(SnapshotStore.readCurrent(s, store))
+  }
+
   /** s27's staging: FRONTIER documents (doc_id ≥ midpoint — t32/p8's
     * arrival model) as JSON lines. Scoring is stateless per doc, so no
     * arrival-order discipline is needed — any batching gives the same
