@@ -43,6 +43,38 @@ class IngestDaemonSpec extends AnyFunSuite {
     assert(props("schema.ddl") == "event_id BIGINT, ts TIMESTAMP")
   }
 
+  test("daemon with dlq.path: malformed lines land in the DLQ, clean table stays clean, both exactly-once") {
+    val root = TempDirs.create("graft_daemon_dlq_")
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/mixed.json"),
+      Seq(
+        """{"event_id": 1, "user_id": 1, "ts": "2024-01-01 01:00:00", "event_type": "click"}""",
+        """this is not json at all""",
+        """{"event_id": 2, "user_id": 2, "ts": "2024-01-01 02:00:00", "event_type": "view"}""",
+        """{"broken": """ // truncated record
+      ).mkString("\n"))
+    val conf = IngestMain.parseConfig(
+      s"""source.type=file
+         |source.path=$in
+         |schema.ddl=event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING
+         |ts.column=ts
+         |sink.path=$root/out
+         |sink.checkpoint=$root/ck
+         |sink.partitions=1
+         |trigger.mode=availableNow
+         |dlq.path=$root/dlq
+         |""".stripMargin)
+    val daemon = IngestMain.launch(spark, conf, _ => ())
+    daemon.await(pollMs = 100L)
+    val clean = spark.read.parquet(s"$root/out")
+    assert(clean.count() == 2, "only well-formed records land")
+    assert(!clean.columns.contains("_corrupt"), "clean table carries no corrupt column")
+    val dlq = spark.read.parquet(s"$root/dlq")
+    assert(dlq.count() == 2, "both malformed lines land in the DLQ")
+    val payloads = dlq.select("payload").collect().map(_.getString(0))
+    assert(payloads.exists(_.contains("not json")), payloads.mkString("|"))
+  }
+
   test("metrics.file sink: metrics lines append to the configured file AND stdout sink") {
     val root = TempDirs.create("graft_msink_")
     val sink = IngestMain.metricsSink(Map("metrics.file" -> s"$root/m/ingest.metrics"))
