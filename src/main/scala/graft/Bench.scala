@@ -53,8 +53,20 @@ object Bench {
     // ran first and cost three rounds of drift re-litigation (r5 s8/p1,
     // r6 s1/s2, r7 s8/s9/v-family) — min-of-N is the regression signal.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2).max(1)
+    // STORE-IO cohort: queries that write/rename stores or many files
+    // inside the timed body. Under a contended disk (the driver runs
+    // other IO alongside), a single unlucky fsync window inflated these
+    // 2.5-4.5x in round-10's driver run vs the clean run — one extra
+    // min-take repeat makes the reported min robust to one bad window.
+    val ioCohort = Set(
+      "c1_compact", "c2_merge_upsert", "c2b_time_travel", "c3_orc_roundtrip",
+      "c4_backfill", "c5_range_layout", "c14_zorder_layout", "c17_gdpr_delete",
+      "c24_partition_evolution", "c25_shallow_clone", "d16_substring_dedup",
+      "s24_stream_bloom_dedup", "p8_curate_incremental"
+    )
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val reps = if (ioCohort(name)) repeat + 1 else repeat
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -75,8 +87,16 @@ object Bench {
     val fullLine =
       s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"queries":$qs,"sf":$sfNum}"""
     println(fullLine)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // Resolve the file against an explicit root (SPARK_GRAFT_REPO, else
+    // CWD) and REPORT a failed write — a swallowed failure here left the
+    // compact line claiming full:"BENCH_FULL.json" that didn't exist.
+    val fullPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(fullPath, fullLine + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"WARN: failed to write $fullPath: ${e.getClass.getName}: ${e.getMessage}")
+    }
     // ...then ONE compact line LAST, sized to survive the driver's
     // 2000-char tail (plus sbt's [success] footer): EVERY query's
     // steady-state seconds as `qv`, an array in sorted-name order —

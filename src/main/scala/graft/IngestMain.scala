@@ -101,7 +101,10 @@ object IngestMain {
     def await(pollMs: Long = 200L): Unit = {
       var done = false
       while (!done && !stopped) {
-        queries.find(q => !q.isActive).foreach { q =>
+        // Inspect EVERY terminated query: with multiple sinks (e.g. the
+        // DLQ split) the first to finish may be the clean one — a failure
+        // in any other query must still surface as the daemon's failure.
+        queries.filter(q => !q.isActive).foreach { q =>
           q.exception.foreach { e => stop(); throw e }
         }
         if (queries.forall(q => !q.isActive)) done = true

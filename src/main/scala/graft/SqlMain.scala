@@ -62,15 +62,18 @@ object SqlMain {
   def registerTables(spark: SparkSession, dataDir: String): Seq[String] = {
     val dir = Paths.get(dataDir)
     require(Files.isDirectory(dir), s"not a directory: $dataDir")
-    val names = Files
-      .list(dir)
-      .iterator()
-      .asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet"))
-      .toSeq
-      .sorted
+    val listing = Files.list(dir)
+    val names =
+      try
+        listing
+          .iterator()
+          .asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet"))
+          .map(_.stripSuffix(".parquet"))
+          .toSeq
+          .sorted
+      finally listing.close()
     names.foreach { n =>
       if (n == "events")
         graft.sources.Tables.events(spark, dataDir).createOrReplaceTempView(n)
@@ -86,7 +89,13 @@ object SqlMain {
   def runScript(spark: SparkSession, script: String): DataFrame = {
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "no SQL statements found")
-    stmts.init.foreach(spark.sql(_).collect())
+    // Intermediate statements run for their SIDE EFFECTS only — and in
+    // Spark, commands (CREATE VIEW, DDL, CACHE TABLE, ...) execute
+    // EAGERLY inside spark.sql itself, so invoking it is sufficient. A
+    // mid-script SELECT has no side effect worth its rows; the previous
+    // collect() here landed an arbitrarily large user-controlled result
+    // on the driver, so nothing is materialized any more.
+    stmts.init.foreach(spark.sql(_))
     spark.sql(stmts.last)
   }
 

@@ -486,9 +486,7 @@ object StreamingBatch {
       published = SnapshotStore.commitStagedIfCurrent(store, cur, staged)
       if (published.isEmpty) {
         // lost the race: this merge is stale against the new current
-        val p = java.nio.file.Paths.get(staged)
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        SnapshotStore.deleteTree(java.nio.file.Paths.get(staged))
       }
     }
     published.get
@@ -923,6 +921,47 @@ object StreamingBatch {
     * `commitStagedIfCurrent` after s6. State is O(types × hours) —
     * KB/MB however long the stream runs.
     */
+  /** s28's per-micro-batch fold, extracted so the replay path is
+    * directly testable: foreachBatch is AT-LEAST-ONCE — a batch
+    * replayed after a failure/restart must not be SUMMED twice (a
+    * sum-fold is not idempotent the way s6's latest-wins merge is).
+    * The committed version carries the last-applied batchId as a
+    * sidecar ([[SnapshotStore.annotate]] — the Delta txn-version
+    * handshake); an already-folded batch is acknowledged without
+    * re-merging. Single-writer per store (one streaming query), so
+    * batchIds arrive monotonically and `lastApplied >= batchId` is
+    * exactly "this is a redelivery".
+    */
+  private[graft] def s28FoldBatch(store: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    var committed = false
+    while (!committed) {
+      val cur = SnapshotStore.currentVersion(store)
+      val lastApplied =
+        cur.flatMap(v => SnapshotStore.annotation(store, v, "batch").flatMap(_.toLongOption))
+      if (lastApplied.exists(_ >= batchId)) committed = true
+      else {
+        val incoming = batch
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged = cur match {
+          case Some(v) =>
+            spark.read
+              .parquet(SnapshotStore.versionPath(store, v))
+              .unionByName(incoming)
+              .groupBy("event_type", "h")
+              .agg(sum("cnt").as("cnt"))
+          case None => incoming
+        }
+        val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
+        merged.write.mode("overwrite").parquet(staged)
+        SnapshotStore.annotate(staged, "batch", batchId.toString)
+        committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
+        if (!committed) SnapshotStore.deleteTree(java.nio.file.Paths.get(staged))
+      }
+    }
+  }
+
   def s28StreamBursts(s: SparkSession, d: String): DataFrame = {
     val dir = stageJson(s, d)
     val root = graft.TempDirs.create("graft_s28_run_")
@@ -935,32 +974,8 @@ object StreamingBatch {
       )
       .select(col("event_type"), col("ts"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val incoming = batch
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("cnt"))
-        var committed = false
-        while (!committed) {
-          val cur = SnapshotStore.currentVersion(store)
-          val merged = cur match {
-            case Some(v) =>
-              spark.read
-                .parquet(SnapshotStore.versionPath(store, v))
-                .unionByName(incoming)
-                .groupBy("event_type", "h")
-                .agg(sum("cnt").as("cnt"))
-            case None => incoming
-          }
-          val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
-          merged.write.mode("overwrite").parquet(staged)
-          committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
-          if (!committed) {
-            val p = java.nio.file.Paths.get(staged)
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          }
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        s28FoldBatch(store, batch, batchId)
       }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1027,18 +1042,23 @@ object StreamingBatch {
         .select(from_json(col("value"), docSchema).as("r"))
         .select("r.*")
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // foreachBatch is at-least-once: a replayed batch must not
+          // duplicate rows, so each batch OVERWRITES its own
+          // deterministic partition directory instead of blind-append —
+          // the idempotent file-sink shape of the transactional-write
+          // pattern (redelivery rewrites the same bytes).
           TextAnalysis
             .noveltyScore(TextAnalysis.distinctTrigrams(batch), ref)
             .write
-            .mode("append")
-            .parquet(s"$root/out")
+            .mode("overwrite")
+            .parquet(s"$root/out/batch=$batchId")
         }
         .option("checkpointLocation", s"$root/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$root/out").orderBy("doc_id")
+      s.read.parquet(s"$root/out").drop("batch").orderBy("doc_id")
     } finally ref.unpersist()
   }
 

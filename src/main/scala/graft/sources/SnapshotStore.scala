@@ -32,6 +32,21 @@ object SnapshotStore {
 
   private def manifest(root: String): Path = Paths.get(root, "_CURRENT")
 
+  /** Best-effort recursive delete that CLOSES its directory stream —
+    * `Files.walk` holds an open directory handle until closed, which
+    * leaks fds in a long-running daemon if left to GC. Per-file
+    * failures are swallowed (debris cleanup is advisory; a caller that
+    * needs the path gone, e.g. a rename target, fails on its own move).
+    */
+  private[graft] def deleteTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val st = Files.walk(p)
+    try
+      st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Throwable => () } })
+    finally st.close()
+  }
+
   /** The currently-published LOCAL version, if any commit has happened
     * (None also for a fresh shallow clone, whose manifest is an external
     * pointer — its first local commit starts its own version history).
@@ -125,13 +140,31 @@ object SnapshotStore {
         val target = Paths.get(versionPath(root, v))
         // a crashed PRE-publish writer may have left debris at v (it was
         // never visible — the manifest is the only source of visibility)
-        if (Files.exists(target))
-          Files.walk(target).sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+        if (Files.exists(target)) deleteTree(target)
         Files.move(Paths.get(stagedDir), target)
         commit(root, v)
         Some(v)
       }
     }
+
+  /** Writer-metadata sidecar inside a (staged or published) version
+    * directory — the transactional-sink handshake table formats offer
+    * (Delta's per-writer txn appId/version): a streaming writer records
+    * the micro-batch id it folded INTO the staged version before
+    * commit, and on replay reads it back from the published current to
+    * skip already-applied batches — turning foreachBatch's
+    * at-least-once redelivery into an exactly-once fold. Underscore-
+    * prefixed files are invisible to Spark's parquet scan (the _SUCCESS
+    * convention), so the sidecar never perturbs the data read.
+    */
+  def annotate(versionDir: String, key: String, value: String): Unit =
+    Files.writeString(Paths.get(versionDir, s"_meta_$key"), value)
+
+  /** Read back a sidecar written by [[annotate]] from published version `v`. */
+  def annotation(root: String, v: Long, key: String): Option[String] = {
+    val p = Paths.get(versionPath(root, v), s"_meta_$key")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
 
   /** Run `f` under the store's exclusive commit lock: a per-root JVM
     * mutex (OS file locks are per-process) then an OS FileLock on
@@ -144,6 +177,10 @@ object SnapshotStore {
     */
   private def withCommitLock[T](root: String, lockTimeoutMs: Long)(f: => T): T = {
     Files.createDirectories(Paths.get(root))
+    // ONE deadline shared by both acquisition stages: the JVM mutex and
+    // the OS FileLock each consume from the same budget, so a waiter
+    // blocks at most ~lockTimeoutMs total, not 2x the documented bound.
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
     val key = Paths.get(root).toAbsolutePath.normalize.toString
     val mutex = jvmLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
     if (!mutex.tryLock(lockTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
@@ -155,7 +192,6 @@ object SnapshotStore {
         java.nio.file.StandardOpenOption.WRITE
       )
       try {
-        val deadline = System.currentTimeMillis() + lockTimeoutMs
         // OverlappingFileLockException = this JVM holds the lock through
         // some OTHER channel (e.g. a non-commitIfCurrent holder): that is
         // contention to wait out, not a crash.
@@ -237,20 +273,20 @@ object SnapshotStore {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Nil
-    val doomed = Files
-      .list(rootP)
-      .iterator()
-      .asScala
-      .filter { p =>
-        p.getFileName.toString.startsWith("_stage_") &&
-        (try Files.getLastModifiedTime(p).toMillis < cutoff
-        catch { case _: java.nio.file.NoSuchFileException => false })
-      }
-      .toSeq
-    doomed.foreach { dir =>
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
-    }
+    val listing = Files.list(rootP)
+    val doomed =
+      try
+        listing
+          .iterator()
+          .asScala
+          .filter { p =>
+            p.getFileName.toString.startsWith("_stage_") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: java.nio.file.NoSuchFileException => false })
+          }
+          .toSeq
+      finally listing.close()
+    doomed.foreach(deleteTree)
     doomed.map(_.getFileName.toString)
   }
 
@@ -271,20 +307,27 @@ object SnapshotStore {
       throw new IllegalStateException(s"no committed version under $root")
     )
     val cutoff = cur - keep + 1
-    val dropped = Files
-      .list(Paths.get(root))
-      .iterator()
-      .asScala
-      .flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v=")) n.stripPrefix("v=").toLongOption else None
-      }
-      .filter(_ < cutoff)
-      .toSeq
-      .sorted
+    val listing = Files.list(Paths.get(root))
+    val dropped =
+      try
+        listing
+          .iterator()
+          .asScala
+          .flatMap { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("v=")) n.stripPrefix("v=").toLongOption else None
+          }
+          .filter(_ < cutoff)
+          .toSeq
+          .sorted
+      finally listing.close()
     dropped.foreach { v =>
       val dir = Paths.get(versionPath(root, v))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // strict: a failed vacuum delete must surface, but the walk stream
+      // still needs closing (the toSeq drains it, so close-after is safe)
+      val st = Files.walk(dir)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
     }
     dropped
   }

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 regression pins for the round-10 ADVICE items: daemon
+  * failure visibility with multiple sinks, foreachBatch replay
+  * idempotence for the s28 sum-fold and the s27 append, the SqlMain
+  * driver-materialization hole, and the version-annotation sidecar the
+  * idempotence fix rides on.
+  */
+class Round11AdviceSpec extends AnyFunSuite {
+  import TestSession._
+  import java.nio.file.{Files, Paths}
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+  test("Daemon.await surfaces a failure in ANY query, not just the first to terminate") {
+    val root = TempDirs.create("graft_await_multi_")
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/a.txt"), "1\n2\n3\n")
+    def src = spark.readStream.text(in)
+    // clean query drains instantly; failing query sleeps so the clean one
+    // terminates FIRST — the round-10 bug returned success in exactly
+    // this ordering (find() saw the clean inactive query, no exception,
+    // forall(!isActive) eventually true, failure never rethrown).
+    val good = src.writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ck_good")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val bad = src.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        Thread.sleep(1500)
+        throw new RuntimeException("sink exploded")
+      }
+      .option("checkpointLocation", s"$root/ck_bad")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val noop = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    val daemon = new IngestMain.Daemon(spark, Seq(good, bad), noop, None)
+    val thrown = intercept[Exception] { daemon.await(pollMs = 50L) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(thrown).exists(_.contains("sink exploded")), s"got: $thrown")
+    daemon.stop()
+  }
+
+  test("s28FoldBatch: a replayed batchId is acknowledged without double-summing") {
+    import spark.implicits._
+    val store = TempDirs.create("graft_s28_idem_") + "/store"
+    val b0 = Seq(("click", "2024-01-01 01:10:00"), ("click", "2024-01-01 01:20:00"))
+      .toDF("event_type", "ts_s")
+      .selectExpr("event_type", "cast(ts_s as timestamp) as ts")
+    def counts(): Map[String, Long] =
+      graft.sources.SnapshotStore
+        .readCurrent(spark, store)
+        .collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt"))
+        .toMap
+    graft.operators.StreamingBatch.s28FoldBatch(store, b0, 0L)
+    assert(counts() == Map("click" -> 2L))
+    // at-least-once redelivery of the SAME batch: must be a no-op
+    graft.operators.StreamingBatch.s28FoldBatch(store, b0, 0L)
+    assert(counts() == Map("click" -> 2L), "replayed batch was summed twice")
+    assert(graft.sources.SnapshotStore.currentVersion(store).contains(1L),
+      "replay must not even publish a new version")
+    // a genuinely new batch still folds
+    graft.operators.StreamingBatch.s28FoldBatch(store, b0, 1L)
+    assert(counts() == Map("click" -> 4L))
+  }
+
+  test("SnapshotStore.annotate/annotation: sidecar rides the staged->published rename, invisible to the scan") {
+    import spark.implicits._
+    val store = TempDirs.create("graft_annot_") + "/store"
+    val staged = s"$store/_stage_x"
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(staged)
+    graft.sources.SnapshotStore.annotate(staged, "batch", "42")
+    val v = graft.sources.SnapshotStore.commitStagedIfCurrent(store, None, staged)
+    assert(v.contains(1L))
+    assert(graft.sources.SnapshotStore.annotation(store, 1L, "batch").contains("42"))
+    assert(graft.sources.SnapshotStore.annotation(store, 1L, "other").isEmpty)
+    // the underscore sidecar must not perturb the parquet read
+    assert(graft.sources.SnapshotStore.readCurrent(spark, store).count() == 1L)
+  }
+
+  test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
+    // range(1e11) planned lazily is instant; collect()ed (the round-10
+    // behavior) it would OOM the driver long before any timeout. The
+    // wall-clock bound documents the contract operationally.
+    val t0 = System.nanoTime()
+    val out = SqlMain.runScript(spark,
+      """CREATE OR REPLACE TEMP VIEW r11_tiny AS SELECT 1 AS one;
+        |SELECT id FROM range(100000000000);
+        |SELECT one FROM r11_tiny""".stripMargin)
+    val rows = out.collect()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1))
+    assert(elapsedSec < 60.0, f"mid-script SELECT cost $elapsedSec%.1f s - was it materialized?")
+  }
+}
