@@ -197,7 +197,10 @@ object SparkEntry {
     "c8_exact"               -> ((s, d) => Maintenance.c8IncrementalQuantiles(s, d, k = 65535)),
     "d11_keep_best"          -> (Dedup.d11KeepBest _),
     "q42_not_in_null"        -> (Relational.q42NotInNull _),
-    "q43_rfm"                -> (Relational.q43Rfm _),
+    // gate config: GK accuracy >> n at gate SFs, so each threshold is
+    // rank-exact (element at ceil(q*n)) and the oracle is a hard hash
+    // gate; the production default (10^4) is bounded in ScalaTest
+    "q43_rfm"                -> ((s, dir) => Relational.q43Rfm(s, dir, accuracy = 10000000)),
     "c9_table_stats"         -> (Maintenance.c9TableStats _),
     "q44_typed_stats"        -> (graft.api.TypedOps.q44TypedStats _),
     "q45_mom_growth"         -> (Relational.q45MomGrowth _),
@@ -234,7 +237,8 @@ object SparkEntry {
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
     "v10_knn_pq"             -> ((s, d) => Similarity.v10KnnPq(s, d)),
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
-    "c11_equidepth_hist"     -> (Maintenance.c11EquidepthHist _),
+    // gate config: rank-exact GK edges (see q43_rfm note above)
+    "c11_equidepth_hist"     -> ((s, dir) => Maintenance.c11EquidepthHist(s, dir, accuracy = 10000000)),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
@@ -2067,11 +2071,19 @@ object SparkEntry {
         | FROM orders GROUP BY 1),
         |mx AS (SELECT max(last_day) AS mxd FROM base),
         |wr AS (SELECT b.*, CAST(mxd - last_day AS INT) AS recency_days FROM base b, mx),
+        |a AS (SELECT
+        |  list_sort(list(CAST(recency_days AS DOUBLE))) AS sr,
+        |  list_sort(list(CAST(frequency AS DOUBLE))) AS sfq,
+        |  list_sort(list(CAST(monetary AS DOUBLE))) AS sm,
+        |  count(*) AS cnt FROM wr),
         |th AS (SELECT
-        |  list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tr,
-        |  list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tf,
-        |  list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS tm
-        | FROM wr)
+        |  [round(sr[CAST(ceil(0.2*cnt) AS BIGINT)], 4), round(sr[CAST(ceil(0.4*cnt) AS BIGINT)], 4),
+        |   round(sr[CAST(ceil(0.6*cnt) AS BIGINT)], 4), round(sr[CAST(ceil(0.8*cnt) AS BIGINT)], 4)] AS tr,
+        |  [round(sfq[CAST(ceil(0.2*cnt) AS BIGINT)], 4), round(sfq[CAST(ceil(0.4*cnt) AS BIGINT)], 4),
+        |   round(sfq[CAST(ceil(0.6*cnt) AS BIGINT)], 4), round(sfq[CAST(ceil(0.8*cnt) AS BIGINT)], 4)] AS tf,
+        |  [round(sm[CAST(ceil(0.2*cnt) AS BIGINT)], 4), round(sm[CAST(ceil(0.4*cnt) AS BIGINT)], 4),
+        |   round(sm[CAST(ceil(0.6*cnt) AS BIGINT)], 4), round(sm[CAST(ceil(0.8*cnt) AS BIGINT)], 4)] AS tm
+        | FROM a)
         |SELECT o_custkey, recency_days, frequency, monetary,
         | CAST(6 - (1 + CASE WHEN recency_days > tr[1] THEN 1 ELSE 0 END
         |   + CASE WHEN recency_days > tr[2] THEN 1 ELSE 0 END
@@ -2431,11 +2443,19 @@ object SparkEntry {
         | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank-exact GK edge = the element at rank ceil(q*n) (q34_exact
+    // discipline), replayed as a sorted-list index
     "c11_equidepth_hist" ->
-      """WITH src AS (SELECT l_extendedprice AS v FROM lineitem),
-        |th AS (SELECT list_transform(
-        |  quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
-        |  x -> round(x, 4)) AS t FROM src),
+      """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |a AS (SELECT list_sort(list(v)) AS sv, count(*) AS cnt FROM src),
+        |th AS (SELECT [
+        |  round(sv[CAST(ceil(0.125*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.25*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.375*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.5*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.625*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.75*cnt) AS BIGINT)], 4),
+        |  round(sv[CAST(ceil(0.875*cnt) AS BIGINT)], 4)] AS t FROM a),
         |binned AS (SELECT CAST(1
         |  + CASE WHEN v > t[1] THEN 1 ELSE 0 END
         |  + CASE WHEN v > t[2] THEN 1 ELSE 0 END

@@ -1366,17 +1366,26 @@ object Maintenance {
 
   /** c11: equi-depth histogram of a fact column — the CBO statistic c9's
     * min/max/NDV summary can't express (selectivity under skew). Bin
-    * edges are the 7 exact interior octile thresholds (one scalar-sized
-    * aggregate, broadcast back — the q43 no-global-sort discipline), bin
-    * assignment is a comparison ladder against the ROUNDED edges so a
-    * value exactly on a boundary can't flip bins on interpolation ulp,
-    * and per-bin stats come from one map-side-combined groupBy.
+    * edges are the 7 interior octile thresholds from a BOUNDED
+    * Greenwald-Khanna summary (`approx_percentile`) — Spark's exact
+    * `percentile` buffers the ENTIRE column in one aggregation buffer,
+    * an executor OOM on a 100 TB fact column, while GK state is
+    * O(accuracy·log n) regardless of input size and rides the normal
+    * partial-agg/merge path. The q34_exact discipline keeps the oracle
+    * a hard hash gate: at `accuracy` ≫ n the summary never compresses,
+    * so the returned edge is EXACTLY the element at rank ceil(q·n) —
+    * replayable in SQL as a sorted-list index — and the driver gate
+    * runs that configuration; the default keeps rank error ≤ n/accuracy
+    * (bounded by ScalaTest against the exact edges). Bin assignment is
+    * a comparison ladder against the ROUNDED edges so a value exactly
+    * on a boundary can't flip bins on ulp, and per-bin stats come from
+    * one map-side-combined groupBy.
     */
-  def c11EquidepthHist(s: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+  def c11EquidepthHist(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_extendedprice").cast("double").as("v"))
     val th = l.agg(
       expr(
-        "transform(percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)), x -> round(x, 4))"
+        s"transform(approx_percentile(v, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D), $accuracy), x -> round(x, 4))"
       ).as("t")
     )
     val bin = (1 to 7).map(i => when(col("v") > col("t").getItem(i - 1), 1).otherwise(0))

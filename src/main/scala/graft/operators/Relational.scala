@@ -680,14 +680,22 @@ object Relational {
   }
 
   /** RFM customer segmentation (recency / frequency / monetary) WITHOUT a
-    * global sort: quintile scores come from the four exact-percentile
-    * thresholds of each metric (one scalar-sized aggregate, broadcast
-    * back) instead of a global ntile — the e12 de-skew pattern applied to
-    * scoring, so nothing ever totals-orders the customer table. Threshold
-    * comparisons run on pre-rounded doubles, so both engines score
-    * identically.
+    * global sort: quintile scores come from the four quantile thresholds
+    * of each metric (one scalar-sized aggregate, broadcast back) instead
+    * of a global ntile — the e12 de-skew pattern applied to scoring, so
+    * nothing ever totals-orders the customer table. Thresholds come from
+    * a BOUNDED Greenwald-Khanna summary (`approx_percentile`), not
+    * Spark's exact `percentile` (which buffers the whole metric column
+    * in one aggregation buffer — an OOM at 100 TB customer counts): GK
+    * state is O(accuracy·log n) and partial-agg mergeable. q34_exact
+    * discipline: at `accuracy` ≫ n the summary never compresses and each
+    * threshold is EXACTLY the element at rank ceil(q·n) — the driver
+    * gate runs that configuration against a sorted-list-index oracle;
+    * the default's rank error ≤ n/accuracy is bounded in ScalaTest.
+    * Threshold comparisons run on pre-rounded doubles, so both engines
+    * score identically.
     */
-  def q43Rfm(s: SparkSession, d: String): DataFrame = {
+  def q43Rfm(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
     val base = Tables
       .orders(s, d)
       .groupBy("o_custkey")
@@ -704,11 +712,11 @@ object Relational {
     // a data point exactly on a threshold can't flip buckets on the last
     // ulp of the interpolation arithmetic
     val th = withR.agg(
-      expr("transform(percentile(recency_days, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+      expr(s"transform(approx_percentile(cast(recency_days as double), array(0.2D, 0.4D, 0.6D, 0.8D), $accuracy), x -> round(x, 4))")
         .as("tr"),
-      expr("transform(percentile(frequency, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+      expr(s"transform(approx_percentile(cast(frequency as double), array(0.2D, 0.4D, 0.6D, 0.8D), $accuracy), x -> round(x, 4))")
         .as("tf"),
-      expr("transform(percentile(monetary, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+      expr(s"transform(approx_percentile(cast(monetary as double), array(0.2D, 0.4D, 0.6D, 0.8D), $accuracy), x -> round(x, 4))")
         .as("tm")
     )
     def bucket(

@@ -88,6 +88,36 @@ class Round11AdviceSpec extends AnyFunSuite {
     assert(graft.sources.SnapshotStore.readCurrent(spark, store).count() == 1L)
   }
 
+  test("c11 default accuracy: GK octile edges keep every bin within the documented rank-error of n/8") {
+    // sf0.01 lineitem (~60k rows) EXCEEDS the default GK accuracy (10^4),
+    // so the summary genuinely compresses — this exercises the
+    // approximate regime, not exact retention. GK guarantees each edge's
+    // rank within n/accuracy of the target, so a bin (between two edges)
+    // deviates from n/8 by at most 2n/accuracy, plus slack for the
+    // 4-decimal edge rounding merging near-equal values.
+    val sf001 = "/root/testdata/sf0.01"
+    val rows = graft.operators.Maintenance.c11EquidepthHist(spark, sf001).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n > 2 * 10000, "test must run in the compressed-GK regime")
+    val tol = 2.0 * n / 10000 + 32
+    val expected = n / 8.0
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("n") - expected)
+      assert(dev <= tol, s"bin ${r.getAs[Long]("bin")} count ${r.getAs[Long]("n")} deviates $dev > $tol from $expected")
+    }
+    assert(rows.length == 8)
+  }
+
+  test("q43: the accuracy knob is semantics-free below the compression threshold") {
+    // at sf0.001 every metric column is far smaller than both accuracies,
+    // so GK retains everything in both configs and the scores must be
+    // IDENTICAL — pins that gate config and production default run the
+    // same code path, differing only in summary compression.
+    val a = graft.operators.Relational.q43Rfm(spark, sf).collect().map(_.toString).sorted
+    val b = graft.operators.Relational.q43Rfm(spark, sf, accuracy = 10000000).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
     // range(1e11) planned lazily is instant; collect()ed (the round-10
     // behavior) it would OOM the driver long before any timeout. The
