@@ -699,45 +699,75 @@ object TextAnalysis {
   def t26DomainNb(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // The model derivation fans out: cc feeds tc, v, AND the obs probe;
+    // tc feeds cls which is consumed twice more. Catalyst does NOT reuse
+    // arbitrary common subplans (only identical exchanges, which pruning
+    // de-canonicalizes), so without a barrier the explode+groupBy token
+    // shuffle re-ran for EVERY consumer — round-10's bench showed 26
+    // exchanges, 0 reused, ~6 replays of the heaviest stage. The q51
+    // localCheckpoint discipline truncates lineage at the two fan-out
+    // points: the token table is materialized ONCE (executor-local,
+    // MEMORY_AND_DISK — still fully distributed at 100 TB), and the
+    // vocabulary-sized cc once more; every model table reads those.
     val tok = docs
       .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "source", "w")
       .agg(count(lit(1)).as("cnt"))
-    val cc = tok.groupBy(col("source").as("c"), col("w")).agg(sum("cnt").as("c_wc"))
+      .localCheckpoint()
+    // the vocabulary×classes model table is MODEL-sized by the NB
+    // contract (the same broadcastable class as t9's vocab tables) —
+    // coalesce(1) before the checkpoint so every downstream model
+    // derivation is a 1-task stage, not 32 tasks over 620 rows; with
+    // ~8 sequential model jobs that fixed fan-out overhead WAS the
+    // round-10 bench cost, not data volume
+    val cc = tok
+      .groupBy(col("source").as("c"), col("w"))
+      .agg(sum("cnt").as("c_wc"))
+      .coalesce(1)
+      .localCheckpoint()
     val tc = cc.groupBy("c").agg(sum("c_wc").as("tkn_c"))
     val v = cc.agg(countDistinct("w").as("v_size"))
-    val pr = docs.groupBy(col("source").as("c")).agg(count(lit(1)).as("n_c"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     def lnq(x: org.apache.spark.sql.Column) = round(log(x), 9).cast("decimal(20,10)")
     // class model: one row per class (token total, V, missing-mass lp)
     val cls = tc
       .crossJoin(broadcast(v))
       .withColumn("lp_miss", lnq(lit(1) / (col("tkn_c") + col("v_size"))))
-    // observed half: inner join — only (w, c) pairs training actually
-    // saw. cc is MODEL-sized (vocab × classes — the same broadcastable
-    // class as t9's vocab tables), so the token stream is probed by a
-    // broadcast hash join rather than shuffled on w.
-    val obs = tok
-      .join(broadcast(cc), "w")
+    // class PRIORS: n_docs = Σ n_c, so ONE docs aggregate yields both
+    // (an unpartitioned window over the class rows), saving the second
+    // docs scan + the separate broadcast round the old
+    // crossJoin(broadcast(n)) structure paid; lp_prior carries the
+    // identical lnq(n_c/n_docs) decimal the score used to add
+    val prior = docs
+      .groupBy(col("source").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+      .withColumn("n_docs", sum("n_c").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("lp_prior", lnq(col("n_c") / col("n_docs")))
+      .select("c", "lp_prior")
+    // observed half: the per-(w,c) log-prob is FOLDED INTO the model
+    // table once (620 rows), so the token stream takes ONE broadcast
+    // hash join instead of two — only (w, c) pairs training actually
+    // saw, never densified to tokens × classes.
+    val ccLp = cc
       .join(broadcast(cls.select("c", "tkn_c", "v_size")), "c")
       .withColumn("lp", lnq((col("c_wc") + 1) / (col("tkn_c") + col("v_size"))))
+      .select("w", "c", "lp")
+    val obs = tok
+      .join(broadcast(ccLp), "w")
       .groupBy("doc_id", "c")
       .agg(
         sum(col("cnt").cast("decimal(8,0)") * col("lp")).as("s_obs"),
         sum(col("cnt").cast("decimal(8,0)")).as("n_obs")
       )
     // doc spine: per-doc totals × classes (docs × C, not tokens × C).
-    // The total is the token-array SIZE straight off the scan — a
-    // per-row map, NOT a third replay of the explode+groupBy shuffle
-    // (docs with zero tokens never enter tok and are excluded here too,
-    // matching the tok-driven dense form)
-    val tot = docs
-      .select(
-        col("doc_id"),
-        col("source"),
-        size(TF.tokens(col("text"))).cast("decimal(8,0)").as("t_d")
-      )
-      .filter(col("t_d") > 0)
+    // The total is Σ_w cnt off the CHECKPOINTED token table — re-sizing
+    // the token array from the raw scan would re-split every document's
+    // text (the single most expensive stage in the round-10 profile);
+    // summing the already-counted tok rows gives the identical value for
+    // one cheap keyed aggregate. Docs with zero tokens have no tok rows,
+    // exactly matching the old t_d > 0 filter.
+    val tot = tok
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").cast("decimal(8,0)").as("t_d"))
     val sc = tot
       .crossJoin(broadcast(cls.select("c", "lp_miss")))
       .join(obs, Seq("doc_id", "c"), "left")
@@ -755,9 +785,8 @@ object TextAnalysis {
           .cast("decimal(38,10)")
       )
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("c"))
-    sc.join(broadcast(pr), "c")
-      .crossJoin(broadcast(n))
-      .withColumn("score", col("sw") + lnq(col("n_c") / col("n_docs")))
+    sc.join(broadcast(prior), "c")
+      .withColumn("score", col("sw") + col("lp_prior"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(
