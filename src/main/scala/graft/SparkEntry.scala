@@ -359,6 +359,7 @@ object SparkEntry {
     "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d)),
     // round 10: perceptual dHash image fingerprint + dup clusters
     "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
+    "m14b_dhash_real"        -> ((s, d) => Multimodal.m14bDHashReal(s, d)),
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
     "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _)
   )
@@ -3094,6 +3095,25 @@ object SparkEntry {
     // m14: the synthetic pixel model replayed through the same 8x8
     // nearest-neighbor grid + 56-bit difference hash (all integer)
     "m14_dhash" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS BIGINT) AS h FROM documents),
+        |b AS (SELECT m.doc_id, w, h, r.r, c.c
+        | FROM m, generate_series(0, 7) r(r), generate_series(0, 6) c(c)),
+        |g AS (SELECT doc_id, r, c,
+        |  (doc_id*31 + (least((r*h)//8, h-1)*w + least((c*w)//8, w-1))*7919) % 256 AS g1,
+        |  (doc_id*31 + (least((r*h)//8, h-1)*w + least(((c+1)*w)//8, w-1))*7919) % 256 AS g2
+        | FROM b),
+        |hsh AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN g1 > g2 THEN CAST(power(2, r*7+c) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash
+        | FROM g GROUP BY 1),
+        |grp AS (SELECT dhash, count(*) AS n_same, min(doc_id) AS canonical_id
+        | FROM hsh GROUP BY 1)
+        |SELECT h.doc_id, h.dhash, grp.n_same, grp.canonical_id
+        |FROM hsh h JOIN grp USING (dhash) ORDER BY h.doc_id""".stripMargin,
+    // m14b: the REAL ImageIO decode path must reproduce the synthetic
+    // pixel model bit-for-bit (the staged PNGs encode it), so the same
+    // replay gates the decode itself — m8's two-stage discipline
+    "m14b_dhash_real" ->
       """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
         |  CAST(4 + (doc_id*7) % 11 AS BIGINT) AS h FROM documents),
         |b AS (SELECT m.doc_id, w, h, r.r, c.c

@@ -679,6 +679,58 @@ object Multimodal {
     * perceptual key. A real decoder slots in at the pixel expression
     * like m7/m12.
     */
+  /** m14b: m14's dHash computed over the REAL decode path — the PNGs the
+    * media store stages for m7 encode exactly the pixel model m14's
+    * synthetic grid samples, so [[javax.imageio.ImageIO]] inflates the
+    * scanlines on executors, the 8×8 nearest-neighbor downsample reads
+    * the genuine raster, and the resulting 56-bit hashes must equal the
+    * synthetic ones bit-for-bit — m8's two-stage discipline: the shared
+    * DuckDB oracle gates BOTH the decode (wrong dimensions, bit depth or
+    * sample order flips hash bits) and the dedup grouping. Per-image
+    * work is one decode + 112 raster reads (constant memory,
+    * iterator-shaped); only (doc_id, hash) rides the shuffle, and the
+    * cluster stats come from one window over the hash key — the decode
+    * runs ONCE (a groupBy+join-back would re-decode every image for the
+    * second consumer of the hash table).
+    */
+  def m14bDHashReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashes = s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            val rr = math.min(r * h / 8, h - 1)
+            var c = 0
+            var left = raster.getSample(math.min(0 * w / 8, w - 1), rr, 0)
+            while (c < 7) {
+              val right = raster.getSample(math.min((c + 1) * w / 8, w - 1), rr, 0)
+              if (left > right) hash |= 1L << (r * 7 + c)
+              left = right
+              c += 1
+            }
+            r += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "dhash")
+    val w = Window.partitionBy("dhash")
+    hashes
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("dhash"), col("n_same"), col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   def m14DHash(s: SparkSession, d: String): DataFrame = {
     val grid = Tables
       .documents(s, d)

@@ -118,6 +118,15 @@ class Round11AdviceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("m14b real-decode dHash equals the synthetic-model m14 bit-for-bit") {
+    // the staged PNGs encode the synthetic pixel model, so a correct
+    // ImageIO decode + raster downsample must land on identical hashes;
+    // any decoder deviation (dims, bit depth, sample order) diverges
+    val real = graft.operators.Multimodal.m14bDHashReal(spark, sf).collect().map(_.toString)
+    val synth = graft.operators.Multimodal.m14DHash(spark, sf).collect().map(_.toString)
+    assert(real.nonEmpty && real.sameElements(synth))
+  }
+
   test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
     // range(1e11) planned lazily is instant; collect()ed (the round-10
     // behavior) it would OOM the driver long before any timeout. The
