@@ -335,6 +335,7 @@ object SparkEntry {
     "e36_chi_square"         -> (Events.e36ChiSquare _),
     // round 10: TPC-H Q8-shape market share (conditional agg over a star)
     "q52_market_share"       -> (Relational.q52MarketShare _),
+    "q53_interval_overlap"   -> (Relational.q53IntervalOverlap _),
     // round 10: graft.IngestMain's full service path under the oracle gate
     "s26_daemon_ingest"      -> (StreamingBatch.s26DaemonIngest _),
     // round 10: incremental dedup -> gate -> OCC store publish, reported
@@ -355,8 +356,11 @@ object SparkEntry {
     "v16_triangle_count"     -> ((s, d) => Similarity.v16TriangleCount(s, d)),
     // round 10: autocorrelation of the hourly count series (seasonality fingerprint)
     "e38_acf"                -> ((s, d) => Events.e38Acf(s, d)),
+    "e39_rate_limit"         -> ((s, d) => Events.e39RateLimit(s, d)),
     // round 10: RAKE keyword extraction (phrase runs + deg/freq scoring)
     "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d)),
+    "t34_entropy"            -> (TextAnalysis.t34Entropy _),
+    "t35_src_overlap"        -> ((s, d) => TextAnalysis.t35SrcOverlap(s, d)),
     // round 10: perceptual dHash image fingerprint + dup clusters
     "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
     "m14b_dhash_real"        -> ((s, d) => Multimodal.m14bDHashReal(s, d)),
@@ -1033,6 +1037,36 @@ object SparkEntry {
         | round(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 4) AS avg_pos,
         | round(min(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 2) AS min_pos
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q53: sweep-line replayed — +1/-1 day deltas, running sum over the
+    // day-grain table, per-month peak with earliest-day tie-break
+    "q53_interval_overlap" ->
+      """WITH spans AS (
+        | SELECT CAST(o_orderdate AS DATE) AS open_day, CAST(l_shipdate AS DATE) AS ship_day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        | SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |  SELECT open_day AS day, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT ship_day AS day, -1 AS delta FROM spans)
+        | GROUP BY day),
+        |conc AS (SELECT day, sum(net) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_lines FROM deltas),
+        |m AS (SELECT date_trunc('month', day)::DATE AS month, day, open_lines FROM conc),
+        |pk AS (SELECT month, max(open_lines) AS peak_open FROM m GROUP BY 1)
+        |SELECT m.month, pk.peak_open, min(day) AS peak_day
+        |FROM m JOIN pk ON m.month = pk.month AND m.open_lines = pk.peak_open
+        |GROUP BY m.month, pk.peak_open ORDER BY m.month""".stripMargin,
+    // e39: the same RANGE frame over epoch seconds, reduced per user
+    "e39_rate_limit" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS sec FROM events),
+        |iw AS (SELECT user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS in_window
+        | FROM e)
+        |SELECT user_id, count(*) AS n_events, max(in_window) AS max_burst,
+        | max(in_window) >= 4 AS breach
+        |FROM iw GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e14_sliding_rate" ->
       """WITH e AS (SELECT event_id, event_type,
         |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS tus_s FROM events)
@@ -1682,6 +1716,35 @@ object SparkEntry {
         |SELECT o_custkey, min(day) AS run_start, max(day) AS run_end, count(*) AS n_days
         |FROM r GROUP BY o_custkey, grp HAVING count(*) >= 2
         |ORDER BY o_custkey, run_start""".stripMargin,
+    // t34: entropy replayed with the identical decimal quantization of
+    // each c*ln(c) term before the per-doc sum
+    "t34_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  sum(CAST(c AS DECIMAL(8,0)) * CAST(round(ln(c), 9) AS DECIMAL(20,10))) AS sclnc
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        | round(ln(CAST(n_tokens AS DOUBLE)) - CAST(sclnc AS DOUBLE)/n_tokens, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // t35: the overlap matrix replayed on literal gram strings (t19's
+    // hash-vs-string discipline: the gate certifies no collision)
+    "t35_src_overlap" ->
+      """WITH t AS (SELECT source, doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        | FROM documents),
+        |sh AS (SELECT source, doc_id,
+        |  list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |    FOR i IN range(1, len(ts)-3)]) AS g
+        | FROM t WHERE len(ts) >= 5),
+        |g0 AS (SELECT DISTINCT source, unnest(g) AS g FROM sh),
+        |sz AS (SELECT source, count(*) AS n FROM g0 GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        | FROM g0 a JOIN g0 b USING (g) WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, za.n AS n_a, zb.n AS n_b, n_shared,
+        | round(CAST(n_shared AS DOUBLE)/(za.n + zb.n - n_shared), 6) AS jaccard
+        |FROM p JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "t19_crossdoc_ngram" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -1035,4 +1035,31 @@ object Events {
     )
     rows.reduce(_ unionByName _).orderBy("event_type", "lag")
   }
+
+  /** e39: PER-USER SLIDING RATE LIMIT — for every event, the count of
+    * that user's events in the trailing 10-minute window (a RANGE frame
+    * over epoch seconds, so simultaneous events are in/out of the frame
+    * together regardless of row order — deterministic on both engines),
+    * reduced to the per-user maximum burst and a breach flag. This is
+    * the abuse/quota screen an ingest tier runs per key: the window
+    * partitions BY USER, so at 100 TB each user's timeline sorts
+    * independently inside an ordinary keyed shuffle — no global sort,
+    * no self-join (the naive formulation is events ⋈ events on a time
+    * band). Contrast with e14, which rates per TYPE at second grain;
+    * this is per-entity enforcement over raw events.
+    */
+  def e39RateLimit(s: SparkSession, d: String, windowSec: Long = 600L, limit: Long = 4L): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1), 0L)
+    Tables
+      .events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("in_window").as("max_burst"))
+      .withColumn("breach", col("max_burst") >= limit)
+      .orderBy("user_id")
+  }
 }

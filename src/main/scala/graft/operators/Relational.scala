@@ -1006,4 +1006,47 @@ object Relational {
       )
       .orderBy("o_year")
   }
+
+  /** q53: INTERVAL CONCURRENCY (sweep-line) — how many order lines are
+    * "in fulfillment" (order placed, not yet shipped: the real interval
+    * `[o_orderdate, l_shipdate)`) on any given day, reported as the
+    * per-month peak and its earliest peak day. The classic interval-
+    * overlap question answered WITHOUT an interval join: each line
+    * contributes a +1 delta at its start day and a −1 at its end day,
+    * deltas collapse to DAY grain in one keyed aggregate riding the
+    * single fact-fact equi-join (lineitem ⋈ orders, AQE-skew-handled),
+    * and concurrency is a running sum over the day-grain table. The
+    * unpartitioned window is over CALENDAR DAYS — a few thousand rows
+    * bounded by the date range, not by fact volume, so it is
+    * scale-independent (the 100 TB cost is the join + day-grain
+    * aggregate, both keyed shuffles). Peak-day tie-break: earliest.
+    */
+  def q53IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+      .join(
+        Tables.orders(s, d).select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_day")),
+        col("l_orderkey") === col("o_orderkey")
+      )
+    val deltas = spans
+      .select(col("open_day").as("day"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("ship_day").as("day"), lit(-1L).as("delta")))
+      .groupBy("day")
+      .agg(sum("delta").as("net"))
+    val conc = deltas.withColumn(
+      "open_lines",
+      sum("net").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    val monthly = conc.withColumn("month", trunc(col("day"), "month"))
+    val peaks = monthly.groupBy("month").agg(max("open_lines").as("peak_open"))
+    monthly
+      .join(peaks, "month")
+      .filter(col("open_lines") === col("peak_open"))
+      .groupBy("month", "peak_open")
+      .agg(min("day").as("peak_day"))
+      .select("month", "peak_open", "peak_day")
+      .orderBy("month")
+  }
 }

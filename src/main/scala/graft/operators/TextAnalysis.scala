@@ -1302,4 +1302,76 @@ object TextAnalysis {
       )
       .orderBy("doc_id", "rank")
   }
+
+  /** t34: per-document token SHANNON ENTROPY — the repetitiveness
+    * quality signal (low entropy = templated/looped/spam text) the
+    * published filtering stacks run next to Gopher's repetition rules:
+    * H = ln T − (Σ_w c_w·ln c_w)/T over the doc's token counts, so one
+    * explode + two keyed aggregates, both partial-agg mergeable — at
+    * 100 TB nothing but (doc, type) count rows ride the shuffle.
+    * Engine-exact by the t21 discipline: each type's c·ln(c) term is
+    * quantized to decimal BEFORE the per-doc sum (decimal addition is
+    * associativity-free, so partial aggregation can't perturb the
+    * total), and the final H is evaluated in double on the exact
+    * decimal sum, rounded once.
+    */
+  def t34Entropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(8,0)") * round(log(col("c")), 9).cast("decimal(20,10)"))
+          .as("sclnc")
+      )
+      .withColumn(
+        "entropy",
+        round(log(col("n_tokens").cast("double")) - col("sclnc").cast("double") / col("n_tokens"), 6)
+      )
+      .select("doc_id", "n_tokens", "n_types", "entropy")
+      .orderBy("doc_id")
+  }
+
+  /** t35: CROSS-SOURCE SHINGLE OVERLAP MATRIX — the corpus-slice
+    * contamination audit a mixture pipeline runs before weighting
+    * sources (how much of src_a's distinct 5-gram mass reappears in
+    * src_b): per-source distinct gram sets, pairwise intersection
+    * counts, Jaccard. Grams travel only as 64-bit [[GraftExpressions
+    * .shingleHashes]] (t19's discipline — gram strings never leave the
+    * scan; the oracle recomputes on literal strings, so the gate itself
+    * certifies no collision perturbed a count). The pair join is an
+    * equi-join on the 8-byte hash: only grams present in ≥2 sources
+    * produce pairs, and per-gram fanout is bounded by (#sources)², so
+    * at 100 TB the shuffles are the per-source distinct and one keyed
+    * join — never doc×doc or source-slice×source-slice.
+    */
+  def t35SrcOverlap(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val grams = Tables
+      .documents(s, d)
+      .select(
+        col("source"),
+        explode(GraftExpressions.shingleHashes(split(col("text"), " "), n)).as("g")
+      )
+      .distinct()
+    val sz = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams
+      .select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn(
+        "jaccard",
+        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+      )
+      .select("src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
 }
