@@ -239,6 +239,7 @@ object SparkEntry {
     "m6_shard_plan"          -> ((s, d) => Multimodal.m6ShardPlan(s, d)),
     // gate config: rank-exact GK edges (see q43_rfm note above)
     "c11_equidepth_hist"     -> ((s, dir) => Maintenance.c11EquidepthHist(s, dir, accuracy = 10000000)),
+    "c26_compaction_plan"    -> ((s, dir) => Maintenance.c26CompactionPlan(s, dir)),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
@@ -364,8 +365,10 @@ object SparkEntry {
     // round 10: perceptual dHash image fingerprint + dup clusters
     "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
     "m14b_dhash_real"        -> ((s, d) => Multimodal.m14bDHashReal(s, d)),
+    "m15_image_sharpness"    -> (Multimodal.m15ImageSharpness _),
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
-    "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _)
+    "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _),
+    "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1056,6 +1059,28 @@ object SparkEntry {
         |SELECT m.month, pk.peak_open, min(day) AS peak_day
         |FROM m JOIN pk ON m.month = pk.month AND m.open_lines = pk.peak_open
         |GROUP BY m.month, pk.peak_open ORDER BY m.month""".stripMargin,
+    // c26: the greedy bin-pack replayed — preceding cumulative rows over
+    // the (day, hour) inventory, bin = cum_before // target
+    "c26_compaction_plan" ->
+      """WITH files AS (SELECT CAST(ts AS DATE) AS dt, CAST(hour(ts) AS BIGINT) AS hr,
+        |  count(*) AS n_rows FROM events GROUP BY 1, 2),
+        |c AS (SELECT dt, hr, n_rows,
+        |  coalesce(sum(n_rows) OVER (PARTITION BY dt ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM files)
+        |SELECT dt, cum_before // 200 AS bin, count(*) AS n_files,
+        | CAST(sum(n_rows) AS BIGINT) AS n_rows, min(hr) AS first_hr, max(hr) AS last_hr
+        |FROM c GROUP BY dt, cum_before // 200 ORDER BY dt, bin""".stripMargin,
+    // s29: the drift rule replayed over the batch table (the staged
+    // producer adds v2_score exactly on event_id % 7 = 0)
+    "s29_schema_drift" ->
+      """SELECT route, n_rows, n_users FROM (
+        | SELECT 'drift' AS route, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        | FROM events WHERE event_id % 7 = 0
+        | UNION ALL
+        | SELECT 'ok' AS route, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        | FROM events WHERE event_id % 7 <> 0)
+        |ORDER BY route""".stripMargin,
     // e39: the same RANGE frame over epoch seconds, reduced per user
     "e39_rate_limit" ->
       """WITH e AS (SELECT user_id,
@@ -3192,6 +3217,22 @@ object SparkEntry {
         | FROM hsh GROUP BY 1)
         |SELECT h.doc_id, h.dhash, grp.n_same, grp.canonical_id
         |FROM hsh h JOIN grp USING (dhash) ORDER BY h.doc_id""".stripMargin,
+    // m15: the real-decode Laplacian replayed from the generating pixel
+    // arithmetic (constant series bounded by max dims, filtered per-row)
+    "m15_image_sharpness" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS BIGINT) AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x, y.y,
+        |  (doc_id*31 + (y.y*w + x.x)*7919) % 256 AS p,
+        |  (doc_id*31 + (y.y*w + x.x - 1)*7919) % 256 AS pl,
+        |  (doc_id*31 + (y.y*w + x.x + 1)*7919) % 256 AS pr,
+        |  (doc_id*31 + ((y.y-1)*w + x.x)*7919) % 256 AS pu,
+        |  (doc_id*31 + ((y.y+1)*w + x.x)*7919) % 256 AS pd
+        | FROM m, generate_series(1, 14) x(x), generate_series(1, 12) y(y)
+        | WHERE x.x <= w - 2 AND y.y <= h - 2)
+        |SELECT doc_id, w, h, (w-2)*(h-2) AS n_interior,
+        | CAST(sum(abs(4*p - pl - pr - pu - pd)) AS BIGINT) AS sharp_l1
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // t33: RAKE replayed — zipped parallel unnests give (pos, w), runs
     // via the islands delta, word scores quantized decimal(16,6) before
     // the exact phrase sum

@@ -1809,4 +1809,36 @@ object Maintenance {
       )
       .orderBy("event_type")
   }
+
+  /** c26: COMPACTION PLANNER — the metadata half of c1's small-file
+    * story: given a per-(day, hour) inventory of landed "files" (row
+    * counts at hour grain — at 100 TB the inventory is the table
+    * format's file manifest, already metadata-sized), greedily bin-pack
+    * consecutive hours into target-sized compaction groups per day:
+    * bin = floor(preceding-cumulative-rows / target), the classic
+    * one-pass greedy that never splits a file and fills each bin to at
+    * least the target. Pure window arithmetic over the inventory
+    * (partitioned by day, ordered by hour) — the planner never touches
+    * data rows; c1 is the executor that rewrites a chosen bin. Output:
+    * one row per (day, bin) with file count, rows, and the hour span.
+    */
+  def c26CompactionPlan(s: SparkSession, d: String, targetRows: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables
+      .events(s, d)
+      .groupBy(to_date(col("ts")).as("dt"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("dt").orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / targetRows))
+      .groupBy("dt", "bin")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_rows").as("n_rows"),
+        min("hr").cast("long").as("first_hr"),
+        max("hr").cast("long").as("last_hr")
+      )
+      .orderBy("dt", "bin")
+  }
 }

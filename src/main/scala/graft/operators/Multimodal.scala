@@ -731,6 +731,49 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m15: IMAGE SHARPNESS over the REAL decode path — the blur screen a
+    * multimodal curation pipeline runs before spending encoder FLOPs on
+    * an image (variance/energy-of-Laplacian family): decode the staged
+    * PNG with [[javax.imageio.ImageIO]] on executors, then sum the L1
+    * discrete Laplacian |4p − left − right − up − down| over interior
+    * pixels. All-integer arithmetic, so the DuckDB oracle replays the
+    * generating pixel formulas and gates BOTH the decode and the filter
+    * (m8's two-stage discipline — a wrong scanline, sample order or bit
+    * depth shifts the sum). Per-image work is one decode + O(pixels);
+    * only the scalar stats ride the shuffle.
+    */
+  def m15ImageSharpness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var l1 = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val c = 4L * raster.getSample(x, y, 0)
+              val nb = raster.getSample(x - 1, y, 0).toLong + raster.getSample(x + 1, y, 0) +
+                raster.getSample(x, y - 1, 0) + raster.getSample(x, y + 1, 0)
+              l1 += math.abs(c - nb)
+              x += 1
+            }
+            y += 1
+          }
+          val nInt = (w - 2).toLong * (h - 2)
+          (id, w.toLong, h.toLong, nInt, l1)
+        }
+      }
+      .toDF("doc_id", "w", "h", "n_interior", "sharp_l1")
+      .orderBy("doc_id")
+  }
+
   def m14DHash(s: SparkSession, d: String): DataFrame = {
     val grid = Tables
       .documents(s, d)

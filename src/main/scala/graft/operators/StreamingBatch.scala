@@ -2068,4 +2068,80 @@ object StreamingBatch {
       .select(col("doc_id"), col("u").as("canonical_url"), col("ref_doc_id"))
       .orderBy("doc_id")
   }
+
+  /** s29's staging: the events wire stream with a DRIFTED PRODUCER mixed
+    * in — every event_id ≡ 0 (mod 7) record carries an extra
+    * `v2_score` field the consumer's schema does not know about (the
+    * real-world "someone shipped a new producer version" incident).
+    * Cached per (JVM, dir) like the other stagings.
+    */
+  private def stageDriftJson(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#drift",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_drift_")
+        val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val ok = toJsonMicros(ev.filter(col("event_id") % 7 =!= 0))
+        val drifted = toJsonMicros(
+          ev.filter(col("event_id") % 7 === 0)
+            .withColumn("v2_score", col("value") * 2 + 1)
+        )
+        ok.unionAll(drifted).coalesce(4).write.mode("overwrite").text(s"$dir/json")
+        dir
+      }
+    )
+
+  /** s29: STREAMING SCHEMA-DRIFT ROUTER — the khose permissive-ingest
+    * contract one level above the DLQ: records that PARSE but carry
+    * fields outside the declared schema are quarantined (with their raw
+    * payload, so nothing is lost when the schema catches up) while
+    * conforming records land typed. Detection inspects the actual JSON
+    * key set (`json_object_keys` ⊄ expected), not any knowledge of the
+    * producer — a brand-new field routes on sight. Both routes write
+    * deterministic per-batchId partition directories in the SAME
+    * foreachBatch (overwrite ⇒ at-least-once redelivery rewrites the
+    * same bytes — s27's idempotence shape), so the split is atomic per
+    * batch. The report aggregates both landed routes; the oracle
+    * replays the drift rule over the batch table.
+    */
+  def s29SchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDriftJson(s, d)
+    val root = graft.TempDirs.create("graft_s29_run_")
+    val expected = array(Seq("event_id", "ts", "user_id", "event_type", "value", "props").map(lit): _*)
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 2)
+      .text(s"$dir/json")
+      .withColumn("ks", json_object_keys(col("value")))
+      .withColumn("drift", exists(col("ks"), k => !array_contains(expected, k)))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          StreamIngest
+            .parsed(b.filter(!col("drift")).select("value"), eventSchema, "ts")
+            .write
+            .mode("overwrite")
+            .parquet(s"$root/ok/batch=$batchId")
+          b.filter(col("drift"))
+            .select(col("value").as("payload"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$root/quarantine/batch=$batchId")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val okAgg = s.read
+      .parquet(s"$root/ok")
+      .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"))
+      .select(lit("ok").as("route"), col("n_rows"), col("n_users"))
+    val qAgg = s.read
+      .parquet(s"$root/quarantine")
+      .select(get_json_object(col("payload"), "$.user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"))
+      .select(lit("drift").as("route"), col("n_rows"), col("n_users"))
+    qAgg.unionAll(okAgg).orderBy("route")
+  }
 }

@@ -127,6 +127,40 @@ class Round11AdviceSpec extends AnyFunSuite {
     assert(real.nonEmpty && real.sameElements(synth))
   }
 
+  test("c26 greedy bins: every bin boundary per day has crossed its multiple of the target") {
+    val rows = graft.operators.Maintenance.c26CompactionPlan(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("dt")).values.foreach { bins =>
+      val sorted = bins.sortBy(_.getAs[Long]("bin"))
+      sorted.zipWithIndex.foreach { case (b, i) =>
+        val before = sorted.take(i).map(_.getAs[Long]("n_rows")).sum
+        // bin k only opens once the preceding cumulative crossed k*target
+        assert(before >= 200L * b.getAs[Long]("bin"),
+          s"bin ${b.getAs[Long]("bin")} opened at cumulative $before")
+      }
+      // hour spans never overlap between consecutive bins
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0).getAs[Long]("last_hr") < pair(1).getAs[Long]("first_hr"))
+      }
+    }
+  }
+
+  test("e39 rate limit: burst bounded by event count, breach flag consistent") {
+    val rows = graft.operators.Events.e39RateLimit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mx, breach) = (r.getAs[Long]("n_events"), r.getAs[Long]("max_burst"), r.getAs[Boolean]("breach"))
+      assert(mx >= 1 && mx <= n)
+      assert(breach == (mx >= 4))
+    }
+  }
+
+  test("q53 sweep-line: every order line opens before it ships (net deltas cancel)") {
+    val rows = graft.operators.Relational.q53IntervalOverlap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("peak_open") >= 0))
+  }
+
   test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
     // range(1e11) planned lazily is instant; collect()ed (the round-10
     // behavior) it would OOM the driver long before any timeout. The
