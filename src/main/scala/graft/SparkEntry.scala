@@ -337,6 +337,7 @@ object SparkEntry {
     // round 10: TPC-H Q8-shape market share (conditional agg over a star)
     "q52_market_share"       -> (Relational.q52MarketShare _),
     "q53_interval_overlap"   -> (Relational.q53IntervalOverlap _),
+    "q54_copurchase"         -> ((s, dir) => Relational.q54Copurchase(s, dir)),
     // round 10: graft.IngestMain's full service path under the oracle gate
     "s26_daemon_ingest"      -> (StreamingBatch.s26DaemonIngest _),
     // round 10: incremental dedup -> gate -> OCC store publish, reported
@@ -358,6 +359,7 @@ object SparkEntry {
     // round 10: autocorrelation of the hourly count series (seasonality fingerprint)
     "e38_acf"                -> ((s, d) => Events.e38Acf(s, d)),
     "e39_rate_limit"         -> ((s, d) => Events.e39RateLimit(s, d)),
+    "e40_psi_drift"          -> (Events.e40PsiDrift _),
     // round 10: RAKE keyword extraction (phrase runs + deg/freq scoring)
     "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d)),
     "t34_entropy"            -> (TextAnalysis.t34Entropy _),
@@ -366,6 +368,7 @@ object SparkEntry {
     "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
     "m14b_dhash_real"        -> ((s, d) => Multimodal.m14bDHashReal(s, d)),
     "m15_image_sharpness"    -> (Multimodal.m15ImageSharpness _),
+    "m16_audio_clipping"     -> ((s, d) => Multimodal.m16AudioClipping(s, d)),
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
     "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _),
     "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _)
@@ -1081,6 +1084,49 @@ object SparkEntry {
         | SELECT 'ok' AS route, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
         | FROM events WHERE event_id % 7 <> 0)
         |ORDER BY route""".stripMargin,
+    // q54: same distinct + bounded self-join + support filter
+    "q54_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY part_a, part_b""".stripMargin,
+    // e40: PSI replayed — shared integer bins, per-bin term quantized to
+    // decimal(20,10) before the per-type sum
+    "e40_psi_drift" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |b AS (SELECT event_type,
+        |  CASE WHEN (day - d0) * 2 <= (d1 - d0) THEN 'a' ELSE 'b' END AS cohort,
+        |  CAST(floor(value) AS BIGINT) AS bin FROM e, span),
+        |cnt AS (SELECT event_type, cohort, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, cohort, sum(n) AS t FROM cnt GROUP BY 1, 2),
+        |sh AS (SELECT cnt.event_type, cnt.cohort, bin, CAST(n AS DOUBLE)/t AS p
+        | FROM cnt JOIN tot ON cnt.event_type = tot.event_type AND cnt.cohort = tot.cohort),
+        |j AS (SELECT a.event_type, a.bin,
+        |  CAST(round((a.p - b.p) * ln(a.p / b.p), 9) AS DECIMAL(20,10)) AS term
+        | FROM sh a JOIN sh b ON a.event_type = b.event_type AND a.bin = b.bin
+        | WHERE a.cohort = 'a' AND b.cohort = 'b')
+        |SELECT event_type, count(*) AS n_bins, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // m16: clipping replayed from the generating PCM formulas; runs via
+    // the islands delta over clipped sample positions
+    "m16_audio_clipping" ->
+      """WITH m AS (SELECT doc_id, CAST(64 + doc_id % 41 AS BIGINT) AS n FROM documents),
+        |s AS (SELECT doc_id, n, i.i,
+        |  ((doc_id*31 + i.i*i.i*7919) % 65536) - 32768 AS v
+        | FROM m, generate_series(0, 104) i(i) WHERE i.i < n),
+        |c AS (SELECT doc_id, n, i, abs(v) >= 20000 AS clip FROM s),
+        |runs AS (SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        | FROM c WHERE clip),
+        |rl AS (SELECT doc_id, max(cnt) AS max_run FROM (
+        |  SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY 1, 2) GROUP BY 1),
+        |agg AS (SELECT doc_id, any_value(n) AS n_samples,
+        |  CAST(sum(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        | FROM c GROUP BY 1)
+        |SELECT a.doc_id, a.n_samples, a.n_clipped,
+        | coalesce(rl.max_run, 0) AS max_run,
+        | a.n_clipped * 2 < a.n_samples AS keep
+        |FROM agg a LEFT JOIN rl ON a.doc_id = rl.doc_id ORDER BY a.doc_id""".stripMargin,
     // e39: the same RANGE frame over epoch seconds, reduced per user
     "e39_rate_limit" ->
       """WITH e AS (SELECT user_id,

@@ -1048,6 +1048,50 @@ object Events {
     * band). Contrast with e14, which rates per TYPE at second grain;
     * this is per-entity enforcement over raw events.
     */
+  /** e40: POPULATION STABILITY INDEX — the production distribution-drift
+    * monitor (scorecard/feature-drift standard): per event type, compare
+    * the `value` distribution of the FIRST half of the date range
+    * (expected) against the SECOND half (actual) over integer bins,
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b). Bins are `floor(value)` —
+    * bounded by the value range, not the event volume — so the whole
+    * statistic is two keyed aggregates over (type, cohort, bin) plus a
+    * model-sized join; the date midpoint is a 1-row broadcast aggregate.
+    * Shared-bins-only variant (both cohorts observed the bin) — the
+    * stated contract, replayed identically by the oracle. Engine-exact:
+    * shares divide exact longs in IEEE doubles, each bin's term is
+    * rounded and quantized to decimal BEFORE the per-type sum (t21
+    * discipline), and PSI is read off the exact decimal total.
+    */
+  def e40PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val span = e.agg(min("day").as("d0"), max("day").as("d1"))
+    val binned = e
+      .crossJoin(broadcast(span))
+      .withColumn(
+        "cohort",
+        when(datediff(col("day"), col("d0")) * 2 <= datediff(col("d1"), col("d0")), "a").otherwise("b")
+      )
+      .withColumn("bin", floor(col("value")))
+      .groupBy("event_type", "cohort", "bin")
+      .agg(count(lit(1)).as("n"))
+    val tot = binned.groupBy("event_type", "cohort").agg(sum("n").as("t"))
+    val shares = binned.join(tot, Seq("event_type", "cohort"))
+    def side(c: String, p: String) =
+      shares.filter(col("cohort") === c).select(col("event_type"), col("bin"), (col("n") / col("t")).as(p))
+    side("a", "pa")
+      .join(side("b", "pb"), Seq("event_type", "bin"))
+      .withColumn(
+        "term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).cast("decimal(20,10)")
+      )
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"), sum("term").as("s"))
+      .select(col("event_type"), col("n_bins"), round(col("s").cast("double"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   def e39RateLimit(s: SparkSession, d: String, windowSec: Long = 600L, limit: Long = 4L): DataFrame = {
     val w = Window
       .partitionBy("user_id")

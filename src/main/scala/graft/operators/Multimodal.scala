@@ -774,6 +774,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m16: AUDIO CLIPPING DETECTION over the REAL decode path — the
+    * quality screen an audio curation pipeline runs before transcribing
+    * a clip: decode the staged RIFF/WAVE with
+    * [[javax.sound.sampled.AudioSystem]] on executors (m9's parser),
+    * count samples at/above the clipping threshold and measure the
+    * LONGEST CONSECUTIVE clipped run (sustained saturation is the
+    * audible artifact; isolated peaks are not), emit an exact-integer
+    * report the DuckDB oracle replays from the generating PCM formulas —
+    * a wrong header offset, endianness or sign convention shifts every
+    * count. Per-clip work is one decode + O(samples); only scalar stats
+    * ride the shuffle.
+    */
+  def m16AudioClipping(s: SparkSession, d: String, threshold: Int = 20000): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("wav_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var nClip = 0L
+          var maxRun = 0L
+          var run = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+            if (math.abs(v) >= threshold) {
+              nClip += 1; run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            i += 1
+          }
+          (id, n.toLong, nClip, maxRun, nClip * 2 < n)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "max_run", "keep")
+      .orderBy("doc_id")
+  }
+
   def m14DHash(s: SparkSession, d: String): DataFrame = {
     val grid = Tables
       .documents(s, d)

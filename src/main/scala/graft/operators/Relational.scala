@@ -1021,6 +1021,27 @@ object Relational {
     * scale-independent (the 100 TB cost is the join + day-grain
     * aggregate, both keyed shuffles). Peak-day tie-break: earliest.
     */
+  /** q54: CO-PURCHASE PAIRS (frequent-itemset support at k=2) — the
+    * market-basket staple: parts appearing together on the same order,
+    * kept at support ≥ minOrders. The pair generation is a per-order
+    * self-join of the DISTINCT (order, part) rows with `pa < pb` — its
+    * fanout is lines-per-order², bounded by basket size (TPC-H ≤ 7),
+    * NOT by table volume, so at 100 TB this is one distinct aggregate +
+    * one keyed self-join + one pair count, all equi-shuffles on the
+    * order key. The naive all-pairs-of-parts formulation would be
+    * |parts|² — never built.
+    */
+  def q54Copurchase(s: SparkSession, d: String, minOrders: Long = 2L): DataFrame = {
+    val op = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .orderBy("part_a", "part_b")
+  }
+
   def q53IntervalOverlap(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = Tables
