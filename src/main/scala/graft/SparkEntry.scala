@@ -240,6 +240,7 @@ object SparkEntry {
     // gate config: rank-exact GK edges (see q43_rfm note above)
     "c11_equidepth_hist"     -> ((s, dir) => Maintenance.c11EquidepthHist(s, dir, accuracy = 10000000)),
     "c26_compaction_plan"    -> ((s, dir) => Maintenance.c26CompactionPlan(s, dir)),
+    "c27_version_diff"       -> (Maintenance.c27VersionDiff _),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
@@ -371,7 +372,8 @@ object SparkEntry {
     "m16_audio_clipping"     -> ((s, d) => Multimodal.m16AudioClipping(s, d)),
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
     "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _),
-    "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _)
+    "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _),
+    "s30_stream_psi"         -> (StreamingBatch.s30StreamPsi _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1090,24 +1092,34 @@ object SparkEntry {
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
         |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY part_a, part_b""".stripMargin,
+    // s30 shares e40's oracle: the landed OCC counts must yield the
+    // identical batch statistic (as-of-triad discipline)
+    "s30_stream_psi" -> psiSql,
+    // c27: both versions replayed (v1 = latest over the early half, v2 =
+    // latest over all — the merge's latest-wins closure), full-outer diff
+    "c27_version_diff" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |b AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e),
+        |v1 AS (SELECT user_id, event_id AS old_event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e, b WHERE 2*tus < mn + mx) WHERE rn = 1),
+        |v2 AS (SELECT user_id, event_id AS new_event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1)
+        |SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+        | CASE WHEN v1.user_id IS NULL THEN 'added'
+        |      WHEN v2.user_id IS NULL THEN 'removed'
+        |      WHEN old_event_id <> new_event_id THEN 'updated'
+        |      ELSE 'unchanged' END AS change,
+        | old_event_id, new_event_id
+        |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+        |ORDER BY user_id""".stripMargin,
     // e40: PSI replayed — shared integer bins, per-bin term quantized to
-    // decimal(20,10) before the per-type sum
-    "e40_psi_drift" ->
-      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
-        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
-        |b AS (SELECT event_type,
-        |  CASE WHEN (day - d0) * 2 <= (d1 - d0) THEN 'a' ELSE 'b' END AS cohort,
-        |  CAST(floor(value) AS BIGINT) AS bin FROM e, span),
-        |cnt AS (SELECT event_type, cohort, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
-        |tot AS (SELECT event_type, cohort, sum(n) AS t FROM cnt GROUP BY 1, 2),
-        |sh AS (SELECT cnt.event_type, cnt.cohort, bin, CAST(n AS DOUBLE)/t AS p
-        | FROM cnt JOIN tot ON cnt.event_type = tot.event_type AND cnt.cohort = tot.cohort),
-        |j AS (SELECT a.event_type, a.bin,
-        |  CAST(round((a.p - b.p) * ln(a.p / b.p), 9) AS DECIMAL(20,10)) AS term
-        | FROM sh a JOIN sh b ON a.event_type = b.event_type AND a.bin = b.bin
-        | WHERE a.cohort = 'a' AND b.cohort = 'b')
-        |SELECT event_type, count(*) AS n_bins, round(CAST(sum(term) AS DOUBLE), 6) AS psi
-        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // decimal(20,10) before the per-type sum (also gates s30)
+    "e40_psi_drift" -> psiSql,
     // m16: clipping replayed from the generating PCM formulas; runs via
     // the islands delta over clipped sample positions
     "m16_audio_clipping" ->
@@ -3432,4 +3444,25 @@ object SparkEntry {
       | round(CAST(coalesce(any_value(nv.n_novel), 0) AS DOUBLE) / count(*), 4) AS novelty
       |FROM nw LEFT JOIN nv USING (doc_id)
       |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
+
+  /** Shared by e40 (batch) and s30 (streaming fold) — one statistic, one
+    * replay: PSI over first-half/second-half date cohorts and integer
+    * value bins, each bin's term quantized to decimal before the sum.
+    */
+  private val psiSql =
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |b AS (SELECT event_type,
+      |  CASE WHEN (day - d0) * 2 <= (d1 - d0) THEN 'a' ELSE 'b' END AS cohort,
+      |  CAST(floor(value) AS BIGINT) AS bin FROM e, span),
+      |cnt AS (SELECT event_type, cohort, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
+      |tot AS (SELECT event_type, cohort, sum(n) AS t FROM cnt GROUP BY 1, 2),
+      |sh AS (SELECT cnt.event_type, cnt.cohort, bin, CAST(n AS DOUBLE)/t AS p
+      | FROM cnt JOIN tot ON cnt.event_type = tot.event_type AND cnt.cohort = tot.cohort),
+      |j AS (SELECT a.event_type, a.bin,
+      |  CAST(round((a.p - b.p) * ln(a.p / b.p), 9) AS DECIMAL(20,10)) AS term
+      | FROM sh a JOIN sh b ON a.event_type = b.event_type AND a.bin = b.bin
+      | WHERE a.cohort = 'a' AND b.cohort = 'b')
+      |SELECT event_type, count(*) AS n_bins, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 }

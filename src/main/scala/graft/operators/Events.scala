@@ -1076,6 +1076,15 @@ object Events {
       .withColumn("bin", floor(col("value")))
       .groupBy("event_type", "cohort", "bin")
       .agg(count(lit(1)).as("n"))
+    psiReport(binned)
+  }
+
+  /** e40's report tail over a (event_type, cohort, bin, n) count table —
+    * SHARED with the streaming twin s30 (the as-of-triad discipline:
+    * one report implementation means the online fold can't silently
+    * diverge from the batch statistic it mirrors).
+    */
+  private[graft] def psiReport(binned: DataFrame): DataFrame = {
     val tot = binned.groupBy("event_type", "cohort").agg(sum("n").as("t"))
     val shares = binned.join(tot, Seq("event_type", "cohort"))
     def side(c: String, p: String) =

@@ -1822,6 +1822,38 @@ object Maintenance {
     * data rows; c1 is the executor that rewrites a chosen bin. Output:
     * one row per (day, bin) with file count, rows, and the hour span.
     */
+  /** c27: SNAPSHOT VERSION DIFF — the time-travel audit every
+    * copy-on-write table format offers ("what did that merge change?"):
+    * read two PUBLISHED versions of the c2b merge store and classify
+    * every key as added / removed / updated / unchanged with its
+    * old/new row identity. One full-outer equi-join on the merge key —
+    * version directories are immutable, so the diff is reproducible
+    * forever and never touches the live manifest. At 100 TB both sides
+    * are keyed scans of already-laid-out versions; nothing re-sorts.
+    */
+  def c27VersionDiff(s: SparkSession, d: String): DataFrame = {
+    val store = mergeStoreCache.computeIfAbsent(
+      d,
+      _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d)
+    )
+    val v1 = graft.sources.SnapshotStore
+      .readVersion(s, store, 1)
+      .select(col("user_id"), col("event_id").as("old_event_id"))
+    val v2 = graft.sources.SnapshotStore
+      .readVersion(s, store, 2)
+      .select(col("user_id"), col("event_id").as("new_event_id"))
+    v1.join(v2, Seq("user_id"), "full_outer")
+      .withColumn(
+        "change",
+        when(col("old_event_id").isNull, "added")
+          .when(col("new_event_id").isNull, "removed")
+          .when(col("old_event_id") =!= col("new_event_id"), "updated")
+          .otherwise("unchanged")
+      )
+      .select("user_id", "change", "old_event_id", "new_event_id")
+      .orderBy("user_id")
+  }
+
   def c26CompactionPlan(s: SparkSession, d: String, targetRows: Long = 200L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val files = Tables

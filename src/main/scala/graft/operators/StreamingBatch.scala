@@ -932,8 +932,32 @@ object StreamingBatch {
     * batchIds arrive monotonically and `lastApplied >= batchId` is
     * exactly "this is a redelivery".
     */
-  private[graft] def s28FoldBatch(store: String, batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  private[graft] def s28FoldBatch(store: String, batch: DataFrame, batchId: Long): Unit =
+    occCountFold(
+      store,
+      batch
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("event_type", "h"),
+      batchId
+    )
+
+  /** Generic exactly-once COUNT FOLD into an OCC snapshot store: merge a
+    * micro-batch's pre-aggregated (keys..., cnt) rows into the committed
+    * count table by key-summing (associative+commutative ⇒ the landed
+    * table is arrival-order-insensitive), publish through
+    * `commitStagedIfCurrent`, and use the committed batchId sidecar to
+    * acknowledge at-least-once redeliveries without re-summing. Shared
+    * by s28 (hourly burst counts) and s30 (PSI cohort-bin counts) —
+    * the monitors differ only in their grouping keys and report tails.
+    */
+  private[graft] def occCountFold(
+      store: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      batchId: Long
+  ): Unit = {
+    val spark = incoming.sparkSession
     var committed = false
     while (!committed) {
       val cur = SnapshotStore.currentVersion(store)
@@ -941,15 +965,12 @@ object StreamingBatch {
         cur.flatMap(v => SnapshotStore.annotation(store, v, "batch").flatMap(_.toLongOption))
       if (lastApplied.exists(_ >= batchId)) committed = true
       else {
-        val incoming = batch
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("cnt"))
         val merged = cur match {
           case Some(v) =>
             spark.read
               .parquet(SnapshotStore.versionPath(store, v))
               .unionByName(incoming)
-              .groupBy("event_type", "h")
+              .groupBy(keys.map(col): _*)
               .agg(sum("cnt").as("cnt"))
           case None => incoming
         }
@@ -2143,5 +2164,57 @@ object StreamingBatch {
       .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"))
       .select(lit("drift").as("route"), col("n_rows"), col("n_users"))
     qAgg.unionAll(okAgg).orderBy("route")
+  }
+
+  /** s30: STREAMING PSI DRIFT MONITOR — e40's population-stability
+    * statistic maintained online: each micro-batch's (type, cohort,
+    * bin) counts fold into the OCC count store through the SAME
+    * batchId-idempotent [[occCountFold]] s28 uses (sum-folds are
+    * associative+commutative ⇒ the landed counts, and therefore the
+    * PSI, are provably arrival-order-insensitive), and the report runs
+    * e40's shared [[graft.operators.Events.psiReport]] over the CURRENT
+    * store version. The cohort boundary (date-range midpoint) is the
+    * monitor's reference config, computed once from the static table —
+    * exactly how a deployed drift monitor pins its expected/actual
+    * windows. Shares e40's DuckDB oracle AND report code (as-of-triad
+    * discipline). State is O(types × cohorts × bins) — KB however long
+    * the stream runs.
+    */
+  def s30StreamPsi(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val root = graft.TempDirs.create("graft_s30_run_")
+    val store = s"$root/store"
+    val span = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val q = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("event_type"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch
+          .withColumn("day", to_date(col("ts")))
+          .crossJoin(broadcast(span))
+          .withColumn(
+            "cohort",
+            when(datediff(col("day"), col("d0")) * 2 <= datediff(col("d1"), col("d0")), "a")
+              .otherwise("b")
+          )
+          .withColumn("bin", floor(col("value")))
+          .groupBy("event_type", "cohort", "bin")
+          .agg(count(lit(1)).as("cnt"))
+        occCountFold(store, incoming, Seq("event_type", "cohort", "bin"), batchId)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.psiReport(
+      SnapshotStore.readCurrent(s, store).withColumnRenamed("cnt", "n")
+    )
   }
 }
