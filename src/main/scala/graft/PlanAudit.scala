@@ -99,7 +99,17 @@ object PlanAudit {
       "e38_acf"                     -> "ACF: dense spine left-join + one window pass for all lags; decimal products aggregate exactly",
       "t33_rake_keywords"           -> "RAKE: posexplode -> islands window -> keyed word stats -> decimal phrase sums; per-doc windows only",
       "t32_ngram_novelty"           -> "trigram novelty: two keyed gram shuffles + left-anti join; frontier vs reference halves of one scan",
-      "m14_dhash"                   -> "perceptual dHash: 56 integer grid lookups per row, one hash-equality groupBy (d1's exact-dedup shape on a perceptual key)"
+      "m14_dhash"                   -> "perceptual dHash: 56 integer grid lookups per row, one hash-equality groupBy (d1's exact-dedup shape on a perceptual key)",
+      "q53_interval_overlap"        -> "sweep-line concurrency: fact join -> day-grain delta aggregate; the only unpartitioned window runs over calendar days (bounded by the date range, not volume)",
+      "q54_copurchase"              -> "co-purchase pairs: distinct + per-order self-join (basket-bounded fanout) + pair count — never |parts|²",
+      "e39_rate_limit"              -> "rate limit: RANGE frame per user over epoch seconds — keyed shuffle, no global sort, no time-band self-join",
+      "e40_psi_drift"               -> "PSI drift: two keyed aggregates over (type, cohort, bin) + 1-row broadcast midpoint; decimal bin terms fold exactly",
+      "t34_entropy"                 -> "token entropy: explode + two mergeable keyed aggregates; c·ln(c) terms quantized to decimal before the sum",
+      "t35_src_overlap"             -> "source overlap matrix: per-source distinct gram hashes, pair equi-join on the 8-byte key, broadcast size table",
+      "c26_compaction_plan"         -> "compaction planner: metadata-grain (day, hour) inventory + per-day cumulative window — no data rows touched",
+      "c27_version_diff"            -> "version diff: one full-outer keyed join of two immutable version scans, per-row change classification",
+      "m14b_dhash_real"             -> "real-decode dHash: executor-side ImageIO decode, ONE window over the hash key (each image decoded once)",
+      "m15_image_sharpness"         -> "real-decode sharpness: mapPartitions decode + integer Laplacian; only scalar stats ride the shuffle"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -161,6 +161,45 @@ class Round11AdviceSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("peak_open") >= 0))
   }
 
+  test("t34 entropy equals an independent in-memory recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.operators.TextAnalysis.t34Entropy(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_types") == counts.size.toLong)
+      val sclnc = counts.values.map { c =>
+        BigDecimal(c) * BigDecimal(math.log(c.toDouble)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val h = math.log(toks.length.toDouble) - sclnc.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-6, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("q54 co-purchase equals a brute-force basket recompute") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = li.groupBy(_._1).values.flatMap { basket =>
+      val parts = basket.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length) yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val got = graft.operators.Relational.q54Copurchase(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r.getAs[Long]("n_orders")).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("e40 PSI: cohorts partition the events and PSI is symmetric-positive") {
+    val rows = graft.operators.Events.e40PsiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // PSI >= 0 always (sum of (p-q)ln(p/q) terms, each nonnegative)
+    rows.foreach(r => assert(r.getAs[Double]("psi") >= 0.0 && r.getAs[Long]("n_bins") >= 1))
+  }
+
   test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
     // range(1e11) planned lazily is instant; collect()ed (the round-10
     // behavior) it would OOM the driver long before any timeout. The
