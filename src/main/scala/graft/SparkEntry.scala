@@ -357,6 +357,7 @@ object SparkEntry {
     "v15_hybrid_rrf"         -> ((s, d) => Similarity.v15HybridRrf(s, d)),
     // round 10: triangles + clustering coefficient over the kNN graph
     "v16_triangle_count"     -> ((s, d) => Similarity.v16TriangleCount(s, d)),
+    "v17_embedding_drift"    -> (Similarity.v17EmbeddingDrift _),
     // round 10: autocorrelation of the hourly count series (seasonality fingerprint)
     "e38_acf"                -> ((s, d) => Events.e38Acf(s, d)),
     "e39_rate_limit"         -> ((s, d) => Events.e39RateLimit(s, d)),
@@ -370,6 +371,7 @@ object SparkEntry {
     "m14b_dhash_real"        -> ((s, d) => Multimodal.m14bDHashReal(s, d)),
     "m15_image_sharpness"    -> (Multimodal.m15ImageSharpness _),
     "m16_audio_clipping"     -> ((s, d) => Multimodal.m16AudioClipping(s, d)),
+    "p9_curate_multimodal"   -> ((s, d) => graft.operators.Curate.p9CurateMultimodal(s, d)),
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
     "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _),
     "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _),
@@ -926,6 +928,29 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
         |ORDER BY doc_id""".stripMargin,
+    // v17: half-centroid drift replayed — v4's rounded elementwise means
+    // per half, component products quantized decimal before the sums
+    "v17_embedding_drift" ->
+      """WITH cut AS (SELECT CAST(floor((max(vec_id)+1)/2.0) AS BIGINT) AS cut FROM embeddings),
+        |h AS (SELECT vec_id, label, embedding,
+        |  CASE WHEN vec_id < cut THEN 'a' ELSE 'b' END AS half FROM embeddings, cut),
+        |ex AS (SELECT label, half,
+        |  unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u FROM h),
+        |cen AS (SELECT label, half, u.i AS idx, round(avg(u.v), 4) + 0.0 AS c
+        | FROM ex GROUP BY 1, 2, 3),
+        |d AS (SELECT a.label,
+        |  sum(CAST(round(a.c*b.c, 12) AS DECIMAL(24,12))) AS dab,
+        |  sum(CAST(round(a.c*a.c, 12) AS DECIMAL(24,12))) AS daa,
+        |  sum(CAST(round(b.c*b.c, 12) AS DECIMAL(24,12))) AS dbb
+        | FROM cen a JOIN cen b ON a.label = b.label AND a.idx = b.idx
+        | WHERE a.half = 'a' AND b.half = 'b' GROUP BY 1),
+        |nn AS (SELECT label,
+        |  CAST(sum(CASE WHEN half='a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN half='b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM h GROUP BY 1)
+        |SELECT d.label, n_a, n_b,
+        | round(CAST(dab AS DOUBLE)/(sqrt(CAST(daa AS DOUBLE))*sqrt(CAST(dbb AS DOUBLE))), 6) AS centroid_cos
+        |FROM d JOIN nn ON d.label = nn.label ORDER BY d.label""".stripMargin,
     "v4_centroids" ->
       """SELECT label, CAST(u.i AS INT) AS idx, round(avg(u.v), 4) + 0.0 AS c FROM (
         | SELECT label, unnest([{'i': i-1, 'v': embedding[i]} FOR i IN range(1, len(embedding)+1)]) AS u
@@ -3291,6 +3316,42 @@ object SparkEntry {
         |SELECT doc_id, w, h, (w-2)*(h-2) AS n_interior,
         | CAST(sum(abs(4*p - pl - pr - pu - pd)) AS BIGINT) AS sharp_l1
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // p9: the multimodal chain replayed end-to-end — pixel model →
+    // dhash + Laplacian → sharpness gate → min-id dedup among survivors
+    // → md5 shard; stage order is part of the hash
+    "p9_curate_multimodal" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS BIGINT) AS h FROM documents),
+        |b AS (SELECT m.doc_id, w, h, r.r, c.c
+        | FROM m, generate_series(0, 7) r(r), generate_series(0, 6) c(c)),
+        |g AS (SELECT doc_id, r, c,
+        |  (doc_id*31 + (least((r*h)//8, h-1)*w + least((c*w)//8, w-1))*7919) % 256 AS g1,
+        |  (doc_id*31 + (least((r*h)//8, h-1)*w + least(((c+1)*w)//8, w-1))*7919) % 256 AS g2
+        | FROM b),
+        |hsh AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN g1 > g2 THEN CAST(power(2, r*7+c) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash
+        | FROM g GROUP BY 1),
+        |px AS (SELECT m.doc_id, w, h, x.x, y.y,
+        |  (doc_id*31 + (y.y*w + x.x)*7919) % 256 AS p,
+        |  (doc_id*31 + (y.y*w + x.x - 1)*7919) % 256 AS pl,
+        |  (doc_id*31 + (y.y*w + x.x + 1)*7919) % 256 AS pr,
+        |  (doc_id*31 + ((y.y-1)*w + x.x)*7919) % 256 AS pu,
+        |  (doc_id*31 + ((y.y+1)*w + x.x)*7919) % 256 AS pd
+        | FROM m, generate_series(1, 14) x(x), generate_series(1, 12) y(y)
+        | WHERE x.x <= w - 2 AND y.y <= h - 2),
+        |sharp AS (SELECT doc_id, (w-2)*(h-2) AS n_interior,
+        |  CAST(sum(abs(4*p - pl - pr - pu - pd)) AS BIGINT) AS sharp_l1
+        | FROM px GROUP BY doc_id, w, h),
+        |feat AS (SELECT hsh.doc_id, dhash, sharp_l1, n_interior
+        | FROM hsh JOIN sharp ON hsh.doc_id = sharp.doc_id),
+        |gated AS (SELECT * FROM feat WHERE sharp_l1 >= n_interior * 150),
+        |canon AS (SELECT * FROM (SELECT *,
+        |  min(doc_id) OVER (PARTITION BY dhash) AS canonical_id FROM gated)
+        | WHERE doc_id = canonical_id)
+        |SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        | count(*) AS n_imgs, CAST(sum(n_interior) AS BIGINT) AS n_px,
+        | CAST(sum(sharp_l1) AS BIGINT) AS sum_sharp
+        |FROM canon GROUP BY 1 ORDER BY shard""".stripMargin,
     // t33: RAKE replayed — zipped parallel unnests give (pos, w), runs
     // via the islands delta, word scores quantized decimal(16,6) before
     // the exact phrase sum

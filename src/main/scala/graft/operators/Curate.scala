@@ -393,4 +393,85 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("source")
   }
+
+  /** p9: MULTIMODAL CURATION CAPSTONE over the REAL decode path — the
+    * chain an image-corpus pipeline runs per ingest cycle, as ONE
+    * oracle-gated unit: decode each staged PNG ONCE on an executor and
+    * emit BOTH signals from the same raster (the m14b 8×8 dHash and the
+    * m15 interior Laplacian — a second decode pass per signal is how
+    * multimodal pipelines quietly double their cost), gate on sharpness
+    * (cross-multiplied `l1 ≥ 150·n_interior` — no division enters the
+    * hash), dedup survivors by perceptual hash (canonical = min id per
+    * dhash, chosen AMONG SURVIVORS — stage order is part of the hash),
+    * and pack canonicals into md5-bucketed shards with per-shard pixel
+    * mass. Stats-only rows ride the shuffles; the oracle replays pixel
+    * model → hash → gate → dedup → shard end-to-end, so a wrong decode
+    * OR a reordered stage fails the gate.
+    */
+  def p9CurateMultimodal(s: SparkSession, d: String, minSharpPerPx: Long = 150L, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feats = s.read
+      .parquet(s"${graft.operators.Multimodal.mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          // dHash over the decoded raster (m14b's grid)
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            val rr = math.min(r * h / 8, h - 1)
+            var c = 0
+            var left = raster.getSample(0, rr, 0)
+            while (c < 7) {
+              val right = raster.getSample(math.min((c + 1) * w / 8, w - 1), rr, 0)
+              if (left > right) hash |= 1L << (r * 7 + c)
+              left = right
+              c += 1
+            }
+            r += 1
+          }
+          // interior Laplacian L1 (m15)
+          var l1 = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val cv = 4L * raster.getSample(x, y, 0)
+              val nb = raster.getSample(x - 1, y, 0).toLong + raster.getSample(x + 1, y, 0) +
+                raster.getSample(x, y - 1, 0) + raster.getSample(x, y + 1, 0)
+              l1 += math.abs(cv - nb)
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash, l1, (w - 2).toLong * (h - 2))
+        }
+      }
+      .toDF("doc_id", "dhash", "sharp_l1", "n_interior")
+    val gated = feats.filter(col("sharp_l1") >= col("n_interior") * minSharpPerPx)
+    val wDh = Window.partitionBy("dhash")
+    val canon = gated
+      .withColumn("canonical_id", min("doc_id").over(wDh))
+      .filter(col("doc_id") === col("canonical_id"))
+    canon
+      .withColumn(
+        "shard",
+        pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)
+        )
+      )
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_imgs"),
+        sum("n_interior").as("n_px"),
+        sum("sharp_l1").as("sum_sharp")
+      )
+      .orderBy("shard")
+  }
 }

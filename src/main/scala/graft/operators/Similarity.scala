@@ -916,4 +916,59 @@ object Similarity {
       )
       .orderBy("vec_id")
   }
+
+  /** v17: EMBEDDING DRIFT — the model-ops monitor for a vector store
+    * (did the embedding distribution move between two ingest windows?):
+    * split the corpus at the vec_id midpoint (t32's frontier model —
+    * "old index" vs "new arrivals"), compute per-label HALF-centroids
+    * (v4's posexplode elementwise mean, rounded like v4), and report
+    * per label the half populations and the cosine between its two
+    * half-centroids — cos ≈ 1 means the label's region is stable, a
+    * drop is drift worth re-indexing. Everything is keyed aggregates
+    * over (label, half, component) — centroid tables are labels×dims
+    * (model-sized at any corpus size), and the cosine joins components,
+    * never arrays. Engine-exact: component products are quantized to
+    * decimal BEFORE the per-label sums (t21 discipline), the cosine
+    * evaluated in double on the exact decimal sums.
+    */
+  def v17EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cut = e.agg(floor((max("vec_id") + lit(1)).cast("double") / 2).cast("long").as("cut"))
+    val halves = e
+      .crossJoin(broadcast(cut))
+      .withColumn("half", when(col("vec_id") < col("cut"), "a").otherwise("b"))
+    val cen = halves
+      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy("label", "half", "idx")
+      .agg((round(avg("v"), 4) + lit(0.0)).as("c"))
+    val a = cen.filter(col("half") === "a").select(col("label"), col("idx"), col("c").as("ca"))
+    val b = cen.filter(col("half") === "b").select(col("label"), col("idx"), col("c").as("cb"))
+    val dots = a
+      .join(b, Seq("label", "idx"))
+      .groupBy("label")
+      .agg(
+        sum(round(col("ca") * col("cb"), 12).cast("decimal(24,12)")).as("dab"),
+        sum(round(col("ca") * col("ca"), 12).cast("decimal(24,12)")).as("daa"),
+        sum(round(col("cb") * col("cb"), 12).cast("decimal(24,12)")).as("dbb")
+      )
+    val nn = halves
+      .groupBy("label")
+      .agg(
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b")
+      )
+    dots
+      .join(nn, "label")
+      .select(
+        col("label"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          col("dab").cast("double") /
+            (sqrt(col("daa").cast("double")) * sqrt(col("dbb").cast("double"))),
+          6
+        ).as("centroid_cos")
+      )
+      .orderBy("label")
+  }
 }
