@@ -241,6 +241,7 @@ object SparkEntry {
     "c11_equidepth_hist"     -> ((s, dir) => Maintenance.c11EquidepthHist(s, dir, accuracy = 10000000)),
     "c26_compaction_plan"    -> ((s, dir) => Maintenance.c26CompactionPlan(s, dir)),
     "c27_version_diff"       -> (Maintenance.c27VersionDiff _),
+    "c28_wap"                -> (Maintenance.c28Wap _),
     "c12_bucketed_join"      -> (Maintenance.c12BucketedJoin _),
     "c13_dpp_join"           -> (Maintenance.c13DppJoin _),
     "c14_zorder_layout"      -> (Maintenance.c14ZorderLayout _),
@@ -365,6 +366,7 @@ object SparkEntry {
     // round 10: RAKE keyword extraction (phrase runs + deg/freq scoring)
     "t33_rake_keywords"      -> ((s, d) => TextAnalysis.t33RakeKeywords(s, d)),
     "t34_entropy"            -> (TextAnalysis.t34Entropy _),
+    "t36_winnowing"          -> ((s, d) => TextAnalysis.t36Winnowing(s, d)),
     "t35_src_overlap"        -> ((s, d) => TextAnalysis.t35SrcOverlap(s, d)),
     // round 10: perceptual dHash image fingerprint + dup clusters
     "m14_dhash"              -> ((s, d) => Multimodal.m14DHash(s, d)),
@@ -1824,6 +1826,53 @@ object SparkEntry {
         |SELECT o_custkey, min(day) AS run_start, max(day) AS run_end, count(*) AS n_days
         |FROM r GROUP BY o_custkey, grp HAVING count(*) >= 2
         |ORDER BY o_custkey, run_start""".stripMargin,
+    // c28: WAP replayed — same fused audit over the derived candidates,
+    // published iff every check is green
+    "c28_wap" ->
+      """WITH clean AS (SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |a1 AS (SELECT * FROM clean
+        | UNION ALL SELECT NULL, DATE '2024-01-01', 0),
+        |r1 AS (SELECT
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+        |  CAST(sum(CASE WHEN n <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS non_positive,
+        |  CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS empty FROM a1),
+        |r2 AS (SELECT
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+        |  CAST(sum(CASE WHEN n <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS non_positive,
+        |  CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS empty FROM clean)
+        |SELECT * FROM (
+        | SELECT 1 AS attempt, 'empty' AS check_name, empty AS violations, empty = 0 AS passed,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) AS published FROM r1
+        | UNION ALL SELECT 1, 'non_positive', non_positive, non_positive = 0,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) FROM r1
+        | UNION ALL SELECT 1, 'null_key', null_key, null_key = 0,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) FROM r1
+        | UNION ALL SELECT 2, 'empty', empty, empty = 0,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) FROM r2
+        | UNION ALL SELECT 2, 'non_positive', non_positive, non_positive = 0,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) FROM r2
+        | UNION ALL SELECT 2, 'null_key', null_key, null_key = 0,
+        |  (null_key = 0 AND non_positive = 0 AND empty = 0) FROM r2)
+        |ORDER BY attempt, check_name""".stripMargin,
+    // t36: winnowing replayed — positioned grams, window cover join, the
+    // same h*2^20 + (2^20-1-pos) rightmost-min encoding
+    "t36_winnowing" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        | FROM documents),
+        |g0 AS (SELECT doc_id, len(ts) - 4 - 3 AS n_windows,
+        |  unnest([{'pos': i, 'g': ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]}
+        |    FOR i IN range(1, len(ts) - 3)]) AS u
+        | FROM t WHERE len(ts) >= 8),
+        |g AS (SELECT doc_id, n_windows, u.pos AS pos,
+        |  CAST('0x' || substr(md5(u.g), 1, 8) AS BIGINT) AS h FROM g0),
+        |wins AS (SELECT doc_id, pos AS wid FROM g WHERE pos <= n_windows),
+        |sel AS (SELECT w.doc_id, w.wid,
+        |  min(g.h * 1048576 + (1048575 - g.pos)) AS s
+        | FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.wid AND w.wid + 3
+        | GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, s // 1048576 AS h, 1048575 - (s % 1048576) AS pos FROM sel)
+        |SELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos""".stripMargin,
     // t34: entropy replayed with the identical decimal quantization of
     // each c*ln(c) term before the per-doc sum
     "t34_entropy" ->

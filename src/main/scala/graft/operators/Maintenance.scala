@@ -1810,6 +1810,64 @@ object Maintenance {
       .orderBy("event_type")
   }
 
+  /** c28: WRITE-AUDIT-PUBLISH — the lakehouse gating pattern (Iceberg's
+    * audit-branch workflow) on the OCC store: a writer STAGES a
+    * candidate version, runs the expectation suite against the STAGED
+    * data (c20's one-pass fused-aggregate discipline: every scalar
+    * check in a single scan), and only a fully-green audit publishes
+    * via the atomic manifest swap — a red audit abandons the staging,
+    * and readers NEVER see it (the manifest is the only source of
+    * visibility). The probe stages two candidates: a corrupted rollup
+    * (one injected null-key row — its audit must fail and must NOT
+    * publish) then the clean rollup (publishes as v1). The emitted
+    * report carries per-attempt per-check violation counts + the
+    * published flag read back from the STORE's actual version state, so
+    * a gating bug (either direction) is a value mismatch.
+    */
+  def c28Wap(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.TempDirs.create("graft_c28_")
+    val store = s"$root/store"
+    val clean = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n"))
+    val corrupt = clean.unionByName(
+      s.range(1).select(
+        lit(null).cast("string").as("event_type"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("dt"),
+        lit(0L).as("n")
+      )
+    )
+    def attempt(candidate: DataFrame, id: Int): Seq[(Int, String, Long, Boolean, Boolean)] = {
+      val staged = s"$store/_stage_attempt_$id"
+      candidate.write.mode("overwrite").parquet(staged)
+      val audited = s.read.parquet(staged)
+      // ONE fused pass: every violation count in a single aggregate
+      val r = audited
+        .agg(
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_key"),
+          sum(when(col("n") <= 0, 1L).otherwise(0L)).as("non_positive"),
+          when(count(lit(1)) === 0, 1L).otherwise(0L).as("empty")
+        )
+        .collect()(0)
+      val checks = Seq(
+        ("null_key", r.getAs[Long]("null_key")),
+        ("non_positive", r.getAs[Long]("non_positive")),
+        ("empty", r.getAs[Long]("empty"))
+      )
+      val green = checks.forall(_._2 == 0L)
+      val published =
+        if (green) SnapshotStore.commitStagedIfCurrent(store, SnapshotStore.currentVersion(store), staged).isDefined
+        else { SnapshotStore.deleteTree(java.nio.file.Paths.get(staged)); false }
+      checks.map { case (c, v) => (id, c, v, v == 0L, published) }
+    }
+    val rows = attempt(corrupt, 1) ++ attempt(clean, 2)
+    import s.implicits._
+    rows.toDF("attempt", "check_name", "violations", "passed", "published")
+      .orderBy("attempt", "check_name")
+  }
+
   /** c26: COMPACTION PLANNER — the metadata half of c1's small-file
     * story: given a per-(day, hour) inventory of landed "files" (row
     * counts at hour grain — at 100 TB the inventory is the table

@@ -1350,6 +1350,56 @@ object TextAnalysis {
     * at 100 TB the shuffles are the per-source distinct and one keyed
     * join — never doc×doc or source-slice×source-slice.
     */
+  /** t36: WINNOWING FINGERPRINTS (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): positioned 5-gram
+    * hashes, and from every complete window of 4 consecutive grams
+    * select the MINIMUM hash with RIGHTMOST tie-break — the guarantee
+    * winnowing buys is that any match of ≥ w+k−1 tokens shares a
+    * fingerprint, at ~2/(w+1) selection density. The rightmost-min is
+    * computed WITHOUT a dependent window: each gram explodes into the
+    * ≤4 windows covering it (bounded fanout) and the selection is
+    * `min(h·2²⁰ + (2²⁰−1−pos))` per window — one keyed aggregate whose
+    * integer encoding makes "smallest hash, then rightmost position"
+    * a single min. Distinct selected (doc, pos, h) are the doc's
+    * fingerprints. All shuffles are keyed on (doc, window); gram
+    * strings never leave the scan (md5-derived 32-bit hashes — the t7
+    * portability discipline).
+    */
+  def t36Winnowing(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k + w - 1)
+      .select(
+        col("doc_id"),
+        (size(col("tk")) - (k - 1) - (w - 1)).as("n_windows"),
+        posexplode(expr(s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))"))
+          .as(Seq("pos0", "gram"))
+      )
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        (col("pos0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h")
+      )
+    val selected = grams
+      .select(
+        col("doc_id"),
+        col("h"),
+        col("pos"),
+        explode(expr("sequence(greatest(pos - 3, 1), least(pos, n_windows))")).as("wid")
+      )
+      .groupBy("doc_id", "wid")
+      .agg(min(col("h") * lit(1048576L) + (lit(1048575L) - col("pos"))).as("sel"))
+      .select(
+        col("doc_id"),
+        expr("sel div 1048576").as("h"),
+        (lit(1048575L) - pmod(col("sel"), lit(1048576L))).as("pos")
+      )
+      .distinct()
+    selected.select("doc_id", "pos", "h").orderBy("doc_id", "pos")
+  }
+
   def t35SrcOverlap(s: SparkSession, d: String, n: Int = 5): DataFrame = {
     val grams = Tables
       .documents(s, d)

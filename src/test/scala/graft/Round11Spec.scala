@@ -200,6 +200,37 @@ class Round11AdviceSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("psi") >= 0.0 && r.getAs[Long]("n_bins") >= 1))
   }
 
+  test("t36 winnowing: every complete window contains a selected fingerprint (coverage guarantee)") {
+    val fps = graft.operators.TextAnalysis.t36Winnowing(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("pos")).toSet).toMap
+    assert(fps.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+    var checked = 0
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      val nGrams = toks.length - 4
+      val nWindows = nGrams - 3
+      if (nWindows >= 1) {
+        val sel = fps(r.getLong(0))
+        (1 to nWindows).foreach { t =>
+          assert((t to t + 3).exists(p => sel.contains(p.toLong)), s"doc ${r.getLong(0)} window $t uncovered")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("c28 WAP: the corrupted candidate never publishes; the store lands exactly one version") {
+    val rows = graft.operators.Maintenance.c28Wap(spark, sf).collect()
+    assert(rows.length == 6)
+    val byAttempt = rows.groupBy(_.getAs[Int]("attempt"))
+    assert(byAttempt(1).forall(!_.getAs[Boolean]("published")))
+    assert(byAttempt(1).exists(r => r.getAs[String]("check_name") == "null_key" && !r.getAs[Boolean]("passed")))
+    assert(byAttempt(2).forall(r => r.getAs[Boolean]("published") && r.getAs[Boolean]("passed")))
+  }
+
   test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
     // range(1e11) planned lazily is instant; collect()ed (the round-10
     // behavior) it would OOM the driver long before any timeout. The
