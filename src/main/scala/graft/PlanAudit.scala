@@ -109,7 +109,10 @@ object PlanAudit {
       "c26_compaction_plan"         -> "compaction planner: metadata-grain (day, hour) inventory + per-day cumulative window — no data rows touched",
       "c27_version_diff"            -> "version diff: one full-outer keyed join of two immutable version scans, per-row change classification",
       "m14b_dhash_real"             -> "real-decode dHash: executor-side ImageIO decode, ONE window over the hash key (each image decoded once)",
-      "m15_image_sharpness"         -> "real-decode sharpness: mapPartitions decode + integer Laplacian; only scalar stats ride the shuffle"
+      "m15_image_sharpness"         -> "real-decode sharpness: mapPartitions decode + integer Laplacian; only scalar stats ride the shuffle",
+      "t36_winnowing"               -> "winnowing: positioned gram hashes, bounded window-cover explode, rightmost-min as ONE keyed aggregate",
+      "v17_embedding_drift"         -> "embedding drift: (label, half, component) keyed aggregates; cosine joins components, never arrays",
+      "p9_curate_multimodal"        -> "multimodal capstone: ONE decode pass emits dhash+sharpness, gate -> dedup window -> shard aggregate"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
