@@ -377,7 +377,19 @@ object SparkEntry {
     // round 10: e37's streaming twin — OCC-folded hourly counts, shared oracle
     "s28_stream_bursts"      -> (StreamingBatch.s28StreamBursts _),
     "s29_schema_drift"       -> (StreamingBatch.s29SchemaDrift _),
-    "s30_stream_psi"         -> (StreamingBatch.s30StreamPsi _)
+    "s30_stream_psi"         -> (StreamingBatch.s30StreamPsi _),
+    // round 11: exact weighted median per supplier (integral-weight crossing)
+    "q55_weighted_median"    -> (Relational.q55WeightedMedian _),
+    // round 11: Heaps' law vocabulary-growth fit (bucket-grain prefix sums)
+    "t37_heaps_law"          -> ((s, d) => TextAnalysis.t37HeapsLaw(s, d)),
+    // gate config: rank-exact GK per-component edges (c11 discipline)
+    "v18_component_quantiles" -> ((s, d) => Similarity.v18ComponentQuantiles(s, d, accuracy = 10000000)),
+    // round 11: real-decode luminance/exposure screen
+    "m17_exposure"           -> (Multimodal.m17Exposure _),
+    // round 11: e39's streaming twin — OCC-folded (user, sec) counts, shared oracle
+    "s31_stream_rate_limit"  -> ((s, d) => StreamingBatch.s31StreamRateLimit(s, d)),
+    // round 11: snapshot-diff incremental consumption at file grain
+    "c29_incremental_scan"   -> (Maintenance.c29IncrementalScan _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1166,17 +1178,10 @@ object SparkEntry {
         | coalesce(rl.max_run, 0) AS max_run,
         | a.n_clipped * 2 < a.n_samples AS keep
         |FROM agg a LEFT JOIN rl ON a.doc_id = rl.doc_id ORDER BY a.doc_id""".stripMargin,
-    // e39: the same RANGE frame over epoch seconds, reduced per user
-    "e39_rate_limit" ->
-      """WITH e AS (SELECT user_id,
-        |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS sec FROM events),
-        |iw AS (SELECT user_id,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY sec
-        |    RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS in_window
-        | FROM e)
-        |SELECT user_id, count(*) AS n_events, max(in_window) AS max_burst,
-        | max(in_window) >= 4 AS breach
-        |FROM iw GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // e39: the same RANGE frame over epoch seconds, reduced per user —
+    // shared verbatim by s31, its OCC-folded streaming twin
+    "e39_rate_limit" -> rateLimitSql,
+    "s31_stream_rate_limit" -> rateLimitSql,
     "e14_sliding_rate" ->
       """WITH e AS (SELECT event_id, event_type,
         |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS tus_s FROM events)
@@ -3512,7 +3517,83 @@ object SparkEntry {
         | FROM vr JOIN lr ON vr.q_id = lr.q_id AND vr.c_id = lr.c_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn FROM f)
         |SELECT q_id, rn, c_id, rrf, rn_vec, rn_lex FROM r WHERE rn <= 5
-        |ORDER BY q_id, rn""".stripMargin
+        |ORDER BY q_id, rn""".stripMargin,
+    // q55: identical total order (price, orderkey, linenumber) ⇒ both
+    // engines cross the half-weight point at the identical row
+    "q55_weighted_median" ->
+      """WITH t AS (SELECT l_suppkey, l_extendedprice AS price,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey) AS tot
+        | FROM lineitem)
+        |SELECT l_suppkey, round(min(price), 2) AS w_median,
+        | CAST(max(tot) AS BIGINT) AS total_qty
+        |FROM t WHERE cum * 2 >= tot GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+    // t37: same bucket-grain prefix sums, same decimal-quantized fit
+    "t37_heaps_law" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |tb AS (SELECT doc_id // 16 AS b, count(*) AS toks FROM tok GROUP BY 1),
+        |nb AS (SELECT fd // 16 AS b, count(*) AS neww FROM (
+        |  SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1) GROUP BY 1),
+        |j AS (SELECT coalesce(tb.b, nb.b) AS b, coalesce(toks, 0) AS toks,
+        |  coalesce(neww, 0) AS neww FROM tb FULL OUTER JOIN nb ON tb.b = nb.b),
+        |c AS (SELECT b, sum(toks) OVER (ORDER BY b) AS t_cum,
+        |  sum(neww) OVER (ORDER BY b) AS v_cum FROM j),
+        |p AS (SELECT CAST(round(ln(CAST(t_cum AS DOUBLE)), 9) AS DECIMAL(12,10)) AS x,
+        |  CAST(round(ln(CAST(v_cum AS DOUBLE)), 9) AS DECIMAL(12,10)) AS y,
+        |  t_cum, v_cum FROM c),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |  CAST(max(t_cum) AS BIGINT) AS tokens_final,
+        |  CAST(max(v_cum) AS BIGINT) AS vocab_final FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_points, tokens_final, vocab_final,
+        | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS heaps_beta,
+        | round(exp((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n), 6) AS heaps_k
+        |FROM a""".stripMargin,
+    // v18: gate accuracy ≫ n ⇒ GK edges are EXACTLY the rank-⌈q·n⌉
+    // elements, replayable as sorted-list indexes (c11 discipline)
+    "v18_component_quantiles" ->
+      """WITH x AS (SELECT t.i AS component, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings JOIN generate_series(0, 255) t(i) ON t.i < len(embedding)),
+        |a AS (SELECT component, list_sort(list(v)) AS sv, count(*) AS cnt
+        |  FROM x GROUP BY 1)
+        |SELECT CAST(component AS INT) AS component, CAST(cnt AS BIGINT) AS n,
+        | round(sv[greatest(1, CAST(ceil(0.01*cnt) AS BIGINT))], 6) AS p01,
+        | round(sv[CAST(ceil(0.5*cnt) AS BIGINT)], 6) AS p50,
+        | round(sv[CAST(ceil(0.99*cnt) AS BIGINT)], 6) AS p99
+        |FROM a ORDER BY component""".stripMargin,
+    // m17: replay the generating pixel formulas — gates decode AND class
+    "m17_exposure" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS INT) AS h FROM documents),
+        |px AS (SELECT m.doc_id, (m.doc_id*31 + t.i*7919) % 256 AS v
+        | FROM m JOIN generate_series(0, 223) t(i) ON t.i < m.w * m.h),
+        |tone AS (SELECT doc_id, v // 32 AS tone, count(*) AS c FROM px GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, tone, c,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tone) AS rn FROM tone),
+        |st AS (SELECT doc_id, count(*) AS n_px, sum(v) AS sv FROM px GROUP BY 1)
+        |SELECT st.doc_id, CAST(st.n_px AS BIGINT) AS n_px,
+        | round(CAST(sv AS DOUBLE) / st.n_px, 6) AS px_mean,
+        | CAST(d.tone AS INT) AS dom_tone,
+        | round(CAST(d.c AS DOUBLE) / st.n_px, 6) AS dom_share,
+        | CASE WHEN CAST(sv AS DOUBLE) / st.n_px < 96 THEN 'dark'
+        |      WHEN CAST(sv AS DOUBLE) / st.n_px > 160 THEN 'bright'
+        |      ELSE 'ok' END AS exposure
+        |FROM st JOIN dom d ON st.doc_id = d.doc_id AND d.rn = 1
+        |ORDER BY st.doc_id""".stripMargin,
+    // c29: the added partitions are exactly the days past the ⌈D/3⌉ cutoff
+    "c29_incremental_scan" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT day, row_number() OVER (ORDER BY day) AS rn,
+        |  count(*) OVER () AS nd FROM days),
+        |cut AS (SELECT day AS cutday FROM r WHERE rn = CAST(ceil(nd / 3.0) AS BIGINT)),
+        |nw AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events, cut
+        | WHERE CAST(ts AS DATE) > cutday)
+        |SELECT event_type, count(*) AS n_new, count(DISTINCT day) AS n_days,
+        | min(day) AS d_min, max(day) AS d_max
+        |FROM nw GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 
   /** e37/s28's shared burst oracle: one SQL pins the batch detector
@@ -3554,6 +3635,21 @@ object SparkEntry {
       | round(CAST(coalesce(any_value(nv.n_novel), 0) AS DOUBLE) / count(*), 4) AS novelty
       |FROM nw LEFT JOIN nv USING (doc_id)
       |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
+
+  /** Shared by e39 (batch RANGE frame over raw events) and s31 (the
+    * same frame over the streaming store's folded (user, sec) counts —
+    * equal because every event in one second shares its window).
+    */
+  private val rateLimitSql =
+    """WITH e AS (SELECT user_id,
+      |  epoch_us(date_trunc('microseconds', ts)) // 1000000 AS sec FROM events),
+      |iw AS (SELECT user_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS in_window
+      | FROM e)
+      |SELECT user_id, count(*) AS n_events, max(in_window) AS max_burst,
+      | max(in_window) >= 4 AS breach
+      |FROM iw GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Shared by e40 (batch) and s30 (streaming fold) — one statistic, one
     * replay: PSI over first-half/second-half date cohorts and integer

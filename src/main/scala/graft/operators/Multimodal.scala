@@ -849,4 +849,59 @@ object Multimodal {
       .select(col("doc_id"), col("dhash"), col("n_same"), col("canonical_id"))
       .orderBy("doc_id")
   }
+
+  /** m17: EXPOSURE SCREEN over the REAL decode path — the cheap
+    * luminance gate an image-curation pipeline runs before sharpness
+    * (m15) or hashing (m14b): decode the staged PNG with
+    * [[javax.imageio.ImageIO]] on executors, build the 8-tone
+    * luminance histogram (v div 32) in a fixed 8-slot array, and emit
+    * the dominant tone (ties break to the darker tone), its share,
+    * the exact-integer mean luminance, and the dark/bright/ok class.
+    * All-integer histogram + sums, so the shared DuckDB oracle replays
+    * the generating pixel formulas and gates BOTH the decode and the
+    * classification (m8's two-stage discipline). Per-image work is one
+    * decode + O(pixels) with constant memory; only the per-image
+    * scalar row rides the shuffle — at 100 TB of media this is a
+    * map-only pass with a sort for the report.
+    */
+  def m17Exposure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val hist = new Array[Long](8)
+          var sum = 0L
+          var i = 0
+          val n = w * h
+          while (i < n) {
+            val v = raster.getSample(i % w, i / w, 0)
+            hist(v / 32) += 1
+            sum += v
+            i += 1
+          }
+          var dom = 0
+          var t = 1
+          while (t < 8) { if (hist(t) > hist(dom)) dom = t; t += 1 }
+          val mean = sum.toDouble / n
+          val exposure = if (mean < 96.0) "dark" else if (mean > 160.0) "bright" else "ok"
+          (id, n.toLong, mean, dom, hist(dom).toDouble / n, exposure)
+        }
+      }
+      .toDF("doc_id", "n_px", "px_mean", "dom_tone", "dom_share", "exposure")
+      .select(
+        col("doc_id"),
+        col("n_px"),
+        round(col("px_mean"), 6).as("px_mean"),
+        col("dom_tone"),
+        round(col("dom_share"), 6).as("dom_share"),
+        col("exposure")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -1070,4 +1070,47 @@ object Relational {
       .select("month", "peak_open", "peak_day")
       .orderBy("month")
   }
+
+  /** q55: WEIGHTED MEDIAN per group — the order statistic where the
+    * weight (shipped quantity), not the row count, reaches half its
+    * group total: the "typical price per shipped unit" a pricing
+    * dashboard wants when line items carry very different volumes.
+    * Shape: ONE shuffle on the group key, then two window passes over
+    * the SAME partitioning (cumulative weight under a total order;
+    * group-total weight over the unbounded frame — Spark reuses the
+    * exchange, no second shuffle), a filter at the crossing point, and
+    * a min-reduce. Exactness: `l_quantity` is integral, so the
+    * cumulative and total weights are exact BIGINT sums — the
+    * `2·cum ≥ tot` crossing test never sits on a floating-point ulp —
+    * and the (price, orderkey, linenumber) tiebreak makes the
+    * cumulative sequence a total order, so both engines cross at the
+    * IDENTICAL row. Keyed by supplier (cardinality grows with the
+    * data, so partitions stay balanced at 100 TB); for the
+    * low-cardinality-group version of this question use the GK/KLL
+    * sketch family (q34/c11) instead of an exact window.
+    */
+  def q55WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_suppkey"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"),
+        col("l_linenumber")
+      )
+    val ord = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+    val whole = Window.partitionBy("l_suppkey")
+    li.withColumn("cum", sum("qty").over(ord))
+      .withColumn("tot", sum("qty").over(whole))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_suppkey")
+      .agg(
+        round(min("price"), 2).as("w_median"),
+        max("tot").as("total_qty")
+      )
+      .orderBy("l_suppkey")
+  }
 }

@@ -971,4 +971,41 @@ object Similarity {
       )
       .orderBy("label")
   }
+
+  /** v18: PER-COMPONENT QUANTILE CLIP STATS — the p01/p50/p99 of every
+    * embedding dimension, the table a feature pipeline needs before
+    * normalizing or clipping vectors at scale (outlier dimensions ruin
+    * both SQ8 quantization ranges — v13's min/max is one bad value away
+    * from a useless grid — and cosine geometry). Shape: posexplode to
+    * (component, value), then ONE map-side-combined groupBy with a
+    * bounded Greenwald-Khanna summary per component (c11's discipline:
+    * `approx_percentile` state is O(accuracy·log n) per GROUP — never
+    * the column — and at gate accuracy ≫ n the edge is EXACTLY the
+    * element at rank ⌈q·n⌉, replayable in SQL as a sorted-list index;
+    * the default accuracy's rank error is ScalaTest-bounded). The
+    * group key is the dimension index, so parallelism equals the
+    * embedding width and each group's GK summary merges across
+    * partitions — no per-executor state grows with the corpus.
+    */
+  def v18ComponentQuantiles(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    Tables
+      .embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("component", "v")))
+      .select(col("component"), col("v").cast("double").as("v"))
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n"),
+        expr(
+          s"transform(approx_percentile(v, array(0.01D, 0.5D, 0.99D), $accuracy), x -> round(x, 6))"
+        ).as("q")
+      )
+      .select(
+        col("component"),
+        col("n"),
+        col("q").getItem(0).as("p01"),
+        col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p99")
+      )
+      .orderBy("component")
+  }
 }

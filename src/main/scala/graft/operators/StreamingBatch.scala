@@ -2217,4 +2217,62 @@ object StreamingBatch {
       SnapshotStore.readCurrent(s, store).withColumnRenamed("cnt", "n")
     )
   }
+
+  /** s31: STREAMING RATE-LIMIT MONITOR — e39's per-user sliding-window
+    * burst report computed ONLINE: each micro-batch pre-aggregates to
+    * (user, epoch-second) counts and key-sums them into the OCC store
+    * through the batchId-idempotent [[occCountFold]] (s28/s30's
+    * exactly-once shape — replays acknowledged, arrival order
+    * irrelevant because count-folds are associative+commutative). The
+    * report then runs e39's RANGE frame over the FOLDED second-grain
+    * counts instead of raw events — `sum(cnt) RANGE 599 PRECEDING` over
+    * (user, sec) rows equals `count(*)` over events because every event
+    * in one second shares its window — so the monitor shares e39's
+    * oracle verbatim. State is O(users × active seconds) count rows —
+    * data-reduced, mergeable, and independent of how long the stream
+    * runs between compactions; at 100 TB/day the fold arrives
+    * pre-shrunk by the per-batch groupBy (map-side combine on the
+    * micro-batch) before it ever touches the store.
+    */
+  def s31StreamRateLimit(
+      s: SparkSession,
+      d: String,
+      windowSec: Long = 600L,
+      limit: Long = 4L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = stageJson(s, d)
+    val root = graft.TempDirs.create("graft_s31_run_")
+    val store = s"$root/store"
+    val q = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("user_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch
+          .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
+          .groupBy("user_id", "sec")
+          .agg(count(lit(1)).as("cnt"))
+        occCountFold(store, incoming, Seq("user_id", "sec"), batchId)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1), 0L)
+    SnapshotStore
+      .readCurrent(s, store)
+      .withColumn("in_window", sum("cnt").over(w))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("n_events"), max("in_window").as("max_burst"))
+      .withColumn("breach", col("max_burst") >= limit)
+      .orderBy("user_id")
+  }
 }

@@ -1424,4 +1424,68 @@ object TextAnalysis {
       .select("src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard")
       .orderBy("src_a", "src_b")
   }
+
+  /** t37: HEAPS' LAW FIT — the vocabulary-growth exponent (V ≈ K·T^β)
+    * corpus reports quote next to t21's Zipf slope: it predicts how the
+    * token/type ratio moves as a crawl scales, i.e. how much NEW
+    * vocabulary another 10× of data buys. Computed without any
+    * per-document running state: a word's contribution to the growth
+    * curve is fully determined by its FIRST occurrence (min doc_id), so
+    * vocabulary size at checkpoint d is just a cumulative count of
+    * first-occurrences — two mergeable keyed aggregates (tokens per
+    * bucket, new words per bucket) plus one prefix-sum over the
+    * BUCKET-grain series (corpus/`bucket` rows, a knob: raise it with
+    * corpus size so the only unpartitioned window runs over thousands
+    * of checkpoint rows, never documents). The log-log least-squares
+    * fit reuses t21's decimal-quantized regression discipline
+    * (round(ln,9) → decimal sums are exact and order-free; the final
+    * slope/intercept arithmetic is scalar double on identical inputs).
+    */
+  def t37HeapsLaw(s: SparkSession, d: String, bucket: Int = 16): DataFrame = {
+    val tok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    val toksPerBucket = tok
+      .groupBy(expr(s"doc_id div $bucket").as("b"))
+      .agg(count(lit(1)).as("toks"))
+    val newPerBucket = tok
+      .groupBy("tok")
+      .agg(min("doc_id").as("fd"))
+      .groupBy(expr(s"fd div $bucket").as("b"))
+      .agg(count(lit(1)).as("neww"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = toksPerBucket
+      .join(newPerBucket, Seq("b"), "full_outer")
+      .na
+      .fill(0L, Seq("toks", "neww"))
+      .withColumn("t_cum", sum("toks").over(w))
+      .withColumn("v_cum", sum("neww").over(w))
+    val x = round(log(col("t_cum").cast("double")), 9).cast("decimal(12,10)")
+    val y = round(log(col("v_cum").cast("double")), 9).cast("decimal(12,10)")
+    pts
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        max("t_cum").as("tokens_final"),
+        max("v_cum").as("vocab_final")
+      )
+      .withColumn(
+        "beta",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+      )
+      .select(
+        col("n").cast("long").as("n_points"),
+        col("tokens_final"),
+        col("vocab_final"),
+        // + 0.0 folds IEEE negative zero (a saturated-vocab corpus fits
+        // β ≈ -1e-15, which rounds to -0.0 in one engine and 0.0 in the
+        // other) into the canonical positive zero on both sides
+        (round(col("beta"), 6) + lit(0.0)).as("heaps_beta"),
+        round(exp((col("sy") - col("beta") * col("sx")) / col("n")), 6).as("heaps_k")
+      )
+  }
 }
