@@ -389,7 +389,13 @@ object SparkEntry {
     // round 11: e39's streaming twin — OCC-folded (user, sec) counts, shared oracle
     "s31_stream_rate_limit"  -> ((s, d) => StreamingBatch.s31StreamRateLimit(s, d)),
     // round 11: snapshot-diff incremental consumption at file grain
-    "c29_incremental_scan"   -> (Maintenance.c29IncrementalScan _)
+    "c29_incremental_scan"   -> (Maintenance.c29IncrementalScan _),
+    // round 11: PMI collocation mining (thresholded, rounded-score top-k)
+    "t38_pmi_collocations"   -> ((s, d) => TextAnalysis.t38PmiCollocations(s, d)),
+    // gate config: rank-exact GK median/MAD (v18/c11 discipline)
+    "v19_norm_outliers"      -> ((s, d) => Similarity.v19NormOutliers(s, d, accuracy = 10000000)),
+    // round 11: layout-health skew/Gini report at manifest grain
+    "c30_skew_report"        -> (Maintenance.c30SkewReport _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3593,7 +3599,56 @@ object SparkEntry {
         | WHERE CAST(ts AS DATE) > cutday)
         |SELECT event_type, count(*) AS n_new, count(DISTINCT day) AS n_days,
         | min(day) AS d_min, max(day) AS d_max
-        |FROM nw GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM nw GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // t38: identical scalar division/log sequence; order by ROUNDED pmi
+    "t38_pmi_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg FROM t),
+        |cu AS (SELECT unnest(ts) AS w FROM t),
+        |c1t AS (SELECT w, count(*) AS c1 FROM cu GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c1) FROM c1t) AS n1, (SELECT count(*) FROM bg) AS n2),
+        |cand AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT cand.bg, c2, a.c1 AS c1a, b.c1 AS c1b,
+        |  round(ln((CAST(c2 AS DOUBLE) / n2) /
+        |    ((CAST(a.c1 AS DOUBLE) / n1) * (CAST(b.c1 AS DOUBLE) / n1))), 6) AS pmi
+        | FROM cand
+        | JOIN c1t a ON split_part(cand.bg, ' ', 1) = a.w
+        | JOIN c1t b ON split_part(cand.bg, ' ', 2) = b.w
+        | CROSS JOIN tot)
+        |SELECT bg, c2, c1a, c1b, pmi FROM j
+        |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+    // v19: GK at gate accuracy ⇒ median/MAD are the exact rank elements,
+    // replayed as sorted-list indexes over round-9 norms
+    "v19_norm_outliers" ->
+      """WITH e AS (SELECT label,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 9) AS nrm
+        | FROM embeddings),
+        |m AS (SELECT label, list_sort(list(nrm)) AS sv, count(*) AS cnt FROM e GROUP BY 1),
+        |md AS (SELECT label, sv[CAST(ceil(0.5*cnt) AS BIGINT)] AS med FROM m),
+        |dv AS (SELECT e.label, nrm, round(abs(nrm - med), 9) AS dev
+        | FROM e JOIN md USING (label)),
+        |m2 AS (SELECT label, list_sort(list(dev)) AS dl, count(*) AS cnt FROM dv GROUP BY 1),
+        |mad AS (SELECT label, dl[CAST(ceil(0.5*cnt) AS BIGINT)] AS mad FROM m2)
+        |SELECT dv.label, count(*) AS n, round(max(med), 6) AS med_norm,
+        | round(max(mad), 6) AS mad_norm,
+        | CAST(sum(CASE WHEN dev > 3.0*mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(CAST(sum(CASE WHEN dev > 3.0*mad THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |   AS outlier_share
+        |FROM dv JOIN md USING (label) JOIN mad USING (label)
+        |GROUP BY 1 ORDER BY dv.label""".stripMargin,
+    // c30: exact integer sums; the two final divisions replay verbatim
+    "c30_skew_report" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        |  count(*) AS n_rows FROM events GROUP BY 1, 2),
+        |r AS (SELECT dt, n_rows,
+        |  row_number() OVER (PARTITION BY dt ORDER BY n_rows, hr) AS rn FROM f),
+        |a AS (SELECT dt, count(*) AS n_files, sum(n_rows) AS total_rows,
+        |  max(n_rows) AS max_rows, sum(rn * n_rows) AS wsum FROM r GROUP BY 1)
+        |SELECT dt, n_files, CAST(total_rows AS BIGINT) AS total_rows, max_rows,
+        | round(CAST(max_rows AS DOUBLE) * n_files / total_rows, 6) AS skew_ratio,
+        | round(2.0 * wsum / CAST(n_files * total_rows AS DOUBLE)
+        |   - CAST(n_files + 1 AS DOUBLE) / n_files, 6) AS gini
+        |FROM a ORDER BY dt""".stripMargin
   )
 
   /** e37/s28's shared burst oracle: one SQL pins the batch detector

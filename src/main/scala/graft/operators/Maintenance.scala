@@ -2004,4 +2004,49 @@ object Maintenance {
       )
       .orderBy("event_type")
   }
+
+  /** c30: PARTITION SKEW REPORT — the layout-health statistic that
+    * decides whether c1/c26 compaction is worth scheduling: per day
+    * partition, the max/mean file-size ratio and the Gini coefficient
+    * of the hour-file row counts (Gini 0 = perfectly even layout,
+    * → 1 = one file holds everything; the standard inequality measure,
+    * computed from the sorted cumulative form 2·Σᵢ i·xᵢ /(n·Σx) −
+    * (n+1)/n). Metadata-grain like c26 — the inventory IS the table
+    * format's manifest at 100 TB, the per-day window runs over ≤ 24
+    * hour-files, and every sum is exact integer arithmetic until the
+    * two final scalar divisions. Skewed days are exactly where c26's
+    * greedy planner should spend its rewrite budget.
+    */
+  def c30SkewReport(s: SparkSession, d: String): DataFrame = {
+    val files = Tables
+      .events(s, d)
+      .groupBy(to_date(col("ts")).as("dt"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("dt").orderBy(col("n_rows"), col("hr"))
+    files
+      .withColumn("rn", row_number().over(w))
+      .groupBy("dt")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_rows").as("total_rows"),
+        max("n_rows").as("max_rows"),
+        sum(col("rn") * col("n_rows")).as("wsum")
+      )
+      .select(
+        col("dt"),
+        col("n_files"),
+        col("total_rows"),
+        col("max_rows"),
+        round(
+          col("max_rows").cast("double") * col("n_files") / col("total_rows"),
+          6
+        ).as("skew_ratio"),
+        round(
+          lit(2.0) * col("wsum") / (col("n_files") * col("total_rows")).cast("double") -
+            (col("n_files") + 1).cast("double") / col("n_files"),
+          6
+        ).as("gini")
+      )
+      .orderBy("dt")
+  }
 }

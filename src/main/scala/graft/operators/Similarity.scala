@@ -1008,4 +1008,44 @@ object Similarity {
       )
       .orderBy("component")
   }
+
+  /** v19: NORM-OUTLIER SCREEN — flag vectors whose L2 norm sits more
+    * than 3 robust deviations (median absolute deviation) from their
+    * label's median norm: the cheap sanity gate an embedding pipeline
+    * runs on encoder output before indexing (a bad batch, a truncated
+    * vector, an fp16 overflow all show up as norm outliers long before
+    * cosine quality does). Both the median and the MAD come from
+    * bounded GK summaries per label (v18/c11's discipline — rank-exact
+    * at gate accuracy, O(accuracy·log n) state at any scale), joined
+    * back as broadcast label-sized tables; norms are rounded to 9
+    * decimals BEFORE ranking so the selected rank element can't flip
+    * on a cross-engine ulp. Output is the label-grain report (count,
+    * median, MAD, outlier count/share), not per-row — the shape a
+    * monitoring sink wants.
+    */
+  def v19NormOutliers(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("label"), round(VF.norm(col("embedding")), 9).as("nrm"))
+    val med = e
+      .groupBy("label")
+      .agg(expr(s"approx_percentile(nrm, 0.5D, $accuracy)").as("med"))
+    val dev = e
+      .join(broadcast(med), "label")
+      .withColumn("dev", round(abs(col("nrm") - col("med")), 9))
+    val mad = dev
+      .groupBy("label")
+      .agg(expr(s"approx_percentile(dev, 0.5D, $accuracy)").as("mad"))
+    dev
+      .join(broadcast(mad), "label")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(max("med"), 6).as("med_norm"),
+        round(max("mad"), 6).as("mad_norm"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers")
+      )
+      .withColumn("outlier_share", round(col("n_outliers").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
 }

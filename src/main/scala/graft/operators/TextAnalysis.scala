@@ -1488,4 +1488,61 @@ object TextAnalysis {
         round(exp((col("sy") - col("beta") * col("sx")) / col("n")), 6).as("heaps_k")
       )
   }
+
+  /** t38: PMI COLLOCATIONS — the pointwise-mutual-information bigram
+    * miner (Church & Hanks) phrase-detection pipelines run before
+    * tokenizer training (word2vec's phrase pass, BERT's whole-word
+    * masking lists): ln(p(ab) / (p(a)·p(b))) over corpus bigram and
+    * unigram frequencies, thresholded to bigrams seen ≥ `minCount`
+    * times so rare-pair noise (PMI's known failure mode) never ranks.
+    * Shape: two count shuffles (bigrams via the t13 zip_with slide —
+    * no self-join; unigrams via explode), then the unigram table joins
+    * only the THRESHOLDED bigram side (post-filter it is
+    * vocabulary-sized, not corpus-sized). The PMI arithmetic is pure
+    * scalar double on exact counts — identical division/log sequence
+    * in both engines — and the top-k orders by the ROUNDED score with
+    * the bigram as tiebreak, so ulps can't reorder the report.
+    */
+  def t38PmiCollocations(s: SparkSession, d: String, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val n1e = greatest(size(col("tk")) - 1, lit(0))
+    val toks = Tables
+      .documents(s, d)
+      .select(TF.tokens(col("text")).as("tk"))
+    val bg = toks.select(
+      explode(
+        zip_with(
+          slice(col("tk"), lit(1), n1e),
+          slice(col("tk"), lit(2), n1e),
+          (a, b) => concat(a, lit(" "), b)
+        )
+      ).as("bg")
+    )
+    val uni = toks.select(explode(col("tk")).as("w")).groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni
+      .agg(sum("c1").as("n1"))
+      .crossJoin(bg.agg(count(lit(1)).as("n2")))
+    val cand = bg
+      .groupBy("bg")
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    cand
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "pmi",
+        round(
+          log(
+            (col("c2").cast("double") / col("n2")) /
+              ((col("c1a").cast("double") / col("n1")) * (col("c1b").cast("double") / col("n1")))
+          ),
+          6
+        )
+      )
+      .orderBy(desc("pmi"), col("bg"))
+      .limit(k)
+      .select("bg", "c2", "c1a", "c1b", "pmi")
+  }
 }

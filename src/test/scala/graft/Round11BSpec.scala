@@ -174,4 +174,100 @@ class Round11BSpec extends AnyFunSuite {
     val got = df.collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_new")).toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("t38 PMI equals a brute-force bigram/unigram recompute") {
+    val texts = graft.sources.Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val unis = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bgs = texts
+      .flatMap(ws => ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" })
+    val c2 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (n1, n2) = (unis.values.sum.toDouble, bgs.length.toDouble)
+    val expected = c2
+      .filter(_._2 >= 5L)
+      .map { case (bg, c) =>
+        val Array(a, b) = bg.split(" ", 2)
+        val pmi = math.rint(math.log((c / n2) / ((unis(a) / n1) * (unis(b) / n1))) * 1e6) / 1e6
+        (bg, c, unis(a), unis(b), pmi)
+      }
+      .toSeq
+      .sortBy(t => (-t._5, t._1))
+      .take(20)
+    val got = graft.operators.TextAnalysis
+      .t38PmiCollocations(spark, sf)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[String]("bg"),
+          r.getAs[Long]("c2"),
+          r.getAs[Long]("c1a"),
+          r.getAs[Long]("c1b"),
+          r.getAs[Double]("pmi")
+        )
+      )
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("v19 at gate accuracy equals the exact median/MAD recompute") {
+    val norms = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("label", "embedding")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var acc = 0.0
+        v.foreach(x => acc += x.toDouble * x.toDouble)
+        r.getInt(0) -> math.rint(math.sqrt(acc) * 1e9) / 1e9
+      }
+    val expected = norms.groupBy(_._1).map { case (lbl, rows) =>
+      val sv = rows.map(_._2).sorted
+      val med = sv((math.ceil(0.5 * sv.length) - 1).toInt)
+      val devs = sv.map(x => math.rint(math.abs(x - med) * 1e9) / 1e9).sorted
+      val mad = devs((math.ceil(0.5 * devs.length) - 1).toInt)
+      val out = devs.count(_ > 3.0 * mad).toLong
+      lbl -> (sv.length.toLong, math.rint(med * 1e6) / 1e6, math.rint(mad * 1e6) / 1e6, out)
+    }
+    val got = graft.operators.Similarity
+      .v19NormOutliers(spark, sf, accuracy = 10000000)
+      .collect()
+      .map(r =>
+        r.getAs[Int]("label") -> (
+          r.getAs[Long]("n"),
+          r.getAs[Double]("med_norm"),
+          r.getAs[Double]("mad_norm"),
+          r.getAs[Long]("n_outliers")
+        )
+      )
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("c30 gini/skew: bounds hold and one day matches a hand recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Maintenance.c30SkewReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gini") >= -1e-9 && r.getAs[Double]("gini") < 1.0)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+    }
+    val day = rows.head.getAs[java.sql.Date]("dt")
+    val sizes = graft.sources.Tables
+      .events(spark, sf)
+      .filter(to_date(col("ts")) === lit(day))
+      .groupBy(hour(col("ts")))
+      .count()
+      .collect()
+      .map(_.getLong(1))
+      .sorted
+    val n = sizes.length
+    val tot = sizes.sum
+    val wsum = sizes.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2.0 * wsum / (n.toLong * tot).toDouble - (n + 1).toDouble / n
+    assert(rows.head.getAs[Long]("n_files") == n.toLong)
+    assert(math.abs(rows.head.getAs[Double]("gini") - math.rint(gini * 1e6) / 1e6) < 1e-9)
+  }
 }
