@@ -112,7 +112,15 @@ object PlanAudit {
       "m15_image_sharpness"         -> "real-decode sharpness: mapPartitions decode + integer Laplacian; only scalar stats ride the shuffle",
       "t36_winnowing"               -> "winnowing: positioned gram hashes, bounded window-cover explode, rightmost-min as ONE keyed aggregate",
       "v17_embedding_drift"         -> "embedding drift: (label, half, component) keyed aggregates; cosine joins components, never arrays",
-      "p9_curate_multimodal"        -> "multimodal capstone: ONE decode pass emits dhash+sharpness, gate -> dedup window -> shard aggregate"
+      "p9_curate_multimodal"        -> "multimodal capstone: ONE decode pass emits dhash+sharpness, gate -> dedup window -> shard aggregate",
+      "q55_weighted_median"         -> "weighted median: ONE shuffle on the group key, both windows reuse the same exchange, crossing filter + min-reduce",
+      "t37_heaps_law"               -> "Heaps fit: two keyed bucket aggregates; the only unpartitioned window runs over bucket-grain checkpoints, never documents",
+      "v18_component_quantiles"     -> "component quantiles: posexplode -> ONE map-side-combined groupBy with bounded GK state per dimension",
+      "v19_norm_outliers"           -> "norm outliers: per-row norms -> GK median/MAD as broadcast label tables -> one label-grain report aggregate",
+      "m17_exposure"                -> "real-decode exposure: executor-side ImageIO + fixed 8-slot histogram; only the per-image scalar row shuffles",
+      "c29_incremental_scan"        -> "incremental scan: the parquet Location lists ONLY the added day partitions (manifest diff happens before the plan)",
+      "c30_skew_report"             -> "skew report: metadata-grain inventory + per-day rank window (≤24 rows) -> exact integer Gini sums",
+      "t38_pmi_collocations"        -> "PMI collocations: two count shuffles; unigram table joins only the THRESHOLDED candidate side; 1-row totals broadcast"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
