@@ -395,7 +395,9 @@ object SparkEntry {
     // gate config: rank-exact GK median/MAD (v18/c11 discipline)
     "v19_norm_outliers"      -> ((s, d) => Similarity.v19NormOutliers(s, d, accuracy = 10000000)),
     // round 11: layout-health skew/Gini report at manifest grain
-    "c30_skew_report"        -> (Maintenance.c30SkewReport _)
+    "c30_skew_report"        -> (Maintenance.c30SkewReport _),
+    // round 11: real-decode SNR screen (m11's energy windows, mean split)
+    "m18_audio_snr"          -> ((s, d) => Multimodal.m18AudioSnr(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3648,7 +3650,32 @@ object SparkEntry {
         | round(CAST(max_rows AS DOUBLE) * n_files / total_rows, 6) AS skew_ratio,
         | round(2.0 * wsum / CAST(n_files * total_rows AS DOUBLE)
         |   - CAST(n_files + 1 AS DOUBLE) / n_files, 6) AS gini
-        |FROM a ORDER BY dt""".stripMargin
+        |FROM a ORDER BY dt""".stripMargin,
+    // m18: m11's window-energy replay + the same mean split; doubles
+    // only in the final divisions + log10
+    "m18_audio_snr" ->
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 41 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, t.i AS i,
+        |  ((n.doc_id*31 + t.i*t.i*7919) % 65536) - 32768 AS v
+        | FROM n JOIN generate_series(0, 104) t(i) ON t.i < n.ns),
+        |w AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS w_idx, count(*) AS len_w,
+        |  CAST(sum(v*v) AS BIGINT) AS sq_w
+        | FROM s GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(sq_w) AS BIGINT) AS tot_sq,
+        |  CAST(sum(len_w) AS BIGINT) AS tot_len FROM w GROUP BY 1),
+        |a AS (SELECT w.doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN sq_w * tot_len >= tot_sq * len_w THEN 1 ELSE 0 END) AS BIGINT) AS n_signal,
+        |  CAST(sum(CASE WHEN sq_w * tot_len >= tot_sq * len_w THEN sq_w ELSE 0 END) AS BIGINT) AS sig_sq,
+        |  CAST(sum(CASE WHEN sq_w * tot_len >= tot_sq * len_w THEN len_w ELSE 0 END) AS BIGINT) AS sig_len,
+        |  CAST(sum(CASE WHEN sq_w * tot_len >= tot_sq * len_w THEN 0 ELSE sq_w END) AS BIGINT) AS noise_sq,
+        |  CAST(sum(CASE WHEN sq_w * tot_len >= tot_sq * len_w THEN 0 ELSE len_w END) AS BIGINT) AS noise_len
+        | FROM w JOIN tt USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, n_windows, n_signal,
+        | CASE WHEN noise_len > 0 AND noise_sq > 0 THEN
+        |   round(10.0 * log10((CAST(sig_sq AS DOUBLE) / sig_len)
+        |     / (CAST(noise_sq AS DOUBLE) / noise_len)), 6)
+        | END AS snr_db
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 
   /** e37/s28's shared burst oracle: one SQL pins the batch detector

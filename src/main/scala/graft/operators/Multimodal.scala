@@ -489,10 +489,15 @@ object Multimodal {
     * shape: per-clip windows only (no cross-doc joins), one keyed
     * aggregate + one partitioned window.
     */
-  def m11AudioSegments(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+  /** Real-decode per-window audio energies — the shared front half of
+    * m11 (VAD segmentation) and m18 (SNR): decode the staged WAV with
+    * the JDK parser on executors, emit one (doc, window, len, Σv²) row
+    * per `win`-sample window. Constant memory per clip; only the
+    * window-grain rows ride the shuffle.
+    */
+  private def wavEnergyWindows(s: SparkSession, d: String, win: Int): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wrows = s.read
+    s.read
       .parquet(s"${mediaStore(s, d)}/media")
       .select(col("doc_id"), col("wav_meta"))
       .as[(Long, Array[Byte])]
@@ -517,6 +522,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "w_idx", "len_w", "sq_w")
+  }
+
+  def m11AudioSegments(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wrows = wavEnergyWindows(s, d, win)
     val tot = wrows.groupBy("doc_id").agg(sum("sq_w").as("tot_sq"), sum("len_w").as("tot_len"))
     val voiced = wrows
       .join(tot, "doc_id")
@@ -902,6 +912,51 @@ object Multimodal {
         round(col("dom_share"), 6).as("dom_share"),
         col("exposure")
       )
+      .orderBy("doc_id")
+  }
+
+  /** m18: AUDIO SNR ESTIMATE over the REAL decode path — the
+    * signal-to-noise screen a speech-curation pipeline runs after m16's
+    * clipping check: split each clip's energy windows (m11's shared
+    * decode, [[wavEnergyWindows]]) at the clip-mean energy density —
+    * above-mean windows are "signal", the rest the noise floor — and
+    * report 10·log₁₀ of the mean-energy ratio. Every aggregate is an
+    * exact integer sum (Σv², Σlen per side); doubles appear only in the
+    * final two divisions + log, replayed verbatim by the oracle (m8's
+    * two-stage discipline: the gate catches a wrong decode AND a wrong
+    * split). A constant-energy clip has an empty noise side and reports
+    * NULL — deterministically in both engines. One decode per clip,
+    * one keyed shuffle; clip count, not clip length, drives the plan.
+    */
+  def m18AudioSnr(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    val wrows = wavEnergyWindows(s, d, win)
+    val tot = wrows.groupBy("doc_id").agg(sum("sq_w").as("tot_sq"), sum("len_w").as("tot_len"))
+    val voiced = col("sq_w") * col("tot_len") >= col("tot_sq") * col("len_w")
+    wrows
+      .join(tot, "doc_id")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(voiced, lit(1L)).otherwise(lit(0L))).as("n_signal"),
+        sum(when(voiced, col("sq_w")).otherwise(lit(0L))).as("sig_sq"),
+        sum(when(voiced, col("len_w")).otherwise(lit(0L))).as("sig_len"),
+        sum(when(!voiced, col("sq_w")).otherwise(lit(0L))).as("noise_sq"),
+        sum(when(!voiced, col("len_w")).otherwise(lit(0L))).as("noise_len")
+      )
+      .withColumn(
+        "snr_db",
+        when(
+          col("noise_len") > 0 && col("noise_sq") > 0,
+          round(
+            lit(10.0) * log10(
+              (col("sig_sq").cast("double") / col("sig_len")) /
+                (col("noise_sq").cast("double") / col("noise_len"))
+            ),
+            6
+          )
+        )
+      )
+      .select("doc_id", "n_windows", "n_signal", "snr_db")
       .orderBy("doc_id")
   }
 }

@@ -270,4 +270,32 @@ class Round11BSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_files") == n.toLong)
     assert(math.abs(rows.head.getAs[Double]("gini") - math.rint(gini * 1e6) / 1e6) < 1e-9)
   }
+
+  test("m18 SNR equals a brute-force recompute from the generating sample formulas") {
+    val got = graft.operators.Multimodal.m18AudioSnr(spark, sf).collect()
+    assert(got.nonEmpty)
+    var withSnr = 0
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ns = 64 + (id % 41).toInt
+      val samples = Array.tabulate(ns)(i => (((id * 31 + i.toLong * i * 7919) % 65536) - 32768).toShort)
+      val wins = samples.grouped(16).toArray
+      val sq = wins.map(w => w.map(v => v.toLong * v).sum)
+      val len = wins.map(_.length.toLong)
+      val (totSq, totLen) = (sq.sum, len.sum)
+      val voiced = sq.indices.map(i => sq(i) * totLen >= totSq * len(i))
+      val (sigSq, sigLen) = (sq.indices.filter(voiced).map(sq).sum, sq.indices.filter(voiced).map(len).sum)
+      val (noiSq, noiLen) =
+        (sq.indices.filterNot(voiced).map(sq).sum, sq.indices.filterNot(voiced).map(len).sum)
+      assert(r.getAs[Long]("n_windows") == wins.length.toLong)
+      assert(r.getAs[Long]("n_signal") == voiced.count(identity).toLong)
+      if (noiLen > 0 && noiSq > 0) {
+        val snr = 10.0 * math.log10((sigSq.toDouble / sigLen) / (noiSq.toDouble / noiLen))
+        assert(math.abs(r.getAs[Double]("snr_db") - math.rint(snr * 1e6) / 1e6) < 1e-9)
+        assert(r.getAs[Double]("snr_db") > 0.0) // signal side is above the mean by construction
+        withSnr += 1
+      } else assert(r.isNullAt(r.fieldIndex("snr_db")))
+    }
+    assert(withSnr > 0)
+  }
 }
