@@ -121,7 +121,8 @@ object PlanAudit {
       "c29_incremental_scan"        -> "incremental scan: the parquet Location lists ONLY the added day partitions (manifest diff happens before the plan)",
       "c30_skew_report"             -> "skew report: metadata-grain inventory + per-day rank window (≤24 rows) -> exact integer Gini sums",
       "t38_pmi_collocations"        -> "PMI collocations: two count shuffles; unigram table joins only the THRESHOLDED candidate side; 1-row totals broadcast",
-      "m18_audio_snr"               -> "real-decode SNR: one decode per clip emits window energies; exact integer sums per side; doubles only in the final log"
+      "m18_audio_snr"               -> "real-decode SNR: one decode per clip emits window energies; exact integer sums per side; doubles only in the final log",
+      "v20_correlated_dims"         -> "Gramian audit: ONE custom-aggregate pass (O(d²) mergeable integer state) — no d²-per-row explode; driver folds model-sized sums"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

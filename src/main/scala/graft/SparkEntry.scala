@@ -397,7 +397,9 @@ object SparkEntry {
     // round 11: layout-health skew/Gini report at manifest grain
     "c30_skew_report"        -> (Maintenance.c30SkewReport _),
     // round 11: real-decode SNR screen (m11's energy windows, mean split)
-    "m18_audio_snr"          -> ((s, d) => Multimodal.m18AudioSnr(s, d))
+    "m18_audio_snr"          -> ((s, d) => Multimodal.m18AudioSnr(s, d)),
+    // round 11: one-pass GramianAgg covariance audit (custom aggregate)
+    "v20_correlated_dims"    -> ((s, d) => Similarity.v20CorrelatedDims(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3675,7 +3677,29 @@ object SparkEntry {
         |   round(10.0 * log10((CAST(sig_sq AS DOUBLE) / sig_len)
         |     / (CAST(noise_sq AS DOUBLE) / noise_len)), 6)
         | END AS snr_db
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // v20: the same micro-unit quantization (⌊v·10⁶+0.5⌋), exact integer
+    // moment sums, identical scalar covariance arithmetic
+    "v20_correlated_dims" ->
+      """WITH e AS (SELECT vec_id, u.i AS i, u.v AS v FROM (
+        |  SELECT vec_id, unnest([{'i': i-1,
+        |    'v': CAST(floor(embedding[i]*1000000.0 + 0.5) AS BIGINT)}
+        |    FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)),
+        |s AS (SELECT i, sum(v) AS si, count(*) AS n FROM e GROUP BY 1),
+        |g AS (SELECT a.i AS i, b.i AS j, sum(a.v*b.v) AS sij
+        | FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |c AS (SELECT g.i, g.j,
+        |  (CAST(g.sij AS DOUBLE) - CAST(sa.si AS DOUBLE)*sb.si/sa.n)/sa.n/1e12 AS cov
+        | FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i),
+        |vr AS (SELECT i, cov AS var FROM c WHERE i = j),
+        |p AS (SELECT c.i, c.j,
+        |  round(c.cov, 6) + 0.0 AS cov,
+        |  round(c.cov / sqrt(va.var * vb.var), 6) + 0.0 AS corr
+        | FROM c JOIN vr va ON c.i = va.i JOIN vr vb ON c.j = vb.i
+        | WHERE c.i < c.j AND va.var > 0 AND vb.var > 0)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov, corr FROM p
+        |ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin
   )
 
   /** e37/s28's shared burst oracle: one SQL pins the batch detector

@@ -1048,4 +1048,44 @@ object Similarity {
       .withColumn("outlier_share", round(col("n_outliers").cast("double") / col("n"), 6))
       .orderBy("label")
   }
+
+  /** v20: CORRELATED-DIMENSION AUDIT — the top-k most correlated
+    * embedding-dimension pairs, the decorrelation check a feature
+    * pipeline runs before whitening/PCA (strongly correlated dims waste
+    * index capacity and skew cosine geometry). ONE pass over the
+    * vectors with the custom [[graft.plans.GramianAgg]] — O(d²)
+    * mergeable integer state instead of the naive d²-per-row pair
+    * explode, the same shape mllib's RowMatrix Gramian uses but as an
+    * ordinary aggregate — then the d(d+1)/2 moment sums (2 145 longs at
+    * d=64, model-sized like Lloyd centroids) fold to covariance/
+    * correlation on the driver with the exact scalar arithmetic the
+    * oracle replays. Quantized products make the sums EXACT longs, so
+    * the result is independent of partitioning/merge order.
+    */
+  def v20CorrelatedDims(s: SparkSession, d: String, dim: Int = 64, topK: Int = 20): DataFrame = {
+    import s.implicits._
+    val g = Tables
+      .embeddings(s, d)
+      .agg(graft.plans.GraftExpressions.gramian(col("embedding"), dim).as("g"))
+      .collect()(0)
+      .getSeq[Long](0)
+      .toArray
+    val n = g(0).toDouble
+    val gOff = 1 + dim
+    def tri(i: Int, j: Int): Int = gOff + i * dim - i * (i - 1) / 2 + (j - i)
+    def cov(i: Int, j: Int): Double =
+      ((g(tri(i, j)).toDouble - g(1 + i).toDouble * g(1 + j) / n) / n) / 1e12
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val vars = Array.tabulate(dim)(i => cov(i, i))
+    val pairs = for {
+      i <- 0 until dim
+      j <- (i + 1) until dim
+      if vars(i) > 0 && vars(j) > 0
+    } yield (i, j, r(cov(i, j), 6), r(cov(i, j) / math.sqrt(vars(i) * vars(j)), 6))
+    pairs
+      .sortBy { case (i, j, _, corr) => (-math.abs(corr), i, j) }
+      .take(topK)
+      .toDF("i", "j", "cov", "corr")
+  }
 }

@@ -73,6 +73,13 @@ object GraftExpressions {
   def mgCandidates(c: Column, k: Int): Column =
     column(MisraGries(GraftColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** One-pass quantized Gramian (n, component sums, upper-triangle
+    * product sums) over a fixed-width float-vector column — O(d²)
+    * mergeable state, exact integer sums (see [[GramianAgg]]).
+    */
+  def gramian(vec: Column, dim: Int): Column =
+    column(GramianAgg(GraftColumnBridge.expression(vec), dim).toAggregateExpression())
+
   /** Mergeable KLL quantile sketch over a double column (serialized bytes). */
   def kllSketch(c: Column, k: Int = 200): Column =
     column(KllSketchAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
@@ -891,4 +898,97 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass GRAMIAN / moment accumulator over a fixed-width float-vector
+  * column — the covariance-structure primitive (mllib computes the same
+  * via RowMatrix.computeGramianMatrix's treeAggregate; here it is an
+  * ordinary mergeable aggregate so it composes with groupBy and rides
+  * partial-agg/merge like any sum). Buffer: [n, S₀..S_{d-1},
+  * G₀₀..G_{ij} (row-major upper triangle)] with every component
+  * QUANTIZED to integer micro-units (q(v) = ⌊v·10⁶ + 0.5⌋) so all sums
+  * are exact longs — merge-ORDER-FREE, hence hash-reproducible across
+  * any partitioning, the property a float-double accumulator cannot
+  * give. State is O(d²) regardless of row count (d=64 ⇒ 2 145 longs);
+  * overflow bound: n · (qmax)² must stay under 2⁶³ (qmax = 8·10⁶ admits
+  * n ≈ 1.4·10⁵ per group at |v| ≤ 8 — raise the unit for bigger groups,
+  * or split by salt and merge, exactly like any long-sum).
+  * Covariance/correlation derive from the sums as scalar doubles.
+  */
+case class GramianAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(dim >= 1 && dim <= 512, "GramianAgg dim out of range")
+  private val gOff = 1 + dim
+  private val bufLen = 1 + dim + dim * (dim + 1) / 2
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"GramianAgg needs array<float>, got $other"
+        )
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim) {
+        buf(0) += 1L
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          q(i) = math.floor(arr.getFloat(i) * 1e6 + 0.5).toLong
+          buf(1 + i) += q(i)
+          i += 1
+        }
+        var k = gOff
+        i = 0
+        while (i < dim) {
+          var j = i
+          val qi = q(i)
+          while (j < dim) { buf(k) += qi * q(j); j += 1; k += 1 }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): GramianAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GramianAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -298,4 +298,36 @@ class Round11BSpec extends AnyFunSuite {
     }
     assert(withSnr > 0)
   }
+
+  test("v20 GramianAgg covariance equals a brute-force quantized recompute") {
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toDouble
+    val q = vecs.map(v => v.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val si = Array.tabulate(dim)(i => q.map(_(i)).sum)
+    def sij(i: Int, j: Int) = q.map(v => v(i) * v(j)).sum
+    def cov(i: Int, j: Int) = ((sij(i, j).toDouble - si(i).toDouble * si(j) / n) / n) / 1e12
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val vars = Array.tabulate(dim)(i => cov(i, i))
+    val expected = (for {
+      i <- 0 until dim; j <- (i + 1) until dim
+      if vars(i) > 0 && vars(j) > 0
+    } yield (i, j, r6(cov(i, j)), r6(cov(i, j) / math.sqrt(vars(i) * vars(j)))))
+      .sortBy { case (i, j, _, c) => (-math.abs(c), i, j) }
+      .take(20)
+    val got = graft.operators.Similarity
+      .v20CorrelatedDims(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("cov"), r.getAs[Double]("corr")))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // the one-pass aggregate is partitioning-independent: exact integer
+    // sums make a repartitioned run bit-identical
+    val rep = graft.operators.Similarity.v20CorrelatedDims(spark, sf)
+    assert(rep.collect().toSeq == got.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)))
+  }
 }
