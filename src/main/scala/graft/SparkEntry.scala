@@ -399,7 +399,10 @@ object SparkEntry {
     // round 11: real-decode SNR screen (m11's energy windows, mean split)
     "m18_audio_snr"          -> ((s, d) => Multimodal.m18AudioSnr(s, d)),
     // round 11: one-pass GramianAgg covariance audit (custom aggregate)
-    "v20_correlated_dims"    -> ((s, d) => Similarity.v20CorrelatedDims(s, d))
+    "v20_correlated_dims"    -> ((s, d) => Similarity.v20CorrelatedDims(s, d)),
+    // round 11: v20's OCC-folded streaming twin (exact integer sums ⇒
+    // bit-identical to the batch aggregate under any batch chop)
+    "s32_stream_covariance"  -> ((s, d) => StreamingBatch.s32StreamCovariance(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3678,10 +3681,15 @@ object SparkEntry {
         |     / (CAST(noise_sq AS DOUBLE) / noise_len)), 6)
         | END AS snr_db
         |FROM a ORDER BY doc_id""".stripMargin,
-    // v20: the same micro-unit quantization (⌊v·10⁶+0.5⌋), exact integer
-    // moment sums, identical scalar covariance arithmetic
-    "v20_correlated_dims" ->
-      """WITH e AS (SELECT vec_id, u.i AS i, u.v AS v FROM (
+    // v20/s32: the same micro-unit quantization (⌊v·10⁶+0.5⌋), exact
+    // integer moment sums, identical scalar covariance arithmetic —
+    // shared because the streaming fold is bit-identical to one batch
+    "v20_correlated_dims" -> covSql,
+    "s32_stream_covariance" -> covSql
+  )
+
+  private val covSql =
+    """WITH e AS (SELECT vec_id, u.i AS i, u.v AS v FROM (
         |  SELECT vec_id, unnest([{'i': i-1,
         |    'v': CAST(floor(embedding[i]*1000000.0 + 0.5) AS BIGINT)}
         |    FOR i IN range(1, len(embedding)+1)]) AS u
@@ -3700,7 +3708,6 @@ object SparkEntry {
         | WHERE c.i < c.j AND va.var > 0 AND vb.var > 0)
         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov, corr FROM p
         |ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin
-  )
 
   /** e37/s28's shared burst oracle: one SQL pins the batch detector
     * and the streaming OCC-folded twin.

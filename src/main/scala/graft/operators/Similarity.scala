@@ -1063,13 +1063,22 @@ object Similarity {
     * the result is independent of partitioning/merge order.
     */
   def v20CorrelatedDims(s: SparkSession, d: String, dim: Int = 64, topK: Int = 20): DataFrame = {
-    import s.implicits._
     val g = Tables
       .embeddings(s, d)
       .agg(graft.plans.GraftExpressions.gramian(col("embedding"), dim).as("g"))
       .collect()(0)
       .getSeq[Long](0)
       .toArray
+    covReport(s, g, dim, topK)
+  }
+
+  /** The covariance/correlation fold over a [[graft.plans.GramianAgg]]
+    * moment buffer — shared by v20 (one batch aggregate) and s32 (the
+    * same sums accumulated across micro-batches through the OCC store:
+    * exact integer sums make the two arrival shapes bit-identical).
+    */
+  private[operators] def covReport(s: SparkSession, g: Array[Long], dim: Int, topK: Int): DataFrame = {
+    import s.implicits._
     val n = g(0).toDouble
     val gOff = 1 + dim
     def tri(i: Int, j: Int): Int = gOff + i * dim - i * (i - 1) / 2 + (j - i)

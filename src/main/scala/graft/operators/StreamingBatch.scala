@@ -2275,4 +2275,50 @@ object StreamingBatch {
       .withColumn("breach", col("max_burst") >= limit)
       .orderBy("user_id")
   }
+
+  /** s32: STREAMING COVARIANCE MONITOR — v20's correlated-dimension
+    * audit maintained ONLINE: each micro-batch runs ONE
+    * [[graft.plans.GramianAgg]] pass over its vectors and key-sums the
+    * flattened O(d²) moment buffer into the OCC store through the
+    * batchId-idempotent [[occCountFold]] (the buffer positions are the
+    * keys, the sums the counts — a Gramian IS a bag of longs, so the
+    * generic count-fold is exactly the right merge). Because every sum
+    * is an exact quantized integer, the folded store equals the
+    * one-shot batch aggregate BIT-FOR-BIT regardless of how the stream
+    * was chopped into batches or replayed — s32 therefore shares v20's
+    * oracle verbatim, the strongest arrival-order-insensitivity
+    * statement in the streaming family. State is O(d²) longs however
+    * long the stream runs.
+    */
+  def s32StreamCovariance(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val dir = stageEmbeddingsJson(s, d)
+    val root = graft.TempDirs.create("graft_s32_run_")
+    val store = s"$root/store"
+    val schema = StructType(
+      Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)))
+    )
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), schema).as("r"))
+      .select("r.*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch
+          .agg(graft.plans.GraftExpressions.gramian(col("embedding"), dim).as("g"))
+          .select(posexplode(col("g")).as(Seq("k", "cnt")))
+        occCountFold(store, incoming, Seq("k"), batchId)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val folded = SnapshotStore
+      .readCurrent(s, store)
+      .collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Long]("cnt"))
+      .toMap
+    val g = Array.tabulate(1 + dim + dim * (dim + 1) / 2)(k => folded.getOrElse(k, 0L))
+    graft.operators.Similarity.covReport(s, g, dim, topK = 20)
+  }
 }

@@ -330,4 +330,10 @@ class Round11BSpec extends AnyFunSuite {
     val rep = graft.operators.Similarity.v20CorrelatedDims(spark, sf)
     assert(rep.collect().toSeq == got.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)))
   }
+
+  test("s32 streaming covariance is bit-identical to v20's one-shot batch aggregate") {
+    val batch = graft.operators.Similarity.v20CorrelatedDims(spark, sf).collect().toSeq
+    val stream = graft.operators.StreamingBatch.s32StreamCovariance(spark, sf).collect().toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
 }
