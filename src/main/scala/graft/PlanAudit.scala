@@ -122,7 +122,9 @@ object PlanAudit {
       "c30_skew_report"             -> "skew report: metadata-grain inventory + per-day rank window (≤24 rows) -> exact integer Gini sums",
       "t38_pmi_collocations"        -> "PMI collocations: two count shuffles; unigram table joins only the THRESHOLDED candidate side; 1-row totals broadcast",
       "m18_audio_snr"               -> "real-decode SNR: one decode per clip emits window energies; exact integer sums per side; doubles only in the final log",
-      "v20_correlated_dims"         -> "Gramian audit: ONE custom-aggregate pass (O(d²) mergeable integer state) — no d²-per-row explode; driver folds model-sized sums"
+      "v20_correlated_dims"         -> "Gramian audit: ONE custom-aggregate pass (O(d²) mergeable integer state) — no d²-per-row explode; driver folds model-sized sums",
+      "q56_blame_supplier"          -> "sole-blame: EXISTS/NOT-EXISTS pair collapsed to one conditional-agg pass; ONE fact-fact shuffle; supplier names broadcast last",
+      "e41_retention_halflife"      -> "retention decay: two keyed aggregates + 1-row broadcast total; decimal-quantized log-linear fit over ≤28 offset rows"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -402,7 +402,12 @@ object SparkEntry {
     "v20_correlated_dims"    -> ((s, d) => Similarity.v20CorrelatedDims(s, d)),
     // round 11: v20's OCC-folded streaming twin (exact integer sums ⇒
     // bit-identical to the batch aggregate under any batch chop)
-    "s32_stream_covariance"  -> ((s, d) => StreamingBatch.s32StreamCovariance(s, d))
+    "s32_stream_covariance"  -> ((s, d) => StreamingBatch.s32StreamCovariance(s, d)),
+    // round 11: TPC-H Q21 shape — EXISTS/NOT-EXISTS pair collapsed into
+    // one conditional-aggregation pass over the order grain
+    "q56_blame_supplier"     -> ((s, d) => Relational.q56BlameSupplier(s, d)),
+    // round 11: exponential retention-decay fit (e5's curve -> half-life)
+    "e41_retention_halflife" -> ((s, d) => Events.e41RetentionHalflife(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3685,8 +3690,42 @@ object SparkEntry {
     // integer moment sums, identical scalar covariance arithmetic —
     // shared because the streaming fold is bit-identical to one batch
     "v20_correlated_dims" -> covSql,
-    "s32_stream_covariance" -> covSql
+    "s32_stream_covariance" -> covSql,
+    "q56_blame_supplier" -> q56Sql,
+    "e41_retention_halflife" -> e41Sql
   )
+
+  private val q56Sql =
+    """WITH j AS (SELECT l.l_orderkey, l.l_suppkey,
+      |  (CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)) > 90 AS late
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |g AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+      |  max(CASE WHEN late THEN l_suppkey END) AS blamed
+      | FROM j GROUP BY 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM g JOIN supplier ON blamed = s_suppkey
+      |WHERE n_supp > 1 AND n_late = 1
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
+  private val e41Sql =
+    """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |t AS (SELECT count(*) AS n_users FROM c),
+      |r AS (SELECT (e.day - c.cohort_day) AS off, count(*) AS users
+      | FROM e JOIN c USING (user_id)
+      | WHERE (e.day - c.cohort_day) BETWEEN 1 AND 28 GROUP BY 1),
+      |p AS (SELECT CAST(round(CAST(off AS DOUBLE), 9) AS DECIMAL(12,10)) AS x,
+      |  CAST(round(ln(CAST(users AS DOUBLE) / n_users), 9) AS DECIMAL(12,10)) AS y
+      | FROM r, t),
+      |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+      |  CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x*y) AS DOUBLE) AS sxy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx FROM p)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS decay_lambda,
+      | CASE WHEN (n*sxy - sx*sy) / (n*sxx - sx*sx) < 0 THEN
+      |   round(ln(2.0) / -((n*sxy - sx*sy) / (n*sxx - sx*sx)), 4) END AS half_life_days
+      |FROM a""".stripMargin
 
   private val covSql =
     """WITH e AS (SELECT vec_id, u.i AS i, u.v AS v FROM (

@@ -1115,4 +1115,57 @@ object Events {
       .withColumn("breach", col("max_burst") >= limit)
       .orderBy("user_id")
   }
+
+  /** e41: RETENTION HALF-LIFE — e5's cohort curve collapsed to the one
+    * number a growth dashboard quotes: fit ln(retention rate) against
+    * day-offset (exponential-decay model r(d) ≈ r₀·e^{λd}) and report
+    * λ plus the implied half-life ln2/(−λ). The rate at offset d is
+    * distinct users active d days after their own first day over total
+    * users — two keyed aggregates (per-user cohort min, then per-offset
+    * distinct counts) and a 1-row broadcast total; the regression
+    * reuses t21/t37's decimal-quantized discipline (round(ln,9) →
+    * exact decimal sums → scalar double fit), restricted to offsets
+    * 1..`maxOffset` so the fit stays in the decaying regime. A
+    * non-decaying curve (λ ≥ 0) reports a NULL half-life in both
+    * engines.
+    */
+  def e41RetentionHalflife(s: SparkSession, d: String, maxOffset: Int = 28): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val total = cohort.agg(count(lit(1)).as("n_users"))
+    val rates = e
+      .distinct()
+      .join(cohort, "user_id")
+      .select(datediff(col("day"), col("cohort_day")).as("off"))
+      .filter(col("off") >= 1 && col("off") <= maxOffset)
+      // one row per (user, offset) survives the distinct upstream (a
+      // user's day at offset d is unique), so count(*) IS the distinct
+      // active-user count
+      .groupBy("off")
+      .agg(count(lit(1)).as("users"))
+      .crossJoin(broadcast(total))
+      .select(col("off"), (col("users").cast("double") / col("n_users")).as("rate"))
+    val x = round(col("off").cast("double"), 9).cast("decimal(12,10)")
+    val y = round(log(col("rate")), 9).cast("decimal(12,10)")
+    rates
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx")
+      )
+      .withColumn(
+        "lambda",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+      )
+      .select(
+        col("n").cast("long").as("n_points"),
+        round(col("lambda"), 6).as("decay_lambda"),
+        when(col("lambda") < 0, round(lit(math.log(2.0)) / -col("lambda"), 4))
+          .as("half_life_days")
+      )
+  }
+
 }

@@ -1113,4 +1113,42 @@ object Relational {
       )
       .orderBy("l_suppkey")
   }
+
+  /** q56: SOLE-BLAME SUPPLIER (TPC-H Q21's shape on the available
+    * columns) — suppliers who were the ONLY late shipper in a
+    * multi-supplier order. The textbook form is a correlated
+    * EXISTS(other supplier) + NOT EXISTS(other LATE supplier) pair —
+    * two extra fact self-joins; here both quantifiers collapse into
+    * ONE conditional-aggregation pass over the order grain
+    * (`countDistinct(supp)`, `countDistinct(late supp)`, and
+    * `max(late supp)` which IS the blamed supplier exactly when the
+    * late-count is 1), so the plan is a single fact-fact shuffle join
+    * (lineitem ⋈ orders on the order key) plus one groupBy — the
+    * rewrite every serious optimizer hopes to reach, stated directly.
+    * Supplier names arrive by broadcast at the very end, order-grain
+    * rows only.
+    */
+  def q56BlameSupplier(s: SparkSession, d: String, graceDays: Int = 90): DataFrame = {
+    val late = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > graceDays
+    val g = Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("blamed")
+      )
+    g.filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(s, d)), col("blamed") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
 }

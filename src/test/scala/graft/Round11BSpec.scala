@@ -336,4 +336,80 @@ class Round11BSpec extends AnyFunSuite {
     val stream = graft.operators.StreamingBatch.s32StreamCovariance(spark, sf).collect().toSeq
     assert(stream == batch && stream.nonEmpty)
   }
+
+  test("q56 sole-blame equals the literal EXISTS/NOT-EXISTS recompute") {
+    import org.apache.spark.sql.functions._
+    val j = graft.sources.Tables
+      .lineitem(spark, sf)
+      .join(
+        graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90).as("late")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the textbook form: supplier S blamed for order O iff S late in O,
+    // EXISTS another supplier in O, NOT EXISTS another LATE supplier in O
+    val byOrder = j.groupBy(_._1)
+    val expected = byOrder.values
+      .flatMap { rows =>
+        val supps = rows.map(_._2).distinct
+        val lateSupps = rows.filter(_._3).map(_._2).distinct
+        if (supps.length > 1 && lateSupps.length == 1) Some(lateSupps.head) else None
+      }
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val names = graft.sources.Tables
+      .supplier(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name"))
+      .toMap
+    val expTop = expected.toSeq
+      .map { case (k, n) => (names(k), n) }
+      .sortBy { case (nm, n) => (-n, nm) }
+      .take(25)
+    val got = graft.operators.Relational
+      .q56BlameSupplier(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+      .toSeq
+    assert(got == expTop && got.nonEmpty)
+  }
+
+  test("e41 half-life: lambda matches a brute-force fit and half-life is consistent") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.sources.Tables
+      .events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohort = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))).toMap
+    val nUsers = cohort.size.toDouble
+    val offs = pairs
+      .map { case (u, day) => java.time.temporal.ChronoUnit.DAYS.between(cohort(u), day) }
+      .filter(o => o >= 1 && o <= 28)
+    val rateByOff = offs.groupBy(identity).view.mapValues(_.length / nUsers).toMap
+    def q(d: Double) = BigDecimal(math.rint(d * 1e9) / 1e9)
+    val pts = rateByOff.toSeq.map { case (o, r) => (q(o.toDouble), q(math.log(r))) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val lambda = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = graft.operators.Events.e41RetentionHalflife(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_points") == pts.length.toLong)
+    assert(math.abs(row.getAs[Double]("decay_lambda") - lambda) < 1e-5)
+    if (lambda < 0)
+      assert(
+        math.abs(row.getAs[Double]("half_life_days") - math.log(2.0) / -lambda) < 1e-3
+      )
+    else assert(row.isNullAt(row.fieldIndex("half_life_days")))
+  }
 }
