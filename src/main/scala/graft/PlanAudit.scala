@@ -124,7 +124,10 @@ object PlanAudit {
       "m18_audio_snr"               -> "real-decode SNR: one decode per clip emits window energies; exact integer sums per side; doubles only in the final log",
       "v20_correlated_dims"         -> "Gramian audit: ONE custom-aggregate pass (O(d²) mergeable integer state) — no d²-per-row explode; driver folds model-sized sums",
       "q56_blame_supplier"          -> "sole-blame: EXISTS/NOT-EXISTS pair collapsed to one conditional-agg pass; ONE fact-fact shuffle; supplier names broadcast last",
-      "e41_retention_halflife"      -> "retention decay: two keyed aggregates + 1-row broadcast total; decimal-quantized log-linear fit over ≤28 offset rows"
+      "e41_retention_halflife"      -> "retention decay: two keyed aggregates + 1-row broadcast total; decimal-quantized log-linear fit over ≤28 offset rows",
+      "v21_sq8_distortion"          -> "SQ8 distortion: posexplode + ONE keyed aggregate; femto-unit integer sums — exact, order-free, map-side combined",
+      "t39_tokenizer_fertility"     -> "fertility: two per-row size() projections + one keyed aggregate; integer sums, one final division",
+      "c31_write_amplification"     -> "write amplification: c27's full-outer version join reduced to one scalar conditional-agg row"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -407,7 +407,13 @@ object SparkEntry {
     // one conditional-aggregation pass over the order grain
     "q56_blame_supplier"     -> ((s, d) => Relational.q56BlameSupplier(s, d)),
     // round 11: exponential retention-decay fit (e5's curve -> half-life)
-    "e41_retention_halflife" -> ((s, d) => Events.e41RetentionHalflife(s, d))
+    "e41_retention_halflife" -> ((s, d) => Events.e41RetentionHalflife(s, d)),
+    // round 11: SQ8 quantization-error audit (femto-unit exact sums)
+    "v21_sq8_distortion"     -> (Similarity.v21Sq8Distortion _),
+    // round 11: subword/word fertility per language (regex vs whitespace)
+    "t39_tokenizer_fertility" -> (TextAnalysis.t39TokenizerFertility _),
+    // round 11: COW write-amplification summary over the c2b merge store
+    "c31_write_amplification" -> (Maintenance.c31WriteAmplification _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3692,8 +3698,66 @@ object SparkEntry {
     "v20_correlated_dims" -> covSql,
     "s32_stream_covariance" -> covSql,
     "q56_blame_supplier" -> q56Sql,
-    "e41_retention_halflife" -> e41Sql
+    "e41_retention_halflife" -> e41Sql,
+    "v21_sq8_distortion" -> v21Sql,
+    // t39: both engines run leftmost-greedy matching on the same simple
+    // alternation, so the segmentations agree token-for-token
+    "t39_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS subwords
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS words,
+        | CAST(sum(subwords) AS BIGINT) AS subwords,
+        | round(CAST(sum(subwords) AS DOUBLE) / sum(words), 6) AS fertility
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+    // c31: c27's version replay reduced to the scalar amplification row
+    "c31_write_amplification" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |b AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e),
+        |v1 AS (SELECT user_id, event_id AS old_event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e, b WHERE 2*tus < mn + mx) WHERE rn = 1),
+        |v2 AS (SELECT user_id, event_id AS new_event_id FROM (
+        |  SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |j AS (SELECT old_event_id, new_event_id
+        | FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN old_event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows,
+        |  CAST(sum(CASE WHEN new_event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2_rows,
+        |  CAST(sum(CASE WHEN new_event_id IS NOT NULL
+        |    AND (old_event_id IS NULL OR old_event_id <> new_event_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(sum(CASE WHEN old_event_id IS NOT NULL AND old_event_id = new_event_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        | FROM j)
+        |SELECT v1_rows, v2_rows, changed, unchanged,
+        | CASE WHEN changed > 0 THEN round(CAST(v2_rows AS DOUBLE) / changed, 4) END
+        |   AS amplification
+        |FROM a""".stripMargin
   )
+
+  private val v21Sql =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb,
+      |  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) AS mx
+      | FROM embeddings),
+      |u AS (SELECT label, mx, unnest(emb) AS v FROM e),
+      |p AS (SELECT label,
+      |  CAST(floor((v - floor(v * (127.0 / mx) + 0.5) * (mx / 127.0))
+      |    * (v - floor(v * (127.0 / mx) + 0.5) * (mx / 127.0)) * 1e15 + 0.5) AS BIGINT) AS sq_q,
+      |  CAST(floor(abs(v - floor(v * (127.0 / mx) + 0.5) * (mx / 127.0)) * 1e9 + 0.5) AS BIGINT) AS ae_q
+      | FROM u),
+      |a AS (SELECT label, CAST(count(*)/64 AS BIGINT) AS n_vecs,
+      |  CAST(sum(sq_q) AS BIGINT) AS total_sqerr_q15, max(ae_q) AS mx_ae_q
+      | FROM p GROUP BY 1)
+      |SELECT label, n_vecs, total_sqerr_q15,
+      | round(CAST(total_sqerr_q15 AS DOUBLE) / 1e15 * 1e6 / n_vecs / 64, 6) AS mse_e6,
+      | CAST(mx_ae_q AS DOUBLE) / 1e9 AS max_abs_err
+      |FROM a ORDER BY label""".stripMargin
 
   private val q56Sql =
     """WITH j AS (SELECT l.l_orderkey, l.l_suppkey,

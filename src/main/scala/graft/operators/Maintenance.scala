@@ -2049,4 +2049,46 @@ object Maintenance {
       )
       .orderBy("dt")
   }
+
+  /** c31: WRITE-AMPLIFICATION REPORT — the copy-on-write cost audit for
+    * the c2b merge store: version 2 REWROTE every row (COW semantics)
+    * while only `changed` of them actually differ from version 1, so
+    * `rewritten / changed` is the amplification factor a table-format
+    * tuning pass watches (high amplification → switch the table to
+    * merge-on-read, shrink the partition grain, or batch merges). One
+    * full-outer keyed join of two immutable version scans (c27's
+    * shape) reduced to a single scalar row — the decision-grade
+    * summary rather than c27's per-row ledger.
+    */
+  def c31WriteAmplification(s: SparkSession, d: String): DataFrame = {
+    val store = mergeStoreCache.computeIfAbsent(
+      d,
+      _ => buildMergeStore(s, graft.TempDirs.create("graft_c2b_"), d)
+    )
+    val v1 = graft.sources.SnapshotStore
+      .readVersion(s, store, 1)
+      .select(col("user_id"), col("event_id").as("old_event_id"))
+    val v2 = graft.sources.SnapshotStore
+      .readVersion(s, store, 2)
+      .select(col("user_id"), col("event_id").as("new_event_id"))
+    val changed =
+      col("new_event_id").isNotNull &&
+        (col("old_event_id").isNull || col("old_event_id") =!= col("new_event_id"))
+    v1.join(v2, Seq("user_id"), "full_outer")
+      .agg(
+        sum(when(col("old_event_id").isNotNull, 1L).otherwise(0L)).as("v1_rows"),
+        sum(when(col("new_event_id").isNotNull, 1L).otherwise(0L)).as("v2_rows"),
+        sum(when(changed, 1L).otherwise(0L)).as("changed"),
+        sum(
+          when(
+            col("old_event_id").isNotNull && col("old_event_id") === col("new_event_id"),
+            1L
+          ).otherwise(0L)
+        ).as("unchanged")
+      )
+      .withColumn(
+        "amplification",
+        when(col("changed") > 0, round(col("v2_rows").cast("double") / col("changed"), 4))
+      )
+  }
 }

@@ -1097,4 +1097,57 @@ object Similarity {
       .take(topK)
       .toDF("i", "j", "cov", "corr")
   }
+
+  /** v21: SQ8 DISTORTION REPORT — the quantization-error audit for
+    * v13's scalar-quantized index (and the accept/reject signal for
+    * int8 storage in general): reconstruct every component through the
+    * SAME per-vector symmetric grid v13 searches with
+    * (q = ⌊v·127/mx + 0.5⌋, v̂ = q·mx/127) and report per label the
+    * exact total squared error, the mean per-component error in
+    * micro-units, and the worst single-component error. Per-component
+    * squared errors are quantized to decimal(22,15) BEFORE summing, so
+    * the label totals are exact and order-free (the cross-engine
+    * float-sum trap); the maxima compare identically-rounded doubles.
+    * One posexplode + one keyed aggregate — embarrassingly parallel at
+    * any corpus size.
+    */
+  def v21Sq8Distortion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("label"),
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")
+      )
+      .withColumn(
+        "mx",
+        greatest(array_max(transform(col("emb"), x => abs(x))), lit(1e-30))
+      )
+    val v = col("v")
+    val q8 = floor(v * (lit(127.0) / col("mx")) + lit(0.5))
+    val err = v - q8 * (col("mx") / lit(127.0))
+    e.select(col("label"), col("vec_id"), col("mx"), posexplode(col("emb")).as(Seq("i", "v")))
+      .select(
+        col("label"),
+        // femto-unit quantization (GramianAgg's trick at 1e15): both
+        // engines floor the IDENTICAL double, sums are exact longs
+        floor(err * err * lit(1e15) + lit(0.5)).cast("long").as("sq_q"),
+        floor(abs(err) * lit(1e9) + lit(0.5)).cast("long").as("ae_q")
+      )
+      .groupBy("label")
+      .agg(
+        (count(lit(1)) / lit(64)).cast("long").as("n_vecs"),
+        sum("sq_q").as("total_sqerr_q15"),
+        max("ae_q").as("mx_ae_q")
+      )
+      .select(
+        col("label"),
+        col("n_vecs"),
+        col("total_sqerr_q15"),
+        round(col("total_sqerr_q15").cast("double") / 1e15 * 1e6 / col("n_vecs") / 64, 6)
+          .as("mse_e6"),
+        (col("mx_ae_q").cast("double") / 1e9).as("max_abs_err")
+      )
+      .orderBy("label")
+  }
 }

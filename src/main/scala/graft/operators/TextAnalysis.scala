@@ -1545,4 +1545,32 @@ object TextAnalysis {
       .limit(k)
       .select("bg", "c2", "c1a", "c1b", "pmi")
   }
+
+  /** t39: TOKENIZER FERTILITY — subword-per-word ratio per language,
+    * the compression metric tokenizer reports quote (fertility ≫ 1
+    * means the vocabulary serves that language badly and its documents
+    * cost disproportionate sequence length): whitespace words vs the
+    * BPE-ish regex segmentation ([[TF.regexTokens]]: letter runs,
+    * digit runs, single punctuation — a pattern simple enough that
+    * Java's and RE2's leftmost-greedy semantics provably agree, which
+    * is what makes the DuckDB replay exact). Two per-row `size()`
+    * projections and ONE keyed aggregate; integer sums, one final
+    * division.
+    */
+  def t39TokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("words"),
+        size(TF.regexTokens(col("text"))).cast("long").as("subwords")
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("words").as("words"),
+        sum("subwords").as("subwords")
+      )
+      .withColumn("fertility", round(col("subwords").cast("double") / col("words"), 6))
+      .orderBy("lang")
 }

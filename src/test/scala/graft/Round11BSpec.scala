@@ -412,4 +412,77 @@ class Round11BSpec extends AnyFunSuite {
       )
     else assert(row.isNullAt(row.fieldIndex("half_life_days")))
   }
+
+  test("v21 SQ8 distortion equals a brute-force quantize/reconstruct recompute") {
+    val rows = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val expected = rows.groupBy(_._1).map { case (lbl, vs) =>
+      var totQ = 0L
+      var maxQ = 0L
+      vs.foreach { case (_, v) =>
+        val mx = math.max(v.map(math.abs).max, 1e-30)
+        v.foreach { x =>
+          val err = x - math.floor(x * (127.0 / mx) + 0.5) * (mx / 127.0)
+          totQ += math.floor(err * err * 1e15 + 0.5).toLong
+          maxQ = math.max(maxQ, math.floor(math.abs(err) * 1e9 + 0.5).toLong)
+        }
+      }
+      lbl -> (vs.length.toLong, totQ, maxQ.toDouble / 1e9)
+    }
+    val got = graft.operators.Similarity
+      .v21Sq8Distortion(spark, sf)
+      .collect()
+      .map(r =>
+        r.getAs[Int]("label") ->
+          (r.getAs[Long]("n_vecs"), r.getAs[Long]("total_sqerr_q15"), r.getAs[Double]("max_abs_err"))
+      )
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    // SQ8's grid bound: the worst reconstruction error is at most half a
+    // quantization step of the widest vector
+    got.values.foreach { case (_, _, mae) => assert(mae >= 0.0 && mae < 1.0) }
+  }
+
+  test("t39 fertility equals a brute-force Java-regex recompute") {
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]".r
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val sub = ds.map(d => re.findAllIn(d._2).size.toLong).sum
+      lang -> (ds.length.toLong, words, sub, math.rint(sub.toDouble / words * 1e6) / 1e6)
+    }
+    val got = graft.operators.TextAnalysis
+      .t39TokenizerFertility(spark, sf)
+      .collect()
+      .map(r =>
+        r.getAs[String]("lang") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("words"), r.getAs[Long]("subwords"),
+            r.getAs[Double]("fertility"))
+      )
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("c31 amplification is consistent with c27's per-row ledger") {
+    val ledger = graft.operators.Maintenance.c27VersionDiff(spark, sf).collect()
+    val changed = ledger.count(r => Set("added", "updated")(r.getAs[String]("change"))).toLong
+    val v2Rows = ledger.count(r => !r.isNullAt(r.fieldIndex("new_event_id"))).toLong
+    val r = graft.operators.Maintenance.c31WriteAmplification(spark, sf).collect()(0)
+    assert(r.getAs[Long]("changed") == changed)
+    assert(r.getAs[Long]("v2_rows") == v2Rows)
+    assert(r.getAs[Long]("unchanged") + changed == v2Rows)
+    if (changed > 0)
+      assert(
+        math.abs(
+          r.getAs[Double]("amplification") - math.rint(v2Rows.toDouble / changed * 1e4) / 1e4
+        ) < 1e-9
+      )
+  }
 }
