@@ -127,7 +127,9 @@ object PlanAudit {
       "e41_retention_halflife"      -> "retention decay: two keyed aggregates + 1-row broadcast total; decimal-quantized log-linear fit over ≤28 offset rows",
       "v21_sq8_distortion"          -> "SQ8 distortion: posexplode + ONE keyed aggregate; femto-unit integer sums — exact, order-free, map-side combined",
       "t39_tokenizer_fertility"     -> "fertility: two per-row size() projections + one keyed aggregate; integer sums, one final division",
-      "c31_write_amplification"     -> "write amplification: c27's full-outer version join reduced to one scalar conditional-agg row"
+      "c31_write_amplification"     -> "write amplification: c27's full-outer version join reduced to one scalar conditional-agg row",
+      "e42_stickiness"              -> "DAU/MAU: one deduplicated (user, day) scan feeds both aggregates; month-grain join; integer-sum ratios",
+      "t40_vocab_coverage"          -> "vocab coverage: one count shuffle; the only global sort runs over the TYPE table (Heaps-sublinear), probe rows broadcast"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -413,7 +413,11 @@ object SparkEntry {
     // round 11: subword/word fertility per language (regex vs whitespace)
     "t39_tokenizer_fertility" -> (TextAnalysis.t39TokenizerFertility _),
     // round 11: COW write-amplification summary over the c2b merge store
-    "c31_write_amplification" -> (Maintenance.c31WriteAmplification _)
+    "c31_write_amplification" -> (Maintenance.c31WriteAmplification _),
+    // round 11: DAU/MAU engagement ratio per month
+    "e42_stickiness"         -> (Events.e42Stickiness _),
+    // round 11: vocabulary coverage at tokenizer budget cut points
+    "t40_vocab_coverage"     -> ((s, d) => TextAnalysis.t40VocabCoverage(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3738,7 +3742,29 @@ object SparkEntry {
         |SELECT v1_rows, v2_rows, changed, unchanged,
         | CASE WHEN changed > 0 THEN round(CAST(v2_rows AS DOUBLE) / changed, 4) END
         |   AS amplification
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "e42_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT date_trunc('month', day) AS month, day, count(*) AS dau
+        | FROM ud GROUP BY 1, 2),
+        |dm AS (SELECT month, count(*) AS n_days, sum(dau) AS sum_dau FROM dau GROUP BY 1),
+        |mau AS (SELECT date_trunc('month', day) AS month, count(DISTINCT user_id) AS mau
+        | FROM ud GROUP BY 1)
+        |SELECT CAST(dm.month AS DATE) AS month, n_days, mau,
+        | round(CAST(sum_dau AS DOUBLE) / n_days, 4) AS avg_dau,
+        | round(CAST(sum_dau AS DOUBLE) / n_days / mau, 6) AS stickiness
+        |FROM dm JOIN mau USING (month) ORDER BY month""".stripMargin,
+    "t40_vocab_coverage" ->
+      """WITH f AS (SELECT tok, count(*) AS f FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents) GROUP BY 1),
+        |r AS (SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS rank,
+        |  sum(f) OVER (ORDER BY f DESC, tok ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens, count(*) AS n_types FROM f)
+        |SELECT CAST(rank AS INT) AS cut_n, CAST(cum AS BIGINT) AS covered_tokens,
+        | total_tokens, n_types,
+        | round(CAST(cum AS DOUBLE) / total_tokens, 6) AS coverage
+        |FROM r, t WHERE rank IN (5, 10, 20) ORDER BY cut_n""".stripMargin
   )
 
   private val v21Sql =

@@ -1168,4 +1168,41 @@ object Events {
       )
   }
 
+  /** e42: DAU/MAU STICKINESS — the engagement ratio every consumer
+    * dashboard tracks: per month, average daily active users over
+    * monthly active users (1.0 = every monthly user shows up daily).
+    * Two aggregates off ONE deduplicated (user, day) scan — day-grain
+    * counts roll up to the month, the month distinct runs keyed — then
+    * a month-grain join. Exact distinct counts keep the oracle a hash
+    * gate; at 100 TB swap `approx_count_distinct`/theta sketches into
+    * the identical plan (q23/e19's documented trade). The avg-DAU mean
+    * is an integer-sum ratio — deterministic to the last bit.
+    */
+  def e42Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables
+      .events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud
+      .groupBy(trunc(col("day"), "month").as("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val mau = ud
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(countDistinct("user_id").as("mau"))
+    dau
+      .join(mau, "month")
+      .select(
+        col("month"),
+        col("n_days"),
+        col("mau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 4).as("avg_dau"),
+        round(
+          col("sum_dau").cast("double") / col("n_days") / col("mau"),
+          6
+        ).as("stickiness")
+      )
+      .orderBy("month")
+  }
 }

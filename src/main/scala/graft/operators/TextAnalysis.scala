@@ -1573,4 +1573,42 @@ object TextAnalysis {
       )
       .withColumn("fertility", round(col("subwords").cast("double") / col("words"), 6))
       .orderBy("lang")
+
+  /** t40: VOCABULARY COVERAGE CURVE — what share of all token
+    * OCCURRENCES the top-N vocabulary types cover, at the budget cut
+    * points a tokenizer design sweeps (coverage@N for a sweep of N; the
+    * number that decides how large a vocab must be before <unk> rates
+    * become negligible). One token-count shuffle, a global
+    * frequency-rank window over the VOCABULARY (types, not tokens —
+    * the only unpartitioned sort runs over the type table, which is
+    * Heaps-sublinear in the corpus; t29's TakeOrderedAndProject trick
+    * applies when even that is too big), cumulative integer sums, and
+    * one probe row per cut point. Exact integer arithmetic until the
+    * final share division.
+    */
+  def t40VocabCoverage(s: SparkSession, d: String, cuts: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val freq = Tables
+      .documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(desc("f"), col("tok"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("f").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.agg(sum("f").as("total_tokens"), count(lit(1)).as("n_types"))
+    import s.implicits._
+    val cutDf = cuts.toDF("cut_n")
+    ranked
+      .join(broadcast(cutDf), col("rank") === col("cut_n"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cut_n"),
+        col("cum").as("covered_tokens"),
+        col("total_tokens"),
+        col("n_types"),
+        round(col("cum").cast("double") / col("total_tokens"), 6).as("coverage")
+      )
+      .orderBy("cut_n")
+  }
 }

@@ -485,4 +485,57 @@ class Round11BSpec extends AnyFunSuite {
         ) < 1e-9
       )
   }
+
+  test("e42 stickiness equals a brute-force DAU/MAU recompute") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables
+      .events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byMonth = ud.groupBy(p => p._2.withDayOfMonth(1))
+    val expected = byMonth.map { case (m, rows) =>
+      val days = rows.groupBy(_._2)
+      val sumDau = days.values.map(_.size.toLong).sum
+      val nDays = days.size.toLong
+      val mau = rows.map(_._1).distinct.size.toLong
+      m.toString -> (nDays, mau, math.rint(sumDau.toDouble / nDays * 1e4) / 1e4,
+        math.rint(sumDau.toDouble / nDays / mau * 1e6) / 1e6)
+    }
+    val got = graft.operators.Events
+      .e42Stickiness(spark, sf)
+      .collect()
+      .map(r =>
+        r.getAs[java.sql.Date]("month").toLocalDate.toString ->
+          (r.getAs[Long]("n_days"), r.getAs[Long]("mau"), r.getAs[Double]("avg_dau"),
+            r.getAs[Double]("stickiness"))
+      )
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    got.values.foreach { case (_, _, _, st) => assert(st > 0.0 && st <= 1.0) }
+  }
+
+  test("t40 coverage curve is monotone and matches a brute-force rank recompute") {
+    val toks = graft.sources.Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val total = freq.map(_._2).sum
+    val cum = freq.scanLeft(0L)(_ + _._2).drop(1)
+    val expected = Seq(5, 10, 20).filter(_ <= freq.length).map { n =>
+      n -> (cum(n - 1), math.rint(cum(n - 1).toDouble / total * 1e6) / 1e6)
+    }.toMap
+    val got = graft.operators.TextAnalysis
+      .t40VocabCoverage(spark, sf)
+      .collect()
+      .map(r => r.getAs[Int]("cut_n") -> (r.getAs[Long]("covered_tokens"), r.getAs[Double]("coverage")))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    val cov = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(cov == cov.sorted) // more vocab never covers less
+  }
 }
