@@ -417,7 +417,9 @@ object SparkEntry {
     // round 11: DAU/MAU engagement ratio per month
     "e42_stickiness"         -> (Events.e42Stickiness _),
     // round 11: vocabulary coverage at tokenizer budget cut points
-    "t40_vocab_coverage"     -> ((s, d) => TextAnalysis.t40VocabCoverage(s, d))
+    "t40_vocab_coverage"     -> ((s, d) => TextAnalysis.t40VocabCoverage(s, d)),
+    // round 11: real-decode tone entropy (pico-unit exact term sums)
+    "m19_image_entropy"      -> (Multimodal.m19ImageEntropy _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3764,7 +3766,22 @@ object SparkEntry {
         |SELECT CAST(rank AS INT) AS cut_n, CAST(cum AS BIGINT) AS covered_tokens,
         | total_tokens, n_types,
         | round(CAST(cum AS DOUBLE) / total_tokens, 6) AS coverage
-        |FROM r, t WHERE rank IN (5, 10, 20) ORDER BY cut_n""".stripMargin
+        |FROM r, t WHERE rank IN (5, 10, 20) ORDER BY cut_n""".stripMargin,
+    // m19: same pixel replay as m17; identical per-tone term arithmetic
+    "m19_image_entropy" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS INT) AS h FROM documents),
+        |px AS (SELECT m.doc_id, m.w * m.h AS n, (m.doc_id*31 + t.i*7919) % 256 AS v
+        | FROM m JOIN generate_series(0, 223) t(i) ON t.i < m.w * m.h),
+        |tone AS (SELECT doc_id, any_value(n) AS n, v // 32 AS tn, count(*) AS c
+        | FROM px GROUP BY doc_id, v // 32),
+        |q AS (SELECT doc_id, any_value(n) AS n_px, count(*) AS n_tones,
+        |  CAST(sum(CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e12 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS sq
+        | FROM tone GROUP BY 1)
+        |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px, CAST(n_tones AS INT) AS n_tones,
+        | -sq AS entropy_q12, -CAST(sq AS DOUBLE) / 1e12 AS entropy
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 
   private val v21Sql =

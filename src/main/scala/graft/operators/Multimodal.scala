@@ -915,6 +915,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m19: IMAGE TONE ENTROPY over the REAL decode path — the
+    * information-content screen that separates flat/synthetic images
+    * from textured ones (a near-zero-entropy image is a solid fill or
+    * a banner; curation pipelines drop or down-weight them): decode
+    * the staged PNG on executors, build the 8-tone histogram (m17's
+    * grid), and compute Shannon entropy over the tone distribution.
+    * Each tone's −p·ln p term is quantized to pico-units
+    * (⌊term·10¹² + 0.5⌋) IN TONE ORDER on the executor, so the per-image
+    * sum is an exact long and the final entropy an exact division —
+    * no cross-engine float-sum or round-boundary exposure (the v20
+    * lesson). Oracle replays the generating pixel formulas through the
+    * identical term arithmetic. Map-only + one sort; nothing but the
+    * per-image scalar row shuffles.
+    */
+  def m19ImageEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val hist = new Array[Long](8)
+          var i = 0
+          val n = w * h
+          while (i < n) { hist(raster.getSample(i % w, i / w, 0) / 32) += 1; i += 1 }
+          var sumQ = 0L
+          var tones = 0
+          var t = 0
+          while (t < 8) {
+            if (hist(t) > 0) {
+              tones += 1
+              val p = hist(t).toDouble / n
+              sumQ += math.floor(p * math.log(p) * 1e12 + 0.5).toLong
+            }
+            t += 1
+          }
+          (id, n.toLong, tones, -sumQ, -sumQ.toDouble / 1e12)
+        }
+      }
+      .toDF("doc_id", "n_px", "n_tones", "entropy_q12", "entropy")
+      .orderBy("doc_id")
+  }
+
   /** m18: AUDIO SNR ESTIMATE over the REAL decode path — the
     * signal-to-noise screen a speech-curation pipeline runs after m16's
     * clipping check: split each clip's energy windows (m11's shared

@@ -538,4 +538,24 @@ class Round11BSpec extends AnyFunSuite {
     val cov = got.toSeq.sortBy(_._1).map(_._2._2)
     assert(cov == cov.sorted) // more vocab never covers less
   }
+
+  test("m19 tone entropy equals the generating-formula recompute and respects ln(8) bound") {
+    val got = graft.operators.Multimodal.m19ImageEntropy(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (4 + (id % 13).toInt, 4 + ((id * 7) % 11).toInt)
+      val hist = new Array[Long](8)
+      (0 until w * h).foreach(i => hist(((id * 31 + i.toLong * 7919) % 256).toInt / 32) += 1)
+      var sumQ = 0L
+      hist.filter(_ > 0).foreach { c =>
+        val p = c.toDouble / (w * h)
+        sumQ += math.floor(p * math.log(p) * 1e12 + 0.5).toLong
+      }
+      assert(r.getAs[Long]("entropy_q12") == -sumQ)
+      val ent = r.getAs[Double]("entropy")
+      assert(ent >= 0.0 && ent <= math.log(8.0) + 1e-9)
+      assert(r.getAs[Int]("n_tones") == hist.count(_ > 0))
+    }
+  }
 }
