@@ -130,7 +130,8 @@ object PlanAudit {
       "c31_write_amplification"     -> "write amplification: c27's full-outer version join reduced to one scalar conditional-agg row",
       "e42_stickiness"              -> "DAU/MAU: one deduplicated (user, day) scan feeds both aggregates; month-grain join; integer-sum ratios",
       "t40_vocab_coverage"          -> "vocab coverage: one count shuffle; the only global sort runs over the TYPE table (Heaps-sublinear), probe rows broadcast",
-      "m19_image_entropy"           -> "real-decode tone entropy: map-only decode + pico-unit exact term sums per image; scalar rows shuffle"
+      "m19_image_entropy"           -> "real-decode tone entropy: map-only decode + pico-unit exact term sums per image; scalar rows shuffle",
+      "q57_decile_lift"             -> "decile lift: one fact aggregate -> dim-sized ntile window -> 10-row report; exact decimal spend cuts"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

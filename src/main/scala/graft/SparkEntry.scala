@@ -419,7 +419,11 @@ object SparkEntry {
     // round 11: vocabulary coverage at tokenizer budget cut points
     "t40_vocab_coverage"     -> ((s, d) => TextAnalysis.t40VocabCoverage(s, d)),
     // round 11: real-decode tone entropy (pico-unit exact term sums)
-    "m19_image_entropy"      -> (Multimodal.m19ImageEntropy _)
+    "m19_image_entropy"      -> (Multimodal.m19ImageEntropy _),
+    // round 11: vocabulary-state streaming entropy monitor (OCC-folded)
+    "s33_stream_entropy"     -> (StreamingBatch.s33StreamTokenEntropy _),
+    // round 11: customer revenue decile lift table (exact decimal cuts)
+    "q57_decile_lift"        -> (Relational.q57DecileLift _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3781,7 +3785,34 @@ object SparkEntry {
         | FROM tone GROUP BY 1)
         |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px, CAST(n_tones AS INT) AS n_tones,
         | -sq AS entropy_q12, -CAST(sq AS DOUBLE) / 1e12 AS entropy
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // s33: the folded (token, count) table equals the batch counts under
+    // any chop, so the oracle recomputes straight from raw documents
+    "s33_stream_entropy" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CAST(cnt AS DECIMAL(12,0))
+        |    * CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,10))) AS DOUBLE) AS sclnc
+        | FROM c)
+        |SELECT n_tokens, n_types,
+        | round(ln(CAST(n_tokens AS DOUBLE)) - sclnc / n_tokens, 6) AS entropy
+        |FROM a""".stripMargin,
+    "q57_decile_lift" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1),
+        |tl AS (SELECT o_custkey, spend,
+        |  ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM spend),
+        |g AS (SELECT decile, count(*) AS n_customers, sum(spend) AS rev FROM tl GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total_rev FROM g),
+        |c AS (SELECT decile, n_customers, rev,
+        |  sum(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_rev FROM g)
+        |SELECT CAST(c.decile AS INT) AS decile, n_customers,
+        | CAST(rev AS DOUBLE) AS revenue,
+        | round(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS share,
+        | round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS cum_share
+        |FROM c, t ORDER BY decile""".stripMargin
   )
 
   private val v21Sql =

@@ -1158,4 +1158,44 @@ object Relational {
       .orderBy(desc("numwait"), col("s_name"))
       .limit(25)
   }
+
+  /** q57: REVENUE DECILE LIFT — the marketing-analytics staple: rank
+    * customers by total spend, cut into ntile(10) deciles, and report
+    * each decile's revenue share plus the cumulative (lift) curve
+    * ("the top decile holds X% of revenue"). Spend totals are
+    * decimal(18,2)-quantized (o_totalprice is 2 dp, so the sums are
+    * EXACT and the decile cut never moves on a float ulp); the ntile
+    * runs over the CUSTOMER-grain table under a total order
+    * (spend desc, custkey) — dimension-sized, and at extreme customer
+    * counts the same report falls out of GK quantile cuts (q34's
+    * family) instead of a global ntile. One fact aggregate, one
+    * dim-sized window, one 10-row report.
+    */
+  def q57DecileLift(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables
+      .orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val w = Window.orderBy(desc("spend"), col("o_custkey"))
+    val tiles = spend
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("spend").as("rev")
+      )
+    val total = tiles.agg(sum("rev").as("total_rev"))
+    val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiles
+      .crossJoin(broadcast(total))
+      .withColumn("cum_rev", sum("rev").over(wc))
+      .select(
+        col("decile"),
+        col("n_customers"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("total_rev").cast("double"), 6).as("share"),
+        round(col("cum_rev").cast("double") / col("total_rev").cast("double"), 6).as("cum_share")
+      )
+      .orderBy("decile")
+  }
 }

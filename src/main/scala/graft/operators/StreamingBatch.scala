@@ -2321,4 +2321,60 @@ object StreamingBatch {
     val g = Array.tabulate(1 + dim + dim * (dim + 1) / 2)(k => folded.getOrElse(k, 0L))
     graft.operators.Similarity.covReport(s, g, dim, topK = 20)
   }
+
+  /** s33: STREAMING CORPUS-ENTROPY MONITOR — the vocabulary-level
+    * Shannon entropy of the token stream, maintained online: each
+    * micro-batch key-sums its token counts into the OCC store (the
+    * batchId-idempotent [[occCountFold]] again), and the report folds
+    * the landed (token, count) table with t34's decimal discipline
+    * (c·ln c quantized to decimal BEFORE the sum). A collapsing
+    * entropy is the canonical duplicate-flood / template-spam signal
+    * on an ingest firehose. State is VOCABULARY-sized — Heaps-
+    * sublinear in the stream, the best possible monitor-state story —
+    * and because count-folds are associative the landed table equals
+    * the batch recompute under any batch chop, so the DuckDB oracle
+    * recomputes straight from the raw documents.
+    */
+  def s33StreamTokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDocsJson(s, d)
+    val root = graft.TempDirs.create("graft_s33_run_")
+    val store = s"$root/store"
+    val docSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select("r.*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("cnt"))
+        occCountFold(store, incoming, Seq("w"), batchId)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SnapshotStore
+      .readCurrent(s, store)
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(
+          col("cnt").cast("decimal(12,0)") * round(log(col("cnt")), 9).cast("decimal(20,10)")
+        ).as("sclnc")
+      )
+      .select(
+        col("n_tokens"),
+        col("n_types"),
+        round(
+          log(col("n_tokens").cast("double")) - col("sclnc").cast("double") / col("n_tokens"),
+          6
+        ).as("entropy")
+      )
+  }
 }

@@ -558,4 +558,35 @@ class Round11BSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_tones") == hist.count(_ > 0))
     }
   }
+
+  test("s33 streaming entropy equals a batch token recompute") {
+    val toks = graft.sources.Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val sclnc = counts.values
+      .map(c => BigDecimal(c) * BigDecimal(math.rint(math.log(c.toDouble) * 1e9) / 1e9))
+      .sum
+    val expected = math.rint((math.log(n.toDouble) - sclnc.toDouble / n) * 1e6) / 1e6
+    val row = graft.operators.StreamingBatch.s33StreamTokenEntropy(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_tokens") == n)
+    assert(row.getAs[Long]("n_types") == counts.size.toLong)
+    assert(math.abs(row.getAs[Double]("entropy") - expected) < 1e-9)
+  }
+
+  test("q57 decile lift: shares sum to 1, lift curve is monotone, totals match") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.q57DecileLift(spark, sf).collect()
+    assert(rows.length == 10)
+    val nCust = graft.sources.Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    val cum = rows.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.drop(1)).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(cum.last - 1.0) < 1e-6)
+    // the top decile must hold at least its proportional share
+    assert(rows.minBy(_.getAs[Int]("decile")).getAs[Double]("share") >= 0.1 - 1e-9)
+  }
 }
