@@ -55,8 +55,19 @@ object GraftExtensions {
     "graft_kll_quantile" -> (es => KllQuantileAt(es(0), litDouble(es(1)))),
     "graft_theta" -> (es => ThetaSketchAgg(es(0))),
     "graft_theta_estimate" -> (es => ThetaEstimate(es(0))),
-    "graft_theta_intersect" -> (es => ThetaIntersectEstimate(es(0), es(1)))
+    "graft_theta_intersect" -> (es => ThetaIntersectEstimate(es(0), es(1))),
+    // one-pass quantized Gramian over array<float> (v20/s32's moment
+    // buffer) — SQL: graft_gramian(embedding, 64)
+    "graft_gramian" -> (es => GramianAgg(es(0), litInt(es(1))))
   )
+
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal, got $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"expected an int literal, got $other")
+    }
+  }
 
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {

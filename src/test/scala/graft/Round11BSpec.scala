@@ -589,4 +589,20 @@ class Round11BSpec extends AnyFunSuite {
     // the top decile must hold at least its proportional share
     assert(rows.minBy(_.getAs[Int]("decile")).getAs[Double]("share") >= 0.1 - 1e-9)
   }
+
+  test("graft_gramian SQL function equals the Column-path GramianAgg") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_g")
+    val viaSql = spark
+      .sql("SELECT graft_gramian(embedding, 64) AS g FROM emb_g")
+      .collect()(0)
+      .getSeq[Long](0)
+    val viaCol = graft.sources.Tables
+      .embeddings(spark, sf)
+      .agg(graft.plans.GraftExpressions.gramian(col("embedding"), 64).as("g"))
+      .collect()(0)
+      .getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.head > 0L)
+  }
 }
