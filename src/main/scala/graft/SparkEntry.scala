@@ -423,7 +423,9 @@ object SparkEntry {
     // round 11: vocabulary-state streaming entropy monitor (OCC-folded)
     "s33_stream_entropy"     -> (StreamingBatch.s33StreamTokenEntropy _),
     // round 11: customer revenue decile lift table (exact decimal cuts)
-    "q57_decile_lift"        -> (Relational.q57DecileLift _)
+    "q57_decile_lift"        -> (Relational.q57DecileLift _),
+    // round 11: Goh-Barabási burstiness over exact integer gap moments
+    "e43_burstiness"         -> (Events.e43Burstiness _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3812,7 +3814,26 @@ object SparkEntry {
         | CAST(rev AS DOUBLE) AS revenue,
         | round(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS share,
         | round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS cum_share
-        |FROM c, t ORDER BY decile""".stripMargin
+        |FROM c, t ORDER BY decile""".stripMargin,
+    // e43: exact integer gap moments; identical scalar mu/sigma/B math
+    "e43_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |  (tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)) // 1000000
+        |    AS gap FROM e),
+        |a AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS sg,
+        |  CAST(sum(gap*gap) AS BIGINT) AS sg2
+        | FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps, sg, sg2,
+        |  CAST(sg AS DOUBLE) / n_gaps AS mu,
+        |  sqrt(greatest((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps,
+        |    0.0)) AS sigma
+        | FROM a)
+        |SELECT user_id, n_gaps, round(mu, 4) AS mean_gap_s,
+        | CASE WHEN sigma + mu > 0 THEN round((sigma - mu) / (sigma + mu), 6) END
+        |   AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin
   )
 
   private val v21Sql =

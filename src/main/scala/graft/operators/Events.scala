@@ -1205,4 +1205,44 @@ object Events {
       )
       .orderBy("month")
   }
+
+  /** e43: BURSTINESS INDEX (Goh & Barabási) — per user,
+    * B = (σ−μ)/(σ+μ) over inter-event gaps: −1 = metronome, 0 =
+    * Poisson, → 1 = extreme bursts. The behavioral fingerprint that
+    * separates humans (bursty) from schedulers/bots (regular) — the
+    * distributional complement to e30's top-cadence share. Gaps are
+    * floor-divided to whole seconds so Σgap and Σgap² are EXACT longs
+    * (one keyed window + one keyed aggregate — e11's shuffle shape);
+    * μ/σ/B are scalar doubles from those exact sums, variance clamped
+    * at 0 before the sqrt so a constant-gap user can't go NaN on a
+    * rounding ulp. A gapless user (n=1 event) drops out with the
+    * first lag.
+    */
+  def e43Burstiness(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val mu = col("sg").cast("double") / col("n_gaps")
+    val variance =
+      (col("sg2").cast("double") - col("sg").cast("double") * col("sg") / col("n_gaps")) /
+        col("n_gaps")
+    val sigma = sqrt(greatest(variance, lit(0.0)))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("diff", col("tus") - lag("tus", 1).over(w))
+      .filter(col("diff").isNotNull)
+      .select(col("user_id"), expr("diff div 1000000").as("gap"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap").as("sg"),
+        sum(col("gap") * col("gap")).as("sg2")
+      )
+      .select(
+        col("user_id"),
+        col("n_gaps"),
+        round(mu, 4).as("mean_gap_s"),
+        when(sigma + mu > 0, round((sigma - mu) / (sigma + mu), 6)).as("burstiness")
+      )
+      .orderBy("user_id")
+  }
 }

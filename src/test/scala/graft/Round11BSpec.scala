@@ -605,4 +605,41 @@ class Round11BSpec extends AnyFunSuite {
       .getSeq[Long](0)
     assert(viaSql == viaCol && viaSql.head > 0L)
   }
+
+  test("e43 burstiness equals a brute-force gap-moment recompute and stays in (-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val gaps = sorted.zip(sorted.drop(1)).map { case (a, b) =>
+        Math.floorDiv(b._3 - a._3, 1000000L)
+      }
+      if (gaps.isEmpty) None
+      else {
+        val n = gaps.length
+        val sg = gaps.sum
+        val sg2 = gaps.map(g => g * g).sum
+        val mu = sg.toDouble / n
+        val sigma = math.sqrt(math.max((sg2.toDouble - sg.toDouble * sg / n) / n, 0.0))
+        val b =
+          if (sigma + mu > 0) Some(math.rint((sigma - mu) / (sigma + mu) * 1e6) / 1e6) else None
+        Some(u -> (n.toLong, math.rint(mu * 1e4) / 1e4, b))
+      }
+    }
+    val got = graft.operators.Events
+      .e43Burstiness(spark, sf)
+      .collect()
+      .map { r =>
+        val b = if (r.isNullAt(r.fieldIndex("burstiness"))) None
+                else Some(r.getAs[Double]("burstiness"))
+        r.getAs[Long]("user_id") -> (r.getAs[Long]("n_gaps"), r.getAs[Double]("mean_gap_s"), b)
+      }
+      .toMap
+    assert(got == expected.toMap && got.nonEmpty)
+    got.values.flatMap(_._3).foreach(b => assert(b > -1.0 - 1e-9 && b <= 1.0 + 1e-9))
+  }
 }
