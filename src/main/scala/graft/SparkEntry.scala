@@ -425,7 +425,9 @@ object SparkEntry {
     // round 11: customer revenue decile lift table (exact decimal cuts)
     "q57_decile_lift"        -> (Relational.q57DecileLift _),
     // round 11: Goh-Barabási burstiness over exact integer gap moments
-    "e43_burstiness"         -> (Events.e43Burstiness _)
+    "e43_burstiness"         -> (Events.e43Burstiness _),
+    // round 11: centroid assignment-margin audit (exact decimal margins)
+    "v22_centroid_margin"    -> (Similarity.v22CentroidMargin _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3833,7 +3835,33 @@ object SparkEntry {
         |SELECT user_id, n_gaps, round(mu, 4) AS mean_gap_s,
         | CASE WHEN sigma + mu > 0 THEN round((sigma - mu) / (sigma + mu), 6) END
         |   AS burstiness
-        |FROM m ORDER BY user_id""".stripMargin
+        |FROM m ORDER BY user_id""".stripMargin,
+    // v22: rounded centroids + decimal-quantized dot terms ⇒ exact
+    // similarities, margins, and confusion comparisons in both engines
+    "v22_centroid_margin" ->
+      """WITH cen AS (SELECT label AS c_label, idx, round(avg(v), 4) + 0.0 AS c FROM (
+        |  SELECT label, CAST(u.i AS INT) AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+        |   SELECT label, unnest([{'i': i-1, 'v': embedding[i]}
+        |     FOR i IN range(1, len(embedding)+1)]) AS u
+        |   FROM embeddings)) GROUP BY 1, 2),
+        |e AS (SELECT vec_id, label, CAST(u.i AS INT) AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+        |  SELECT vec_id, label, unnest([{'i': i-1, 'v': embedding[i]}
+        |    FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)),
+        |t AS (SELECT vec_id, e.label, c_label,
+        |  CAST(round(v * c, 9) AS DECIMAL(20,10)) AS t
+        | FROM e JOIN cen ON e.idx = cen.idx),
+        |sims AS (SELECT vec_id, label, c_label, sum(t) AS sim FROM t GROUP BY 1, 2, 3),
+        |p AS (SELECT vec_id, label,
+        |  max(CASE WHEN c_label = label THEN sim END) AS own,
+        |  max(CASE WHEN c_label <> label THEN sim END) AS best_other
+        | FROM sims GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        | round(CAST(sum(own - best_other) AS DOUBLE) / count(*), 6) AS mean_margin,
+        | CAST(sum(CASE WHEN own <= best_other THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
+        | round(CAST(sum(CASE WHEN own <= best_other THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS confused_share
+        |FROM p GROUP BY 1 ORDER BY label""".stripMargin
   )
 
   private val v21Sql =

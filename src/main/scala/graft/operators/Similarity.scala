@@ -1098,6 +1098,58 @@ object Similarity {
       .toDF("i", "j", "cov", "corr")
   }
 
+  /** v22: CENTROID ASSIGNMENT-MARGIN AUDIT — how confidently each
+    * vector belongs to its own label's centroid: the dot-similarity
+    * margin (own-centroid minus best other-centroid), the
+    * cluster-quality signal that predicts IVF/classifier confusion
+    * before either is built (a negative margin IS a nearest-centroid
+    * misassignment). Centroids are v4's ROUNDED elementwise means
+    * (deterministic values both engines reproduce), broadcast as a
+    * labels×dims model table; per-term products are quantized to
+    * decimal(20,10) before summing so every similarity, margin, and
+    * the confusion comparison are EXACT — no float-sum or ulp-compare
+    * exposure anywhere. Work is d×L per vector with map-side combine
+    * on the (vector, centroid) key — embarrassingly parallel; only
+    * the label-grain report survives.
+    */
+  def v22CentroidMargin(s: SparkSession, d: String): DataFrame = {
+    val cen = Tables
+      .embeddings(s, d)
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy("c_label", "idx")
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0)).as("c"))
+    val sims = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .join(broadcast(cen), "idx")
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("c_label"),
+        round(col("v").cast("double") * col("c"), 9).cast("decimal(20,10)").as("t")
+      )
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum("t").as("sim"))
+    sims
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("c_label") === col("label"), col("sim"))).as("own"),
+        max(when(col("c_label") =!= col("label"), col("sim"))).as("best_other")
+      )
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("own") - col("best_other")).cast("double") / count(lit(1)), 6)
+          .as("mean_margin"),
+        sum(when(col("own") <= col("best_other"), 1L).otherwise(0L)).as("n_confused")
+      )
+      .withColumn(
+        "confused_share",
+        round(col("n_confused").cast("double") / col("n_vecs"), 6)
+      )
+      .orderBy("label")
+  }
+
   /** v21: SQ8 DISTORTION REPORT — the quantization-error audit for
     * v13's scalar-quantized index (and the accept/reject signal for
     * int8 storage in general): reconstruct every component through the

@@ -642,4 +642,44 @@ class Round11BSpec extends AnyFunSuite {
     assert(got == expected.toMap && got.nonEmpty)
     got.values.flatMap(_._3).foreach(b => assert(b > -1.0 - 1e-9 && b <= 1.0 + 1e-9))
   }
+
+  test("v22 margin audit equals a brute-force rounded-centroid recompute") {
+    val rows = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val dim = rows.head._3.length
+    val cen = rows.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> Array.tabulate(dim) { i =>
+        val m = vs.map(_._3(i).toDouble).sum / vs.length
+        math.rint(m * 1e4) / 1e4 + 0.0
+      }
+    }
+    def q(x: Double) = BigDecimal(math.rint(x * 1e9) / 1e9)
+    val perVec = rows.map { case (_, lbl, v) =>
+      val sims = cen.map { case (cl, c) =>
+        cl -> (0 until dim).map(i => q(v(i).toDouble * c(i))).sum
+      }
+      val own = sims(lbl)
+      val best = sims.filter(_._1 != lbl).values.max
+      (lbl, own - best)
+    }
+    val expected = perVec.groupBy(_._1).map { case (lbl, ms) =>
+      val margins = ms.map(_._2)
+      val conf = margins.count(_ <= 0).toLong
+      lbl -> (ms.length.toLong,
+        math.rint(margins.sum.toDouble / ms.length * 1e6) / 1e6, conf,
+        math.rint(conf.toDouble / ms.length * 1e6) / 1e6)
+    }
+    val got = graft.operators.Similarity
+      .v22CentroidMargin(spark, sf)
+      .collect()
+      .map(r =>
+        r.getAs[Int]("label") -> (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_margin"),
+          r.getAs[Long]("n_confused"), r.getAs[Double]("confused_share"))
+      )
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
