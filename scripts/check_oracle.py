@@ -66,6 +66,20 @@ def main():
         if sorted(s_cols) != sorted(o_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
             n_fail += 1; continue
+        # Type-parity guard: the driver's hash is type-sensitive while the
+        # repr-compare below is not. DuckDB widens windowed/plain integer
+        # sums to HUGEINT, which Spark can never produce — hard-fail so the
+        # class (q53/c26 in round 11) is caught locally before the driver.
+        o_types = [str(t).upper() for t in o_rel.types]
+        s_types = [str(t).upper() for t in spark_rel.types]
+        if any("HUGEINT" in t for t in o_types):
+            hcols = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t]
+            print(f"FAIL {name}: oracle HUGEINT column(s) {hcols} — add CAST(... AS BIGINT)")
+            n_fail += 1; continue
+        if sorted(zip(o_cols, o_types)) != sorted(zip(s_cols, s_types)):
+            diff = [(c, st, ot) for (c, st), (_, ot) in
+                    zip(sorted(zip(s_cols, s_types)), sorted(zip(o_cols, o_types))) if st != ot]
+            print(f"TYPEWARN {name}: spark vs oracle type drift {diff[:4]}")
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
             n_fail += 1; continue

@@ -131,7 +131,7 @@ object PlanAudit {
       "e42_stickiness"              -> "DAU/MAU: one deduplicated (user, day) scan feeds both aggregates; month-grain join; integer-sum ratios",
       "t40_vocab_coverage"          -> "vocab coverage: one count shuffle; the only global sort runs over the TYPE table (Heaps-sublinear), probe rows broadcast",
       "m19_image_entropy"           -> "real-decode tone entropy: map-only decode + pico-unit exact term sums per image; scalar rows shuffle",
-      "q57_decile_lift"             -> "decile lift: one fact aggregate -> dim-sized ntile window -> 10-row report; exact decimal spend cuts",
+      "q57_decile_lift"             -> "decile lift: range-partitioned rank (every WindowExec keyed on pid) + closed-form ntile + broadcast triangular fold — ZERO unpartitioned windows; exact decimal spend cuts",
       "e43_burstiness"              -> "burstiness: one keyed lag window + one keyed aggregate; exact integer gap moments, scalar B at the end",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )

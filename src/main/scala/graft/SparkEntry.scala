@@ -232,6 +232,7 @@ object SparkEntry {
     "s14_stream_topk"        -> (StreamingBatch.s14StreamTopk _),
     "s15_ingest_csv"         -> (StreamingBatch.s15IngestCsv _),
     "s16_ingest_proto"       -> (StreamingBatch.s16IngestProto _),
+    "s34_ingest_avro"        -> (StreamingBatch.s34IngestAvro _),
     "s17_stream_mv"          -> (StreamingBatch.s17StreamMv _),
     "q50_lateral_topn"       -> (Relational.q50LateralTopn _),
     "c10_fk_audit"           -> (Maintenance.c10FkAudit _),
@@ -409,7 +410,7 @@ object SparkEntry {
     // round 11: exponential retention-decay fit (e5's curve -> half-life)
     "e41_retention_halflife" -> ((s, d) => Events.e41RetentionHalflife(s, d)),
     // round 11: SQ8 quantization-error audit (femto-unit exact sums)
-    "v21_sq8_distortion"     -> (Similarity.v21Sq8Distortion _),
+    "v21_sq8_distortion"     -> ((s, d) => Similarity.v21Sq8Distortion(s, d)),
     // round 11: subword/word fertility per language (regex vs whitespace)
     "t39_tokenizer_fertility" -> (TextAnalysis.t39TokenizerFertility _),
     // round 11: COW write-amplification summary over the c2b merge store
@@ -1137,7 +1138,7 @@ object SparkEntry {
         |conc AS (SELECT day, sum(net) OVER (ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_lines FROM deltas),
         |m AS (SELECT date_trunc('month', day)::DATE AS month, day, open_lines FROM conc),
-        |pk AS (SELECT month, max(open_lines) AS peak_open FROM m GROUP BY 1)
+        |pk AS (SELECT month, CAST(max(open_lines) AS BIGINT) AS peak_open FROM m GROUP BY 1)
         |SELECT m.month, pk.peak_open, min(day) AS peak_day
         |FROM m JOIN pk ON m.month = pk.month AND m.open_lines = pk.peak_open
         |GROUP BY m.month, pk.peak_open ORDER BY m.month""".stripMargin,
@@ -1150,7 +1151,7 @@ object SparkEntry {
         |  coalesce(sum(n_rows) OVER (PARTITION BY dt ORDER BY hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         | FROM files)
-        |SELECT dt, cum_before // 200 AS bin, count(*) AS n_files,
+        |SELECT dt, CAST(cum_before // 200 AS BIGINT) AS bin, count(*) AS n_files,
         | CAST(sum(n_rows) AS BIGINT) AS n_rows, min(hr) AS first_hr, max(hr) AS last_hr
         |FROM c GROUP BY dt, cum_before // 200 ORDER BY dt, bin""".stripMargin,
     // s29: the drift rule replayed over the batch table (the staged
@@ -2460,6 +2461,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_corrupt
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "s15_ingest_csv" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | CAST(0 AS BIGINT) AS n_corrupt
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "s34_ingest_avro" ->
       """SELECT CAST(ts AS DATE) AS dt, CAST(strftime(ts, '%H') AS INT) AS hr,
         | count(*) AS n, round(sum(value), 2) AS sum_value,
         | CAST(0 AS BIGINT) AS n_corrupt

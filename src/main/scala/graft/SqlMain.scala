@@ -91,11 +91,22 @@ object SqlMain {
     require(stmts.nonEmpty, "no SQL statements found")
     // Intermediate statements run for their SIDE EFFECTS only — and in
     // Spark, commands (CREATE VIEW, DDL, CACHE TABLE, ...) execute
-    // EAGERLY inside spark.sql itself, so invoking it is sufficient. A
-    // mid-script SELECT has no side effect worth its rows; the previous
-    // collect() here landed an arbitrarily large user-controlled result
-    // on the driver, so nothing is materialized any more.
-    stmts.init.foreach(spark.sql(_))
+    // EAGERLY inside spark.sql itself (their analyzed plan lands as
+    // CommandResult), so invoking spark.sql is sufficient for them. A
+    // mid-script non-command (a bare SELECT) would otherwise be built
+    // and silently discarded — losing side-effecting expressions like
+    // assert_true — so it gets a BOUNDED materialization (limit 1):
+    // enough to execute the plan once without landing an arbitrarily
+    // large user-controlled result on the driver.
+    stmts.init.foreach { st =>
+      val df = spark.sql(st)
+      df.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => () // already ran
+        case _ =>
+          df.limit(1).collect()
+          ()
+      }
+    }
     spark.sql(stmts.last)
   }
 

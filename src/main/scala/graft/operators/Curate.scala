@@ -417,7 +417,7 @@ object Curate {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = Multimodal.decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           // dHash over the decoded raster (m14b's grid)

@@ -200,6 +200,21 @@ object Multimodal {
     * PNG is lossless, so every sample round-trips exactly through
     * [[javax.imageio.ImageIO]].
     */
+  /** Decode image bytes with a loud, addressable failure: ImageIO.read
+    * returns NULL (not an exception) for undecodable bytes, and the
+    * bare executor NPE that follows carries no row context. Every
+    * real-decode operator routes through this so a corrupt staged
+    * image names its doc_id in the task failure.
+    */
+  private[graft] def decodeImage(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image bytes for doc_id=$docId (${bytes.length} bytes) — corrupt or unsupported format"
+      )
+    img
+  }
+
   private[graft] def encodePng(w: Int, h: Int, px: Int => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -313,7 +328,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var sumPx = 0L
@@ -346,7 +361,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val sums = Array.ofDim[Long](target * target)
@@ -387,7 +402,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val raster = img.getRaster
           val f = new Array[Double](8)
           var i = 0
@@ -712,7 +727,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var hash = 0L
@@ -760,7 +775,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var l1 = 0L
@@ -882,7 +897,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val hist = new Array[Long](8)
@@ -937,7 +952,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImage(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val hist = new Array[Long](8)

@@ -1164,31 +1164,70 @@ object Relational {
     * each decile's revenue share plus the cumulative (lift) curve
     * ("the top decile holds X% of revenue"). Spend totals are
     * decimal(18,2)-quantized (o_totalprice is 2 dp, so the sums are
-    * EXACT and the decile cut never moves on a float ulp); the ntile
-    * runs over the CUSTOMER-grain table under a total order
-    * (spend desc, custkey) — dimension-sized, and at extreme customer
-    * counts the same report falls out of GK quantile cuts (q34's
-    * family) instead of a global ntile. One fact aggregate, one
-    * dim-sized window, one 10-row report.
+    * EXACT and the decile cut never moves on a float ulp). The global
+    * rank is computed SCALE-SAFELY (the round-11 verdict's fix): a
+    * distributed range sort on (spend desc, custkey), per-partition
+    * `row_number` windows (parallel — every WindowExec partitioned by
+    * `pid`), plus partition-count offsets (bounded driver metadata:
+    * one long per range partition). `decile(rank, N)` is then the
+    * closed-form ntile: the first N mod 10 tiles take ⌈N/10⌉ rows.
+    * Identical output to a global `ntile(10)` window, but no
+    * single-task sort — at 1.5 B customers the heavy lifting is an
+    * ordinary range-partitioned sort. The cumulative (lift) curve
+    * folds over the 10-row tile table with a broadcast triangular
+    * self-join, so the whole plan has zero unpartitioned windows.
     */
   def q57DecileLift(s: SparkSession, d: String): DataFrame = {
     val spend = Tables
       .orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val w = Window.orderBy(desc("spend"), col("o_custkey"))
-    val tiles = spend
-      .withColumn("decile", ntile(10).over(w))
+    // range-sorted customer grain, pinned once so the counts job and
+    // the rank job see the SAME partition assignment
+    val parts = spend
+      .repartitionByRange(32, desc("spend"), col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts
+      .groupBy("pid")
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val nTotal = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val qSize = nTotal / 10
+    val mBig = nTotal % 10 // first mBig tiles take qSize+1 rows
+    val bigCut = (qSize + 1) * mBig
+    val offExpr = map(offsets.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val wLocal = Window.partitionBy("pid").orderBy(desc("spend"), col("o_custkey"))
+    val ranked = parts
+      .withColumn("rank", element_at(offExpr, col("pid")) + row_number().over(wLocal))
+      .withColumn(
+        "decile",
+        when(
+          col("rank") <= lit(bigCut),
+          floor((col("rank") - 1) / lit(qSize + 1)) + 1
+        ).otherwise( // qSize==0 ⇒ bigCut==nTotal ⇒ branch unreachable; max(,1) keeps the expr total
+          lit(mBig) + floor((col("rank") - 1 - lit(bigCut)) / lit(math.max(qSize, 1L))) + 1
+        )
+          .cast("int")
+      )
+    val tiles = ranked
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_customers"),
         sum("spend").as("rev")
       )
+      .localCheckpoint() // 10 rows; reused by the total + triangular fold
     val total = tiles.agg(sum("rev").as("total_rev"))
-    val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tiles
+    val cum = tiles
+      .select(col("decile").as("d2"), col("rev").as("rev2"))
+      .join(broadcast(tiles), col("d2") <= col("decile"))
+      .groupBy("decile", "n_customers", "rev")
+      .agg(sum("rev2").as("cum_rev"))
+    cum
       .crossJoin(broadcast(total))
-      .withColumn("cum_rev", sum("rev").over(wc))
       .select(
         col("decile"),
         col("n_customers"),

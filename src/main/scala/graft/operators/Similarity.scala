@@ -1081,9 +1081,13 @@ object Similarity {
     import s.implicits._
     val n = g(0).toDouble
     val gOff = 1 + dim
-    def tri(i: Int, j: Int): Int = gOff + i * dim - i * (i - 1) / 2 + (j - i)
-    def cov(i: Int, j: Int): Double =
-      ((g(tri(i, j)).toDouble - g(1 + i).toDouble * g(1 + j) / n) / n) / 1e12
+    // cross moments ride as (hi, lo) pairs — see GramianAgg's split
+    // 2-long accumulator; reconstruct exactly before the double math
+    def tri(i: Int, j: Int): Int = gOff + 2 * (i * dim - i * (i - 1) / 2 + (j - i))
+    def cov(i: Int, j: Int): Double = {
+      val gij = graft.plans.GramianAgg.moment(g(tri(i, j)), g(tri(i, j) + 1)).toDouble
+      ((gij - g(1 + i).toDouble * g(1 + j) / n) / n) / 1e12
+    }
     def r(x: Double, scale: Int): Double =
       BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val vars = Array.tabulate(dim)(i => cov(i, i))
@@ -1163,7 +1167,7 @@ object Similarity {
     * One posexplode + one keyed aggregate — embarrassingly parallel at
     * any corpus size.
     */
-  def v21Sq8Distortion(s: SparkSession, d: String): DataFrame = {
+  def v21Sq8Distortion(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
     val e = Tables
       .embeddings(s, d)
       .select(
@@ -1188,7 +1192,7 @@ object Similarity {
       )
       .groupBy("label")
       .agg(
-        (count(lit(1)) / lit(64)).cast("long").as("n_vecs"),
+        (count(lit(1)) / lit(dim)).cast("long").as("n_vecs"),
         sum("sq_q").as("total_sqerr_q15"),
         max("ae_q").as("mx_ae_q")
       )
@@ -1196,7 +1200,7 @@ object Similarity {
         col("label"),
         col("n_vecs"),
         col("total_sqerr_q15"),
-        round(col("total_sqerr_q15").cast("double") / 1e15 * 1e6 / col("n_vecs") / 64, 6)
+        round(col("total_sqerr_q15").cast("double") / 1e15 * 1e6 / col("n_vecs") / dim, 6)
           .as("mse_e6"),
         (col("mx_ae_q").cast("double") / 1e9).as("max_abs_err")
       )

@@ -975,7 +975,11 @@ object StreamingBatch {
           case None => incoming
         }
         val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
-        merged.write.mode("overwrite").parquet(staged)
+        // the folded state is model-sized BY DESIGN (types×hours, cohort
+        // bins, O(d²) moments, vocab types — KB/MB): land it as ONE file
+        // so every subsequent batch re-reads one footer, not a
+        // shuffle-partition-count pile of tiny files
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
         SnapshotStore.annotate(staged, "batch", batchId.toString)
         committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
         if (!committed) SnapshotStore.deleteTree(java.nio.file.Paths.get(staged))
@@ -1343,6 +1347,117 @@ object StreamingBatch {
         dir
       }
     )
+
+  /** The Avro writer schema shared by the s34 staging (encode) and
+    * ingest (decode) sides — the khose wire shape: one binary-encoded
+    * record per message, `ts` carried as logicalType timestamp-micros
+    * so the decode side dispatches on the annotation, not a magnitude
+    * heuristic.
+    */
+  private[graft] val avroEventSchemaJson: String =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"props","type":"string"}]}""".stripMargin
+
+  /** Staged events as binary Avro records (binary `value` column in
+    * parquet — the file stand-in for Kafka message values), cached per
+    * dir like the CSV/proto stages. Encoding runs distributed: one
+    * avro-core `GenericDatumWriter` + reusable `BinaryEncoder` per
+    * partition, one record per message (the khose wire shape — NOT an
+    * Avro container file).
+    */
+  private def stageAvro(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#avro",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_avro_")
+        val schemaJson = avroEventSchemaJson
+        Tables
+          .events(s, d)
+          .select(
+            col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("user_id"),
+            col("event_type"),
+            col("value"),
+            col("props")
+          )
+          .as(org.apache.spark.sql.Encoders.product[(Long, Long, Long, String, Double, String)])
+          .mapPartitions { it =>
+            val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val writer =
+              new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema)
+            val bos = new java.io.ByteArrayOutputStream()
+            var enc: org.apache.avro.io.BinaryEncoder = null
+            it.map { case (id, tsUs, uid, typ, v, props) =>
+              bos.reset()
+              enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, enc)
+              val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+              rec.put("event_id", id)
+              rec.put("ts", tsUs)
+              rec.put("user_id", uid)
+              rec.put("event_type", typ)
+              rec.put("value", v)
+              rec.put("props", props)
+              writer.write(rec, enc)
+              enc.flush()
+              bos.toByteArray
+            }
+          }(org.apache.spark.sql.Encoders.BINARY)
+          .toDF("value")
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/avro")
+        dir
+      }
+    )
+
+  /** s34: the s1 firehose with the AVRO wire format — binary record
+    * values through the same parse → keyed-repartition → partitioned
+    * parquet path, only the parse slot swapped (`wireFormat = "avro"`,
+    * the writer schema as config — khose's schema-registry shape).
+    * Decode is avro-core's `GenericDatumReader` per partition (no
+    * spark-avro needed); corrupt capture follows the CSV/proto
+    * permissive contract. Oracle: the landed table must aggregate to
+    * what DuckDB computes from the source rows — same check as
+    * s15/s16, so the three wire formats are gate-equivalent.
+    */
+  def s34IngestAvro(s: SparkSession, d: String): DataFrame = {
+    val avro = stageAvro(s, d)
+    val dir = graft.TempDirs.create("graft_s34_run_")
+    val raw = s.readStream
+      .schema(StructType(Seq(StructField("value", org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$avro/avro")
+    val q = StreamIngest.runFromRaw(
+      raw,
+      StreamIngest.IngestConfig(
+        source = StreamIngest.FileSource(s"$avro/avro"),
+        schema = eventSchema,
+        tsColumn = "ts",
+        outputPath = s"$dir/out",
+        checkpointPath = s"$dir/ck",
+        sinkPartitions = 16,
+        wireFormat = "avro",
+        avroWriterSchema = Some(avroEventSchemaJson)
+      )
+    )
+    q.awaitTermination()
+    s.read
+      .parquet(s"$dir/out")
+      .groupBy(col("dt").cast("date").as("dt"), col("hr").cast("int").as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        count(col("_corrupt")).as("n_corrupt")
+      )
+      .orderBy("dt", "hr")
+  }
 
   /** s16: the s1 firehose with a PROTOBUF wire format — binary message
     * values (the Kafka-shaped payload) through the same parse →
@@ -2318,7 +2433,7 @@ object StreamingBatch {
       .collect()
       .map(r => r.getAs[Int]("k") -> r.getAs[Long]("cnt"))
       .toMap
-    val g = Array.tabulate(1 + dim + dim * (dim + 1) / 2)(k => folded.getOrElse(k, 0L))
+    val g = Array.tabulate(1 + dim + dim * (dim + 1))(k => folded.getOrElse(k, 0L))
     graft.operators.Similarity.covReport(s, g, dim, topK = 20)
   }
 

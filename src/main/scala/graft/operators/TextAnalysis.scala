@@ -1370,6 +1370,22 @@ object TextAnalysis {
       .documents(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= k + w - 1)
+      // the min-packing below carries gram positions in a 20-bit field;
+      // a doc with > 2²⁰−1 grams would silently corrupt its
+      // fingerprints, so fail LOUDLY at the boundary instead
+      .withColumn(
+        "tk",
+        when(
+          size(col("tk")) - lit(k - 1) > lit(1048575),
+          raise_error(
+            concat(
+              lit("t36 winnowing: doc_id="),
+              col("doc_id"),
+              lit(" exceeds 2^20-1 k-grams; widen the position field before rerunning")
+            )
+          ).cast("array<string>")
+        ).otherwise(col("tk"))
+      )
       .select(
         col("doc_id"),
         (size(col("tk")) - (k - 1) - (w - 1)).as("n_windows"),

@@ -905,15 +905,26 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
   * via RowMatrix.computeGramianMatrix's treeAggregate; here it is an
   * ordinary mergeable aggregate so it composes with groupBy and rides
   * partial-agg/merge like any sum). Buffer: [n, S₀..S_{d-1},
-  * G₀₀..G_{ij} (row-major upper triangle)] with every component
-  * QUANTIZED to integer micro-units (q(v) = ⌊v·10⁶ + 0.5⌋) so all sums
-  * are exact longs — merge-ORDER-FREE, hence hash-reproducible across
-  * any partitioning, the property a float-double accumulator cannot
-  * give. State is O(d²) regardless of row count (d=64 ⇒ 2 145 longs);
-  * overflow bound: n · (qmax)² must stay under 2⁶³ (qmax = 8·10⁶ admits
-  * n ≈ 1.4·10⁵ per group at |v| ≤ 8 — raise the unit for bigger groups,
-  * or split by salt and merge, exactly like any long-sum).
-  * Covariance/correlation derive from the sums as scalar doubles.
+  * (Ghi,Glo)₀₀..(Ghi,Glo)_{ij} (row-major upper triangle)] with every
+  * component QUANTIZED to integer micro-units (q(v) = ⌊v·10⁶ + 0.5⌋) so
+  * all sums are exact integers — merge-ORDER-FREE, hence
+  * hash-reproducible across any partitioning, the property a
+  * float-double accumulator cannot give. Each cross moment is carried
+  * as a SPLIT 2-long accumulator: the per-row product c = qᵢ·qⱼ
+  * (|c| ≤ 6.4·10¹³ at |v| ≤ 8) is decomposed into hi = c >> 23 and
+  * lo = c & (2²³−1) (arithmetic shift = floorDiv for a power of two,
+  * so lo is always non-negative), and the two halves sum INDEPENDENTLY
+  * — no carry propagation, so downstream element-wise folds (the s32
+  * OCC store) stay valid, and the true moment is recovered exactly as
+  * (Σhi)·2²³ + Σlo at read time. Overflow bound per group: Σlo grows
+  * < n·2²³ and Σhi < n·7.7·10⁶, so a single group holds ≈ 1.1·10¹²
+  * rows (≈ 280 TB of 64-dim float32) before either half can wrap —
+  * and every add is Math.addExact, so exceeding the bound FAILS
+  * LOUDLY instead of silently corrupting the covariance (the round-11
+  * hazard: a single-long accumulator wrapped at ~9·10⁶ rows).
+  * State is O(d²) regardless of row count (d=64 ⇒ 4 225 longs).
+  * Covariance/correlation derive from the sums as scalar doubles via
+  * [[graft.operators.Similarity.covReport]].
   */
 case class GramianAgg(
     child: Expression,
@@ -925,7 +936,7 @@ case class GramianAgg(
 
   require(dim >= 1 && dim <= 512, "GramianAgg dim out of range")
   private val gOff = 1 + dim
-  private val bufLen = 1 + dim + dim * (dim + 1) / 2
+  private val bufLen = 1 + dim + dim * (dim + 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -951,7 +962,7 @@ case class GramianAgg(
         var i = 0
         while (i < dim) {
           q(i) = math.floor(arr.getFloat(i) * 1e6 + 0.5).toLong
-          buf(1 + i) += q(i)
+          buf(1 + i) = Math.addExact(buf(1 + i), q(i))
           i += 1
         }
         var k = gOff
@@ -959,7 +970,13 @@ case class GramianAgg(
         while (i < dim) {
           var j = i
           val qi = q(i)
-          while (j < dim) { buf(k) += qi * q(j); j += 1; k += 1 }
+          while (j < dim) {
+            val c = qi * q(j) // |qi|,|qj| ≤ 2³³ ⇒ the product itself fits
+            buf(k) = Math.addExact(buf(k), c >> 23)
+            buf(k + 1) = Math.addExact(buf(k + 1), c & GramianAgg.LoMask)
+            j += 1
+            k += 2
+          }
           i += 1
         }
       }
@@ -969,7 +986,7 @@ case class GramianAgg(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    while (i < bufLen) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
     buf
   }
 
@@ -991,4 +1008,18 @@ case class GramianAgg(
   override def withNewInputAggBufferOffset(offset: Int): GramianAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GramianAgg {
+  /** Split point for the 2-long cross-moment accumulator: per-row
+    * products decompose as c = (c >> LoShift)·2^LoShift + (c & LoMask)
+    * and the halves sum independently (element-wise, fold-safe). */
+  final val LoShift = 23
+  final val LoMask: Long = (1L << LoShift) - 1
+
+  /** Exact cross-moment reconstruction from a summed (Σhi, Σlo) pair.
+    * BigInt, so toDouble performs ONE round-to-nearest of the exact
+    * integer — bit-identical to the single-long accumulator it
+    * replaced whenever that one didn't overflow. */
+  def moment(hi: Long, lo: Long): BigInt = (BigInt(hi) << LoShift) + lo
 }
