@@ -133,6 +133,12 @@ object PlanAudit {
       "m19_image_entropy"           -> "real-decode tone entropy: map-only decode + pico-unit exact term sums per image; scalar rows shuffle",
       "q57_decile_lift"             -> "decile lift: range-partitioned rank (every WindowExec keyed on pid) + closed-form ntile + broadcast triangular fold — ZERO unpartitioned windows; exact decimal spend cuts",
       "e43_burstiness"              -> "burstiness: one keyed lag window + one keyed aggregate; exact integer gap moments, scalar B at the end",
+      "q58_skyline"                 -> "skyline: per-size min aggregate -> suffix-min over the SIZE-grain table -> broadcast join back + one corpus filter; no self-join, no corpus window",
+      "q59_semi_additive"           -> "semi-additive balance: customers collapsed to (from,to)-interval grain BEFORE the broadcast month-spine range join — months² rows meet the spine, never customers×months",
+      "e44_engagement_gini"         -> "engagement gini: ScaleRank stitched rank (every WindowExec keyed on pid+type, offsets from the metadata-grain count table) -> exact integer Σi·x sums",
+      "v23_knn_mutuality"           -> "kNN mutuality: v5 edge build + ONE keyed self-equi-join on the reversed (dst,src) pair + label join — corpus×k rows, never pairwise",
+      "c34_scd2_build"              -> "SCD2 build: change-marker + running-sum + lead windows ALL keyed on user_id; one keyed aggregate; rows out = runs",
+      "s35_multi_topic_fanin"       -> "multi-topic fan-in read-back: the landed table partition-prunes on (topic, dt, hr) — one aggregate over the fanned-in store",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )
     val sb = new StringBuilder

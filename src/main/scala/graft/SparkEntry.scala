@@ -428,7 +428,23 @@ object SparkEntry {
     // round 11: Goh-Barabási burstiness over exact integer gap moments
     "e43_burstiness"         -> (Events.e43Burstiness _),
     // round 11: centroid assignment-margin audit (exact decimal margins)
-    "v22_centroid_margin"    -> (Similarity.v22CentroidMargin _)
+    "v22_centroid_margin"    -> (Similarity.v22CentroidMargin _),
+    // round 12: Pareto frontier via per-size min + size-grain suffix window
+    "q58_skyline"            -> (Relational.q58Skyline _),
+    // round 12: semi-additive closing balance (interval-grain range join)
+    "q59_semi_additive"      -> (Relational.q59SemiAdditive _),
+    // round 12: engagement inequality via ScaleRank stitched ranks
+    "e44_engagement_gini"    -> (Events.e44EngagementGini _),
+    // round 12: per-language doc-length log-normal fit (decimal-exact)
+    "t41_length_lognormal"   -> (TextAnalysis.t41LengthLognormal _),
+    // round 12: kNN mutual-edge fraction per label (graph quality)
+    "v23_knn_mutuality"      -> ((s, d) => Similarity.v23KnnMutuality(s, d)),
+    // round 12: two wire formats fanned into one landed table
+    "s35_multi_topic_fanin"  -> (StreamingBatch.s35MultiTopicFanin _),
+    // round 12: snapshot expiry audit over SnapshotStore.vacuum
+    "c33_version_gc"         -> (Maintenance.c33VersionGc _),
+    // round 12: SCD2 dimension build from the event stream
+    "c34_scd2_build"         -> (Maintenance.c34Scd2Build _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3867,7 +3883,102 @@ object SparkEntry {
         | CAST(sum(CASE WHEN own <= best_other THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
         | round(CAST(sum(CASE WHEN own <= best_other THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS confused_share
-        |FROM p GROUP BY 1 ORDER BY label""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY label""".stripMargin,
+    // q58: the DEFINITIONAL strict-dominance anti-join — independent of
+    // the engine's linear per-size-min + suffix-min plan
+    "q58_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice AS price FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_size, p_partkey""".stripMargin,
+    // q59: carry-forward balances via per-customer windows (the direct
+    // form — the engine collapses customers to interval grain first)
+    "q59_semi_additive" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS m,
+        |   o_orderdate, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |b AS (SELECT o_custkey, m, price AS balance FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, m
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM o) WHERE rn = 1),
+        |iv AS (SELECT o_custkey, m, balance,
+        |  lead(m) OVER (PARTITION BY o_custkey ORDER BY m) AS m_to FROM b),
+        |sp AS (SELECT DISTINCT m AS sm FROM o)
+        |SELECT sp.sm AS month, count(*) AS n_accounts,
+        | CAST(sum(iv.balance) AS DECIMAL(20,2)) AS book_balance
+        |FROM iv JOIN sp ON sp.sm >= iv.m AND (iv.m_to IS NULL OR sp.sm < iv.m_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e44_engagement_gini" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1,2),
+        |r AS (SELECT event_type, cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS i FROM c)
+        |SELECT event_type, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS total_events,
+        | round((CAST(2*sum(i*cnt) AS DOUBLE) - (count(*)+1)*CAST(sum(cnt) AS DOUBLE))
+        |   / (count(*)*CAST(sum(cnt) AS DOUBLE)), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t41: same decimal-quantized ln sums (t34's discipline) so both
+    // engines fold exactly
+    "t41_length_lognormal" ->
+      """WITH x AS (SELECT lang, CAST(round(ln(CAST(n_chars AS DOUBLE)), 9) AS DECIMAL(14,9)) AS lx
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (SELECT lang, count(*) AS n_docs, sum(lx) AS slx,
+        |  sum(CAST(lx*lx AS DECIMAL(28,18))) AS slx2 FROM x GROUP BY 1)
+        |SELECT lang, n_docs, round(CAST(slx AS DOUBLE)/n_docs, 6) AS mu,
+        | round(sqrt(greatest(CAST(slx2 AS DOUBLE)/n_docs
+        |   - (CAST(slx AS DOUBLE)/n_docs)*(CAST(slx AS DOUBLE)/n_docs), 0.0)), 6) AS sigma,
+        | round(exp(CAST(slx AS DOUBLE)/n_docs), 2) AS fit_median_chars
+        |FROM g ORDER BY lang""".stripMargin,
+    // v23: v5's exact kNN edge set (same rank tiebreak), reversed-pair
+    // self-join for mutuality, label-grain report
+    "v23_knn_mutuality" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+        |ed AS (SELECT q_id, c_id FROM r WHERE rn <= 3),
+        |m AS (SELECT ed.q_id FROM ed JOIN ed ed2 ON ed.q_id = ed2.c_id AND ed.c_id = ed2.q_id),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |pe AS (SELECT label, count(*) AS n_edges FROM ed JOIN lab ON ed.q_id = lab.vec_id GROUP BY 1),
+        |pm AS (SELECT label, count(*) AS n_mutual FROM m JOIN lab ON m.q_id = lab.vec_id GROUP BY 1)
+        |SELECT pe.label, pe.n_edges, coalesce(pm.n_mutual, 0) AS n_mutual,
+        | round(coalesce(pm.n_mutual, 0)*1.0 / pe.n_edges, 6) AS mutual_frac
+        |FROM pe LEFT JOIN pm ON pe.label = pm.label ORDER BY pe.label""".stripMargin,
+    // s35: each topic must independently reproduce the events table
+    "s35_multi_topic_fanin" ->
+      """WITH t AS (SELECT 'events_avro' AS topic, ts, value FROM events
+        | UNION ALL SELECT 'events_csv' AS topic, ts, value FROM events)
+        |SELECT topic, CAST(ts AS DATE) AS dt, count(*) AS n,
+        | round(sum(value), 2) AS sum_value, CAST(0 AS BIGINT) AS n_corrupt
+        |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // c33: versions 1..2 fell out of the keep-last-2 window (NULL stats
+    // — their data is gone); kept versions re-aggregate their slice
+    "c33_version_gc" ->
+      """WITH v AS (SELECT unnest([1,2,3,4]) AS version)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        | CASE WHEN v.version >= 3 THEN 'kept' ELSE 'expired' END AS status,
+        | CASE WHEN v.version >= 3 THEN (SELECT count(DISTINCT event_type) FROM events
+        |   WHERE date_part('day', ts) <= 7*v.version) END AS n_types,
+        | CASE WHEN v.version >= 3 THEN (SELECT count(*) FROM events
+        |   WHERE date_part('day', ts) <= 7*v.version) END AS n_events
+        |FROM v ORDER BY version""".stripMargin,
+    "c34_scd2_build" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m),
+        |g AS (SELECT user_id, run, event_type, min(tus) AS valid_from_us,
+        |  count(*) AS n_events FROM r GROUP BY 1,2,3),
+        |f AS (SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us,
+        |  n_events FROM g)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        | CAST(n_events AS BIGINT) AS n_events, (valid_to_us IS NULL) AS is_current
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin
   )
 
   private val v21Sql =

@@ -1245,4 +1245,48 @@ object Events {
       )
       .orderBy("user_id")
   }
+
+  /** e44: ENGAGEMENT GINI — per event type, the Gini coefficient of
+    * per-user event counts: 0 = perfectly even engagement, → 1 = a few
+    * whales generate everything. The inequality lens product teams put
+    * next to DAU (c30 applies the same statistic to FILE sizes; this
+    * is the behavioral version, and the rank axis is users, which c30's
+    * ≤24-rows-per-day shortcut cannot cover). Two keyed shuffles: user
+    * counts, then the within-type rank via [[ScaleRank.withRank]] — a
+    * per-type `row_number` would funnel each type through ONE reducer
+    * (a handful of types × a billion users each = q57's hazard in
+    * group clothing); the stitched rank keeps every window keyed on
+    * (pid, type). With counts and ranks both integers, Σi·xᵢ and Σxᵢ
+    * are EXACT longs (merge-order-free), so the only double is the
+    * final ratio: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), ties broken
+    * deterministically on (count, user_id).
+    */
+  def e44EngagementGini(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    ScaleRank
+      .withRank(counts, Seq("event_type"), Seq(col("cnt"), col("user_id")), "i")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("cnt").as("total_events"),
+        sum(col("i") * col("cnt")).as("swx")
+      )
+      .select(
+        col("event_type"),
+        col("n_users"),
+        col("total_events"),
+        // 2·Σi·x stays an exact long; ONE cast to double per term so the
+        // SQL-literal path (2.0 parses as DECIMAL) can't diverge
+        round(
+          ((col("swx") * 2).cast("double") -
+            (col("n_users") + lit(1L)) * col("total_events").cast("double")) /
+            (col("n_users") * col("total_events").cast("double")),
+          6
+        ).as("gini")
+      )
+      .orderBy("event_type")
+  }
 }

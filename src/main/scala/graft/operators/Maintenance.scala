@@ -2091,4 +2091,117 @@ object Maintenance {
         when(col("changed") > 0, round(col("v2_rows").cast("double") / col("changed"), 4))
       )
   }
+
+  // the 4-version weekly-snapshot store c33 vacuums, built once per
+  // (JVM, source dir) so reruns (bench repeat=2) audit the SAME store
+  private val gcStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** c33: SNAPSHOT EXPIRY (version GC) AUDIT — the retention half of
+    * the copy-on-write story: a store accumulates one published
+    * snapshot per week (per-type event counts through day 7k), then
+    * [[graft.sources.SnapshotStore.vacuum]] drops everything below the
+    * keep-last-2 window. The audit reports every version that EVER
+    * published: expired versions carry NULL stats (their data is gone
+    * — that is the point), kept versions re-read live from their
+    * immutable directories. Expiry is pure O(versions) metadata
+    * deletes — survivors are never scanned or rewritten, the manifest
+    * is untouched, and the report derives "expired" from the retention
+    * arithmetic (cur − keep), so the query is idempotent: a rerun
+    * vacuums nothing and reports identically. Time travel below the
+    * window fails with an explicit vacuumed error (ScalaTest-pinned)
+    * rather than a missing-file scan.
+    */
+  def c33VersionGc(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val store = gcStoreCache.computeIfAbsent(
+      d,
+      _ => {
+        val root = graft.TempDirs.create("graft_c33_") + "/store"
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), dayofmonth(col("ts")).as("dom"))
+        (1 to 4).foreach { k =>
+          ev.filter(col("dom") <= k * 7)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"))
+            .coalesce(1)
+            .write
+            .mode("overwrite")
+            .parquet(SnapshotStore.versionPath(root, k.toLong))
+          SnapshotStore.commit(root, k.toLong)
+        }
+        root
+      }
+    )
+    val keep = 2
+    SnapshotStore.vacuum(store, keep)
+    val cur = SnapshotStore.currentVersion(store).get
+    val cutoff = cur - keep + 1
+    val kept = (cutoff to cur).map { v =>
+      SnapshotStore
+        .readVersion(s, store, v)
+        .agg(count(lit(1)).as("n_types"), sum("n_events").as("n_events"))
+        .select(
+          lit(v).as("version"),
+          lit("kept").as("status"),
+          col("n_types"),
+          col("n_events")
+        )
+    }
+    import s.implicits._
+    val expired = (1L until cutoff)
+      .toDF("version")
+      .select(
+        col("version"),
+        lit("expired").as("status"),
+        lit(null).cast("long").as("n_types"),
+        lit(null).cast("long").as("n_events")
+      )
+    kept.reduce(_.unionByName(_)).unionByName(expired).orderBy("version")
+  }
+
+  /** c34: SCD2 DIMENSION BUILD — collapse each user's event-type
+    * history into slowly-changing-dimension TYPE-2 rows: one row per
+    * RUN of consecutive identical types, with `valid_from_us` /
+    * `valid_to_us` (microsecond epochs — the half-open [from, to)
+    * interval convention) and an `is_current` flag on the open run.
+    * This is the warehouse op that turns a CDC/event stream into the
+    * dimension an as-of join (e7/s25) probes. Classic gaps-and-islands
+    * (q40's machinery, producing the dimension instead of a report):
+    * one keyed change-marker window, one keyed running-sum window, one
+    * keyed aggregate, one keyed lead — every shuffle on user_id, rows
+    * out = runs (data-bounded, never users × calendar).
+    */
+  def c34Scd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val runEnd = Window.partitionBy("user_id").orderBy("run")
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("tus")
+      )
+      .withColumn(
+        "chg",
+        when(
+          lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"),
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("run", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run", "event_type")
+      .agg(min("tus").as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(runEnd))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("valid_from_us"),
+        col("valid_to_us"),
+        col("n_events"),
+        col("valid_to_us").isNull.as("is_current")
+      )
+      .orderBy("user_id", "valid_from_us")
+  }
 }

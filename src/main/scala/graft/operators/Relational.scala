@@ -1165,11 +1165,12 @@ object Relational {
     * ("the top decile holds X% of revenue"). Spend totals are
     * decimal(18,2)-quantized (o_totalprice is 2 dp, so the sums are
     * EXACT and the decile cut never moves on a float ulp). The global
-    * rank is computed SCALE-SAFELY (the round-11 verdict's fix): a
-    * distributed range sort on (spend desc, custkey), per-partition
-    * `row_number` windows (parallel — every WindowExec partitioned by
-    * `pid`), plus partition-count offsets (bounded driver metadata:
-    * one long per range partition). `decile(rank, N)` is then the
+    * rank is computed SCALE-SAFELY (the round-11 verdict's fix) by
+    * [[ScaleRank.withRank]]: a distributed range sort on (spend desc,
+    * custkey), per-partition `row_number` windows (parallel — every
+    * WindowExec partitioned by `pid`), offsets stitched from the
+    * metadata-sized per-partition count table (no driver collect
+    * anywhere). `decile(rank, N)` is then the
     * closed-form ntile: the first N mod 10 tiles take ⌈N/10⌉ rows.
     * Identical output to a global `ntile(10)` window, but no
     * single-task sort — at 1.5 B customers the heavy lifting is an
@@ -1182,34 +1183,23 @@ object Relational {
       .orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    // range-sorted customer grain, pinned once so the counts job and
-    // the rank job see the SAME partition assignment
-    val parts = spend
-      .repartitionByRange(32, desc("spend"), col("o_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = parts
-      .groupBy("pid")
-      .count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val nTotal = counts.map(_._2).sum
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
-    val qSize = nTotal / 10
-    val mBig = nTotal % 10 // first mBig tiles take qSize+1 rows
+    val nTot = spend.agg(count(lit(1)).as("n_total"))
+    // closed-form ntile(10) from the scale-safe rank: the first
+    // n mod 10 tiles take ⌈n/10⌉ rows (all tile math rides a 1-row
+    // broadcast, so there is no driver-side count either)
+    val qSize = floor(col("n_total") / 10)
+    val mBig = col("n_total") % 10
     val bigCut = (qSize + 1) * mBig
-    val offExpr = map(offsets.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    val wLocal = Window.partitionBy("pid").orderBy(desc("spend"), col("o_custkey"))
-    val ranked = parts
-      .withColumn("rank", element_at(offExpr, col("pid")) + row_number().over(wLocal))
+    val ranked = ScaleRank
+      .withRank(spend, Seq.empty, Seq(desc("spend"), col("o_custkey")), "rank")
+      .crossJoin(broadcast(nTot))
       .withColumn(
         "decile",
         when(
-          col("rank") <= lit(bigCut),
-          floor((col("rank") - 1) / lit(qSize + 1)) + 1
-        ).otherwise( // qSize==0 ⇒ bigCut==nTotal ⇒ branch unreachable; max(,1) keeps the expr total
-          lit(mBig) + floor((col("rank") - 1 - lit(bigCut)) / lit(math.max(qSize, 1L))) + 1
+          col("rank") <= bigCut,
+          floor((col("rank") - 1) / (qSize + 1)) + 1
+        ).otherwise( // qSize=0 ⇒ bigCut=n ⇒ branch unreachable; greatest(,1) keeps the expr total
+          mBig + floor((col("rank") - 1 - bigCut) / greatest(qSize, lit(1L))) + 1
         )
           .cast("int")
       )
@@ -1236,5 +1226,84 @@ object Relational {
         round(col("cum_rev").cast("double") / col("total_rev").cast("double"), 6).as("cum_share")
       )
       .orderBy("decile")
+  }
+
+  /** q58: SKYLINE (Pareto frontier) — the parts no other part beats on
+    * BOTH axes (lower price, larger size; one strictly): the classic
+    * multi-criteria shortlist ("cheapest part at every capability
+    * level"). The definitional form is an O(n²) NOT-EXISTS anti-join;
+    * the 2-D structure admits an exact LINEAR plan instead: per-size
+    * min price (one keyed aggregate), suffix-min over strictly larger
+    * sizes (a window over the SIZE-grain table — bounded by attribute
+    * cardinality, never corpus size), broadcast back, one corpus
+    * filter. A part survives iff it carries its size's min price AND
+    * every larger size costs strictly more (equal price at a larger
+    * size dominates; equal price at the SAME size does not — ties all
+    * survive, matching strict-dominance semantics). Zero self-joins,
+    * zero corpus-sized windows — at 10¹⁰ parts this is two scans and
+    * a KB-sized broadcast.
+    */
+  def q58Skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables
+      .part(s, d)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice").as("price"))
+    val mins = p.groupBy("p_size").agg(min("price").as("mn"))
+    val w = Window.orderBy(desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = mins.withColumn("above", min("mn").over(w))
+    p.join(broadcast(frontier), "p_size")
+      .filter(col("price") === col("mn") && (col("above").isNull || col("price") < col("above")))
+      .select(col("p_partkey"), col("p_size"), col("price"))
+      .orderBy("p_size", "p_partkey")
+  }
+
+  /** q59: SEMI-ADDITIVE MEASURE — closing-balance-style aggregation,
+    * the warehouse staple a plain SUM gets wrong: each customer's
+    * "balance" is the totalprice of their LATEST order in a month,
+    * carried forward through inactive months until their next order;
+    * the report is per-month total book and account count. Scale
+    * discipline: the carry-forward is NOT a customer×months blow-up —
+    * per-customer validity intervals [month, next_active_month) are
+    * aggregated to (from, to) grain FIRST (balances are additive
+    * across customers, so the interval table collapses to ≤ months²
+    * rows no matter how many customers), and only that model-sized
+    * table meets the month spine in a broadcast range join. Spend is
+    * decimal(18,2)-exact; the spine is the DISTINCT active months
+    * (tiny, derived not generated — both engines see the same set).
+    */
+  def q59SemiAdditive(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        col("o_orderdate"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price")
+      )
+    val wLatest = Window
+      .partitionBy("o_custkey", "m")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val balances = o
+      .withColumn("_rn", row_number().over(wLatest))
+      .filter(col("_rn") === 1)
+      .select(col("o_custkey"), col("m"), col("price").as("balance"))
+    val wNext = Window.partitionBy("o_custkey").orderBy("m")
+    val intervals = balances
+      .withColumn("m_to", lead("m", 1).over(wNext))
+      // collapse customers out BEFORE the range join: (from, to) grain
+      .groupBy("m", "m_to")
+      .agg(sum("balance").as("bal"), count(lit(1)).as("n_accts"))
+    val spine = o.select(col("m").as("sm")).distinct()
+    intervals
+      .join(
+        broadcast(spine),
+        col("sm") >= col("m") && (col("m_to").isNull || col("sm") < col("m_to"))
+      )
+      .groupBy(col("sm").as("month"))
+      .agg(
+        sum("n_accts").as("n_accounts"),
+        sum("bal").cast("decimal(20,2)").as("book_balance")
+      )
+      .orderBy("month")
   }
 }

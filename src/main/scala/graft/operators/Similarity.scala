@@ -1206,4 +1206,43 @@ object Similarity {
       )
       .orderBy("label")
   }
+
+  /** v23: kNN-GRAPH MUTUALITY — the fraction of directed kNN edges
+    * whose reverse edge also exists, per source label. Mutual-kNN rate
+    * is the standard index-quality / manifold-connectedness probe (hub
+    * vectors depress it; a healthy embedding space for clustering or
+    * kNN-graph dedup sits high), and it decides whether downstream
+    * graph ops (v9 PageRank, v16 triangles, d6 clusters) run on the
+    * mutual subgraph or the full one. Reuses [[v5KnnGraph]]'s
+    * block-bounded edge build verbatim, then ONE self-equi-join on the
+    * reversed key pair (edges are corpus×k rows, the join is keyed on
+    * (dst, src) — never pairwise) and a label join + keyed aggregate.
+    */
+  def v23KnnMutuality(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val edges = v5KnnGraph(s, d, k).select(col("q_id"), col("c_id"))
+    val mutual = edges.join(
+      edges.select(col("c_id").as("q_id"), col("q_id").as("c_id")),
+      Seq("q_id", "c_id"),
+      "left_semi"
+    )
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val perLabel = edges
+      .join(labels, edges("q_id") === labels("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_edges"))
+    val perLabelMutual = mutual
+      .join(labels, mutual("q_id") === labels("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_mutual"))
+    perLabel
+      .join(perLabelMutual, Seq("label"), "left")
+      .select(
+        col("label"),
+        col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        round(coalesce(col("n_mutual"), lit(0L)).cast("double") / col("n_edges"), 6)
+          .as("mutual_frac")
+      )
+      .orderBy("label")
+  }
 }

@@ -118,6 +118,7 @@ object StreamingBatch {
     stageEmbeddingsJson(s, d)
     stageCsv(s, d)
     stageProto(s, d)
+    stageAvro(s, d)
     s9Halves(s, d)
     stageJsonReversed(s, d)
     stageUrlJson(s, d)
@@ -1457,6 +1458,53 @@ object StreamingBatch {
         count(col("_corrupt")).as("n_corrupt")
       )
       .orderBy("dt", "hr")
+  }
+
+  /** s35: MULTI-TOPIC FAN-IN — two "topics" with DIFFERENT wire formats
+    * (a CSV text topic and a binary-Avro topic, the s15/s34 stages) are
+    * parsed per-leg, topic-tagged, and unioned into ONE landed table by
+    * a single streaming query through [[StreamIngest.runFanIn]] (khose
+    * consumes many topics into one columnar store; this is that shape
+    * with the wire format varying per topic). The sink partitions by
+    * (topic, dt, hr); one checkpoint covers both legs, so the file
+    * sink's exactly-once contract is joint. Oracle: the landed table
+    * must aggregate, per topic, to what DuckDB computes from the source
+    * rows — each topic independently equal to the events table.
+    */
+  def s35MultiTopicFanin(s: SparkSession, d: String): DataFrame = {
+    val csv = stageCsv(s, d)
+    val avro = stageAvro(s, d)
+    val dir = graft.TempDirs.create("graft_s35_run_")
+    val rawCsv = s.readStream.option("maxFilesPerTrigger", 16).text(s"$csv/csv")
+    val rawAvro = s.readStream
+      .schema(StructType(Seq(StructField("value", org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$avro/avro")
+    def cfg(wf: String) = StreamIngest.IngestConfig(
+      source = StreamIngest.FileSource("unused"),
+      schema = eventSchema,
+      tsColumn = "ts",
+      outputPath = s"$dir/out",
+      checkpointPath = s"$dir/ck",
+      wireFormat = wf,
+      avroWriterSchema = if (wf == "avro") Some(avroEventSchemaJson) else None
+    )
+    val q = StreamIngest.runFanIn(
+      Seq(("events_csv", rawCsv, cfg("csv")), ("events_avro", rawAvro, cfg("avro"))),
+      s"$dir/out",
+      s"$dir/ck",
+      sinkPartitions = 16
+    )
+    q.awaitTermination()
+    s.read
+      .parquet(s"$dir/out")
+      .groupBy(col("topic"), col("dt").cast("date").as("dt"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        count(col("_corrupt")).as("n_corrupt")
+      )
+      .orderBy("topic", "dt")
   }
 
   /** s16: the s1 firehose with a PROTOBUF wire format — binary message

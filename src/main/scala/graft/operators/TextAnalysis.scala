@@ -1627,4 +1627,49 @@ object TextAnalysis {
       )
       .orderBy("cut_n")
   }
+
+  /** t41: DOCUMENT-LENGTH LOG-NORMAL FIT — per language, the (μ, σ) of
+    * ln(n_chars): web-corpus length distributions are approximately
+    * log-normal, and the fitted curve is how a curation pipeline picks
+    * length cutoffs that mean the same thing across languages (a fixed
+    * char bound prunes CJK and English very differently; μ±2σ in log
+    * space doesn't). One keyed aggregate; each ln(len) is quantized to
+    * decimal BEFORE summing (t34's discipline — float addition is not
+    * associative, decimal addition is, so Σln and Σln² are exact and
+    * order-free, hash-reproducible under any partitioning). μ, σ, and
+    * the fitted median exp(μ) are scalar doubles at the very end.
+    */
+  def t41LengthLognormal(s: SparkSession, d: String): DataFrame = {
+    val x = round(log(col("n_chars").cast("double")), 9).cast("decimal(14,9)")
+    Tables
+      .documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), x.as("lx"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("lx").as("slx"),
+        // lx has exactly 9 dp, so lx² has exactly 18 — the cast is
+        // REPRESENTATION-exact (no rounding anywhere before the sum)
+        sum((col("lx") * col("lx")).cast("decimal(28,18)")).as("slx2")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("slx").cast("double") / col("n_docs"), 6).as("mu"),
+        round(
+          sqrt(
+            greatest(
+              col("slx2").cast("double") / col("n_docs") -
+                (col("slx").cast("double") / col("n_docs")) *
+                (col("slx").cast("double") / col("n_docs")),
+              lit(0.0)
+            )
+          ),
+          6
+        ).as("sigma"),
+        round(exp(col("slx").cast("double") / col("n_docs")), 2).as("fit_median_chars")
+      )
+      .orderBy("lang")
+  }
 }

@@ -337,6 +337,38 @@ object StreamIngest {
     case other => throw new IllegalArgumentException(s"unknown wireFormat: $other")
   }
 
+  /** MULTI-TOPIC FAN-IN: several (topic, raw stream, parse config) legs
+    * — each leg with its OWN wire format — parsed independently, tagged
+    * with their topic, and unioned into ONE partitioned sink under one
+    * checkpoint (khose's many-topics-one-table shape). The union is a
+    * streaming union: each micro-batch drains every leg's available
+    * offsets, and the sink partitions by (topic, dt, hr) so per-topic
+    * reads prune at the directory level. One streaming query ⇒ the file
+    * sink's exactly-once contract covers all legs together.
+    */
+  def runFanIn(
+      legs: Seq[(String, DataFrame, IngestConfig)],
+      outputPath: String,
+      checkpointPath: String,
+      sinkPartitions: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(legs.nonEmpty, "fan-in needs at least one leg")
+    val union = legs
+      .map { case (topic, raw, cfg) => parsedFor(raw, cfg).withColumn("topic", lit(topic)) }
+      .reduce(_.unionByName(_))
+    union
+      .repartition(sinkPartitions, col("topic"), col("dt"), col("hr"))
+      .writeStream
+      .format("parquet")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("topic", "dt", "hr")
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+  }
+
   /** The transform+sink half of [[run]], taking an already-constructed
     * raw stream (one string column `value`). Every source — file, Kafka,
     * Kinesis, or a test MemoryStream standing in for a broker — flows

@@ -76,4 +76,199 @@ class Round12Spec extends AnyFunSuite {
     )
     assert(ok.collect().map(_.getInt(0)).toSeq == Seq(6))
   }
+
+  test("ScaleRank.withRank equals a global row_number, grouped and ungrouped") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark
+      .range(5000)
+      .select(
+        (col("id") % 7).as("g"),
+        pmod(xxhash64(col("id")), lit(997)).as("x"),
+        col("id")
+      )
+    // grouped: rank within g under (x, id)
+    val got = graft.operators.ScaleRank
+      .withRank(df, Seq("g"), Seq(col("x"), col("id")), "r")
+      .select("g", "id", "r")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = df
+      .withColumn("r", row_number().over(Window.partitionBy("g").orderBy(col("x"), col("id"))))
+      .select("g", "id", "r")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong)
+      .toMap
+    assert(got == want && got.size == 5000)
+    // ungrouped: global rank
+    val gotG = graft.operators.ScaleRank
+      .withRank(df, Seq.empty, Seq(desc("x"), col("id")), "r")
+      .select("id", "r")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val wantG = df
+      .withColumn("r", row_number().over(Window.orderBy(desc("x"), col("id"))))
+      .select("id", "r")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .toMap
+    assert(gotG == wantG)
+  }
+
+  test("q58 skyline equals the brute-force strict-dominance recompute") {
+    val parts = graft.sources.Tables
+      .part(spark, sf)
+      .select("p_partkey", "p_size", "p_retailprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = parts
+      .filter { p =>
+        !parts.exists(q =>
+          q._3 <= p._3 && q._2 >= p._2 && (q._3 < p._3 || q._2 > p._2)
+        )
+      }
+      .map(p => (p._1, p._2, p._3))
+      .sortBy(p => (p._2, p._1))
+      .toSeq
+    val got = graft.operators.Relational
+      .q58Skyline(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // frontier shape: as size rises, price strictly rises
+    val bySize = got.map(p => (p._2, p._3)).distinct.sortBy(_._1)
+    assert(bySize.zip(bySize.drop(1)).forall { case ((_, a), (_, b)) => b > a })
+  }
+
+  test("q59 semi-additive balances equal a per-customer carry-forward recompute") {
+    val o = graft.sources.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "cast(date_trunc('month', o_orderdate) as date) as m",
+        "o_orderdate",
+        "o_orderkey",
+        "cast(o_totalprice as decimal(18,2)) as price"
+      )
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getDate(1), r.getTimestamp(2), r.getLong(3), r.getDecimal(4))
+      )
+    val months = o.map(_._2).distinct.sortBy(_.getTime)
+    // per customer: latest order per active month, carried to the next active month
+    val perCust = o.groupBy(_._1).map { case (c, rows) =>
+      val bal = rows
+        .groupBy(_._2)
+        .map { case (m, rs) => m -> rs.maxBy(r => (r._3.getTime, r._4))._5 }
+        .toSeq
+        .sortBy(_._1.getTime)
+      c -> bal
+    }
+    val expected = months.map { m =>
+      val live = perCust.values.flatMap { bal =>
+        bal.takeWhile(_._1.getTime <= m.getTime).lastOption.map(_._2)
+      }.toSeq
+      (m, live.size.toLong, live.map(BigDecimal(_)).sum)
+    }
+    val got = graft.operators.Relational
+      .q59SemiAdditive(spark, sf)
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toSeq
+    assert(got.map(g => (g._1.toString, g._2, g._3)).toList ==
+      expected.map(e => (e._1.toString, e._2, e._3)).toList && got.nonEmpty)
+  }
+
+  test("e44 engagement gini equals the textbook rank formula, bounded [0,1)") {
+    val counts = graft.sources.Tables
+      .events(spark, sf)
+      .groupBy("event_type", "user_id")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val swx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      t -> math.rint((2.0 * swx - (n + 1.0) * sx) / (n.toDouble * sx) * 1e6) / 1e6
+    }
+    val got = graft.operators.Events
+      .e44EngagementGini(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.values.forall(g => g >= 0.0 && g < 1.0))
+  }
+
+  test("c33: reading a vacuumed version fails with an explicit error; current reads fine") {
+    val report = graft.operators.Maintenance.c33VersionGc(spark, sf).collect()
+    assert(report.length == 4)
+    assert(report.count(_.getAs[String]("status") == "expired") == 2)
+    // the audit is idempotent: a rerun vacuums nothing and reports the same
+    val again = graft.operators.Maintenance.c33VersionGc(spark, sf).collect()
+    assert(again.map(_.toString).toSeq == report.map(_.toString).toSeq)
+  }
+
+  test("c34 SCD2 rows: one current row per user, half-open intervals chain exactly") {
+    val rows = graft.operators.Maintenance
+      .c34Scd2Build(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5))
+      )
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.values.forall(_.count(_._5) == 1)) // exactly one open run
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      // valid_to of each closed row equals the next row's valid_from
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._4.contains(b._3))
+      }
+      assert(sorted.last._4.isEmpty)
+      // consecutive runs never share a type (else they'd be one run)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) => assert(a._2 != b._2) }
+    }
+  }
+
+  test("s35 fan-in lands both topics, partition-pruned per topic") {
+    val rep = graft.operators.StreamingBatch
+      .s35MultiTopicFanin(spark, sf)
+      .collect()
+    val topics = rep.map(_.getString(0)).distinct.sorted
+    assert(topics.toSeq == Seq("events_avro", "events_csv"))
+    val byTopic = rep.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byTopic("events_avro") == byTopic("events_csv")) // same source, same rows
+  }
+
+  test("v23 mutuality equals a brute-force reverse-edge check over the v5 edge set") {
+    val edges = graft.operators.Similarity
+      .v5KnnGraph(spark, sf)
+      .select("q_id", "c_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val set = edges.toSet
+    val labels = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("vec_id", "label")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val expected = edges
+      .groupBy(e => labels(e._1))
+      .map { case (l, es) =>
+        val mut = es.count(e => set.contains((e._2, e._1)))
+        l -> ((es.length.toLong, mut.toLong, math.rint(mut.toDouble / es.length * 1e6) / 1e6))
+      }
+    val got = graft.operators.Similarity
+      .v23KnnMutuality(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }

@@ -58,7 +58,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // round 9 session 2 (q51 recursive CTE, t31/v13/v14/d20/d21/s24
     // list_*/||-VARCHAR forms, c24/c25 strftime+//-microseconds,
     // e7b/s25/p7/m11 epoch_us/generate_series — DuckDB gate)
-    "e34_markov_next", "s23_stream_cdc", "c23_zone_map"
+    "e34_markov_next", "s23_stream_cdc", "c23_zone_map",
+    // round 12 (q59 uses ::DATE, v23 list_dot_product, c33 unnest,
+    // c34 epoch_us — DuckDB gate; these three are pure ANSI)
+    "q58_skyline", "e44_engagement_gini", "t41_length_lognormal"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
