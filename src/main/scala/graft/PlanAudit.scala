@@ -139,6 +139,9 @@ object PlanAudit {
       "v23_knn_mutuality"           -> "kNN mutuality: v5 edge build + ONE keyed self-equi-join on the reversed (dst,src) pair + label join — corpus×k rows, never pairwise",
       "c34_scd2_build"              -> "SCD2 build: change-marker + running-sum + lead windows ALL keyed on user_id; one keyed aggregate; rows out = runs",
       "s35_multi_topic_fanin"       -> "multi-topic fan-in read-back: the landed table partition-prunes on (topic, dt, hr) — one aggregate over the fanned-in store",
+      "q60_abc_class"               -> "ABC classes: ScaleRank running sum (pid-keyed prefix windows + metadata-grain value offsets) -> exact decimal class cuts -> 3-row report",
+      "e45_forecast_backtest"       -> "forecast backtest: generated dense spine, forecast as a keyed (type, day-7, hour) equi-join — no window, no self-range-join",
+      "t42_kneser_ney"              -> "Kneser-Ney: four keyed model aggregates over ONE bigram explode + 1-row broadcast total; scoring joins model keyed on (v, w)",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )
     val sb = new StringBuilder

@@ -444,7 +444,15 @@ object SparkEntry {
     // round 12: snapshot expiry audit over SnapshotStore.vacuum
     "c33_version_gc"         -> (Maintenance.c33VersionGc _),
     // round 12: SCD2 dimension build from the event stream
-    "c34_scd2_build"         -> (Maintenance.c34Scd2Build _)
+    "c34_scd2_build"         -> (Maintenance.c34Scd2Build _),
+    // round 12: ABC revenue classes via ScaleRank running sums
+    "q60_abc_class"          -> (Relational.q60AbcClass _),
+    // round 12: seasonal-naive backtest on a dense generated spine
+    "e45_forecast_backtest"  -> (Events.e45ForecastBacktest _),
+    // round 12: Kneser-Ney bigram cross-entropy per document
+    "t42_kneser_ney"         -> ((s, d) => TextAnalysis.t42KneserNey(s, d)),
+    // round 12: c34's SCD2 dimension maintained online (OCC fold)
+    "s36_stream_scd2"        -> (StreamingBatch.s36StreamScd2 _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -3978,7 +3986,80 @@ object SparkEntry {
         |  n_events FROM g)
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         | CAST(n_events AS BIGINT) AS n_events, (valid_to_us IS NULL) AS is_current
-        |FROM f ORDER BY user_id, valid_from_us""".stripMargin
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+    // s36 shares c34's oracle verbatim: the streaming fold must land the
+    // same dimension the one-shot batch build computes
+    "s36_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m),
+        |g AS (SELECT user_id, run, event_type, min(tus) AS valid_from_us,
+        |  count(*) AS n_events FROM r GROUP BY 1,2,3),
+        |f AS (SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us,
+        |  n_events FROM g)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        | CAST(n_events AS BIGINT) AS n_events, (valid_to_us IS NULL) AS is_current
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+    "q60_abc_class" ->
+      """WITH r AS (SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,2)) AS rev FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS DECIMAL(28,2)) AS total_rev FROM r),
+        |c AS (SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM r)
+        |SELECT CASE WHEN cum_rev*100 <= total_rev*80 THEN 'A'
+        |            WHEN cum_rev*100 <= total_rev*95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        | count(*) AS n_parts, CAST(sum(rev) AS DECIMAL(20,2)) AS revenue,
+        | round(CAST(sum(rev) AS DOUBLE) / CAST(any_value(total_rev) AS DOUBLE), 6) AS share
+        |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e45: dense generated spine (days 8-28 × hours 0-23 per type), the
+    // forecast join keyed on (type, day−7, hour); sMAPE terms quantized
+    "e45_forecast_backtest" ->
+      """WITH c AS (SELECT event_type, date_part('day', ts) AS dm,
+        |   date_part('hour', ts) AS hr, count(*) AS c FROM events GROUP BY 1,2,3),
+        |sp AS (SELECT ty.event_type, d.dm, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) ty,
+        |       (SELECT unnest(range(8, 29)) AS dm) d,
+        |       (SELECT unnest(range(0, 24)) AS hr) h),
+        |sc AS (SELECT sp.event_type, sp.dm, sp.hr,
+        |  coalesce(a.c, 0) AS a, coalesce(f.c, 0) AS f
+        | FROM sp
+        | LEFT JOIN c a ON sp.event_type = a.event_type AND sp.dm = a.dm AND sp.hr = a.hr
+        | LEFT JOIN c f ON sp.event_type = f.event_type AND sp.dm = f.dm + 7 AND sp.hr = f.hr),
+        |sm AS (SELECT event_type, abs(a - f) AS ae,
+        |  CASE WHEN a + f = 0 THEN CAST(0 AS DECIMAL(12,10))
+        |       ELSE CAST(round(CAST(2*abs(a - f) AS DOUBLE) / (a + f), 9) AS DECIMAL(12,10))
+        |  END AS smape_t
+        | FROM sc)
+        |SELECT event_type, count(*) AS n_points,
+        | round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+        | round(CAST(sum(smape_t) AS DOUBLE) / count(*), 6) AS smape
+        |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t42: the KN formula evaluated in DOUBLE end-to-end on both engines
+    // (DuckDB parses bare 0.75 as DECIMAL — cast explicitly), ln terms
+    // quantized to decimal before the per-doc fold
+    "t42_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'v': ts[i], 'w': ts[i+1]} FOR i IN range(1, len(ts))]) AS p FROM t),
+        |o AS (SELECT doc_id, p.v AS v, p.w AS w FROM bg),
+        |cvw AS (SELECT v, w, count(*) AS cvw FROM o GROUP BY 1,2),
+        |cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv, count(*) AS n1v FROM cvw GROUP BY 1),
+        |n1w AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+        |nb AS (SELECT count(*) AS nb FROM cvw),
+        |model AS (SELECT v, w,
+        |  greatest(CAST(cvw AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / cv
+        |   + CAST(0.75 AS DOUBLE) * n1v / cv * n1w / nb AS p
+        | FROM cvw JOIN cv USING (v) JOIN n1w USING (w), nb),
+        |s AS (SELECT o.doc_id, CAST(round(ln(model.p), 9) AS DECIMAL(14,9)) AS lp
+        | FROM o JOIN model ON o.v = model.v AND o.w = model.w)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS h_kn
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val v21Sql =

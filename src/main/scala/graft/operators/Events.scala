@@ -1289,4 +1289,69 @@ object Events {
       )
       .orderBy("event_type")
   }
+
+  /** e45: SEASONAL-NAIVE FORECAST BACKTEST — the "is a model even worth
+    * it" baseline every forecasting effort starts from: predict each
+    * (type, day, hour) count with the count one week earlier, score
+    * MAE and sMAPE per type over days 8–28 on a DENSE hourly spine
+    * (e26's gap-fill discipline — silent hours are real zeros, and
+    * both engines see the same spine because it is generated, not
+    * derived). The forecast join is a keyed equi-join on
+    * (type, day−7, hour) — no window, no self-range-join. |a−f| sums
+    * are exact longs; each sMAPE term (0 when both sides are 0, the
+    * standard convention) is quantized to decimal before summing
+    * (t34's discipline), so both aggregates are merge-order-free.
+    */
+  def e45ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .select(col("event_type"), dayofmonth(col("ts")).as("dm"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "dm", "hr")
+      .agg(count(lit(1)).as("c"))
+    val spine = counts
+      .select("event_type")
+      .distinct()
+      .select(col("event_type"), explode(sequence(lit(8), lit(28))).as("dm"))
+      .select(col("event_type"), col("dm"), explode(sequence(lit(0), lit(23))).as("hr"))
+    val scored = spine
+      .join(counts, Seq("event_type", "dm", "hr"), "left")
+      .withColumn("a", coalesce(col("c"), lit(0L)))
+      .drop("c")
+      .join(
+        counts.select(
+          col("event_type"),
+          (col("dm") + 7).as("dm"),
+          col("hr"),
+          col("c").as("f0")
+        ),
+        Seq("event_type", "dm", "hr"),
+        "left"
+      )
+      .withColumn("f", coalesce(col("f0"), lit(0L)))
+      .withColumn("ae", abs(col("a") - col("f")))
+      .withColumn(
+        "smape_t",
+        when(col("a") + col("f") === 0, lit(BigDecimal(0)).cast("decimal(12,10)"))
+          .otherwise(
+            round(
+              (col("ae") * 2).cast("double") / (col("a") + col("f")),
+              9
+            ).cast("decimal(12,10)")
+          )
+      )
+    scored
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum("ae").as("sae"),
+        sum("smape_t").as("ssm")
+      )
+      .select(
+        col("event_type"),
+        col("n_points"),
+        round(col("sae").cast("double") / col("n_points"), 6).as("mae"),
+        round(col("ssm").cast("double") / col("n_points"), 6).as("smape")
+      )
+      .orderBy("event_type")
+  }
 }

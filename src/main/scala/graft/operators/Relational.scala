@@ -1256,6 +1256,41 @@ object Relational {
       .orderBy("p_size", "p_partkey")
   }
 
+  /** q60: ABC (PARETO) CLASSIFICATION — parts bucketed by cumulative
+    * revenue share under a (revenue desc, partkey) total order: class A
+    * holds the first 80% of revenue, B to 95%, C the tail (the
+    * inventory-analysis staple, and the warehouse twin of q57's decile
+    * lift). The cumulative sum comes from [[ScaleRank.withRunningSum]]
+    * — a global running total WITHOUT a single-task window (range
+    * partition + pid-keyed prefix windows + metadata-grain value
+    * offsets). Class boundaries compare cum·100 ≤ total·80 in DECIMAL
+    * (revenue is (18,2)-exact), so the cut can never move on a float
+    * ulp; shares go double only in the final report row.
+    */
+  def q60AbcClass(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables
+      .lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val tot = rev.agg(sum("rev").as("total_rev"))
+    ScaleRank
+      .withRunningSum(rev, Seq.empty, Seq(desc("rev"), col("l_partkey")), "rev", "cum_rev")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "abc_class",
+        when(col("cum_rev") * 100 <= col("total_rev") * 80, "A")
+          .when(col("cum_rev") * 100 <= col("total_rev") * 95, "B")
+          .otherwise("C")
+      )
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("rev").cast("decimal(20,2)").as("revenue"),
+        round(sum("rev").cast("double") / first("total_rev").cast("double"), 6).as("share")
+      )
+      .orderBy("abc_class")
+  }
+
   /** q59: SEMI-ADDITIVE MEASURE — closing-balance-style aggregation,
     * the warehouse staple a plain SUM gets wrong: each customer's
     * "balance" is the totalprice of their LATEST order in a month,

@@ -58,4 +58,48 @@ object ScaleRank {
       .withColumn(rankCol, col("_sr_off") + row_number().over(wLocal))
       .drop("_sr_pid", "_sr_off")
   }
+
+  /** Append `outCol` = the INCLUSIVE running sum of `valueCol` within
+    * its `group` under `order` — the prefix-sum twin of [[withRank]]
+    * (same range-partition + pid-keyed local windows + metadata-grain
+    * offset stitch; the offsets cumulate per-partition VALUE sums
+    * instead of row counts). Exact for integer and decimal values
+    * (the sums reassociate but never round); the usual total-order
+    * tie-breaker requirement applies.
+    */
+  def withRunningSum(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      numPartitions: Int = 32
+  ): DataFrame = {
+    val gCols = group.map(col)
+    val parts = df
+      .repartitionByRange(numPartitions, (gCols ++ order): _*)
+      .withColumn("_sr_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts
+      .groupBy((col("_sr_pid") +: gCols): _*)
+      .agg(sum(valueCol).as("_sr_s"))
+    val wOff = Window
+      .partitionBy(gCols: _*)
+      .orderBy(col("_sr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_sr_off", sum("_sr_s").over(wOff))
+      .drop("_sr_s")
+    val wLocal = Window
+      .partitionBy((col("_sr_pid") +: gCols): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .join(broadcast(offsets), "_sr_pid" +: group)
+      .withColumn(
+        outCol,
+        coalesce(col("_sr_off"), lit(0)) + sum(valueCol).over(wLocal)
+      )
+      .drop("_sr_pid", "_sr_off")
+  }
 }

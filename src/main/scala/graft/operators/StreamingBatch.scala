@@ -1010,6 +1010,149 @@ object StreamingBatch {
     graft.operators.Events.burstReport(SnapshotStore.readCurrent(s, store))
   }
 
+  /** s36's per-micro-batch SCD2 fold, extracted for direct replay
+    * testing: maintain the type-2 dimension ([[graft.operators
+    * .Maintenance.c34Scd2Build]]'s output) incrementally. Each batch
+    * touches ONLY its own users' OPEN runs: the affected open rows
+    * re-enter the islands recompute as weighted marker rows (tus =
+    * valid_from, weight = accumulated n_events, a sentinel event_id
+    * that sorts first), batch events join them at weight 1, and the
+    * per-user gaps-and-islands pass re-derives that user's runs —
+    * extending the open run if the type continues, closing it if it
+    * changed. Closed rows and unaffected users are carried over
+    * untouched, so per-batch work is O(batch + affected open runs),
+    * never O(history). Correct under the ts-ordered arrival staging
+    * (batch k+1's events all at or after batch k's — the CDC
+    * replication contract); redeliveries are acknowledged through the
+    * committed batchId sidecar (s28's exactly-once discipline).
+    */
+  private[graft] def s36FoldScd2(store: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    var committed = false
+    while (!committed) {
+      val cur = SnapshotStore.currentVersion(store)
+      val lastApplied =
+        cur.flatMap(v => SnapshotStore.annotation(store, v, "batch").flatMap(_.toLongOption))
+      if (lastApplied.exists(_ >= batchId)) committed = true
+      else {
+        val ev = batch.select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts")).as("tus"),
+          lit(1L).as("wt")
+        )
+        val users = ev.select("user_id").distinct().withColumn("_aff", lit(true))
+        val (keep, seeds) = cur match {
+          case Some(v) =>
+            val st = spark.read
+              .parquet(SnapshotStore.versionPath(store, v))
+              .join(users, Seq("user_id"), "left")
+            (
+              st.filter(col("_aff").isNull || col("valid_to_us").isNotNull)
+                .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events"),
+              st.filter(col("_aff").isNotNull && col("valid_to_us").isNull)
+                .select(
+                  col("user_id"),
+                  lit(Long.MinValue).as("event_id"), // sorts before any real event at equal tus
+                  col("event_type"),
+                  col("valid_from_us").as("tus"),
+                  col("n_events").as("wt")
+                )
+            )
+          case None =>
+            val empty = ev.filter(lit(false))
+            (
+              empty.select(
+                col("user_id"),
+                col("event_type"),
+                col("tus").as("valid_from_us"),
+                col("tus").as("valid_to_us"),
+                col("wt").as("n_events")
+              ),
+              empty
+            )
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("tus"), col("event_id"))
+        val runEnd =
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("run")
+        val recomputed = seeds
+          .unionByName(ev)
+          .withColumn(
+            "chg",
+            when(
+              lag("event_type", 1).over(w).isNull ||
+                lag("event_type", 1).over(w) =!= col("event_type"),
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn(
+            "run",
+            sum("chg").over(
+              w.rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow
+              )
+            )
+          )
+          .groupBy("user_id", "run", "event_type")
+          .agg(min("tus").as("valid_from_us"), sum("wt").as("n_events"))
+          .withColumn("valid_to_us", lead("valid_from_us", 1).over(runEnd))
+          .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+        val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
+        keep.unionByName(recomputed).coalesce(4).write.mode("overwrite").parquet(staged)
+        SnapshotStore.annotate(staged, "batch", batchId.toString)
+        committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
+        if (!committed) SnapshotStore.deleteTree(java.nio.file.Paths.get(staged))
+      }
+    }
+  }
+
+  /** s36: STREAMING SCD2 MAINTENANCE — c34's slowly-changing-dimension
+    * build run as an online pipeline over the deterministic ts-ordered
+    * arrival schedule (one micro-batch per time quarter,
+    * `maxFilesPerTrigger = 1`): every batch folds through
+    * [[s36FoldScd2]] into the OCC snapshot store, and the served
+    * dimension must hash-match the one-shot batch build — the
+    * as-of-triad discipline: c34's DuckDB oracle gates the streaming
+    * fold's open-run extension/closure logic, not just a row count.
+    * This is the khose CDC story completed: the ingested event stream
+    * maintains the dimension an as-of join (s25) probes.
+    */
+  def s36StreamScd2(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJsonTsOrdered(s, d)
+    val root = graft.TempDirs.create("graft_s36_run_")
+    val store = s"$root/store"
+    val q = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        s36FoldScd2(store, batch, batchId)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SnapshotStore
+      .readCurrent(s, store)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("valid_from_us"),
+        col("valid_to_us"),
+        col("n_events"),
+        col("valid_to_us").isNull.as("is_current")
+      )
+      .orderBy("user_id", "valid_from_us")
+  }
+
   /** s27's staging: FRONTIER documents (doc_id ≥ midpoint — t32/p8's
     * arrival model) as JSON lines. Scoring is stateless per doc, so no
     * arrival-order discipline is needed — any batching gives the same

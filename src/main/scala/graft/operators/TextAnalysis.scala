@@ -1672,4 +1672,61 @@ object TextAnalysis {
       )
       .orderBy("lang")
   }
+
+  /** t42: KNESER-NEY BIGRAM CROSS-ENTROPY — the standard smoothed
+    * n-gram LM (absolute discount D=0.75 with the continuation-count
+    * back-off that made KN the n-gram-era default), upgrading t13's
+    * raw MLE and t31's stupid backoff: P(w|v) = max(c(vw)−D,0)/c(v) +
+    * D·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··), scored as per-document
+    * cross-entropy (the data-quality signal: templated/spammy docs sit
+    * far below the corpus mean). Model tables are four keyed
+    * aggregates over one bigram explode — bigram counts, left
+    * fan-outs, right fan-ins, and a 1-row distinct-bigram total
+    * (broadcast); scoring is ONE keyed join from the doc's bigram
+    * occurrences into the model. Train = score corpus ⇒ the closed
+    * world has no zero-probability bigram. Each occurrence's ln P is
+    * quantized to decimal before the per-doc sum (t34's discipline).
+    */
+  def t42KneserNey(s: SparkSession, d: String, discount: Double = 0.75): DataFrame = {
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val bg = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), n1),
+            slice(col("tk"), lit(2), n1),
+            (a, b) => struct(a.as("v"), b.as("w"))
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+    val cvw = bg.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+    val cv = cvw.groupBy("v").agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val nb = cvw.agg(count(lit(1)).as("nb"))
+    val model = cvw
+      .join(cv, "v")
+      .join(n1w, "w")
+      .crossJoin(broadcast(nb))
+      .select(
+        col("v"),
+        col("w"),
+        // doubles only inside ONE row's closed formula — no cross-row float math
+        (greatest(col("cvw") - discount, lit(0.0)) / col("cv") +
+          lit(discount) * col("n1v") / col("cv") * col("n1w") / col("nb")).as("p")
+      )
+    bg.join(model, Seq("v", "w"))
+      .select(col("doc_id"), round(log(col("p")), 9).cast("decimal(14,9)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(-col("slp").cast("double") / col("n_bigrams"), 6).as("h_kn")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -271,4 +271,173 @@ class Round12Spec extends AnyFunSuite {
       .toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("ScaleRank.withRunningSum equals a global window prefix sum, grouped and ungrouped") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark
+      .range(4000)
+      .select(
+        (col("id") % 5).as("g"),
+        pmod(xxhash64(col("id")), lit(991)).as("x"),
+        (pmod(xxhash64(col("id") + 7), lit(100)) + 1).as("v"),
+        col("id")
+      )
+    val got = graft.operators.ScaleRank
+      .withRunningSum(df, Seq("g"), Seq(col("x"), col("id")), "v", "cum")
+      .select("g", "id", "cum")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = df
+      .withColumn(
+        "cum",
+        sum("v").over(
+          Window
+            .partitionBy("g")
+            .orderBy(col("x"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .select("g", "id", "cum")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want && got.size == 4000)
+    val gotG = graft.operators.ScaleRank
+      .withRunningSum(df, Seq.empty, Seq(desc("x"), col("id")), "v", "cum")
+      .select("id", "cum")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val wantG = df
+      .withColumn(
+        "cum",
+        sum("v").over(
+          Window
+            .orderBy(desc("x"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .select("id", "cum")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(gotG == wantG)
+  }
+
+  test("s36 streaming SCD2 is bit-identical to c34's one-shot batch build") {
+    val batch = graft.operators.Maintenance.c34Scd2Build(spark, sf).collect().toSeq
+    val stream = graft.operators.StreamingBatch.s36StreamScd2(spark, sf).collect().toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
+  test("s36 fold acknowledges a redelivered batch without reapplying it") {
+    import org.apache.spark.sql.functions._
+    val root = graft.TempDirs.create("graft_s36_replay_")
+    val store = s"$root/store"
+    val mk = (ids: Seq[(Long, Long, String, Long)]) => {
+      import spark.implicits._
+      ids
+        .toDF("user_id", "event_id", "event_type", "us")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          timestamp_micros(col("us")).as("ts")
+        )
+    }
+    val b0 = mk(Seq((1L, 1L, "a", 1000L), (1L, 2L, "a", 2000L), (2L, 3L, "x", 1500L)))
+    val b1 = mk(Seq((1L, 4L, "b", 3000L), (2L, 5L, "x", 2500L)))
+    graft.operators.StreamingBatch.s36FoldScd2(store, b0, 0L)
+    graft.operators.StreamingBatch.s36FoldScd2(store, b1, 1L)
+    val after = graft.sources.SnapshotStore.readCurrent(spark, store).collect().map(_.toString).sorted
+    // redeliver batch 1 (at-least-once): the sidecar must acknowledge it
+    graft.operators.StreamingBatch.s36FoldScd2(store, b1, 1L)
+    val replay = graft.sources.SnapshotStore.readCurrent(spark, store).collect().map(_.toString).sorted
+    assert(replay.toSeq == after.toSeq)
+    // and the runs are what the history implies: user 1 a→b, user 2 one open x run
+    val rows = graft.sources.SnapshotStore
+      .readCurrent(spark, store)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(rows.toSeq == Seq((1L, "a", 1000L, 3000L, 2L), (1L, "b", 3000L, -1L, 1L), (2L, "x", 1500L, -1L, 2L)))
+  }
+
+  test("t42 Kneser-Ney cross-entropy equals a brute-force in-memory recompute") {
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val bgs = docs.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(b => (id, b)) }
+    val cvw = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cv = cvw.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1v = cvw.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w = cvw.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nb = cvw.size.toLong
+    def p(v: String, w: String): Double =
+      math.max(cvw((v, w)) - 0.75, 0.0) / cv(v) + 0.75 * n1v(v) / cv(v) * n1w(w) / nb
+    val expected = bgs
+      .groupBy(_._1)
+      .map { case (id, bs) =>
+        val lps = bs.map { case (_, (v, w)) => BigDecimal(math.rint(math.log(p(v, w)) * 1e9) / 1e9) }
+        id -> (bs.size.toLong, math.rint(-(lps.sum.toDouble) / bs.size * 1e6) / 1e6)
+      }
+    val got = graft.operators.TextAnalysis
+      .t42KneserNey(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q60 ABC classes partition all parts and respect the cumulative boundaries") {
+    val rows = graft.operators.Relational
+      .q60AbcClass(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val total = rows.map(_._3).sum
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    // class A alone stays ≤ 80% + one part's worth; A+B ≤ 95% + one part
+    assert(rows(0)._3 * 100 > total * 60) // A is the bulk by construction of Pareto data or not — sanity floor
+    val nParts = graft.sources.Tables
+      .lineitem(spark, sf)
+      .select(countDistinct("l_partkey"))
+      .collect()(0)
+      .getLong(0)
+    assert(rows.map(_._2).sum == nParts)
+  }
+
+  test("e45 backtest: dense spine size, exact MAE recompute per type") {
+    val counts = graft.sources.Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "dayofmonth(ts) as dm", "hour(ts) as hr")
+      .groupBy("event_type", "dm", "hr")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val types = counts.keys.map(_._1).toSeq.distinct
+    val expected = types.map { t =>
+      val pts = for (d <- 8 to 28; h <- 0 to 23) yield {
+        val a = counts.getOrElse((t, d, h), 0L)
+        val f = counts.getOrElse((t, d - 7, h), 0L)
+        math.abs(a - f)
+      }
+      t -> math.rint(pts.sum.toDouble / pts.size * 1e6) / 1e6
+    }.toMap
+    val got = graft.operators.Events
+      .e45ForecastBacktest(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (t, (n, mae, smape)) =>
+      assert(n == 21L * 24)
+      assert(mae == expected(t))
+      assert(smape >= 0.0 && smape <= 2.0)
+    }
+  }
 }
