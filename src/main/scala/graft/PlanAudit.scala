@@ -142,6 +142,8 @@ object PlanAudit {
       "q60_abc_class"               -> "ABC classes: ScaleRank running sum (pid-keyed prefix windows + metadata-grain value offsets) -> exact decimal class cuts -> 3-row report",
       "e45_forecast_backtest"       -> "forecast backtest: generated dense spine, forecast as a keyed (type, day-7, hour) equi-join — no window, no self-range-join",
       "t42_kneser_ney"              -> "Kneser-Ney: four keyed model aggregates over ONE bigram explode + 1-row broadcast total; scoring joins model keyed on (v, w)",
+      "d22_minhash_fidelity"        -> "minhash fidelity: one corpus signature pass keyed-joined onto d2's verified pairs — the audit adds NO pair space",
+      "v24_silhouette"              -> "simplified silhouette: corpus x broadcast centroid component join -> keyed (vec, label) sums — O(n·L), no pairwise",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )
     val sb = new StringBuilder

@@ -452,7 +452,11 @@ object SparkEntry {
     // round 12: Kneser-Ney bigram cross-entropy per document
     "t42_kneser_ney"         -> ((s, d) => TextAnalysis.t42KneserNey(s, d)),
     // round 12: c34's SCD2 dimension maintained online (OCC fold)
-    "s36_stream_scd2"        -> (StreamingBatch.s36StreamScd2 _)
+    "s36_stream_scd2"        -> (StreamingBatch.s36StreamScd2 _),
+    // round 12: MinHash estimate vs exact Jaccard on the verified pairs
+    "d22_minhash_fidelity"   -> ((s, d) => Dedup.d22MinhashFidelity(s, d)),
+    // round 12: simplified (centroid) silhouette per label
+    "v24_silhouette"         -> (Similarity.v24Silhouette _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4059,7 +4063,57 @@ object SparkEntry {
         | FROM o JOIN model ON o.v = model.v AND o.w = model.w)
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS h_kn
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // d22: the PORTABLE md5 minhash (60-bit from 15 hex digits — min
+    // agrees across signed/unsigned) replayed per component; the exact
+    // pair set is d2's oracle verbatim
+    "d22_minhash_fidelity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM t WHERE len(ts) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |sg AS (SELECT doc_id, kk.k,
+        |   min(CAST('0x' || substr(md5(e || '#' || kk.k), 1, 15) AS UBIGINT)) AS mh
+        | FROM (SELECT doc_id, unnest(sh) AS e FROM s),
+        |      (SELECT unnest(range(0, 16)) AS k) kk
+        | GROUP BY 1, 2),
+        |m AS (SELECT p.id_a, p.id_b, p.jaccard,
+        |   round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4) AS mh_est
+        | FROM p JOIN sg x ON x.doc_id = p.id_a
+        |        JOIN sg y ON y.doc_id = p.id_b AND x.k = y.k
+        | GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b, jaccard, mh_est, round(abs(mh_est - jaccard), 4) AS abs_err
+        |FROM m ORDER BY id_a, id_b""".stripMargin,
+    // v24: v4's rounded centroids + decimal-quantized squared terms —
+    // distances, silhouettes and their folds exact on both engines
+    "v24_silhouette" ->
+      """WITH cen AS (SELECT label AS c_label, idx, round(avg(v), 4) + 0.0 AS c FROM (
+        |  SELECT label, CAST(u.i AS INT) AS idx, CAST(u.v AS DOUBLE) AS v FROM (
+        |   SELECT label, unnest([{'i': i-1, 'v': embedding[i]}
+        |     FOR i IN range(1, len(embedding)+1)]) AS u
+        |   FROM embeddings)) GROUP BY 1, 2),
+        |e AS (SELECT vec_id, label, CAST(u.i AS INT) AS idx, CAST(u.v AS DOUBLE) AS x FROM (
+        |  SELECT vec_id, label, unnest([{'i': i-1, 'v': embedding[i]}
+        |    FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings)),
+        |d2 AS (SELECT vec_id, label, c_label,
+        |  round(sqrt(CAST(sum(CAST(round((x - c)*(x - c), 12) AS DECIMAL(16,12))) AS DOUBLE)), 9) AS dist
+        | FROM e JOIN cen USING (idx) GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |  max(CASE WHEN c_label = label THEN dist END) AS a,
+        |  min(CASE WHEN c_label <> label THEN dist END) AS b
+        | FROM d2 GROUP BY 1, 2),
+        |si AS (SELECT label, CAST(round((b - a) / greatest(a, b), 9) AS DECIMAL(12,9)) AS si FROM ab)
+        |SELECT label, count(*) AS n_vecs,
+        | round(CAST(sum(si) AS DOUBLE) / count(*), 6) AS mean_silhouette,
+        | CAST(sum(CASE WHEN si < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM si GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val v21Sql =

@@ -773,4 +773,71 @@ object Dedup {
     nw.filter(GraftExpressions.bloomMightContain(lit(bloomBytes), xxhash64(col("canonical_url"))))
       .count()
   }
+
+  /** d22: MINHASH FIDELITY AUDIT — for every verified near-dup pair
+    * (d2's τ ≥ 0.5 set), the k-component MinHash ESTIMATE of Jaccard
+    * next to the exact value and the absolute error: the
+    * sketch-accuracy audit (v21's SQ8-distortion discipline applied to
+    * MinHash) that tells a pipeline whether its banding threshold can
+    * be trusted before it drops the verify stage at scale. The
+    * signature here is the PORTABLE md5 variant (d3's trick: 60-bit
+    * integer from the first 15 md5 hex digits — positive in a signed
+    * long, so MIN agrees with DuckDB's UBIGINT min bit-for-bit), which
+    * lets the oracle replay every signature component exactly; the
+    * xxhash64 [[graft.plans.MinHashSig]] remains the zero-allocation
+    * scale variant d2 ships. One signature pass over the corpus, one
+    * keyed join onto the verified pairs — the audit adds no pair space.
+    */
+  def d22MinhashFidelity(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val n2 = greatest(size(col("tk")) - 2, lit(0))
+    val grams = zip_with(
+      slice(col("tk"), lit(1), n2),
+      zip_with(
+        slice(col("tk"), lit(2), n2),
+        slice(col("tk"), lit(3), n2),
+        (b, c) => concat(b, lit(" "), c)
+      ),
+      (a, bc) => concat(a, lit(" "), bc)
+    )
+    val sigs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(grams).as("shs"))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          ki =>
+            array_min(
+              transform(
+                col("shs"),
+                t =>
+                  conv(substring(md5(concat(t, lit("#"), ki.cast("string"))), 1, 15), 16, 10)
+                    .cast("long")
+              )
+            )
+        ).as("sig")
+      )
+    d2MinhashLsh(s, d)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn(
+        "mh_est",
+        round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / k,
+          4
+        )
+      )
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("jaccard"),
+        col("mh_est"),
+        round(abs(col("mh_est") - col("jaccard")), 4).as("abs_err")
+      )
+      .orderBy("id_a", "id_b")
+  }
 }

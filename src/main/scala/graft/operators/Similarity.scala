@@ -1297,4 +1297,61 @@ object Similarity {
       )
       .orderBy("label")
   }
+
+  /** v24: SIMPLIFIED (CENTROID) SILHOUETTE — per-label clustering
+    * quality as the silhouette coefficient with centroid distances
+    * standing in for pairwise means (Hruschka's simplified silhouette —
+    * THE scalable form: O(n·L) against broadcast centroids instead of
+    * the O(n²) pairwise original, which at 100 TB you'd only ever run
+    * on a per-cluster sample): aᵢ = ‖xᵢ − c_own‖, bᵢ = min over other
+    * labels ‖xᵢ − c_l‖, sᵢ = (bᵢ−aᵢ)/max(aᵢ,bᵢ). Negative sᵢ IS a
+    * vector that sits closer to a foreign centroid — the same
+    * misassignment v22 flags through dot margins, here in the metric
+    * (Euclidean, silhouette-normalized) the clustering literature
+    * reports. Engine-exact: centroids are v4's 4-dp rounded means,
+    * per-component squared terms quantize to decimal before the keyed
+    * (vec, label) sum, distances and sᵢ round to 9 before comparison /
+    * folding — every aggregate is order-free.
+    */
+  def v24Silhouette(s: SparkSession, d: String): DataFrame = {
+    val cen = Tables
+      .embeddings(s, d)
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "cv")))
+      .groupBy("c_label", "idx")
+      .agg((round(avg("cv"), 4) + lit(0.0)).as("c"))
+    val comp = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+    val d2 = comp
+      .join(broadcast(cen), "idx")
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("c_label"),
+        round((col("x") - col("c")) * (col("x") - col("c")), 12)
+          .cast("decimal(16,12)")
+          .as("t")
+      )
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum("t").as("d2"))
+      .withColumn("dist", round(sqrt(col("d2").cast("double")), 9))
+    val ab = d2
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("c_label") === col("label"), col("dist"))).as("a"),
+        min(when(col("c_label") =!= col("label"), col("dist"))).as("b")
+      )
+      .withColumn(
+        "si",
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 9)
+          .cast("decimal(12,9)")
+      )
+    ab.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum("si").cast("double") / count(lit(1)), 6).as("mean_silhouette"),
+        sum(when(col("si") < 0, 1L).otherwise(0L)).as("n_negative")
+      )
+      .orderBy("label")
+  }
 }

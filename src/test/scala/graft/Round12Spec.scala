@@ -410,6 +410,75 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nParts)
   }
 
+  test("d22 minhash estimates match an in-memory md5 signature recompute, errors bounded") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }.toMap
+    def sig(id: Long): Seq[Long] =
+      (0 until 16).map(k =>
+        shingles(id).map(t => java.lang.Long.parseLong(md5hex(t + "#" + k).take(15), 16)).min
+      )
+    val rows = graft.operators.Dedup
+      .d22MinhashFidelity(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, jac, est, err) =>
+      val matches = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      assert(est == math.rint(matches.toDouble / 16 * 1e4) / 1e4)
+      assert(err == math.rint(math.abs(est - jac) * 1e4) / 1e4)
+      // 16 components: binomial std ≈ 0.125 at j=0.5 — 4σ bound
+      assert(err <= 0.5)
+    }
+  }
+
+  test("v24 simplified silhouette equals a brute-force centroid recompute") {
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._3.length
+    val cents = vecs
+      .groupBy(_._2)
+      .view
+      .mapValues { vs =>
+        Array.tabulate(dim)(i => math.rint(vs.map(_._3(i).toDouble).sum / vs.length * 1e4) / 1e4 + 0.0)
+      }
+      .toMap
+    def dist(x: Array[Float], c: Array[Double]): Double = {
+      val s = x.indices
+        .map(i => BigDecimal(math.rint((x(i) - c(i)) * (x(i) - c(i)) * 1e12) / 1e12))
+        .sum
+      math.rint(math.sqrt(s.toDouble) * 1e9) / 1e9
+    }
+    val si = vecs.map { case (_, l, x) =>
+      val a = dist(x, cents(l))
+      val b = cents.filter(_._1 != l).values.map(dist(x, _)).min
+      l -> BigDecimal(math.rint((b - a) / math.max(a, b) * 1e9) / 1e9)
+    }
+    val expected = si.groupBy(_._1).map { case (l, ss) =>
+      l -> ((ss.length.toLong,
+             math.rint(ss.map(_._2).sum.toDouble / ss.length * 1e6) / 1e6,
+             ss.count(_._2 < 0).toLong))
+    }
+    val got = graft.operators.Similarity
+      .v24Silhouette(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("e45 backtest: dense spine size, exact MAE recompute per type") {
     val counts = graft.sources.Tables
       .events(spark, sf)
