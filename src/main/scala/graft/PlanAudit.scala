@@ -144,6 +144,7 @@ object PlanAudit {
       "t42_kneser_ney"              -> "Kneser-Ney: four keyed model aggregates over ONE bigram explode + 1-row broadcast total; scoring joins model keyed on (v, w)",
       "d22_minhash_fidelity"        -> "minhash fidelity: one corpus signature pass keyed-joined onto d2's verified pairs — the audit adds NO pair space",
       "v24_silhouette"              -> "simplified silhouette: corpus x broadcast centroid component join -> keyed (vec, label) sums — O(n·L), no pairwise",
+      "m20_audio_trim"              -> "audio trim: map-only real decode, exact integer RMS gate in the partition iterator — one scalar row per clip, no shuffle of samples",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )
     val sb = new StringBuilder

@@ -456,7 +456,9 @@ object SparkEntry {
     // round 12: MinHash estimate vs exact Jaccard on the verified pairs
     "d22_minhash_fidelity"   -> ((s, d) => Dedup.d22MinhashFidelity(s, d)),
     // round 12: simplified (centroid) silhouette per label
-    "v24_silhouette"         -> (Similarity.v24Silhouette _)
+    "v24_silhouette"         -> (Similarity.v24Silhouette _),
+    // round 12: real-decode RMS silence trim per clip
+    "m20_audio_trim"         -> (Multimodal.m20AudioTrim _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4113,7 +4115,22 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs,
         | round(CAST(sum(si) AS DOUBLE) / count(*), 6) AS mean_silhouette,
         | CAST(sum(CASE WHEN si < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
-        |FROM si GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM si GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m20: the oracle replays the store's generating PCM formula (m9's
+    // discipline) and the same exact v²·n ≥ Σv² gate
+    "m20_audio_trim" ->
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 41 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, n.ns, t.i,
+        |  ((n.doc_id*31 + t.i*t.i*7919) % 65536) - 32768 AS v
+        | FROM n JOIN generate_series(0, 104) t(i) ON t.i < n.ns),
+        |q AS (SELECT doc_id, ns, CAST(sum(v*v) AS BIGINT) AS sum_sq FROM s GROUP BY 1,2),
+        |k AS (SELECT s.doc_id, q.ns, min(s.i) AS f, max(s.i) AS l
+        | FROM s JOIN q ON s.doc_id = q.doc_id
+        | WHERE s.v * s.v * q.ns >= q.sum_sq GROUP BY 1, 2)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples, CAST(f AS BIGINT) AS trim_start,
+        | CAST(l AS BIGINT) AS trim_end, CAST(l - f + 1 AS BIGINT) AS n_kept,
+        | round(CAST(l - f + 1 AS DOUBLE) / ns, 6) AS kept_share
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 
   private val v21Sql =

@@ -539,6 +539,56 @@ object Multimodal {
       .toDF("doc_id", "w_idx", "len_w", "sq_w")
   }
 
+  /** m20: AUDIO SILENCE TRIM — the lead/tail trim an ASR curation
+    * pipeline applies before packing clips: decode the staged WAV
+    * (REAL `javax.sound` parse on executors), gate each sample on the
+    * clip's own RMS with m11's exact integer cross-multiply
+    * (`v²·n ≥ Σv²` — no float threshold anywhere), and report the
+    * first/last above-RMS sample, the kept span, and the kept share.
+    * Per-clip map-only work (samples never ride a shuffle — one scalar
+    * row per clip comes out); the oracle replays the store's
+    * generating PCM arithmetic in exact BIGINTs, so the real decode is
+    * hash-gated like m9/m11/m16/m18.
+    */
+  def m20AudioTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("wav_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          val v = new Array[Long](n)
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            v(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+            sumSq += v(i) * v(i)
+            i += 1
+          }
+          var first = -1L
+          var last = -1L
+          i = 0
+          while (i < n) {
+            if (v(i) * v(i) * n >= sumSq) { // |v| ≥ clip RMS, exact integers
+              if (first < 0) first = i.toLong
+              last = i.toLong
+            }
+            i += 1
+          }
+          (id, n.toLong, first, last, last - first + 1)
+        }
+      }
+      .toDF("doc_id", "n_samples", "trim_start", "trim_end", "n_kept")
+      .withColumn("kept_share", round(col("n_kept").cast("double") / col("n_samples"), 6))
+      .orderBy("doc_id")
+  }
+
   def m11AudioSegments(s: SparkSession, d: String, win: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wrows = wavEnergyWindows(s, d, win)

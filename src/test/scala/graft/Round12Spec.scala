@@ -479,6 +479,21 @@ class Round12Spec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("m20 trim spans equal the generating-formula recompute") {
+    val rows = graft.operators.Multimodal
+      .m20AudioTrim(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, f, l, kept) =>
+      assert(n == 64 + id % 41)
+      val v = Array.tabulate(n.toInt)(i => ((id * 31 + i.toLong * i * 7919) % 65536) - 32768)
+      val sumSq = v.map(x => x * x).sum
+      val loud = v.indices.filter(i => v(i) * v(i) * n >= sumSq)
+      assert(f == loud.head.toLong && l == loud.last.toLong && kept == l - f + 1)
+    }
+  }
+
   test("e45 backtest: dense spine size, exact MAE recompute per type") {
     val counts = graft.sources.Tables
       .events(spark, sf)
