@@ -1272,7 +1272,10 @@ object Events {
       .agg(
         count(lit(1)).as("n_users"),
         sum("cnt").as("total_events"),
-        sum(col("i") * col("cnt")).as("swx")
+        // Σi·x in DECIMAL: at 10⁹ users the long sum would wrap
+        // (~5·10¹⁹ > 2⁶³) — decimal(28,0) is exact to 10²⁸ and the
+        // formula goes double afterwards anyway
+        sum((col("i") * col("cnt")).cast("decimal(28,0)")).as("swx")
       )
       .select(
         col("event_type"),
