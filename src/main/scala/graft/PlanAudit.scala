@@ -145,6 +145,9 @@ object PlanAudit {
       "d22_minhash_fidelity"        -> "minhash fidelity: one corpus signature pass keyed-joined onto d2's verified pairs — the audit adds NO pair space",
       "v24_silhouette"              -> "simplified silhouette: corpus x broadcast centroid component join -> keyed (vec, label) sums — O(n·L), no pairwise",
       "m20_audio_trim"              -> "audio trim: map-only real decode, exact integer RMS gate in the partition iterator — one scalar row per clip, no shuffle of samples",
+      "c35_merge_on_read"           -> "merge-on-read: base scan ANTI JOIN the unioned key vectors — deletes cost O(|dv|) write, the read pays one (broadcast-able) anti-join",
+      "t43_js_divergence"           -> "JS divergence: ONE corpus count shuffle; spine/pair/term stages all on the vocabulary-sized model table",
+      "e46_seasonal_anomalies"      -> "seasonal anomalies: generated spine + keyed forecast join -> two broadcast percentile aggregates -> one filter; no per-type window",
       "v22_centroid_margin"         -> "centroid margin: broadcast rounded-centroid model, dxL terms per vector map-side combined; exact decimal margins"
     )
     val sb = new StringBuilder

@@ -458,7 +458,13 @@ object SparkEntry {
     // round 12: simplified (centroid) silhouette per label
     "v24_silhouette"         -> (Similarity.v24Silhouette _),
     // round 12: real-decode RMS silence trim per clip
-    "m20_audio_trim"         -> (Multimodal.m20AudioTrim _)
+    "m20_audio_trim"         -> (Multimodal.m20AudioTrim _),
+    // round 12: merge-on-read deletes via key deletion vectors
+    "c35_merge_on_read"      -> (Maintenance.c35MergeOnRead _),
+    // round 12: Jensen-Shannon divergence between source slices
+    "t43_js_divergence"      -> (TextAnalysis.t43JsDivergence _),
+    // round 12: MAD-gated anomalies over the seasonal-naive residuals
+    "e46_seasonal_anomalies" -> (Events.e46SeasonalAnomalies _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4130,7 +4136,63 @@ object SparkEntry {
         |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples, CAST(f AS BIGINT) AS trim_start,
         | CAST(l AS BIGINT) AS trim_end, CAST(l - f + 1 AS BIGINT) AS n_kept,
         | round(CAST(l - f + 1 AS DOUBLE) / ns, 6) AS kept_share
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // c35: the served MOR read (base anti-join dv) must equal both
+    // delete predicates applied to the raw rows
+    "c35_merge_on_read" ->
+      """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id % 7 <> 3 AND event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t43: dense (sources × types) spine so both engines see the same
+    // support; p·ln(p/m) terms quantized before the per-pair fold
+    "t43_js_divergence" ->
+      """WITH c AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cc AS (SELECT source, tok, count(*) AS c FROM c GROUP BY 1,2),
+        |sp AS (SELECT s.source, t.tok
+        |  FROM (SELECT DISTINCT source FROM cc) s, (SELECT DISTINCT tok FROM cc) t),
+        |dense AS (SELECT sp.source, sp.tok, coalesce(cc.c, 0) AS c
+        |  FROM sp LEFT JOIN cc ON sp.source = cc.source AND sp.tok = cc.tok),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM dense GROUP BY 1),
+        |p AS (SELECT dense.source, tok, CAST(c AS DOUBLE) / tot AS p
+        |  FROM dense JOIN tot ON dense.source = tot.source),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.tok,
+        |   a.p AS pa, b.p AS pb, (a.p + b.p)/2 AS m
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
+        |terms AS (SELECT src_a, src_b,
+        |   CASE WHEN pa > 0 THEN CAST(round(pa * ln(pa / m), 9) AS DECIMAL(14,9))
+        |        ELSE CAST(0 AS DECIMAL(14,9)) END AS ta,
+        |   CASE WHEN pb > 0 THEN CAST(round(pb * ln(pb / m), 9) AS DECIMAL(14,9))
+        |        ELSE CAST(0 AS DECIMAL(14,9)) END AS tb
+        |  FROM pairs)
+        |SELECT src_a, src_b, count(*) AS n_types,
+        | round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_divergence
+        |FROM terms GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // e46: e45's residual spine + e22's quantile_cont MAD gate
+    "e46_seasonal_anomalies" ->
+      """WITH c AS (SELECT event_type, date_part('day', ts) AS dm,
+        |   date_part('hour', ts) AS hr, count(*) AS c FROM events GROUP BY 1,2,3),
+        |sp AS (SELECT ty.event_type, d.dm, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) ty,
+        |       (SELECT unnest(range(8, 29)) AS dm) d,
+        |       (SELECT unnest(range(0, 24)) AS hr) h),
+        |sc AS (SELECT sp.event_type, sp.dm, sp.hr,
+        |  coalesce(a.c, 0) AS a, coalesce(f.c, 0) AS f,
+        |  coalesce(a.c, 0) - coalesce(f.c, 0) AS resid
+        | FROM sp
+        | LEFT JOIN c a ON sp.event_type = a.event_type AND sp.dm = a.dm AND sp.hr = a.hr
+        | LEFT JOIN c f ON sp.event_type = f.event_type AND sp.dm = f.dm + 7 AND sp.hr = f.hr),
+        |med AS (SELECT event_type, quantile_cont(resid, 0.5) AS med FROM sc GROUP BY 1),
+        |mad AS (SELECT sc.event_type, quantile_cont(abs(sc.resid - m.med), 0.5) AS mad,
+        |  max(m.med) AS med
+        | FROM sc JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT sc.event_type, CAST(sc.dm AS INT) AS dm, CAST(sc.hr AS INT) AS hr,
+        | CAST(sc.a AS BIGINT) AS actual, CAST(sc.f AS BIGINT) AS forecast,
+        | CAST(sc.resid AS BIGINT) AS resid
+        |FROM sc JOIN mad m USING (event_type)
+        |WHERE abs(sc.resid - m.med) > 3 * m.mad
+        |ORDER BY sc.event_type, dm, hr""".stripMargin
   )
 
   private val v21Sql =

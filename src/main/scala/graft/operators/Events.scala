@@ -1306,31 +1306,7 @@ object Events {
     * (t34's discipline), so both aggregates are merge-order-free.
     */
   def e45ForecastBacktest(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables
-      .events(s, d)
-      .select(col("event_type"), dayofmonth(col("ts")).as("dm"), hour(col("ts")).as("hr"))
-      .groupBy("event_type", "dm", "hr")
-      .agg(count(lit(1)).as("c"))
-    val spine = counts
-      .select("event_type")
-      .distinct()
-      .select(col("event_type"), explode(sequence(lit(8), lit(28))).as("dm"))
-      .select(col("event_type"), col("dm"), explode(sequence(lit(0), lit(23))).as("hr"))
-    val scored = spine
-      .join(counts, Seq("event_type", "dm", "hr"), "left")
-      .withColumn("a", coalesce(col("c"), lit(0L)))
-      .drop("c")
-      .join(
-        counts.select(
-          col("event_type"),
-          (col("dm") + 7).as("dm"),
-          col("hr"),
-          col("c").as("f0")
-        ),
-        Seq("event_type", "dm", "hr"),
-        "left"
-      )
-      .withColumn("f", coalesce(col("f0"), lit(0L)))
+    val scored = seasonalScored(s, d)
       .withColumn("ae", abs(col("a") - col("f")))
       .withColumn(
         "smape_t",
@@ -1356,5 +1332,66 @@ object Events {
         round(col("ssm").cast("double") / col("n_points"), 6).as("smape")
       )
       .orderBy("event_type")
+  }
+
+  /** e45's dense scored spine (type, day, hour, actual, forecast) —
+    * shared by the backtest report and e46's anomaly screen.
+    */
+  private def seasonalScored(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .select(col("event_type"), dayofmonth(col("ts")).as("dm"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "dm", "hr")
+      .agg(count(lit(1)).as("c"))
+    val spine = counts
+      .select("event_type")
+      .distinct()
+      .select(col("event_type"), explode(sequence(lit(8), lit(28))).as("dm"))
+      .select(col("event_type"), col("dm"), explode(sequence(lit(0), lit(23))).as("hr"))
+    spine
+      .join(counts, Seq("event_type", "dm", "hr"), "left")
+      .withColumn("a", coalesce(col("c"), lit(0L)))
+      .drop("c")
+      .join(
+        counts.select(col("event_type"), (col("dm") + 7).as("dm"), col("hr"), col("c").as("f0")),
+        Seq("event_type", "dm", "hr"),
+        "left"
+      )
+      .withColumn("f", coalesce(col("f0"), lit(0L)))
+      .drop("f0")
+  }
+
+  /** e46: SEASONAL ANOMALY SCREEN — e45's residuals pushed through
+    * e22's robust MAD gate: per type, flag the (day, hour) cells whose
+    * seasonal-naive residual sits more than 3 MADs from the median
+    * residual — the alerting op a monitoring tier derives from the
+    * backtest ("traffic did something last week's shape doesn't
+    * explain"). Residuals are exact integers on the dense spine;
+    * median/MAD use the interpolated `percentile` (DuckDB
+    * quantile_cont parity — e22's proven discipline), whose .0/.5
+    * values keep every threshold comparison exact against integer
+    * residuals. Two grouped percentile aggregates broadcast back, one
+    * filter — no per-type window, no sort.
+    */
+  def e46SeasonalAnomalies(s: SparkSession, d: String): DataFrame = {
+    val scored = seasonalScored(s, d).withColumn("resid", col("a") - col("f"))
+    val med = scored.groupBy("event_type").agg(expr("percentile(resid, 0.5d)").as("med"))
+    val mad = scored
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("resid") - col("med")))
+      .groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5d)").as("mad"), max("med").as("med"))
+    scored
+      .join(broadcast(mad), "event_type")
+      .filter(abs(col("resid") - col("med")) > lit(3.0) * col("mad"))
+      .select(
+        col("event_type"),
+        col("dm"),
+        col("hr"),
+        col("a").as("actual"),
+        col("f").as("forecast"),
+        col("resid")
+      )
+      .orderBy("event_type", "dm", "hr")
   }
 }

@@ -2159,6 +2159,80 @@ object Maintenance {
     kept.reduce(_.unionByName(_)).unionByName(expired).orderBy("version")
   }
 
+  // c35's base-files + deletion-vector store, built once per (JVM, dir)
+  private val morStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** c35: MERGE-ON-READ DELETES (deletion vectors) — the other half of
+    * the delete story next to c17's copy-on-write GDPR purge: the base
+    * files are written ONCE and never touched again; each delete
+    * writes only a compact KEY SIDECAR (`dv/v=k`, O(deleted keys) — a
+    * positional delete vector's key-based equivalent), and the read
+    * path applies `base ANTI JOIN (∪ dv)`. Two generations land here
+    * (a GDPR-style user cohort, then a full event-type retraction);
+    * the served aggregate must equal DuckDB's answer over the raw
+    * rows with both predicates applied. The trade this op exists to
+    * demonstrate: deletes cost O(|dv|) write instead of O(table)
+    * rewrite, reads pay one broadcast-able anti-join until a
+    * compaction (c1's machinery) folds the vectors in —
+    * base-immutability is ScalaTest-pinned (file list + mtimes
+    * unchanged across both delete generations).
+    */
+  def c35MergeOnRead(s: SparkSession, d: String): DataFrame = {
+    val root = morStoreCache.computeIfAbsent(
+      d,
+      _ => {
+        val r = graft.TempDirs.create("graft_c35_")
+        Tables
+          .events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+          .coalesce(4)
+          .write
+          .mode("overwrite")
+          .parquet(s"$r/base")
+        // delete generation 1: a user cohort (the GDPR shape)
+        Tables
+          .events(s, d)
+          .filter(col("user_id") % 7 === 3)
+          .select("event_id")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$r/dv/v=1")
+        // delete generation 2: retract one event type wholesale
+        Tables
+          .events(s, d)
+          .filter(col("event_type") === "error")
+          .select("event_id")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$r/dv/v=2")
+        r
+      }
+    )
+    val base = s.read.parquet(s"$root/base")
+    val dv = s.read.parquet(s"$root/dv") // both generations via partition discovery
+    base
+      .join(dv.select("event_id"), Seq("event_id"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Base-file inventory for the c35 store (test access: the MOR
+    * contract is that deletes never touch base files).
+    */
+  private[graft] def c35BaseInventory(s: SparkSession, d: String): Seq[(String, Long)] = {
+    c35MergeOnRead(s, d).count() // ensure the store exists
+    val dir = new java.io.File(s"${morStoreCache.get(d)}/base")
+    dir
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified())
+      .sortBy(_._1)
+      .toSeq
+  }
+
   /** c34: SCD2 DIMENSION BUILD — collapse each user's event-type
     * history into slowly-changing-dimension TYPE-2 rows: one row per
     * RUN of consecutive identical types, with `valid_from_us` /

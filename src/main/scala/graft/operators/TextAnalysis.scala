@@ -1729,4 +1729,54 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** t43: JENSEN-SHANNON DIVERGENCE BETWEEN SOURCES — the symmetric,
+    * bounded [0, ln 2] distributional distance between corpus slices'
+    * unigram distributions: the signal a mixture pipeline reads before
+    * re-weighting sources (t35 measures shared shingle MASS; this
+    * measures how differently the slices USE the shared vocabulary —
+    * two sources can overlap 100% in shingles and still diverge in
+    * frequency). One corpus count shuffle; everything after runs on
+    * the (sources × types) model table (vocabulary-sized — Heaps-
+    * sublinear) with a dense zero-filled spine so both engines see the
+    * same support; each p·ln(p/m) term is decimal-quantized before the
+    * per-pair fold (t34's discipline).
+    */
+  def t43JsDivergence(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .documents(s, d)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+    val spine = counts.select("source").distinct().crossJoin(counts.select("tok").distinct())
+    val dense = spine
+      .join(counts, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val tot = dense.groupBy("source").agg(sum("c").as("tot"))
+    val p = dense
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("tok"), (col("c").cast("double") / col("tot")).as("p"))
+    val pairs = p
+      .select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
+      .join(
+        p.select(col("source").as("src_b"), col("tok"), col("p").as("pb")),
+        Seq("tok")
+      )
+      .filter(col("src_a") < col("src_b"))
+    val m = (col("pa") + col("pb")) / 2
+    def term(x: org.apache.spark.sql.Column) =
+      when(x > 0, round(x * log(x / m), 9).cast("decimal(14,9)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(14,9)"))
+    pairs
+      .select(col("src_a"), col("src_b"), term(col("pa")).as("ta"), term(col("pb")).as("tb"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_types"), sum("ta").as("sa"), sum("tb").as("sb"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_types"),
+        round((col("sa") + col("sb")).cast("double") / 2, 6).as("js_divergence")
+      )
+      .orderBy("src_a", "src_b")
+  }
 }

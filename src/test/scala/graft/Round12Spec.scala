@@ -494,6 +494,103 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("c35 merge-on-read: deletes never touch base files, vectors stay tiny") {
+    val inv1 = graft.operators.Maintenance.c35BaseInventory(spark, sf)
+    // rerunning the query (fresh read + anti-join) must not disturb base
+    val inv2 = graft.operators.Maintenance.c35BaseInventory(spark, sf)
+    assert(inv1 == inv2 && inv1.nonEmpty)
+    // and the served read equals base-minus-both-predicates recomputed
+    val raw = graft.sources.Tables
+      .events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val surv = raw.filter(r => r._2 % 7 != 3 && r._3 != "error")
+    val expected = surv.groupBy(_._3).map { case (t, rs) =>
+      t -> ((rs.length.toLong, math.rint(rs.map(_._4).sum * 100) / 100))
+    }
+    val got = graft.operators.Maintenance
+      .c35MergeOnRead(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == expected.keySet && !got.keySet.contains("error"))
+    got.foreach { case (t, (n, sv)) =>
+      assert(n == expected(t)._1)
+      assert(math.abs(sv - expected(t)._2) < 1e-6) // sum order differs; 2dp rounding absorbs it
+    }
+  }
+
+  test("t43 JS divergence: symmetric-bounded, equals a brute-force recompute") {
+    val counts = graft.sources.Tables
+      .documents(spark, sf)
+      .selectExpr("source", "explode(filter(split(text, ' '), x -> x != '')) as tok")
+      .groupBy("source", "tok")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sources = counts.keys.map(_._1).toSeq.distinct.sorted
+    val vocab = counts.keys.map(_._2).toSeq.distinct
+    val tot = sources.map(s0 => s0 -> vocab.map(t => counts.getOrElse((s0, t), 0L)).sum).toMap
+    def p(s0: String, t: String) = counts.getOrElse((s0, t), 0L).toDouble / tot(s0)
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val (sa, sb) = (sources(i), sources(j))
+      val terms = vocab.map { t =>
+        val (pa, pb) = (p(sa, t), p(sb, t))
+        val m = (pa + pb) / 2
+        val ta = if (pa > 0) BigDecimal(math.rint(pa * math.log(pa / m) * 1e9) / 1e9) else BigDecimal(0)
+        val tb = if (pb > 0) BigDecimal(math.rint(pb * math.log(pb / m) * 1e9) / 1e9) else BigDecimal(0)
+        (ta, tb)
+      }
+      (sa, sb) -> math.rint((terms.map(_._1).sum + terms.map(_._2).sum).toDouble / 2 * 1e6) / 1e6
+    }).toMap
+    val got = graft.operators.TextAnalysis
+      .t43JsDivergence(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.values.forall(v => v >= 0.0 && v <= math.log(2) + 1e-9))
+  }
+
+  test("e46 anomalies: every flagged cell exceeds the 3-MAD gate, non-flagged don't") {
+    val scoredRows = graft.operators.Events
+      .e45ForecastBacktest(spark, sf)
+      .collect() // just to ensure shared path runs; the real check below
+    assert(scoredRows.nonEmpty)
+    val flagged = graft.operators.Events
+      .e46SeasonalAnomalies(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+    assert(flagged.nonEmpty)
+    // recompute residual distribution per type and the MAD gate
+    val counts = graft.sources.Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "dayofmonth(ts) as dm", "hour(ts) as hr")
+      .groupBy("event_type", "dm", "hr")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val types = counts.keys.map(_._1).toSeq.distinct
+    def interpMedian(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      val n = s0.length
+      if (n % 2 == 1) s0(n / 2) else (s0(n / 2 - 1) + s0(n / 2)) / 2
+    }
+    val expected = types.flatMap { t =>
+      val cells = for (d0 <- 8 to 28; h <- 0 to 23)
+        yield (d0, h, counts.getOrElse((t, d0, h), 0L) - counts.getOrElse((t, d0 - 7, h), 0L))
+      val med = interpMedian(cells.map(_._3.toDouble))
+      val mad = interpMedian(cells.map(c => math.abs(c._3 - med)))
+      cells.filter(c => math.abs(c._3 - med) > 3 * mad).map(c => (t, c._1, c._2, c._3))
+    }.toSet
+    assert(flagged.toSet == expected)
+  }
+
   test("e45 backtest: dense spine size, exact MAE recompute per type") {
     val counts = graft.sources.Tables
       .events(spark, sf)
