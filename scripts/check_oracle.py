@@ -76,9 +76,12 @@ def main():
             hcols = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t]
             print(f"FAIL {name}: oracle HUGEINT column(s) {hcols} — add CAST(... AS BIGINT)")
             n_fail += 1; continue
-        if sorted(zip(o_cols, o_types)) != sorted(zip(s_cols, s_types)):
-            diff = [(c, st, ot) for (c, st), (_, ot) in
-                    zip(sorted(zip(s_cols, s_types)), sorted(zip(o_cols, o_types))) if st != ot]
+        # diff per NAME (dicts), not positionally over sorted (name, type)
+        # pairs — tuples sort by (name, type), so a drifted type could
+        # shift sort position and misattribute which column drifted.
+        st_by, ot_by = dict(zip(s_cols, s_types)), dict(zip(o_cols, o_types))
+        diff = [(c, st_by[c], ot_by[c]) for c in s_cols if st_by[c] != ot_by.get(c, st_by[c])]
+        if diff:
             print(f"TYPEWARN {name}: spark vs oracle type drift {diff[:4]}")
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")

@@ -98,13 +98,15 @@ object Bench {
         System.err.println(s"WARN: failed to write $fullPath: ${e.getClass.getName}: ${e.getMessage}")
     }
     // ...then ONE compact line LAST, sized to survive the driver's
-    // 2000-char tail (plus sbt's [success] footer): EVERY query's
-    // steady-state seconds as `qv`, an array in sorted-name order —
-    // ~6 chars/query instead of ~25, so the full surface fits. The name
-    // for qv[i] is the i-th of sort(SparkEntry.queries.keys) (restricted
-    // to SPARK_GRAFT_ONLY when set), spelled out in BENCH_FULL.json.
-    val qv = results.map(r => fmt(r._2)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"order":"sorted_names","full":"BENCH_FULL.json","qv":$qv,"sf":$sfNum}""")
+    // 2000-char tail (plus sbt's [success] footer). Round 12's inline
+    // `qv` array (309 floats) outgrew the capture and the driver parsed
+    // null — per-query times live ONLY in BENCH_FULL.json now; the
+    // summary line carries just the scalars plus the ten slowest
+    // queries (the triage heads) and stays well under 1 kB.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (n, v, _) => s"\"" + n + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"full":"BENCH_FULL.json","slowest":$slow,"sf":$sfNum}""")
     spark.stop()
   }
 }

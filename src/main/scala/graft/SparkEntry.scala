@@ -1612,8 +1612,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_decimal_agg" ->
       """SELECT l_returnflag,
-        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
-        | CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
+        | CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+        | CAST(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "m3_frame_sample" ->
@@ -3847,7 +3847,7 @@ object SparkEntry {
         |FROM a""".stripMargin,
     "q57_decile_lift" ->
       """WITH spend AS (SELECT o_custkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1),
+        |  sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1),
         |tl AS (SELECT o_custkey, spend,
         |  ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM spend),
         |g AS (SELECT decile, count(*) AS n_customers, sum(spend) AS rev FROM tl GROUP BY 1),
@@ -3916,15 +3916,15 @@ object SparkEntry {
     // form — the engine collapses customers to interval grain first)
     "q59_semi_additive" ->
       """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS m,
-        |   o_orderdate, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
-        |b AS (SELECT o_custkey, m, price AS balance FROM (
+        |   o_orderdate, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT o_custkey, m, cents AS balance FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey, m
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM o) WHERE rn = 1),
         |iv AS (SELECT o_custkey, m, balance,
         |  lead(m) OVER (PARTITION BY o_custkey ORDER BY m) AS m_to FROM b),
         |sp AS (SELECT DISTINCT m AS sm FROM o)
         |SELECT sp.sm AS month, count(*) AS n_accounts,
-        | CAST(sum(iv.balance) AS DECIMAL(20,2)) AS book_balance
+        | CAST(sum(iv.balance) AS BIGINT) / 100.0 AS book_balance
         |FROM iv JOIN sp ON sp.sm >= iv.m AND (iv.m_to IS NULL OR sp.sm < iv.m_to)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e44_engagement_gini" ->
@@ -4018,7 +4018,7 @@ object SparkEntry {
         | CAST(n_events AS BIGINT) AS n_events, (valid_to_us IS NULL) AS is_current
         |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
     "q60_abc_class" ->
-      """WITH r AS (SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      """WITH r AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
         |   AS DECIMAL(28,2)) AS rev FROM lineitem GROUP BY 1),
         |t AS (SELECT CAST(sum(rev) AS DECIMAL(28,2)) AS total_rev FROM r),
         |c AS (SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey

@@ -95,15 +95,15 @@ object SqlMain {
     // CommandResult), so invoking spark.sql is sufficient for them. A
     // mid-script non-command (a bare SELECT) would otherwise be built
     // and silently discarded — losing side-effecting expressions like
-    // assert_true — so it gets a BOUNDED materialization (limit 1):
-    // enough to execute the plan once without landing an arbitrarily
-    // large user-controlled result on the driver.
+    // assert_true — so it is FULLY evaluated with a noop write: every
+    // row executes on the executors (an assert_true that fails on row
+    // 10⁶ fires), nothing lands on the driver.
     stmts.init.foreach { st =>
       val df = spark.sql(st)
       df.queryExecution.analyzed match {
         case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => () // already ran
         case _ =>
-          df.limit(1).collect()
+          df.write.format("noop").mode("overwrite").save()
           ()
       }
     }

@@ -620,8 +620,11 @@ object Relational {
       .lineitem(s, d)
       .select(
         col("l_returnflag"),
-        col("l_extendedprice").cast("decimal(18,2)").as("p"),
-        col("l_discount").cast("decimal(18,4)").as("disc")
+        // round-then-cast: quantize the raw double in DOUBLE space first
+        // so the per-row decimal cast cannot hit an engine-dependent
+        // rounding tie (the doubles are identical bits in both engines).
+        round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"),
+        round(col("l_discount"), 2).cast("decimal(18,4)").as("disc")
       )
       .groupBy("l_returnflag")
       .agg(
@@ -1182,7 +1185,7 @@ object Relational {
     val spend = Tables
       .orders(s, d)
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)")).as("spend"))
     val nTot = spend.agg(count(lit(1)).as("n_total"))
     // closed-form ntile(10) from the scale-safe rank: the first
     // n mod 10 tiles take ⌈n/10⌉ rows (all tile math rides a 1-row
@@ -1271,7 +1274,7 @@ object Relational {
     val rev = Tables
       .lineitem(s, d)
       .groupBy("l_partkey")
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .agg(sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)")).as("rev"))
     val tot = rev.agg(sum("rev").as("total_rev"))
     ScaleRank
       .withRunningSum(rev, Seq.empty, Seq(desc("rev"), col("l_partkey")), "rev", "cum_rev")
@@ -1313,7 +1316,14 @@ object Relational {
         date_trunc("month", col("o_orderdate")).cast("date").as("m"),
         col("o_orderdate"),
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price")
+        // integer-cents discipline: the raw double is quantized to exact
+        // long cents (x*100 is within 1e-4 of an integer for 2-dp money,
+        // so round() is tie-free and bit-identical in every engine). No
+        // double→decimal cast anywhere — the round-12 driver hash-FAIL on
+        // this query was unreproducible locally, so the money path is now
+        // engine-cast-independent end to end; long sums are exact to
+        // ~9·10^16 dollars.
+        round(col("o_totalprice") * 100).cast("long").as("cents")
       )
     val wLatest = Window
       .partitionBy("o_custkey", "m")
@@ -1321,7 +1331,7 @@ object Relational {
     val balances = o
       .withColumn("_rn", row_number().over(wLatest))
       .filter(col("_rn") === 1)
-      .select(col("o_custkey"), col("m"), col("price").as("balance"))
+      .select(col("o_custkey"), col("m"), col("cents").as("balance"))
     val wNext = Window.partitionBy("o_custkey").orderBy("m")
     val intervals = balances
       .withColumn("m_to", lead("m", 1).over(wNext))
@@ -1337,7 +1347,10 @@ object Relational {
       .groupBy(col("sm").as("month"))
       .agg(
         sum("n_accts").as("n_accounts"),
-        sum("bal").cast("decimal(20,2)").as("book_balance")
+        // exact long cents → double only at the report edge (sums are far
+        // below 2^53 cents, so the division is the same IEEE value in any
+        // engine; no decimal cast to disagree about)
+        (sum("bal") / lit(100.0)).as("book_balance")
       )
       .orderBy("month")
   }

@@ -23,9 +23,48 @@ import org.apache.spark.sql.functions._
   * Correctness note: `order` must be a TOTAL order (callers append a
   * unique tie-breaker column) — the range partitioner puts equal keys
   * in one partition, so a total order makes the stitched rank exactly
-  * the rank a global sort would produce.
+  * the rank a global sort would produce. NULL group keys are ranked as
+  * an ordinary group (the offset stitch joins null-safely, matching
+  * `row_number` window semantics).
+  *
+  * Cost note: `localCheckpoint` materializes the range-partitioned
+  * input to executor block storage (memory-and-disk) for the duration
+  * of the two jobs — at cluster scale, budget executor storage for one
+  * copy of the ranked projection (project away unneeded columns before
+  * calling). `numPartitions` defaults to the cluster's
+  * `defaultParallelism` so a 1000-executor run fans the sort out
+  * automatically; pass it explicitly to tune range sizes.
   */
 object ScaleRank {
+
+  /** numPartitions ≤ 0 ⇒ derive from the session's defaultParallelism
+    * (never a hard-coded constant — a petabyte through 32 ranges is a
+    * cluster-user footgun).
+    */
+  private def resolveParts(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+  /** Null-safe broadcast stitch of the metadata-grain offset table back
+    * onto the partitioned rows: `<=>` on group columns so NULL group
+    * keys keep their offsets (a USING join would silently drop them —
+    * SQL null-join semantics), plain `===` on the never-null pid.
+    */
+  private def stitchOffsets(
+      parts: DataFrame,
+      offsets: DataFrame,
+      group: Seq[String]
+  ): DataFrame = {
+    val renamed = group.zipWithIndex
+      .foldLeft(offsets.withColumnRenamed("_sr_pid", "_sr_opid")) { case (d, (g, i)) =>
+        d.withColumnRenamed(g, s"_sr_g$i")
+      }
+    val cond = group.zipWithIndex.foldLeft(col("_sr_pid") === col("_sr_opid")) {
+      case (c, (g, i)) => c && (col(g) <=> col(s"_sr_g$i"))
+    }
+    val joined = parts.join(broadcast(renamed), cond)
+    group.indices.foldLeft(joined.drop("_sr_opid"))((d, i) => d.drop(s"_sr_g$i"))
+  }
 
   /** Append `rankCol` = the 1-based rank of each row within its
     * `group` (empty Seq ⇒ one global group) under `order`.
@@ -35,11 +74,11 @@ object ScaleRank {
       group: Seq[String],
       order: Seq[Column],
       rankCol: String,
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val gCols = group.map(col)
     val parts = df
-      .repartitionByRange(numPartitions, (gCols ++ order): _*)
+      .repartitionByRange(resolveParts(df, numPartitions), (gCols ++ order): _*)
       .withColumn("_sr_pid", spark_partition_id())
       .localCheckpoint()
     val counts = parts
@@ -53,8 +92,7 @@ object ScaleRank {
       .withColumn("_sr_off", coalesce(sum("_sr_n").over(wOff), lit(0L)))
       .drop("_sr_n")
     val wLocal = Window.partitionBy((col("_sr_pid") +: gCols): _*).orderBy(order: _*)
-    parts
-      .join(broadcast(offsets), "_sr_pid" +: group)
+    stitchOffsets(parts, offsets, group)
       .withColumn(rankCol, col("_sr_off") + row_number().over(wLocal))
       .drop("_sr_pid", "_sr_off")
   }
@@ -73,11 +111,11 @@ object ScaleRank {
       order: Seq[Column],
       valueCol: String,
       outCol: String,
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val gCols = group.map(col)
     val parts = df
-      .repartitionByRange(numPartitions, (gCols ++ order): _*)
+      .repartitionByRange(resolveParts(df, numPartitions), (gCols ++ order): _*)
       .withColumn("_sr_pid", spark_partition_id())
       .localCheckpoint()
     val counts = parts
@@ -94,8 +132,7 @@ object ScaleRank {
       .partitionBy((col("_sr_pid") +: gCols): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
-      .join(broadcast(offsets), "_sr_pid" +: group)
+    stitchOffsets(parts, offsets, group)
       .withColumn(
         outCol,
         coalesce(col("_sr_off"), lit(0)) + sum(valueCol).over(wLocal)

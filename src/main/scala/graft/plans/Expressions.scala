@@ -971,7 +971,10 @@ case class GramianAgg(
           var j = i
           val qi = q(i)
           while (j < dim) {
-            val c = qi * q(j) // |qi|,|qj| ≤ 2³³ ⇒ the product itself fits
+            // multiplyExact closes the last silent-wrap hole: the product
+            // is only safe when |q| < 2^31.5 (|v| ≲ 3·10³ at 1e6
+            // quantization) — larger inputs now FAIL LOUDLY here too.
+            val c = Math.multiplyExact(qi, q(j))
             buf(k) = Math.addExact(buf(k), c >> 23)
             buf(k + 1) = Math.addExact(buf(k + 1), c & GramianAgg.LoMask)
             j += 1
