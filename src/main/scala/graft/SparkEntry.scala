@@ -350,6 +350,9 @@ object SparkEntry {
     "e37_burst_windows"      -> (Events.e37BurstWindows _),
     // round 10: scene segmentation over the synthetic frame model (m11's shape on the frame axis)
     "m13_scene_segments"     -> ((s, d) => Multimodal.m13SceneSegments(s, d)),
+    // round 13: m13 over the REAL multi-frame GIF decode path (same oracle
+    // gates decode + segmentation — m14b's discipline)
+    "m13b_scene_real"        -> ((s, d) => Multimodal.m13bSceneReal(s, d)),
     // round 10: per-doc trigram novelty vs the reference half
     "t32_ngram_novelty"      -> (TextAnalysis.t32NgramNovelty _),
     // round 10: t32's streaming twin — frontier docs scored per micro-batch
@@ -3551,6 +3554,23 @@ object SparkEntry {
     // m13: the synthetic frame model replayed (m11's oracle discipline);
     // scene = running sum of |delta| >= 96 cuts
     "m13_scene_segments" ->
+      """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
+        |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
+        | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),
+        |c AS (SELECT doc_id, i, v,
+        |  CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |       OR abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i)) >= 96
+        |  THEN 1 ELSE 0 END AS cut
+        | FROM f),
+        |sc AS (SELECT doc_id, i, v,
+        |  sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_id FROM c)
+        |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+        | CAST(min(i) AS BIGINT) AS start_f, CAST(max(i) AS BIGINT) AS end_f,
+        | count(*) AS n_frames, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m13b: identical oracle to m13 — the GIF frames encode the same luma
+    // model, so the hash gates the real frame decode itself
+    "m13b_scene_real" ->
       """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
         |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
         | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),

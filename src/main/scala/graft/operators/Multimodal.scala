@@ -284,6 +284,82 @@ object Multimodal {
     encodeWav(samples)
   }
 
+  /** Encode a multi-frame GIF (one 3×3 constant-gray frame per entry of
+    * `frameVals`) via the JDK's [[javax.imageio]] sequence writer — the
+    * video twin of [[encodePng]]/[[encodeWav]], still zero new
+    * dependencies: GIF is the one multi-frame container the stock JDK
+    * both writes and reads. A 256-gray image maps 1:1 onto the GIF
+    * palette, so every frame value round-trips exactly.
+    */
+  private[graft] def encodeGif(frameVals: Array[Int]): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val grays = Array.tabulate(256)(_.toByte)
+    // explicit identity gray palette (TYPE_BYTE_GRAY trips the JDK GIF
+    // writer's palette mapping) and progressive mode DISABLED — the
+    // writer interlaces by default and the JDK reader drops the last
+    // interlace pass on tiny frames, silently zeroing rows.
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    frameVals.foreach { v =>
+      val img = new java.awt.image.BufferedImage(
+        3,
+        3,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+        icm
+      )
+      val raster = img.getRaster
+      var i = 0
+      while (i < 9) { raster.setSample(i % 3, i / 3, 0, v & 0xff); i += 1 }
+      writer.writeToSequence(new IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a multi-frame GIF to its (constant) gray
+    * value — the real per-frame decode for m13b. `getRGB` resolves the
+    * palette (the raster sample would be the palette INDEX, not the
+    * gray level); failure is loud and names the doc, [[decodeImage]]'s
+    * discipline.
+    */
+  private[graft] def decodeGifFrames(docId: Long, bytes: Array[Byte]): Array[Int] = {
+    import javax.imageio.ImageIO
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"undecodable gif for doc_id=$docId (${bytes.length} bytes)"
+        )
+      Array.tabulate(n) { i =>
+        val img = reader.read(i)
+        img.getRGB(1, 1) & 0xff
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** m13's per-doc clip as a REAL container: nF = 24 + id%40 frames,
+    * frame i's gray level = (id*31 + i²·7919) % 256 — the exact luma
+    * model the m13 oracle replays, so the decode is hash-gated.
+    */
+  private def gifMeta(id: Long): Array[Byte] = {
+    val n = 24 + (id % 40).toInt
+    encodeGif(Array.tabulate(n)(i => ((id * 31 + i.toLong * i * 7919) % 256).toInt))
+  }
+
   /** Stage genuine PNG + WAV payloads for every document, once per (JVM,
     * source dir). Encoding happens on EXECUTORS (mapPartitions over the
     * doc ids) — the driver never holds media bytes.
@@ -298,8 +374,8 @@ object Multimodal {
           .documents(s, d)
           .select(col("doc_id"))
           .as[Long]
-          .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id), wavMeta(id))))
-          .toDF("doc_id", "png_meta", "png_grp", "wav_meta")
+          .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id), wavMeta(id), gifMeta(id))))
+          .toDF("doc_id", "png_meta", "png_grp", "wav_meta", "gif_meta")
           .write
           .mode("overwrite")
           .parquet(s"$dir/media")
@@ -714,12 +790,20 @@ object Multimodal {
     * (executor-side, only per-frame scalars ride the shuffle).
     */
   def m13SceneSegments(s: SparkSession, d: String, tau: Int = 96): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nF = (lit(24) + col("doc_id") % 40).cast("int")
     val frames = Tables
       .documents(s, d)
       .select(col("doc_id"), explode(sequence(lit(0), nF - 1)).as("i"))
       .withColumn("v", (col("doc_id") * 31 + col("i") * col("i") * 7919) % 256)
+    sceneIslands(frames, tau)
+  }
+
+  /** The cut→islands algebra shared by m13 (synthetic luma) and m13b
+    * (real GIF decode): one per-clip window pass + keyed groupBy —
+    * frames shuffle exactly once regardless of where `v` came from.
+    */
+  private def sceneIslands(frames: DataFrame, tau: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("i")
     frames
       .withColumn("pv", lag("v", 1).over(w))
@@ -739,6 +823,35 @@ object Multimodal {
         sum("v").cast("long").as("sum_v")
       )
       .orderBy("doc_id", "scene_id")
+  }
+
+  /** m13b: m13's scene segmentation over a REAL video container — the
+    * media store stages one multi-frame GIF per doc (the one container
+    * the stock JDK both writes and reads; frame grays encode m13's luma
+    * model exactly), [[decodeGifFrames]] parses every frame
+    * executor-side, and the same cut→islands algebra runs on the
+    * decoded values. The shared DuckDB oracle (identical SQL to m13)
+    * therefore gates BOTH the frame decode (a dropped frame, wrong
+    * frame order or palette mis-read shifts cuts and sums) and the
+    * segmentation — m14b's two-stage discipline, closing the last
+    * synthetic-proxy modality. Per-clip work is one container parse +
+    * O(frames); only (doc_id, i, v) scalars ride the shuffle, exactly
+    * where a production decoder (ffmpeg behind the same iterator) would
+    * slot in at 100 TB.
+    */
+  def m13bSceneReal(s: SparkSession, d: String, tau: Int = 96): DataFrame = {
+    import s.implicits._
+    val frames = s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("gif_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGifFrames(id, bytes).iterator.zipWithIndex.map { case (v, i) => (id, i, v) }
+        }
+      }
+      .toDF("doc_id", "i", "v")
+    sceneIslands(frames, tau)
   }
 
   /** m14: PERCEPTUAL dHASH — the difference-hash image fingerprint

