@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-top-k → TopKPerKey rewrite + the strategy that plans it
     e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // unpartitioned row_number window → distributed GlobalRank
+    e.injectOptimizerRule(_ => GlobalRankRewrite)
+    e.injectPlannerStrategy(_ => GlobalRankStrategy)
     // registered-rollup answering of raw-table aggregates
     e.injectOptimizerRule(_ => MvRewrite)
     // stored-stats broadcast pricing of registered-table joins
@@ -88,6 +91,7 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ StatsPlanner.StatsBroadcastRule
     }
     TopK.install(spark)
+    GlobalRank.install(spark)
     AsofJoin.install(spark)
   }
 }

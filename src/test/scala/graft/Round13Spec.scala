@@ -63,6 +63,50 @@ class Round13Spec extends AnyFunSuite {
     assert(nulls.toSeq == Seq((1L, 1L), (10L, 11L)))
   }
 
+  test("GlobalRank: SQL global row_number plans distributed, matches window semantics") {
+    // the scale cliff: row_number() OVER (ORDER BY ...) with no PARTITION
+    // BY plans a 1-task WindowExec. The GlobalRankRewrite must swap in
+    // GlobalRankExec (range exchange + offset stitch) and preserve exact
+    // row_number values.
+    val df = spark.sql(
+      "SELECT id, row_number() OVER (ORDER BY id DESC) AS rn FROM range(1000)"
+    )
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    assert(
+      exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+      s"GlobalRankExec missing from plan:\n$exec"
+    )
+    assert(
+      exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty,
+      "unpartitioned WindowExec survived the rewrite"
+    )
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    assert(rows.map(_._2).toSeq == (1 to 1000))
+    assert(rows.map(_._1).toSeq == (0L until 1000L).reverse)
+  }
+
+  test("GlobalRank: rank()/multi-expression/partitioned windows keep the stock plan") {
+    // conservatism: tie-sensitive rank functions and partitioned windows
+    // must NOT be rewritten
+    val keep = Seq(
+      "SELECT id, rank() OVER (ORDER BY id) AS r FROM range(100)",
+      "SELECT id, row_number() OVER (PARTITION BY id % 3 ORDER BY id) AS r FROM range(100)",
+      "SELECT id, row_number() OVER (ORDER BY id) AS r, sum(id) OVER (ORDER BY id) AS s FROM range(100)"
+    )
+    keep.foreach { q =>
+      val exec = spark.sql(q).queryExecution.executedPlan
+      assert(
+        exec.collect { case g: graft.plans.GlobalRankExec => g }.isEmpty,
+        s"rewrite over-fired on: $q"
+      )
+    }
+  }
+
   test("SqlMain mid-script statements execute EVERY row (late-row assert fires)") {
     // round-12 ADVICE: limit(1) materialization let an assert_true that
     // fails on a later row pass silently. The noop write must evaluate
