@@ -467,7 +467,29 @@ object SparkEntry {
     // round 12: Jensen-Shannon divergence between source slices
     "t43_js_divergence"      -> (TextAnalysis.t43JsDivergence _),
     // round 12: MAD-gated anomalies over the seasonal-naive residuals
-    "e46_seasonal_anomalies" -> (Events.e46SeasonalAnomalies _)
+    "e46_seasonal_anomalies" -> (Events.e46SeasonalAnomalies _),
+    // round 13: cohort LTV matrix (integer-cents money, co-partitioned join)
+    "q61_cohort_ltv"         -> (Relational.q61CohortLtv _),
+    // round 13: repurchase-interval week-bucket histogram
+    "q62_repurchase_curve"   -> (Relational.q62RepurchaseCurve _),
+    // round 13: discrete inter-event survival curve per type
+    "e47_survival"           -> (Events.e47Survival _),
+    // round 13: hourly peak detection with integer-exact prominence gate
+    "e48_peaks"              -> (Events.e48Peaks _),
+    // round 13: LSH banding plan audit (explicit-squaring probabilities)
+    "d23_lsh_plan"           -> ((s, d) => Dedup.d23LshPlan(s, d)),
+    // round 13: Flesch readability screen (map-only, regex counts)
+    "t44_readability"        -> (TextAnalysis.t44Readability _),
+    // round 13: tri-modal decode integrity audit over the media store
+    "m21_media_integrity"    -> (Multimodal.m21MediaIntegrity _),
+    // round 13: stream-maintained decayed heavy hitters (exact 2^day weights)
+    "s37_stream_decay_topk"  -> (StreamingBatch.s37StreamDecayTopk _),
+    // round 13: stats-staleness audit (stored-vs-actual min/max/ndv)
+    "c36_stats_staleness"    -> (Maintenance.c36StatsStaleness _),
+    // round 13: hash-gated LSH recall audit over deterministic hyperplanes
+    "v25_hyperplane_recall"  -> ((s, d) => Similarity.v25HyperplaneRecall(s, d)),
+    // round 13: video curation pipeline over the real GIF decode path
+    "p10_curate_video"       -> ((s, d) => graft.operators.Curate.p10CurateVideo(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -510,6 +532,43 @@ object SparkEntry {
       | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p_event_id""".stripMargin
+
+  // v25: the DuckDB side of the hyperplane recall audit renders its
+  // plane literals from the SAME formula the engine evaluates
+  // (Similarity.v25Plane) — one source of truth, integer weights that
+  // widen exactly to double in both engines.
+  private val v25Sql: String = {
+    val planes = (0 until 4)
+      .map(j => graft.operators.Similarity.v25Plane(j, 64).map(_.toInt).mkString("[", ", ", "]"))
+    def pd(j: Int) = s"list_dot_product(emb, ${planes(j)}::DOUBLE[])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb,
+       |  (CASE WHEN ${pd(0)} > 0 THEN 1 ELSE 0 END)
+       | + 2*(CASE WHEN ${pd(1)} > 0 THEN 1 ELSE 0 END)
+       | + 4*(CASE WHEN ${pd(2)} > 0 THEN 1 ELSE 0 END)
+       | + 8*(CASE WHEN ${pd(3)} > 0 THEN 1 ELSE 0 END) AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_b FROM b WHERE vec_id < 50),
+       |ex AS (SELECT q_id, c_id FROM (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |   row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |     list_dot_product(q.q_emb, c.emb)
+       |      / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+       |     c.vec_id) AS rn
+       |  FROM b c JOIN q ON c.vec_id <> q.q_id) WHERE rn <= 10),
+       |cand AS (SELECT q.q_id, c.vec_id AS c_id,
+       |   list_dot_product(q.q_emb, c.emb)
+       |    / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+       | FROM b c JOIN q ON c.bucket = q.q_b AND c.vec_id <> q.q_id),
+       |ap AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM cand) WHERE rn <= 10),
+       |nc AS (SELECT q_id, count(*) AS n_cands FROM cand GROUP BY 1),
+       |h AS (SELECT ap.q_id, count(*) AS n_hits FROM ap
+       | JOIN ex ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id GROUP BY 1)
+       |SELECT q.q_id, coalesce(nc.n_cands, 0) AS n_cands, coalesce(h.n_hits, 0) AS n_hits,
+       | round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall
+       |FROM q LEFT JOIN nc ON q.q_id = nc.q_id LEFT JOIN h ON q.q_id = h.q_id
+       |ORDER BY 1""".stripMargin
+  }
 
   private val knnExactSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -4212,7 +4271,211 @@ object SparkEntry {
         | CAST(sc.resid AS BIGINT) AS resid
         |FROM sc JOIN mad m USING (event_type)
         |WHERE abs(sc.resid - m.med) > 3 * m.mad
-        |ORDER BY sc.event_type, dm, hr""".stripMargin
+        |ORDER BY sc.event_type, dm, hr""".stripMargin,
+    // q61: cohort = first-order month; age in integer month arithmetic
+    // (no months_between doubles); money on q59's integer-cents path
+    "q61_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS m,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1)
+        |SELECT c.cohort_month,
+        | CAST((year(o.m) - year(c.cohort_month)) * 12
+        |      + (month(o.m) - month(c.cohort_month)) AS INT) AS age_months,
+        | count(DISTINCT o.o_custkey) AS n_active,
+        | CAST(sum(o.cents) AS BIGINT) / 100.0 AS revenue
+        |FROM o JOIN c ON o.o_custkey = c.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q62: integer day gaps, integer week buckets; share is the one
+    // double, rounded at the edge
+    "q62_repurchase_curve" ->
+      """WITH g AS (SELECT o_custkey,
+        |  datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+        | FROM orders),
+        |b AS (SELECT CAST(least(gap_days // 7, 26) AS INT) AS week_bucket, gap_days
+        | FROM g WHERE gap_days IS NOT NULL),
+        |t AS (SELECT count(*) AS n_total FROM b)
+        |SELECT week_bucket, count(*) AS n_gaps,
+        | CAST(min(gap_days) AS INT) AS min_days, CAST(max(gap_days) AS INT) AS max_days,
+        | round(count(*) / CAST(any_value(t.n_total) AS DOUBLE), 6) AS share
+        |FROM b, t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e47: µs-exact integer gaps (e11's epoch_us idiom); survival shares
+    // are integer-count divisions rounded at the edge
+    "e47_survival" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |   epoch_us(date_trunc('microseconds', ts)) AS tus FROM events),
+        |g AS (SELECT event_type,
+        |  tus - lag(tus) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus, event_id) AS gap_us
+        | FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        | round(sum(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_1m,
+        | round(sum(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_5m,
+        | round(sum(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_15m,
+        | round(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_1h,
+        | round(sum(CASE WHEN gap_us > 21600000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_6h,
+        | round(sum(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_24h
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e48: hourly peaks; the prominence gate is exact integer
+    // cross-multiplication (28c > 5·Σ7), the reported ratio one rounded
+    // double
+    // d23: the band-plan probabilities are explicit repeated squarings
+    // (exact IEEE multiplies) on the 4-dp-rounded jaccard, quantized to
+    // decimal(12,9) per pair BEFORE the fold (order-independent sums)
+    "d23_lsh_plan" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3 AND doc_id < 1000),
+        |p0 AS (SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |p AS (SELECT j, j >= 0.5 AS is_true,
+        |   j*j AS j2, (j*j)*(j*j) AS j4, ((j*j)*(j*j))*((j*j)*(j*j)) AS j8
+        | FROM p0 WHERE j >= 0.1),
+        |e AS (SELECT is_true,
+        |  1.0 - ((((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j))) * (((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j))))
+        |      * ((((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j))) * (((1.0-j)*(1.0-j))*((1.0-j)*(1.0-j)))) AS p16,
+        |  1.0 - (((1.0-j2)*(1.0-j2))*((1.0-j2)*(1.0-j2)))
+        |      * (((1.0-j2)*(1.0-j2))*((1.0-j2)*(1.0-j2))) AS p8,
+        |  1.0 - ((1.0-j4)*(1.0-j4))*((1.0-j4)*(1.0-j4)) AS p4,
+        |  1.0 - (1.0-j8)*(1.0-j8) AS p2
+        | FROM p),
+        |q AS (SELECT is_true,
+        |  CAST(round(p16, 9) AS DECIMAL(12,9)) AS q16, CAST(round(p8, 9) AS DECIMAL(12,9)) AS q8,
+        |  CAST(round(p4, 9) AS DECIMAL(12,9)) AS q4, CAST(round(p2, 9) AS DECIMAL(12,9)) AS q2
+        | FROM e),
+        |a AS (SELECT count(*) AS n_pairs, CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  sum(q16) AS s16, sum(CASE WHEN is_true THEN q16 ELSE CAST(0 AS DECIMAL(12,9)) END) AS st16,
+        |  sum(q8) AS s8, sum(CASE WHEN is_true THEN q8 ELSE CAST(0 AS DECIMAL(12,9)) END) AS st8,
+        |  sum(q4) AS s4, sum(CASE WHEN is_true THEN q4 ELSE CAST(0 AS DECIMAL(12,9)) END) AS st4,
+        |  sum(q2) AS s2, sum(CASE WHEN is_true THEN q2 ELSE CAST(0 AS DECIMAL(12,9)) END) AS st2
+        | FROM q)
+        |SELECT v.config, a.n_pairs, a.n_true,
+        | round(CAST(CASE v.config WHEN '16x1' THEN s16 WHEN '8x2' THEN s8
+        |   WHEN '4x4' THEN s4 ELSE s2 END AS DOUBLE), 4) AS exp_candidates,
+        | round(CAST(CASE v.config WHEN '16x1' THEN st16 WHEN '8x2' THEN st8
+        |   WHEN '4x4' THEN st4 ELSE st2 END AS DOUBLE) / a.n_true, 6) AS recall,
+        | round(CAST(CASE v.config WHEN '16x1' THEN st16 WHEN '8x2' THEN st8
+        |   WHEN '4x4' THEN st4 ELSE st2 END AS DOUBLE)
+        |  / CAST(CASE v.config WHEN '16x1' THEN s16 WHEN '8x2' THEN s8
+        |   WHEN '4x4' THEN s4 ELSE s2 END AS DOUBLE), 6) AS precision_proxy
+        |FROM a, (VALUES ('16x1'),('8x2'),('4x4'),('2x8')) v(config)
+        |ORDER BY config""".stripMargin,
+    // t44: regex counts are integers; the Flesch formula is one double
+    // expression with identical associativity, rounded at the edge
+    "t44_readability" ->
+      """WITH dcs AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x <> '')) AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+        | FROM documents),
+        |f AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+        | FROM dcs WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        | CASE WHEN flesch >= 60.0 THEN 'easy' WHEN flesch >= 30.0 THEN 'standard'
+        |      ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // m21: the oracle expects every decode tally to equal the doc count —
+    // ANY silent decoder divergence (image, audio, or video) fails the hash
+    "m21_media_integrity" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_img_ok, count(*) AS n_audio_ok,
+        | count(*) AS n_video_ok, count(*) AS n_all_ok FROM documents""".stripMargin,
+    // s37: decay replayed from raw events as exact 2^(day-day0) weights —
+    // batch-order independence is what makes this oracle possible
+    "s37_stream_decay_topk" ->
+      """WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS dt, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(dt) AS d0 FROM dc),
+        |sc AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(n * (CAST(1 AS BIGINT) << least(datediff('day', a.d0, dt), 62))) AS BIGINT) AS decayed_scaled
+        | FROM dc, a GROUP BY 1)
+        |SELECT user_id, n_events, decayed_scaled FROM sc
+        |ORDER BY decayed_scaled DESC, user_id LIMIT 20""".stripMargin,
+    // c36: stored stats = the pre-1997 snapshot; min/max surface as
+    // strings (c9's convention), drift as one rounded double
+    "c36_stats_staleness" ->
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |   o_orderdate FROM orders),
+        |st AS (SELECT CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+        |  count(DISTINCT o_orderkey) AS k_ndv,
+        |  CAST(min(cents) AS VARCHAR) AS c_min, CAST(max(cents) AS VARCHAR) AS c_max,
+        |  count(DISTINCT cents) AS c_ndv,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS d_min, CAST(max(o_orderdate) AS VARCHAR) AS d_max,
+        |  count(DISTINCT o_orderdate) AS d_ndv
+        | FROM o WHERE o_orderdate < DATE '1997-01-01'),
+        |ac AS (SELECT CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+        |  count(DISTINCT o_orderkey) AS k_ndv,
+        |  CAST(min(cents) AS VARCHAR) AS c_min, CAST(max(cents) AS VARCHAR) AS c_max,
+        |  count(DISTINCT cents) AS c_ndv,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS d_min, CAST(max(o_orderdate) AS VARCHAR) AS d_max,
+        |  count(DISTINCT o_orderdate) AS d_ndv
+        | FROM o),
+        |u AS (
+        | SELECT 'o_orderkey' AS column_name, st.k_min AS stored_min, st.k_max AS stored_max,
+        |   st.k_ndv AS stored_ndv, ac.k_min AS actual_min, ac.k_max AS actual_max,
+        |   ac.k_ndv AS actual_ndv FROM st, ac
+        | UNION ALL SELECT 'cents', st.c_min, st.c_max, st.c_ndv, ac.c_min, ac.c_max, ac.c_ndv
+        |   FROM st, ac
+        | UNION ALL SELECT 'o_orderdate', st.d_min, st.d_max, st.d_ndv, ac.d_min, ac.d_max, ac.d_ndv
+        |   FROM st, ac)
+        |SELECT column_name, stored_min, stored_max, stored_ndv,
+        | actual_min, actual_max, actual_ndv,
+        | (stored_min <> actual_min OR stored_max <> actual_max OR stored_ndv <> actual_ndv) AS stale,
+        | round(actual_ndv / CAST(stored_ndv AS DOUBLE), 4) AS ndv_drift
+        |FROM u ORDER BY column_name""".stripMargin,
+    // v25: the hyperplane literals are rendered from the SAME Scala
+    // formula the engine uses (Similarity.v25Plane) — one source of truth
+    "v25_hyperplane_recall" -> v25Sql,
+    // p10: m13's scene formulas aggregated per clip, p7's gate+shard
+    // arithmetic — the whole video pipeline replayed relationally
+    "p10_curate_video" ->
+      """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
+        |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
+        | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),
+        |c AS (SELECT doc_id, i, v,
+        |  CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |       OR abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i)) >= 96
+        |  THEN 1 ELSE 0 END AS cut
+        | FROM f),
+        |sc AS (SELECT doc_id, sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_id FROM c),
+        |sl AS (SELECT doc_id, scene_id, count(*) AS len FROM sc GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, CAST(max(scene_id) AS BIGINT) AS n_scenes,
+        |  CAST(sum(len) AS BIGINT) AS n_frames, CAST(max(len) AS BIGINT) AS longest
+        | FROM sl GROUP BY 1),
+        |g AS (SELECT doc_id, n_frames FROM pr
+        | WHERE n_scenes >= 2 AND longest*3 <= n_frames*2 AND n_frames >= 30),
+        |b AS (SELECT doc_id, n_frames,
+        |  ((doc_id & 2147483647) * 2654435761) % 4294967296 AS rk FROM g),
+        |p AS (SELECT doc_id, n_frames, rk, rk % 4 AS bkt,
+        |  COALESCE(sum(n_frames) OVER (PARTITION BY rk % 4 ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM b)
+        |SELECT bkt * 100000 + CAST(floor(prefix / 400.0) AS BIGINT) AS shard_id,
+        | count(*) AS n_clips, CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        | min(doc_id) AS first_doc
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "e48_peaks" ->
+      """WITH h AS (SELECT event_type,
+        |   CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS hr_s, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, hr_s, c,
+        |  lag(c) OVER w AS prev_c, lead(c) OVER w AS next_c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY hr_s
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY hr_s
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        | FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr_s))
+        |SELECT event_type, hr_s, CAST(c AS BIGINT) AS n_events,
+        | round(c * 7.0 / sum7, 4) AS prominence
+        |FROM x WHERE prev_c IS NOT NULL AND next_c IS NOT NULL AND n7 = 7
+        | AND c > prev_c AND c > next_c AND c * 28 > sum7 * 5
+        |ORDER BY 1, 2""".stripMargin
   )
 
   private val v21Sql =

@@ -474,4 +474,57 @@ object Curate {
       )
       .orderBy("shard")
   }
+
+  /** p10: VIDEO CURATION PIPELINE — p7's shape for the third modality:
+    * real multi-frame decode (m13b) → per-clip scene profile → editorial
+    * gates (≥ 2 scenes so it's not a static card; no single scene
+    * holding more than ⅔ of the clip — integer cross-multiplied; ≥ 30
+    * frames of material) → deterministic Knuth-hash sharding with a
+    * frame budget per shard (m6's balanced-packing arithmetic). The
+    * manifest row (shard, clip count, total frames) is what a training
+    * dataloader consumes. Scene stats ride m13b's one-shuffle plan; the
+    * gates are a model-sized aggregate filter; sharding shuffles only
+    * (doc_id, n_frames) scalars.
+    */
+  def p10CurateVideo(
+      s: SparkSession,
+      d: String,
+      budgetFrames: Double = 400.0,
+      nBuckets: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val profile = graft.operators.Multimodal
+      .m13bSceneReal(s, d)
+      .groupBy("doc_id")
+      .agg(
+        max("scene_id").cast("long").as("n_scenes"),
+        sum("n_frames").cast("long").as("n_frames"),
+        max("n_frames").cast("long").as("longest_scene")
+      )
+    val survivors = profile.filter(
+      col("n_scenes") >= 2 &&
+        col("longest_scene") * 3 <= col("n_frames") * 2 &&
+        col("n_frames") >= 30
+    )
+    val rk = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+    val b = survivors
+      .withColumn("rk", rk)
+      .withColumn("bkt", pmod(col("rk"), lit(nBuckets)))
+    val w = Window
+      .partitionBy("bkt")
+      .orderBy("rk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("prefix", coalesce(sum("n_frames").over(w), lit(0L)))
+      .withColumn(
+        "shard_id",
+        col("bkt") * 100000 + floor(col("prefix") / lit(budgetFrames)).cast("long")
+      )
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum("n_frames").cast("long").as("total_frames"),
+        min("doc_id").as("first_doc")
+      )
+      .orderBy("shard_id")
+  }
 }

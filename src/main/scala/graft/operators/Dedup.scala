@@ -840,4 +840,76 @@ object Dedup {
       )
       .orderBy("id_a", "id_b")
   }
+
+  /** d23: LSH BAND-PLAN AUDIT — the tuning table an operator reads
+    * before picking (bands b × rows r) for a 100 TB MinHash dedup run:
+    * for every factorization of a 16-hash signature, the expected
+    * collision probability 1−(1−j^r)^b evaluated on the EXACT Jaccard
+    * of the ground-truth pair domain (d4's capped form), reported as
+    * expected candidate volume, recall over true dups (j ≥ 0.5), and
+    * the candidate:true precision proxy. All powers are EXPLICIT
+    * repeated squarings (r, b ∈ {1,2,4,8,16}) — exact IEEE multiplies
+    * the oracle replays bit-identically, no pow() to disagree about.
+    * The pair scan is the audit's price and is capped like d4; the
+    * output is 4 rows. At scale this runs on a SAMPLE and its numbers
+    * are what justify the chosen banding (d22 justifies the signature;
+    * d23 the banding).
+    */
+  def d23LshPlan(s: SparkSession, d: String, cap: Int = 1000): DataFrame = {
+    val sh = shingled(s, d).filter(col("doc_id") < cap)
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = withJaccard(l.crossJoin(r).filter(col("id_a") < col("id_b")))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("jaccard").as("j"), (col("jaccard") >= 0.5).as("is_true"))
+    // explicit repeated squaring: jr = j^r, then p = 1 - (1-jr)^b
+    def pow2(c: Column, k: Int): Column = (1 to k).foldLeft(c)((acc, _) => acc * acc)
+    def pCollide(r: Int, b: Int): Column = {
+      val jr = r match {
+        case 1 => col("j")
+        case 2 => pow2(col("j"), 1)
+        case 4 => pow2(col("j"), 2)
+        case 8 => pow2(col("j"), 3)
+      }
+      val t = lit(1.0) - jr
+      val tb = b match {
+        case 2  => pow2(t, 1)
+        case 4  => pow2(t, 2)
+        case 8  => pow2(t, 3)
+        case 16 => pow2(t, 4)
+      }
+      lit(1.0) - tb
+    }
+    val cfgs = Seq((16, 1), (8, 2), (4, 4), (2, 8)) // (bands, rows), b·r = 16
+    // per-pair probabilities quantized to decimal(12,9) BEFORE the fold:
+    // decimal sums are order-independent, float sums are not (the
+    // cross-row-double-fold discipline)
+    def q9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+    val aggs = cfgs.flatMap { case (b, r) =>
+      Seq(
+        sum(q9(pCollide(r, b))).as(s"s_${b}x$r"),
+        sum(when(col("is_true"), q9(pCollide(r, b))).otherwise(lit(0).cast("decimal(12,9)")))
+          .as(s"st_${b}x$r")
+      )
+    }
+    val base = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      (sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true") +: aggs): _*
+    )
+    val stackExpr = cfgs
+      .map { case (b, r) => s"'${b}x$r', s_${b}x$r, st_${b}x$r" }
+      .mkString(s"stack(${cfgs.size}, ", ", ", ") as (config, exp_cands_raw, exp_true_raw)")
+    base
+      .selectExpr("n_pairs", "n_true", stackExpr)
+      .select(
+        col("config"),
+        col("n_pairs"),
+        col("n_true"),
+        round(col("exp_cands_raw").cast("double"), 4).as("exp_candidates"),
+        round(col("exp_true_raw").cast("double") / col("n_true"), 6).as("recall"),
+        round(col("exp_true_raw").cast("double") / col("exp_cands_raw").cast("double"), 6)
+          .as("precision_proxy")
+      )
+      .orderBy("config")
+  }
 }

@@ -1394,4 +1394,76 @@ object Events {
       )
       .orderBy("event_type", "dm", "hr")
   }
+
+  /** e47: INTER-EVENT SURVIVAL — the discrete survival function of the
+    * per-user inter-event gap, per event type: at each threshold (1 m,
+    * 5 m, 15 m, 1 h, 6 h, 24 h), the share of gaps that EXCEED it — the
+    * curve capacity planners and churn models read ("how long until the
+    * next event, and how heavy is the tail"). One keyed window builds
+    * the gaps (µs-exact longs, e11's discipline); the survival curve is
+    * a conditional-count aggregate over integer thresholds — no
+    * percentile machinery, no second shuffle beyond the model-sized
+    * per-type rollup.
+    */
+  def e47Survival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("tus"), col("event_id"))
+    val gaps = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag("tus", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val thresholds = Seq(
+      ("s_1m", 60L), ("s_5m", 300L), ("s_15m", 900L),
+      ("s_1h", 3600L), ("s_6h", 21600L), ("s_24h", 86400L)
+    )
+    val survCols = thresholds.map { case (name, secs) =>
+      round(
+        sum(when(col("gap_us") > secs * 1000000L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)),
+        6
+      ).as(name)
+    }
+    gaps
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), survCols: _*)
+      .orderBy("event_type")
+  }
+
+  /** e48: PEAK DETECTION with prominence — hourly event-rate local
+    * maxima per type: a peak hour strictly exceeds both neighbors AND
+    * carries ≥ 5/4 of the centered 7-hour mean (28·c > 5·Σ₇ in exact
+    * integer cross-multiplication — no float compare to disagree
+    * about). The hourly rollup is map-side-combined to a model-sized
+    * series, so the window passes run over hours-per-type rows, not
+    * events.
+    */
+  def e48Peaks(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(s, d)
+      .groupBy(
+        col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hr_s")
+      )
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hr_s")
+    val w7 = w.rowsBetween(-3, 3)
+    hourly
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .withColumn("next_c", lead("c", 1).over(w))
+      .withColumn("sum7", sum("c").over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      // full 7-hour context only (series edges can't certify prominence)
+      .filter(
+        col("prev_c").isNotNull && col("next_c").isNotNull && col("n7") === 7 &&
+          col("c") > col("prev_c") && col("c") > col("next_c") &&
+          col("c") * 28 > col("sum7") * 5
+      )
+      .select(
+        col("event_type"),
+        col("hr_s"),
+        col("c").as("n_events"),
+        round(col("c") * 7.0 / col("sum7"), 4).as("prominence")
+      )
+      .orderBy("event_type", "hr_s")
+  }
 }

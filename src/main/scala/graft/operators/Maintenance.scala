@@ -2278,4 +2278,59 @@ object Maintenance {
       )
       .orderBy("user_id", "valid_from_us")
   }
+
+  /** c36: STATS-STALENESS AUDIT — the ANALYZE scheduler's input: table
+    * stats were collected at a snapshot cutoff (here: orders before
+    * 1997), the table kept growing, and the optimizer is now pricing
+    * joins with stale min/max/NDV. Per column, emit stored vs actual
+    * stats plus a stale flag and the NDV drift ratio — the report that
+    * decides which columns to re-ANALYZE first. Two aggregate passes
+    * (each one map-side-combined scan; the stored pass would read the
+    * snapshot's stats file in production) crossed into a 3-row report
+    * — nothing wider than a scalar ever shuffles. Money rides the
+    * integer-cents path; min/max surface as strings (c9's convention)
+    * so one report column serves every type.
+    */
+  def c36StatsStaleness(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate")
+      )
+    def statCols(tag: String): Seq[org.apache.spark.sql.Column] =
+      Seq("o_orderkey", "cents", "o_orderdate").flatMap { c =>
+        Seq(
+          min(col(c)).cast("string").as(s"${c}_min_$tag"),
+          max(col(c)).cast("string").as(s"${c}_max_$tag"),
+          countDistinct(col(c)).as(s"${c}_ndv_$tag")
+        )
+      }
+    val stored = o
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .agg(statCols("st").head, statCols("st").tail: _*)
+    val actual = o.agg(statCols("ac").head, statCols("ac").tail: _*)
+    val stackExpr = Seq("o_orderkey", "cents", "o_orderdate")
+      .map(c => s"'$c', ${c}_min_st, ${c}_max_st, ${c}_ndv_st, ${c}_min_ac, ${c}_max_ac, ${c}_ndv_ac")
+      .mkString(
+        "stack(3, ",
+        ", ",
+        ") as (column_name, stored_min, stored_max, stored_ndv, actual_min, actual_max, actual_ndv)"
+      )
+    stored
+      .crossJoin(actual)
+      .selectExpr(stackExpr)
+      .withColumn(
+        "stale",
+        col("stored_min") =!= col("actual_min") ||
+          col("stored_max") =!= col("actual_max") ||
+          col("stored_ndv") =!= col("actual_ndv")
+      )
+      .withColumn(
+        "ndv_drift",
+        round(col("actual_ndv").cast("double") / col("stored_ndv"), 4)
+      )
+      .orderBy("column_name")
+  }
 }

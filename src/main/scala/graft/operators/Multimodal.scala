@@ -1184,4 +1184,81 @@ object Multimodal {
       .select("doc_id", "n_windows", "n_signal", "snr_db")
       .orderBy("doc_id")
   }
+
+  /** m21: CORPUS MEDIA-INTEGRITY AUDIT — the pre-training screen that
+    * catches corrupt or swapped media before GPUs do: ONE pass over the
+    * media store decodes all three modalities per document (PNG via
+    * ImageIO, WAV via javax.sound, multi-frame GIF via the m13b reader)
+    * and verifies each against the per-doc generating model —
+    * dimensions + pixel sum, sample count + energy, frame count + luma
+    * sum. The emitted corpus-level tallies hash-gate every decoder at
+    * once (the oracle expects all counts equal to the doc count; ANY
+    * silent decode divergence drops a tally and fails). Map-only:
+    * decode cost rides the executors, one scalar row reaches the
+    * driver. A real corpus would swap the expectation columns for
+    * stored manifest checksums — the plan shape is identical.
+    */
+  def m21MediaIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"), col("wav_meta"), col("gif_meta"))
+      .as[(Long, Array[Byte], Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png, wav, gif) =>
+          // image: dims + pixel sum vs the m7 model
+          val img = decodeImage(id, png)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var pxSum = 0L
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) { pxSum += raster.getSample(i % w, i / w, 0); i += 1 }
+          val expW = 4 + (id % 13).toInt
+          val expH = 4 + ((id * 7) % 11).toInt
+          var expPx = 0L
+          i = 0
+          while (i < expW * expH) { expPx += (id * 31 + i.toLong * 7919) % 256; i += 1 }
+          val imgOk = w == expW && h == expH && pxSum == expPx
+          // audio: sample count + absolute energy vs the m9 model
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var energy = 0L
+          i = 0
+          while (i < n) {
+            energy += math.abs(((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong)
+            i += 1
+          }
+          val expN = 64 + (id % 41).toInt
+          var expEnergy = 0L
+          i = 0
+          while (i < expN) {
+            expEnergy += math.abs(((id * 31 + i.toLong * i * 7919) % 65536) - 32768)
+            i += 1
+          }
+          val audioOk = n == expN && energy == expEnergy
+          // video: frame count + luma sum vs the m13 model
+          val frames = decodeGifFrames(id, gif)
+          val expF = 24 + (id % 40).toInt
+          var lumaSum = 0L
+          frames.foreach(lumaSum += _)
+          var expLuma = 0L
+          i = 0
+          while (i < expF) { expLuma += (id * 31 + i.toLong * i * 7919) % 256; i += 1 }
+          val videoOk = frames.length == expF && lumaSum == expLuma
+          (1L, if (imgOk) 1L else 0L, if (audioOk) 1L else 0L, if (videoOk) 1L else 0L,
+            if (imgOk && audioOk && videoOk) 1L else 0L)
+        }
+      }
+      .toDF("one", "img_ok", "audio_ok", "video_ok", "all_ok")
+      .agg(
+        sum("one").as("n_docs"),
+        sum("img_ok").as("n_img_ok"),
+        sum("audio_ok").as("n_audio_ok"),
+        sum("video_ok").as("n_video_ok"),
+        sum("all_ok").as("n_all_ok")
+      )
+  }
 }

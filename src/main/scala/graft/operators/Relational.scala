@@ -1354,4 +1354,65 @@ object Relational {
       )
       .orderBy("month")
   }
+
+  /** q61: COHORT LTV MATRIX — the subscription-analytics staple: pivot
+    * every customer onto (cohort = first-order month, age = months since
+    * cohort) and report active accounts + revenue per cell. Scale shape:
+    * the first-order table is ONE groupBy on o_custkey, the re-join is
+    * custkey↔custkey (both sides shuffle-partitioned on the same key, so
+    * AQE plans a co-partitioned join, no broadcast of the big side
+    * needed), and the output is model-sized (months × ages). Money rides
+    * q59's integer-cents discipline end to end.
+    */
+  def q61CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+    val cohorts = o.groupBy("o_custkey").agg(min("m").as("cohort_month"))
+    o.join(cohorts, "o_custkey")
+      .withColumn(
+        "age_months",
+        ((year(col("m")) - year(col("cohort_month"))) * 12 +
+          (month(col("m")) - month(col("cohort_month")))).cast("int")
+      )
+      .groupBy("cohort_month", "age_months")
+      .agg(
+        countDistinct("o_custkey").as("n_active"),
+        (sum("cents") / lit(100.0)).as("revenue")
+      )
+      .orderBy("cohort_month", "age_months")
+  }
+
+  /** q62: REPURCHASE-INTERVAL CURVE — the distribution of days between a
+    * customer's consecutive orders, bucketed into weeks (capped at 26+),
+    * the retention-modeling input every growth team derives. One window
+    * per customer (keyed — no global sort), then a model-sized histogram
+    * groupBy; share is integer-count division at the report edge.
+    */
+  def q62RepurchaseCurve(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables
+      .orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_d", lag("o_orderdate", 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_d")))
+      .withColumn("week_bucket", least(floor(col("gap_days") / 7), lit(26L)).cast("int"))
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    gaps
+      .groupBy("week_bucket")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap_days").cast("int").as("min_days"),
+        max("gap_days").cast("int").as("max_days")
+      )
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n_gaps").cast("double") / col("n_total"), 6))
+      .drop("n_total")
+      .orderBy("week_bucket")
+  }
 }

@@ -1354,4 +1354,86 @@ object Similarity {
       )
       .orderBy("label")
   }
+
+  /** v25's deterministic hyperplanes: plane j, component t has integer
+    * weight ((j·131 + t·7919) mod 1009) − 504 — formula-derived, so the
+    * DuckDB oracle renders the SAME literal arrays from the same Scala
+    * code (SparkEntry interpolates them into the SQL text). Integer
+    * weights widen exactly to double in both engines.
+    */
+  private[graft] def v25Plane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(t => (((j * 131 + t * 7919) % 1009) - 504).toDouble)
+
+  /** v25: LSH RECALL AUDIT, fully hash-gated — the measurement that v2's
+    * rows-only config cannot have: sign-bit bucketing over FOUR
+    * deterministic integer hyperplanes (16 buckets), bucket-restricted
+    * top-10 per sampled query vs the exhaustive top-10, and per-query
+    * candidate volume + recall — the (recall, cost) point an operator
+    * reads before promoting an ANN config at 100 TB. Everything is
+    * deterministic (no trained artifact, no RNG), so the DuckDB oracle
+    * replays bucket assignment, both top-10s, and the recall itself —
+    * the audit METHODOLOGY is what is being verified, then reused on
+    * real (trained) configs whose recall can only be spot-checked.
+    * Plan: both rankings broadcast the 50-query side; candidates come
+    * from a bucket-equality join, never a crossJoin.
+    */
+  def v25HyperplaneRecall(s: SparkSession, d: String, nQueries: Int = 50, k: Int = 10): DataFrame = {
+    val dim = 64
+    val planes = (0 until 4).map(j => typedlit(v25Plane(j, dim)))
+    def planeDot(p: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(col("embedding").cast("array<double>"), p, (x, w) => x * w),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    val bucketCol = planes.zipWithIndex
+      .map { case (p, j) => when(planeDot(p) > 0, 1 << j).otherwise(0) }
+      .reduce(_ + _)
+    val e = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        VF.norm(col("embedding")).as("nrm"),
+        bucketCol.as("bucket")
+      )
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        col("bucket").as("q_b")
+      )
+    val cos = VF.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    val exact = e
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val cand = e
+      .join(broadcast(q), col("vec_id") =!= col("q_id") && col("bucket") === col("q_b"))
+      .withColumn("cos", cos)
+    val nCands = cand.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+    val approx = cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val hits = approx
+      .join(exact, Seq("q_id", "c_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hits"))
+    q.select("q_id")
+      .join(nCands, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4).as("recall")
+      )
+      .orderBy("q_id")
+  }
 }

@@ -2683,4 +2683,74 @@ object StreamingBatch {
         ).as("entropy")
       )
   }
+
+  /** s37's micro-batch fold: merge per-(day, user) counts into the
+    * commit-logged state store (s17's marker discipline — idempotent
+    * under retry, exactly-once across restarts). The state is bounded
+    * by active (user, day) pairs, NOT by events streamed.
+    */
+  private[graft] def s37Fold(root: String, batchId: Long, batch: DataFrame): Unit = {
+    if (new java.io.File(s"$root/commit_$batchId").exists()) return
+    val spark = batch.sparkSession
+    val incoming = batch
+      .select(col("ts").cast("date").as("dt"), col("user_id"))
+      .groupBy("dt", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val merged = s17LatestCommitted(root) match {
+      case Some(prev) =>
+        spark.read
+          .parquet(prev)
+          .unionByName(incoming)
+          .groupBy("dt", "user_id")
+          .agg(sum("n").as("n"))
+      case None => incoming
+    }
+    merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+    new java.io.File(s"$root/commit_$batchId").createNewFile()
+    ()
+  }
+
+  /** s37: STREAM-MAINTAINED DECAYED HEAVY HITTERS — the "who matters
+    * NOW" view every abuse/engagement team keeps: per-user activity
+    * with exponential recency decay (half-life = 1 day), maintained as
+    * a streaming fold and read out as a top-k. The decay is EXACT
+    * integer arithmetic: weight(day) = 2^(day − day₀) via shiftleft on
+    * longs, so the score is batch-order-independent (the fold keeps
+    * only commutative (day, user) counts — a per-batch decay multiply
+    * would depend on nondeterministic file→batch assignment) and the
+    * DuckDB oracle replays it bit-for-bit from raw events. Final
+    * read-out is one model-sized aggregate + TakeOrdered(20) — no
+    * global sort. Day span is clamped at 2⁶² (documented: beyond that
+    * the oldest days' weights saturate relative ordering).
+    */
+  def s37StreamDecayTopk(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 2).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val root = graft.TempDirs.create("graft_s37_run_")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) => s37Fold(root, batchId, batch) }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s.read.parquet(s17LatestCommitted(root).get)
+    val d0 = state.agg(min("dt").as("d0"))
+    state
+      .crossJoin(broadcast(d0))
+      .withColumn(
+        "wt",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(least(datediff(dt, d0), 62) AS INT))")
+      )
+      .groupBy("user_id")
+      .agg(
+        sum("n").as("n_events"),
+        sum(col("n") * col("wt")).as("decayed_scaled")
+      )
+      .orderBy(desc("decayed_scaled"), col("user_id"))
+      .limit(20)
+  }
 }

@@ -1779,4 +1779,51 @@ object TextAnalysis {
       )
       .orderBy("src_a", "src_b")
   }
+
+  /** t44: READABILITY SCORING — the Flesch reading-ease screen a text
+    * curation pipeline runs alongside Gopher rules (t30): per doc,
+    * words (whitespace tokens), sentences (terminal-punctuation runs,
+    * floored at 1), and a syllable proxy (vowel-group runs — the
+    * standard dictionary-free estimator), then
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W), rounded at the edge, plus
+    * the easy/standard/hard band taken on the ROUNDED score so both
+    * engines band identical doubles. Map-only over the corpus — three
+    * regex passes per doc, one scalar row out; no shuffle at all until
+    * the driver's orderBy.
+    */
+  def t44Readability(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+          lit(1L)
+        ).as("n_sentences"),
+        greatest(
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long"),
+          lit(1L)
+        ).as("n_syllables")
+      )
+      .filter(col("n_words") > 0)
+    docs
+      .withColumn(
+        "flesch",
+        round(
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4
+        )
+      )
+      .withColumn(
+        "band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("hard")
+      )
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
+      .orderBy("doc_id")
+  }
 }

@@ -231,18 +231,21 @@ class Round11AdviceSpec extends AnyFunSuite {
     assert(byAttempt(2).forall(r => r.getAs[Boolean]("published") && r.getAs[Boolean]("passed")))
   }
 
-  test("SqlMain.runScript: a huge mid-script SELECT is not materialized on the driver") {
-    // range(1e11) planned lazily is instant; collect()ed (the round-10
-    // behavior) it would OOM the driver long before any timeout. The
-    // wall-clock bound documents the contract operationally.
+  test("SqlMain.runScript: a large mid-script SELECT executes WITHOUT landing on the driver") {
+    // round-13 contract (r12 ADVICE): mid-script non-commands are FULLY
+    // evaluated via a noop write — every row executes on executors
+    // (late-row assert_true fires, pinned in Round13Spec), but nothing
+    // is collect()ed. A billion-row range through a driver collect would
+    // OOM; through the noop sink it's a codegen count-loop that finishes
+    // comfortably inside the bound.
     val t0 = System.nanoTime()
     val out = SqlMain.runScript(spark,
       """CREATE OR REPLACE TEMP VIEW r11_tiny AS SELECT 1 AS one;
-        |SELECT id FROM range(100000000000);
+        |SELECT id FROM range(1000000000);
         |SELECT one FROM r11_tiny""".stripMargin)
     val rows = out.collect()
     val elapsedSec = (System.nanoTime() - t0) / 1e9
     assert(rows.map(_.getInt(0)).toSeq == Seq(1))
-    assert(elapsedSec < 60.0, f"mid-script SELECT cost $elapsedSec%.1f s - was it materialized?")
+    assert(elapsedSec < 120.0, f"mid-script SELECT cost $elapsedSec%.1f s - did it land on the driver?")
   }
 }

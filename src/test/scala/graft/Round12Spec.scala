@@ -150,11 +150,14 @@ class Round12Spec extends AnyFunSuite {
         "cast(date_trunc('month', o_orderdate) as date) as m",
         "o_orderdate",
         "o_orderkey",
-        "cast(o_totalprice as decimal(18,2)) as price"
+        // round-13: the engine moved to exact integer cents (q59's
+        // engine-cast-independent money path) — recompute in the same
+        // domain
+        "cast(round(o_totalprice * 100) as bigint) as cents"
       )
       .collect()
       .map(r =>
-        (r.getLong(0), r.getDate(1), r.getTimestamp(2), r.getLong(3), r.getDecimal(4))
+        (r.getLong(0), r.getDate(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))
       )
     val months = o.map(_._2).distinct.sortBy(_.getTime)
     // per customer: latest order per active month, carried to the next active month
@@ -170,12 +173,12 @@ class Round12Spec extends AnyFunSuite {
       val live = perCust.values.flatMap { bal =>
         bal.takeWhile(_._1.getTime <= m.getTime).lastOption.map(_._2)
       }.toSeq
-      (m, live.size.toLong, live.map(BigDecimal(_)).sum)
+      (m, live.size.toLong, live.sum / 100.0)
     }
     val got = graft.operators.Relational
       .q59SemiAdditive(spark, sf)
       .collect()
-      .map(r => (r.getDate(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .map(r => (r.getDate(0), r.getLong(1), r.getDouble(2)))
       .toSeq
     assert(got.map(g => (g._1.toString, g._2, g._3)).toList ==
       expected.map(e => (e._1.toString, e._2, e._3)).toList && got.nonEmpty)
