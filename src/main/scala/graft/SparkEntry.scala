@@ -489,7 +489,13 @@ object SparkEntry {
     // round 13: hash-gated LSH recall audit over deterministic hyperplanes
     "v25_hyperplane_recall"  -> ((s, d) => Similarity.v25HyperplaneRecall(s, d)),
     // round 13: video curation pipeline over the real GIF decode path
-    "p10_curate_video"       -> ((s, d) => graft.operators.Curate.p10CurateVideo(s, d))
+    "p10_curate_video"       -> ((s, d) => graft.operators.Curate.p10CurateVideo(s, d)),
+    // round 13: exact largest-remainder bridge allocation (to-the-cent)
+    "q63_supplier_allocation" -> (Relational.q63SupplierAllocation _),
+    // round 13: two-filter agreement audit (Pearson + median confusion)
+    "t45_filter_agreement"   -> (TextAnalysis.t45FilterAgreement _),
+    // round 13: motion profile computed inside the real frame decode
+    "m22_motion_profile"     -> ((s, d) => Multimodal.m22MotionProfile(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4460,6 +4466,77 @@ object SparkEntry {
         | count(*) AS n_clips, CAST(sum(n_frames) AS BIGINT) AS total_frames,
         | min(doc_id) AS first_doc
         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // q63: exact integer largest-remainder allocation — DuckDB's windowed
+    // BIGINT sums widen to HUGEINT mid-query (fine: only outputs are
+    // BIGINT-cast); floors/remainders are pure integer ops both engines
+    "q63_supplier_allocation" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ls
+        | FROM lineitem GROUP BY 1, 2),
+        |o AS (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS b FROM orders),
+        |x AS (SELECT li.l_orderkey, li.l_suppkey, li.ls, o.b,
+        |  CAST(sum(ls) OVER (PARTITION BY l_orderkey) AS BIGINT) AS t
+        | FROM li JOIN o ON l_orderkey = o_orderkey),
+        |y AS (SELECT l_orderkey, l_suppkey, ls, b, t,
+        |  (b * ls) // t AS fa, (b * ls) % t AS frac FROM x),
+        |z AS (SELECT l_orderkey, l_suppkey, ls, fa,
+        |  b - CAST(sum(fa) OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY frac DESC, l_suppkey) AS rk
+        | FROM y)
+        |SELECT l_suppkey, count(*) AS n_orders,
+        | CAST(sum(fa + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT) / 100.0 AS allocated,
+        | CAST(sum(ls) AS BIGINT) / 100.0 AS line_revenue
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t45: t2's distinct ratio + t25's bigram score (p5's replay
+    // fragments), decimal-quantized Pearson sums, quantile_cont medians
+    "t45_filter_agreement" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |qs AS (SELECT doc_id, CAST(round(CAST(len(list_distinct(ts)) AS DOUBLE)
+        |   / greatest(len(ts), 1), 4) AS DECIMAL(10,4)) AS qd FROM tk),
+        |bgx AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bg
+        | FROM tk),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bgx GROUP BY 1),
+        |cu AS (SELECT string_split(bg,' ')[1] AS w1, count(*) AS c1 FROM bgx GROUP BY 1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(CAST(round(ln(CAST(c2 AS DOUBLE)/c1), 9) AS DECIMAL(20,10))) AS slp
+        | FROM bgx JOIN cb USING (bg) JOIN cu ON string_split(bgx.bg,' ')[1] = cu.w1
+        | GROUP BY 1),
+        |ps AS (SELECT doc_id, CAST(round(CAST(slp AS DOUBLE)/n_bigrams, 6) AS DECIMAL(12,6)) AS pd
+        | FROM sc),
+        |jj AS (SELECT q.doc_id, qd, pd FROM qs q JOIN ps USING (doc_id)),
+        |st AS (SELECT count(*) AS n, sum(qd) AS sx, sum(pd) AS sy, sum(qd*pd) AS sxy,
+        |  sum(qd*qd) AS sxx, sum(pd*pd) AS syy,
+        |  quantile_cont(CAST(qd AS DOUBLE), 0.5) AS mq,
+        |  quantile_cont(CAST(pd AS DOUBLE), 0.5) AS mp FROM jj),
+        |cf AS (SELECT
+        |  CAST(sum(CASE WHEN CAST(qd AS DOUBLE) >= mq AND CAST(pd AS DOUBLE) >= mp THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+        |  CAST(sum(CASE WHEN CAST(qd AS DOUBLE) < mq AND CAST(pd AS DOUBLE) < mp THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+        |  CAST(sum(CASE WHEN CAST(qd AS DOUBLE) >= mq AND CAST(pd AS DOUBLE) < mp THEN 1 ELSE 0 END) AS BIGINT) AS n_q_only,
+        |  CAST(sum(CASE WHEN CAST(qd AS DOUBLE) < mq AND CAST(pd AS DOUBLE) >= mp THEN 1 ELSE 0 END) AS BIGINT) AS n_p_only
+        | FROM jj, st)
+        |SELECT st.n AS n_docs,
+        | round((st.n * CAST(st.sxy AS DOUBLE) - CAST(st.sx AS DOUBLE) * CAST(st.sy AS DOUBLE))
+        |  / sqrt((st.n * CAST(st.sxx AS DOUBLE) - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
+        |       * (st.n * CAST(st.syy AS DOUBLE) - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE))), 6) AS pearson_r,
+        | cf.n_both_keep, cf.n_both_drop, cf.n_q_only, cf.n_p_only,
+        | round((cf.n_both_keep + cf.n_both_drop) / CAST(st.n AS DOUBLE), 6) AS agreement
+        |FROM st, cf""".stripMargin,
+    // m22: the motion profile replayed from the luma model with lag
+    // windows — decode and profile gated together (m13b's oracle idea)
+    "m22_motion_profile" ->
+      """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
+        |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
+        | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),
+        |dlt AS (SELECT doc_id, abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i)) AS dl FROM f),
+        |a AS (SELECT doc_id, count(*) + 1 AS n_frames, CAST(sum(dl) AS BIGINT) AS total_delta,
+        |  CAST(max(dl) AS BIGINT) AS max_delta,
+        |  CAST(sum(CASE WHEN dl >= 96 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        | FROM dlt WHERE dl IS NOT NULL GROUP BY 1)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, total_delta, max_delta, n_cuts,
+        | CASE WHEN total_delta = 0 THEN 'static' WHEN n_cuts = 0 THEN 'smooth'
+        |      WHEN 8*n_cuts >= n_frames THEN 'cutty' ELSE 'moderate' END AS motion_class
+        |FROM a ORDER BY doc_id""".stripMargin,
     "e48_peaks" ->
       """WITH h AS (SELECT event_type,
         |   CAST(epoch_ms(date_trunc('hour', ts))/1000 AS BIGINT) AS hr_s, count(*) AS c

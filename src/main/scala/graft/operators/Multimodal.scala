@@ -1185,6 +1185,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m22: MOTION PROFILE over the real frame decode — the
+    * motion-filtering signal a video curation pipeline reads next to
+    * m13b's scenes: per clip, total and max inter-frame luma delta,
+    * cut count, and a motion class (static / smooth / moderate /
+    * cutty), all computed IN the decode iterator — map-only, one
+    * scalar row per clip, not even a window shuffle (the frame axis
+    * never leaves the executor). The class thresholds are integer
+    * cross-multiplied (8·cuts ≥ frames); the oracle replays the luma
+    * model with lag windows, gating decode and profile together.
+    */
+  def m22MotionProfile(s: SparkSession, d: String, tau: Int = 96): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("gif_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val vs = decodeGifFrames(id, bytes)
+          var total = 0L
+          var mx = 0L
+          var cuts = 0L
+          var i = 1
+          while (i < vs.length) {
+            val dlt = math.abs(vs(i).toLong - vs(i - 1))
+            total += dlt
+            if (dlt > mx) mx = dlt
+            if (dlt >= tau) cuts += 1
+            i += 1
+          }
+          val cls =
+            if (total == 0L) "static"
+            else if (cuts == 0L) "smooth"
+            else if (8 * cuts >= vs.length) "cutty"
+            else "moderate"
+          (id, vs.length.toLong, total, mx, cuts, cls)
+        }
+      }
+      .toDF("doc_id", "n_frames", "total_delta", "max_delta", "n_cuts", "motion_class")
+      .orderBy("doc_id")
+  }
+
   /** m21: CORPUS MEDIA-INTEGRITY AUDIT — the pre-training screen that
     * catches corrupt or swapped media before GPUs do: ONE pass over the
     * media store decodes all three modalities per document (PNG via

@@ -1415,4 +1415,49 @@ object Relational {
       .drop("n_total")
       .orderBy("week_bucket")
   }
+
+  /** q63: BRIDGE-TABLE REVENUE ALLOCATION with exact largest-remainder
+    * rounding — the warehouse many-to-many staple: each order's
+    * totalprice is allocated to its suppliers proportionally to their
+    * line revenue, in EXACT integer cents (floor shares via
+    * B·lineᵢ ÷ T, then the leftover cents handed out by descending
+    * remainder — Hamilton's method), so allocations per order sum to
+    * the order total TO THE CENT, the invariant float proration always
+    * breaks. All windows are keyed per order (basket-bounded groups);
+    * the report is one supplier-grain aggregate. Money never touches a
+    * double until the final /100 report edge.
+    */
+  def q63SupplierAllocation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("lc")
+      )
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum("lc").as("ls"))
+    val o = Tables
+      .orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("b"))
+    val wOrder = Window.partitionBy("l_orderkey")
+    val wRank = Window
+      .partitionBy("l_orderkey")
+      .orderBy(desc("frac"), col("l_suppkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("t", sum("ls").over(wOrder))
+      // B·ls ≤ ~5e7 · ~5e7 = 2.5e15 ≪ 2^63 — exact long products
+      .withColumn("fa", expr("(b * ls) div t")) // integral division: floor
+      .withColumn("frac", (col("b") * col("ls")) % col("t"))
+      .withColumn("leftover", col("b") - sum("fa").over(wOrder))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("alloc", col("fa") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum("alloc") / lit(100.0)).as("allocated"),
+        (sum("ls") / lit(100.0)).as("line_revenue")
+      )
+      .orderBy("l_suppkey")
+  }
 }

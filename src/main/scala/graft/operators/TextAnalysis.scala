@@ -1791,6 +1791,68 @@ object TextAnalysis {
     * regex passes per doc, one scalar row out; no shuffle at all until
     * the driver's orderBy.
     */
+  /** t45: FILTER-AGREEMENT AUDIT — do two independent quality filters
+    * (t2's lexical distinct-token ratio and t25's bigram-LM logprob)
+    * agree on which documents to keep? Pearson correlation over the
+    * doc-level scores (exact: both scores are pre-rounded, folded as
+    * decimals — order-independent sums — with the r formula evaluated
+    * in one identical double expression at the edge) plus the 2×2
+    * keep/drop confusion at each filter's own corpus MEDIAN (exact
+    * interpolated percentile — the e22-proven quantile parity), so the
+    * audit is parameter-free. The report every curation team wants
+    * before stacking filters: high agreement ⇒ the second filter buys
+    * little; low ⇒ they prune different failure modes. Two keyed score
+    * scans + a 1-row broadcast stats join — nothing heavier than t25
+    * itself.
+    */
+  def t45FilterAgreement(s: SparkSession, d: String): DataFrame = {
+    val q = t2QualityScore(s, d).select(col("doc_id"), col("distinct_ratio").as("q"))
+    val p = t25PerplexityFilter(s, d).select(col("doc_id"), col("score").as("p"))
+    val j = q
+      .join(p, "doc_id")
+      .select(
+        col("doc_id"),
+        col("q").cast("decimal(10,4)").as("qd"),
+        col("p").cast("decimal(12,6)").as("pd")
+      )
+    val stats = j.agg(
+      count(lit(1)).as("n"),
+      sum("qd").as("sx"),
+      sum("pd").as("sy"),
+      sum(col("qd") * col("pd")).as("sxy"),
+      sum(col("qd") * col("qd")).as("sxx"),
+      sum(col("pd") * col("pd")).as("syy"),
+      expr("percentile(CAST(qd AS DOUBLE), 0.5)").as("mq"),
+      expr("percentile(CAST(pd AS DOUBLE), 0.5)").as("mp")
+    )
+    j.crossJoin(broadcast(stats))
+      .withColumn("kq", col("qd").cast("double") >= col("mq"))
+      .withColumn("kp", col("pd").cast("double") >= col("mp"))
+      .groupBy()
+      .agg(
+        first("n").as("n_docs"),
+        round(
+          (first("n") * first("sxy").cast("double") -
+            first("sx").cast("double") * first("sy").cast("double")) /
+            sqrt(
+              (first("n") * first("sxx").cast("double") -
+                first("sx").cast("double") * first("sx").cast("double")) *
+                (first("n") * first("syy").cast("double") -
+                  first("sy").cast("double") * first("sy").cast("double"))
+            ),
+          6
+        ).as("pearson_r"),
+        sum(when(col("kq") && col("kp"), 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(!col("kq") && !col("kp"), 1L).otherwise(0L)).as("n_both_drop"),
+        sum(when(col("kq") && !col("kp"), 1L).otherwise(0L)).as("n_q_only"),
+        sum(when(!col("kq") && col("kp"), 1L).otherwise(0L)).as("n_p_only")
+      )
+      .withColumn(
+        "agreement",
+        round((col("n_both_keep") + col("n_both_drop")).cast("double") / col("n_docs"), 6)
+      )
+  }
+
   def t44Readability(s: SparkSession, d: String): DataFrame = {
     val docs = Tables
       .documents(s, d)
