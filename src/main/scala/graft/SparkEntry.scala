@@ -495,7 +495,11 @@ object SparkEntry {
     // round 13: two-filter agreement audit (Pearson + median confusion)
     "t45_filter_agreement"   -> (TextAnalysis.t45FilterAgreement _),
     // round 13: motion profile computed inside the real frame decode
-    "m22_motion_profile"     -> ((s, d) => Multimodal.m22MotionProfile(s, d))
+    "m22_motion_profile"     -> ((s, d) => Multimodal.m22MotionProfile(s, d)),
+    // round 13: rollup with share-of-parent at every grain
+    "q64_rollup_share"       -> (Relational.q64RollupShare _),
+    // round 13: leave-one-out kNN label accuracy per class
+    "v26_knn_label_accuracy" -> ((s, d) => Similarity.v26KnnLabelAccuracy(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4522,6 +4526,46 @@ object SparkEntry {
         | cf.n_both_keep, cf.n_both_drop, cf.n_q_only, cf.n_p_only,
         | round((cf.n_both_keep + cf.n_both_drop) / CAST(st.n AS DOUBLE), 6) AS agreement
         |FROM st, cf""".stripMargin,
+    // q64: one ROLLUP pass, grains split by grouping ids, parents
+    // re-attached at metadata scale; NULL label columns never decide row
+    // order (grain + non-null keys are unique), so Spark/DuckDB NULL
+    // sort-order divergence cannot reorder the hash
+    "q64_rollup_share" ->
+      """WITH base AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty, count(*) AS n,
+        |  2*grouping(l_returnflag) + grouping(l_linestatus) AS gid
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)),
+        |ft AS (SELECT l_returnflag AS p_flag, qty AS flag_qty FROM base WHERE gid = 1),
+        |gt AS (SELECT qty AS grand_qty FROM base WHERE gid = 3),
+        |leaf AS (SELECT b.l_returnflag, b.l_linestatus, b.qty, b.n, 'leaf' AS grain,
+        |  round(b.qty / CAST(ft.flag_qty AS DOUBLE), 6) AS share_of_parent
+        | FROM base b JOIN ft ON b.l_returnflag = ft.p_flag WHERE b.gid = 0),
+        |fr AS (SELECT l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus, qty, n,
+        |  'subtotal' AS grain, round(qty / CAST(gt.grand_qty AS DOUBLE), 6) AS share_of_parent
+        | FROM base, gt WHERE gid = 1),
+        |gr AS (SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+        |  qty, n, 'total' AS grain, CAST(1.0 AS DOUBLE) AS share_of_parent FROM base WHERE gid = 3)
+        |SELECT * FROM (SELECT * FROM leaf UNION ALL SELECT * FROM fr UNION ALL SELECT * FROM gr)
+        |ORDER BY grain, l_returnflag, l_linestatus""".stripMargin,
+    // v26: knnExactSql's shape extended with label joins; majority vote
+    // tie-broken by smallest label in both engines
+    "v26_knn_label_accuracy" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, embedding::DOUBLE[] AS c_emb FROM embeddings),
+        |sc AS (SELECT q_id, q_label, c_id, c_label,
+        |  list_dot_product(q_emb, c_emb)
+        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+        | FROM c JOIN q ON c_id <> q_id),
+        |r AS (SELECT q_id, q_label, c_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+        |v AS (SELECT q_id, q_label, c_label, count(*) AS cnt FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT q_id, q_label, c_label FROM (SELECT v.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, c_label) AS vr FROM v) WHERE vr = 1)
+        |SELECT q_label AS label, count(*) AS n_queries,
+        | CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | round(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // m22: the motion profile replayed from the luma model with lag
     // windows — decode and profile gated together (m13b's oracle idea)
     "m22_motion_profile" ->

@@ -331,24 +331,45 @@ object Multimodal {
     * discipline.
     */
   private[graft] def decodeGifFrames(docId: Long, bytes: Array[Byte]): Array[Int] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try decodeGifFramesWith(reader, docId, bytes)
+    finally reader.dispose()
+  }
+
+  /** Reader-reusing variant for partition iterators: the per-clip cost
+    * of `getImageReadersByFormatName` + a `getNumImages(true)` counting
+    * pass dominates tiny-frame clips, so hot paths create ONE reader
+    * per partition and read frames in a single sequential pass (stop at
+    * the reader's IndexOutOfBounds — the GIF spec's own end signal)
+    * instead of count-then-read.
+    */
+  private[graft] def decodeGifFramesWith(
+      reader: javax.imageio.ImageReader,
+      docId: Long,
+      bytes: Array[Byte]
+  ): Array[Int] = {
     import javax.imageio.ImageIO
-    val reader = ImageIO.getImageReadersByFormatName("gif").next()
     val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      if (n <= 0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      var done = false
+      while (!done) {
+        try {
+          val img = reader.read(i)
+          out += (img.getRGB(1, 1) & 0xff)
+          i += 1
+        } catch {
+          case _: IndexOutOfBoundsException => done = true
+        }
+      }
+      if (out.isEmpty)
         throw new IllegalArgumentException(
           s"undecodable gif for doc_id=$docId (${bytes.length} bytes)"
         )
-      Array.tabulate(n) { i =>
-        val img = reader.read(i)
-        img.getRGB(1, 1) & 0xff
-      }
-    } finally {
-      reader.dispose()
-      iis.close()
-    }
+      out.toArray
+    } finally iis.close()
   }
 
   /** m13's per-doc clip as a REAL container: nF = 24 + id%40 frames,
@@ -846,8 +867,11 @@ object Multimodal {
       .select(col("doc_id"), col("gif_meta"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, bytes) =>
-          decodeGifFrames(id, bytes).iterator.zipWithIndex.map { case (v, i) => (id, i, v) }
+          decodeGifFramesWith(reader, id, bytes).iterator.zipWithIndex.map {
+            case (v, i) => (id, i, v)
+          }
         }
       }
       .toDF("doc_id", "i", "v")
@@ -1202,8 +1226,9 @@ object Multimodal {
       .select(col("doc_id"), col("gif_meta"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.map { case (id, bytes) =>
-          val vs = decodeGifFrames(id, bytes)
+          val vs = decodeGifFramesWith(reader, id, bytes)
           var total = 0L
           var mx = 0L
           var cuts = 0L
@@ -1247,6 +1272,7 @@ object Multimodal {
       .select(col("doc_id"), col("png_meta"), col("wav_meta"), col("gif_meta"))
       .as[(Long, Array[Byte], Array[Byte], Array[Byte])]
       .mapPartitions { it =>
+        val gifReader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.map { case (id, png, wav, gif) =>
           // image: dims + pixel sum vs the m7 model
           val img = decodeImage(id, png)
@@ -1282,7 +1308,7 @@ object Multimodal {
           }
           val audioOk = n == expN && energy == expEnergy
           // video: frame count + luma sum vs the m13 model
-          val frames = decodeGifFrames(id, gif)
+          val frames = decodeGifFramesWith(gifReader, id, gif)
           val expF = 24 + (id % 40).toInt
           var lumaSum = 0L
           frames.foreach(lumaSum += _)

@@ -1460,4 +1460,68 @@ object Relational {
       )
       .orderBy("l_suppkey")
   }
+
+  /** q64: ROLLUP WITH SHARE-OF-PARENT — the drill-down report where
+    * every (returnflag, linestatus) cell also shows its share of the
+    * flag subtotal and each subtotal its share of the grand total (the
+    * "% of parent" column OLAP front-ends bolt onto every rollup): ONE
+    * rollup pass (partial-aggregated), then the three grains split by
+    * `grouping_id` and parents re-attached by broadcast equi-joins —
+    * the rollup output is grains-sized, so the share joins are
+    * metadata-scale no matter the fact volume. Quantities are exact
+    * integer sums (round-then-long); shares are single rounded
+    * divisions at the edge.
+    */
+  def q64RollupShare(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("q")
+      )
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("q").as("qty"), count(lit(1)).as("n"), grouping_id().as("gid"))
+    val leaves = base.filter(col("gid") === 0)
+    val flagTot = base
+      .filter(col("gid") === 1)
+      .select(col("l_returnflag").as("p_flag"), col("qty").as("flag_qty"))
+    val grand = base.filter(col("gid") === 3).select(col("qty").as("grand_qty"))
+    val leafRows = leaves
+      .join(broadcast(flagTot), col("l_returnflag") === col("p_flag"))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        col("qty"),
+        col("n"),
+        lit("leaf").as("grain"),
+        round(col("qty").cast("double") / col("flag_qty"), 6).as("share_of_parent")
+      )
+    val flagRows = base
+      .filter(col("gid") === 1)
+      .crossJoin(broadcast(grand))
+      .select(
+        col("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"),
+        col("qty"),
+        col("n"),
+        lit("subtotal").as("grain"),
+        round(col("qty").cast("double") / col("grand_qty"), 6).as("share_of_parent")
+      )
+    val grandRow = base
+      .filter(col("gid") === 3)
+      .select(
+        lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"),
+        col("qty"),
+        col("n"),
+        lit("total").as("grain"),
+        lit(1.0).as("share_of_parent")
+      )
+    leafRows
+      .unionByName(flagRows)
+      .unionByName(grandRow)
+      .orderBy(col("grain"), col("l_returnflag"), col("l_linestatus"))
+  }
 }

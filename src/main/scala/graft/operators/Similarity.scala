@@ -1377,6 +1377,55 @@ object Similarity {
     * Plan: both rankings broadcast the 50-query side; candidates come
     * from a bucket-equality join, never a crossJoin.
     */
+  /** v26: kNN LABEL ACCURACY — the leave-one-out classification probe
+    * that grades an embedding space before anyone trains on it: for a
+    * sampled query set, majority label among the exact top-k cosine
+    * neighbors vs the query's own label, reported per class. The
+    * metric retrieval teams watch when swapping encoders. Exact knn
+    * rides v1's broadcast-query shape; the majority vote is a keyed
+    * count + one keyed rank window (ties broken by smallest label —
+    * deterministic in both engines); output is classes-sized.
+    */
+  def v26KnnLabelAccuracy(s: SparkSession, d: String, nQueries: Int = 200, k: Int = 5): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"), col("label"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        col("label").as("q_label")
+      )
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    val nn = e
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", VF.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val wv = Window.partitionBy("q_id").orderBy(desc("cnt"), col("label"))
+    val pred = nn
+      .groupBy("q_id", "q_label", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+    pred
+      .select(col("q_label"), col("label").as("pred_label"))
+      .groupBy("q_label")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("q_label"), 1L).otherwise(0L)).as("n_correct")
+      )
+      .select(
+        col("q_label").as("label"),
+        col("n_queries"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_queries"), 4).as("accuracy")
+      )
+      .orderBy("label")
+  }
+
   def v25HyperplaneRecall(s: SparkSession, d: String, nQueries: Int = 50, k: Int = 10): DataFrame = {
     val dim = 64
     val planes = (0 until 4).map(j => typedlit(v25Plane(j, dim)))
