@@ -107,6 +107,62 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("GlobalNtile: SQL global ntile plans distributed and matches window semantics exactly") {
+    // 1003 rows, 10 tiles: first 3 tiles get 101 rows, the rest 100 —
+    // the closed-form mapping must reproduce NTile's uneven split
+    for (k <- Seq(10, 7, 2000)) { // 2000 > n exercises the k>n edge
+      val df = spark.sql(
+        s"SELECT id, ntile($k) OVER (ORDER BY id) AS t FROM range(1003)"
+      )
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p                                                                => p
+      }
+      assert(
+        exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+        s"ntile($k) not rewritten:\n$exec"
+      )
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      // independent reference: NTile's spec — buckets differ by at most
+      // one row, larger buckets first
+      val n = 1003
+      val sizes = (0 until math.min(k, n)).map(i => n / k + (if (i < n % k) 1 else 0))
+      val expected = sizes.zipWithIndex
+        .flatMap { case (sz, i) => Seq.fill(sz)(i + 1) }
+        .zipWithIndex
+        .map { case (t, idx) => idx.toLong -> t }
+        .toMap
+      assert(got == expected, s"ntile($k) values diverged")
+    }
+  }
+
+  test("GlobalPrefixSum: global running total plans distributed, matches window semantics") {
+    val df = spark.sql(
+      "SELECT id, sum(id) OVER (ORDER BY id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM range(1000)"
+    )
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    assert(
+      exec.collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      s"running sum not rewritten:\n$exec"
+    )
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    rows.foreach { case (id, c) => acc += id; assert(c == acc, s"prefix sum wrong at id=$id") }
+    // RANGE frames (the bare-aggregate default) must NOT fire — peer
+    // semantics differ from the row-frame exec
+    val range = spark
+      .sql("SELECT id, sum(id) OVER (ORDER BY id % 10) AS c FROM range(100)")
+      .queryExecution
+      .optimizedPlan
+    assert(
+      range.collect { case g: graft.plans.GlobalPrefixSumNode => g }.isEmpty,
+      "rewrite over-fired on a RANGE frame"
+    )
+  }
+
   test("SqlMain mid-script statements execute EVERY row (late-row assert fires)") {
     // round-12 ADVICE: limit(1) materialization let an assert_true that
     // fails on a later row pass silently. The noop write must evaluate
