@@ -61,7 +61,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "e34_markov_next", "s23_stream_cdc", "c23_zone_map",
     // round 12 (q59 uses ::DATE, v23 list_dot_product, c33 unnest,
     // c34 epoch_us — DuckDB gate; these three are pure ANSI)
-    "q58_skyline", "e44_engagement_gini", "t41_length_lognormal"
+    "q58_skyline", "e44_engagement_gini", "t41_length_lognormal",
+    // round 13 (q61 ::DATE, q62/s37 DuckDB datediff/'<<', d23/t44/t45
+    // list_*/regexp_extract_all-arity, v25/v26 list_dot_product, e47
+    // epoch_us, e48 epoch_ms, q63/q64 '//'+VARCHAR — DuckDB gate; the
+    // integrity tally is pure ANSI)
+    "m21_media_integrity"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
