@@ -119,6 +119,12 @@ object SqlMain {
       if (Files.isRegularFile(Paths.get(args(1)))) Files.readString(Paths.get(args(1)))
       else args(1)
     val result = runScript(spark, script)
+    // GRAFT_LINT=1: surface the plan-scale warnings (global windows,
+    // cartesians, unbounded BNLJ builds) before the result ships
+    if (sys.env.get("GRAFT_LINT").contains("1")) {
+      val n = graft.plans.PlanLint.report(result, "script result")
+      if (n == 0) System.err.println("[plan-lint] script result: clean")
+    }
     (args.lift(2), args.lift(3).getOrElse("parquet")) match {
       case (Some(out), fmt) =>
         result.write.mode("overwrite").format(fmt).save(out)

@@ -163,6 +163,29 @@ class Round13Spec extends AnyFunSuite {
     )
   }
 
+  test("PlanLint flags the cliffs the rules can't rewrite, stays quiet on clean plans") {
+    // rank() keeps the stock 1-task window (tie semantics) — lint names it
+    val ranked = spark.sql("SELECT id, rank() OVER (ORDER BY id) AS r FROM range(100)")
+    val w1 = graft.plans.PlanLint.lint(ranked)
+    assert(w1.exists(_.contains("GLOBAL WINDOW")), s"missed global window: $w1")
+    // a genuine cartesian
+    val cart = spark.range(10).crossJoin(spark.range(10).withColumnRenamed("id", "id2"))
+    assert(
+      graft.plans.PlanLint
+        .lint(cart)
+        .exists(m => m.contains("CARTESIAN") || m.contains("NESTED-LOOP"))
+    )
+    // keyed window + equi-join: clean
+    val clean = spark.sql(
+      "SELECT id, row_number() OVER (PARTITION BY id % 3 ORDER BY id) AS r FROM range(100)"
+    )
+    assert(graft.plans.PlanLint.lint(clean).isEmpty)
+    // the auto-rewritten global row_number is ALSO clean — the rule
+    // already fixed it, so lint has nothing to say
+    val fixed = spark.sql("SELECT id, row_number() OVER (ORDER BY id) AS r FROM range(100)")
+    assert(graft.plans.PlanLint.lint(fixed).isEmpty)
+  }
+
   test("SqlMain mid-script statements execute EVERY row (late-row assert fires)") {
     // round-12 ADVICE: limit(1) materialization let an assert_true that
     // fails on a later row pass silently. The noop write must evaluate
