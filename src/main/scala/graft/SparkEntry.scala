@@ -499,7 +499,11 @@ object SparkEntry {
     // round 13: rollup with share-of-parent at every grain
     "q64_rollup_share"       -> (Relational.q64RollupShare _),
     // round 13: leave-one-out kNN label accuracy per class
-    "v26_knn_label_accuracy" -> ((s, d) => Similarity.v26KnnLabelAccuracy(s, d))
+    "v26_knn_label_accuracy" -> ((s, d) => Similarity.v26KnnLabelAccuracy(s, d)),
+    // round 13: near-dup cluster purity vs language/source metadata
+    "d24_cluster_purity"     -> (Dedup.d24ClusterPurity _),
+    // round 13: per-stage curation attrition report (docs + tokens)
+    "t46_stage_attrition"    -> (TextAnalysis.t46StageAttrition _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4470,6 +4474,64 @@ object SparkEntry {
         | count(*) AS n_clips, CAST(sum(n_frames) AS BIGINT) AS total_frames,
         | min(doc_id) AS first_doc
         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // d24: d6's recursive-CTE cluster replay joined to metadata — shares
+    // d6's DuckDB cost class (excluded from the sf0.1 replay like d6)
+    "d24_cluster_purity" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges),
+        |cm AS (SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1),
+        |j AS (SELECT cm.canonical_id, d.lang, d.source FROM cm JOIN documents d USING (doc_id)),
+        |ag AS (SELECT canonical_id, count(*) AS n_members, count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources FROM j GROUP BY 1),
+        |cl AS (SELECT canonical_id, lang, count(*) AS cl_n FROM j GROUP BY 1, 2),
+        |dom AS (SELECT canonical_id, max(cl_n) AS dom_n FROM cl GROUP BY 1)
+        |SELECT ag.canonical_id, ag.n_members, ag.n_langs, ag.n_sources,
+        | round(dom.dom_n / CAST(ag.n_members AS DOUBLE), 4) AS lang_purity
+        |FROM ag JOIN dom USING (canonical_id) ORDER BY 1""".stripMargin,
+    // t46: p1's dedup/gate/sample predicates as cumulative conditional
+    // sums over one scan, stacked into the 4-stage report
+    "t46_stage_attrition" ->
+      """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |f AS (SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS nt,
+        |  (k.doc_id IS NOT NULL) AS k1,
+        |  (len(tk) BETWEEN 20 AND 1000
+        |   AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |     / greatest(len(tk), 1) <= 0.5
+        |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.2) AS kq,
+        |  substr(md5(d.text), 1, 1) IN ('0','1','2','3','4','5','6','7') AS ks
+        | FROM (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tk
+        |       FROM documents) d
+        | LEFT JOIN kept k ON d.doc_id = k.doc_id),
+        |a AS (SELECT count(*) AS d0, CAST(sum(nt) AS BIGINT) AS t0,
+        |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN k1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
+        |  CAST(sum(CASE WHEN k1 AND kq THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(sum(CASE WHEN k1 AND kq THEN nt ELSE 0 END) AS BIGINT) AS t2,
+        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN nt ELSE 0 END) AS BIGINT) AS t3
+        | FROM f)
+        |SELECT v.stage_id, v.stage,
+        | CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END AS n_docs,
+        | CASE v.stage_id WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS n_tokens,
+        | round(CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END
+        |   / CAST(d0 AS DOUBLE), 4) AS doc_share_of_raw
+        |FROM a, (VALUES (0,'raw'),(1,'exact_dedup'),(2,'quality'),(3,'sample')) v(stage_id, stage)
+        |ORDER BY 1""".stripMargin,
     // q63: exact integer largest-remainder allocation — DuckDB's windowed
     // BIGINT sums widen to HUGEINT mid-query (fine: only outputs are
     // BIGINT-cast); floors/remainders are pure integer ops both engines

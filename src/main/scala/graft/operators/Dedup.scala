@@ -855,6 +855,43 @@ object Dedup {
     * are what justify the chosen banding (d22 justifies the signature;
     * d23 the banding).
     */
+  /** d24: CLUSTER-PURITY AUDIT — do near-dup clusters respect metadata
+    * boundaries? Per d6 cluster: member count, distinct languages and
+    * sources, and language purity (dominant-language share). Mixed-lang
+    * clusters flag either translation pairs (legit near-dups a
+    * lang-partitioned dedup would MISS) or shingle-collision noise —
+    * the audit that decides whether to shard the dedup by language at
+    * 100 TB (sharding cuts the pair space by ~langs² but forfeits
+    * cross-lang dups; this table is the evidence either way). Rides the
+    * cached cluster map; two keyed aggregates over cluster-sized data.
+    */
+  def d24ClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val j = clusterMap(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val agg = j
+      .groupBy("canonical_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources")
+      )
+    val dom = j
+      .groupBy("canonical_id", "lang")
+      .agg(count(lit(1)).as("cl_n"))
+      .groupBy("canonical_id")
+      .agg(max("cl_n").as("dom_n"))
+    agg
+      .join(dom, "canonical_id")
+      .select(
+        col("canonical_id"),
+        col("n_members"),
+        col("n_langs"),
+        col("n_sources"),
+        round(col("dom_n").cast("double") / col("n_members"), 4).as("lang_purity")
+      )
+      .orderBy("canonical_id")
+  }
+
   def d23LshPlan(s: SparkSession, d: String, cap: Int = 1000): DataFrame = {
     val sh = shingled(s, d).filter(col("doc_id") < cap)
     val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -1805,6 +1805,61 @@ object TextAnalysis {
     * scans + a 1-row broadcast stats join — nothing heavier than t25
     * itself.
     */
+  /** t46: STAGE-ATTRITION REPORT — what each curation stage costs in
+    * documents and tokens, the observability table every pipeline
+    * owner keeps next to p1: raw → exact dedup (min-id per content
+    * hash) → quality gates (p1's token/stopword/distinct-ratio
+    * battery) → deterministic hash sampling, reported as cumulative
+    * survivors with share-of-raw. ONE corpus scan computes every
+    * per-doc flag (the dedup membership is the only join), then a
+    * single conditional-aggregate row stacks into the 4-stage table —
+    * adding a stage adds a column, not a pass.
+    */
+  def t46StageAttrition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("k1"))
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val flagged = docs
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(tk).cast("long").as("nt"),
+        coalesce(col("k1"), lit(false)).as("k1"),
+        (size(tk).between(20, 1000) &&
+          size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)) <= 0.5 &&
+          size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1)) >= 0.2).as("kq"),
+        substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7").as("ks")
+      )
+    val row = flagged.agg(
+      count(lit(1)).as("d0"),
+      sum("nt").as("t0"),
+      sum(when(col("k1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("k1"), col("nt")).otherwise(0L)).as("t1"),
+      sum(when(col("k1") && col("kq"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("k1") && col("kq"), col("nt")).otherwise(0L)).as("t2"),
+      sum(when(col("k1") && col("kq") && col("ks"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("k1") && col("kq") && col("ks"), col("nt")).otherwise(0L)).as("t3")
+    )
+    row
+      .selectExpr(
+        "d0",
+        "stack(4, 0, 'raw', d0, t0, 1, 'exact_dedup', d1, t1, " +
+          "2, 'quality', d2, t2, 3, 'sample', d3, t3) as (stage_id, stage, n_docs, n_tokens)"
+      )
+      .select(
+        col("stage_id"),
+        col("stage"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("d0"), 4).as("doc_share_of_raw")
+      )
+      .orderBy("stage_id")
+  }
+
   def t45FilterAgreement(s: SparkSession, d: String): DataFrame = {
     val q = t2QualityScore(s, d).select(col("doc_id"), col("distinct_ratio").as("q"))
     val p = t25PerplexityFilter(s, d).select(col("doc_id"), col("score").as("p"))
