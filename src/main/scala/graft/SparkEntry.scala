@@ -503,7 +503,9 @@ object SparkEntry {
     // round 13: near-dup cluster purity vs language/source metadata
     "d24_cluster_purity"     -> (Dedup.d24ClusterPurity _),
     // round 13: per-stage curation attrition report (docs + tokens)
-    "t46_stage_attrition"    -> (TextAnalysis.t46StageAttrition _)
+    "t46_stage_attrition"    -> (TextAnalysis.t46StageAttrition _),
+    // round 13: t46 maintained live by the stream fold (bit-identical)
+    "s38_stream_attrition"   -> (StreamingBatch.s38StreamAttrition _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -583,6 +585,36 @@ object SparkEntry {
        |FROM q LEFT JOIN nc ON q.q_id = nc.q_id LEFT JOIN h ON q.q_id = h.q_id
        |ORDER BY 1""".stripMargin
   }
+
+  // t46/s38 share one oracle: the streaming fold is bit-identical to
+  // the batch report by construction (min-struct keeper commutativity)
+  private val t46Sql: String =
+    """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |f AS (SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS nt,
+        |  (k.doc_id IS NOT NULL) AS k1,
+        |  (len(tk) BETWEEN 20 AND 1000
+        |   AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |     / greatest(len(tk), 1) <= 0.5
+        |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.2) AS kq,
+        |  substr(md5(d.text), 1, 1) IN ('0','1','2','3','4','5','6','7') AS ks
+        | FROM (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tk
+        |       FROM documents) d
+        | LEFT JOIN kept k ON d.doc_id = k.doc_id),
+        |a AS (SELECT count(*) AS d0, CAST(sum(nt) AS BIGINT) AS t0,
+        |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN k1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
+        |  CAST(sum(CASE WHEN k1 AND kq THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(sum(CASE WHEN k1 AND kq THEN nt ELSE 0 END) AS BIGINT) AS t2,
+        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN nt ELSE 0 END) AS BIGINT) AS t3
+        | FROM f)
+        |SELECT v.stage_id, v.stage,
+        | CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END AS n_docs,
+        | CASE v.stage_id WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS n_tokens,
+        | round(CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END
+        |   / CAST(d0 AS DOUBLE), 4) AS doc_share_of_raw
+        |FROM a, (VALUES (0,'raw'),(1,'exact_dedup'),(2,'quality'),(3,'sample')) v(stage_id, stage)
+        |ORDER BY 1""".stripMargin
 
   private val knnExactSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -4505,33 +4537,8 @@ object SparkEntry {
         |FROM ag JOIN dom USING (canonical_id) ORDER BY 1""".stripMargin,
     // t46: p1's dedup/gate/sample predicates as cumulative conditional
     // sums over one scan, stacked into the 4-stage report
-    "t46_stage_attrition" ->
-      """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |f AS (SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS nt,
-        |  (k.doc_id IS NOT NULL) AS k1,
-        |  (len(tk) BETWEEN 20 AND 1000
-        |   AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-        |     / greatest(len(tk), 1) <= 0.5
-        |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.2) AS kq,
-        |  substr(md5(d.text), 1, 1) IN ('0','1','2','3','4','5','6','7') AS ks
-        | FROM (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tk
-        |       FROM documents) d
-        | LEFT JOIN kept k ON d.doc_id = k.doc_id),
-        |a AS (SELECT count(*) AS d0, CAST(sum(nt) AS BIGINT) AS t0,
-        |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-        |  CAST(sum(CASE WHEN k1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
-        |  CAST(sum(CASE WHEN k1 AND kq THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-        |  CAST(sum(CASE WHEN k1 AND kq THEN nt ELSE 0 END) AS BIGINT) AS t2,
-        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN 1 ELSE 0 END) AS BIGINT) AS d3,
-        |  CAST(sum(CASE WHEN k1 AND kq AND ks THEN nt ELSE 0 END) AS BIGINT) AS t3
-        | FROM f)
-        |SELECT v.stage_id, v.stage,
-        | CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END AS n_docs,
-        | CASE v.stage_id WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS n_tokens,
-        | round(CASE v.stage_id WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END
-        |   / CAST(d0 AS DOUBLE), 4) AS doc_share_of_raw
-        |FROM a, (VALUES (0,'raw'),(1,'exact_dedup'),(2,'quality'),(3,'sample')) v(stage_id, stage)
-        |ORDER BY 1""".stripMargin,
+    "t46_stage_attrition" -> t46Sql,
+    "s38_stream_attrition" -> t46Sql,
     // q63: exact integer largest-remainder allocation — DuckDB's windowed
     // BIGINT sums widen to HUGEINT mid-query (fine: only outputs are
     // BIGINT-cast); floors/remainders are pure integer ops both engines

@@ -2710,6 +2710,112 @@ object StreamingBatch {
     ()
   }
 
+  /** s38's micro-batch fold: two commutative states — (a) per content
+    * hash, the MIN-doc_id keeper row with its token count and gate
+    * flags (min over a struct is associative/commutative, so the
+    * keeper is the SAME doc regardless of batch arrival order — what
+    * makes the batch-t46 equivalence exact), and (b) a 1-row corpus
+    * total. s17's commit-marker discipline for exactly-once.
+    */
+  private[graft] def s38Fold(root: String, batchId: Long, batch: DataFrame): Unit = {
+    if (new java.io.File(s"$root/commit_$batchId").exists()) return
+    val spark = batch.sparkSession
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val flagged = batch.select(
+      md5(col("text")).as("h"),
+      struct(
+        col("doc_id"),
+        size(tk).cast("long").as("nt"),
+        (size(tk).between(20, 1000) &&
+          size(filter(tk, t => t.isin(stops: _*))).cast("double") / greatest(size(tk), lit(1)) <= 0.5 &&
+          size(array_distinct(tk)).cast("double") / greatest(size(tk), lit(1)) >= 0.2).as("kq"),
+        substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7").as("ks")
+      ).as("m")
+    )
+    val incomingKeep = flagged.groupBy("h").agg(min("m").as("m"))
+    val incomingTot = batch.agg(
+      count(lit(1)).as("d0"),
+      sum(size(tk).cast("long")).as("t0")
+    )
+    val (mergedKeep, mergedTot) = s17LatestCommitted(root) match {
+      case Some(prev) =>
+        (
+          spark.read
+            .parquet(s"$prev/keep")
+            .unionByName(incomingKeep)
+            .groupBy("h")
+            .agg(min("m").as("m")),
+          spark.read
+            .parquet(s"$prev/tot")
+            .unionByName(incomingTot)
+            .agg(sum("d0").as("d0"), sum("t0").as("t0"))
+        )
+      case None => (incomingKeep, incomingTot)
+    }
+    mergedKeep.write.mode("overwrite").parquet(s"$root/state_v$batchId/keep")
+    mergedTot.coalesce(1).write.mode("overwrite").parquet(s"$root/state_v$batchId/tot")
+    new java.io.File(s"$root/commit_$batchId").createNewFile()
+    ()
+  }
+
+  /** s38: STREAMING STAGE-ATTRITION — t46's curation observability
+    * maintained live: each micro-batch of the document stream folds
+    * its content-hash keepers (min-doc wins — arrival-order
+    * independent) and corpus totals into the commit-logged state, and
+    * the read-out stacks the identical 4-stage report. BIT-IDENTICAL
+    * to the batch t46 (shares its oracle verbatim): the dashboard a
+    * crawl operator watches while ingest runs, answering "how much of
+    * what we just pulled will training actually see" without ever
+    * rescanning history. State is keeper-table-sized (distinct
+    * hashes), the s13 online-index precedent.
+    */
+  def s38StreamAttrition(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDocsJson(s, d)
+    val docSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$dir/json")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select("r.*")
+    val root = graft.TempDirs.create("graft_s38_run_")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) => s38Fold(root, batchId, batch) }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s17LatestCommitted(root).get
+    val keep = s.read.parquet(s"$state/keep").select(col("m.nt"), col("m.kq"), col("m.ks"))
+    val tot = s.read.parquet(s"$state/tot")
+    val row = keep
+      .agg(
+        count(lit(1)).as("d1"),
+        sum("nt").as("t1"),
+        sum(when(col("kq"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("kq"), col("nt")).otherwise(0L)).as("t2"),
+        sum(when(col("kq") && col("ks"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("kq") && col("ks"), col("nt")).otherwise(0L)).as("t3")
+      )
+      .crossJoin(broadcast(tot))
+    row
+      .selectExpr(
+        "d0",
+        "stack(4, 0, 'raw', d0, t0, 1, 'exact_dedup', d1, t1, " +
+          "2, 'quality', d2, t2, 3, 'sample', d3, t3) as (stage_id, stage, n_docs, n_tokens)"
+      )
+      .select(
+        col("stage_id"),
+        col("stage"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("d0"), 4).as("doc_share_of_raw")
+      )
+      .orderBy("stage_id")
+  }
+
   /** s37: STREAM-MAINTAINED DECAYED HEAVY HITTERS — the "who matters
     * NOW" view every abuse/engagement team keeps: per-user activity
     * with exponential recency decay (half-life = 1 day), maintained as
