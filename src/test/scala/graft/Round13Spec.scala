@@ -186,6 +186,34 @@ class Round13Spec extends AnyFunSuite {
     assert(graft.plans.PlanLint.lint(fixed).isEmpty)
   }
 
+  test("s37/s38 folds are idempotent under batch replay (commit-marker discipline)") {
+    import spark.implicits._
+    val root37 = graft.TempDirs.create("graft_s37_replay_")
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 7L),
+      (java.sql.Timestamp.valueOf("2024-01-04 11:00:00"), 7L),
+      (java.sql.Timestamp.valueOf("2024-01-04 12:00:00"), 9L)
+    ).toDF("ts", "user_id")
+    graft.operators.StreamingBatch.s37Fold(root37, 0L, batch)
+    val once = spark.read.parquet(s"$root37/state_v0").collect().map(_.toString).sorted
+    // a foreachBatch RETRY redelivers the same batchId — the fold must
+    // acknowledge the marker and not double-count
+    graft.operators.StreamingBatch.s37Fold(root37, 0L, batch)
+    val twice = spark.read.parquet(s"$root37/state_v0").collect().map(_.toString).sorted
+    assert(once.sameElements(twice))
+    assert(once.length == 3) // (day, user) grains: (3,7) (4,7) (4,9)
+
+    val root38 = graft.TempDirs.create("graft_s38_replay_")
+    val docs = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "dd ee")).toDF("doc_id", "text")
+    graft.operators.StreamingBatch.s38Fold(root38, 0L, docs)
+    val k1 = spark.read.parquet(s"$root38/state_v0/keep").collect().map(_.toString).sorted
+    val t1 = spark.read.parquet(s"$root38/state_v0/tot").collect().map(_.toString)
+    graft.operators.StreamingBatch.s38Fold(root38, 0L, docs)
+    assert(spark.read.parquet(s"$root38/state_v0/keep").collect().map(_.toString).sorted.sameElements(k1))
+    assert(spark.read.parquet(s"$root38/state_v0/tot").collect().map(_.toString).sameElements(t1))
+    assert(k1.length == 2) // two distinct content hashes; doc 1 beats doc 2
+  }
+
   test("SqlMain mid-script statements execute EVERY row (late-row assert fires)") {
     // round-12 ADVICE: limit(1) materialization let an assert_true that
     // fails on a later row pass silently. The noop write must evaluate
