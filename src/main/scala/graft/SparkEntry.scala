@@ -4433,13 +4433,15 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, count(*) AS n_img_ok, count(*) AS n_audio_ok,
         | count(*) AS n_video_ok, count(*) AS n_all_ok FROM documents""".stripMargin,
     // s37: decay replayed from raw events as exact 2^(day-day0) weights —
-    // batch-order independence is what makes this oracle possible
+    // batch-order independence is what makes this oracle possible; the
+    // score sums in HUGEINT→DECIMAL(38,0) (Spark side: decimal(38,0))
+    // so no engine silently wraps a Long
     "s37_stream_decay_topk" ->
       """WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS dt, count(*) AS n
         |  FROM events GROUP BY 1, 2),
         |a AS (SELECT min(dt) AS d0 FROM dc),
         |sc AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
-        |  CAST(sum(n * (CAST(1 AS BIGINT) << least(datediff('day', a.d0, dt), 62))) AS BIGINT) AS decayed_scaled
+        |  CAST(sum(CAST(n AS HUGEINT) * (CAST(1 AS BIGINT) << least(datediff('day', a.d0, dt), 62))) AS DECIMAL(38,0)) AS decayed_scaled
         | FROM dc, a GROUP BY 1)
         |SELECT user_id, n_events, decayed_scaled FROM sc
         |ORDER BY decayed_scaled DESC, user_id LIMIT 20""".stripMargin,

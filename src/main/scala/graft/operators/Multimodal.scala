@@ -362,6 +362,13 @@ object Multimodal {
           i += 1
         } catch {
           case _: IndexOutOfBoundsException => done = true
+          case e: Exception =>
+            // loud failure NAMES THE DOC — a corrupt clip in a 100 TB
+            // crawl must be traceable from the executor log alone
+            throw new IllegalArgumentException(
+              s"undecodable gif frame $i for doc_id=$docId (${bytes.length} bytes): ${e.getMessage}",
+              e
+            )
         }
       }
       if (out.isEmpty)
@@ -866,12 +873,15 @@ object Multimodal {
   // video corpus exactly once — the ANN-artifact cache discipline
   // applied to media (localCheckpoint pins the decoded table to
   // executor storage; the decode itself is still the real JDK reader
-  // and still hash-gated through every consumer).
-  private val frameCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // and still hash-gated through every consumer). Keyed by (session, dir):
+  // a checkpoint survives only its own session's executors, so a cached
+  // plan from a stopped session must never be served to a new one.
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def frameTable(s: SparkSession, d: String): DataFrame =
     frameCache.computeIfAbsent(
-      d,
+      (s, d),
       _ => {
         import s.implicits._
         s.read

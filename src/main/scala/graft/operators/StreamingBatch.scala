@@ -647,10 +647,12 @@ object StreamingBatch {
     * Final snapshot = latest non-deleted row per user — replayed
     * independently by the DuckDB oracle from raw events; ScalaTest pins
     * the arrival order really is reversed and that tombstones exist in
-    * the store but not the snapshot. At 100 TB the merge is one keyed
-    * shuffle per batch over O(store) rows — the standard CDC-compaction
-    * shape; tombstone retention windows (vacuum after max-lateness)
-    * bound the store exactly like c7's retention pass.
+    * the store but not the snapshot. At 100 TB the merge reads and
+    * rewrites ONLY the user-buckets the batch touches
+    * ([[graft.sources.BucketedStateStore]], since round 14) — per-batch
+    * IO O(batch × bucket), not O(store); tombstone retention windows
+    * (vacuum after max-lateness) bound the store exactly like c7's
+    * retention pass.
     */
   def s23StreamCdc(s: SparkSession, d: String): DataFrame = {
     val dir = stageJsonReversed(s, d)
@@ -663,7 +665,7 @@ object StreamingBatch {
       .select("user_id", "event_id", "event_type", "value", "ts")
       .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
     val root = graft.TempDirs.create("graft_s23_run_")
-    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val store = s"$root/state"
     def latestBySeq(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id")
@@ -672,23 +674,25 @@ object StreamingBatch {
     }
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val incoming = latestBySeq(batch)
-        val merged = Option(current.get()) match {
-          case Some(prev) => latestBySeq(spark.read.parquet(prev).unionByName(incoming))
-          case None       => incoming
+        if (!graft.sources.BucketedStateStore.committed(store, batchId)) {
+          // round-14 bounded-write upsert: the seq-guarded merge reads and
+          // rewrites ONLY the user-buckets this batch touches — untouched
+          // users' rows are never rescanned (the CDC-compaction shape at
+          // 100 TB: per-batch IO O(batch × bucket), not O(store))
+          graft.sources.BucketedStateStore
+            .upsert(store, batchId, latestBySeq(batch), Seq("user_id"), 16) { (prev, inc) =>
+              latestBySeq(prev.unionByName(inc))
+            }
         }
-        val next = s"$root/state_v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
       }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s23LastStore.put(d, current.get())
-    s.read
-      .parquet(current.get())
+    s23LastStore.put(d, store)
+    graft.sources.BucketedStateStore
+      .readLatest(s, store)
+      .get
       .filter(col("op") =!= "D")
       .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
@@ -698,6 +702,11 @@ object StreamingBatch {
     * (test access: the store must RETAIN tombstones the snapshot drops).
     */
   private[graft] val s23LastStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root of the last [[s38StreamAttrition]] run per source dir (audit
+    * access: [[graft.StateAudit]] reads its per-batch write ledger).
+    */
+  private[graft] val s38LastRoot = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** s7 (oracle form): NATIVE streaming session aggregation — the
     * built-in `session_window` under a watermark (Spark's merging
@@ -893,10 +902,15 @@ object StreamingBatch {
       d + "#docs",
       _ => {
         val dir = graft.TempDirs.create("graft_stream_docs_")
+        // repartition, not coalesce: a 1-partition source parquet would
+        // otherwise stage ONE file and the maxFilesPerTrigger=1 streams
+        // would degenerate to a single batch (the folds are
+        // order-independent, so batch count never changes results —
+        // only how much cross-batch machinery the run exercises)
         Tables
           .documents(s, d)
           .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
-          .coalesce(4)
+          .repartition(4)
           .write
           .mode("overwrite")
           .text(s"$dir/json")
@@ -1798,10 +1812,16 @@ object StreamingBatch {
     * it, not an in-memory reference, is what makes the exactly-once
     * claim hold across foreachBatch retries and checkpoint restarts.
     */
-  private[graft] def s17LatestCommitted(root: String): Option[String] = {
+  private[graft] def s17LatestCommitted(root: String): Option[String] =
+    latestCommittedId(root).map(id => s"$root/state_v$id")
+
+  /** Highest committed marker id under `root` (the read-out pointer for
+    * multi-state folds whose data lives under per-id paths).
+    */
+  private[graft] def latestCommittedId(root: String): Option[Long] = {
     val ids = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
       .collect { case n if n.startsWith("commit_") => n.stripPrefix("commit_").toLong }
-    if (ids.isEmpty) None else Some(s"$root/state_v${ids.max}")
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Fold one micro-batch of raw events into the next rollup version.
@@ -2179,7 +2199,7 @@ object StreamingBatch {
     * micro-batch (1) applies the deterministic quality screen (token
     * count + distinct-token ratio, t2's rule shapes) to ITS OWN rows
     * only, and (2) folds the survivors' content fingerprints into a
-    * persisted dedup index via an s6-style copy-on-write upsert of
+    * persisted dedup index via a hash-bucketed bounded-write upsert of
     * (fingerprint → min doc_id, copy count). Both folds are min/sum —
     * associative and commutative — so the landed index is provably
     * ARRIVAL-ORDER-INSENSITIVE: whatever the file order, the final
@@ -2187,8 +2207,8 @@ object StreamingBatch {
     * the global count, which is what lets a batch DuckDB oracle
     * hash-gate a streaming pipeline. State is O(distinct fingerprints)
     * (the dedup index a 100 TB/day ingest tier must carry anyway);
-    * old×old is never rescanned — each upsert touches the KB/MB index
-    * plus one micro-batch.
+    * old×old is never rescanned — each upsert reads and rewrites only
+    * the fingerprint buckets its batch touches.
     */
   def s22StreamCurate(s: SparkSession, d: String, minTokens: Int = 10, minDistinctRatio: Double = 0.3): DataFrame = {
     val dir = stageDocsJsonDuplicated(s, d)
@@ -2201,40 +2221,41 @@ object StreamingBatch {
       .select(from_json(col("value"), docSchema).as("r"))
       .select("r.*")
     val root = graft.TempDirs.create("graft_s22_run_")
-    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val store = s"$root/index"
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val tk = graft.functions.TextFunctions.tokens(col("text"))
-        val incoming = batch
-          .select(col("doc_id"), col("text"), tk.as("tk"))
-          .filter(
-            size(col("tk")) >= minTokens &&
-              size(array_distinct(col("tk"))).cast("double") /
-                greatest(size(col("tk")), lit(1)) >= minDistinctRatio
-          )
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-          .groupBy("fp")
-          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-        val merged = Option(current.get()) match {
-          case Some(prev) =>
-            spark.read
-              .parquet(prev)
-              .unionByName(incoming)
-              .groupBy("fp")
-              .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
-          case None => incoming
+        if (!graft.sources.BucketedStateStore.committed(store, batchId)) {
+          val tk = graft.functions.TextFunctions.tokens(col("text"))
+          val incoming = batch
+            .select(col("doc_id"), col("text"), tk.as("tk"))
+            .filter(
+              size(col("tk")) >= minTokens &&
+                size(array_distinct(col("tk"))).cast("double") /
+                  greatest(size(col("tk")), lit(1)) >= minDistinctRatio
+            )
+            .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+            .groupBy("fp")
+            .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          // round-14 bounded-write upsert: only the fingerprint buckets
+          // this batch touches are rewritten — per-batch written bytes
+          // O(batch × bucket), not O(index) (the round-13 COW rewrote the
+          // whole index every batch)
+          graft.sources.BucketedStateStore.upsert(store, batchId, incoming, Seq("fp"), 16) {
+            (prev, inc) =>
+              prev
+                .unionByName(inc)
+                .groupBy("fp")
+                .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
+          }
         }
-        val next = s"$root/index_v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
       }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read
-      .parquet(current.get())
+    graft.sources.BucketedStateStore
+      .readLatest(s, store)
+      .get
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
   }
@@ -2685,29 +2706,24 @@ object StreamingBatch {
   }
 
   /** s37's micro-batch fold: merge per-(day, user) counts into the
-    * commit-logged state store (s17's marker discipline — idempotent
-    * under retry, exactly-once across restarts). The state is bounded
-    * by active (user, day) pairs, NOT by events streamed.
+    * hash-BUCKETED state store ([[graft.sources.BucketedStateStore]] —
+    * the manifest publish is the atomic commit; redeliveries are
+    * acknowledged by the committed manifest, exactly-once across
+    * restarts). The state is bounded by active (user, day) pairs, and
+    * since round 14 each batch REWRITES ONLY THE BUCKETS ITS KEYS TOUCH
+    * — per-batch written bytes O(batch × bucket), never O(state), the
+    * fix for the round-13 full-state copy-on-write write amplification.
     */
   private[graft] def s37Fold(root: String, batchId: Long, batch: DataFrame): Unit = {
-    if (new java.io.File(s"$root/commit_$batchId").exists()) return
-    val spark = batch.sparkSession
+    val store = s"$root/state"
+    if (graft.sources.BucketedStateStore.committed(store, batchId)) return
     val incoming = batch
       .select(col("ts").cast("date").as("dt"), col("user_id"))
       .groupBy("dt", "user_id")
       .agg(count(lit(1)).as("n"))
-    val merged = s17LatestCommitted(root) match {
-      case Some(prev) =>
-        spark.read
-          .parquet(prev)
-          .unionByName(incoming)
-          .groupBy("dt", "user_id")
-          .agg(sum("n").as("n"))
-      case None => incoming
+    graft.sources.BucketedStateStore.upsert(store, batchId, incoming, Seq("dt", "user_id"), 16) {
+      (prev, inc) => prev.unionByName(inc).groupBy("dt", "user_id").agg(sum("n").as("n"))
     }
-    merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
-    new java.io.File(s"$root/commit_$batchId").createNewFile()
-    ()
   }
 
   /** s38's micro-batch fold: two commutative states — (a) per content
@@ -2715,9 +2731,21 @@ object StreamingBatch {
     * flags (min over a struct is associative/commutative, so the
     * keeper is the SAME doc regardless of batch arrival order — what
     * makes the batch-t46 equivalence exact), and (b) a 1-row corpus
-    * total. s17's commit-marker discipline for exactly-once.
+    * total. The keeper table is CORPUS-SIZED (one row per distinct
+    * content hash), so since round 14 it lives in the hash-bucketed
+    * store ([[graft.sources.BucketedStateStore]]): each batch rewrites
+    * only the buckets its hashes touch — per-batch written bytes
+    * O(batch × bucket), never O(keepers). The 1-row total rides a tiny
+    * per-version parquet. s17's commit-marker stays the OUTER atomic
+    * commit point covering both states; a retry that died mid-write
+    * recomputes both from the last MARKED id and overwrites its debris.
     */
-  private[graft] def s38Fold(root: String, batchId: Long, batch: DataFrame): Unit = {
+  private[graft] def s38Fold(
+      root: String,
+      batchId: Long,
+      batch: DataFrame,
+      numBuckets: Int = 16
+  ): Unit = {
     if (new java.io.File(s"$root/commit_$batchId").exists()) return
     val spark = batch.sparkSession
     val tk = filter(split(col("text"), " "), t => t =!= "")
@@ -2738,23 +2766,19 @@ object StreamingBatch {
       count(lit(1)).as("d0"),
       sum(size(tk).cast("long")).as("t0")
     )
-    val (mergedKeep, mergedTot) = s17LatestCommitted(root) match {
-      case Some(prev) =>
-        (
-          spark.read
-            .parquet(s"$prev/keep")
-            .unionByName(incomingKeep)
-            .groupBy("h")
-            .agg(min("m").as("m")),
-          spark.read
-            .parquet(s"$prev/tot")
-            .unionByName(incomingTot)
-            .agg(sum("d0").as("d0"), sum("t0").as("t0"))
-        )
-      case None => (incomingKeep, incomingTot)
+    graft.sources.BucketedStateStore
+      .upsert(s"$root/keep", batchId, incomingKeep, Seq("h"), numBuckets) { (prev, inc) =>
+        prev.unionByName(inc).groupBy("h").agg(min("m").as("m"))
+      }
+    val mergedTot = latestCommittedId(root) match {
+      case Some(prevId) =>
+        spark.read
+          .parquet(s"$root/tot_v$prevId")
+          .unionByName(incomingTot)
+          .agg(sum("d0").as("d0"), sum("t0").as("t0"))
+      case None => incomingTot
     }
-    mergedKeep.write.mode("overwrite").parquet(s"$root/state_v$batchId/keep")
-    mergedTot.coalesce(1).write.mode("overwrite").parquet(s"$root/state_v$batchId/tot")
+    mergedTot.coalesce(1).write.mode("overwrite").parquet(s"$root/tot_v$batchId")
     new java.io.File(s"$root/commit_$batchId").createNewFile()
     ()
   }
@@ -2787,9 +2811,13 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val state = s17LatestCommitted(root).get
-    val keep = s.read.parquet(s"$state/keep").select(col("m.nt"), col("m.kq"), col("m.ks"))
-    val tot = s.read.parquet(s"$state/tot")
+    s38LastRoot.put(d, root)
+    val id = latestCommittedId(root).get
+    val keep = graft.sources.BucketedStateStore
+      .readAt(s, s"$root/keep", id)
+      .get
+      .select(col("m.nt"), col("m.kq"), col("m.ks"))
+    val tot = s.read.parquet(s"$root/tot_v$id")
     val row = keep
       .agg(
         count(lit(1)).as("d1"),
@@ -2827,7 +2855,10 @@ object StreamingBatch {
     * DuckDB oracle replays it bit-for-bit from raw events. Final
     * read-out is one model-sized aggregate + TakeOrdered(20) — no
     * global sort. Day span is clamped at 2⁶² (documented: beyond that
-    * the oldest days' weights saturate relative ordering).
+    * the oldest days' weights saturate relative ordering), and the
+    * score is summed in DECIMAL(38,0) — n×wt products up to ~10³¹ and
+    * their sums stay exact, and an overflow past 10³⁸ surfaces as NULL
+    * (Spark) / an error (DuckDB HUGEINT), never a silent Long wrap.
     */
   def s37StreamDecayTopk(s: SparkSession, d: String): DataFrame = {
     val dir = stageJson(s, d)
@@ -2843,7 +2874,7 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val state = s.read.parquet(s17LatestCommitted(root).get)
+    val state = graft.sources.BucketedStateStore.readLatest(s, s"$root/state").get
     val d0 = state.agg(min("dt").as("d0"))
     state
       .crossJoin(broadcast(d0))
@@ -2854,7 +2885,7 @@ object StreamingBatch {
       .groupBy("user_id")
       .agg(
         sum("n").as("n_events"),
-        sum(col("n") * col("wt")).as("decayed_scaled")
+        sum(col("n").cast("decimal(38,0)") * col("wt").cast("decimal(38,0)")).as("decayed_scaled")
       )
       .orderBy(desc("decayed_scaled"), col("user_id"))
       .limit(20)

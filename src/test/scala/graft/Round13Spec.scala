@@ -22,7 +22,7 @@ class Round13Spec extends AnyFunSuite {
     val ex = intercept[Exception] {
       graft.operators.Multimodal.decodeGifFrames(42L, Array[Byte](1, 2, 3))
     }
-    assert(ex.getMessage == null || ex.getMessage.contains("42") || ex.isInstanceOf[Exception])
+    assert(ex.getMessage != null && ex.getMessage.contains("42"), s"doc id missing: $ex")
   }
 
   test("m13b real-decode scenes equal the synthetic-model m13 row-for-row") {
@@ -195,22 +195,26 @@ class Round13Spec extends AnyFunSuite {
       (java.sql.Timestamp.valueOf("2024-01-04 12:00:00"), 9L)
     ).toDF("ts", "user_id")
     graft.operators.StreamingBatch.s37Fold(root37, 0L, batch)
-    val once = spark.read.parquet(s"$root37/state_v0").collect().map(_.toString).sorted
+    def st37() = graft.sources.BucketedStateStore
+      .readLatest(spark, s"$root37/state").get.collect().map(_.toString).sorted
+    val once = st37()
     // a foreachBatch RETRY redelivers the same batchId — the fold must
-    // acknowledge the marker and not double-count
+    // acknowledge the committed manifest and not double-count
     graft.operators.StreamingBatch.s37Fold(root37, 0L, batch)
-    val twice = spark.read.parquet(s"$root37/state_v0").collect().map(_.toString).sorted
+    val twice = st37()
     assert(once.sameElements(twice))
     assert(once.length == 3) // (day, user) grains: (3,7) (4,7) (4,9)
 
     val root38 = graft.TempDirs.create("graft_s38_replay_")
     val docs = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "dd ee")).toDF("doc_id", "text")
     graft.operators.StreamingBatch.s38Fold(root38, 0L, docs)
-    val k1 = spark.read.parquet(s"$root38/state_v0/keep").collect().map(_.toString).sorted
-    val t1 = spark.read.parquet(s"$root38/state_v0/tot").collect().map(_.toString)
+    def k38() = graft.sources.BucketedStateStore
+      .readAt(spark, s"$root38/keep", 0L).get.collect().map(_.toString).sorted
+    val k1 = k38()
+    val t1 = spark.read.parquet(s"$root38/tot_v0").collect().map(_.toString)
     graft.operators.StreamingBatch.s38Fold(root38, 0L, docs)
-    assert(spark.read.parquet(s"$root38/state_v0/keep").collect().map(_.toString).sorted.sameElements(k1))
-    assert(spark.read.parquet(s"$root38/state_v0/tot").collect().map(_.toString).sameElements(t1))
+    assert(k38().sameElements(k1))
+    assert(spark.read.parquet(s"$root38/tot_v0").collect().map(_.toString).sameElements(t1))
     assert(k1.length == 2) // two distinct content hashes; doc 1 beats doc 2
   }
 

@@ -374,7 +374,8 @@ class TsEncodingMatrixSpec extends AnyFunSuite {
     assert(deletedUsers.nonEmpty, "fixture must exercise the tombstone arm")
     assert(snap.map(_.getAs[Long]("user_id")).toSet.intersect(deletedUsers).isEmpty)
     // the store RETAINS the tombstones the snapshot dropped
-    val store = spark.read.parquet(StreamingBatch.s23LastStore.get(sf))
+    val store = graft.sources.BucketedStateStore
+      .readLatest(spark, StreamingBatch.s23LastStore.get(sf)).get
     val storeD = store.filter(col("op") === "D").select("user_id")
       .collect().map(_.getLong(0)).toSet
     assert(storeD == deletedUsers, "every deleted key is tombstoned in the store")
