@@ -505,7 +505,23 @@ object SparkEntry {
     // round 13: per-stage curation attrition report (docs + tokens)
     "t46_stage_attrition"    -> (TextAnalysis.t46StageAttrition _),
     // round 13: t46 maintained live by the stream fold (bit-identical)
-    "s38_stream_attrition"   -> (StreamingBatch.s38StreamAttrition _)
+    "s38_stream_attrition"   -> (StreamingBatch.s38StreamAttrition _),
+    // round 14: global decimal running revenue (GlobalPrefixSumExec path)
+    "q65_cum_revenue"        -> (Relational.q65CumRevenue _),
+    // round 14: global tie-heavy rank (GlobalRankExec tie-aware stitch)
+    "q66_quantity_rank"      -> (Relational.q66QuantityRank _),
+    // round 14: hour-of-day concentration + entropy per event type
+    "e49_hour_entropy"       -> (Events.e49HourEntropy _),
+    // round 14: word burstiness (variance-to-mean over-dispersion)
+    "t47_word_burstiness"    -> ((s, d) => TextAnalysis.t47WordBurstiness(s, d)),
+    // round 14: per-source duplicate-rate crawl telemetry
+    "d25_source_dup_rate"    -> (Dedup.d25SourceDupRate _),
+    // round 14: pairwise-cosine histogram over a capped sample
+    "v27_pair_distance_hist" -> ((s, d) => Similarity.v27PairDistanceHist(s, d)),
+    // round 14: per-clip scene tempo stats off the real GIF decode
+    "m23_scene_stats"        -> (Multimodal.m23SceneStats _),
+    // round 14: stream-maintained last-touch registry (bucketed store)
+    "s39_stream_last_touch"  -> (StreamingBatch.s39StreamLastTouch _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4667,7 +4683,99 @@ object SparkEntry {
         | round(c * 7.0 / sum7, 4) AS prominence
         |FROM x WHERE prev_c IS NOT NULL AND next_c IS NOT NULL AND n7 = 7
         | AND c > prev_c AND c > next_c AND c * 28 > sum7 * 5
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // q65: global decimal running revenue — DuckDB widens the windowed
+    // decimal sum to DECIMAL(38,2); CAST to Spark's sum-result (28,2)
+    "q65_cum_revenue" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT o_orderkey, o_date, price,
+        | CAST(sum(price) OVER (ORDER BY o_date, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum_revenue
+        |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
+    // q66: global tie-heavy rank over quantity (50 distinct values)
+    "q66_quantity_rank" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS INT) AS qty FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, qty,
+        | CAST(rank() OVER (ORDER BY qty DESC) AS BIGINT) AS qty_rank
+        |FROM li ORDER BY qty_rank, l_orderkey, l_linenumber""".stripMargin,
+    // e49: hour-of-day entropy — s33's decimal-quantized Σ c·ln c fold
+    "e49_hour_entropy" ->
+      """WITH hc AS (SELECT event_type, CAST(hour(ts) AS INT) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pk AS (SELECT event_type, h AS peak_hour, cnt AS peak_cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, h) AS rn FROM hc),
+        |ag AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_hours,
+        |  CAST(sum(CAST(cnt AS DECIMAL(12,0))
+        |    * CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,10))) AS DOUBLE) AS sclnc
+        | FROM hc GROUP BY 1)
+        |SELECT ag.event_type, ag.n, ag.n_hours, pk.peak_hour,
+        | round(pk.peak_cnt / CAST(ag.n AS DOUBLE), 6) AS peak_share,
+        | round(ln(CAST(ag.n AS DOUBLE)) - ag.sclnc / ag.n, 6) AS hour_entropy
+        |FROM ag JOIN pk ON ag.event_type = pk.event_type AND pk.rn = 1
+        |ORDER BY 1""".stripMargin,
+    // t47: burstiness from three exact integer folds; the VMR is one
+    // IEEE division of exact longs — bit-identical across engines
+    "t47_word_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |pd AS (SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ag AS (SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS tot,
+        |  CAST(sum(c * c) AS BIGINT) AS ss FROM pd GROUP BY 1)
+        |SELECT w, df, tot,
+        | round(CAST(df * ss - tot * tot AS DOUBLE) / CAST(df * tot AS DOUBLE), 6) AS vmr
+        |FROM ag WHERE df >= 25 ORDER BY vmr DESC, w LIMIT 20""".stripMargin,
+    // d25: per-source dup rate at the 120-char-prefix fingerprint grain
+    "d25_source_dup_rate" ->
+      """WITH f AS (SELECT doc_id, source, md5(substr(text, 1, 120)) AS fp FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        | round(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM f JOIN k USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v27: capped-sample pairwise cosine histogram (cos rounded to 9
+    // decimals BEFORE bucketing; per-bucket sums in decimal)
+    "v27_pair_distance_hist" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |  ORDER BY vec_id LIMIT 100),
+        |p AS (SELECT round(list_dot_product(a.emb, b.emb)
+        |   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cos
+        | FROM s a JOIN s b ON a.vec_id < b.vec_id),
+        |bk AS (SELECT CAST(greatest(-10, least(9, floor(cos * 10))) AS INT) AS bucket,
+        |  cos FROM p)
+        |SELECT bucket, count(*) AS n_pairs,
+        | round(CAST(sum(CAST(cos AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6) AS avg_cos
+        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m23: scene tempo stats — m13's luma model replayed, then aggregated
+    // per doc (the real GIF decode is gated through m13b's scene algebra)
+    "m23_scene_stats" ->
+      """WITH n AS (SELECT doc_id, 24 + doc_id % 40 AS nf FROM documents),
+        |f AS (SELECT n.doc_id, t.i AS i, (n.doc_id*31 + t.i*t.i*7919) % 256 AS v
+        | FROM n JOIN generate_series(0, 63) t(i) ON t.i < n.nf),
+        |c AS (SELECT doc_id, i, v,
+        |  CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |       OR abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i)) >= 96
+        |  THEN 1 ELSE 0 END AS cut
+        | FROM f),
+        |sc AS (SELECT doc_id, i, sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS scene_id FROM c),
+        |sl AS (SELECT doc_id, scene_id, count(*) AS len FROM sc GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, count(*) AS n_scenes, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(max(len) AS BIGINT) AS max_scene_len FROM sl GROUP BY 1)
+        |SELECT doc_id, n_scenes, n_frames, max_scene_len,
+        | round(n_frames / CAST(n_scenes AS DOUBLE), 6) AS avg_scene_len,
+        | round(n_scenes / CAST(n_frames AS DOUBLE), 6) AS cut_rate
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    // s39: last-touch registry replayed from raw events — latest row per
+    // user by (ts, event_id), active = within 30 min of the frontier
+    "s39_stream_last_touch" ->
+      """WITH l AS (SELECT user_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT event_type AS last_event_type, count(*) AS n_users
+        |FROM l, mx WHERE rn = 1 AND ts >= m - INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val v21Sql =

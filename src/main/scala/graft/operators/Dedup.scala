@@ -949,4 +949,36 @@ object Dedup {
       )
       .orderBy("config")
   }
+
+  /** d25 (round 14): DUP RATE BY SOURCE — the per-domain duplication
+    * telemetry a crawl operator triages with ("which feeds are
+    * re-serving content?"): docs fingerprinted by their 120-char text
+    * prefix (the template-boilerplate grain — the corpus has no exact
+    * full-text dups, but templated heads collide), the canonical per
+    * fingerprint is the global min doc_id (d1's keeper rule), and every
+    * later doc counts as a dup against ITS source. Scale: one keyed
+    * aggregate at fingerprint grain + one shuffle join back at doc
+    * grain + a source-grain report — no pair space anywhere, the d1
+    * shape with a per-source ledger on top.
+    */
+  def d25SourceDupRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"), md5(substring(col("text"), 1, 120)).as("fp"))
+    val keeper = docs.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+    docs
+      .join(keeper, "fp")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L)).as("n_dups")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate")
+      )
+      .orderBy("source")
+  }
 }

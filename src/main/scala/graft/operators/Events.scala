@@ -1466,4 +1466,50 @@ object Events {
       )
       .orderBy("event_type", "hr_s")
   }
+
+  /** e49 (round 14): HOUR-OF-DAY CONCENTRATION — how diurnal each event
+    * type is: events bucketed by hour of day, reported as the peak hour
+    * (deterministic tiebreak: higher count, then earlier hour), its
+    * share, and the Shannon entropy of the 24-bin hour distribution
+    * (uniform traffic → ln 24 ≈ 3.178; a cron job → 0). Bots and batch
+    * jobs pin to one hour; humans smear — the cheapest cadence
+    * fingerprint after e30. Entropy uses s33's decimal-quantized
+    * Σ c·ln c fold (integer counts, one rounded log per GRAIN not per
+    * row), so the cross-row fold is order-exact and DuckDB-replayable.
+    * Scale: two shuffles at (type, hour) grain — at most 24·|types|
+    * rows after the first aggregate.
+    */
+  def e49HourEntropy(s: SparkSession, d: String): DataFrame = {
+    val hc = Tables
+      .events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("h"))
+    val peak = hc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("h").cast("int").as("peak_hour"), col("cnt").as("peak_cnt"))
+    hc.groupBy("event_type")
+      .agg(
+        sum("cnt").as("n"),
+        count(lit(1)).as("n_hours"),
+        sum(
+          col("cnt").cast("decimal(12,0)") * round(log(col("cnt")), 9).cast("decimal(20,10)")
+        ).as("sclnc")
+      )
+      .join(broadcast(peak), Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("n_hours"),
+        col("peak_hour"),
+        round(col("peak_cnt").cast("double") / col("n"), 6).as("peak_share"),
+        round(
+          log(col("n").cast("double")) - col("sclnc").cast("double") / col("n"),
+          6
+        ).as("hour_entropy")
+      )
+      .orderBy("event_type")
+  }
 }

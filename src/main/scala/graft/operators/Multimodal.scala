@@ -1349,4 +1349,30 @@ object Multimodal {
         sum("all_ok").as("n_all_ok")
       )
   }
+
+  /** m23 (round 14): SCENE TEMPO PROFILE — per-clip editing-rhythm
+    * stats off the REAL decoded frame table ([[m13bSceneReal]]'s
+    * scenes, so the GIF container decode is hash-gated a fourth way):
+    * scene count, frame count, longest scene, mean scene length and cut
+    * rate. The curation signal video pipelines filter on (slideshows
+    * cut every frame; static clips never cut). Ratios are single
+    * divisions of exact longs — no cross-row double folds.
+    */
+  def m23SceneStats(s: SparkSession, d: String): DataFrame =
+    m13bSceneReal(s, d)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_scenes"),
+        sum("n_frames").as("n_frames"),
+        max("n_frames").as("max_scene_len")
+      )
+      .select(
+        col("doc_id"),
+        col("n_scenes"),
+        col("n_frames"),
+        col("max_scene_len"),
+        round(col("n_frames").cast("double") / col("n_scenes"), 6).as("avg_scene_len"),
+        round(col("n_scenes").cast("double") / col("n_frames"), 6).as("cut_rate")
+      )
+      .orderBy("doc_id")
 }

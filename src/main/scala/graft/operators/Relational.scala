@@ -1524,4 +1524,48 @@ object Relational {
       .unionByName(grandRow)
       .orderBy(col("grain"), col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** q65 (round 14): GLOBAL CUMULATIVE REVENUE — the running book-total
+    * a finance dashboard draws, one row per order under the (date,
+    * orderkey) total order. Written as the PLAIN window (`sum OVER
+    * (ORDER BY …)` with no PARTITION BY) precisely because the round-14
+    * GlobalPrefixSum decimal path rewrites it: stock Spark would funnel
+    * every order through ONE task; here the range exchange fans out and
+    * partition partials stitch in unbounded BigDecimal — the first
+    * engine query to hash-gate the decimal prefix exec at data grain.
+    * Money rides decimal(18,2) end-to-end (q36's discipline).
+    */
+  def q65CumRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price")
+      )
+    val w = Window
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("cum_revenue", sum("price").over(w))
+      .orderBy("o_date", "o_orderkey")
+  }
+
+  /** q66 (round 14): GLOBAL QUANTITY RANK — every lineitem ranked by
+    * quantity across the WHOLE fact table, ties and all (50 distinct
+    * quantities ⇒ peer groups thousands of rows wide that span many
+    * range partitions — the exact boundary-tie stitch the round-14
+    * GlobalRank rank() rewrite exists for; stock Spark plans a 1-task
+    * window). Rank cast to long for engine type parity.
+    */
+  def q66QuantityRank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_quantity")).cast("int").as("qty")
+      )
+    li.withColumn("qty_rank", rank().over(Window.orderBy(desc("qty"))).cast("long"))
+      .orderBy(col("qty_rank"), col("l_orderkey"), col("l_linenumber"))
+  }
 }

@@ -1485,4 +1485,38 @@ object Similarity {
       )
       .orderBy("q_id")
   }
+
+  /** v27 (round 14): PAIR-DISTANCE HISTOGRAM — the corpus-geometry
+    * diagnostic run BEFORE choosing any ANN index: pairwise cosine over
+    * a deterministic capped sample (lowest `nSample` vec_ids — d4's
+    * bounded ground-truth idiom, O(sample²) at ANY corpus scale, never
+    * O(n²)), bucketed into tenths. A mass near 0 says random-like (LSH
+    * recall will be poor — v2's measured finding); a bimodal tail says
+    * clustered (IVF will shine). Cosines are rounded to 9 decimals
+    * BEFORE bucketing and summed as decimals, so the histogram and the
+    * per-bucket means replay bit-for-bit in DuckDB.
+    */
+  def v27PairDistanceHist(s: SparkSession, d: String, nSample: Int = 100): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      .orderBy("vec_id")
+      .limit(nSample)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn(
+        "cos",
+        round(VF.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 9)
+      )
+      .withColumn("bucket", greatest(lit(-10), least(lit(9), floor(col("cos") * 10))).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cos").cast("decimal(12,9)")).as("sum_cos"))
+      .select(
+        col("bucket"),
+        col("n_pairs"),
+        round(col("sum_cos").cast("double") / col("n_pairs"), 6).as("avg_cos")
+      )
+      .orderBy("bucket")
+  }
 }

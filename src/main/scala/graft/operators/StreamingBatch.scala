@@ -2890,4 +2890,51 @@ object StreamingBatch {
       .orderBy(desc("decayed_scaled"), col("user_id"))
       .limit(20)
   }
+
+  /** s39 (round 14): STREAM-MAINTAINED LAST-TOUCH REGISTRY — the "who
+    * is active RIGHT NOW, doing what" presence view: each micro-batch
+    * folds per-user `max(struct(ts, event_id, event_type))` (a
+    * commutative latest-event fold — ts ties broken by the unique
+    * event_id, so the landed row is arrival-order-independent and
+    * DuckDB-replayable) into the hash-BUCKETED state store — per-batch
+    * writes bounded by the user-buckets the batch touches, the third
+    * first-class consumer of the round-14 bounded-write upsert. The
+    * read-out counts users whose last touch is within 30 minutes of the
+    * stream's frontier, grouped by what they last did. State is
+    * O(users); the report is one model-sized aggregate.
+    */
+  def s39StreamLastTouch(s: SparkSession, d: String): DataFrame = {
+    val dir = stageJson(s, d)
+    val stream = StreamIngest.parsed(
+      s.readStream.option("maxFilesPerTrigger", 2).text(s"$dir/json"),
+      eventSchema,
+      "ts"
+    )
+    val root = graft.TempDirs.create("graft_s39_run_")
+    val store = s"$root/state"
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!graft.sources.BucketedStateStore.committed(store, batchId)) {
+          val incoming = batch
+            .select(col("user_id"), struct(col("ts"), col("event_id"), col("event_type")).as("m"))
+            .groupBy("user_id")
+            .agg(max("m").as("m"))
+          graft.sources.BucketedStateStore.upsert(store, batchId, incoming, Seq("user_id"), 16) {
+            (prev, inc) => prev.unionByName(inc).groupBy("user_id").agg(max("m").as("m"))
+          }
+        }
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = graft.sources.BucketedStateStore.readLatest(s, store).get
+    val mx = state.agg(max("m.ts").as("mx"))
+    state
+      .crossJoin(broadcast(mx))
+      .filter(col("m.ts") >= col("mx") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("m.event_type").as("last_event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("last_event_type")
+  }
 }

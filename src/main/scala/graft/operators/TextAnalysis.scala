@@ -1943,4 +1943,45 @@ object TextAnalysis {
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
       .orderBy("doc_id")
   }
+
+  /** t47 (round 14): WORD BURSTINESS — the variance-to-mean ratio of a
+    * word's per-document counts, the classic over-dispersion test that
+    * separates CONTENT words (bursty: absent from most docs, repeated
+    * hard where they appear — VMR ≫ 1) from FUNCTION words (Poisson-ish,
+    * VMR ≈ 1). Church & Gale's burstiness restated as three integer
+    * folds: per (word, doc) count c, then per word df = #docs,
+    * tot = Σc, ss = Σc² — all exact longs, so the report value
+    * VMR = (df·ss − tot²) / (df·tot) is ONE IEEE division of exact
+    * integers (deterministic bit-for-bit in both engines; no cross-row
+    * double fold anywhere). Top 20 by VMR among words in ≥ 25 docs,
+    * tiebreak by word. Scale: one (word, doc) aggregate, one word
+    * aggregate, TakeOrdered(20) — no global sort, no driver loop.
+    */
+  def t47WordBurstiness(s: SparkSession, d: String, minDf: Int = 25): DataFrame = {
+    val perDoc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("c").as("tot"),
+        sum(col("c") * col("c")).as("ss")
+      )
+      .filter(col("df") >= minDf)
+      .select(
+        col("w"),
+        col("df"),
+        col("tot"),
+        round(
+          (col("df") * col("ss") - col("tot") * col("tot")).cast("double") /
+            (col("df") * col("tot")).cast("double"),
+          6
+        ).as("vmr")
+      )
+      .orderBy(desc("vmr"), col("w"))
+      .limit(20)
+  }
 }

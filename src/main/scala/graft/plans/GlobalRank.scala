@@ -3,73 +3,89 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Add,
   Alias,
   Attribute,
-  AttributeReference,
   BindReferences,
-  Cast,
+  DenseRank,
+  EvalMode,
   Expression,
   GenericInternalRow,
-  If,
-  IntegralDivide,
   JoinedRow,
-  LessThanOrEqual,
   Literal,
-  Multiply,
   NTile,
-  Remainder,
+  Rank,
   RowNumber,
   SortOrder,
-  Subtract,
   UnsafeProjection,
+  UnsafeRow,
   WindowExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
-import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate,
-  Join,
-  JoinHint,
-  LogicalPlan,
-  Project,
-  UnaryNode,
-  Window
-}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Which global window idiom a [[GlobalRankNode]] computes. All four
+  * share one physical shape — a parallel range-exchange sort plus a
+  * metadata-sized per-partition stitch — differing only in what the
+  * stitch carries (row counts; tie-run boundary keys; the total n).
+  */
+sealed trait GlobalRankMode extends Serializable
+object GlobalRankMode {
+  case object RowNum extends GlobalRankMode
+  case object RankTies extends GlobalRankMode
+  case object DenseRankTies extends GlobalRankMode
+  final case class NtileK(k: Int) extends GlobalRankMode
+}
 
 /** §2.8 whole-operator extension: the SQL surface for ScaleRank.
   *
-  * `row_number() OVER (ORDER BY …)` written in SQL (or the Column API)
-  * plans an unpartitioned WindowExec — every row through ONE task, the
-  * single worst scale cliff a user can hit by accident. The DataFrame
-  * helper [[graft.operators.ScaleRank]] exists for engine code; this
-  * rule serves the same semantics to SQL users automatically:
+  * `row_number() / rank() / dense_rank() / ntile(k) OVER (ORDER BY …)`
+  * written with an empty PARTITION BY plans an unpartitioned WindowExec
+  * — every row through ONE task, the single worst scale cliff a SQL
+  * user can hit by accident. This rule family serves all four from the
+  * same machinery:
   *
   * {{{
-  *   Window [row_number() over (order by o) as rn]   — partitionSpec EMPTY
+  *   Window [rank() over (order by o) as r]    — partitionSpec EMPTY
   *     child
   * }}}
   *
   * becomes [[GlobalRankNode]], planned as [[GlobalRankExec]]: the child
   * is globally RANGE-partitioned and locally sorted (EnsureRequirements
   * inserts the exchange — a parallel sort, not a 1-task window), then a
-  * metadata-sized per-partition count pass stitches partition offsets
-  * onto local positions — `RDD.zipWithIndex`'s contract inside a
-  * SparkPlan. The count job reuses the exchange's shuffle files; only
-  * the reduce-side local sort runs twice.
+  * metadata pass stitches partition offsets onto local positions. The
+  * count job reuses the exchange's shuffle files; only the reduce-side
+  * local sort runs twice.
   *
-  * Deliberately conservative; fires only when the window computes
-  * exactly one expression, a `row_number`, with an empty partition spec
-  * and a deterministic order — `rank`/`dense_rank` (tie semantics) and
-  * multi-expression windows keep the stock plan.
+  * Per-mode stitch metadata (all O(numPartitions) on the driver):
+  *  - row_number: per-partition row counts (zipWithIndex's contract).
+  *  - ntile(k): the same counts — n is the offset array's last entry,
+  *    and the uneven-tile mapping is closed-form from (rn, n, k), so
+  *    ntile costs ONE scan of the child (round 13 planned a second
+  *    count scan + broadcast join; round 14 reads n off the rank
+  *    exec's own metadata — no duplicate subtree, no determinism
+  *    hazard on nondeterministic children).
+  *  - rank()/dense_rank(): ties are exact across partition cuts — each
+  *    partition reports (count, distinct peer groups, first/last order
+  *    key, trailing-run length), and the driver walks boundaries to
+  *    compute, per partition, the global rank of its HEAD peer group
+  *    (which may have started many partitions back when one key spans
+  *    whole partitions) and its dense-rank start (connected boundaries
+  *    collapse the double-counted key). Order keys are compared as
+  *    UnsafeRow bytes, which equals null-safe value equality for all
+  *    non-floating types; float/double order keys keep the stock plan
+  *    (-0.0/NaN byte patterns differ from SQL equality).
+  *
+  * Deliberately conservative: fires only on single-expression windows
+  * with a deterministic order; everything else keeps the stock plan.
   */
 case class GlobalRankNode(
     order: Seq[SortOrder],
     rankAttr: Attribute, // keeps the window alias's exprId so parents resolve
+    mode: GlobalRankMode,
     child: LogicalPlan
 ) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -79,6 +95,9 @@ case class GlobalRankNode(
 }
 
 object GlobalRankRewrite extends Rule[LogicalPlan] {
+  private def floatingOrder(order: Seq[SortOrder]): Boolean =
+    order.exists(o => o.dataType == DoubleType || o.dataType == FloatType)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -86,20 +105,22 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           w.orderSpec.forall(_.child.deterministic) =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
-          GlobalRankNode(w.orderSpec, alias.toAttribute, w.child)
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.RowNum, w.child)
+        case alias @ Alias(WindowExpression(_: Rank, _), _) if !floatingOrder(w.orderSpec) =>
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.RankTies, w.child)
+        case alias @ Alias(WindowExpression(_: DenseRank, _), _) if !floatingOrder(w.orderSpec) =>
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.DenseRankTies, w.child)
         case _ => w
       }
   }
 }
 
-/** Second idiom served by the same machinery: GLOBAL `ntile(k)` — a
-  * 1-task window in stock Spark — rewritten to GlobalRank + a
-  * broadcast count + the closed-form tile mapping (the first n mod k
-  * tiles take ⌈n/k⌉ rows; q57's arithmetic as a reusable rule). The
-  * extra cost vs the stock plan is one count scan of the child; the
-  * win is that the sort fans out. Edge k ≥ n never divides by zero:
-  * the If's else branch is lazily evaluated and unreachable there
-  * (boundary = n covers every rank).
+/** Second rule over the same node: GLOBAL `ntile(k)` — since round 14 a
+  * pure mode of [[GlobalRankExec]] (n rides the exec's own offset
+  * metadata; no second scan of the child, no broadcast join). The edge
+  * k ≥ n never divides by zero: when k > n the small-tile divisor is
+  * only reached for ranks past the boundary, and the boundary is n
+  * there (every rank maps through the big-tile branch).
   */
 object GlobalNtileRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -108,53 +129,35 @@ object GlobalNtileRewrite extends Rule[LogicalPlan] {
           w.windowExpressions.length == 1 &&
           w.orderSpec.forall(_.child.deterministic) =>
       w.windowExpressions.head match {
-        case alias @ Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)), _), name)
+        case alias @ Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)), _), _)
             if k >= 1 =>
-          val rankAttr = AttributeReference("_gn_rank", IntegerType, nullable = false)()
-          val ranked = GlobalRankNode(w.orderSpec, rankAttr, w.child)
-          val cntAlias = Alias(
-            AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(Literal(1))),
-              org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
-              isDistinct = false
-            ),
-            "_gn_n"
-          )()
-          val cnt = Aggregate(Nil, Seq(cntAlias), w.child)
-          val joined = Join(ranked, cnt, Cross, None, JoinHint.NONE)
-          val n = cntAlias.toAttribute
-          val rn = Cast(rankAttr, LongType)
-          val kL = Literal(k.toLong, LongType)
-          val one = Literal(1L, LongType)
-          val nBig = Remainder(n, kL)
-          val sizeBig = IntegralDivide(Subtract(Add(n, kL), one), kL)
-          val sizeSmall = IntegralDivide(n, kL)
-          val boundary = Multiply(nBig, sizeBig)
-          val tile = If(
-            LessThanOrEqual(rn, boundary),
-            Add(IntegralDivide(Subtract(rn, one), sizeBig), one),
-            Add(Add(nBig, IntegralDivide(Subtract(Subtract(rn, boundary), one), sizeSmall)), one)
-          )
-          val out = Alias(Cast(tile, IntegerType), name)(exprId = alias.exprId)
-          Project(w.child.output :+ out, joined)
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.NtileK(k), w.child)
         case _ => w
       }
   }
-
 }
 
 /** Third idiom: GLOBAL RUNNING TOTAL — `sum(x) OVER (ORDER BY … ROWS
   * UNBOUNDED PRECEDING)` with no PARTITION BY (ScaleRank.withRunningSum
   * as an optimizer rule). Same two-pass contract as GlobalRank with the
-  * count pass swapped for per-partition value sums. Conservative: fires
-  * only for a single NON-NULLABLE LongType sum (null prefixes would
-  * need SQL's all-null-frame-is-null semantics; other numeric widths
-  * keep the stock plan).
+  * count pass swapped for per-partition value partials. Since round 14
+  * it covers NULLABLE inputs (per-partition partials carry an
+  * any-non-null flag, so the SQL all-null-prefix-is-null semantics
+  * stitch exactly) and DECIMAL sums (partials accumulate in unbounded
+  * BigDecimal; each emitted prefix re-checks the result precision —
+  * NULL on overflow under LEGACY, ArithmeticException under ANSI,
+  * matching CheckOverflow). Long sums wrap under LEGACY exactly like
+  * the stock hash aggregate; under ANSI both passes add with
+  * Math.addExact — a throw can be spuriously conservative only when a
+  * partition-local partial exceeds ±2⁶³ while the global prefix does
+  * not (a pathological oscillating ledger), and that failure mode is
+  * loud, never wrong data. `try_sum` keeps the stock plan.
   */
 case class GlobalPrefixSumNode(
     order: Seq[SortOrder],
     sumExpr: Expression, // the summand, bound against child.output
     outAttr: Attribute,
+    ansi: Boolean,
     child: LogicalPlan
 ) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
@@ -172,7 +175,7 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
       w.windowExpressions.head match {
         case alias @ Alias(
               WindowExpression(
-                AggregateExpression(Sum(e, _), _, false, _, _),
+                AggregateExpression(s0 @ Sum(e, _), _, false, _, _),
                 org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(
                   _,
                   _,
@@ -184,8 +187,16 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
                 )
               ),
               _
-            ) if e.dataType == LongType && !e.nullable && e.deterministic =>
-          GlobalPrefixSumNode(w.orderSpec, e, alias.toAttribute, w.child)
+            )
+            if (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
+              e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
+          GlobalPrefixSumNode(
+            w.orderSpec,
+            e,
+            alias.toAttribute,
+            s0.evalContext.evalMode == EvalMode.ANSI,
+            w.child
+          )
         case _ => w
       }
   }
@@ -193,17 +204,32 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankNode(order, rankAttr, child) =>
-      GlobalRankExec(order, rankAttr, planLater(child)) :: Nil
-    case GlobalPrefixSumNode(order, sumExpr, outAttr, child) =>
-      GlobalPrefixSumExec(order, sumExpr, outAttr, planLater(child)) :: Nil
+    case GlobalRankNode(order, rankAttr, mode, child) =>
+      GlobalRankExec(order, rankAttr, mode, planLater(child)) :: Nil
+    case GlobalPrefixSumNode(order, sumExpr, outAttr, ansi, child) =>
+      GlobalPrefixSumExec(order, sumExpr, outAttr, ansi, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
+/** Per-partition tie metadata for rank()/dense_rank(): row count,
+  * distinct peer groups, first/last order-key bytes, trailing-run
+  * length. Key bytes are UnsafeProjection output — null-safe value
+  * equality for every non-floating type (the rewrite gates floats out).
+  * Top-level so the metadata task closure serializes without the plan.
+  */
+private[plans] case class RankPartMeta(
+    n: Long,
+    d: Long,
+    first: Array[Byte],
+    last: Array[Byte],
+    tailRun: Long
+)
+
 case class GlobalRankExec(
     order: Seq[SortOrder],
     rankAttr: Attribute,
+    mode: GlobalRankMode,
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -222,26 +248,142 @@ case class GlobalRankExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
-    // pass 1: per-partition row counts — numPartitions longs on the
-    // driver (metadata, not data). The exchange's map-side shuffle files
-    // are written once and reused by pass 2.
-    val counts = rdd
-      .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
-      .collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
     val childOutput = child.output
+    val orderExprs = order.map(_.child)
     val outAttrs = output
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
-      var i = offsets(pid)
-      it.map { row =>
-        i += 1
-        // row_number is IntegerType — mirror its overflow domain exactly
-        rankRow.update(0, i.toInt)
-        proj(joined(row, rankRow))
-      }
+    mode match {
+      case GlobalRankMode.RowNum | GlobalRankMode.NtileK(_) =>
+        // pass 1: per-partition row counts — numPartitions longs on the
+        // driver (metadata, not data). The exchange's map-side shuffle
+        // files are written once and reused by pass 2.
+        val counts = rdd
+          .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+          .collect()
+        val offsets = counts.scanLeft(0L)(_ + _)
+        // ntile's whole-relation inputs, straight off the offset table —
+        // the n the round-13 rewrite re-scanned the child for
+        val ntileOf: Long => Long = mode match {
+          case GlobalRankMode.NtileK(k) =>
+            val n = offsets.last
+            val kL = k.toLong
+            val nBig = if (n == 0L) 0L else n % kL
+            val sizeBig = if (n == 0L) 1L else (n + kL - 1L) / kL
+            val sizeSmall = n / kL
+            val boundary = nBig * sizeBig
+            rn =>
+              if (rn <= boundary) (rn - 1L) / sizeBig + 1L
+              else nBig + (rn - boundary - 1L) / sizeSmall + 1L
+          case _ => identity[Long]
+        }
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val proj = UnsafeProjection.create(outAttrs, outAttrs)
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          var i = offsets(pid)
+          it.map { row =>
+            i += 1
+            // row_number/ntile are IntegerType — mirror the overflow domain
+            rankRow.update(0, ntileOf(i).toInt)
+            proj(joined(row, rankRow))
+          }
+        }
+
+      case GlobalRankMode.RankTies | GlobalRankMode.DenseRankTies =>
+        val dense = mode == GlobalRankMode.DenseRankTies
+        // pass 1: per-partition tie metadata (counts + boundary keys)
+        val metas = rdd
+          .mapPartitions(
+            { it =>
+              val proj = UnsafeProjection.create(orderExprs, childOutput)
+              var n = 0L
+              var d = 0L
+              var run = 0L
+              var first: UnsafeRow = null
+              var prevKey: UnsafeRow = null
+              it.foreach { row =>
+                val k = proj(row)
+                if (n == 0L) { prevKey = k.copy(); first = prevKey; d = 1L; run = 1L }
+                else if (k.equals(prevKey)) { run += 1L }
+                else { prevKey = k.copy(); d += 1L; run = 1L }
+                n += 1L
+              }
+              Iterator.single(
+                RankPartMeta(
+                  n,
+                  d,
+                  if (first == null) null else first.getBytes,
+                  if (prevKey == null) null else prevKey.getBytes,
+                  run
+                )
+              )
+            },
+            preservesPartitioning = true
+          )
+          .collect()
+        val offsets = metas.scanLeft(0L)(_ + _.n)
+        // rank: global position of each partition's HEAD peer group —
+        // walk back through contiguous same-key tails (a key spanning
+        // whole partitions chains the walk)
+        val headRank = Array.tabulate(metas.length) { i =>
+          if (metas(i).n == 0L) 0L
+          else {
+            var back = 0L
+            var j = i - 1
+            var cont = true
+            while (cont && j >= 0) {
+              val m = metas(j)
+              if (m.n == 0L) j -= 1
+              else if (java.util.Arrays.equals(m.last, metas(i).first)) {
+                back += m.tailRun
+                if (m.d == 1L) j -= 1 else cont = false
+              } else cont = false
+            }
+            offsets(i) - back + 1L
+          }
+        }
+        // dense_rank: distinct-group prefix, minus one per boundary whose
+        // adjacent keys connect (the straddling group counted twice)
+        val denseStart = new Array[Long](metas.length)
+        var cumD = 0L
+        var cumConn = 0L
+        var prevLast: Array[Byte] = null
+        var i0 = 0
+        while (i0 < metas.length) {
+          val m = metas(i0)
+          if (m.n > 0L) {
+            if (prevLast != null && java.util.Arrays.equals(prevLast, m.first)) cumConn += 1L
+            denseStart(i0) = cumD - cumConn
+            cumD += m.d
+            prevLast = m.last
+          }
+          i0 += 1
+        }
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val proj = UnsafeProjection.create(orderExprs, childOutput)
+          val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          val off = offsets(pid)
+          val hr = headRank(pid)
+          val ds = denseStart(pid)
+          var prevKey: UnsafeRow = null
+          var pos = 0L // local row position, 1-based
+          var gs = 0L // local peer-group start position, 1-based
+          var ld = 0L // local dense rank
+          var inHead = true // still inside the partition's first peer group
+          it.map { row =>
+            val k = proj(row)
+            pos += 1L
+            if (prevKey == null) { prevKey = k.copy(); gs = 1L; ld = 1L }
+            else if (!k.equals(prevKey)) {
+              prevKey = k.copy(); gs = pos; ld += 1L; inHead = false
+            }
+            val v = if (dense) ds + ld else if (inHead) hr else off + gs
+            // rank/dense_rank are IntegerType — mirror the overflow domain
+            rankRow.update(0, v.toInt)
+            outProj(joined(row, rankRow))
+          }
+        }
     }
   }
 
@@ -252,6 +394,7 @@ case class GlobalPrefixSumExec(
     order: Seq[SortOrder],
     sumExpr: Expression,
     outAttr: Attribute,
+    ansi: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -266,32 +409,108 @@ case class GlobalPrefixSumExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] = outAttr.dataType match {
+    case LongType        => executeLong()
+    case dt: DecimalType => executeDecimal(dt)
+    case other =>
+      throw new IllegalStateException(s"GlobalPrefixSumExec: unsupported type $other")
+  }
+
+  private def executeLong(): RDD[InternalRow] = {
     val rdd = child.execute()
     val childOutput = child.output
     val se = sumExpr
+    val strict = ansi
+    def add(a: Long, b: Long): Long = if (strict) Math.addExact(a, b) else a + b
+    // pass 1: per-partition (partial sum, any-non-null) — the null flag
+    // is what stitches SQL's all-null-prefix-is-null semantics exactly
     val partials = rdd
       .mapPartitions(
         { it =>
           val bound = BindReferences.bindReference(se, childOutput)
           var s = 0L
-          it.foreach(r => s += bound.eval(r).asInstanceOf[Long])
-          Iterator.single(s)
+          var seen = false
+          it.foreach { r =>
+            val v = bound.eval(r)
+            if (v != null) { s = if (strict) Math.addExact(s, v.asInstanceOf[Long]) else s + v.asInstanceOf[Long]; seen = true }
+          }
+          Iterator.single((s, seen))
         },
         preservesPartitioning = true
       )
       .collect()
-    val offsets = partials.scanLeft(0L)(_ + _)
+    val offsets = partials.scanLeft((0L, false)) { case ((a, sa), (b, sb)) => (add(a, b), sa || sb) }
     val outAttrs = output
     rdd.mapPartitionsWithIndex { (pid, it) =>
       val bound = BindReferences.bindReference(se, childOutput)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val sumRow = new GenericInternalRow(1)
-      var acc = offsets(pid)
+      var acc = offsets(pid)._1
+      var seen = offsets(pid)._2
       it.map { row =>
-        acc += bound.eval(row).asInstanceOf[Long]
-        sumRow.update(0, acc)
+        val v = bound.eval(row)
+        if (v != null) { acc = add(acc, v.asInstanceOf[Long]); seen = true }
+        if (seen) sumRow.update(0, acc) else sumRow.setNullAt(0)
+        proj(joined(row, sumRow))
+      }
+    }
+  }
+
+  private def executeDecimal(dt: DecimalType): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val se = sumExpr
+    val strict = ansi
+    val prec = dt.precision
+    val scale = dt.scale
+    // partials accumulate in UNBOUNDED java BigDecimal — exact however
+    // long the prefix runs; the result-precision check happens per
+    // emitted value, mirroring CheckOverflow's placement
+    val partials = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(se, childOutput)
+          var s = java.math.BigDecimal.ZERO
+          var seen = false
+          it.foreach { r =>
+            val v = bound.eval(r)
+            if (v != null) {
+              s = s.add(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+              seen = true
+            }
+          }
+          Iterator.single((s, seen))
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    val offsets = partials.scanLeft((java.math.BigDecimal.ZERO, false)) {
+      case ((a, sa), (b, sb)) => (a.add(b), sa || sb)
+    }
+    val outAttrs = output
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bound = BindReferences.bindReference(se, childOutput)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val sumRow = new GenericInternalRow(1)
+      var acc = offsets(pid)._1
+      var seen = offsets(pid)._2
+      it.map { row =>
+        val v = bound.eval(row)
+        if (v != null) {
+          acc = acc.add(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+          seen = true
+        }
+        if (seen) {
+          val d = org.apache.spark.sql.types.Decimal(acc)
+          if (d.changePrecision(prec, scale)) sumRow.update(0, d)
+          else if (strict)
+            throw new ArithmeticException(
+              s"GlobalPrefixSum: $acc cannot be represented as Decimal($prec, $scale)"
+            )
+          else sumRow.setNullAt(0)
+        } else sumRow.setNullAt(0)
         proj(joined(row, sumRow))
       }
     }

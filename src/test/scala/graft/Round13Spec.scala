@@ -90,11 +90,11 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == (0L until 1000L).reverse)
   }
 
-  test("GlobalRank: rank()/multi-expression/partitioned windows keep the stock plan") {
-    // conservatism: tie-sensitive rank functions and partitioned windows
-    // must NOT be rewritten
+  test("GlobalRank: multi-expression/partitioned/float-ordered windows keep the stock plan") {
+    // conservatism: partitioned windows, multi-expression windows, and
+    // (for the tie-aware ranks) float order keys must NOT be rewritten
     val keep = Seq(
-      "SELECT id, rank() OVER (ORDER BY id) AS r FROM range(100)",
+      "SELECT id, rank() OVER (ORDER BY CAST(id AS DOUBLE)) AS r FROM range(100)",
       "SELECT id, row_number() OVER (PARTITION BY id % 3 ORDER BY id) AS r FROM range(100)",
       "SELECT id, row_number() OVER (ORDER BY id) AS r, sum(id) OVER (ORDER BY id) AS s FROM range(100)"
     )
@@ -164,8 +164,9 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("PlanLint flags the cliffs the rules can't rewrite, stays quiet on clean plans") {
-    // rank() keeps the stock 1-task window (tie semantics) — lint names it
-    val ranked = spark.sql("SELECT id, rank() OVER (ORDER BY id) AS r FROM range(100)")
+    // lag() keeps the stock 1-task window (frame semantics) — lint names
+    // it (rank()/dense_rank() are auto-rewritten since round 14)
+    val ranked = spark.sql("SELECT id, lag(id, 1) OVER (ORDER BY id) AS r FROM range(100)")
     val w1 = graft.plans.PlanLint.lint(ranked)
     assert(w1.exists(_.contains("GLOBAL WINDOW")), s"missed global window: $w1")
     // a genuine cartesian

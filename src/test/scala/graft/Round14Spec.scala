@@ -100,4 +100,167 @@ class Round14Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/tot_v1").collect().map(_.toString).sameElements(tot1))
     assert(keep1.length == 2) // doc 3's content deduped onto doc 1's keeper
   }
+
+  private def unwrap(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+
+  test("GlobalRank: global rank()/dense_rank() plan distributed and stitch boundary ties exactly") {
+    // 200-row peer groups over 4 shuffle partitions: groups MUST straddle
+    // partition cuts, and id % 2 (500-row groups) chains a key across
+    // whole partitions — the hard case for the offset walk
+    for ((mod, q) <- Seq((5, "rank"), (5, "dense_rank"), (2, "rank"), (2, "dense_rank"))) {
+      val df = spark.sql(
+        s"SELECT id, $q() OVER (ORDER BY id % $mod) AS r FROM range(1000)"
+      )
+      val exec = unwrap(df)
+      assert(
+        exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+        s"$q over id%$mod not rewritten:\n$exec"
+      )
+      assert(
+        exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        }.isEmpty
+      )
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val groupSize = 1000 / mod
+      (0L until 1000L).foreach { id =>
+        val key = (id % mod).toInt
+        val expected = if (q == "rank") key * groupSize + 1 else key + 1
+        assert(got(id) == expected, s"$q(id=$id, mod=$mod): got ${got(id)}, want $expected")
+      }
+    }
+    // untied order: rank == row_number; string keys with NULLs: null
+    // order-keys are peers of each other (null-safe key equality)
+    val untied = spark.sql("SELECT id, rank() OVER (ORDER BY id DESC) AS r FROM range(1000)")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    untied.foreach { case (id, r) => assert(r == (1000 - id).toInt) }
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, Some("b")), (2L, None: Option[String]), (3L, Some("a")),
+      (4L, None: Option[String]), (5L, Some("a"))
+    ).toDF("id", "g")
+    withNulls.createOrReplaceTempView("gr14_nulls")
+    // single-expression windows so the rewrite fires (multi-expression
+    // windows deliberately keep the stock plan)
+    val nrDf = spark.sql("SELECT id, rank() OVER (ORDER BY g) AS r FROM gr14_nulls")
+    val ndDf = spark.sql("SELECT id, dense_rank() OVER (ORDER BY g) AS d FROM gr14_nulls")
+    assert(unwrap(nrDf).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
+    assert(unwrap(ndDf).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
+    // spark sorts NULLS FIRST asc: nulls (ids 2,4) rank 1; 'a' (3,5) rank 3; 'b' (1) rank 5
+    val nrm = nrDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ndm = ndDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nrm == Map(1L -> 5, 2L -> 1, 3L -> 3, 4L -> 1, 5L -> 3), s"rank: $nrm")
+    assert(ndm == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), s"dense_rank: $ndm")
+  }
+
+  test("GlobalNtile: single scan — n rides the rank exec's own offsets, no second child pass") {
+    val df = spark.sql("SELECT id, ntile(7) OVER (ORDER BY id) AS t FROM range(1003)")
+    val exec = unwrap(df)
+    assert(exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
+    // round 13 planned child-count + broadcast-nested-loop join; round 14
+    // must plan NEITHER (the duplicate-subtree determinism hazard is gone)
+    assert(
+      exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty,
+      s"ntile still joins a count subtree:\n$exec"
+    )
+    assert(
+      exec.collect { case r: org.apache.spark.sql.execution.RangeExec => r }.length == 1,
+      s"ntile still scans the child twice:\n$exec"
+    )
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val sizes = (0 until 7).map(i => 1003 / 7 + (if (i < 1003 % 7) 1 else 0))
+    val expected = sizes.zipWithIndex
+      .flatMap { case (sz, i) => Seq.fill(sz)(i + 1) }
+      .zipWithIndex.map { case (t, idx) => idx.toLong -> t }.toMap
+    assert(got == expected)
+  }
+
+  test("GlobalPrefixSum: nullable inputs — all-null prefix is NULL, then sums ignore nulls") {
+    import spark.implicits._
+    Seq(
+      (1L, None: Option[Long]), (2L, None: Option[Long]), (3L, Some(10L)),
+      (4L, None: Option[Long]), (5L, Some(5L))
+    ).toDF("i", "v").createOrReplaceTempView("gr14_ps_null")
+    val df = spark.sql(
+      "SELECT i, sum(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM gr14_ps_null"
+    )
+    assert(
+      unwrap(df).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      "nullable long running total not rewritten"
+    )
+    val got = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(10L), 4L -> Some(10L), 5L -> Some(15L)))
+  }
+
+  test("GlobalPrefixSum: decimal running totals stitch exactly (q60's financial idiom)") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, BigDecimal(i, 2))) // exactly i × 10⁻²
+    rows.toDF("i", "v").createOrReplaceTempView("gr14_ps_dec")
+    val df = spark.sql(
+      "SELECT i, sum(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM gr14_ps_dec"
+    )
+    assert(
+      unwrap(df).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      s"decimal running total not rewritten:\n${unwrap(df)}"
+    )
+    val got = df.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    var acc = java.math.BigDecimal.ZERO
+    (1 to 500).foreach { i =>
+      acc = acc.add(new java.math.BigDecimal(i).movePointLeft(2))
+      assert(got(i.toLong).compareTo(acc) == 0, s"prefix at i=$i: ${got(i.toLong)} != $acc")
+    }
+  }
+
+  test("q65/q66 plan through the GlobalRank family at data grain (no 1-task window)") {
+    val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
+    assert(
+      unwrap(q65).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      s"q65 missed the decimal prefix exec:\n${unwrap(q65)}"
+    )
+    val q66 = graft.operators.Relational.q66QuantityRank(spark, sf)
+    assert(
+      unwrap(q66).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+      s"q66 missed the tie-aware rank exec:\n${unwrap(q66)}"
+    )
+    Seq(q65, q66).foreach { df =>
+      assert(
+        unwrap(df).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        }.isEmpty,
+        "a 1-task global window survived"
+      )
+    }
+  }
+
+  test("GlobalPrefixSum: ANSI overflow throws loudly; try_sum keeps the stock plan") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = spark.sql(
+        s"SELECT id, sum(${Long.MaxValue / 2}L + id) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM range(10)"
+      )
+      assert(unwrap(df).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty)
+      val ex = intercept[Exception] { df.collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(
+        chain(ex).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected ArithmeticException under ANSI, got $ex"
+      )
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    val trySum = spark.sql(
+      "SELECT id, try_sum(id) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM range(10)"
+    )
+    assert(
+      trySum.queryExecution.optimizedPlan.collect {
+        case g: graft.plans.GlobalPrefixSumNode => g
+      }.isEmpty,
+      "try_sum must keep the stock plan (overflow-to-null semantics)"
+    )
+  }
 }
