@@ -165,7 +165,15 @@ object PlanAudit {
       "t45_filter_agreement"        -> "filter agreement: two score scans joined on doc_id, 1-row broadcast stats, single confusion aggregate",
       "m22_motion_profile"          -> "motion profile: lag windows over the ONCE-decoded shared frame table (decode-once media discipline)",
       "d24_cluster_purity"          -> "cluster purity: cached cluster map joined to metadata, two cluster-keyed aggregates — no pair space added",
-      "t46_stage_attrition"         -> "stage attrition: one corpus scan computes all stage flags, single conditional-agg row stacked to the 4-stage report"
+      "t46_stage_attrition"         -> "stage attrition: one corpus scan computes all stage flags, single conditional-agg row stacked to the 4-stage report",
+      "q65_cum_revenue"             -> "global decimal running revenue: GlobalPrefixSumExec (range exchange + BigDecimal partial stitch) — NO 1-task window",
+      "q66_quantity_rank"           -> "global tie-heavy rank: GlobalRankExec tie-aware boundary stitch (50 distinct quantities, peer groups span partitions)",
+      "e49_hour_entropy"            -> "hour entropy: (type,hour) rollup map-side combined; entropy via decimal-quantized Σ c·ln c; peak by keyed window over ≤24 rows/type",
+      "t47_word_burstiness"         -> "word burstiness: two keyed count aggregates, exact long moments, TakeOrdered(20) — no global sort",
+      "d25_source_dup_rate"         -> "source dup rate: fingerprint-grain keeper aggregate + one equi-join back + source-grain report; no pair space",
+      "v27_pair_distance_hist"      -> "pair-distance histogram: capped 100-vector sample, broadcast self-join (bounded build), decimal bucket sums",
+      "m23_scene_stats"             -> "scene tempo: decode-once frame table -> m13b scenes -> one doc-keyed aggregate",
+      "s39_stream_last_touch"       -> "last-touch read-out: bucketed user state scan + broadcast frontier + model-sized type report"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
@@ -173,7 +181,15 @@ object PlanAudit {
     sb ++= "\nNote: every nested-loop join in this file (t12, t24's N/avgdl, " +
       "c20's orders scalar) is a Cross join against a BROADCAST SINGLE-ROW " +
       "aggregate — the standard way to fold a scalar into a distributed plan " +
-      "without a driver-side collect; each compares 1 row, not a pair space.\n"
+      "without a driver-side collect; each compares 1 row, not a pair space.\n" +
+      "\nThe full-surface lint inventory is COMMITTED at " +
+      "`src/test/resources/lint_expected.tsv` and gated by `LintSurfaceSpec`: " +
+      "every `SparkEntry.queries` plan is linted (global windows / cartesians / " +
+      "nested-loop joins) and any drift from the committed inventory fails the " +
+      "suite. Current inventory: 63 queries flagged, ALL of them the documented " +
+      "bounded idioms — scalar-fanout / capped-sample BNLJs, plus two " +
+      "model-sized global windows (q58's ≤50-row p_size frontier suffix-min, " +
+      "q60's ScaleRank metadata-grain offset window). Zero cartesians.\n"
     targets.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
