@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SCALING MEASUREMENT for the GlobalRank family: times the same global
+  * window queries with the rewrite rules ON (GlobalRankExec /
+  * GlobalPrefixSumExec — parallel range-exchange sort + metadata
+  * stitch) and OFF (stock unpartitioned WindowExec — every row through
+  * ONE task), over `spark.range(n)` so the ladder needs no staged data.
+  * The inner expressions force real per-row work and ties
+  * (`id % 1000`), and each query is reduced by a count so nothing
+  * funnels to the driver. This is the empirical half of the scale
+  * argument SCALING.md makes for the rewrites.
+  *
+  * Usage: runMain graft.RankScaleBench [n] (default 50M)
+  */
+object RankScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // row_number and ROWS-frame sums are tie-order-sensitive, so their
+    // check queries use a UNIQUE total order (key, id) — otherwise the
+    // check value would compare two legal-but-different tie orders, not
+    // the rewrite against stock. rank() is tie-stable by definition and
+    // keeps its 1000-wide peer groups (the tie stitch under test).
+    val queries = Seq(
+      "row_number" -> s"SELECT count(*) AS c FROM (SELECT id, row_number() OVER (ORDER BY id % 7919, id) AS r FROM range($n)) WHERE r % 97 = 0",
+      "rank_ties" -> s"SELECT count(*) AS c FROM (SELECT id, rank() OVER (ORDER BY id % 1000) AS r FROM range($n)) WHERE r % 97 = 0",
+      "prefix_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM range($n)) WHERE s % 97 = 0"
+    )
+    def time(label: String, installRules: Boolean): Unit = {
+      val sess = spark.newSession() // fresh experimental.* — rules OFF by default
+      if (installRules) graft.plans.GlobalRank.install(sess)
+      queries.foreach { case (qn, sql) =>
+        val t0 = System.nanoTime()
+        val c = sess.sql(sql).collect().head.getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$label $qn: $sec%.1f s (n=$n, check=$c)")
+      }
+    }
+    // warm the range codegen once
+    spark.sql(s"SELECT count(*) FROM range($n)").collect()
+    time("rules_on ", installRules = true)
+    time("rules_off", installRules = false)
+    spark.stop()
+  }
+}

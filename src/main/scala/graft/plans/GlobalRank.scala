@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   JoinedRow,
   Literal,
   NTile,
+  PercentRank,
   Rank,
   RowNumber,
   SortOrder,
@@ -37,15 +38,17 @@ object GlobalRankMode {
   case object RowNum extends GlobalRankMode
   case object RankTies extends GlobalRankMode
   case object DenseRankTies extends GlobalRankMode
+  case object PercentRankTies extends GlobalRankMode
   final case class NtileK(k: Int) extends GlobalRankMode
 }
 
 /** §2.8 whole-operator extension: the SQL surface for ScaleRank.
   *
-  * `row_number() / rank() / dense_rank() / ntile(k) OVER (ORDER BY …)`
+  * `row_number() / rank() / dense_rank() / percent_rank() / ntile(k)
+  * OVER (ORDER BY …)`
   * written with an empty PARTITION BY plans an unpartitioned WindowExec
   * — every row through ONE task, the single worst scale cliff a SQL
-  * user can hit by accident. This rule family serves all four from the
+  * user can hit by accident. This rule family serves all five from the
   * same machinery:
   *
   * {{{
@@ -68,7 +71,7 @@ object GlobalRankMode {
   *    count scan + broadcast join; round 14 reads n off the rank
   *    exec's own metadata — no duplicate subtree, no determinism
   *    hazard on nondeterministic children).
-  *  - rank()/dense_rank(): ties are exact across partition cuts — each
+  *  - rank()/dense_rank()/percent_rank(): ties are exact across partition cuts — each
   *    partition reports (count, distinct peer groups, first/last order
   *    key, trailing-run length), and the driver walks boundaries to
   *    compute, per partition, the global rank of its HEAD peer group
@@ -110,6 +113,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.RankTies, w.child)
         case alias @ Alias(WindowExpression(_: DenseRank, _), _) if !floatingOrder(w.orderSpec) =>
           GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.DenseRankTies, w.child)
+        case alias @ Alias(WindowExpression(_: PercentRank, _), _)
+            if !floatingOrder(w.orderSpec) =>
+          // percent_rank = (rank − 1) / (n − 1): the tie-aware rank stitch
+          // plus n off the offset table — same metadata, double emission.
+          // cume_dist stays UN-rewritten (it needs each peer group's END
+          // position, which is data- not metadata-sized) — PlanLint names it.
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.PercentRankTies, w.child)
         case _ => w
       }
   }
@@ -288,8 +298,10 @@ case class GlobalRankExec(
           }
         }
 
-      case GlobalRankMode.RankTies | GlobalRankMode.DenseRankTies =>
+      case GlobalRankMode.RankTies | GlobalRankMode.DenseRankTies |
+          GlobalRankMode.PercentRankTies =>
         val dense = mode == GlobalRankMode.DenseRankTies
+        val pct = mode == GlobalRankMode.PercentRankTies
         // pass 1: per-partition tie metadata (counts + boundary keys)
         val metas = rdd
           .mapPartitions(
@@ -358,6 +370,7 @@ case class GlobalRankExec(
           }
           i0 += 1
         }
+        val nTotal = offsets.last
         rdd.mapPartitionsWithIndex { (pid, it) =>
           val proj = UnsafeProjection.create(orderExprs, childOutput)
           val outProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -379,8 +392,13 @@ case class GlobalRankExec(
               prevKey = k.copy(); gs = pos; ld += 1L; inHead = false
             }
             val v = if (dense) ds + ld else if (inHead) hr else off + gs
-            // rank/dense_rank are IntegerType — mirror the overflow domain
-            rankRow.update(0, v.toInt)
+            if (pct) {
+              // stock PercentRank's own formula and edge: (rank−1)/(n−1), 0 for n=1
+              rankRow.update(0, if (nTotal > 1L) (v - 1L).toDouble / (nTotal - 1L) else 0.0d)
+            } else {
+              // rank/dense_rank are IntegerType — mirror the overflow domain
+              rankRow.update(0, v.toInt)
+            }
             outProj(joined(row, rankRow))
           }
         }

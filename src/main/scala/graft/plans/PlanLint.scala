@@ -11,10 +11,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   * BEFORE a query ships to a 1000-executor cluster.
   *
   * The GlobalRank family auto-fixes global `row_number`/`rank`/
-  * `dense_rank`/`ntile`/running-sum windows (rank ties stitch exactly
-  * since round 14); everything else that funnels a corpus through one
-  * task — `lag`/`lead`/RANGE-frame aggregates over an empty partition
-  * spec, cartesian products, non-broadcast nested-loop joins — is
+  * `dense_rank`/`percent_rank`/`ntile`/running-sum windows (rank ties
+  * stitch exactly since round 14); everything else that funnels a
+  * corpus through one task — `lag`/`lead`/`cume_dist`/RANGE-frame
+  * aggregates over an empty partition spec, cartesian products,
+  * non-broadcast nested-loop joins — is
   * reported here instead, because rewriting them silently would change
   * semantics (peer frames) or hide an O(n²) the author needs to see.
   * Wired into [[graft.SqlMain]] via `GRAFT_LINT=1`.
@@ -36,9 +37,9 @@ object PlanLint {
         val fns = w.windowExpression.map(_.sql).mkString(", ")
         s"GLOBAL WINDOW (single-task sort over ALL rows): [$fns] has no PARTITION BY — " +
           "at cluster scale every row funnels through one task. If it is a row_number/" +
-          "rank/dense_rank/ntile/running-sum, the GlobalRank rules rewrite it " +
-          "automatically when GraftExtensions is installed; lag/lead/RANGE frames " +
-          "need a partition key or ScaleRank."
+          "rank/dense_rank/percent_rank/ntile/running-sum, the GlobalRank rules " +
+          "rewrite it automatically when GraftExtensions is installed; " +
+          "lag/lead/cume_dist/RANGE frames need a partition key or ScaleRank."
       case c: CartesianProductExec =>
         s"CARTESIAN PRODUCT: ${c.left.simpleStringWithNodeId()} x " +
           s"${c.right.simpleStringWithNodeId()} — O(|L|·|R|) pairs. Add an equi-join " +

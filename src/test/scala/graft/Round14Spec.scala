@@ -157,6 +157,31 @@ class Round14Spec extends AnyFunSuite {
     assert(ndm == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), s"dense_rank: $ndm")
   }
 
+  test("GlobalRank: global percent_rank() stitches (rank−1)/(n−1) exactly, incl. the n=1 edge") {
+    val df = spark.sql(
+      "SELECT id, percent_rank() OVER (ORDER BY id % 5) AS pr FROM range(1000)"
+    )
+    val exec = unwrap(df)
+    assert(
+      exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+      s"percent_rank not rewritten:\n$exec"
+    )
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    (0L until 1000L).foreach { id =>
+      val expected = ((id % 5) * 200).toDouble / 999.0
+      assert(got(id) == expected, s"percent_rank(id=$id): ${got(id)} != $expected")
+    }
+    // n = 1 edge: stock semantics say 0.0
+    val one = spark.sql("SELECT id, percent_rank() OVER (ORDER BY id) AS pr FROM range(1)")
+    assert(one.collect().head.getDouble(1) == 0.0)
+    // cume_dist keeps the stock plan (peer-group ENDS are data-sized)
+    val cd = spark
+      .sql("SELECT id, cume_dist() OVER (ORDER BY id % 5) AS cd FROM range(100)")
+      .queryExecution
+      .optimizedPlan
+    assert(cd.collect { case g: graft.plans.GlobalRankNode => g }.isEmpty)
+  }
+
   test("GlobalNtile: single scan — n rides the rank exec's own offsets, no second child pass") {
     val df = spark.sql("SELECT id, ntile(7) OVER (ORDER BY id) AS t FROM range(1003)")
     val exec = unwrap(df)
