@@ -1034,66 +1034,67 @@ object StreamingBatch {
     * per-user gaps-and-islands pass re-derives that user's runs —
     * extending the open run if the type continues, closing it if it
     * changed. Closed rows and unaffected users are carried over
-    * untouched, so per-batch work is O(batch + affected open runs),
-    * never O(history). Correct under the ts-ordered arrival staging
-    * (batch k+1's events all at or after batch k's — the CDC
-    * replication contract); redeliveries are acknowledged through the
-    * committed batchId sidecar (s28's exactly-once discipline).
+    * untouched, so per-batch COMPUTE is O(batch + affected open runs),
+    * never O(history) — and since round 14 the per-batch WRITE is too:
+    * the dimension lives in the hash-bucketed store
+    * ([[graft.sources.BucketedStateStore]]), so only the user-buckets
+    * the batch touches are rewritten. Correct under the ts-ordered
+    * arrival staging (batch k+1's events all at or after batch k's —
+    * the CDC replication contract); redeliveries are acknowledged by
+    * the committed manifest.
     */
+  /** The SCD2 dimension's stored row shape (state schema for the
+    * bucketed store's first-batch empty frame — the fold transforms
+    * event rows into run rows, so incoming and state schemas differ).
+    */
+  private val s36StateSchema = StructType(
+    Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("valid_from_us", LongType),
+      StructField("valid_to_us", LongType),
+      StructField("n_events", LongType)
+    )
+  )
+
   private[graft] def s36FoldScd2(store: String, batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    var committed = false
-    while (!committed) {
-      val cur = SnapshotStore.currentVersion(store)
-      val lastApplied =
-        cur.flatMap(v => SnapshotStore.annotation(store, v, "batch").flatMap(_.toLongOption))
-      if (lastApplied.exists(_ >= batchId)) committed = true
-      else {
-        val ev = batch.select(
-          col("user_id"),
-          col("event_id"),
-          col("event_type"),
-          unix_micros(col("ts")).as("tus"),
-          lit(1L).as("wt")
-        )
-        val users = ev.select("user_id").distinct().withColumn("_aff", lit(true))
-        val (keep, seeds) = cur match {
-          case Some(v) =>
-            val st = spark.read
-              .parquet(SnapshotStore.versionPath(store, v))
-              .join(users, Seq("user_id"), "left")
-            (
-              st.filter(col("_aff").isNull || col("valid_to_us").isNotNull)
-                .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events"),
-              st.filter(col("_aff").isNotNull && col("valid_to_us").isNull)
-                .select(
-                  col("user_id"),
-                  lit(Long.MinValue).as("event_id"), // sorts before any real event at equal tus
-                  col("event_type"),
-                  col("valid_from_us").as("tus"),
-                  col("n_events").as("wt")
-                )
-            )
-          case None =>
-            val empty = ev.filter(lit(false))
-            (
-              empty.select(
-                col("user_id"),
-                col("event_type"),
-                col("tus").as("valid_from_us"),
-                col("tus").as("valid_to_us"),
-                col("wt").as("n_events")
-              ),
-              empty
-            )
-        }
+    if (graft.sources.BucketedStateStore.committed(store, batchId)) return
+    val ev = batch.select(
+      col("user_id"),
+      col("event_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("tus"),
+      lit(1L).as("wt")
+    )
+    // round-14 bounded-write upsert: only the USER-BUCKETS this batch
+    // touches are read and rewritten. Within a touched bucket, the merge
+    // preserves other users' rows and the affected users' CLOSED rows
+    // verbatim; only affected users' open runs re-enter the islands
+    // recompute — per-batch IO O(batch + affected open runs + touched
+    // buckets), never O(dimension).
+    graft.sources.BucketedStateStore
+      .upsert(store, batchId, ev, Seq("user_id"), 16, Some(s36StateSchema)) { (prev, incEv) =>
+        val users = incEv.select("user_id").distinct().withColumn("_aff", lit(true))
+        val st = prev.join(users, Seq("user_id"), "left")
+        val keep = st
+          .filter(col("_aff").isNull || col("valid_to_us").isNotNull)
+          .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+        val seeds = st
+          .filter(col("_aff").isNotNull && col("valid_to_us").isNull)
+          .select(
+            col("user_id"),
+            lit(Long.MinValue).as("event_id"), // sorts before any real event at equal tus
+            col("event_type"),
+            col("valid_from_us").as("tus"),
+            col("n_events").as("wt")
+          )
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id")
           .orderBy(col("tus"), col("event_id"))
         val runEnd =
           org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("run")
         val recomputed = seeds
-          .unionByName(ev)
+          .unionByName(incEv)
           .withColumn(
             "chg",
             when(
@@ -1115,20 +1116,15 @@ object StreamingBatch {
           .agg(min("tus").as("valid_from_us"), sum("wt").as("n_events"))
           .withColumn("valid_to_us", lead("valid_from_us", 1).over(runEnd))
           .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
-        val staged = s"$store/_stage_${java.util.UUID.randomUUID()}"
-        keep.unionByName(recomputed).coalesce(4).write.mode("overwrite").parquet(staged)
-        SnapshotStore.annotate(staged, "batch", batchId.toString)
-        committed = SnapshotStore.commitStagedIfCurrent(store, cur, staged).isDefined
-        if (!committed) SnapshotStore.deleteTree(java.nio.file.Paths.get(staged))
+        keep.unionByName(recomputed)
       }
-    }
   }
 
   /** s36: STREAMING SCD2 MAINTENANCE — c34's slowly-changing-dimension
     * build run as an online pipeline over the deterministic ts-ordered
     * arrival schedule (one micro-batch per time quarter,
     * `maxFilesPerTrigger = 1`): every batch folds through
-    * [[s36FoldScd2]] into the OCC snapshot store, and the served
+    * [[s36FoldScd2]] into the bucketed bounded-write store, and the served
     * dimension must hash-match the one-shot batch build — the
     * as-of-triad discipline: c34's DuckDB oracle gates the streaming
     * fold's open-run extension/closure logic, not just a row count.
@@ -1154,8 +1150,9 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    SnapshotStore
-      .readCurrent(s, store)
+    graft.sources.BucketedStateStore
+      .readLatest(s, store)
+      .get
       .select(
         col("user_id"),
         col("event_type"),

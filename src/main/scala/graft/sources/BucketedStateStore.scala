@@ -112,7 +112,8 @@ object BucketedStateStore {
       batchId: Long,
       incoming: DataFrame,
       keys: Seq[String],
-      numBuckets: Int
+      numBuckets: Int,
+      stateSchema: Option[org.apache.spark.sql.types.StructType] = None
   )(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = incoming.sparkSession
     val prev = latestManifestBefore(root, batchId).map(readManifest(root, _)).getOrElse(Map.empty)
@@ -126,7 +127,14 @@ object BucketedStateStore {
         else {
           val prevPaths = touched.toSeq.sorted.flatMap(prev.get).distinct.map(p => s"$root/$p")
           val prevTouched =
-            if (prevPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], inc.schema)
+            if (prevPaths.isEmpty)
+              // no state yet: an empty frame at the STATE schema (defaults
+              // to incoming's — pass stateSchema when the fold transforms
+              // the batch shape into a different stored shape, e.g. s36)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                stateSchema.getOrElse(inc.schema)
+              )
             else {
               // a version dir can hold other buckets too (it wrote several
               // at once) — re-derive the bucket and keep only touched rows

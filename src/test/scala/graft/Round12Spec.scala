@@ -353,14 +353,14 @@ class Round12Spec extends AnyFunSuite {
     val b1 = mk(Seq((1L, 4L, "b", 3000L), (2L, 5L, "x", 2500L)))
     graft.operators.StreamingBatch.s36FoldScd2(store, b0, 0L)
     graft.operators.StreamingBatch.s36FoldScd2(store, b1, 1L)
-    val after = graft.sources.SnapshotStore.readCurrent(spark, store).collect().map(_.toString).sorted
-    // redeliver batch 1 (at-least-once): the sidecar must acknowledge it
+    def cur() = graft.sources.BucketedStateStore.readLatest(spark, store).get
+    val after = cur().collect().map(_.toString).sorted
+    // redeliver batch 1 (at-least-once): the committed manifest must acknowledge it
     graft.operators.StreamingBatch.s36FoldScd2(store, b1, 1L)
-    val replay = graft.sources.SnapshotStore.readCurrent(spark, store).collect().map(_.toString).sorted
+    val replay = cur().collect().map(_.toString).sorted
     assert(replay.toSeq == after.toSeq)
     // and the runs are what the history implies: user 1 a→b, user 2 one open x run
-    val rows = graft.sources.SnapshotStore
-      .readCurrent(spark, store)
+    val rows = cur()
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
       .sortBy(t => (t._1, t._3))
