@@ -521,7 +521,9 @@ object SparkEntry {
     // round 14: per-clip scene tempo stats off the real GIF decode
     "m23_scene_stats"        -> (Multimodal.m23SceneStats _),
     // round 14: stream-maintained last-touch registry (bucketed store)
-    "s39_stream_last_touch"  -> (StreamingBatch.s39StreamLastTouch _)
+    "s39_stream_last_touch"  -> (StreamingBatch.s39StreamLastTouch _),
+    // round 14: compaction + orphan GC over the bucketed dedup index
+    "c37_compact_index"      -> (Maintenance.c37CompactIndex _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -631,6 +633,15 @@ object SparkEntry {
         |   / CAST(d0 AS DOUBLE), 4) AS doc_share_of_raw
         |FROM a, (VALUES (0,'raw'),(1,'exact_dedup'),(2,'quality'),(3,'sample')) v(stage_id, stage)
         |ORDER BY 1""".stripMargin
+
+  private val s22Sql =
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+      |q AS (SELECT doc_id, md5(text) AS fp FROM t
+      |  WHERE len(tk) >= 10
+      |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.3)
+      |SELECT min(doc_id) AS doc_id, fp, CAST(2 * count(*) AS BIGINT) AS n_copies
+      |FROM q GROUP BY fp ORDER BY doc_id""".stripMargin
 
   private val knnExactSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -1893,14 +1904,10 @@ object SparkEntry {
     // s22: the landed curation index must equal the batch replay of the
     // same gate+dedup algebra; the stream stages every doc TWICE, so
     // copy counts double and the canonical min-id is unchanged
-    "s22_stream_curate" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
-        |q AS (SELECT doc_id, md5(text) AS fp FROM t
-        |  WHERE len(tk) >= 10
-        |   AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.3)
-        |SELECT min(doc_id) AS doc_id, fp, CAST(2 * count(*) AS BIGINT) AS n_copies
-        |FROM q GROUP BY fp ORDER BY doc_id""".stripMargin,
+    "s22_stream_curate" -> s22Sql,
+    // c37: the compacted+GC'd index must serve the IDENTICAL report —
+    // compaction is storage layout, never content
+    "c37_compact_index" -> s22Sql,
     // c8_exact: uncompacted KLL returns the element at inclusive rank
     // ceil(p·n) — replayed by sorted-list indexing per type (the
     // q34_exact convention)

@@ -2333,4 +2333,31 @@ object Maintenance {
       )
       .orderBy("column_name")
   }
+
+  /** c37 (round 14): COMPACT + GC the bucketed streaming state — the
+    * maintenance pass that bounds what s22-style bounded-write folds
+    * accumulate: after the stream lands its incremental versions, the
+    * whole live index is rewritten as ONE fresh version (re-bucketed —
+    * compaction is also where `numBuckets` grows with state at 100 TB)
+    * and every orphaned version dir and stale manifest is deleted
+    * ([[graft.sources.BucketedStateStore.compact]]/`gcOrphans`; the c1
+    * compaction + c7 retention story applied to the state store). The
+    * query serves the dedup report FROM the compacted store and must
+    * hash-match s22's oracle verbatim — compaction is storage layout,
+    * never content. ScalaTest pins the GC actually deleting the old
+    * versions and the compacted bytes equalling live-state bytes.
+    */
+  def c37CompactIndex(s: SparkSession, d: String): DataFrame = {
+    graft.operators.StreamingBatch.s22StreamCurate(s, d).count() // land the incremental index
+    val store = graft.operators.StreamingBatch.s22LastStore.get(d)
+    val bss = graft.sources.BucketedStateStore
+    val compactId = bss.manifestIds(store).max + 1L
+    bss.compact(s, store, compactId, Seq("fp"), numBuckets = 16)
+    bss.gcOrphans(store)
+    bss
+      .readLatest(s, store)
+      .get
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+  }
 }

@@ -2250,12 +2250,18 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    s22LastStore.put(d, store)
     graft.sources.BucketedStateStore
       .readLatest(s, store)
       .get
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
   }
+
+  /** Bucketed-store root of the last [[s22StreamCurate]] run per source
+    * dir (c37's compaction target).
+    */
+  private[graft] val s22LastStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** s24's staging: (doc_id, raw_url) JSON lines in ascending-id file
     * ranges, so `maxFilesPerTrigger=1` replays the crawl frontier in

@@ -172,6 +172,60 @@ object BucketedStateStore {
   def readLatest(s: SparkSession, root: String): Option[DataFrame] =
     readAt(s, root, Long.MaxValue - 1)
 
+  /** COMPACTION: rewrite the full live state as ONE fresh version (all
+    * buckets re-bucketed and rewritten under `buckets_v<batchId>`) and
+    * publish its manifest. Bounds the version-chain length a long
+    * stream accumulates — the c1-compaction counterpart for this store;
+    * run it at the cadence that amortizes (every K batches, the write
+    * amplification becomes state/K per batch). Keys are re-hashed, so
+    * compaction may also CHANGE `numBuckets` (grow buckets as state
+    * grows — the 100 TB knob). Old versions stay readable until
+    * [[gcOrphans]].
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      batchId: Long,
+      keys: Seq[String],
+      numBuckets: Int
+  ): Unit = {
+    val live = readAt(spark, root, batchId)
+      .getOrElse(throw new IllegalStateException(s"no live state to compact under $root"))
+    val out = s"buckets_v$batchId"
+    val bcol = bucketOf(keys.map(col), numBuckets)
+    live
+      .withColumn("_b", bcol)
+      .repartition(col("_b"))
+      .write
+      .partitionBy("_b")
+      .mode("overwrite")
+      .parquet(s"$root/$out")
+    val written = bucketsWrittenBy(root, batchId)
+    writeManifest(root, batchId, written.map(k => k -> s"$out/_b=$k").toMap)
+  }
+
+  /** GARBAGE-COLLECT versions the NEWEST manifest no longer references:
+    * older manifests and unreferenced `buckets_v*` dirs are deleted.
+    * Single-writer discipline: call when no reader is pinned to an old
+    * snapshot (c7/c33's retention contract). Returns deleted paths.
+    */
+  def gcOrphans(root: String): Seq[String] = {
+    latestManifestBefore(root, Long.MaxValue) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val referenced = readManifest(root, latest).values
+          .map(p => p.split("/")(0)) // buckets_v<id> component
+          .toSet
+        val dir = new java.io.File(root)
+        val victims = Option(dir.list()).getOrElse(Array.empty[String]).filter { n =>
+          (n.startsWith("buckets_v") && !referenced.contains(n)) ||
+          (n.startsWith("manifest_") && n.stripPrefix("manifest_").toLong != latest)
+        }
+        victims.foreach(n => SnapshotStore.deleteTree(Paths.get(root, n)))
+        victims.toSeq.sorted
+    }
+  }
+
   /** Bytes of parquet data written FOR one batch's version (test/audit
     * hook: the written-bytes-O(batch) pin).
     */

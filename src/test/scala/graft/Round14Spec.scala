@@ -157,6 +157,33 @@ class Round14Spec extends AnyFunSuite {
     assert(ndm == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), s"dense_rank: $ndm")
   }
 
+  test("BucketedStateStore: compact rewrites live state as ONE version; gcOrphans deletes the rest") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("graft_bss_compact_")
+    def merge(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+      p.unionByName(i).groupBy("k").agg(sum("n").as("n"))
+    (0 until 5).foreach { b =>
+      val batch = (0 until 40).map(i => (s"k${(b * 7 + i) % 60}", 1L)).toDF("k", "n")
+      BucketedStateStore.upsert(root, b.toLong, batch, Seq("k"), 8)(merge)
+    }
+    val before = BucketedStateStore.readLatest(spark, root).get.collect().map(_.toString).sorted
+    BucketedStateStore.compact(spark, root, 100L, Seq("k"), numBuckets = 8)
+    val victims = BucketedStateStore.gcOrphans(root)
+    assert(victims.nonEmpty, "gc found nothing to delete after compaction")
+    // every surviving data dir is the compacted version; old manifests gone
+    val left = new java.io.File(root).list().toSeq
+    assert(left.filter(_.startsWith("buckets_v")) == Seq("buckets_v100"))
+    assert(left.count(_.startsWith("manifest_")) == 1)
+    // content identical; compacted bytes = live bytes (one full copy, no history)
+    val after = BucketedStateStore.readLatest(spark, root).get.collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction changed content")
+    // bytesWrittenBy also counts the version dir's _SUCCESS/.crc sidecars
+    // that sit above the bucket subdirs — allow that sliver
+    val wrote = BucketedStateStore.bytesWrittenBy(root, 100L)
+    val live = BucketedStateStore.liveStateBytes(root)
+    assert(wrote >= live && wrote - live < 100, s"compacted $wrote B vs live $live B")
+  }
+
   test("GlobalRank: global percent_rank() stitches (rank−1)/(n−1) exactly, incl. the n=1 edge") {
     val df = spark.sql(
       "SELECT id, percent_rank() OVER (ORDER BY id % 5) AS pr FROM range(1000)"
