@@ -523,7 +523,11 @@ object SparkEntry {
     // round 14: stream-maintained last-touch registry (bucketed store)
     "s39_stream_last_touch"  -> (StreamingBatch.s39StreamLastTouch _),
     // round 14: compaction + orphan GC over the bucketed dedup index
-    "c37_compact_index"      -> (Maintenance.c37CompactIndex _)
+    "c37_compact_index"      -> (Maintenance.c37CompactIndex _),
+    // round 14: global spend percentile (PercentRankTies exec path)
+    "q67_spend_percentile"   -> (Relational.q67SpendPercentile _),
+    // round 14: cross-source duplication matrix (syndication detection)
+    "d26_cross_source_dups"  -> (Dedup.d26CrossSourceDups _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4782,7 +4786,23 @@ object SparkEntry {
         |mx AS (SELECT max(ts) AS m FROM events)
         |SELECT event_type AS last_event_type, count(*) AS n_users
         |FROM l, mx WHERE rn = 1 AND ts >= m - INTERVAL 30 MINUTE
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q67: percent_rank is (rank-1)/(n-1) — the same IEEE double both
+    // engines; cents-only order keeps ties tie-stable
+    "q67_spend_percentile" ->
+      """WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, cents,
+        | round(percent_rank() OVER (ORDER BY cents), 9) AS pct
+        |FROM sp ORDER BY o_custkey""".stripMargin,
+    // d26: unordered source pairs sharing a prefix fingerprint
+    "d26_cross_source_dups" ->
+      """WITH f AS (SELECT doc_id, source, md5(substr(text, 1, 120)) AS fp FROM documents),
+        |p AS (SELECT a.source AS a_src, b.source AS b_src
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT least(a_src, b_src) AS source_a, greatest(a_src, b_src) AS source_b,
+        | count(*) AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   private val v21Sql =

@@ -981,4 +981,28 @@ object Dedup {
       )
       .orderBy("source")
   }
+
+  /** d26 (round 14): CROSS-SOURCE DUP MATRIX — which domain PAIRS
+    * mirror each other's content (syndication detection, the decision
+    * input for crawl-list pruning): doc pairs sharing a 120-char-prefix
+    * fingerprint, counted per unordered source pair. The join is
+    * fingerprint-EQUI (pair space = Σ per-fingerprint group², bounded
+    * by the dup rate — never corpus²), sources ordered
+    * lexicographically inside the pair so (a,b) and (b,a) collapse.
+    */
+  def d26CrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    val f = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"), md5(substring(col("text"), 1, 120)).as("fp"))
+    val a = f.select(col("fp"), col("doc_id").as("a_id"), col("source").as("a_src"))
+    val b = f.select(col("fp"), col("doc_id").as("b_id"), col("source").as("b_src"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(
+        least(col("a_src"), col("b_src")).as("source_a"),
+        greatest(col("a_src"), col("b_src")).as("source_b")
+      )
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

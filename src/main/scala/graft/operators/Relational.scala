@@ -1568,4 +1568,24 @@ object Relational {
     li.withColumn("qty_rank", rank().over(Window.orderBy(desc("qty"))).cast("long"))
       .orderBy(col("qty_rank"), col("l_orderkey"), col("l_linenumber"))
   }
+
+  /** q67 (round 14): GLOBAL SPEND PERCENTILE — every customer's
+    * percentile position by lifetime spend, the marketing-segmentation
+    * staple. Written as the plain global `percent_rank()` window so the
+    * round-14 PercentRankTies rewrite carries it (stock: 1-task
+    * window); spend in exact integer cents, the order deliberately
+    * cents-only so tied spenders share a percentile (tie-stable — the
+    * value never depends on tie order). pct = (rank−1)/(n−1) is the
+    * same IEEE double in both engines; rounded to 9 decimals.
+    */
+  def q67SpendPercentile(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables
+      .orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    spend
+      .withColumn("pct", round(percent_rank().over(Window.orderBy(col("cents"))), 9))
+      .select(col("o_custkey"), col("cents"), col("pct"))
+      .orderBy("o_custkey")
+  }
 }

@@ -280,7 +280,14 @@ class Round14Spec extends AnyFunSuite {
       unwrap(q66).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
       s"q66 missed the tie-aware rank exec:\n${unwrap(q66)}"
     )
-    Seq(q65, q66).foreach { df =>
+    val q67 = graft.operators.Relational.q67SpendPercentile(spark, sf)
+    assert(
+      unwrap(q67).collect {
+        case g: graft.plans.GlobalRankExec if g.mode == graft.plans.GlobalRankMode.PercentRankTies => g
+      }.nonEmpty,
+      s"q67 missed the percent_rank exec:\n${unwrap(q67)}"
+    )
+    Seq(q65, q66, q67).foreach { df =>
       assert(
         unwrap(df).collect {
           case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
