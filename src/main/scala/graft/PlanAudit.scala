@@ -173,7 +173,10 @@ object PlanAudit {
       "d25_source_dup_rate"         -> "source dup rate: fingerprint-grain keeper aggregate + one equi-join back + source-grain report; no pair space",
       "v27_pair_distance_hist"      -> "pair-distance histogram: capped 100-vector sample, broadcast self-join (bounded build), decimal bucket sums",
       "m23_scene_stats"             -> "scene tempo: decode-once frame table -> m13b scenes -> one doc-keyed aggregate",
-      "s39_stream_last_touch"       -> "last-touch read-out: bucketed user state scan + broadcast frontier + model-sized type report"
+      "s39_stream_last_touch"       -> "last-touch read-out: bucketed user state scan + broadcast frontier + model-sized type report",
+      "q67_spend_percentile"        -> "global spend percentile: PercentRankTies exec (range exchange + tie metadata + n off the offsets) — no 1-task window",
+      "d26_cross_source_dups"       -> "cross-source dup matrix: fingerprint-equi self-join (pair space = dup groups only) -> unordered-pair aggregate",
+      "c37_compact_index"           -> "compacted index read-out: one scan of the single post-GC version (compaction + GC happen before the plan)"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
