@@ -176,7 +176,11 @@ object PlanAudit {
       "s39_stream_last_touch"       -> "last-touch read-out: bucketed user state scan + broadcast frontier + model-sized type report",
       "q67_spend_percentile"        -> "global spend percentile: PercentRankTies exec (range exchange + tie metadata + n off the offsets) — no 1-task window",
       "d26_cross_source_dups"       -> "cross-source dup matrix: fingerprint-equi self-join (pair space = dup groups only) -> unordered-pair aggregate",
-      "c37_compact_index"           -> "compacted index read-out: one scan of the single post-GC version (compaction + GC happen before the plan)"
+      "c37_compact_index"           -> "compacted index read-out: one scan of the single post-GC version (compaction + GC happen before the plan)",
+      "t48_lang_confusion"          -> "lang confusion: one corpus scan -> langs^2 cells + broadcast actual totals",
+      "m24_audio_crest"             -> "audio crest: map-only real WAV decode, exact integer peak/sum-sq per clip; scalar rows shuffle",
+      "e50_session_shape"           -> "session shape: one keyed lag window -> session-grain lengths -> single conditional-agg report row",
+      "v28_hard_negatives"          -> "hard negatives: v1's broadcast-query shape + (q, same-flag)-keyed rank window; corpus never shuffled"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -527,7 +527,15 @@ object SparkEntry {
     // round 14: global spend percentile (PercentRankTies exec path)
     "q67_spend_percentile"   -> (Relational.q67SpendPercentile _),
     // round 14: cross-source duplication matrix (syndication detection)
-    "d26_cross_source_dups"  -> (Dedup.d26CrossSourceDups _)
+    "d26_cross_source_dups"  -> (Dedup.d26CrossSourceDups _),
+    // round 14: language-id confusion matrix vs metadata ground truth
+    "t48_lang_confusion"     -> (TextAnalysis.t48LangConfusion _),
+    // round 14: audio crest factor off the real WAV decode
+    "m24_audio_crest"        -> (Multimodal.m24AudioCrest _),
+    // round 14: session-length distribution (bounce rate + histogram)
+    "e50_session_shape"      -> (Events.e50SessionShape _),
+    // round 14: hard-negative margins per sampled query
+    "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4802,7 +4810,80 @@ object SparkEntry {
         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
         |SELECT least(a_src, b_src) AS source_a, greatest(a_src, b_src) AS source_b,
         | count(*) AS n_pairs
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t48: t1's heuristic replayed, then the confusion cells + recall shares
+    "t48_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_meta,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |pred AS (SELECT doc_id, lang_meta,
+        | CASE WHEN g['hits'] > 0 THEN g['lang'] ELSE 'und' END AS lang_pred
+        |FROM (
+        | SELECT doc_id, lang_meta, list_max([
+        |  {'hits': len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den'))), 'lang': 'de'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))), 'lang': 'en'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','es'))), 'lang': 'es'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('le','la','de','et','un','une','est','que'))), 'lang': 'fr'},
+        |  {'hits': len(list_filter(tk, x -> x IN ('的','是','了','在','我','有','和','不'))), 'lang': 'zh'}
+        | ]) AS g FROM t)),
+        |cells AS (SELECT lang_meta AS actual, lang_pred AS predicted, count(*) AS n_docs
+        | FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT actual, CAST(sum(n_docs) AS BIGINT) AS n_actual FROM cells GROUP BY 1)
+        |SELECT c.actual, c.predicted, c.n_docs,
+        | round(c.n_docs / CAST(t.n_actual AS DOUBLE), 6) AS share_of_actual,
+        | c.actual = c.predicted AS is_correct
+        |FROM cells c JOIN tot t USING (actual) ORDER BY 1, 2""".stripMargin,
+    // m24: crest factor from the staged sample model — exact integer
+    // peak/sum-of-squares, one sqrt + one division (IEEE-identical)
+    "m24_audio_crest" ->
+      """WITH m AS (SELECT doc_id, CAST(64 + doc_id % 41 AS BIGINT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i,
+        |  ((doc_id*31 + i.i*i.i*7919) % 65536) - 32768 AS v
+        | FROM m, generate_series(0, 104) i(i) WHERE i.i < n),
+        |ag AS (SELECT doc_id, any_value(n) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak, CAST(sum(v*v) AS BIGINT) AS sum_sq
+        | FROM sm GROUP BY 1)
+        |SELECT doc_id, n_samples, peak, sum_sq,
+        | round(peak / sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS crest
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    // e50: e2's 30-minute sessions reduced to the length distribution
+    "e50_session_shape" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id,
+        |  sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM s),
+        |lens AS (SELECT user_id, session_id, count(*) AS len FROM s2 GROUP BY 1, 2),
+        |ag AS (SELECT count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |  CAST(sum(CASE WHEN len BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_2_3,
+        |  CAST(sum(CASE WHEN len BETWEEN 4 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_4_7,
+        |  CAST(sum(CASE WHEN len >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_8_plus,
+        |  CAST(sum(len) AS BIGINT) AS n_events, CAST(max(len) AS BIGINT) AS max_len
+        | FROM lens)
+        |SELECT n_sessions, n_singleton, n_2_3, n_4_7, n_8_plus, max_len,
+        | round(n_singleton / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate,
+        | round(n_events / CAST(n_sessions AS DOUBLE), 6) AS mean_len
+        |FROM ag""".stripMargin,
+    // v28: per query, best same-label vs best different-label cosine
+    "v28_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, embedding::DOUBLE[] AS c_emb FROM embeddings),
+        |sc AS (SELECT q_id, q_label, c_id, c_label = q_label AS same,
+        |  list_dot_product(q_emb, c_emb)
+        |   / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+        | FROM c JOIN q ON c_id <> q_id),
+        |r AS (SELECT q_id, q_label, c_id, same, cos,
+        |  row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, c_id) AS rn FROM sc),
+        |sb AS (SELECT q_id, q_label AS label, c_id AS same_id, cos AS same_cos FROM r WHERE rn = 1 AND same),
+        |db AS (SELECT q_id, c_id AS hard_negative_id, cos AS diff_cos FROM r WHERE rn = 1 AND NOT same)
+        |SELECT sb.q_id, sb.label, sb.same_id, round(sb.same_cos, 4) AS same_cos,
+        | db.hard_negative_id, round(db.diff_cos, 4) AS diff_cos,
+        | round(sb.same_cos - db.diff_cos, 4) AS margin
+        |FROM sb JOIN db USING (q_id) ORDER BY q_id""".stripMargin
   )
 
   private val v21Sql =

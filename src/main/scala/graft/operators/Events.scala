@@ -1512,4 +1512,50 @@ object Events {
       )
       .orderBy("event_type")
   }
+
+  /** e50 (round 14): SESSION SHAPE — the corpus-level distribution of
+    * session lengths (e2's 30-minute-gap sessions): session count,
+    * singleton share (the bounce rate), mean/max length, and a
+    * 1 / 2–3 / 4–7 / 8+ length histogram. All folds are exact integer
+    * counts; the only division is the final two report ratios. One
+    * keyed lag window + two aggregates — no percentile machinery, no
+    * global sort.
+    */
+  def e50SessionShape(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lens = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn(
+        "nf",
+        when(
+          lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("session_id", sum("nf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("len"))
+    lens
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("len").between(2, 3), 1L).otherwise(0L)).as("n_2_3"),
+        sum(when(col("len").between(4, 7), 1L).otherwise(0L)).as("n_4_7"),
+        sum(when(col("len") >= 8, 1L).otherwise(0L)).as("n_8_plus"),
+        sum("len").as("n_events"),
+        max("len").as("max_len")
+      )
+      .select(
+        col("n_sessions"),
+        col("n_singleton"),
+        col("n_2_3"),
+        col("n_4_7"),
+        col("n_8_plus"),
+        col("max_len"),
+        round(col("n_singleton").cast("double") / col("n_sessions"), 6).as("bounce_rate"),
+        round(col("n_events").cast("double") / col("n_sessions"), 6).as("mean_len")
+      )
+  }
 }

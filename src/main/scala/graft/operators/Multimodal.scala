@@ -1375,4 +1375,47 @@ object Multimodal {
         round(col("n_scenes").cast("double") / col("n_frames"), 6).as("cut_rate")
       )
       .orderBy("doc_id")
+
+  /** m24 (round 14): AUDIO CREST FACTOR — peak-to-RMS ratio per clip
+    * from the REAL WAV decode (m16's header/PCM path), the
+    * dynamic-range screen audio curation uses (heavily compressed /
+    * limited audio has a low crest; clicks and raw speech run high).
+    * peak and Σv² are exact integer folds in the decode loop; the only
+    * floating steps are one sqrt and one division of exact integers —
+    * both correctly-rounded IEEE, so the oracle replays bit-for-bit
+    * from the staged sample model.
+    */
+  def m24AudioCrest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("wav_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var peak = 0L
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            i += 1
+          }
+          (id, n.toLong, peak, sumSq)
+        }
+      }
+      .toDF("doc_id", "n_samples", "peak", "sum_sq")
+      .withColumn(
+        "crest",
+        round(col("peak") / sqrt(col("sum_sq").cast("double") / col("n_samples")), 6)
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -1263,12 +1263,13 @@ object Relational {
     * revenue share under a (revenue desc, partkey) total order: class A
     * holds the first 80% of revenue, B to 95%, C the tail (the
     * inventory-analysis staple, and the warehouse twin of q57's decile
-    * lift). The cumulative sum comes from [[ScaleRank.withRunningSum]]
-    * — a global running total WITHOUT a single-task window (range
-    * partition + pid-keyed prefix windows + metadata-grain value
-    * offsets). Class boundaries compare cum·100 ≤ total·80 in DECIMAL
-    * (revenue is (18,2)-exact), so the cut can never move on a float
-    * ulp; shares go double only in the final report row.
+    * lift). Since round 14 the cumulative sum is the PLAIN global
+    * window — the decimal GlobalPrefixSum rewrite plans it as a range
+    * exchange + BigDecimal partial stitch (no single-task window, no
+    * ScaleRank scaffolding needed). Class boundaries compare cum·100 ≤
+    * total·80 in DECIMAL (revenue is (18,2)-exact), so the cut can
+    * never move on a float ulp; shares go double only in the final
+    * report row.
     */
   def q60AbcClass(s: SparkSession, d: String): DataFrame = {
     val rev = Tables
@@ -1276,8 +1277,11 @@ object Relational {
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)")).as("rev"))
     val tot = rev.agg(sum("rev").as("total_rev"))
-    ScaleRank
-      .withRunningSum(rev, Seq.empty, Seq(desc("rev"), col("l_partkey")), "rev", "cum_rev")
+    val w = Window
+      .orderBy(desc("rev"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_rev", sum("rev").over(w))
       .crossJoin(broadcast(tot))
       .withColumn(
         "abc_class",

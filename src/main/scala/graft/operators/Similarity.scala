@@ -1519,4 +1519,59 @@ object Similarity {
       )
       .orderBy("bucket")
   }
+
+  /** v28 (round 14): HARD-NEGATIVE MARGINS — per sampled query, its
+    * best SAME-label neighbor vs its best DIFFERENT-label neighbor and
+    * the margin between them: the contrastive-training health check
+    * (a negative margin = the embedding space confuses the classes at
+    * that point; the diff neighbor IS the hard negative a miner would
+    * emit). v1's broadcast-query shape with one extra rank partition
+    * key (the same-label flag); deterministic tie-break (cos desc,
+    * c_id); margin computed on unrounded cosines, rounded once.
+    */
+  def v28HardNegatives(s: SparkSession, d: String, nQueries: Int = 10): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"),
+        col("label").as("q_label"),
+        col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")
+      )
+    val c = e.select(
+      col("vec_id").as("c_id"),
+      col("label").as("c_label"),
+      col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm")
+    )
+    val w = Window
+      .partitionBy(col("q_id"), col("same"))
+      .orderBy(desc("cos"), col("c_id"))
+    val best = c
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos", VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("same", col("c_label") === col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val sameBest = best
+      .filter(col("same"))
+      .select(col("q_id"), col("q_label").as("label"), col("c_id").as("same_id"), col("cos").as("same_cos"))
+    val diffBest = best
+      .filter(!col("same"))
+      .select(col("q_id"), col("c_id").as("hard_negative_id"), col("cos").as("diff_cos"))
+    sameBest
+      .join(diffBest, "q_id")
+      .select(
+        col("q_id"),
+        col("label"),
+        col("same_id"),
+        round(col("same_cos"), 4).as("same_cos"),
+        col("hard_negative_id"),
+        round(col("diff_cos"), 4).as("diff_cos"),
+        round(col("same_cos") - col("diff_cos"), 4).as("margin")
+      )
+      .orderBy("q_id")
+  }
 }

@@ -1984,4 +1984,30 @@ object TextAnalysis {
       .orderBy(desc("vmr"), col("w"))
       .limit(20)
   }
+
+  /** t48 (round 14): LANGUAGE-ID CONFUSION MATRIX — t1's heuristic
+    * classifier evaluated against the corpus's ground-truth `lang`
+    * column: per (actual, predicted) cell, doc count and share of the
+    * actual language (recall on the diagonal, the leakage pattern off
+    * it) — the eval table that decides whether the cheap n-gram screen
+    * is good enough to shard a 100 TB dedup by language (d24's
+    * question, answered from the classifier side). Model-sized output
+    * (langs²); one corpus scan.
+    */
+  def t48LangConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = t1LangId(s, d)
+      .groupBy(col("lang_meta").as("actual"), col("lang_pred").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("actual").agg(sum("n_docs").as("n_actual"))
+    cells
+      .join(broadcast(totals), "actual")
+      .select(
+        col("actual"),
+        col("predicted"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_actual"), 6).as("share_of_actual"),
+        (col("actual") === col("predicted")).as("is_correct")
+      )
+      .orderBy("actual", "predicted")
+  }
 }

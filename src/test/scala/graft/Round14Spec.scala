@@ -157,6 +157,35 @@ class Round14Spec extends AnyFunSuite {
     assert(ndm == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), s"dense_rank: $ndm")
   }
 
+  test("BucketedStateStore: random batch chops land the identical state (fold equivalence)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def merge(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+      p.unionByName(i).groupBy("k").agg(sum("n").as("n"), min("tag").as("tag"))
+    val rows = (0 until 400).map(i => (s"k${rnd.nextInt(80)}", rnd.nextInt(9).toLong + 1L, rnd.nextInt(1000).toLong))
+    // one-shot reference fold
+    val refRoot = graft.TempDirs.create("graft_bss_prop_ref_")
+    BucketedStateStore.upsert(refRoot, 0L, rows.toDF("k", "n", "tag"), Seq("k"), 8)(merge)
+    val expect = BucketedStateStore.readLatest(spark, refRoot).get
+      .collect().map(_.toString).sorted.toSeq
+    // three random chops, each with random batch sizes AND random bucket counts
+    (1 to 3).foreach { trial =>
+      val root = graft.TempDirs.create(s"graft_bss_prop_${trial}_")
+      var rest = rows
+      var b = 0L
+      val buckets = 1 + rnd.nextInt(16)
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(math.min(150, rest.size))
+        BucketedStateStore.upsert(root, b, rest.take(take).toDF("k", "n", "tag"), Seq("k"), buckets)(merge)
+        rest = rest.drop(take)
+        b += 1
+      }
+      val got = BucketedStateStore.readLatest(spark, root).get
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect, s"trial $trial (buckets=$buckets, batches=$b) diverged from one-shot fold")
+    }
+  }
+
   test("BucketedStateStore: compact rewrites live state as ONE version; gcOrphans deletes the rest") {
     import spark.implicits._
     val root = graft.TempDirs.create("graft_bss_compact_")
@@ -287,7 +316,14 @@ class Round14Spec extends AnyFunSuite {
       }.nonEmpty,
       s"q67 missed the percent_rank exec:\n${unwrap(q67)}"
     )
-    Seq(q65, q66, q67).foreach { df =>
+    // q60's cumulative revenue now rides the decimal prefix exec too
+    // (it used ScaleRank scaffolding before round 14)
+    val q60 = graft.operators.Relational.q60AbcClass(spark, sf)
+    assert(
+      unwrap(q60).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      s"q60 missed the decimal prefix exec:\n${unwrap(q60)}"
+    )
+    Seq(q65, q66, q67, q60).foreach { df =>
       assert(
         unwrap(df).collect {
           case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
