@@ -66,7 +66,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // list_*/regexp_extract_all-arity, v25/v26 list_dot_product, e47
     // epoch_us, e48 epoch_ms, q63/q64 '//'+VARCHAR — DuckDB gate; the
     // integrity tally is pure ANSI)
-    "m21_media_integrity"
+    "m21_media_integrity",
+    // round 14 (t47/t48/c37 list_*, e50 epoch_us, v27/v28
+    // list_dot_product, m23/m24 generate_series — DuckDB gate; these
+    // seven are pure ANSI incl. the GlobalRank-family windows, so a SQL
+    // user gets the distributed plans from the same statements)
+    "q65_cum_revenue", "q66_quantity_rank", "q67_spend_percentile",
+    "e49_hour_entropy", "d25_source_dup_rate", "d26_cross_source_dups",
+    "s39_stream_last_touch"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
