@@ -238,6 +238,50 @@ class Round14Spec extends AnyFunSuite {
     assert(cd.collect { case g: graft.plans.GlobalRankNode => g }.isEmpty)
   }
 
+  test("GlobalRank family: randomized tie differentials vs an in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val mod = 1 + rnd.nextInt(20) // tie density: up to n/1 .. n/20-wide peer groups
+      val keys = Vector.fill(n)(rnd.nextInt(mod).toLong)
+      keys.zipWithIndex.map { case (k, i) => (k, i.toLong, (k % 7) + 1) }
+        .toDF("k", "id", "v").createOrReplaceTempView("gr14_rand")
+      // reference maps from the key multiset
+      val sortedKeys = keys.sorted
+      val below = keys.distinct.sorted.map(k => k -> sortedKeys.indexWhere(_ == k)).toMap
+      val denseOf = keys.distinct.sorted.zipWithIndex.toMap
+      def run(sql: String) = {
+        val df = spark.sql(sql)
+        assert(
+          unwrap(df).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty ||
+            unwrap(df).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+          s"trial $trial not rewritten: $sql"
+        )
+        df.collect()
+      }
+      run("SELECT id, k, rank() OVER (ORDER BY k) AS r FROM gr14_rand").foreach { row =>
+        assert(row.getInt(2) == below(row.getLong(1)) + 1, s"rank trial $trial")
+      }
+      run("SELECT id, k, dense_rank() OVER (ORDER BY k) AS r FROM gr14_rand").foreach { row =>
+        assert(row.getInt(2) == denseOf(row.getLong(1)) + 1, s"dense trial $trial")
+      }
+      run("SELECT id, k, percent_rank() OVER (ORDER BY k) AS r FROM gr14_rand").foreach { row =>
+        val exp = below(row.getLong(1)).toDouble / (n - 1)
+        assert(row.getDouble(2) == exp, s"pct trial $trial")
+      }
+      // prefix sum over the UNIQUE (k, id) order — reference by sorted scan
+      val orderRef = keys.zipWithIndex
+        .map { case (k, i) => (k, i.toLong, (k % 7) + 1) }
+        .sortBy(t => (t._1, t._2))
+      val cums = orderRef.scanLeft(0L)((a, t) => a + t._3).drop(1)
+      val cumOf = orderRef.map(_._2).zip(cums).toMap
+      run(
+        "SELECT id, sum(v) OVER (ORDER BY k, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM gr14_rand"
+      ).foreach { row => assert(row.getLong(1) == cumOf(row.getLong(0)), s"prefix trial $trial") }
+    }
+  }
+
   test("GlobalNtile: single scan — n rides the rank exec's own offsets, no second child pass") {
     val df = spark.sql("SELECT id, ntile(7) OVER (ORDER BY id) AS t FROM range(1003)")
     val exec = unwrap(df)
