@@ -180,7 +180,11 @@ object PlanAudit {
       "t48_lang_confusion"          -> "lang confusion: one corpus scan -> langs^2 cells + broadcast actual totals",
       "m24_audio_crest"             -> "audio crest: map-only real WAV decode, exact integer peak/sum-sq per clip; scalar rows shuffle",
       "e50_session_shape"           -> "session shape: one keyed lag window -> session-grain lengths -> single conditional-agg report row",
-      "v28_hard_negatives"          -> "hard negatives: v1's broadcast-query shape + (q, same-flag)-keyed rank window; corpus never shuffled"
+      "v28_hard_negatives"          -> "hard negatives: v1's broadcast-query shape + (q, same-flag)-keyed rank window; corpus never shuffled",
+      "q68_top_customer_share"      -> "whale concentration: GlobalRank row_number + integer ceil cutoffs + 1-row broadcast totals per tier",
+      "e51_type_overlap"            -> "audience overlap: one (type,user) dedup -> user-keyed self-equi-join -> types^2 matrix + broadcast sizes",
+      "t49_ngram_coverage"          -> "ngram head coverage: one count shuffle; rank window over the TYPE table; integer tier cutoffs",
+      "d27_cluster_size_hist"       -> "cluster-size histogram: two keyed aggregates + 1-row broadcast total; exact integers"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -535,7 +535,15 @@ object SparkEntry {
     // round 14: session-length distribution (bounce rate + histogram)
     "e50_session_shape"      -> (Events.e50SessionShape _),
     // round 14: hard-negative margins per sampled query
-    "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d))
+    "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d)),
+    // round 14: top-1/5/10%% customer revenue concentration
+    "q68_top_customer_share" -> (Relational.q68TopCustomerShare _),
+    // round 14: exact audience-overlap (Jaccard) matrix per type pair
+    "e51_type_overlap"       -> (Events.e51TypeOverlap _),
+    // round 14: trigram head-coverage curve (top-k occurrence share)
+    "t49_ngram_coverage"     -> (TextAnalysis.t49NgramCoverage _),
+    // round 14: dup-cluster size histogram at the prefix grain
+    "d27_cluster_size_hist"  -> (Dedup.d27ClusterSizeHist _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4883,7 +4891,57 @@ object SparkEntry {
         |SELECT sb.q_id, sb.label, sb.same_id, round(sb.same_cos, 4) AS same_cos,
         | db.hard_negative_id, round(db.diff_cos, 4) AS diff_cos,
         | round(sb.same_cos - db.diff_cos, 4) AS margin
-        |FROM sb JOIN db USING (q_id) ORDER BY q_id""".stripMargin
+        |FROM sb JOIN db USING (q_id) ORDER BY q_id""".stripMargin,
+    // q68: tier cutoff rn <= ceil(n*p/100) via 100*rn <= n*p + 99 —
+    // pure integer arithmetic, identical in both engines
+    "q68_top_customer_share" ->
+      """WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents FROM sp),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn FROM sp),
+        |tier AS (
+        | SELECT p.p AS top_pct, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS tier_cents,
+        |  any_value(t.total_cents) AS total_cents
+        | FROM r, t, (VALUES (1), (5), (10)) p(p)
+        | WHERE r.rn * 100 <= t.n * p.p + 99 GROUP BY 1)
+        |SELECT CAST(top_pct AS INT) AS top_pct, n_customers, tier_cents,
+        | round(tier_cents / CAST(total_cents AS DOUBLE), 6) AS revenue_share
+        |FROM tier ORDER BY top_pct""".stripMargin,
+    // e51: exact Jaccard per type pair from one (type, user) dedup
+    "e51_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        | FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT iv.type_a, iv.type_b, sa.n_users AS n_a, sb.n_users AS n_b, iv.n_both,
+        | round(iv.n_both / CAST(sa.n_users + sb.n_users - iv.n_both AS DOUBLE), 6) AS jaccard
+        |FROM iv JOIN sz sa ON sa.event_type = iv.type_a
+        | JOIN sz sb ON sb.event_type = iv.type_b
+        |ORDER BY 1, 2""".stripMargin,
+    // t49: word trigrams ("a b c"), rank ties by gram string
+    "t49_ngram_coverage" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+        |g AS (SELECT tk[i.i] || ' ' || tk[i.i+1] || ' ' || tk[i.i+2] AS g
+        | FROM tok, generate_series(1, 2000) i(i) WHERE i.i + 2 <= len(tk)),
+        |c AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS n_types FROM c),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rn FROM c),
+        |tier AS (SELECT k.k AS top_k, count(*) AS n_grams, CAST(sum(c) AS BIGINT) AS occurrences,
+        |  any_value(t.total) AS total, any_value(t.n_types) AS n_types
+        | FROM r, t, (VALUES (10), (100), (1000)) k(k) WHERE r.rn <= k.k GROUP BY 1)
+        |SELECT CAST(top_k AS INT) AS top_k, n_grams, occurrences, n_types,
+        | round(occurrences / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM tier ORDER BY top_k""".stripMargin,
+    // d27: cluster-size histogram at the 120-char-prefix grain
+    "d27_cluster_size_hist" ->
+      """WITH f AS (SELECT md5(substr(text, 1, 120)) AS fp FROM documents),
+        |sz AS (SELECT fp, count(*) AS sz FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(sz) AS BIGINT) AS n_docs FROM sz)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+        | CAST(sz * count(*) AS BIGINT) AS docs_covered,
+        | round(sz * count(*) / CAST(any_value(t.n_docs) AS DOUBLE), 6) AS corpus_share
+        |FROM sz, t GROUP BY sz ORDER BY cluster_size""".stripMargin
   )
 
   private val v21Sql =

@@ -1005,4 +1005,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("source_a", "source_b")
   }
+
+  /** d27 (round 14): DUP-CLUSTER SIZE HISTOGRAM at the prefix-
+    * fingerprint grain — how deep the duplication runs (d13 profiles
+    * the MinHash clusters; this is the exact-prefix twin): cluster size
+    * → number of clusters, docs covered, and the share of the corpus
+    * sitting in clusters of that depth. Two keyed aggregates, exact
+    * integers, one division per report row.
+    */
+  def d27ClusterSizeHist(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables
+      .documents(s, d)
+      .select(md5(substring(col("text"), 1, 120)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum("sz").as("n_docs"))
+    sizes
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("sz").as("cluster_size"),
+        col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("docs_covered"),
+        round((col("sz") * col("n_clusters")).cast("double") / col("n_docs"), 6).as("corpus_share")
+      )
+      .orderBy("cluster_size")
+  }
 }

@@ -1558,4 +1558,40 @@ object Events {
         round(col("n_events").cast("double") / col("n_sessions"), 6).as("mean_len")
       )
   }
+
+  /** e51 (round 14): AUDIENCE-OVERLAP MATRIX — exact Jaccard of user
+    * sets for every event-type PAIR (e27 measures one pair with theta
+    * sketches; this is the exact full matrix — types are few, so the
+    * matrix is model-sized). One dedup to (type, user) grain, one
+    * self-equi-join ON USER (pair space = Σ per-user types², bounded by
+    * types²·users), exact integer intersections; union sizes by
+    * inclusion-exclusion — no second pass over users.
+    */
+  def e51TypeOverlap(s: SparkSession, d: String): DataFrame = {
+    val tu = Tables
+      .events(s, d)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = tu
+      .as("a")
+      .join(tu.as("b"), col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), "type_b")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        round(
+          col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")),
+          6
+        ).as("jaccard")
+      )
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -1592,4 +1592,42 @@ object Relational {
       .select(col("o_custkey"), col("cents"), col("pct"))
       .orderBy("o_custkey")
   }
+
+  /** q68 (round 14): TOP-CUSTOMER REVENUE CONCENTRATION — what share of
+    * the book the top 1% / 5% / 10% of customers carry (the whale-risk
+    * report next to q60's ABC classes): customers ranked by exact-cents
+    * spend under a unique (cents desc, custkey) order — the global
+    * row_number rides GlobalRankExec — and each tier's share is a
+    * single division of exact longs. Tier sizes are ceil(p·n) computed
+    * in integer arithmetic, so the cutoffs can never move on a float.
+    */
+  def q68TopCustomerShare(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables
+      .orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+    val ranked = spend
+      .withColumn("rn", row_number().over(Window.orderBy(desc("cents"), col("o_custkey"))))
+      .crossJoin(broadcast(tot))
+    Seq(1, 5, 10)
+      .map { p =>
+        ranked
+          .filter(col("rn") * 100 <= col("n") * p + lit(99)) // rn <= ceil(n*p/100)
+          .agg(
+            lit(p).as("top_pct"),
+            count(lit(1)).as("n_customers"),
+            sum("cents").as("tier_cents"),
+            first("total_cents").as("total_cents")
+          )
+      }
+      .reduce(_ unionByName _)
+      .select(
+        col("top_pct"),
+        col("n_customers"),
+        col("tier_cents"),
+        round(col("tier_cents").cast("double") / col("total_cents"), 6).as("revenue_share")
+      )
+      .orderBy("top_pct")
+  }
 }

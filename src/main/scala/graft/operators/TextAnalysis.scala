@@ -2010,4 +2010,56 @@ object TextAnalysis {
       )
       .orderBy("actual", "predicted")
   }
+
+  /** t49 (round 14): N-GRAM HEAD COVERAGE — what fraction of all corpus
+    * trigram OCCURRENCES the top-k distinct trigrams cover, for k ∈
+    * {10, 100, 1000}: the head-heaviness curve that prices n-gram
+    * decontamination and winnowing indexes (a heavy head means a small
+    * blocklist catches most mass). Rank ties broken by the gram string;
+    * coverage is one division of exact longs per report row. One count
+    * shuffle; the rank window runs over the TYPE table (Heaps-sublinear),
+    * t12/t21's discipline.
+    */
+  def t49NgramCoverage(s: SparkSession, d: String): DataFrame = {
+    // raw OCCURRENCE trigrams (TF.wordShingles dedups per doc — wrong
+    // grain for a coverage-of-occurrences curve)
+    val tk = TF.tokens(col("text"))
+    val tris = when(
+      size(tk) >= 3,
+      transform(
+        sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))
+      )
+    ).otherwise(array().cast("array<string>"))
+    val grams = Tables
+      .documents(s, d)
+      .select(explode(tris).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
+    val tot = grams.agg(sum("c").as("total"), count(lit(1)).as("n_types"))
+    val ranked = grams
+      .withColumn("rn", row_number().over(Window.orderBy(desc("c"), col("g"))))
+      .crossJoin(broadcast(tot))
+    Seq(10, 100, 1000)
+      .map { k =>
+        ranked
+          .filter(col("rn") <= k)
+          .agg(
+            lit(k).as("top_k"),
+            count(lit(1)).as("n_grams"),
+            sum("c").as("occurrences"),
+            first("total").as("total"),
+            first("n_types").as("n_types")
+          )
+      }
+      .reduce(_ unionByName _)
+      .select(
+        col("top_k"),
+        col("n_grams"),
+        col("occurrences"),
+        col("n_types"),
+        round(col("occurrences").cast("double") / col("total"), 6).as("coverage")
+      )
+      .orderBy("top_k")
+  }
 }
