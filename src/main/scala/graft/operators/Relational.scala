@@ -1610,18 +1610,23 @@ object Relational {
     val ranked = spend
       .withColumn("rn", row_number().over(Window.orderBy(desc("cents"), col("o_custkey"))))
       .crossJoin(broadcast(tot))
-    Seq(1, 5, 10)
-      .map { p =>
-        ranked
-          .filter(col("rn") * 100 <= col("n") * p + lit(99)) // rn <= ceil(n*p/100)
-          .agg(
-            lit(p).as("top_pct"),
-            count(lit(1)).as("n_customers"),
-            sum("cents").as("tier_cents"),
-            first("total_cents").as("total_cents")
-          )
-      }
-      .reduce(_ unionByName _)
+    // all three tiers from ONE pass (conditional sums, rn <= ceil(n*p/100)
+    // as 100*rn <= n*p + 99), stacked — not one re-aggregation per tier
+    def in(p: Int) = col("rn") * 100 <= col("n") * p + lit(99)
+    ranked
+      .agg(
+        sum(when(in(1), 1L).otherwise(0L)).as("n1"),
+        sum(when(in(1), col("cents")).otherwise(0L)).as("c1"),
+        sum(when(in(5), 1L).otherwise(0L)).as("n5"),
+        sum(when(in(5), col("cents")).otherwise(0L)).as("c5"),
+        sum(when(in(10), 1L).otherwise(0L)).as("n10"),
+        sum(when(in(10), col("cents")).otherwise(0L)).as("c10"),
+        first("total_cents").as("total_cents")
+      )
+      .selectExpr(
+        "stack(3, 1, n1, c1, 5, n5, c5, 10, n10, c10) as (top_pct, n_customers, tier_cents)",
+        "total_cents"
+      )
       .select(
         col("top_pct"),
         col("n_customers"),

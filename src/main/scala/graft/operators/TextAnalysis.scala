@@ -2031,28 +2031,38 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))
       )
     ).otherwise(array().cast("array<string>"))
+    // materialize the TYPE table once (vocab³-bounded — model-sized):
+    // both the total and the ranked branch read it, so the corpus
+    // explode+count shuffle runs exactly once, not once per branch
     val grams = Tables
       .documents(s, d)
       .select(explode(tris).as("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = grams.agg(sum("c").as("total"), count(lit(1)).as("n_types"))
     val ranked = grams
       .withColumn("rn", row_number().over(Window.orderBy(desc("c"), col("g"))))
       .crossJoin(broadcast(tot))
-    Seq(10, 100, 1000)
-      .map { k =>
-        ranked
-          .filter(col("rn") <= k)
-          .agg(
-            lit(k).as("top_k"),
-            count(lit(1)).as("n_grams"),
-            sum("c").as("occurrences"),
-            first("total").as("total"),
-            first("n_types").as("n_types")
-          )
-      }
-      .reduce(_ unionByName _)
+    // all three tiers from ONE pass over the ranked type table
+    // (conditional sums + stack — not one re-aggregation per k, which
+    // would recompute the corpus gram count three extra times)
+    ranked
+      .agg(
+        sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("g10"),
+        sum(when(col("rn") <= 10, col("c")).otherwise(0L)).as("o10"),
+        sum(when(col("rn") <= 100, 1L).otherwise(0L)).as("g100"),
+        sum(when(col("rn") <= 100, col("c")).otherwise(0L)).as("o100"),
+        sum(when(col("rn") <= 1000, 1L).otherwise(0L)).as("g1000"),
+        sum(when(col("rn") <= 1000, col("c")).otherwise(0L)).as("o1000"),
+        first("total").as("total"),
+        first("n_types").as("n_types")
+      )
+      .selectExpr(
+        "stack(3, 10, g10, o10, 100, g100, o100, 1000, g1000, o1000) as (top_k, n_grams, occurrences)",
+        "total",
+        "n_types"
+      )
       .select(
         col("top_k"),
         col("n_grams"),
