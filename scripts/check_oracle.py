@@ -76,6 +76,27 @@ def main():
             hcols = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t]
             print(f"FAIL {name}: oracle HUGEINT column(s) {hcols} — add CAST(... AS BIGINT)")
             n_fail += 1; continue
+        # Wide-decimal guard (round 15): any DECIMAL wider than precision
+        # 18 on EITHER side diverges under the driver's canon even when
+        # the local compare is bit-exact (round-11 HUGEINT, round-14
+        # q65/s37 DECIMAL(28,2)/(38,0)). Hard-fail so the class can't
+        # recur: the portable surface is <= DECIMAL(18,x) or BIGINT.
+        def wide_dec(types):
+            out = []
+            for c, t in types:
+                if "DECIMAL" in t:
+                    try:
+                        prec = int(t.split("(")[1].split(",")[0])
+                    except Exception:
+                        prec = 99
+                    if prec > 18:
+                        out.append((c, t))
+            return out
+        wide = wide_dec(zip(o_cols, o_types)) + wide_dec(zip(s_cols, s_types))
+        if wide:
+            print(f"FAIL {name}: >18-precision decimal column(s) {wide} — "
+                  f"driver canon diverges on wide decimals; CAST to DECIMAL(18,x) or BIGINT")
+            n_fail += 1; continue
         # diff per NAME (dicts), not positionally over sorted (name, type)
         # pairs — tuples sort by (name, type), so a drifted type could
         # shift sort position and misattribute which column drifted.

@@ -198,9 +198,10 @@ object PlanAudit {
       "every `SparkEntry.queries` plan is linted (global windows / cartesians / " +
       "nested-loop joins) and any drift from the committed inventory fails the " +
       "suite. Current inventory: 63 queries flagged, ALL of them the documented " +
-      "bounded idioms — scalar-fanout / capped-sample BNLJs, plus two " +
-      "model-sized global windows (q58's ≤50-row p_size frontier suffix-min, " +
-      "q60's ScaleRank metadata-grain offset window). Zero cartesians.\n"
+      "bounded idioms — scalar-fanout / capped-sample BNLJs, plus ONE " +
+      "model-sized global window (q58's ≤50-row p_size frontier suffix-min; " +
+      "q60 rides GlobalPrefixSumExec since round 14 and is flagged only for " +
+      "its scalar BNLJ). Zero cartesians.\n"
     targets.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -4475,16 +4475,16 @@ object SparkEntry {
     "m21_media_integrity" ->
       """SELECT count(*) AS n_docs, count(*) AS n_img_ok, count(*) AS n_audio_ok,
         | count(*) AS n_video_ok, count(*) AS n_all_ok FROM documents""".stripMargin,
-    // s37: decay replayed from raw events as exact 2^(day-day0) weights —
-    // batch-order independence is what makes this oracle possible; the
-    // score sums in HUGEINT→DECIMAL(38,0) (Spark side: decimal(38,0))
-    // so no engine silently wraps a Long
+    // s37: decay replayed from raw events as exact frontier-relative
+    // 2^(32-age) weights (age clamped at 32) — batch-order independence
+    // is what makes this oracle possible; scores provably fit BIGINT on
+    // both engines (Σ n·wt ≤ N·2^32), so the portable surface is BIGINT
     "s37_stream_decay_topk" ->
       """WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS dt, count(*) AS n
         |  FROM events GROUP BY 1, 2),
-        |a AS (SELECT min(dt) AS d0 FROM dc),
+        |a AS (SELECT max(dt) AS dmax FROM dc),
         |sc AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(n AS HUGEINT) * (CAST(1 AS BIGINT) << least(datediff('day', a.d0, dt), 62))) AS DECIMAL(38,0)) AS decayed_scaled
+        |  CAST(sum(n * (CAST(1 AS BIGINT) << (32 - least(datediff('day', dt, a.dmax), 32)))) AS BIGINT) AS decayed_scaled
         | FROM dc, a GROUP BY 1)
         |SELECT user_id, n_events, decayed_scaled FROM sc
         |ORDER BY decayed_scaled DESC, user_id LIMIT 20""".stripMargin,
@@ -4711,14 +4711,16 @@ object SparkEntry {
         |FROM x WHERE prev_c IS NOT NULL AND next_c IS NOT NULL AND n7 = 7
         | AND c > prev_c AND c > next_c AND c * 28 > sum7 * 5
         |ORDER BY 1, 2""".stripMargin,
-    // q65: global decimal running revenue — DuckDB widens the windowed
-    // decimal sum to DECIMAL(38,2); CAST to Spark's sum-result (28,2)
+    // q65: global decimal running revenue — the PORTABLE surface is
+    // DECIMAL(18,2) (wider decimals diverge under the driver's canon;
+    // the round-11 HUGEINT class). DuckDB's CAST errors on overflow,
+    // mirroring the Spark side's raise_error guard.
     "q65_cum_revenue" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         |  CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price FROM orders)
         |SELECT o_orderkey, o_date, price,
         | CAST(sum(price) OVER (ORDER BY o_date, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum_revenue
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_revenue
         |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
     // q66: global tie-heavy rank over quantity (50 distinct values)
     "q66_quantity_rank" ->

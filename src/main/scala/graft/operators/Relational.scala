@@ -1537,7 +1537,14 @@ object Relational {
     * every order through ONE task; here the range exchange fans out and
     * partition partials stitch in unbounded BigDecimal — the first
     * engine query to hash-gate the decimal prefix exec at data grain.
-    * Money rides decimal(18,2) end-to-end (q36's discipline).
+    * Money rides decimal(18,2) end-to-end (q36's discipline). The
+    * OUTPUT is cast back to decimal(18,2) — round-14's (28,2) emission
+    * was bit-identical under local DuckDB 1.0.0 but red under the
+    * driver's canon (the >18-precision class first seen with HUGEINT
+    * in round 11), so the portable surface stays ≤(18,x); the book
+    * total at every gated SF is ~2.3e9 (7 spare digits) and a
+    * raise_error guard makes any future overflow LOUD, never a silent
+    * null/wrap on either engine.
     */
   def q65CumRevenue(s: SparkSession, d: String): DataFrame = {
     val o = Tables
@@ -1550,7 +1557,18 @@ object Relational {
     val w = Window
       .orderBy(col("o_date"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.withColumn("cum_revenue", sum("price").over(w))
+    val lim = lit(BigDecimal("10000000000000000")) // 1e16 = decimal(18,2) bound
+    o.withColumn("cum_wide", sum("price").over(w))
+      .withColumn(
+        "cum_revenue",
+        when(abs(col("cum_wide")) < lim, col("cum_wide").cast("decimal(18,2)"))
+          .otherwise(
+            raise_error(
+              concat(lit("q65 cum_revenue overflows decimal(18,2): "), col("cum_wide").cast("string"))
+            ).cast("decimal(18,2)")
+          )
+      )
+      .drop("cum_wide")
       .orderBy("o_date", "o_orderkey")
   }
 

@@ -2857,11 +2857,17 @@ object StreamingBatch {
     * would depend on nondeterministic file→batch assignment) and the
     * DuckDB oracle replays it bit-for-bit from raw events. Final
     * read-out is one model-sized aggregate + TakeOrdered(20) — no
-    * global sort. Day span is clamped at 2⁶² (documented: beyond that
-    * the oldest days' weights saturate relative ordering), and the
-    * score is summed in DECIMAL(38,0) — n×wt products up to ~10³¹ and
-    * their sums stay exact, and an overflow past 10³⁸ surfaces as NULL
-    * (Spark) / an error (DuckDB HUGEINT), never a silent Long wrap.
+    * global sort. Weights are NEWEST-day-relative (round-15 rework of
+    * the r14 DECIMAL(38,0) emission, which was locally bit-exact but
+    * red under the driver's >18-precision canon): age = days behind
+    * the stream frontier, clamped at 32 (a 1-day half-life means
+    * anything older contributes < 2⁻³² of a fresh event — below
+    * ordering relevance), weight = 2^(32−age). The score then provably
+    * fits BIGINT on both engines for any corpus under 2³¹ events
+    * (Σ n·wt ≤ N·2³² < 2⁶³), so the portable surface is plain BIGINT
+    * and no engine ever widens to HUGEINT/DECIMAL(38,0). Note the fold
+    * STATE is unchanged — commutative (user, day) counts; only the
+    * read-out weighting moved from day₀- to frontier-relative.
     */
   def s37StreamDecayTopk(s: SparkSession, d: String): DataFrame = {
     val dir = stageJson(s, d)
@@ -2878,17 +2884,17 @@ object StreamingBatch {
       .start()
     q.awaitTermination()
     val state = graft.sources.BucketedStateStore.readLatest(s, s"$root/state").get
-    val d0 = state.agg(min("dt").as("d0"))
+    val dmax = state.agg(max("dt").as("dmax"))
     state
-      .crossJoin(broadcast(d0))
+      .crossJoin(broadcast(dmax))
       .withColumn(
         "wt",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(least(datediff(dt, d0), 62) AS INT))")
+        expr("shiftleft(CAST(1 AS BIGINT), 32 - CAST(least(datediff(dmax, dt), 32) AS INT))")
       )
       .groupBy("user_id")
       .agg(
         sum("n").as("n_events"),
-        sum(col("n").cast("decimal(38,0)") * col("wt").cast("decimal(38,0)")).as("decayed_scaled")
+        sum(col("n") * col("wt")).as("decayed_scaled")
       )
       .orderBy(desc("decayed_scaled"), col("user_id"))
       .limit(20)

@@ -98,8 +98,20 @@ case class GlobalRankNode(
 }
 
 object GlobalRankRewrite extends Rule[LogicalPlan] {
+  // Recursive, not top-level-only (r14 ADVICE): a struct/array order key
+  // CONTAINING a float field has the same -0.0/0.0 and NaN-payload
+  // UnsafeRow-vs-SQL-equality hazard as a bare float key — the byte-wise
+  // boundary stitch could split a SQL peer group, so those windows stay
+  // on the stock path too.
+  private def hasFloat(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case DoubleType | FloatType                    => true
+    case s: org.apache.spark.sql.types.StructType  => s.fields.exists(f => hasFloat(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType   => hasFloat(a.elementType)
+    case m: org.apache.spark.sql.types.MapType     => hasFloat(m.keyType) || hasFloat(m.valueType)
+    case _                                         => false
+  }
   private def floatingOrder(order: Seq[SortOrder]): Boolean =
-    order.exists(o => o.dataType == DoubleType || o.dataType == FloatType)
+    order.exists(o => hasFloat(o.dataType))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window

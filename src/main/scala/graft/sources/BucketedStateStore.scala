@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.net.URI
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -20,25 +21,49 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <root>/buckets_v<b>/_b=<k>/part-*.parquet   ONLY buckets batch b rewrote
   *   <root>/manifest_<b>                          bucket -> data dir (relative),
-  *                                                published by atomic rename
+  *                                                published atomically
   * }}}
   *
-  * Every manifest maps ALL `numBuckets` buckets; untouched buckets keep
+  * Every manifest maps ALL live buckets; untouched buckets keep
   * pointing at the version directory that last rewrote them, so a batch
   * writes O(touched buckets × bucket size) bytes — with buckets sized to
   * the parquet sweet spot (128–512 MB at scale, so numBuckets grows with
   * state), that is O(batch), never O(state). This is the
   * manifest-pointer layout every table format (Iceberg/Delta) uses for
   * partial rewrites, reduced to the single-writer streaming-fold case.
+  * The manifest also records the store's `numBuckets` (a `#numBuckets=N`
+  * header, round 15): a caller passing a different bucket count than the
+  * committed layout fails FAST instead of silently hashing keys into the
+  * wrong buckets — only [[compact]] may change it (it re-hashes
+  * everything).
   *
   * Crash/retry discipline (single writer, monotone batchIds — the
   * foreachBatch contract): the base state for batch b is the newest
   * manifest with id < b, NEVER b's own half-written attempt, so a retry
-  * that died between data write and manifest rename recomputes from the
+  * that died between data write and manifest publish recomputes from the
   * committed base and overwrites its own debris (deterministic batch ⇒
-  * identical bytes). The manifest rename is atomic; callers layering
-  * multiple stores under one fold (s38's keep+tot) still use their own
-  * commit marker as the outer commit point and read AT that marker's id.
+  * identical bytes). Callers layering multiple stores under one fold
+  * (s38's keep+tot) still use their own commit marker as the outer
+  * commit point and read AT that marker's id.
+  *
+  * COMMIT PROTOCOL BY FILESYSTEM (round 15 — the 100 TB deployment
+  * story; before this the store was java.nio-only):
+  *
+  *  - local paths (no scheme / `file:`): java.nio temp-write +
+  *    `ATOMIC_MOVE` rename — the fast path every sandboxed test rides.
+  *  - HDFS (and rename-atomic DFSs): Hadoop `FileContext.rename(…,
+  *    Options.Rename.OVERWRITE)` of a temp file — the POSIX-rename
+  *    analogue; readers see the old or the new manifest, never bytes
+  *    in between.
+  *  - object stores (`s3a`/`gs`/`abfs`/…): NO rename at all — renames
+  *    there are copy+delete and non-atomic. The manifest is written
+  *    DIRECTLY with `FileSystem.create`; on these stores the object
+  *    becomes visible only at `close()` (one PUT), which IS the atomic
+  *    publish. Single-writer discipline makes the overwrite-on-retry
+  *    PUT safe (same id ⇒ identical bytes). Multi-writer deployments
+  *    need a conditional-put / pointer-swap layer on top — documented
+  *    in SCALING.md, deliberately out of scope for the single-writer
+  *    fold contract.
   */
 object BucketedStateStore {
 
@@ -48,23 +73,142 @@ object BucketedStateStore {
   def bucketOf(keys: Seq[Column], numBuckets: Int): Column =
     pmod(hash(keys: _*), lit(numBuckets)).cast("int")
 
-  private def manifestPath(root: String, batchId: Long) =
-    Paths.get(root, f"manifest_$batchId%020d")
+  /** Auto-compaction cadence for [[upsert]]: every K committed batches
+    * the store self-compacts + GCs (amortized extra write cost
+    * state/K per batch; chain length stays ≤ K+1). Env-tunable
+    * (`GRAFT_STATE_COMPACT_EVERY`), 0 disables.
+    */
+  private[graft] def defaultCompactEvery: Int =
+    sys.env.get("GRAFT_STATE_COMPACT_EVERY").map(_.toInt).getOrElse(16)
+
+  // ---------------------------------------------------------------------
+  // Filesystem abstraction: nio fast path locally, Hadoop FS elsewhere.
+  // ---------------------------------------------------------------------
+
+  private[graft] sealed trait StoreIO {
+    def list(root: String): Seq[String]
+    def exists(root: String, rel: String): Boolean
+    def readLines(root: String, rel: String): Seq[String]
+
+    /** Atomically publish `rel` under `root` with `body` (see the
+      * commit-protocol table in the object doc).
+      */
+    def publish(root: String, rel: String, body: String): Unit
+    def deleteTree(root: String, rel: String): Unit
+    def treeBytes(root: String, rel: String): Long
+  }
+
+  private object NioIO extends StoreIO {
+    def list(root: String): Seq[String] =
+      Option(new java.io.File(root).list()).getOrElse(Array.empty[String]).toSeq
+    def exists(root: String, rel: String): Boolean = Files.exists(Paths.get(root, rel))
+    def readLines(root: String, rel: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(Paths.get(root, rel)).asScala.toSeq
+    }
+    def publish(root: String, rel: String, body: String): Unit = {
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s"_tmp_$rel")
+      Files.writeString(tmp, body)
+      Files.move(
+        tmp,
+        Paths.get(root, rel),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING
+      )
+    }
+    def deleteTree(root: String, rel: String): Unit =
+      SnapshotStore.deleteTree(Paths.get(root, rel))
+    def treeBytes(root: String, rel: String): Long = {
+      val dir = Paths.get(root, rel)
+      if (!Files.exists(dir)) 0L
+      else {
+        val st = Files.walk(dir)
+        try st.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally st.close()
+      }
+    }
+  }
+
+  /** Hadoop-API IO: `renameAtomic = false` on object stores, where the
+    * manifest is published by direct create (PUT-at-close visibility).
+    */
+  private[graft] final class HadoopIO(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      renameAtomic: Boolean
+  ) extends StoreIO {
+    import org.apache.hadoop.fs.{Path => HPath}
+    private def p(root: String, rel: String) = new HPath(root, rel)
+    def list(root: String): Seq[String] = {
+      val r = new HPath(root)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).map(_.getPath.getName).toSeq
+    }
+    def exists(root: String, rel: String): Boolean = fs.exists(p(root, rel))
+    def readLines(root: String, rel: String): Seq[String] = {
+      val in = fs.open(p(root, rel))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def publish(root: String, rel: String, body: String): Unit = {
+      val target = p(root, rel)
+      fs.mkdirs(new HPath(root))
+      if (renameAtomic) {
+        val tmp = p(root, s"_tmp_$rel")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8"))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(target.toUri, conf)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } else {
+        // object store: the object appears atomically at close() — one PUT
+        val out = fs.create(target, true)
+        try out.write(body.getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    def deleteTree(root: String, rel: String): Unit = { fs.delete(p(root, rel), true); () }
+    def treeBytes(root: String, rel: String): Long = {
+      val dir = p(root, rel)
+      if (!fs.exists(dir)) 0L
+      else fs.getContentSummary(dir).getLength
+    }
+  }
+
+  private val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "abfs", "abfss", "wasb", "wasbs", "cos", "swift")
+
+  private[graft] def ioFor(root: String): StoreIO = {
+    val scheme = Option(URI.create(root.replace(" ", "%20")).getScheme).map(_.toLowerCase).orNull
+    if (scheme == null || scheme == "file") NioIO
+    else {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = org.apache.hadoop.fs.FileSystem.get(URI.create(root), conf)
+      new HadoopIO(fs, conf, renameAtomic = !objectStoreSchemes.contains(scheme))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+
+  private def manifestName(batchId: Long) = f"manifest_$batchId%020d"
 
   /** True iff `batchId`'s manifest is published — the commit check a
     * single-store fold uses to acknowledge foreachBatch redeliveries
     * (multi-store folds keep their own outer marker).
     */
   def committed(root: String, batchId: Long): Boolean =
-    Files.exists(manifestPath(root, batchId))
+    ioFor(root).exists(root, manifestName(batchId))
 
   /** Newest committed manifest id strictly BELOW `batchId` (the base a
     * retry must fold onto), or the newest overall when `batchId` is
     * `Long.MaxValue` (read paths).
     */
   private[graft] def latestManifestBefore(root: String, batchId: Long): Option[Long] = {
-    val names = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
-    val ids = names.collect {
+    val ids = ioFor(root).list(root).collect {
       case n if n.startsWith("manifest_") => n.stripPrefix("manifest_").toLong
     }
     ids.filter(_ < batchId) match {
@@ -73,29 +217,30 @@ object BucketedStateStore {
     }
   }
 
-  private def readManifest(root: String, batchId: Long): Map[Int, String] = {
-    val lines = Files.readAllLines(manifestPath(root, batchId))
+  /** Parsed manifest: bucket→dir map plus the recorded bucket count
+    * (None on pre-round-15 manifests, which carried no header).
+    */
+  private def readManifestFull(root: String, batchId: Long): (Map[Int, String], Option[Int]) = {
+    val lines = ioFor(root).readLines(root, manifestName(batchId))
+    var nb: Option[Int] = None
     val b = Map.newBuilder[Int, String]
-    lines.forEach { l =>
-      if (l.nonEmpty) {
+    lines.foreach { l =>
+      if (l.startsWith("#numBuckets=")) nb = Some(l.stripPrefix("#numBuckets=").toInt)
+      else if (l.nonEmpty) {
         val i = l.indexOf('\t')
         b += (l.substring(0, i).toInt -> l.substring(i + 1))
       }
     }
-    b.result()
+    (b.result(), nb)
   }
 
-  private def writeManifest(root: String, batchId: Long, m: Map[Int, String]): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s"_manifest_tmp_$batchId")
-    val body = m.toSeq.sorted.map { case (k, p) => s"$k\t$p" }.mkString("\n")
-    Files.writeString(tmp, body)
-    Files.move(
-      tmp,
-      manifestPath(root, batchId),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    )
+  private def readManifest(root: String, batchId: Long): Map[Int, String] =
+    readManifestFull(root, batchId)._1
+
+  private def writeManifest(root: String, batchId: Long, m: Map[Int, String], numBuckets: Int): Unit = {
+    val body = (s"#numBuckets=$numBuckets" +:
+      m.toSeq.sorted.map { case (k, p) => s"$k\t$p" }).mkString("\n")
+    ioFor(root).publish(root, manifestName(batchId), body)
   }
 
   /** Fold `incoming` into the store for `batchId`, rewriting ONLY the
@@ -104,8 +249,15 @@ object BucketedStateStore {
     * DataFrame of `incoming`'s schema when the store is new) and returns
     * the full replacement rows for those buckets — an associative keyed
     * fold (min/sum/latest-by-seq) whose output keys stay in the touched
-    * set by construction. Publishes `manifest_<batchId>` even when the
-    * batch touches nothing, so readers can resolve every committed id.
+    * set by construction. A KEY-DELETING merge is also legal (round-15
+    * ADVICE fix): manifest entries come from the bucket dirs the write
+    * ACTUALLY produced, so a touched bucket whose merge output is empty
+    * is dropped from the manifest — its keys are gone, readers never
+    * chase a nonexistent path. Publishes `manifest_<batchId>` even when
+    * the batch touches nothing, so readers can resolve every committed
+    * id. Every `autoCompactEvery`-th batch the store self-compacts and
+    * GCs down to the last two manifests (retrying batch b still finds a
+    * base < b), keeping the version chain bounded on week-long streams.
     */
   def upsert(
       root: String,
@@ -113,10 +265,20 @@ object BucketedStateStore {
       incoming: DataFrame,
       keys: Seq[String],
       numBuckets: Int,
-      stateSchema: Option[org.apache.spark.sql.types.StructType] = None
+      stateSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      autoCompactEvery: Int = defaultCompactEvery
   )(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = incoming.sparkSession
-    val prev = latestManifestBefore(root, batchId).map(readManifest(root, _)).getOrElse(Map.empty)
+    val baseId = latestManifestBefore(root, batchId)
+    val (prev, prevBuckets) = baseId.map(readManifestFull(root, _)).getOrElse((Map.empty[Int, String], None))
+    prevBuckets.foreach { nb =>
+      require(
+        nb == numBuckets,
+        s"BucketedStateStore at $root is committed with numBuckets=$nb but upsert " +
+          s"was called with $numBuckets — keys would hash into the wrong buckets. " +
+          s"Only compact() may change the bucket count."
+      )
+    }
     val bcol = bucketOf(keys.map(col), numBuckets)
     val inc = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -150,11 +312,18 @@ object BucketedStateStore {
             .partitionBy("_b")
             .mode("overwrite")
             .parquet(s"$root/$out")
-          touched.map(k => k -> s"$out/_b=$k").toMap
+          // entries from the dirs the write PRODUCED: a touched bucket the
+          // merge emptied has no dir and gets no entry (explicit delete)
+          bucketsWrittenBy(root, batchId).filter(touched).map(k => k -> s"$out/_b=$k").toMap
         }
-      writeManifest(root, batchId, untouched ++ newEntries)
+      writeManifest(root, batchId, untouched ++ newEntries, numBuckets)
     } finally {
       inc.unpersist()
+      ()
+    }
+    if (autoCompactEvery > 0 && batchId > 0 && batchId % autoCompactEvery == 0) {
+      compact(spark, root, batchId, keys, numBuckets, dirSuffix = "c")
+      gcOrphans(root, keepLast = 2)
       ()
     }
   }
@@ -173,25 +342,30 @@ object BucketedStateStore {
     readAt(s, root, Long.MaxValue - 1)
 
   /** COMPACTION: rewrite the full live state as ONE fresh version (all
-    * buckets re-bucketed and rewritten under `buckets_v<batchId>`) and
-    * publish its manifest. Bounds the version-chain length a long
+    * buckets re-bucketed and rewritten under `buckets_v<batchId><suffix>`)
+    * and publish its manifest. Bounds the version-chain length a long
     * stream accumulates — the c1-compaction counterpart for this store;
     * run it at the cadence that amortizes (every K batches, the write
-    * amplification becomes state/K per batch). Keys are re-hashed, so
+    * amplification becomes state/K per batch — [[upsert]] wires exactly
+    * that policy by default since round 15). Keys are re-hashed, so
     * compaction may also CHANGE `numBuckets` (grow buckets as state
-    * grows — the 100 TB knob). Old versions stay readable until
-    * [[gcOrphans]].
+    * grows — the 100 TB knob). `dirSuffix` keeps the compacted dir
+    * distinct when compacting AT an id whose upsert already produced
+    * `buckets_v<id>` (the auto-compaction case: reading and overwriting
+    * the same dir would race Spark's lazy scan). Old versions stay
+    * readable until [[gcOrphans]].
     */
   def compact(
       spark: SparkSession,
       root: String,
       batchId: Long,
       keys: Seq[String],
-      numBuckets: Int
+      numBuckets: Int,
+      dirSuffix: String = ""
   ): Unit = {
     val live = readAt(spark, root, batchId)
       .getOrElse(throw new IllegalStateException(s"no live state to compact under $root"))
-    val out = s"buckets_v$batchId"
+    val out = s"buckets_v$batchId$dirSuffix"
     val bcol = bucketOf(keys.map(col), numBuckets)
     live
       .withColumn("_b", bcol)
@@ -200,52 +374,58 @@ object BucketedStateStore {
       .partitionBy("_b")
       .mode("overwrite")
       .parquet(s"$root/$out")
-    val written = bucketsWrittenBy(root, batchId)
-    writeManifest(root, batchId, written.map(k => k -> s"$out/_b=$k").toMap)
+    val written = bucketDirsIn(root, out)
+    writeManifest(root, batchId, written.map(k => k -> s"$out/_b=$k").toMap, numBuckets)
   }
 
-  /** GARBAGE-COLLECT versions the NEWEST manifest no longer references:
-    * older manifests and unreferenced `buckets_v*` dirs are deleted.
-    * Single-writer discipline: call when no reader is pinned to an old
-    * snapshot (c7/c33's retention contract). Returns deleted paths.
+  /** GARBAGE-COLLECT versions no retained manifest references: all but
+    * the newest `keepLast` manifests, and `buckets_v*` dirs none of the
+    * keepers point at, are deleted. `keepLast = 2` is what the
+    * auto-compaction path uses — a crashed-and-redelivered batch b can
+    * still rebase on a manifest < b. Single-writer discipline: call when
+    * no reader is pinned to an older snapshot (c7/c33's retention
+    * contract). Returns deleted paths.
     */
-  def gcOrphans(root: String): Seq[String] = {
-    latestManifestBefore(root, Long.MaxValue) match {
-      case None => Seq.empty
-      case Some(latest) =>
-        val referenced = readManifest(root, latest).values
-          .map(p => p.split("/")(0)) // buckets_v<id> component
-          .toSet
-        val dir = new java.io.File(root)
-        val victims = Option(dir.list()).getOrElse(Array.empty[String]).filter { n =>
-          (n.startsWith("buckets_v") && !referenced.contains(n)) ||
-          (n.startsWith("manifest_") && n.stripPrefix("manifest_").toLong != latest)
-        }
-        victims.foreach(n => SnapshotStore.deleteTree(Paths.get(root, n)))
-        victims.toSeq.sorted
+  def gcOrphans(root: String, keepLast: Int = 1): Seq[String] = {
+    val io = ioFor(root)
+    val ids = manifestIds(root)
+    if (ids.isEmpty) Seq.empty
+    else {
+      val kept = ids.takeRight(math.max(1, keepLast)).toSet
+      val referenced = kept.flatMap { id =>
+        readManifest(root, id).values.map(p => p.split("/")(0)) // buckets_v<id> component
+      }
+      val victims = io.list(root).filter { n =>
+        (n.startsWith("buckets_v") && !referenced.contains(n)) ||
+        (n.startsWith("manifest_") && !kept.contains(n.stripPrefix("manifest_").toLong))
+      }
+      victims.foreach(n => io.deleteTree(root, n))
+      victims.sorted
     }
   }
 
   /** Bytes of parquet data written FOR one batch's version (test/audit
     * hook: the written-bytes-O(batch) pin).
     */
-  private[graft] def bytesWrittenBy(root: String, batchId: Long): Long = {
-    val dir = Paths.get(root, s"buckets_v$batchId")
-    if (!Files.exists(dir)) 0L
-    else {
-      val st = Files.walk(dir)
-      try st.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
-      finally st.close()
-    }
-  }
+  private[graft] def bytesWrittenBy(root: String, batchId: Long): Long =
+    ioFor(root).treeBytes(root, s"buckets_v$batchId")
 
-  /** Buckets a batch's version rewrote (test/audit hook). */
-  private[graft] def bucketsWrittenBy(root: String, batchId: Long): Set[Int] = {
-    val dir = new java.io.File(s"$root/buckets_v$batchId")
-    Option(dir.list()).getOrElse(Array.empty[String])
+  /** Bytes the auto-compaction at `batchId` wrote (0 when none ran) —
+    * the amortized-cost side of the audit ledger.
+    */
+  private[graft] def compactionBytesAt(root: String, batchId: Long): Long =
+    ioFor(root).treeBytes(root, s"buckets_v${batchId}c")
+
+  /** Bucket ids with data dirs under a version dir. */
+  private def bucketDirsIn(root: String, versionDir: String): Set[Int] =
+    ioFor(s"$root/$versionDir")
+      .list(s"$root/$versionDir")
       .collect { case n if n.startsWith("_b=") => n.stripPrefix("_b=").toInt }
       .toSet
-  }
+
+  /** Buckets a batch's version rewrote (test/audit hook). */
+  private[graft] def bucketsWrittenBy(root: String, batchId: Long): Set[Int] =
+    bucketDirsIn(root, s"buckets_v$batchId")
 
   /** Total live-state parquet bytes under the newest manifest. */
   private[graft] def liveStateBytes(root: String): Long =
@@ -255,20 +435,14 @@ object BucketedStateStore {
     * fold would have rewritten at that batch (audit hook).
     */
   private[graft] def liveStateBytesAt(root: String, manifestId: Long): Long =
-    readManifest(root, manifestId).values.toSeq.distinct.map { p =>
-      val dir = Paths.get(root, p)
-      if (!Files.exists(dir)) 0L
-      else {
-        val st = Files.walk(dir)
-        try st.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
-        finally st.close()
-      }
-    }.sum
+    readManifest(root, manifestId).values.toSeq.distinct
+      .map(p => ioFor(root).treeBytes(root, p))
+      .sum
 
   /** All committed manifest ids, ascending (audit hook). */
   private[graft] def manifestIds(root: String): Seq[Long] =
-    Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+    ioFor(root)
+      .list(root)
       .collect { case n if n.startsWith("manifest_") => n.stripPrefix("manifest_").toLong }
       .sorted
-      .toSeq
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-15 hardening differentials: the state store's numBuckets
+  * pinning, key-deleting merges, auto-compaction cadence, and the
+  * Hadoop-API commit path; plus the recursive float gate on the
+  * GlobalRank rewrite and the q65/s37 portable-surface types.
+  */
+class Round15Spec extends AnyFunSuite {
+  import TestSession._
+  import graft.sources.BucketedStateStore
+
+  private def sumMerge(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+    p.unionByName(i).groupBy("k").agg(sum("n").as("n"))
+
+  test("BucketedStateStore: numBuckets disagreeing with the committed layout fails FAST") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("graft_bss_nb_")
+    BucketedStateStore.upsert(root, 0L, Seq(("a", 1L)).toDF("k", "n"), Seq("k"), 8)(sumMerge)
+    val ex = intercept[IllegalArgumentException] {
+      BucketedStateStore.upsert(root, 1L, Seq(("b", 1L)).toDF("k", "n"), Seq("k"), 16)(sumMerge)
+    }
+    assert(ex.getMessage.contains("numBuckets=8"))
+    // compact MAY change it — and subsequent upserts at the new count work
+    BucketedStateStore.compact(spark, root, 5L, Seq("k"), numBuckets = 16)
+    BucketedStateStore.upsert(root, 6L, Seq(("b", 2L)).toDF("k", "n"), Seq("k"), 16)(sumMerge)
+    val got = BucketedStateStore.readLatest(spark, root).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("BucketedStateStore: a key-DELETING merge drops the emptied bucket; readers never chase a missing dir") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("graft_bss_del_")
+    // numBuckets=1: every key lands in bucket 0, so deleting all keys of
+    // a touched bucket is easy to stage deterministically
+    BucketedStateStore.upsert(root, 0L, Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), Seq("k"), 1)(sumMerge)
+    // tombstone merge: incoming ("a", -1) deletes key a; ("b", ...) stays
+    BucketedStateStore.upsert(root, 1L, Seq(("a", -1L)).toDF("k", "n"), Seq("k"), 1) { (p, i) =>
+      p.unionByName(i).groupBy("k").agg(sum("n").as("n")).filter(col("n") > 0)
+    }
+    val after1 = BucketedStateStore.readLatest(spark, root).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after1 == Map("b" -> 2L))
+    // now delete EVERYTHING the bucket holds: merge returns zero rows —
+    // the round-14 layout published a manifest entry for a dir that was
+    // never written and readLatest crashed; round 15 drops the entry
+    BucketedStateStore.upsert(root, 2L, Seq(("b", -2L)).toDF("k", "n"), Seq("k"), 1) { (p, i) =>
+      p.unionByName(i).groupBy("k").agg(sum("n").as("n")).filter(col("n") > 0)
+    }
+    assert(BucketedStateStore.committed(root, 2L))
+    assert(BucketedStateStore.readLatest(spark, root).isEmpty, "empty store must read as None")
+    // and the store keeps working after total deletion
+    BucketedStateStore.upsert(root, 3L, Seq(("c", 7L)).toDF("k", "n"), Seq("k"), 1)(sumMerge)
+    val after3 = BucketedStateStore.readLatest(spark, root).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after3 == Map("c" -> 7L))
+  }
+
+  test("BucketedStateStore: auto-compaction keeps the manifest chain bounded with the fold exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (0 until 300).map(i => (s"k${rnd.nextInt(40)}", rnd.nextInt(5).toLong + 1L))
+    // reference: one-shot fold, no cadence
+    val ref = graft.TempDirs.create("graft_bss_ac_ref_")
+    BucketedStateStore.upsert(ref, 0L, rows.toDF("k", "n"), Seq("k"), 8, autoCompactEvery = 0)(sumMerge)
+    val expect = BucketedStateStore.readLatest(spark, ref).get
+      .collect().map(_.toString).sorted.toSeq
+    // 15 batches of 20 rows with cadence 4: compactions at 4/8/12
+    val root = graft.TempDirs.create("graft_bss_ac_")
+    rows.grouped(20).zipWithIndex.foreach { case (chunk, b) =>
+      BucketedStateStore.upsert(root, b.toLong, chunk.toDF("k", "n"), Seq("k"), 8, autoCompactEvery = 4)(sumMerge)
+    }
+    val got = BucketedStateStore.readLatest(spark, root).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expect, "auto-compaction changed the fold result")
+    // chain bounded: after the last compaction (batch 12, keepLast=2) at
+    // most 2 kept + batches 13/14 = 4 manifests survive
+    val ids = BucketedStateStore.manifestIds(root)
+    assert(ids.size <= 4, s"manifest chain not bounded: $ids")
+    // version dirs bounded too (kept manifests' references only)
+    val dirs = new java.io.File(root).list().count(_.startsWith("buckets_v"))
+    assert(dirs <= 8, s"$dirs version dirs survived gc")
+    // a redelivery of the LAST batch right after a compaction still has a base
+    BucketedStateStore.upsert(root, 14L, rows.takeRight(20).toDF("k", "n"), Seq("k"), 8, autoCompactEvery = 4)(sumMerge)
+    val retry = BucketedStateStore.readLatest(spark, root).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(retry == expect, "retry after auto-compaction double-folded")
+  }
+
+  test("BucketedStateStore: Hadoop-API IO (rename and object-store publish) round-trips a store") {
+    // exercise HadoopIO against the local FS in BOTH protocols: the
+    // HDFS-shaped FileContext rename and the object-store direct create.
+    // (No real HDFS/S3 in the sandbox; the protocol code paths are what
+    // this pins — scheme routing is covered below.)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    for (atomic <- Seq(true, false)) {
+      val io = new BucketedStateStore.HadoopIO(fs, conf, renameAtomic = atomic)
+      val root = graft.TempDirs.create(s"graft_hio_${atomic}_")
+      io.publish(root, "manifest_00000000000000000007", "#numBuckets=4\n0\tbuckets_v7/_b=0")
+      assert(io.exists(root, "manifest_00000000000000000007"))
+      assert(io.readLines(root, "manifest_00000000000000000007").head == "#numBuckets=4")
+      // overwrite-republish (the retry PUT) is legal in both protocols
+      io.publish(root, "manifest_00000000000000000007", "#numBuckets=4\n1\tbuckets_v7/_b=1")
+      assert(io.readLines(root, "manifest_00000000000000000007").last.startsWith("1\t"))
+      assert(io.list(root).exists(_.startsWith("manifest_")))
+      io.deleteTree(root, "manifest_00000000000000000007")
+      assert(!io.exists(root, "manifest_00000000000000000007"))
+    }
+    // scheme routing: local paths ride nio; hdfs/s3a route to HadoopIO
+    assert(BucketedStateStore.ioFor("/tmp/x").getClass.getSimpleName.contains("NioIO"))
+    assert(BucketedStateStore.ioFor("file:/tmp/x").getClass.getSimpleName.contains("NioIO"))
+  }
+
+  test("GlobalRank: an order key merely CONTAINING a float keeps the stock window (no byte-equality stitch)") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, 1.5)).toDF("id", "x")
+      .withColumn("s", struct(col("x")))
+    df.createOrReplaceTempView("r15_floatstruct")
+    for (fn <- Seq("rank", "dense_rank", "percent_rank")) {
+      val q = spark.sql(s"SELECT id, $fn() OVER (ORDER BY s) AS r FROM r15_floatstruct")
+      val exec = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p                                                                => p
+      }
+      assert(
+        exec.collect { case g: graft.plans.GlobalRankExec => g }.isEmpty,
+        s"$fn over a float-bearing struct was rewritten:\n$exec"
+      )
+    }
+    // -0.0 and 0.0 are SQL-equal: the stock plan ranks them as peers
+    val r = spark.sql("SELECT id, rank() OVER (ORDER BY s) AS r FROM r15_floatstruct")
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(1L) == r(2L), s"-0.0/0.0 split a peer group: $r")
+    // a LONG-bearing struct still rewrites (the gate is float-specific)
+    val okDf = Seq((1L, 2L)).toDF("id", "y").withColumn("s", struct(col("y")))
+    okDf.createOrReplaceTempView("r15_longstruct")
+    val q2 = spark.sql("SELECT id, rank() OVER (ORDER BY s) AS r FROM r15_longstruct")
+    val exec2 = q2.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    assert(exec2.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
+  }
+
+  test("q65/s37 portable surface: cum_revenue is DECIMAL(18,2), decayed_scaled is BIGINT") {
+    val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
+    assert(q65.schema("cum_revenue").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
+    val s37 = graft.operators.StreamingBatch.s37StreamDecayTopk(spark, sf)
+    assert(s37.schema("decayed_scaled").dataType == org.apache.spark.sql.types.LongType)
+    assert(s37.count() > 0)
+  }
+}
