@@ -30,4 +30,33 @@ object TempDirs {
     created.add(p)
     p.toString
   }
+
+  /** Eagerly delete (and unregister) every registered dir whose NAME
+    * contains `marker`. Bench calls this with `"_run_"` between queries:
+    * per-run streaming dirs (sink + checkpoint + state, created fresh on
+    * EVERY invocation, never cached) otherwise accumulate for the whole
+    * bench process — hundreds of dirty-page-heavy dirs whose writeback
+    * contends with later queries' state stores (the round-9/round-14
+    * streaming-bench variance mode, SCALING.md). Cache-backing dirs
+    * (staged inputs, prebuilt stores) use other prefixes and are never
+    * touched. Returns the number of dirs removed.
+    */
+  def sweepMatching(marker: String): Int = {
+    var n = 0
+    val it = created.iterator()
+    while (it.hasNext) {
+      val root = it.next()
+      if (root.getFileName.toString.contains(marker)) {
+        try {
+          Files
+            .walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }
+        it.remove()
+        n += 1
+      }
+    }
+    n
+  }
 }
