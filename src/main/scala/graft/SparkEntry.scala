@@ -538,6 +538,7 @@ object SparkEntry {
     "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d)),
     // round 14: top-1/5/10%% customer revenue concentration
     "q68_top_customer_share" -> (Relational.q68TopCustomerShare _),
+    "q69_price_band_cume"    -> (Relational.q69PriceBandCume _),
     // round 14: exact audience-overlap (Jaccard) matrix per type pair
     "e51_type_overlap"       -> (Events.e51TypeOverlap _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
@@ -4813,6 +4814,14 @@ object SparkEntry {
         |SELECT o_custkey, cents,
         | round(percent_rank() OVER (ORDER BY cents), 9) AS pct
         |FROM sp ORDER BY o_custkey""".stripMargin,
+    // q69: global cume_dist over ~60-value price bands — peer groups
+    // span many partitions; gates the round-15 CumeDistTies stitch
+    "q69_price_band_cume" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(floor(o_totalprice / 10000) AS INT) AS band FROM orders)
+        |SELECT o_orderkey, band,
+        | round(cume_dist() OVER (ORDER BY band), 9) AS band_cume
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     // d26: unordered source pairs sharing a prefix fingerprint
     "d26_cross_source_dups" ->
       """WITH f AS (SELECT doc_id, source, md5(substr(text, 1, 120)) AS fp FROM documents),

@@ -1653,4 +1653,25 @@ object Relational {
       )
       .orderBy("top_pct")
   }
+
+  /** q69 (round 15): GLOBAL PRICE-BAND CUMULATIVE DISTRIBUTION — every
+    * order tagged with the fraction of the whole book priced at or
+    * below its $10k band (`cume_dist() OVER (ORDER BY band)`, no
+    * PARTITION BY): the "what percentile of deals is this" column an
+    * order-entry UI shows. Bands are ~60 distinct values over the whole
+    * table, so peer groups span MANY range partitions — exactly the
+    * forward head-run stitch the round-15 CumeDistTies mode exists for;
+    * stock Spark would funnel every order through one task. Data-grain
+    * output (one row per order) hash-gates the exec end-to-end.
+    */
+  def q69PriceBandCume(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") / 10000).cast("int").as("band")
+      )
+    o.withColumn("band_cume", round(cume_dist().over(Window.orderBy(col("band"))), 9))
+      .orderBy("o_orderkey")
+  }
 }

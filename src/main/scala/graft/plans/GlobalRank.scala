@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias,
   Attribute,
   BindReferences,
+  CumeDist,
   DenseRank,
   EvalMode,
   Expression,
@@ -28,10 +29,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
 
-/** Which global window idiom a [[GlobalRankNode]] computes. All four
+/** Which global window idiom a [[GlobalRankNode]] computes. All six
   * share one physical shape — a parallel range-exchange sort plus a
   * metadata-sized per-partition stitch — differing only in what the
-  * stitch carries (row counts; tie-run boundary keys; the total n).
+  * stitch carries (row counts; tie-run boundary keys; the total n;
+  * cume_dist's forward head-run chain).
   */
 sealed trait GlobalRankMode extends Serializable
 object GlobalRankMode {
@@ -39,16 +41,17 @@ object GlobalRankMode {
   case object RankTies extends GlobalRankMode
   case object DenseRankTies extends GlobalRankMode
   case object PercentRankTies extends GlobalRankMode
+  case object CumeDistTies extends GlobalRankMode
   final case class NtileK(k: Int) extends GlobalRankMode
 }
 
 /** §2.8 whole-operator extension: the SQL surface for ScaleRank.
   *
-  * `row_number() / rank() / dense_rank() / percent_rank() / ntile(k)
-  * OVER (ORDER BY …)`
+  * `row_number() / rank() / dense_rank() / percent_rank() / cume_dist()
+  * / ntile(k) OVER (ORDER BY …)`
   * written with an empty PARTITION BY plans an unpartitioned WindowExec
   * — every row through ONE task, the single worst scale cliff a SQL
-  * user can hit by accident. This rule family serves all five from the
+  * user can hit by accident. This rule family serves all six from the
   * same machinery:
   *
   * {{{
@@ -129,9 +132,17 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             if !floatingOrder(w.orderSpec) =>
           // percent_rank = (rank − 1) / (n − 1): the tie-aware rank stitch
           // plus n off the offset table — same metadata, double emission.
-          // cume_dist stays UN-rewritten (it needs each peer group's END
-          // position, which is data- not metadata-sized) — PlanLint names it.
           GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.PercentRankTies, w.child)
+        case alias @ Alias(WindowExpression(_: CumeDist, _), _)
+            if !floatingOrder(w.orderSpec) =>
+          // cume_dist = (peer group's global END position) / n. END
+          // positions are forward-metadata (round 15): INSIDE a
+          // partition each group's end is the next group's start − 1;
+          // only the LAST group's end needs the cross-partition walk,
+          // which chains following partitions' HEAD-run lengths — the
+          // exact mirror of rank()'s backward tail-run walk. Same
+          // metadata pass, sixth mode.
+          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.CumeDistTies, w.child)
         case _ => w
       }
   }
@@ -234,18 +245,21 @@ object GlobalRankStrategy extends SparkStrategy {
   }
 }
 
-/** Per-partition tie metadata for rank()/dense_rank(): row count,
-  * distinct peer groups, first/last order-key bytes, trailing-run
-  * length. Key bytes are UnsafeProjection output — null-safe value
-  * equality for every non-floating type (the rewrite gates floats out).
-  * Top-level so the metadata task closure serializes without the plan.
+/** Per-partition tie metadata for rank()/dense_rank()/cume_dist():
+  * row count, distinct peer groups, first/last order-key bytes,
+  * trailing-run length, and (round 15) HEAD-run length — the forward
+  * mirror of tailRun, what cume_dist's end-position walk chains. Key
+  * bytes are UnsafeProjection output — null-safe value equality for
+  * every non-floating type (the rewrite gates floats out). Top-level so
+  * the metadata task closure serializes without the plan.
   */
 private[plans] case class RankPartMeta(
     n: Long,
     d: Long,
     first: Array[Byte],
     last: Array[Byte],
-    tailRun: Long
+    tailRun: Long,
+    headRun: Long
 )
 
 case class GlobalRankExec(
@@ -315,35 +329,7 @@ case class GlobalRankExec(
         val dense = mode == GlobalRankMode.DenseRankTies
         val pct = mode == GlobalRankMode.PercentRankTies
         // pass 1: per-partition tie metadata (counts + boundary keys)
-        val metas = rdd
-          .mapPartitions(
-            { it =>
-              val proj = UnsafeProjection.create(orderExprs, childOutput)
-              var n = 0L
-              var d = 0L
-              var run = 0L
-              var first: UnsafeRow = null
-              var prevKey: UnsafeRow = null
-              it.foreach { row =>
-                val k = proj(row)
-                if (n == 0L) { prevKey = k.copy(); first = prevKey; d = 1L; run = 1L }
-                else if (k.equals(prevKey)) { run += 1L }
-                else { prevKey = k.copy(); d += 1L; run = 1L }
-                n += 1L
-              }
-              Iterator.single(
-                RankPartMeta(
-                  n,
-                  d,
-                  if (first == null) null else first.getBytes,
-                  if (prevKey == null) null else prevKey.getBytes,
-                  run
-                )
-              )
-            },
-            preservesPartitioning = true
-          )
-          .collect()
+        val metas = collectTieMetas(rdd, orderExprs, childOutput)
         val offsets = metas.scanLeft(0L)(_ + _.n)
         // rank: global position of each partition's HEAD peer group —
         // walk back through contiguous same-key tails (a key spanning
@@ -414,8 +400,136 @@ case class GlobalRankExec(
             outProj(joined(row, rankRow))
           }
         }
+
+      case GlobalRankMode.CumeDistTies =>
+        // cume_dist = (global END position of the row's peer group) / n.
+        // INSIDE a partition, a group's end is the next group's start − 1
+        // — known one group ahead, so pass 2 buffers ONE peer group at a
+        // time (exactly stock WindowExec's frame buffer for cume_dist,
+        // here per-partition instead of whole-relation). Only the
+        // partition's LAST group needs cross-partition info: its end is
+        // this partition's last row plus the chained HEAD-run lengths of
+        // following partitions holding the same key — the forward mirror
+        // of rank()'s backward tail-run walk, off the same metadata.
+        val metas = collectTieMetas(rdd, orderExprs, childOutput)
+        val offsets = metas.scanLeft(0L)(_ + _.n)
+        val tailEnd = Array.tabulate(metas.length) { i =>
+          if (metas(i).n == 0L) 0L
+          else {
+            var fwd = 0L
+            var j = i + 1
+            var cont = true
+            while (cont && j < metas.length) {
+              val m = metas(j)
+              if (m.n == 0L) j += 1
+              else if (java.util.Arrays.equals(m.first, metas(i).last)) {
+                fwd += m.headRun
+                // d == 1 ⇒ the whole partition is one key: keep chaining
+                if (m.d == 1L) j += 1 else cont = false
+              } else cont = false
+            }
+            offsets(i) + metas(i).n + fwd
+          }
+        }
+        val nTotal = offsets.last
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val proj = UnsafeProjection.create(orderExprs, childOutput)
+          val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          val off = offsets(pid)
+          val te = tailEnd(pid)
+          new Iterator[InternalRow] {
+            private var prevKey: UnsafeRow = null
+            private var pos = 0L // local row position, 1-based
+            private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            private var outIt: Iterator[InternalRow] = Iterator.empty
+            private var srcDone = false
+            private def flush(endPos: Long): Iterator[InternalRow] = {
+              val cd = endPos.toDouble / nTotal
+              val rows = buf.toArray
+              buf.clear()
+              rows.iterator.map { r =>
+                rankRow.update(0, cd)
+                outProj(joined(r, rankRow))
+              }
+            }
+            private def advance(): Unit = {
+              while (!outIt.hasNext && !srcDone) {
+                if (!it.hasNext) {
+                  srcDone = true
+                  // last group of the partition: the forward-stitched end
+                  if (buf.nonEmpty) outIt = flush(te)
+                } else {
+                  val row = it.next()
+                  val k = proj(row)
+                  pos += 1L
+                  if (prevKey == null) {
+                    prevKey = k.copy()
+                    buf += row.copy()
+                  } else if (k.equals(prevKey)) {
+                    buf += row.copy()
+                  } else {
+                    // group ended at local position pos−1
+                    prevKey = k.copy()
+                    val pending = row.copy()
+                    outIt = flush(off + pos - 1L)
+                    buf += pending
+                  }
+                }
+              }
+            }
+            override def hasNext: Boolean = { advance(); outIt.hasNext }
+            override def next(): InternalRow = { advance(); outIt.next() }
+          }
+        }
     }
   }
+
+  /** Pass 1 for the tie-aware modes: per-partition counts + boundary
+    * keys + head/tail run lengths — O(numPartitions) metadata on the
+    * driver; the exchange's shuffle files are reused by pass 2.
+    */
+  private def collectTieMetas(
+      rdd: RDD[InternalRow],
+      orderExprs: Seq[Expression],
+      childOutput: Seq[Attribute]
+  ): Array[RankPartMeta] =
+    rdd
+      .mapPartitions(
+        { it =>
+          val proj = UnsafeProjection.create(orderExprs, childOutput)
+          var n = 0L
+          var d = 0L
+          var run = 0L
+          var headRun = 0L
+          var first: UnsafeRow = null
+          var prevKey: UnsafeRow = null
+          it.foreach { row =>
+            val k = proj(row)
+            if (n == 0L) { prevKey = k.copy(); first = prevKey; d = 1L; run = 1L }
+            else if (k.equals(prevKey)) { run += 1L }
+            else {
+              if (d == 1L) headRun = n // first key change: rows so far = head group
+              prevKey = k.copy(); d += 1L; run = 1L
+            }
+            n += 1L
+          }
+          if (d == 1L) headRun = n // single-group (or empty) partition
+          Iterator.single(
+            RankPartMeta(
+              n,
+              d,
+              if (first == null) null else first.getBytes,
+              if (prevKey == null) null else prevKey.getBytes,
+              run,
+              headRun
+            )
+          )
+        },
+        preservesPartitioning = true
+      )
+      .collect()
 
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
 }

@@ -230,12 +230,13 @@ class Round14Spec extends AnyFunSuite {
     // n = 1 edge: stock semantics say 0.0
     val one = spark.sql("SELECT id, percent_rank() OVER (ORDER BY id) AS pr FROM range(1)")
     assert(one.collect().head.getDouble(1) == 0.0)
-    // cume_dist keeps the stock plan (peer-group ENDS are data-sized)
+    // cume_dist rides the rewrite too since round 15 (the forward
+    // head-run stitch) — see Round15Spec for its value differentials
     val cd = spark
       .sql("SELECT id, cume_dist() OVER (ORDER BY id % 5) AS cd FROM range(100)")
       .queryExecution
       .optimizedPlan
-    assert(cd.collect { case g: graft.plans.GlobalRankNode => g }.isEmpty)
+    assert(cd.collect { case g: graft.plans.GlobalRankNode => g }.nonEmpty)
   }
 
   test("GlobalRank family: randomized tie differentials vs an in-memory reference") {

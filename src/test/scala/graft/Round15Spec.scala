@@ -146,6 +146,77 @@ class Round15Spec extends AnyFunSuite {
     assert(exec2.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
   }
 
+  private def unwrap(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+
+  test("GlobalRank: global cume_dist() distributes and stitches peer-group ENDS across partitions") {
+    // 200-row peer groups over 4 shuffle partitions (groups straddle
+    // cuts) and id % 2 (500-row groups spanning WHOLE partitions — the
+    // forward head-run chain's hard case)
+    for (mod <- Seq(5, 2, 1)) {
+      val df = spark.sql(s"SELECT id, cume_dist() OVER (ORDER BY id % $mod) AS cd FROM range(1000)")
+      val exec = unwrap(df)
+      assert(
+        exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+        s"cume_dist over id%$mod not rewritten:\n$exec"
+      )
+      assert(
+        exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        }.isEmpty
+      )
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val groupSize = 1000 / mod
+      (0L until 1000L).foreach { id =>
+        val key = (id % mod).toInt
+        val expected = ((key + 1) * groupSize).toDouble / 1000.0
+        assert(got(id) == expected, s"cume_dist(id=$id, mod=$mod): got ${got(id)}, want $expected")
+      }
+    }
+    // untied order: cume_dist == rn/n; DESC order; NULL keys are peers
+    val untied = spark.sql("SELECT id, cume_dist() OVER (ORDER BY id DESC) AS cd FROM range(100)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    untied.foreach { case (id, cd) => assert(cd == (100 - id).toDouble / 100.0) }
+    import spark.implicits._
+    Seq(
+      (1L, Some("b")), (2L, None: Option[String]), (3L, Some("a")),
+      (4L, None: Option[String]), (5L, Some("a"))
+    ).toDF("id", "g").createOrReplaceTempView("r15_cd_nulls")
+    val ndf = spark.sql("SELECT id, cume_dist() OVER (ORDER BY g) AS cd FROM r15_cd_nulls")
+    assert(unwrap(ndf).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty)
+    // NULLS FIRST asc: nulls (2,4) end at pos 2 → 0.4; 'a' (3,5) end 4 → 0.8; 'b' (1) → 1.0
+    val nm = ndf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nm == Map(1L -> 1.0, 2L -> 0.4, 3L -> 0.8, 4L -> 0.4, 5L -> 0.8), s"$nm")
+    // n = 1 edge
+    val one = spark.sql("SELECT cume_dist() OVER (ORDER BY id) AS cd FROM range(1)").collect()
+    assert(one.head.getDouble(0) == 1.0)
+  }
+
+  test("GlobalRank: randomized cume_dist differential vs the key-multiset reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 3).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val mod = 1 + rnd.nextInt(20)
+      val keys = Vector.fill(n)(rnd.nextInt(mod).toLong)
+      keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "id").createOrReplaceTempView("r15_cd_rand")
+      val atOrBelow = keys.distinct.sorted.map(k => k -> keys.count(_ <= k)).toMap
+      val df = spark.sql("SELECT id, k, cume_dist() OVER (ORDER BY k) AS cd FROM r15_cd_rand")
+      assert(
+        unwrap(df).collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+        s"trial $trial not rewritten"
+      )
+      df.collect().foreach { row =>
+        val exp = atOrBelow(row.getLong(1)).toDouble / n
+        assert(row.getDouble(2) == exp, s"cume trial $trial key=${row.getLong(1)}")
+      }
+    }
+  }
+
   test("q65/s37 portable surface: cum_revenue is DECIMAL(18,2), decayed_scaled is BIGINT") {
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
     assert(q65.schema("cum_revenue").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
