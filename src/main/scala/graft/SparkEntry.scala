@@ -541,6 +541,8 @@ object SparkEntry {
     "q69_price_band_cume"    -> (Relational.q69PriceBandCume _),
     // round 14: exact audience-overlap (Jaccard) matrix per type pair
     "e51_type_overlap"       -> (Events.e51TypeOverlap _),
+    "q70_record_orders"      -> (Relational.q70RecordOrders _),
+    "e52_high_watermark"     -> (Events.e52HighWatermark _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
     "t49_ngram_coverage"     -> (TextAnalysis.t49NgramCoverage _),
     // round 14: dup-cluster size histogram at the prefix grain
@@ -4814,6 +4816,27 @@ object SparkEntry {
         |SELECT o_custkey, cents,
         | round(percent_rank() OVER (ORDER BY cents), 9) AS pct
         |FROM sp ORDER BY o_custkey""".stripMargin,
+    // q70: global running max over the book order — gates the round-15
+    // GlobalPrefixExtremum stitch at data grain, exact cents
+    "q70_record_orders" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_date, cents,
+        | max(cents) OVER (ORDER BY o_date, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS record_cents,
+        | (cents = max(cents) OVER (ORDER BY o_date, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS is_record
+        |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
+    // e52: the float leg of the extremum stitch — running max is pure
+    // selection (no float arithmetic), so doubles replay bit-for-bit
+    "e52_high_watermark" ->
+      """WITH ev AS (SELECT event_id, ts, CAST(value AS DOUBLE) AS value FROM events)
+        |SELECT event_id, round(value, 6) AS value,
+        | round(max(value) OVER (ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS hwm,
+        | round(value / max(value) OVER (ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS share_of_record
+        |FROM ev ORDER BY event_id""".stripMargin,
     // q69: global cume_dist over ~60-value price bands — peer groups
     // span many partitions; gates the round-15 CumeDistTies stitch
     "q69_price_band_cume" ->

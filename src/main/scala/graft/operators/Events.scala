@@ -1594,4 +1594,31 @@ object Events {
       )
       .orderBy("type_a", "type_b")
   }
+
+  /** e52 (round 15): VALUE HIGH-WATERMARK — every event tagged with the
+    * largest `value` seen up to it in arrival order (`max(value) OVER
+    * (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`, no PARTITION
+    * BY): the running-record view a fraud/limits desk keeps, and the
+    * FLOAT leg of the round-15 GlobalPrefixExtremum idiom — running
+    * min/max needs only ORDERING comparisons (stock Min/Max's own), so
+    * doubles ride the distributed stitch that the byte-equality rank
+    * modes must refuse. Emits the event's share of the record
+    * (value/hwm) rounded for engine float parity.
+    */
+  def e52HighWatermark(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("event_id"), col("ts"), col("value").cast("double").as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.withColumn("hwm", max("value").over(w))
+      .select(
+        col("event_id"),
+        round(col("value"), 6).as("value"),
+        round(col("hwm"), 6).as("hwm"),
+        round(col("value") / col("hwm"), 6).as("share_of_record")
+      )
+      .orderBy("event_id")
+  }
 }

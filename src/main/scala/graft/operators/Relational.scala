@@ -1674,4 +1674,30 @@ object Relational {
     o.withColumn("band_cume", round(cume_dist().over(Window.orderBy(col("band"))), 9))
       .orderBy("o_orderkey")
   }
+
+  /** q70 (round 15): RECORD ORDERS — every order tagged with the
+    * largest single order seen SO FAR in book order and whether it set
+    * the record ("biggest deal to date", the banner a sales dashboard
+    * flashes). `max(cents) OVER (ORDER BY o_date, o_orderkey ROWS
+    * UNBOUNDED PRECEDING)` with no PARTITION BY — the round-15
+    * GlobalPrefixExtremum idiom: stock Spark funnels the whole book
+    * through ONE task; here the range exchange fans out and one
+    * extremum per partition stitches the prefix. Money as exact cents
+    * (BIGINT) for engine type parity.
+    */
+  def q70RecordOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+    val w = Window
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("record_cents", max("cents").over(w))
+      .withColumn("is_record", (col("cents") === col("record_cents")).cast("boolean"))
+      .orderBy("o_date", "o_orderkey")
+  }
 }

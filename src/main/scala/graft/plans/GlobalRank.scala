@@ -199,7 +199,42 @@ case class GlobalPrefixSumNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+/** Seventh idiom (round 15): GLOBAL RUNNING EXTREMUM — `min(x)/max(x)
+  * OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` with no PARTITION BY
+  * (the high-watermark / record-so-far / drawdown-peak query). Same
+  * two-pass stitch as the prefix sum with the partial being a single
+  * extremum value per partition. Unlike the rank stitches this needs
+  * only ORDERING comparisons — `TypeUtils.getInterpretedOrdering`, the
+  * same ordering stock Min/Max aggregate with — so float/double inputs
+  * are fully supported (no byte-equality hazard; NaN/-0.0 order exactly
+  * as stock). Any orderable atomic type rides it. SQL null semantics:
+  * nulls are skipped, an all-null prefix emits null.
+  */
+case class GlobalPrefixExtremumNode(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    outAttr: Attribute,
+    isMax: Boolean,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
 object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
+  private def rowsToCurrent(ws: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition) =
+    ws.frameSpecification match {
+      case org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+            org.apache.spark.sql.catalyst.expressions.RowFrame,
+            org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
+            org.apache.spark.sql.catalyst.expressions.CurrentRow
+          ) =>
+        true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -207,21 +242,11 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
           w.orderSpec.forall(_.child.deterministic) =>
       w.windowExpressions.head match {
         case alias @ Alias(
-              WindowExpression(
-                AggregateExpression(s0 @ Sum(e, _), _, false, _, _),
-                org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition(
-                  _,
-                  _,
-                  org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
-                    org.apache.spark.sql.catalyst.expressions.RowFrame,
-                    org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
-                    org.apache.spark.sql.catalyst.expressions.CurrentRow
-                  )
-                )
-              ),
+              WindowExpression(AggregateExpression(s0 @ Sum(e, _), _, false, _, _), ws),
               _
             )
-            if (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
+            if rowsToCurrent(ws) &&
+              (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
               e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
           GlobalPrefixSumNode(
             w.orderSpec,
@@ -230,8 +255,46 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
             s0.evalContext.evalMode == EvalMode.ANSI,
             w.child
           )
+        case alias @ Alias(
+              WindowExpression(
+                AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+                  _,
+                  false,
+                  _,
+                  _
+                ),
+                ws
+              ),
+              _
+            ) if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          GlobalPrefixExtremumNode(w.orderSpec, e, alias.toAttribute, isMax = true, w.child)
+        case alias @ Alias(
+              WindowExpression(
+                AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+                  _,
+                  false,
+                  _,
+                  _
+                ),
+                ws
+              ),
+              _
+            ) if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          GlobalPrefixExtremumNode(w.orderSpec, e, alias.toAttribute, isMax = false, w.child)
         case _ => w
       }
+  }
+
+  private def orderableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | _: StringType | BooleanType | DateType | TimestampType |
+          TimestampNTZType | BinaryType =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+      case _ => false
+    }
   }
 }
 
@@ -241,6 +304,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalRankExec(order, rankAttr, mode, planLater(child)) :: Nil
     case GlobalPrefixSumNode(order, sumExpr, outAttr, ansi, child) =>
       GlobalPrefixSumExec(order, sumExpr, outAttr, ansi, planLater(child)) :: Nil
+    case GlobalPrefixExtremumNode(order, valExpr, outAttr, isMax, child) =>
+      GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -656,6 +721,85 @@ case class GlobalPrefixSumExec(
           else sumRow.setNullAt(0)
         } else sumRow.setNullAt(0)
         proj(joined(row, sumRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Physical plan for [[GlobalPrefixExtremumNode]]: range exchange +
+  * local sort (EnsureRequirements), a per-partition extremum pass
+  * (ONE value per partition on the driver), then the running-extremum
+  * emission with each partition seeded by the prefix-merge of the
+  * partials before it. Values retained across rows are defensively
+  * copied (`InternalRow.copyValue`) — eval output may alias the
+  * iterator's reused row buffer.
+  */
+case class GlobalPrefixExtremumExec(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    outAttr: Attribute,
+    isMax: Boolean,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val ve = valExpr
+    val maxMode = isMax
+    val dt = valExpr.dataType
+    // the SAME ordering stock Min/Max aggregate with — SQL semantics
+    // for NaN/-0.0/collated strings come for free
+    def better(ord: Ordering[Any], cand: Any, cur: Any): Boolean =
+      if (cur == null) true
+      else if (maxMode) ord.compare(cand, cur) > 0
+      else ord.compare(cand, cur) < 0
+    val partials = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(ve, childOutput)
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dt)
+          var ext: Any = null
+          it.foreach { r =>
+            val v = bound.eval(r)
+            if (v != null && better(ord, v, ext)) ext = InternalRow.copyValue(v)
+          }
+          Iterator.single(ext)
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    val ordD = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+    val offsets = partials.scanLeft(null: Any) { (a, b) =>
+      if (b == null) a else if (better(ordD, b, a)) b else a
+    }
+    val outAttrs = output
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bound = BindReferences.bindReference(ve, childOutput)
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val extRow = new GenericInternalRow(1)
+      var acc: Any = offsets(pid)
+      it.map { row =>
+        val v = bound.eval(row)
+        if (v != null && better(ord, v, acc)) acc = InternalRow.copyValue(v)
+        if (acc == null) extRow.setNullAt(0) else extRow.update(0, acc)
+        proj(joined(row, extRow))
       }
     }
   }

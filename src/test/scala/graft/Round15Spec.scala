@@ -217,11 +217,93 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("GlobalPrefixExtremum: global running max/min distribute and match the stock window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    // longs with nulls (incl. an all-null prefix), doubles with ±0.0 and
+    // NaN, strings, decimals — each against Spark's own unpartitioned
+    // window on a copy session config (the stock plan is forced by
+    // disabling the rewrite via a struct-wrapped... simpler: compute the
+    // reference with a driver-side scan of the sorted rows)
+    val rows = (0 until 2000).map { i =>
+      val v: Option[Double] =
+        if (i < 3) None // all-null prefix
+        else if (rnd.nextInt(10) == 0) None
+        else if (rnd.nextInt(50) == 0) Some(if (rnd.nextBoolean()) 0.0 else -0.0)
+        else if (rnd.nextInt(97) == 0) Some(Double.NaN)
+        else Some(rnd.nextGaussian() * 100)
+      (i.toLong, v)
+    }
+    rows.toDF("i", "v").createOrReplaceTempView("r15_ext")
+    for ((fn, isMax) <- Seq(("max", true), ("min", false))) {
+      val df = spark.sql(
+        s"SELECT i, $fn(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM r15_ext"
+      )
+      val exec = unwrap(df)
+      assert(
+        exec.collect { case g: graft.plans.GlobalPrefixExtremumExec => g }.nonEmpty,
+        s"global running $fn not rewritten:\n$exec"
+      )
+      assert(exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty)
+      // reference: driver scan with Spark's double ordering (NaN largest)
+      val ord = implicitly[Ordering[Double]] // java-style: NaN > everything, -0.0 < 0.0
+      var acc: Option[Double] = None
+      val expect = rows.map { case (_, v) =>
+        v.foreach { x =>
+          acc = Some(acc match {
+            case None    => x
+            case Some(a) => if (isMax == ord.gt(x, a)) x else a
+          })
+        }
+        acc
+      }
+      val got = df.orderBy("i").collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      expect.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(
+          e == g || (e.exists(_.isNaN) && g.exists(_.isNaN)),
+          s"$fn at row $i: got $g want $e"
+        )
+      }
+    }
+    // strings and decimals ride it too
+    val sdf = spark.sql(
+      "SELECT max(concat('k', CAST(id % 7 AS STRING))) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM range(100)"
+    )
+    assert(unwrap(sdf).collect { case g: graft.plans.GlobalPrefixExtremumExec => g }.nonEmpty)
+    assert(sdf.collect().last.getString(0) == "k6")
+    val ddf = spark.sql(
+      "SELECT min(CAST(id AS DECIMAL(10,2)) - 50) OVER (ORDER BY id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM range(100)"
+    )
+    assert(unwrap(ddf).collect { case g: graft.plans.GlobalPrefixExtremumExec => g }.nonEmpty)
+    assert(ddf.collect().last.getDecimal(0).longValue == -50L)
+  }
+
   test("q65/s37 portable surface: cum_revenue is DECIMAL(18,2), decayed_scaled is BIGINT") {
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
     assert(q65.schema("cum_revenue").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
     val s37 = graft.operators.StreamingBatch.s37StreamDecayTopk(spark, sf)
     assert(s37.schema("decayed_scaled").dataType == org.apache.spark.sql.types.LongType)
     assert(s37.count() > 0)
+  }
+
+  test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
+    def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
+      val exec = unwrap(df)
+      val hit =
+        if (wantCume) exec.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty
+        else exec.collect { case g: graft.plans.GlobalPrefixExtremumExec => g }.nonEmpty
+      assert(hit, s"$name missing the rewrite:\n$exec")
+      assert(
+        exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        }.isEmpty,
+        s"$name still plans a 1-task window:\n$exec"
+      )
+    }
+    pin(graft.operators.Relational.q69PriceBandCume(spark, sf), "q69", wantCume = true)
+    pin(graft.operators.Relational.q70RecordOrders(spark, sf), "q70", wantCume = false)
+    pin(graft.operators.Events.e52HighWatermark(spark, sf), "e52", wantCume = false)
   }
 }
