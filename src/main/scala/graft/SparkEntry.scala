@@ -262,6 +262,7 @@ object SparkEntry {
     "t29_bpe_pair_stats"     -> ((s, d) => TextAnalysis.t29BpePairStats(s, d)),
     "t30_gopher_rules"       -> (TextAnalysis.t30GopherRules _),
     "s22_stream_curate"      -> ((s, d) => StreamingBatch.s22StreamCurate(s, d)),
+    "s40_stream_dedup_compact" -> (StreamingBatch.s40StreamDedupCompact _),
     "c22_mv_retraction"      -> (Maintenance.c22MvRetraction _),
     "p6_curate_decontam"     -> ((s, d) => graft.operators.Curate.p6CurateDecontam(s, d)),
     "e33_cusum_drift"        -> (Events.e33CusumDrift _),
@@ -543,10 +544,13 @@ object SparkEntry {
     "e51_type_overlap"       -> (Events.e51TypeOverlap _),
     "q70_record_orders"      -> (Relational.q70RecordOrders _),
     "e52_high_watermark"     -> (Events.e52HighWatermark _),
+    "e53_peak_concurrency"   -> (Events.e53PeakConcurrency _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
     "t49_ngram_coverage"     -> (TextAnalysis.t49NgramCoverage _),
+    "t50_paragraph_dedup"    -> (TextAnalysis.t50ParagraphDedup _),
     // round 14: dup-cluster size histogram at the prefix grain
-    "d27_cluster_size_hist"  -> (Dedup.d27ClusterSizeHist _)
+    "d27_cluster_size_hist"  -> (Dedup.d27ClusterSizeHist _),
+    "d28_cc_bigstar"         -> (Dedup.d28CcBigstar _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -1033,6 +1037,44 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      < CAST(floor(rate * 4294967296) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    // t50: fixed 10-token chunk hashes; a chunk is duplicated when its
+    // corpus frequency >= 2; flag docs over 30% duplicated chunks
+    "t50_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest([md5(array_to_string(ts[(i*10+1):(i*10+10)], ' '))
+        |          FOR i IN range(0, CAST(ceil(len(ts)/10.0) AS INT))]) AS h
+        | FROM t WHERE len(ts) > 0),
+        |f AS (SELECT h, count(*) AS cf FROM c GROUP BY 1),
+        |p AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN f.cf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        | FROM c JOIN f USING (h) GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        | round(n_dup_chunks * 1.0 / n_chunks, 6) AS dup_share,
+        | (n_dup_chunks * 1.0 / n_chunks >= 0.3) AS flagged
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // d28: the large-star/small-star CC must land the IDENTICAL cluster
+    // map as d6's GraphX components — one oracle gates both implementations
+    "d28_cc_bigstar" ->
+      """WITH RECURSIVE
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)]) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts FROM documents)
+        | WHERE len(ts) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        | SELECT a, b FROM edges
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM edges)
+        |SELECT a AS doc_id, min(b) AS canonical_id FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "d6_dedup_clusters" ->
       """WITH RECURSIVE
         |s AS (
@@ -1931,6 +1973,8 @@ object SparkEntry {
     // c37: the compacted+GC'd index must serve the IDENTICAL report —
     // compaction is storage layout, never content
     "c37_compact_index" -> s22Sql,
+    // s40: the same fold under every-batch auto-compaction — identical index
+    "s40_stream_dedup_compact" -> s22Sql,
     // c8_exact: uncompacted KLL returns the element at inclusive rank
     // ceil(p·n) — replayed by sorted-list indexing per type (the
     // q34_exact convention)
@@ -4837,6 +4881,33 @@ object SparkEntry {
         | round(value / max(value) OVER (ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS share_of_record
         |FROM ev ORDER BY event_id""".stripMargin,
+    // e53: interval sweep — e2's sessions as ±1 boundaries, global
+    // running sum = live concurrency, peak per day; starts order before
+    // ends at the same microsecond
+    "e53_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM s),
+        |sess AS (SELECT user_id, session_id,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        | FROM s2 GROUP BY 1, 2),
+        |b AS (SELECT start_us AS t_us, CAST(1 AS BIGINT) AS delta, user_id, session_id FROM sess
+        | UNION ALL
+        | SELECT end_us, CAST(-1 AS BIGINT), user_id, session_id FROM sess),
+        |c AS (SELECT t_us,
+        |  sum(delta) OVER (ORDER BY t_us, delta DESC, user_id, session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        | FROM b)
+        |SELECT CAST(make_timestamp(t_us) AS DATE) AS day,
+        | count(*) AS n_boundaries,
+        | CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q69: global cume_dist over ~60-value price bands — peer groups
     // span many partitions; gates the round-15 CumeDistTies stitch
     "q69_price_band_cume" ->

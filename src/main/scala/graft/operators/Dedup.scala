@@ -1032,4 +1032,77 @@ object Dedup {
       )
       .orderBy("cluster_size")
   }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (the
+    * O(log n)-round MapReduce CC of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) expressed purely in
+    * DataFrame joins/aggregates — no GraphX, no vertex-program runtime:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood (one groupBy + one join);
+    *  - small-star: every node and its smaller neighbors collapse onto
+    *    the neighborhood minimum (one groupBy + one join).
+    *
+    * Each round is two shuffles keyed on node id; long path graphs
+    * converge in O(log n) rounds where plain min-label propagation
+    * needs O(diameter). Iterates to a FIXPOINT (edge set unchanged),
+    * localCheckpointing per round to cut lineage. Returns min-rooted
+    * star edges as (doc_id, canonical_id), roots included mapping to
+    * themselves — d6's exact output contract, so the two
+    * implementations gate each other (and the same DuckDB transitive-
+    * closure oracle).
+    */
+  private[graft] def bigStarComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e
+        .select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      val m = sym.groupBy("a").agg(least(min("b"), first("a")).as("m"))
+      sym
+        .join(m, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      dir
+        .join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b")).localCheckpoint()
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 50) { // 50 >> log2(any real graph); loud guard below
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!stable)
+      throw new IllegalStateException("bigStarComponents did not converge in 50 rounds")
+    // converged: edges are (node → component-min) stars; add the roots
+    val roots = edges.select(col("b").as("doc_id")).distinct()
+    edges
+      .select(col("a").as("doc_id"), col("b").as("canonical_id"))
+      .unionByName(roots.withColumn("canonical_id", col("doc_id")))
+      .distinct()
+  }
+
+  /** d28: the GraphX-free cluster map over the SAME d2 pair graph —
+    * output contract identical to d6 (min-id canonical per component).
+    */
+  def d28CcBigstar(s: SparkSession, d: String): DataFrame = {
+    val pairs = cached(s, d, "pairs")(d2MinhashLsh(s, d).select("id_a", "id_b"))
+    bigStarComponents(pairs).orderBy("doc_id")
+  }
 }

@@ -1621,4 +1621,53 @@ object Events {
       )
       .orderBy("event_id")
   }
+
+  /** e53 (round 15): PEAK SESSION CONCURRENCY — the capacity-planning
+    * number ("how many sessions were open AT ONCE, per day"): e2's
+    * 30-minute-gap sessions become ±1 boundary events, the GLOBAL
+    * running sum over (time, starts-before-ends) order is the live
+    * concurrency — an interval sweep whose prefix sum rides
+    * GlobalPrefixSumExec instead of a 1-task window (boundaries are
+    * 2×sessions — data-sized, the exact shape the exec exists for) —
+    * and each day reports its peak. Ends tie-break AFTER starts at the
+    * same microsecond, so back-to-back sessions overlap at the touch
+    * point (the conservative capacity convention).
+    */
+  def e53PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables
+      .events(s, d)
+      .select("user_id", "event_id", "ts")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "nf",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0)
+      )
+      .withColumn(
+        "session_id",
+        sum("nf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us")
+      )
+    val bounds = sess
+      .select(col("start_us").as("t_us"), lit(1L).as("delta"), col("user_id"), col("session_id"))
+      .unionByName(
+        sess.select(col("end_us").as("t_us"), lit(-1L).as("delta"), col("user_id"), col("session_id"))
+      )
+    val sweep = Window
+      .orderBy(col("t_us"), desc("delta"), col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("conc", sum("delta").over(sweep))
+      .groupBy(timestamp_micros(col("t_us")).cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_boundaries"),
+        max("conc").as("peak_concurrency")
+      )
+      .orderBy("day")
+  }
 }

@@ -2207,7 +2207,29 @@ object StreamingBatch {
     * old×old is never rescanned — each upsert reads and rewrites only
     * the fingerprint buckets its batch touches.
     */
-  def s22StreamCurate(s: SparkSession, d: String, minTokens: Int = 10, minDistinctRatio: Double = 0.3): DataFrame = {
+  def s22StreamCurate(s: SparkSession, d: String, minTokens: Int = 10, minDistinctRatio: Double = 0.3): DataFrame =
+    s22CurateFold(s, d, minTokens, minDistinctRatio,
+      compactEvery = graft.sources.BucketedStateStore.defaultCompactEvery, runPrefix = "graft_s22_run_")
+
+  /** s40 (round 15): s22's dedup-index fold under a FORCED every-batch
+    * compaction cadence — each micro-batch upsert immediately
+    * self-compacts and GCs the store (`autoCompactEvery = 1`, the
+    * harshest setting), proving the compaction/GC cycle preserves the
+    * fold MID-STREAM, not just in c37's offline pass. Output contract
+    * and oracle are s22's exactly: whatever the cadence, the landed
+    * index is the same arrival-order-insensitive (fp -> min id, count).
+    */
+  def s40StreamDedupCompact(s: SparkSession, d: String): DataFrame =
+    s22CurateFold(s, d, 10, 0.3, compactEvery = 1, runPrefix = "graft_s40_run_")
+
+  private def s22CurateFold(
+      s: SparkSession,
+      d: String,
+      minTokens: Int,
+      minDistinctRatio: Double,
+      compactEvery: Int,
+      runPrefix: String
+  ): DataFrame = {
     val dir = stageDocsJsonDuplicated(s, d)
     val docSchema = StructType(
       Seq(StructField("doc_id", LongType), StructField("text", StringType))
@@ -2217,7 +2239,7 @@ object StreamingBatch {
       .text(s"$dir/json")
       .select(from_json(col("value"), docSchema).as("r"))
       .select("r.*")
-    val root = graft.TempDirs.create("graft_s22_run_")
+    val root = graft.TempDirs.create(runPrefix)
     val store = s"$root/index"
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2237,13 +2259,14 @@ object StreamingBatch {
           // this batch touches are rewritten — per-batch written bytes
           // O(batch × bucket), not O(index) (the round-13 COW rewrote the
           // whole index every batch)
-          graft.sources.BucketedStateStore.upsert(store, batchId, incoming, Seq("fp"), 16) {
-            (prev, inc) =>
-              prev
-                .unionByName(inc)
-                .groupBy("fp")
-                .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
-          }
+          graft.sources.BucketedStateStore
+            .upsert(store, batchId, incoming, Seq("fp"), 16, autoCompactEvery = compactEvery) {
+              (prev, inc) =>
+                prev
+                  .unionByName(inc)
+                  .groupBy("fp")
+                  .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
+            }
         }
       }
       .option("checkpointLocation", s"$root/ck")

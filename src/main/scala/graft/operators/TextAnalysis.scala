@@ -2072,4 +2072,46 @@ object TextAnalysis {
       )
       .orderBy("top_k")
   }
+
+  /** t50 (round 15): PARAGRAPH-LEVEL DEDUP REPORT — the Dolma/C4-style
+    * sub-document pass: chunk every document into fixed 10-token
+    * "paragraphs" (the corpus has no newline structure, so the chunking
+    * is deterministic token windows both engines replay), hash each
+    * chunk, and count per document how many of its chunks appear
+    * anywhere else in the corpus. Docs over 30% duplicated chunks get
+    * flagged — the boilerplate/mirror-page signal paragraph dedup
+    * exists for. Shape: explode → one groupBy(hash) count → one join
+    * back; both shuffles keyed on the chunk hash, no pairwise compare
+    * anywhere.
+    */
+  def t50ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("ts"))
+      .filter(size(col("ts")) > 0)
+    val chunks = toks
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, CAST(ceil(size(ts)/10.0) AS INT) - 1), " +
+              "i -> md5(array_join(slice(ts, i*10+1, 10), ' ')))"
+          )
+        ).as("h")
+      )
+    val freq = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    chunks
+      .join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks")
+      )
+      .withColumn(
+        "dup_share",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+      )
+      .withColumn("flagged", (col("dup_share") >= 0.3).cast("boolean"))
+      .orderBy("doc_id")
+  }
 }

@@ -288,6 +288,38 @@ class Round15Spec extends AnyFunSuite {
     assert(s37.count() > 0)
   }
 
+  test("bigStarComponents == union-find on random graphs incl. long paths and cliques (5 seeded trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 5).foreach { trial =>
+      val n = 60 + rnd.nextInt(140)
+      // mix of shapes: a LONG PATH (the O(diameter) killer for plain
+      // label propagation), a clique, and random sparse edges
+      val path = (0 until 30).map(i => (i.toLong, (i + 1).toLong))
+      val clique = for (i <- 100 to 106; j <- (i + 1) to 106) yield (i.toLong, j.toLong)
+      val sparse = Vector.fill(n)((rnd.nextInt(200).toLong + 200, rnd.nextInt(200).toLong + 200))
+        .filter { case (a, b) => a != b }
+      val edges = path ++ clique ++ sparse
+      // in-memory union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.operators.Dedup
+        .bigStarComponents(edges.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == expect, s"trial $trial: ${got.size} vs ${expect.size} nodes")
+    }
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)
