@@ -533,16 +533,19 @@ object SparkEntry {
     "t48_lang_confusion"     -> (TextAnalysis.t48LangConfusion _),
     // round 14: audio crest factor off the real WAV decode
     "m24_audio_crest"        -> (Multimodal.m24AudioCrest _),
+    "m25_gradient_anisotropy" -> (Multimodal.m25GradientAnisotropy _),
     // round 14: session-length distribution (bounce rate + histogram)
     "e50_session_shape"      -> (Events.e50SessionShape _),
     // round 14: hard-negative margins per sampled query
     "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d)),
+    "v29_degree_hist"        -> ((s, d) => Similarity.v29DegreeHist(s, d)),
     // round 14: top-1/5/10%% customer revenue concentration
     "q68_top_customer_share" -> (Relational.q68TopCustomerShare _),
     "q69_price_band_cume"    -> (Relational.q69PriceBandCume _),
     // round 14: exact audience-overlap (Jaccard) matrix per type pair
     "e51_type_overlap"       -> (Events.e51TypeOverlap _),
     "q70_record_orders"      -> (Relational.q70RecordOrders _),
+    "q71_retention_by_nation" -> (Relational.q71RetentionByNation _),
     "e52_high_watermark"     -> (Events.e52HighWatermark _),
     "e53_peak_concurrency"   -> (Events.e53PeakConcurrency _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
@@ -1037,6 +1040,39 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      < CAST(floor(rate * 4294967296) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    // m25: both gradient sums replayed from the pixel generator — any
+    // decoder stride/row-order/bit-depth drift shifts every term
+    "m25_gradient_anisotropy" ->
+      """WITH m AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(4 + (doc_id*7) % 11 AS BIGINT) AS h FROM documents),
+        |gxt AS (SELECT doc_id, sum(abs(
+        |   (doc_id*31 + (y.y*w + x.x + 1)*7919) % 256
+        | - (doc_id*31 + (y.y*w + x.x)*7919) % 256)) AS gx
+        | FROM m, generate_series(0, 15) x(x), generate_series(0, 14) y(y)
+        | WHERE x.x <= w - 2 AND y.y <= h - 1 GROUP BY 1),
+        |gyt AS (SELECT doc_id, sum(abs(
+        |   (doc_id*31 + ((y.y+1)*w + x.x)*7919) % 256
+        | - (doc_id*31 + (y.y*w + x.x)*7919) % 256)) AS gy
+        | FROM m, generate_series(0, 15) x(x), generate_series(0, 14) y(y)
+        | WHERE x.x <= w - 1 AND y.y <= h - 2 GROUP BY 1)
+        |SELECT m.doc_id, m.w, m.h,
+        | CAST(gx AS BIGINT) AS gx_l1, CAST(gy AS BIGINT) AS gy_l1,
+        | round(gx * 1.0 / (gx + gy), 6) AS h_share
+        |FROM m JOIN gxt USING (doc_id) JOIN gyt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // v29: all-pairs cos >= 0.5 degrees + the degree-0 population;
+    // float->double dots are bit-identical on both engines
+    "v29_degree_hist" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.5),
+        |deg AS (SELECT v, count(*) AS dg
+        | FROM (SELECT ia AS v FROM p UNION ALL SELECT ib FROM p) GROUP BY 1),
+        |alln AS (SELECT n.vec_id, CAST(coalesce(deg.dg, 0) AS INT) AS degree
+        | FROM n LEFT JOIN deg ON n.vec_id = deg.v)
+        |SELECT degree, count(*) AS n_vectors FROM alln GROUP BY 1 ORDER BY 1""".stripMargin,
     // t50: fixed 10-token chunk hashes; a chunk is duplicated when its
     // corpus frequency >= 2; flag docs over 30% duplicated chunks
     "t50_paragraph_dedup" ->
@@ -4881,6 +4917,21 @@ object SparkEntry {
         | round(value / max(value) OVER (ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS share_of_record
         |FROM ev ORDER BY event_id""".stripMargin,
+    // q71: per-customer year flags then plain sums — the
+    // many-distinct-counts-one-scan idiom
+    "q71_retention_by_nation" ->
+      """WITH f AS (SELECT o_custkey,
+        |  max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS f95,
+        |  max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS f96
+        | FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1)
+        |SELECT n.n_name AS nation,
+        | CAST(sum(f95) AS BIGINT) AS n_1995,
+        | CAST(sum(f96) AS BIGINT) AS n_1996,
+        | CAST(sum(f95 * f96) AS BIGINT) AS n_both,
+        | round(sum(f95 * f96) * 1.0 / greatest(sum(f95), 1), 6) AS retention
+        |FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // e53: interval sweep — e2's sessions as ±1 boundaries, global
     // running sum = live concurrency, peak per day; starts order before
     // ends at the same microsecond

@@ -1418,4 +1418,50 @@ object Multimodal {
       )
       .orderBy("doc_id")
   }
+
+  /** m25 (round 15): GRADIENT ANISOTROPY over the REAL image decode —
+    * the stripe/banding screen a vision-data pipeline runs: horizontal
+    * vs vertical L1 gradient energy per image (|p(x+1,y)−p(x,y)| vs
+    * |p(x,y+1)−p(x,y)| over the full raster, exact integers), and their
+    * ratio — near 0 or 1 means the image is banded along one axis
+    * (a synthesis/screenshot artifact), ~0.5 is isotropic content.
+    * ImageIO decodes the PNG on executors; the DuckDB oracle replays
+    * both sums from the generator arithmetic, so any decoder
+    * misalignment (stride, row order, bit depth) shifts every term and
+    * fails the hash.
+    */
+  def m25GradientAnisotropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read
+      .parquet(s"${mediaStore(s, d)}/media")
+      .select(col("doc_id"), col("png_meta"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = decodeImage(id, bytes)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var gx = 0L
+          var gy = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = raster.getSample(x, y, 0).toLong
+              if (x + 1 < w) gx += math.abs(raster.getSample(x + 1, y, 0) - p)
+              if (y + 1 < h) gy += math.abs(raster.getSample(x, y + 1, 0) - p)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, gx, gy)
+        }
+      }
+      .toDF("doc_id", "w", "h", "gx_l1", "gy_l1")
+      .withColumn(
+        "h_share",
+        round(col("gx_l1").cast("double") / (col("gx_l1") + col("gy_l1")), 6)
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -1700,4 +1700,42 @@ object Relational {
       .withColumn("is_record", (col("cents") === col("record_cents")).cast("boolean"))
       .orderBy("o_date", "o_orderkey")
   }
+
+  /** q71 (round 15): CUSTOMER RETENTION BY NATION — the year-over-year
+    * audience-overlap report (who ordered in 1995, in 1996, in both,
+    * per nation): per-customer year flags in one pass over orders, one
+    * broadcast join to the nation dim, one keyed aggregate. The flags
+    * collapse COUNT(DISTINCT customer)-per-set-expression into plain
+    * sums — no distinct shuffle per measure, the
+    * many-distinct-counts-one-scan idiom.
+    */
+  def q71RetentionByNation(s: SparkSession, d: String): DataFrame = {
+    val flags = Tables
+      .orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("yr") === 1995, 1L).otherwise(0L)).as("f95"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("f96")
+      )
+    val cn = Tables
+      .customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    flags
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum("f95").as("n_1995"),
+        sum("f96").as("n_1996"),
+        sum(col("f95") * col("f96")).as("n_both")
+      )
+      .withColumn(
+        "retention",
+        round(col("n_both").cast("double") / greatest(col("n_1995"), lit(1L)), 6)
+      )
+      .orderBy("nation")
+  }
 }

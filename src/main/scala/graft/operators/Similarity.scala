@@ -1574,4 +1574,34 @@ object Similarity {
       )
       .orderBy("q_id")
   }
+
+  /** v29 (round 15): SIMILARITY-GRAPH DEGREE HISTOGRAM — how connected
+    * the corpus is at cosine ≥ 0.5: per-vector neighbor counts in the
+    * threshold graph, folded to (degree → n_vectors) with the isolated
+    * (degree-0) population included — the connectivity audit run before
+    * choosing a semantic-dedup threshold (a fat tail here means one τ
+    * sweep would glue half the corpus into one cluster). Pairs come
+    * from d5b's BALANCED BLOCK self-join (every block pair compared
+    * exactly once, no CartesianProduct node), so the quadratic compare
+    * is block-bounded; degrees and the histogram are two keyed
+    * aggregates.
+    */
+  def v29DegreeHist(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val pairs = graft.operators.Dedup
+      .d5bDedupEmbeddingBlocked(s, d, tau)
+      .select("id_a", "id_b")
+    val deg = pairs
+      .select(col("id_a").as("vec_id"))
+      .unionAll(pairs.select(col("id_b").as("vec_id")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("deg"))
+    Tables
+      .embeddings(s, d)
+      .select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).cast("int").as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("degree")
+  }
 }
