@@ -7,7 +7,7 @@
 # (d6's recursive-CTE transitive closure).
 OUT=${1:-/tmp/v01}
 SF=${2:-/root/testdata/sf0.1}
-EXCL="d2_dedup_minhash_lsh d6_dedup_clusters d7_dedup_apply d11_keep_best d13_cluster_stats d20_soft_dedup p2_curate_neardup p3_curate_keepbest s13_stream_dedup_index d22_minhash_fidelity d24_cluster_purity"
+EXCL="d2_dedup_minhash_lsh d6_dedup_clusters d7_dedup_apply d11_keep_best d13_cluster_stats d20_soft_dedup p2_curate_neardup p3_curate_keepbest s13_stream_dedup_index d22_minhash_fidelity d24_cluster_purity d28_cc_bigstar"
 names=$(python3 -c "
 import json
 o=json.load(open('$OUT/oracle_sql.json'))

@@ -184,7 +184,16 @@ object PlanAudit {
       "q68_top_customer_share"      -> "whale concentration: GlobalRank row_number + integer ceil cutoffs + 1-row broadcast totals per tier",
       "e51_type_overlap"            -> "audience overlap: one (type,user) dedup -> user-keyed self-equi-join -> types^2 matrix + broadcast sizes",
       "t49_ngram_coverage"          -> "ngram head coverage: one count shuffle; rank window over the TYPE table; integer tier cutoffs",
-      "d27_cluster_size_hist"       -> "cluster-size histogram: two keyed aggregates + 1-row broadcast total; exact integers"
+      "d27_cluster_size_hist"       -> "cluster-size histogram: two keyed aggregates + 1-row broadcast total; exact integers",
+      "q69_price_band_cume"         -> "global cume_dist: CumeDistTies exec (range exchange + forward head-run stitch) — no 1-task window",
+      "q70_record_orders"           -> "record orders: GlobalPrefixExtremum exec (per-partition max partials stitch the prefix) — no 1-task window",
+      "q71_retention_by_nation"     -> "retention matrix: per-customer flag maxes -> broadcast nation join -> one keyed aggregate; zero distinct shuffles",
+      "e52_high_watermark"          -> "value high-watermark: the FLOAT leg of GlobalPrefixExtremum (interpreted-ordering comparisons only)",
+      "e53_peak_concurrency"        -> "peak concurrency: session bounds -> ±1 sweep riding GlobalPrefixSumExec -> day-grain peaks",
+      "d28_cc_bigstar"              -> "large-star/small-star CC: two keyed shuffles per round, fixpoint-checked; no GraphX, no cartesian",
+      "t50_paragraph_dedup"         -> "paragraph dedup: chunk explode -> one corpus-frequency groupBy -> one hash-keyed join back",
+      "v29_degree_hist"             -> "degree histogram: d5b's balanced block self-join pairs -> two keyed aggregates incl. the zero-degree join",
+      "m25_gradient_anisotropy"     -> "real-decode gradient anisotropy: map-only decode, exact integer sums; scalar rows shuffle"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

@@ -4277,7 +4277,7 @@ object SparkEntry {
         |SELECT CASE WHEN cum_rev*100 <= total_rev*80 THEN 'A'
         |            WHEN cum_rev*100 <= total_rev*95 THEN 'B'
         |            ELSE 'C' END AS abc_class,
-        | count(*) AS n_parts, CAST(sum(rev) AS DECIMAL(20,2)) AS revenue,
+        | count(*) AS n_parts, CAST(sum(rev) AS DECIMAL(18,2)) AS revenue,
         | round(CAST(sum(rev) AS DOUBLE) / CAST(any_value(total_rev) AS DOUBLE), 6) AS share
         |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // e45: dense generated spine (days 8-28 × hours 0-23 per type), the

@@ -1292,7 +1292,9 @@ object Relational {
       .groupBy("abc_class")
       .agg(
         count(lit(1)).as("n_parts"),
-        sum("rev").cast("decimal(20,2)").as("revenue"),
+        // (18,2) output: the portable surface stays <=18-precision
+        // (round-15 wide-decimal guard); class revenues are ~1e9 at sf1
+        sum("rev").cast("decimal(18,2)").as("revenue"),
         round(sum("rev").cast("double") / first("total_rev").cast("double"), 6).as("share")
       )
       .orderBy("abc_class")
