@@ -32,7 +32,13 @@ object RankScaleBench {
     val queries = Seq(
       "row_number" -> s"SELECT count(*) AS c FROM (SELECT id, row_number() OVER (ORDER BY id % 7919, id) AS r FROM range($n)) WHERE r % 97 = 0",
       "rank_ties" -> s"SELECT count(*) AS c FROM (SELECT id, rank() OVER (ORDER BY id % 1000) AS r FROM range($n)) WHERE r % 97 = 0",
-      "prefix_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM range($n)) WHERE s % 97 = 0"
+      "prefix_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM range($n)) WHERE s % 97 = 0",
+      // round 15: cume_dist (1000-wide peer groups — the one-group-buffer
+      // pass 2 and the forward head-run stitch under load) and running
+      // max (the extremum stitch; % 7919 keeps new records arriving
+      // throughout, so the comparison never short-circuits to a constant)
+      "cume_dist" -> s"SELECT count(*) AS c FROM (SELECT id, cume_dist() OVER (ORDER BY id % 1000) AS cd FROM range($n)) WHERE cd < 0.5",
+      "running_max" -> s"SELECT count(*) AS c FROM (SELECT id, max((id * 2654435761) % 7919) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM range($n)) WHERE m % 97 = 0"
     )
     def time(label: String, installRules: Boolean): Unit = {
       val sess = spark.newSession() // fresh experimental.* — rules OFF by default
