@@ -4928,7 +4928,7 @@ object SparkEntry {
         | CAST(sum(f95) AS BIGINT) AS n_1995,
         | CAST(sum(f96) AS BIGINT) AS n_1996,
         | CAST(sum(f95 * f96) AS BIGINT) AS n_both,
-        | round(sum(f95 * f96) * 1.0 / greatest(sum(f95), 1), 6) AS retention
+        | round(CAST(sum(f95 * f96) AS DOUBLE) / greatest(sum(f95), 1), 6) AS retention
         |FROM f JOIN customer c ON f.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -73,7 +73,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // user gets the distributed plans from the same statements)
     "q65_cum_revenue", "q66_quantity_rank", "q67_spend_percentile",
     "e49_hour_entropy", "d25_source_dup_rate", "d26_cross_source_dups",
-    "s39_stream_last_touch"
+    "s39_stream_last_touch",
+    // round 15 (e53 epoch_us/make_timestamp, d28/t50/v29/m25 list_*/
+    // recursive-CTE/generate_series, s40 s22's list_* — DuckDB gate;
+    // these four are pure ANSI incl. the two NEW GlobalRank-family
+    // idioms, so a SQL user gets cume_dist and running-max distributed
+    // from the same statements)
+    "q69_price_band_cume", "q70_record_orders", "q71_retention_by_nation",
+    "e52_high_watermark"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
