@@ -548,6 +548,7 @@ object SparkEntry {
     "q71_retention_by_nation" -> (Relational.q71RetentionByNation _),
     "e52_high_watermark"     -> (Events.e52HighWatermark _),
     "e53_peak_concurrency"   -> (Events.e53PeakConcurrency _),
+    "e54_global_interarrival" -> (Events.e54GlobalInterarrival _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
     "t49_ngram_coverage"     -> (TextAnalysis.t49NgramCoverage _),
     "t50_paragraph_dedup"    -> (TextAnalysis.t50ParagraphDedup _),
@@ -4959,6 +4960,15 @@ object SparkEntry {
         | count(*) AS n_boundaries,
         | CAST(max(conc) AS BIGINT) AS peak_concurrency
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e54: global lag/lead ride the GlobalOffsetWindow stitch — k=1
+    // boundary values cross partitions as driver metadata
+    "e54_global_interarrival" ->
+      """WITH e AS (SELECT event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events)
+        |SELECT event_id,
+        | us - lag(us, 1) OVER (ORDER BY us, event_id) AS gap_us,
+        | lead(us, 1) OVER (ORDER BY us, event_id) - us AS next_gap_us
+        |FROM e ORDER BY event_id""".stripMargin,
     // q69: global cume_dist over ~60-value price bands — peer groups
     // span many partitions; gates the round-15 CumeDistTies stitch
     "q69_price_band_cume" ->

@@ -1670,4 +1670,24 @@ object Events {
       )
       .orderBy("day")
   }
+
+  /** e54 (round 15): GLOBAL INTER-ARRIVAL GAPS — every event's distance
+    * (µs) to the previous and next event ANYWHERE in the stream (the
+    * traffic-grain gap series behind arrival-rate and outage analysis):
+    * `lag`/`lead` with NO partition key — the round-15
+    * GlobalOffsetWindow idiom. Each partition borrows exactly k=1
+    * boundary value from its neighbors (O(P) driver metadata); stock
+    * Spark would sort every event into one task. Data-grain output
+    * hash-gates both directions end-to-end.
+    */
+  def e54GlobalInterarrival(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.orderBy(col("us"), col("event_id"))
+    ev.withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .withColumn("next_gap_us", lead("us", 1).over(w) - col("us"))
+      .select("event_id", "gap_us", "next_gap_us")
+      .orderBy("event_id")
+  }
 }

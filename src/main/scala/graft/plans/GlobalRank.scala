@@ -298,6 +298,82 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** Eighth idiom (round 15): GLOBAL `lag(e, k)` / `lead(e, k)` — the
+  * last global-window family PlanLint could only WARN about. With a
+  * LITERAL offset k, the cross-partition information each partition
+  * needs is exactly k evaluated values from its neighbors: lag seeds a
+  * k-deep FIFO with the previous partitions' tail values; lead drains
+  * its last ≤k rows against the following partitions' head values.
+  * Pass 1 collects (count, first-k values, last-k values) per
+  * partition — O(P·k) driver metadata, gated at k ≤ 1024 (beyond that
+  * the stock plan + the lint warning stand). `ignoreNulls` variants
+  * and non-foldable defaults keep the stock plan (their
+  * cross-partition need is unbounded / row-dependent).
+  */
+case class GlobalOffsetWindowNode(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    k: Int,
+    isLag: Boolean,
+    default: Expression, // foldable
+    outAttr: Attribute,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object GlobalOffsetRewrite extends Rule[LogicalPlan] {
+  private val maxK = 1024
+
+  /** (input, k, isLag, default, alias) when the expression is a
+    * rewritable literal-offset lag/lead.
+    */
+  private def offsetShape(
+      ne: org.apache.spark.sql.catalyst.expressions.NamedExpression
+  ): Option[(Expression, Int, Boolean, Expression, Alias)] = ne match {
+    case alias @ Alias(
+          WindowExpression(
+            org.apache.spark.sql.catalyst.expressions
+              .Lag(e, Literal(k: Int, IntegerType), dflt, false),
+            _
+          ),
+          _
+        ) if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
+      Some((e, k, true, dflt, alias))
+    case alias @ Alias(
+          WindowExpression(
+            org.apache.spark.sql.catalyst.expressions
+              .Lead(e, Literal(k: Int, IntegerType), dflt, false),
+            _
+          ),
+          _
+        ) if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
+      Some((e, k, false, dflt, alias))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // lag and lead over the SAME spec land in ONE Window node (the
+    // analyzer merges same-spec window functions) — rewrite when EVERY
+    // expression is a rewritable offset, chaining one node per column;
+    // the chain shares a single exchange (each node preserves its
+    // child's partitioning and order, so EnsureRequirements adds
+    // nothing between them).
+    case w: Window
+        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          w.windowExpressions.nonEmpty &&
+          w.orderSpec.forall(_.child.deterministic) &&
+          w.windowExpressions.forall(offsetShape(_).isDefined) =>
+      w.windowExpressions.foldLeft(w.child) { (acc, ne) =>
+        val (e, k, isLag, dflt, alias) = offsetShape(ne).get
+        GlobalOffsetWindowNode(w.orderSpec, e, k, isLag, dflt, alias.toAttribute, acc)
+      }
+  }
+}
+
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GlobalRankNode(order, rankAttr, mode, child) =>
@@ -306,6 +382,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalPrefixSumExec(order, sumExpr, outAttr, ansi, planLater(child)) :: Nil
     case GlobalPrefixExtremumNode(order, valExpr, outAttr, isMax, child) =>
       GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
+    case GlobalOffsetWindowNode(order, valExpr, k, isLag, default, outAttr, child) =>
+      GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -807,11 +885,176 @@ case class GlobalPrefixExtremumExec(
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
 }
 
+/** Per-partition boundary metadata for [[GlobalOffsetWindowExec]]:
+  * count plus the first/last min(k, n) EVALUATED input values (copied
+  * out of the row buffers). Top-level for closure serialization.
+  */
+private[plans] case class OffsetPartMeta(n: Long, head: Array[Any], tail: Array[Any])
+
+/** Null-TOLERANT fixed-capacity FIFO (java.util.ArrayDeque rejects
+  * nulls, and SQL lag/lead values are nullable by nature).
+  */
+private[plans] final class NullableRing(cap: Int) {
+  private val buf = new Array[Any](math.max(cap, 1))
+  private var start = 0
+  private var n = 0
+  def size: Int = n
+  def addLast(v: Any): Unit = {
+    buf((start + n) % buf.length) = v
+    if (n < buf.length) n += 1
+    else start = (start + 1) % buf.length // overwrite oldest (caller keeps n ≤ cap)
+  }
+  def removeFirst(): Any = {
+    val v = buf(start)
+    buf(start) = null
+    start = (start + 1) % buf.length
+    n -= 1
+    v
+  }
+  def toArray: Array[Any] = Array.tabulate(n)(i => buf((start + i) % buf.length))
+}
+
+/** Physical plan for [[GlobalOffsetWindowNode]]: range exchange + local
+  * sort, a boundary-values metadata pass (O(P·k) on the driver), then
+  * one streaming pass — lag keeps a k-deep value FIFO seeded from the
+  * previous partitions' tails; lead buffers at most k rows and drains
+  * the last ones against the following partitions' heads.
+  */
+case class GlobalOffsetWindowExec(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    k: Int,
+    isLag: Boolean,
+    default: Expression,
+    outAttr: Attribute,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val ve = valExpr
+    val kk = k
+    val defaultVal: Any = default.eval(null) // foldable by the rewrite gate
+    // pass 1: boundary values per partition
+    val metas = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(ve, childOutput)
+          val head = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val tail = new NullableRing(kk) // keeps the LAST ≤k values
+          var n = 0L
+          it.foreach { r =>
+            val v = InternalRow.copyValue(bound.eval(r))
+            if (head.size < kk) head += v
+            tail.addLast(v)
+            n += 1L
+          }
+          Iterator.single(OffsetPartMeta(n, head.toArray, tail.toArray))
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    // driver stitch: lag seeds = last k values BEFORE partition p;
+    // lead drains = first k values AFTER partition p
+    val seeds: Array[Array[Any]] =
+      if (isLag)
+        Array.tabulate(metas.length) { p =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var j = p - 1
+          while (j >= 0 && buf.size < kk) {
+            // prepend partition j's tail (already its LAST ≤k values)
+            buf.prependAll(metas(j).tail.takeRight(kk - buf.size))
+            // if partition j held fewer than k rows, keep walking back
+            j = if (metas(j).n < kk && buf.size < kk) j - 1 else -1
+          }
+          buf.toArray
+        }
+      else
+        Array.tabulate(metas.length) { p =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var j = p + 1
+          while (j < metas.length && buf.size < kk) {
+            buf ++= metas(j).head.take(kk - buf.size)
+            j = if (metas(j).n < kk && buf.size < kk) j + 1 else metas.length
+          }
+          buf.toArray
+        }
+    val outAttrs = output
+    if (isLag) {
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val bound = BindReferences.bindReference(ve, childOutput)
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val vRow = new GenericInternalRow(1)
+        val fifo = new NullableRing(kk)
+        seeds(pid).foreach(fifo.addLast)
+        it.map { row =>
+          val lagged = if (fifo.size == kk) fifo.removeFirst() else defaultVal
+          fifo.addLast(InternalRow.copyValue(bound.eval(row)))
+          if (lagged == null) vRow.setNullAt(0) else vRow.update(0, lagged)
+          proj(joined(row, vRow))
+        }
+      }
+    } else {
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val bound = BindReferences.bindReference(ve, childOutput)
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val vRow = new GenericInternalRow(1)
+        val after = seeds(pid)
+        new Iterator[InternalRow] {
+          private val pending = new java.util.ArrayDeque[InternalRow](kk + 1)
+          private var drainIdx = 0
+          private var drainCount = 0 // rows left in pending at source end
+          private var draining = false
+          private def emit(row: InternalRow, v: Any): InternalRow = {
+            if (v == null) vRow.setNullAt(0) else vRow.update(0, v)
+            proj(joined(row, vRow))
+          }
+          override def hasNext: Boolean = !pending.isEmpty || it.hasNext
+          override def next(): InternalRow = {
+            while (!draining && it.hasNext && pending.size <= kk) {
+              pending.addLast(it.next().copy())
+              if (pending.size > kk) {
+                // the row k behind the one just read pairs with its value
+                val row = pending.removeFirst()
+                val bnd = bound
+                return emit(row, bnd.eval(pending.peekLast()))
+              }
+            }
+            if (!draining && !it.hasNext) { draining = true; drainCount = pending.size }
+            // drain: remaining rows pair with the following partitions'
+            // head values (index i + k − m for the i-th remaining row)
+            val row = pending.removeFirst()
+            val idx = drainIdx + kk - drainCount
+            drainIdx += 1
+            emit(row, if (idx >= 0 && idx < after.length) after(idx) else defaultVal)
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
 object GlobalRank {
 
   /** Ensure rules + strategy are installed on the session (idempotent). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(GlobalRankRewrite, GlobalNtileRewrite, GlobalPrefixSumRewrite).foreach { r =>
+    Seq(GlobalRankRewrite, GlobalNtileRewrite, GlobalPrefixSumRewrite, GlobalOffsetRewrite).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

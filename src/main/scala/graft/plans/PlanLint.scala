@@ -11,10 +11,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   * BEFORE a query ships to a 1000-executor cluster.
   *
   * The GlobalRank family auto-fixes global `row_number`/`rank`/
-  * `dense_rank`/`percent_rank`/`cume_dist`/`ntile`/running-sum windows
-  * (rank ties stitch exactly since round 14; cume_dist's peer-group
-  * ends since round 15); everything else that funnels a
-  * corpus through one task — `lag`/`lead`/RANGE-frame
+  * `dense_rank`/`percent_rank`/`cume_dist`/`ntile`/running-sum/
+  * running-min-max/`lag`/`lead` windows (rank ties stitch exactly
+  * since round 14; cume_dist's peer-group ends, extremum prefixes and
+  * literal-offset lag/lead since round 15); everything else that
+  * funnels a corpus through one task — `lag ignore nulls`, offsets
+  * beyond 1024 or non-literal, RANGE-frame
   * aggregates over an empty partition spec, cartesian products,
   * non-broadcast nested-loop joins — is
   * reported here instead, because rewriting them silently would change
@@ -38,9 +40,10 @@ object PlanLint {
         val fns = w.windowExpression.map(_.sql).mkString(", ")
         s"GLOBAL WINDOW (single-task sort over ALL rows): [$fns] has no PARTITION BY — " +
           "at cluster scale every row funnels through one task. If it is a row_number/" +
-          "rank/dense_rank/percent_rank/cume_dist/ntile/running-sum, the GlobalRank " +
-          "rules rewrite it automatically when GraftExtensions is installed; " +
-          "lag/lead/RANGE frames need a partition key or ScaleRank."
+          "rank/dense_rank/percent_rank/cume_dist/ntile/running-sum/running-min-max/" +
+          "literal-offset lag/lead, the GlobalRank rules rewrite it automatically when " +
+          "GraftExtensions is installed; ignore-nulls or non-literal offsets and RANGE " +
+          "frames need a partition key or ScaleRank."
       case c: CartesianProductExec =>
         s"CARTESIAN PRODUCT: ${c.left.simpleStringWithNodeId()} x " +
           s"${c.right.simpleStringWithNodeId()} — O(|L|·|R|) pairs. Add an equi-join " +

@@ -164,9 +164,11 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("PlanLint flags the cliffs the rules can't rewrite, stays quiet on clean plans") {
-    // lag() keeps the stock 1-task window (frame semantics) — lint names
-    // it (rank()/dense_rank() are auto-rewritten since round 14)
-    val ranked = spark.sql("SELECT id, lag(id, 1) OVER (ORDER BY id) AS r FROM range(100)")
+    // lag IGNORE NULLS keeps the stock 1-task window (its
+    // cross-partition need is unbounded) — lint names it; plain
+    // literal-offset lag/lead are auto-rewritten since round 15
+    val ranked =
+      spark.sql("SELECT id, lag(id, 1) IGNORE NULLS OVER (ORDER BY id) AS r FROM range(100)")
     val w1 = graft.plans.PlanLint.lint(ranked)
     assert(w1.exists(_.contains("GLOBAL WINDOW")), s"missed global window: $w1")
     // a genuine cartesian

@@ -320,6 +320,57 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("GlobalOffsetWindow: global lag/lead distribute and match stock across partition boundaries") {
+    // k from 1 to far beyond a partition's row count (forces the seed
+    // walk across MULTIPLE partitions), defaults, strings, nulls
+    for (k <- Seq(1, 3, 97, 300)) {
+      for ((fn, sign) <- Seq(("lag", -1), ("lead", 1))) {
+        val df = spark.sql(
+          s"SELECT id, $fn(id * 7, $k) OVER (ORDER BY id) AS v FROM range(1000)"
+        )
+        val exec = unwrap(df)
+        assert(
+          exec.collect { case g: graft.plans.GlobalOffsetWindowExec => g }.nonEmpty,
+          s"$fn($k) not rewritten:\n$exec"
+        )
+        assert(exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        }.isEmpty)
+        val got = df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        (0L until 1000L).foreach { id =>
+          val src = id + sign * k
+          val expected = if (src >= 0 && src < 1000) Some(src * 7) else None
+          assert(got(id) == expected, s"$fn(k=$k, id=$id): ${got(id)} != $expected")
+        }
+      }
+    }
+    // non-null default + string values + expression input
+    val d = spark.sql(
+      "SELECT id, lag(concat('v', CAST(id AS STRING)), 2, 'none') OVER (ORDER BY id) AS v FROM range(10)"
+    )
+    assert(unwrap(d).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.nonEmpty)
+    val dm = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dm(0L) == "none" && dm(1L) == "none" && dm(2L) == "v0" && dm(9L) == "v7")
+    // ignoreNulls keeps the stock plan (cross-partition need unbounded)
+    val ig = spark.sql(
+      "SELECT id, lag(id, 1) IGNORE NULLS OVER (ORDER BY id) AS v FROM range(10)"
+    )
+    assert(unwrap(ig).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.isEmpty)
+    // randomized differential with nulls in the VALUE column
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    val rows = (0 until 700).map(i => (i.toLong, if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(100).toLong)))
+    rows.toDF("i", "x").createOrReplaceTempView("r15_off")
+    for (k <- Seq(2, 50)) {
+      val got = spark.sql(s"SELECT i, lead(x, $k) OVER (ORDER BY i) AS v FROM r15_off")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      rows.foreach { case (i, _) =>
+        val expected = if (i + k < 700) rows((i + k).toInt)._2 else None
+        assert(got(i) == expected, s"lead($k) at $i")
+      }
+    }
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)
