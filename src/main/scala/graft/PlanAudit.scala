@@ -193,7 +193,8 @@ object PlanAudit {
       "d28_cc_bigstar"              -> "large-star/small-star CC: two keyed shuffles per round, fixpoint-checked; no GraphX, no cartesian",
       "t50_paragraph_dedup"         -> "paragraph dedup: chunk explode -> one corpus-frequency groupBy -> one hash-keyed join back",
       "v29_degree_hist"             -> "degree histogram: d5b's balanced block self-join pairs -> two keyed aggregates incl. the zero-degree join",
-      "m25_gradient_anisotropy"     -> "real-decode gradient anisotropy: map-only decode, exact integer sums; scalar rows shuffle"
+      "m25_gradient_anisotropy"     -> "real-decode gradient anisotropy: map-only decode, exact integer sums; scalar rows shuffle",
+      "e54_global_interarrival"     -> "global lag/lead: two chained GlobalOffsetWindow execs over ONE exchange — k=1 boundary metadata, no 1-task window"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
