@@ -546,6 +546,7 @@ object SparkEntry {
     "e51_type_overlap"       -> (Events.e51TypeOverlap _),
     "q70_record_orders"      -> (Relational.q70RecordOrders _),
     "q71_retention_by_nation" -> (Relational.q71RetentionByNation _),
+    "q72_day_close_cum"      -> (Relational.q72DayCloseCumRevenue _),
     "e52_high_watermark"     -> (Events.e52HighWatermark _),
     "e53_peak_concurrency"   -> (Events.e53PeakConcurrency _),
     "e54_global_interarrival" -> (Events.e54GlobalInterarrival _),
@@ -4960,6 +4961,14 @@ object SparkEntry {
         | count(*) AS n_boundaries,
         | CAST(max(conc) AS BIGINT) AS peak_concurrency
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q72: the DEFAULT-frame cumulative (RANGE through the day's peer
+    // group) — sums in HUGEINT on DuckDB, cast back to BIGINT
+    "q72_day_close_cum" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_date, cents,
+        | CAST(sum(cents) OVER (ORDER BY o_date) AS BIGINT) AS day_close_cents
+        |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
     // e54: global lag/lead ride the GlobalOffsetWindow stitch — k=1
     // boundary values cross partitions as driver metadata
     "e54_global_interarrival" ->

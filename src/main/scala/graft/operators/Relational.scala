@@ -1740,4 +1740,28 @@ object Relational {
       )
       .orderBy("nation")
   }
+
+  /** q72 (round 15): DAY-CLOSE CUMULATIVE REVENUE — every order tagged
+    * with the book total THROUGH ITS DAY'S CLOSE: `sum(cents) OVER
+    * (ORDER BY o_date)` with NO frame clause — SQL's default RANGE
+    * frame sums the whole peer group (all same-day orders), the single
+    * most common way users write a cumulative total and, until round
+    * 15, a silent 1-task cliff. Rides GlobalRangePrefixSumExec: ~2400
+    * day-wide peer groups span many range partitions, the last group
+    * per partition stitches the forward head-group chain. Exact cents
+    * (BIGINT); emitted at order grain so the gate hashes every group's
+    * frame end.
+    */
+  def q72DayCloseCumRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+    val w = Window.orderBy(col("o_date")) // default RANGE frame — deliberate
+    o.withColumn("day_close_cents", sum("cents").over(w))
+      .orderBy("o_date", "o_orderkey")
+  }
 }

@@ -223,6 +223,35 @@ case class GlobalPrefixExtremumNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+/** Ninth idiom (round 15): GLOBAL RANGE-frame running sum — `sum(x)
+  * OVER (ORDER BY t)` with NO frame clause, the single most common way
+  * a SQL user writes a cumulative total, defaults to RANGE BETWEEN
+  * UNBOUNDED PRECEDING AND CURRENT ROW: every row's frame runs through
+  * the END of its PEER GROUP (ties included). Distributes with the
+  * prefix-sum machinery plus cume_dist's group mechanics: pass 1
+  * collects per-partition (sum, any-non-null) partials AND tie
+  * metadata (first/last order keys, head-group/tail-group sums);
+  * inside a partition each group's value is the global prefix through
+  * its end (buffer one peer group, emit on group close); only the LAST
+  * group chains the following partitions' head-group sums — the same
+  * forward walk as cume_dist. Float order keys keep the stock plan
+  * (byte key equality); Long rides LEGACY/ANSI add semantics, Decimal
+  * unbounded-BigDecimal partials with per-emission precision checks —
+  * both exactly as [[GlobalPrefixSumExec]].
+  */
+case class GlobalRangePrefixSumNode(
+    order: Seq[SortOrder],
+    sumExpr: Expression,
+    outAttr: Attribute,
+    ansi: Boolean,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
 object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
   private def rowsToCurrent(ws: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition) =
     ws.frameSpecification match {
@@ -234,6 +263,28 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
         true
       case _ => false
     }
+
+  private def rangeToCurrent(ws: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition) =
+    ws.frameSpecification match {
+      case org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
+            org.apache.spark.sql.catalyst.expressions.RangeFrame,
+            org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
+            org.apache.spark.sql.catalyst.expressions.CurrentRow
+          ) =>
+        true
+      case _ => false
+    }
+
+  private def hasFloatKey(order: Seq[SortOrder]): Boolean = {
+    def f(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case DoubleType | FloatType                   => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(x => f(x.dataType))
+      case a: org.apache.spark.sql.types.ArrayType  => f(a.elementType)
+      case m: org.apache.spark.sql.types.MapType    => f(m.keyType) || f(m.valueType)
+      case _                                        => false
+    }
+    order.exists(o => f(o.dataType))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window
@@ -249,6 +300,20 @@ object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
               (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
               e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
           GlobalPrefixSumNode(
+            w.orderSpec,
+            e,
+            alias.toAttribute,
+            s0.evalContext.evalMode == EvalMode.ANSI,
+            w.child
+          )
+        case alias @ Alias(
+              WindowExpression(AggregateExpression(s0 @ Sum(e, _), _, false, _, _), ws),
+              _
+            )
+            if rangeToCurrent(ws) && !hasFloatKey(w.orderSpec) &&
+              (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
+              e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
+          GlobalRangePrefixSumNode(
             w.orderSpec,
             e,
             alias.toAttribute,
@@ -384,6 +449,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
     case GlobalOffsetWindowNode(order, valExpr, k, isLag, default, outAttr, child) =>
       GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
+    case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, child) =>
+      GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -1043,6 +1110,243 @@ case class GlobalOffsetWindowExec(
             emit(row, if (idx >= 0 && idx < after.length) after(idx) else defaultVal)
           }
         }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Per-partition metadata for the RANGE-frame running sum: row/group
+  * counts, boundary order-key bytes, and the sums (+ any-non-null
+  * flags) of the whole partition, its FIRST peer group and its LAST
+  * peer group. Accumulators are Long or java BigDecimal (both
+  * serializable). Top-level for closure serialization.
+  */
+private[plans] case class RangeSumPartMeta(
+    n: Long,
+    d: Long,
+    first: Array[Byte],
+    last: Array[Byte],
+    tot: Any,
+    totSeen: Boolean,
+    head: Any,
+    headSeen: Boolean,
+    tail: Any,
+    tailSeen: Boolean
+)
+
+/** Typed accumulator ops for [[GlobalRangePrefixSumExec]] — mirrors
+  * [[GlobalPrefixSumExec]]'s per-type semantics exactly (LEGACY long
+  * adds wrap like the stock hash aggregate, ANSI uses addExact;
+  * decimal accumulates in unbounded BigDecimal with the precision
+  * check at each emission).
+  */
+private[plans] sealed trait RangeSumOps extends Serializable {
+  def zero: Any
+  def add(a: Any, b: Any): Any
+  def fromInput(v: Any): Any
+
+  /** Write `acc` (when `seen`) into slot 0, or null. */
+  def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit
+}
+private[plans] final class LongRangeSumOps(strict: Boolean) extends RangeSumOps {
+  def zero: Any = 0L
+  def add(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    if (strict) Math.addExact(x, y) else x + y
+  }
+  def fromInput(v: Any): Any = v.asInstanceOf[Long]
+  def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
+    if (seen) row.update(0, acc.asInstanceOf[Long]) else row.setNullAt(0)
+}
+private[plans] final class DecimalRangeSumOps(prec: Int, scale: Int, strict: Boolean)
+    extends RangeSumOps {
+  def zero: Any = java.math.BigDecimal.ZERO
+  def add(a: Any, b: Any): Any =
+    a.asInstanceOf[java.math.BigDecimal].add(b.asInstanceOf[java.math.BigDecimal])
+  def fromInput(v: Any): Any =
+    v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+  def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
+    if (!seen) row.setNullAt(0)
+    else {
+      val d = org.apache.spark.sql.types.Decimal(acc.asInstanceOf[java.math.BigDecimal])
+      if (d.changePrecision(prec, scale)) row.update(0, d)
+      else if (strict)
+        throw new ArithmeticException(
+          s"GlobalRangePrefixSum: $acc cannot be represented as Decimal($prec, $scale)"
+        )
+      else row.setNullAt(0)
+    }
+}
+
+/** Physical plan for [[GlobalRangePrefixSumNode]]: every row's value is
+  * the global sum through the END of its peer group. Same two-pass
+  * shape as the other idioms; pass 2 buffers ONE peer group (stock
+  * WindowExec's RANGE-frame buffer, per-partition) and only the last
+  * group consults the forward head-group chain.
+  */
+case class GlobalRangePrefixSumExec(
+    order: Seq[SortOrder],
+    sumExpr: Expression,
+    outAttr: Attribute,
+    ansi: Boolean,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ops: RangeSumOps = outAttr.dataType match {
+      case LongType        => new LongRangeSumOps(ansi)
+      case dt: DecimalType => new DecimalRangeSumOps(dt.precision, dt.scale, ansi)
+      case other =>
+        throw new IllegalStateException(s"GlobalRangePrefixSumExec: unsupported type $other")
+    }
+    val rdd = child.execute()
+    val childOutput = child.output
+    val orderExprs = order.map(_.child)
+    val se = sumExpr
+    // pass 1: partition/head-group/tail-group sums + boundary keys
+    val metas = rdd
+      .mapPartitions(
+        { it =>
+          val kproj = UnsafeProjection.create(orderExprs, childOutput)
+          val bound = BindReferences.bindReference(se, childOutput)
+          var n = 0L
+          var d = 0L
+          var first: UnsafeRow = null
+          var prevKey: UnsafeRow = null
+          var tot = ops.zero; var totSeen = false
+          var head = ops.zero; var headSeen = false
+          var grp = ops.zero; var grpSeen = false
+          it.foreach { row =>
+            val k = kproj(row)
+            if (n == 0L) { prevKey = k.copy(); first = prevKey; d = 1L }
+            else if (!k.equals(prevKey)) {
+              if (d == 1L) { head = grp; headSeen = grpSeen }
+              prevKey = k.copy(); d += 1L
+              grp = ops.zero; grpSeen = false
+            }
+            val v = bound.eval(row)
+            if (v != null) {
+              val a = ops.fromInput(v)
+              tot = ops.add(tot, a); totSeen = true
+              grp = ops.add(grp, a); grpSeen = true
+            }
+            n += 1L
+          }
+          if (d == 1L) { head = grp; headSeen = grpSeen }
+          Iterator.single(
+            RangeSumPartMeta(
+              n,
+              d,
+              if (first == null) null else first.getBytes,
+              if (prevKey == null) null else prevKey.getBytes,
+              tot,
+              totSeen,
+              head,
+              headSeen,
+              grp,
+              grpSeen
+            )
+          )
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    // driver: prefix offsets + the forward head-group chain per partition
+    val offsets = new Array[Any](metas.length)
+    val offSeen = new Array[Boolean](metas.length)
+    var acc = ops.zero; var accSeen = false
+    var i = 0
+    while (i < metas.length) {
+      offsets(i) = acc; offSeen(i) = accSeen
+      if (metas(i).n > 0L) { acc = ops.add(acc, metas(i).tot); accSeen ||= metas(i).totSeen }
+      i += 1
+    }
+    val fwd = new Array[Any](metas.length)
+    val fwdSeen = new Array[Boolean](metas.length)
+    i = 0
+    while (i < metas.length) {
+      var f = ops.zero; var fs = false
+      if (metas(i).n > 0L) {
+        var j = i + 1
+        var cont = true
+        while (cont && j < metas.length) {
+          val m = metas(j)
+          if (m.n == 0L) j += 1
+          else if (java.util.Arrays.equals(m.first, metas(i).last)) {
+            f = ops.add(f, m.head); fs ||= m.headSeen
+            if (m.d == 1L) j += 1 else cont = false
+          } else cont = false
+        }
+      }
+      fwd(i) = f; fwdSeen(i) = fs
+      i += 1
+    }
+    val outAttrs = output
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val kproj = UnsafeProjection.create(orderExprs, childOutput)
+      val bound = BindReferences.bindReference(se, childOutput)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val vRow = new GenericInternalRow(1)
+      val pFwd = fwd(pid); val pFwdSeen = fwdSeen(pid)
+      new Iterator[InternalRow] {
+        private var prevKey: UnsafeRow = null
+        private var accL: Any = offsets(pid)
+        private var seenL: Boolean = offSeen(pid)
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private var outIt: Iterator[InternalRow] = Iterator.empty
+        private var srcDone = false
+        private def flush(value: Any, seen: Boolean): Iterator[InternalRow] = {
+          val rows = buf.toArray
+          buf.clear()
+          rows.iterator.map { r =>
+            ops.write(vRow, value, seen)
+            proj(joined(r, vRow))
+          }
+        }
+        private def advance(): Unit = {
+          while (!outIt.hasNext && !srcDone) {
+            if (!it.hasNext) {
+              srcDone = true
+              // last group: the forward chain completes its frame
+              if (buf.nonEmpty) outIt = flush(ops.add(accL, pFwd), seenL || pFwdSeen)
+            } else {
+              val row = it.next()
+              val k = kproj(row)
+              if (prevKey != null && !k.equals(prevKey)) {
+                // group closed at the PREVIOUS row — snapshot before adding
+                prevKey = k.copy()
+                val pendingRow = row.copy()
+                val snapVal = accL; val snapSeen = seenL
+                val v = bound.eval(pendingRow)
+                if (v != null) { accL = ops.add(accL, ops.fromInput(v)); seenL = true }
+                outIt = flush(snapVal, snapSeen)
+                buf += pendingRow
+              } else {
+                if (prevKey == null) prevKey = k.copy()
+                val copied = row.copy()
+                val v = bound.eval(copied)
+                if (v != null) { accL = ops.add(accL, ops.fromInput(v)); seenL = true }
+                buf += copied
+              }
+            }
+          }
+        }
+        override def hasNext: Boolean = { advance(); outIt.hasNext }
+        override def next(): InternalRow = { advance(); outIt.next() }
       }
     }
   }

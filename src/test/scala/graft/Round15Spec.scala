@@ -371,6 +371,59 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("GlobalRangePrefixSum: default-frame global running sum matches stock incl. ties and nulls") {
+    import spark.implicits._
+    // sum(x) OVER (ORDER BY k) with NO frame clause = RANGE through the
+    // peer group's end — tie groups span partitions, values have nulls,
+    // incl. an all-null FIRST group (null prefix semantics)
+    val rnd = new scala.util.Random(20260820L)
+    val rows = (0 until 1500).map { i =>
+      val k = rnd.nextInt(12) // 12 fat tie groups
+      val v: Option[Long] = if (k == 0 || rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toLong)
+      (i.toLong, k, v)
+    }
+    rows.toDF("i", "k", "x").createOrReplaceTempView("r15_rps")
+    val df = spark.sql("SELECT i, k, sum(x) OVER (ORDER BY k) AS s FROM r15_rps")
+    val exec = unwrap(df)
+    assert(
+      exec.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty,
+      s"RANGE-frame running sum not rewritten:\n$exec"
+    )
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    // reference: per key, sum of x over ALL rows with key' <= key; null
+    // iff no non-null value in that prefix
+    val byKey = rows.groupBy(_._2)
+    val keys = byKey.keys.toSeq.sorted
+    val prefix = scala.collection.mutable.Map.empty[Int, Option[Long]]
+    var runTot = 0L; var seen = false
+    keys.foreach { k =>
+      byKey(k).foreach { case (_, _, v) => v.foreach { x => runTot += x; seen = true } }
+      prefix(k) = if (seen) Some(runTot) else None
+    }
+    df.collect().foreach { r =>
+      val k = r.getInt(1)
+      val got = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(got == prefix(k), s"range sum at k=$k: $got != ${prefix(k)}")
+    }
+    // decimal leg, cast back to (18,2) on emission like q65's discipline
+    val dd = spark.sql(
+      "SELECT k, sum(CAST(x AS DECIMAL(10,2))) OVER (ORDER BY k) AS s FROM r15_rps"
+    )
+    assert(unwrap(dd).collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty)
+    dd.collect().foreach { r =>
+      val k = r.getInt(0)
+      val got = if (r.isNullAt(1)) None else Some(r.getDecimal(1).longValue)
+      assert(got == prefix(k), s"decimal range sum at k=$k")
+    }
+    // an EXPLICIT ROWS frame still rides the original prefix exec
+    val rf = spark.sql(
+      "SELECT i, sum(x) OVER (ORDER BY k, i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM r15_rps"
+    )
+    assert(unwrap(rf).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty)
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)
@@ -388,5 +441,14 @@ class Round15Spec extends AnyFunSuite {
     pin(graft.operators.Relational.q69PriceBandCume(spark, sf), "q69", wantCume = true)
     pin(graft.operators.Relational.q70RecordOrders(spark, sf), "q70", wantCume = false)
     pin(graft.operators.Events.e52HighWatermark(spark, sf), "e52", wantCume = false)
+    // q72: the default-RANGE cumulative; e54: chained offset windows
+    val q72 = unwrap(graft.operators.Relational.q72DayCloseCumRevenue(spark, sf))
+    assert(q72.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty, s"q72:\n$q72")
+    val e54 = unwrap(graft.operators.Events.e54GlobalInterarrival(spark, sf))
+    assert(e54.collect { case g: graft.plans.GlobalOffsetWindowExec => g }.length == 2, s"e54:\n$e54")
+    for (ex <- Seq(q72, e54))
+      assert(ex.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty)
   }
 }
