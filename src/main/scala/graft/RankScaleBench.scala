@@ -40,7 +40,9 @@ object RankScaleBench {
       "cume_dist" -> s"SELECT count(*) AS c FROM (SELECT id, cume_dist() OVER (ORDER BY id % 1000) AS cd FROM range($n)) WHERE cd < 0.5",
       "running_max" -> s"SELECT count(*) AS c FROM (SELECT id, max((id * 2654435761) % 7919) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM range($n)) WHERE m % 97 = 0",
       // round 15: global lag (k=3 — the boundary-seed FIFO under load)
-      "lag3" -> s"SELECT count(*) AS c FROM (SELECT id, lag(id * 7, 3) OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0"
+      "lag3" -> s"SELECT count(*) AS c FROM (SELECT id, lag(id * 7, 3) OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0",
+      // round 15: the DEFAULT-frame cumulative (RANGE through 1000-wide peer groups)
+      "range_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 1000) AS s FROM range($n)) WHERE s % 97 = 0"
     )
     def time(label: String, installRules: Boolean): Unit = {
       val sess = spark.newSession() // fresh experimental.* — rules OFF by default
