@@ -539,6 +539,8 @@ object SparkEntry {
     // round 14: hard-negative margins per sampled query
     "v28_hard_negatives"     -> ((s, d) => Similarity.v28HardNegatives(s, d)),
     "v29_degree_hist"        -> ((s, d) => Similarity.v29DegreeHist(s, d)),
+    "v30_knn_graph_search"   -> ((s, d) => Similarity.v30KnnGraphSearch(s, d)),
+    "v30_exhaustive"         -> ((s, d) => Similarity.v30Exhaustive(s, d)),
     // round 14: top-1/5/10%% customer revenue concentration
     "q68_top_customer_share" -> (Relational.q68TopCustomerShare _),
     "q69_price_band_cume"    -> (Relational.q69PriceBandCume _),
@@ -927,6 +929,10 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // §2.5 similarity
     "v1_knn_brute" -> knnExactSql,
+    // v30's exact twin: the identical pool->top-k selection over the
+    // complete candidate set — v1's oracle replays it (graph search
+    // itself is recall-inherent and stays rows-only + ScalaTest floor)
+    "v30_exhaustive" -> knnExactSql,
     "v3_vector_stats" ->
       """WITH e AS (SELECT label, CAST(len(embedding) AS INT) AS dim,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)

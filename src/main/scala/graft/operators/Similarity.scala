@@ -1575,6 +1575,104 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** v30 (round 15): GRAPH-BASED ANN — greedy BEAM SEARCH over the
+    * kNN graph (the HNSW/NSG family's base layer, distributed): each
+    * query starts at ITSELF (item-to-item "more like this"), and every hop
+    * expands the current beam's out-edges, scores the new candidates,
+    * and keeps the best `beam` per query — H hops of (frontier ⋈
+    * edges) equi-joins + TopKPerKey prunes, never a corpus scan after
+    * the graph is built. All SCORED candidates accumulate into the
+    * result pool; the final top-k per query comes from that pool. This
+    * completes the ANN family (sign-LSH v2, IVF v7, PQ v10, SQ8
+    * v13/v14): graph search is the recall/latency point the others
+    * can't hit on high-dimensional clustered corpora. Recall is
+    * data-dependent (rows-only + ScalaTest floor, v2/v7/v10's
+    * pattern); [[v30Exhaustive]] runs the IDENTICAL pool→top-k
+    * selection over the provably-complete candidate set and is
+    * driver-hash-gated against v1's oracle.
+    */
+  def v30KnnGraphSearch(
+      s: SparkSession,
+      d: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      degree: Int = 8,
+      beam: Int = 4,
+      hops: Int = 4
+  ): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val edges = v5KnnGraph(s, d, k = degree)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    var frontier = q.select(col("q_id"), col("q_id").as("node")).localCheckpoint()
+    var visited = frontier.select(col("q_id"), col("node").as("c_id")).localCheckpoint()
+    var pool: DataFrame = null
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("c_id"))
+        .distinct()
+        .join(visited, Seq("q_id", "c_id"), "left_anti")
+      val scored = cand
+        .join(broadcast(q), Seq("q_id"))
+        .join(
+          e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+          Seq("c_id")
+        )
+        .select(
+          col("q_id"),
+          col("c_id"),
+          (VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("cos")
+        )
+        .localCheckpoint()
+      pool = if (pool == null) scored else pool.unionByName(scored).localCheckpoint()
+      visited = visited.unionByName(scored.select("q_id", "c_id")).localCheckpoint()
+      frontier = graft.plans.TopK
+        .topKPerKey(scored, Seq("q_id"), "cos", "c_id", beam)
+        .select(col("q_id"), col("c_id").as("node"))
+        .localCheckpoint()
+    }
+    v30FinalTopK(pool, k)
+  }
+
+  /** The shared pool→top-k selection (deterministic (cos desc, c_id)
+    * rank, v1's output shape).
+    */
+  private def v30FinalTopK(pool: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    pool
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** v30's exact twin: the identical selection over the provably
+    * COMPLETE candidate pool (every non-self vector scored) — the
+    * driver-hash-gated leg of the rows-only pair.
+    */
+  def v30Exhaustive(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pool = e
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("c_id"),
+        (VF.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("cos")
+      )
+    v30FinalTopK(pool, k)
+  }
+
   /** v29 (round 15): SIMILARITY-GRAPH DEGREE HISTOGRAM — how connected
     * the corpus is at cosine ≥ 0.5: per-vector neighbor counts in the
     * threshold graph, folded to (degree → n_vectors) with the isolated

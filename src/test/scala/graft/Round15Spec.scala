@@ -424,6 +424,21 @@ class Round15Spec extends AnyFunSuite {
     assert(unwrap(rf).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty)
   }
 
+  test("v30 graph ANN: exhaustive twin equals v1 exactly; beam search clears the recall floor") {
+    val exact = graft.operators.Similarity.v1KnnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val twin = graft.operators.Similarity.v30Exhaustive(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(twin == exact, "v30's complete-pool selection diverged from v1")
+    val got = graft.operators.Similarity.v30KnnGraphSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // structure: exactly k per query, ranks 1..k, no self hits
+    val byQ = got.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 5) && got.forall { case (q, c) => q != c })
+    val recall = (got.toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"graph-search recall@5 = $recall (measured 1.0 at sf0.001/sf0.01)")
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)
