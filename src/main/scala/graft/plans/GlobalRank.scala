@@ -100,76 +100,6 @@ case class GlobalRankNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
-object GlobalRankRewrite extends Rule[LogicalPlan] {
-  // Recursive, not top-level-only (r14 ADVICE): a struct/array order key
-  // CONTAINING a float field has the same -0.0/0.0 and NaN-payload
-  // UnsafeRow-vs-SQL-equality hazard as a bare float key — the byte-wise
-  // boundary stitch could split a SQL peer group, so those windows stay
-  // on the stock path too.
-  private def hasFloat(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-    case DoubleType | FloatType                    => true
-    case s: org.apache.spark.sql.types.StructType  => s.fields.exists(f => hasFloat(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType   => hasFloat(a.elementType)
-    case m: org.apache.spark.sql.types.MapType     => hasFloat(m.keyType) || hasFloat(m.valueType)
-    case _                                         => false
-  }
-  private def floatingOrder(order: Seq[SortOrder]): Boolean =
-    order.exists(o => hasFloat(o.dataType))
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case w: Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          w.windowExpressions.length == 1 &&
-          w.orderSpec.forall(_.child.deterministic) =>
-      w.windowExpressions.head match {
-        case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.RowNum, w.child)
-        case alias @ Alias(WindowExpression(_: Rank, _), _) if !floatingOrder(w.orderSpec) =>
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.RankTies, w.child)
-        case alias @ Alias(WindowExpression(_: DenseRank, _), _) if !floatingOrder(w.orderSpec) =>
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.DenseRankTies, w.child)
-        case alias @ Alias(WindowExpression(_: PercentRank, _), _)
-            if !floatingOrder(w.orderSpec) =>
-          // percent_rank = (rank − 1) / (n − 1): the tie-aware rank stitch
-          // plus n off the offset table — same metadata, double emission.
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.PercentRankTies, w.child)
-        case alias @ Alias(WindowExpression(_: CumeDist, _), _)
-            if !floatingOrder(w.orderSpec) =>
-          // cume_dist = (peer group's global END position) / n. END
-          // positions are forward-metadata (round 15): INSIDE a
-          // partition each group's end is the next group's start − 1;
-          // only the LAST group's end needs the cross-partition walk,
-          // which chains following partitions' HEAD-run lengths — the
-          // exact mirror of rank()'s backward tail-run walk. Same
-          // metadata pass, sixth mode.
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.CumeDistTies, w.child)
-        case _ => w
-      }
-  }
-}
-
-/** Second rule over the same node: GLOBAL `ntile(k)` — since round 14 a
-  * pure mode of [[GlobalRankExec]] (n rides the exec's own offset
-  * metadata; no second scan of the child, no broadcast join). The edge
-  * k ≥ n never divides by zero: when k > n the small-tile divisor is
-  * only reached for ranks past the boundary, and the boundary is n
-  * there (every rank maps through the big-tile branch).
-  */
-object GlobalNtileRewrite extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case w: Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          w.windowExpressions.length == 1 &&
-          w.orderSpec.forall(_.child.deterministic) =>
-      w.windowExpressions.head match {
-        case alias @ Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)), _), _)
-            if k >= 1 =>
-          GlobalRankNode(w.orderSpec, alias.toAttribute, GlobalRankMode.NtileK(k), w.child)
-        case _ => w
-      }
-  }
-}
-
 /** Third idiom: GLOBAL RUNNING TOTAL — `sum(x) OVER (ORDER BY … ROWS
   * UNBOUNDED PRECEDING)` with no PARTITION BY (ScaleRank.withRunningSum
   * as an optimizer rule). Same two-pass contract as GlobalRank with the
@@ -244,123 +174,13 @@ case class GlobalRangePrefixSumNode(
     sumExpr: Expression,
     outAttr: Attribute,
     ansi: Boolean,
+    isCount: Boolean, // count semantics: emit 0 (never null) when nothing counted
     child: LogicalPlan
 ) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
-}
-
-object GlobalPrefixSumRewrite extends Rule[LogicalPlan] {
-  private def rowsToCurrent(ws: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition) =
-    ws.frameSpecification match {
-      case org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
-            org.apache.spark.sql.catalyst.expressions.RowFrame,
-            org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
-            org.apache.spark.sql.catalyst.expressions.CurrentRow
-          ) =>
-        true
-      case _ => false
-    }
-
-  private def rangeToCurrent(ws: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition) =
-    ws.frameSpecification match {
-      case org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame(
-            org.apache.spark.sql.catalyst.expressions.RangeFrame,
-            org.apache.spark.sql.catalyst.expressions.UnboundedPreceding,
-            org.apache.spark.sql.catalyst.expressions.CurrentRow
-          ) =>
-        true
-      case _ => false
-    }
-
-  private def hasFloatKey(order: Seq[SortOrder]): Boolean = {
-    def f(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-      case DoubleType | FloatType                   => true
-      case s: org.apache.spark.sql.types.StructType => s.fields.exists(x => f(x.dataType))
-      case a: org.apache.spark.sql.types.ArrayType  => f(a.elementType)
-      case m: org.apache.spark.sql.types.MapType    => f(m.keyType) || f(m.valueType)
-      case _                                        => false
-    }
-    order.exists(o => f(o.dataType))
-  }
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case w: Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          w.windowExpressions.length == 1 &&
-          w.orderSpec.forall(_.child.deterministic) =>
-      w.windowExpressions.head match {
-        case alias @ Alias(
-              WindowExpression(AggregateExpression(s0 @ Sum(e, _), _, false, _, _), ws),
-              _
-            )
-            if rowsToCurrent(ws) &&
-              (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
-              e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
-          GlobalPrefixSumNode(
-            w.orderSpec,
-            e,
-            alias.toAttribute,
-            s0.evalContext.evalMode == EvalMode.ANSI,
-            w.child
-          )
-        case alias @ Alias(
-              WindowExpression(AggregateExpression(s0 @ Sum(e, _), _, false, _, _), ws),
-              _
-            )
-            if rangeToCurrent(ws) && !hasFloatKey(w.orderSpec) &&
-              (e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]) &&
-              e.deterministic && s0.evalContext.evalMode != EvalMode.TRY =>
-          GlobalRangePrefixSumNode(
-            w.orderSpec,
-            e,
-            alias.toAttribute,
-            s0.evalContext.evalMode == EvalMode.ANSI,
-            w.child
-          )
-        case alias @ Alias(
-              WindowExpression(
-                AggregateExpression(
-                  org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
-                  _,
-                  false,
-                  _,
-                  _
-                ),
-                ws
-              ),
-              _
-            ) if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
-          GlobalPrefixExtremumNode(w.orderSpec, e, alias.toAttribute, isMax = true, w.child)
-        case alias @ Alias(
-              WindowExpression(
-                AggregateExpression(
-                  org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
-                  _,
-                  false,
-                  _,
-                  _
-                ),
-                ws
-              ),
-              _
-            ) if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
-          GlobalPrefixExtremumNode(w.orderSpec, e, alias.toAttribute, isMax = false, w.child)
-        case _ => w
-      }
-  }
-
-  private def orderableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case _: NumericType | _: StringType | BooleanType | DateType | TimestampType |
-          TimestampNTZType | BinaryType =>
-        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
-      case _ => false
-    }
-  }
 }
 
 /** Eighth idiom (round 15): GLOBAL `lag(e, k)` / `lead(e, k)` — the
@@ -390,52 +210,168 @@ case class GlobalOffsetWindowNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
-object GlobalOffsetRewrite extends Rule[LogicalPlan] {
+/** THE unified rewrite (round 15 — supersedes the four per-idiom
+  * rules): an unpartitioned Window whose EVERY expression is one of
+  * the nine rewritable idioms is decomposed into a chain of
+  * special-purpose nodes — one per expression, all requiring the same
+  * `OrderedDistribution`, so the whole chain shares ONE range
+  * exchange. Before this, `sum(x) OVER w, count(*) OVER w, rank()
+  * OVER w` (same spec ⇒ the analyzer merges them into one Window node)
+  * silently kept the 1-task plan because each rule demanded a
+  * single-expression window. Any non-rewritable expression in the mix
+  * keeps the whole stock Window (+ the PlanLint warning).
+  *
+  * Idioms and their gates:
+  *  - row_number — always.
+  *  - rank/dense_rank/percent_rank/cume_dist — non-float order keys
+  *    (recursively: structs/arrays containing floats excluded).
+  *  - ntile(k literal ≥ 1) — always.
+  *  - sum over ROWS UNBOUNDED..CURRENT — long/decimal input, non-TRY.
+  *  - sum over RANGE UNBOUNDED..CURRENT (SQL's DEFAULT frame) —
+  *    long/decimal input, non-TRY, non-float order keys.
+  *  - count(...) over RANGE UNBOUNDED..CURRENT — rewritten as a 0/1
+  *    tally with count's empty-frame-is-zero semantics.
+  *  - min/max over ROWS UNBOUNDED..CURRENT — any orderable atomic
+  *    type (floats LEGAL — ordering comparisons only).
+  *  - lag/lead with literal offset ≤ 1024, foldable default, not
+  *    IGNORE NULLS.
+  */
+object GlobalWindowRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    If,
+    IsNull,
+    NamedExpression,
+    Or,
+    SpecifiedWindowFrame,
+    WindowSpecDefinition
+  }
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.{
+    CurrentRow => CRow,
+    RangeFrame => RFrame,
+    RowFrame => RowsFrame,
+    UnboundedPreceding => UPrec
+  }
+
   private val maxK = 1024
 
-  /** (input, k, isLag, default, alias) when the expression is a
-    * rewritable literal-offset lag/lead.
+  private def hasFloat(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case DoubleType | FloatType                   => true
+    case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasFloat(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType  => hasFloat(a.elementType)
+    case m: org.apache.spark.sql.types.MapType    => hasFloat(m.keyType) || hasFloat(m.valueType)
+    case _                                        => false
+  }
+  private def floatingOrder(order: Seq[SortOrder]): Boolean =
+    order.exists(o => hasFloat(o.dataType))
+
+  private def rowsToCurrent(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(RowsFrame, UPrec, CRow) => true
+    case _                                            => false
+  }
+  private def rangeToCurrent(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(RFrame, UPrec, CRow) => true
+    case _                                         => false
+  }
+
+  private def sumType(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]
+
+  private def orderableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | _: StringType | BooleanType | DateType | TimestampType |
+          TimestampNTZType | BinaryType =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+      case _ => false
+    }
+  }
+
+  /** One chained node per rewritable expression; None keeps the stock
+    * Window for the whole node.
     */
-  private def offsetShape(
-      ne: org.apache.spark.sql.catalyst.expressions.NamedExpression
-  ): Option[(Expression, Int, Boolean, Expression, Alias)] = ne match {
-    case alias @ Alias(
-          WindowExpression(
-            org.apache.spark.sql.catalyst.expressions
-              .Lag(e, Literal(k: Int, IntegerType), dflt, false),
-            _
-          ),
-          _
-        ) if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
-      Some((e, k, true, dflt, alias))
-    case alias @ Alias(
-          WindowExpression(
-            org.apache.spark.sql.catalyst.expressions
-              .Lead(e, Literal(k: Int, IntegerType), dflt, false),
-            _
-          ),
-          _
-        ) if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
-      Some((e, k, false, dflt, alias))
+  private def builderFor(
+      order: Seq[SortOrder],
+      ne: NamedExpression
+  ): Option[LogicalPlan => LogicalPlan] = ne match {
+    case alias @ Alias(WindowExpression(fn, ws), _) =>
+      fn match {
+        case _: RowNumber =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.RowNum, c))
+        case _: Rank if !floatingOrder(order) =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.RankTies, c))
+        case _: DenseRank if !floatingOrder(order) =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.DenseRankTies, c))
+        case _: PercentRank if !floatingOrder(order) =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.PercentRankTies, c))
+        case _: CumeDist if !floatingOrder(order) =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.CumeDistTies, c))
+        case NTile(Literal(k: Int, IntegerType)) if k >= 1 =>
+          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.NtileK(k), c))
+        case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
+            if rowsToCurrent(ws) && sumType(e) && e.deterministic &&
+              s0.evalContext.evalMode != EvalMode.TRY =>
+          Some(c =>
+            GlobalPrefixSumNode(
+              order,
+              e,
+              alias.toAttribute,
+              s0.evalContext.evalMode == EvalMode.ANSI,
+              c
+            )
+          )
+        case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
+            if rangeToCurrent(ws) && !floatingOrder(order) && sumType(e) && e.deterministic &&
+              s0.evalContext.evalMode != EvalMode.TRY =>
+          Some(c =>
+            GlobalRangePrefixSumNode(
+              order,
+              e,
+              alias.toAttribute,
+              s0.evalContext.evalMode == EvalMode.ANSI,
+              isCount = false,
+              c
+            )
+          )
+        case AggregateExpression(Count(seq), _, false, _, _)
+            if rangeToCurrent(ws) && !floatingOrder(order) && seq.forall(_.deterministic) =>
+          // count(...) = running tally of rows where no argument is null;
+          // empty-frame emits 0, never null (CountRangeSumOps)
+          val tally: Expression = seq
+            .filter(_.nullable)
+            .map(e => IsNull(e): Expression)
+            .reduceOption(Or)
+            .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
+            .getOrElse(Literal(1L))
+          Some(c =>
+            GlobalRangePrefixSumNode(order, tally, alias.toAttribute, ansi = false, isCount = true, c)
+          )
+        case AggregateExpression(Max(e), _, false, _, _)
+            if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          Some(c => GlobalPrefixExtremumNode(order, e, alias.toAttribute, isMax = true, c))
+        case AggregateExpression(Min(e), _, false, _, _)
+            if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          Some(c => GlobalPrefixExtremumNode(order, e, alias.toAttribute, isMax = false, c))
+        case org.apache.spark.sql.catalyst.expressions
+              .Lag(e, Literal(k: Int, IntegerType), dflt, false)
+            if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
+          Some(c => GlobalOffsetWindowNode(order, e, k, isLag = true, dflt, alias.toAttribute, c))
+        case org.apache.spark.sql.catalyst.expressions
+              .Lead(e, Literal(k: Int, IntegerType), dflt, false)
+            if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
+          Some(c => GlobalOffsetWindowNode(order, e, k, isLag = false, dflt, alias.toAttribute, c))
+        case _ => None
+      }
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // lag and lead over the SAME spec land in ONE Window node (the
-    // analyzer merges same-spec window functions) — rewrite when EVERY
-    // expression is a rewritable offset, chaining one node per column;
-    // the chain shares a single exchange (each node preserves its
-    // child's partitioning and order, so EnsureRequirements adds
-    // nothing between them).
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.orderSpec.forall(_.child.deterministic) &&
-          w.windowExpressions.forall(offsetShape(_).isDefined) =>
-      w.windowExpressions.foldLeft(w.child) { (acc, ne) =>
-        val (e, k, isLag, dflt, alias) = offsetShape(ne).get
-        GlobalOffsetWindowNode(w.orderSpec, e, k, isLag, dflt, alias.toAttribute, acc)
-      }
+          w.windowExpressions.forall(builderFor(w.orderSpec, _).isDefined) =>
+      w.windowExpressions.foldLeft(w.child)((acc, ne) => builderFor(w.orderSpec, ne).get(acc))
   }
 }
 
@@ -449,8 +385,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
     case GlobalOffsetWindowNode(order, valExpr, k, isLag, default, outAttr, child) =>
       GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
-    case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, child) =>
-      GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, planLater(child)) :: Nil
+    case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, isCount, child) =>
+      GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, isCount, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -1160,6 +1096,16 @@ private[plans] final class LongRangeSumOps(strict: Boolean) extends RangeSumOps 
   def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
     if (seen) row.update(0, acc.asInstanceOf[Long]) else row.setNullAt(0)
 }
+/** count() semantics: the accumulator is a plain row tally driven by a
+  * never-null 0/1 input expression; an empty frame emits 0, never null.
+  */
+private[plans] final class CountRangeSumOps extends RangeSumOps {
+  def zero: Any = 0L
+  def add(a: Any, b: Any): Any = a.asInstanceOf[Long] + b.asInstanceOf[Long]
+  def fromInput(v: Any): Any = v.asInstanceOf[Long]
+  def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
+    row.update(0, if (seen) acc.asInstanceOf[Long] else 0L)
+}
 private[plans] final class DecimalRangeSumOps(prec: Int, scale: Int, strict: Boolean)
     extends RangeSumOps {
   def zero: Any = java.math.BigDecimal.ZERO
@@ -1191,6 +1137,7 @@ case class GlobalRangePrefixSumExec(
     sumExpr: Expression,
     outAttr: Attribute,
     ansi: Boolean,
+    isCount: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -1207,6 +1154,7 @@ case class GlobalRangePrefixSumExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ops: RangeSumOps = outAttr.dataType match {
+      case LongType if isCount => new CountRangeSumOps
       case LongType        => new LongRangeSumOps(ansi)
       case dt: DecimalType => new DecimalRangeSumOps(dt.precision, dt.scale, ansi)
       case other =>
@@ -1358,7 +1306,7 @@ object GlobalRank {
 
   /** Ensure rules + strategy are installed on the session (idempotent). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(GlobalRankRewrite, GlobalNtileRewrite, GlobalPrefixSumRewrite, GlobalOffsetRewrite).foreach { r =>
+    Seq(GlobalWindowRewrite: Rule[LogicalPlan]).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

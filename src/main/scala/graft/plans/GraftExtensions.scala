@@ -20,11 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-top-k → TopKPerKey rewrite + the strategy that plans it
     e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
-    // unpartitioned row_number / ntile / running-sum windows →
-    // distributed GlobalRank family
-    e.injectOptimizerRule(_ => GlobalRankRewrite)
-    e.injectOptimizerRule(_ => GlobalNtileRewrite)
-    e.injectOptimizerRule(_ => GlobalPrefixSumRewrite)
+    // unpartitioned rank/ntile/running-agg/offset windows → the
+    // distributed GlobalRank family (one unified rule since round 15)
+    e.injectOptimizerRule(_ => GlobalWindowRewrite)
     e.injectPlannerStrategy(_ => GlobalRankStrategy)
     // registered-rollup answering of raw-table aggregates
     e.injectOptimizerRule(_ => MvRewrite)

@@ -439,6 +439,62 @@ class Round15Spec extends AnyFunSuite {
     assert(recall >= 0.6, s"graph-search recall@5 = $recall (measured 1.0 at sf0.001/sf0.01)")
   }
 
+  test("unified rewrite: MIXED same-spec window expressions chain over one exchange; RANGE count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260821L)
+    val rows = (0 until 1200).map { i =>
+      val k = rnd.nextInt(10)
+      val v: Option[Long] = if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(50).toLong)
+      (i.toLong, k, v)
+    }
+    rows.toDF("i", "k", "x").createOrReplaceTempView("r15_mixed")
+    // sum/count/count(*)/rank over the SAME spec — the analyzer merges
+    // them into ONE Window node; pre-round-15 rules demanded a single
+    // expression and silently kept the 1-task plan
+    val df = spark.sql(
+      """SELECT i, k, sum(x) OVER w AS s, count(x) OVER w AS c,
+        | count(*) OVER w AS cs, rank() OVER w AS r
+        |FROM r15_mixed WINDOW w AS (ORDER BY k)""".stripMargin
+    )
+    val exec = unwrap(df)
+    assert(exec.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.length == 3,
+      s"sum+2 counts should chain 3 range execs:\n$exec")
+    assert(exec.collect { case g: graft.plans.GlobalRankExec => g }.length == 1)
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"stock window survived:\n$exec")
+    // ONE exchange for the whole chain
+    assert(exec.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }.length == 1, s"chain should share one exchange:\n$exec")
+    // reference per key
+    val byKey = rows.groupBy(_._2)
+    val keys = byKey.keys.toSeq.sorted
+    var sAcc = 0L; var seen = false; var cAcc = 0L; var csAcc = 0L; var rk = 1L
+    val ref = scala.collection.mutable.Map.empty[Int, (Option[Long], Long, Long, Long)]
+    keys.foreach { k =>
+      val g = byKey(k)
+      val rankOfK = rk
+      g.foreach { case (_, _, v) => v.foreach { x => sAcc += x; seen = true; cAcc += 1 }; csAcc += 1 }
+      rk += g.length
+      ref(k) = (if (seen) Some(sAcc) else None, cAcc, csAcc, rankOfK)
+    }
+    df.collect().foreach { r =>
+      val k = r.getInt(1)
+      val (es, ec, ecs, er) = ref(k)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == es, s"sum at k=$k")
+      assert(r.getLong(3) == ec, s"count(x) at k=$k")
+      assert(r.getLong(4) == ecs, s"count(*) at k=$k")
+      assert(r.getInt(5).toLong == er, s"rank at k=$k")
+    }
+    // one non-rewritable expression in the mix keeps the WHOLE stock plan
+    val mixedBad = spark.sql(
+      """SELECT i, sum(x) OVER w AS s, avg(x) OVER w AS a
+        |FROM r15_mixed WINDOW w AS (ORDER BY k)""".stripMargin
+    )
+    assert(unwrap(mixedBad).collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.isEmpty)
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)
