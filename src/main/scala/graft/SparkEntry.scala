@@ -552,6 +552,7 @@ object SparkEntry {
     "e52_high_watermark"     -> (Events.e52HighWatermark _),
     "e53_peak_concurrency"   -> (Events.e53PeakConcurrency _),
     "e54_global_interarrival" -> (Events.e54GlobalInterarrival _),
+    "e55_day_record"         -> (Events.e55DayRecord _),
     // round 14: trigram head-coverage curve (top-k occurrence share)
     "t49_ngram_coverage"     -> (TextAnalysis.t49NgramCoverage _),
     "t50_paragraph_dedup"    -> (TextAnalysis.t50ParagraphDedup _),
@@ -4967,6 +4968,14 @@ object SparkEntry {
         | count(*) AS n_boundaries,
         | CAST(max(conc) AS BIGINT) AS peak_concurrency
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e55: the DEFAULT-frame running max (extremum through the day's
+    // peer group) — pure selection, doubles replay bit-for-bit
+    "e55_day_record" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day,
+        |  CAST(value AS DOUBLE) AS value FROM events)
+        |SELECT event_id, day, round(value, 6) AS value,
+        | round(max(value) OVER (ORDER BY day), 6) AS day_close_record
+        |FROM ev ORDER BY event_id""".stripMargin,
     // q72: the DEFAULT-frame cumulative (RANGE through the day's peer
     // group) — sums in HUGEINT on DuckDB, cast back to BIGINT
     "q72_day_close_cum" ->

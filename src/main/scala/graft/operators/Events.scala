@@ -1680,6 +1680,31 @@ object Events {
     * Spark would sort every event into one task. Data-grain output
     * hash-gates both directions end-to-end.
     */
+  /** e55 (round 15): DAY-CLOSE RECORD VALUE — every event tagged with
+    * the largest `value` seen through ITS DAY'S CLOSE: `max(value)
+    * OVER (ORDER BY day)` with NO frame clause — the default RANGE
+    * frame runs through the whole day peer group, the extremum twin of
+    * q72's cumulative. Rides GlobalRangePrefixSumExec's ExtremumK mode
+    * (double INPUT is legal — the stitch compares values by stock
+    * Max's interpreted ordering; only ORDER keys must be non-float,
+    * and the key is a date). Emits whether the event's own day set the
+    * running record.
+    */
+  def e55DayRecord(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("event_id"), col("ts").cast("date").as("day"), col("value").cast("double").as("value"))
+    val w = Window.orderBy(col("day")) // default RANGE frame — deliberate
+    ev.withColumn("day_close_record", max("value").over(w))
+      .select(
+        col("event_id"),
+        col("day"),
+        round(col("value"), 6).as("value"),
+        round(col("day_close_record"), 6).as("day_close_record")
+      )
+      .orderBy("event_id")
+  }
+
   def e54GlobalInterarrival(s: SparkSession, d: String): DataFrame = {
     val ev = Tables
       .events(s, d)

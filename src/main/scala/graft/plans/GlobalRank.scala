@@ -169,12 +169,24 @@ case class GlobalPrefixExtremumNode(
   * unbounded-BigDecimal partials with per-emission precision checks —
   * both exactly as [[GlobalPrefixSumExec]].
   */
+/** Which aggregate a RANGE-frame node folds: sum, count (emit 0 when
+  * nothing counted), or min/max (ordering comparisons — float INPUTS
+  * legal; float ORDER KEYS are gated out for all kinds, the group
+  * stitch needs byte key equality).
+  */
+sealed trait RangeAggKind extends Serializable
+object RangeAggKind {
+  case object SumK extends RangeAggKind
+  case object CountK extends RangeAggKind
+  final case class ExtremumK(isMax: Boolean) extends RangeAggKind
+}
+
 case class GlobalRangePrefixSumNode(
     order: Seq[SortOrder],
     sumExpr: Expression,
     outAttr: Attribute,
     ansi: Boolean,
-    isCount: Boolean, // count semantics: emit 0 (never null) when nothing counted
+    kind: RangeAggKind,
     child: LogicalPlan
 ) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
@@ -329,7 +341,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
               e,
               alias.toAttribute,
               s0.evalContext.evalMode == EvalMode.ANSI,
-              isCount = false,
+              RangeAggKind.SumK,
               c
             )
           )
@@ -344,7 +356,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
             .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
             .getOrElse(Literal(1L))
           Some(c =>
-            GlobalRangePrefixSumNode(order, tally, alias.toAttribute, ansi = false, isCount = true, c)
+            GlobalRangePrefixSumNode(order, tally, alias.toAttribute, ansi = false, RangeAggKind.CountK, c)
           )
         case AggregateExpression(Max(e), _, false, _, _)
             if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
@@ -352,6 +364,21 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         case AggregateExpression(Min(e), _, false, _, _)
             if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
           Some(c => GlobalPrefixExtremumNode(order, e, alias.toAttribute, isMax = false, c))
+        case AggregateExpression(Max(e), _, false, _, _)
+            if rangeToCurrent(ws) && !floatingOrder(order) &&
+              orderableAtomic(e.dataType) && e.deterministic =>
+          // max through the peer group's END — the DEFAULT frame form
+          Some(c =>
+            GlobalRangePrefixSumNode(
+              order, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(true), c)
+          )
+        case AggregateExpression(Min(e), _, false, _, _)
+            if rangeToCurrent(ws) && !floatingOrder(order) &&
+              orderableAtomic(e.dataType) && e.deterministic =>
+          Some(c =>
+            GlobalRangePrefixSumNode(
+              order, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)
+          )
         case org.apache.spark.sql.catalyst.expressions
               .Lag(e, Literal(k: Int, IntegerType), dflt, false)
             if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
@@ -385,8 +412,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
     case GlobalOffsetWindowNode(order, valExpr, k, isLag, default, outAttr, child) =>
       GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
-    case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, isCount, child) =>
-      GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, isCount, planLater(child)) :: Nil
+    case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, kind, child) =>
+      GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -1106,6 +1133,27 @@ private[plans] final class CountRangeSumOps extends RangeSumOps {
   def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
     row.update(0, if (seen) acc.asInstanceOf[Long] else 0L)
 }
+/** min/max through the peer group's end: a null-started accumulator
+  * merged by the same interpreted ordering stock Min/Max use; values
+  * are defensively copied on retention. Emits the input type directly
+  * (no precision mechanics).
+  */
+private[plans] final class ExtremumRangeOps(
+    dt: org.apache.spark.sql.types.DataType,
+    isMax: Boolean
+) extends RangeSumOps {
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+  def zero: Any = null
+  def add(a: Any, b: Any): Any =
+    if (a == null) b
+    else if (b == null) a
+    else if (isMax == (ord.compare(b, a) > 0)) b
+    else a
+  def fromInput(v: Any): Any = InternalRow.copyValue(v)
+  def write(row: GenericInternalRow, acc: Any, seen: Boolean): Unit =
+    if (!seen || acc == null) row.setNullAt(0) else row.update(0, acc)
+}
 private[plans] final class DecimalRangeSumOps(prec: Int, scale: Int, strict: Boolean)
     extends RangeSumOps {
   def zero: Any = java.math.BigDecimal.ZERO
@@ -1137,7 +1185,7 @@ case class GlobalRangePrefixSumExec(
     sumExpr: Expression,
     outAttr: Attribute,
     ansi: Boolean,
-    isCount: Boolean,
+    kind: RangeAggKind,
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -1153,12 +1201,16 @@ case class GlobalRangePrefixSumExec(
     child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val ops: RangeSumOps = outAttr.dataType match {
-      case LongType if isCount => new CountRangeSumOps
-      case LongType        => new LongRangeSumOps(ansi)
-      case dt: DecimalType => new DecimalRangeSumOps(dt.precision, dt.scale, ansi)
-      case other =>
-        throw new IllegalStateException(s"GlobalRangePrefixSumExec: unsupported type $other")
+    val ops: RangeSumOps = kind match {
+      case RangeAggKind.CountK => new CountRangeSumOps
+      case RangeAggKind.ExtremumK(isMax) => new ExtremumRangeOps(outAttr.dataType, isMax)
+      case RangeAggKind.SumK =>
+        outAttr.dataType match {
+          case LongType        => new LongRangeSumOps(ansi)
+          case dt: DecimalType => new DecimalRangeSumOps(dt.precision, dt.scale, ansi)
+          case other =>
+            throw new IllegalStateException(s"GlobalRangePrefixSumExec: unsupported sum type $other")
+        }
     }
     val rdd = child.execute()
     val childOutput = child.output

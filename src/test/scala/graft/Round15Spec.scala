@@ -495,6 +495,47 @@ class Round15Spec extends AnyFunSuite {
     assert(unwrap(mixedBad).collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.isEmpty)
   }
 
+  test("RANGE-frame min/max (the default frame) distribute and match stock through group ends") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260822L)
+    val rows = (0 until 1000).map { i =>
+      val k = rnd.nextInt(9)
+      val v: Option[Long] = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toLong - 500)
+      (i.toLong, k, v)
+    }
+    rows.toDF("i", "k", "x").createOrReplaceTempView("r15_rext")
+    for ((fn, isMax) <- Seq(("max", true), ("min", false))) {
+      val df = spark.sql(s"SELECT i, k, $fn(x) OVER (ORDER BY k) AS m FROM r15_rext")
+      val exec = unwrap(df)
+      assert(
+        exec.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty,
+        s"default-frame $fn not rewritten:\n$exec"
+      )
+      assert(exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty)
+      // reference: extremum through each key's group END
+      val keys = rows.map(_._2).distinct.sorted
+      var acc: Option[Long] = None
+      val ref = keys.map { k =>
+        rows.filter(_._2 == k).foreach { case (_, _, v) =>
+          v.foreach(x => acc = Some(acc.fold(x)(a => if (isMax == (x > a)) x else a)))
+        }
+        k -> acc
+      }.toMap
+      df.collect().foreach { r =>
+        val got = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        assert(got == ref(r.getInt(1)), s"$fn at k=${r.getInt(1)}")
+      }
+    }
+    // string leg (UTF8String retention through the metadata stitch)
+    val sd = spark.sql(
+      "SELECT k, max(concat('v', CAST(x AS STRING))) OVER (ORDER BY k) AS m FROM r15_rext"
+    )
+    assert(unwrap(sd).collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty)
+    assert(sd.count() == 1000)
+  }
+
   test("q69/q70/e52 plans ride the new execs — no unpartitioned WindowExec anywhere") {
     def pin(df: org.apache.spark.sql.DataFrame, name: String, wantCume: Boolean): Unit = {
       val exec = unwrap(df)

@@ -80,7 +80,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // idioms, so a SQL user gets cume_dist and running-max distributed
     // from the same statements)
     "q69_price_band_cume", "q70_record_orders", "q71_retention_by_nation",
-    "e52_high_watermark", "q72_day_close_cum"
+    "e52_high_watermark", "q72_day_close_cum", "e55_day_record"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
