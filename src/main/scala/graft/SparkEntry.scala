@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Maintenance, Multimodal, Relational, Similarity, StreamingBatch, TextAnalysis}
+import graft.operators.{CanonProbes, Dedup, Events, Maintenance, Multimodal, Relational, Similarity, StreamingBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle-parity rules). Every operator claimed done in SURVEY.md has a
@@ -558,7 +558,23 @@ object SparkEntry {
     "t50_paragraph_dedup"    -> (TextAnalysis.t50ParagraphDedup _),
     // round 14: dup-cluster size histogram at the prefix grain
     "d27_cluster_size_hist"  -> (Dedup.d27ClusterSizeHist _),
-    "d28_cc_bigstar"         -> (Dedup.d28CcBigstar _)
+    "d28_cc_bigstar"         -> (Dedup.d28CcBigstar _),
+    // round 16: decimal prefix-sum gate, decimals born exact from cents
+    "q73_cents_decimal"      -> (Relational.q73CentsDecimal _),
+    // round 16: canon-probe battery — one-row primitives that turn the
+    // next driver-DuckDB divergence into a table lookup (see
+    // operators/CanonProbes.scala scaladoc for the measured semantics)
+    "pb01_round_half_int"    -> (CanonProbes.pb01RoundHalfInt _),
+    "pb02_round_repr_half"   -> (CanonProbes.pb02RoundReprHalf _),
+    "pb03_round_nonrepr"     -> (CanonProbes.pb03RoundNonRepr _),
+    "pb04_cast_double_dec"   -> (CanonProbes.pb04CastDoubleDec _),
+    "pb05_round_then_cast"   -> (CanonProbes.pb05RoundThenCast _),
+    "pb06_cents_path"        -> (CanonProbes.pb06CentsPath _),
+    "pb07_formula_agree"     -> (CanonProbes.pb07FormulaAgree _),
+    "pb08_book_total"        -> (CanonProbes.pb08BookTotal _),
+    "pb09_transcendental"    -> (CanonProbes.pb09Transcendental _),
+    "pb10_dec_sum_width"     -> (CanonProbes.pb10DecSumWidth _),
+    "pb11_int_dec_exact"     -> (CanonProbes.pb11IntDecExact _)
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables, same column
@@ -4803,17 +4819,78 @@ object SparkEntry {
         |FROM x WHERE prev_c IS NOT NULL AND next_c IS NOT NULL AND n7 = 7
         | AND c > prev_c AND c > next_c AND c * 28 > sum7 * 5
         |ORDER BY 1, 2""".stripMargin,
-    // q65: global decimal running revenue — the PORTABLE surface is
-    // DECIMAL(18,2) (wider decimals diverge under the driver's canon;
-    // the round-11 HUGEINT class). DuckDB's CAST errors on overflow,
-    // mirroring the Spark side's raise_error guard.
+    // q65 (rebuilt round 16): global running revenue in EXACT INTEGER
+    // CENTS — rounds 14/15 were driver-hash-red on the
+    // round(double,2)→DECIMAL path while the cents-path siblings
+    // q70/q72 stayed green; the money now rides the proven BIGINT
+    // formula and the rounded-double→decimal primitive moved to the
+    // pb* probe battery.
     "q65_cum_revenue" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        |  CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price FROM orders)
-        |SELECT o_orderkey, o_date, price,
-        | CAST(sum(price) OVER (ORDER BY o_date, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_revenue
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)
+        |SELECT o_orderkey, o_date, price_cents,
+        | CAST(sum(price_cents) OVER (ORDER BY o_date, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
         |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
+    // q73 (round 16): the decimal GlobalPrefixSum leg's hash gate —
+    // decimals born exact from integer cents (CAST(bigint AS
+    // DECIMAL(18,2)) is exact on both engines, pb11), never from a
+    // rounded double; output back at the portable (18,2) surface.
+    "q73_cents_decimal" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,2)) AS price_dec
+        |  FROM orders)
+        |SELECT o_orderkey, o_date, price_dec,
+        | CAST(sum(price_dec) OVER (ORDER BY o_date, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_dec
+        |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
+    // pb01–pb11 (round 16): canon-probe battery. One-row queries, SAME
+    // SQL text both engines, each isolating one arithmetic portability
+    // primitive (CanonProbes.scala scaladoc has the measured local
+    // semantics). A red probe in CORRECTNESS_r* names the divergent
+    // primitive directly.
+    "pb01_round_half_int" ->
+      ("SELECT round(CAST(0.5 AS DOUBLE)) AS r_0_5, round(CAST(1.5 AS DOUBLE)) AS r_1_5, " +
+        "round(CAST(2.5 AS DOUBLE)) AS r_2_5, round(CAST(-0.5 AS DOUBLE)) AS r_m0_5, " +
+        "round(CAST(-2.5 AS DOUBLE)) AS r_m2_5"),
+    "pb02_round_repr_half" ->
+      ("SELECT round(CAST(0.125 AS DOUBLE), 2) AS r_0125, round(CAST(0.375 AS DOUBLE), 2) AS r_0375, " +
+        "round(CAST(-0.125 AS DOUBLE), 2) AS r_m0125"),
+    "pb03_round_nonrepr" ->
+      ("SELECT round(CAST(2.675 AS DOUBLE), 2) AS r_2675, round(CAST(2.345 AS DOUBLE), 2) AS r_2345, " +
+        "round(CAST(1.115 AS DOUBLE), 2) AS r_1115"),
+    "pb04_cast_double_dec" ->
+      ("SELECT CAST(CAST(0.125 AS DOUBLE) AS DECIMAL(18,2)) AS c_0125, " +
+        "CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(18,2)) AS c_1005, " +
+        "CAST(CAST(2.675 AS DOUBLE) AS DECIMAL(18,2)) AS c_2675, " +
+        "CAST(CAST(-0.125 AS DOUBLE) AS DECIMAL(18,2)) AS c_m0125"),
+    "pb05_round_then_cast" ->
+      ("SELECT CAST(round(CAST(0.125 AS DOUBLE), 2) AS DECIMAL(18,2)) AS rc_0125, " +
+        "CAST(round(CAST(2.675 AS DOUBLE), 2) AS DECIMAL(18,2)) AS rc_2675"),
+    "pb06_cents_path" ->
+      ("SELECT CAST(round(CAST(1.005 AS DOUBLE) * 100) AS BIGINT) AS cents_1005, " +
+        "CAST(round(CAST(2.675 AS DOUBLE) * 100) AS BIGINT) AS cents_2675, " +
+        "CAST(round(CAST(0.125 AS DOUBLE) * 100) AS BIGINT) AS cents_0125"),
+    "pb07_formula_agree" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN CAST(round(round(o_totalprice, 2) * 100) AS BIGINT)
+        |   <> CAST(round(o_totalprice * 100) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+        |FROM orders""".stripMargin,
+    "pb08_book_total" ->
+      """SELECT count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS book_total_roundpath,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS book_cents
+        |FROM orders""".stripMargin,
+    "pb09_transcendental" ->
+      ("SELECT round(ln(CAST(2 AS DOUBLE)), 10) AS ln2, round(exp(CAST(1 AS DOUBLE)), 10) AS e1, " +
+        "round(power(CAST(2 AS DOUBLE), CAST(0.5 AS DOUBLE)), 10) AS pow_2_05, " +
+        "round(sqrt(CAST(2 AS DOUBLE)), 10) AS sqrt2"),
+    "pb10_dec_sum_width" ->
+      ("SELECT CAST(CAST(1.10 AS DECIMAL(18,2)) + CAST(2.20 AS DECIMAL(18,2)) + " +
+        "CAST(3.30 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS sum_dec"),
+    "pb11_int_dec_exact" ->
+      ("SELECT CAST(CAST(12345 AS BIGINT) AS DECIMAL(18,2)) AS int_as_dec, " +
+        "CAST(CAST(123456789 AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS cents_as_dollars"),
     // q66: global tie-heavy rank over quantity (50 distinct values)
     "q66_quantity_rank" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,

@@ -1531,22 +1531,22 @@ object Relational {
       .orderBy(col("grain"), col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** q65 (round 14): GLOBAL CUMULATIVE REVENUE — the running book-total
-    * a finance dashboard draws, one row per order under the (date,
-    * orderkey) total order. Written as the PLAIN window (`sum OVER
-    * (ORDER BY …)` with no PARTITION BY) precisely because the round-14
-    * GlobalPrefixSum decimal path rewrites it: stock Spark would funnel
-    * every order through ONE task; here the range exchange fans out and
-    * partition partials stitch in unbounded BigDecimal — the first
-    * engine query to hash-gate the decimal prefix exec at data grain.
-    * Money rides decimal(18,2) end-to-end (q36's discipline). The
-    * OUTPUT is cast back to decimal(18,2) — round-14's (28,2) emission
-    * was bit-identical under local DuckDB 1.0.0 but red under the
-    * driver's canon (the >18-precision class first seen with HUGEINT
-    * in round 11), so the portable surface stays ≤(18,x); the book
-    * total at every gated SF is ~2.3e9 (7 spare digits) and a
-    * raise_error guard makes any future overflow LOUD, never a silent
-    * null/wrap on either engine.
+  /** q65 (round 14, rebuilt round 16): GLOBAL CUMULATIVE REVENUE — the
+    * running book-total a finance dashboard draws, one row per order
+    * under the (date, orderkey) total order. Written as the PLAIN
+    * window (`sum OVER (ORDER BY …)` with no PARTITION BY) precisely
+    * because the GlobalPrefixSum rewrite fans it out: stock Spark would
+    * funnel every order through ONE task. Round 16 moved the money off
+    * decimals entirely: rounds 14–15 were driver-hash-red while rows
+    * and schema matched, and the only oracle-relevant step unique to
+    * q65 was `round(double, 2) → DECIMAL(18,2)` — its exact-cents
+    * siblings q70/q72 (same table, same window machinery, same total
+    * order) were green both rounds. So q65 now rides the PROVEN path:
+    * price as `round(o_totalprice * 100)` exact integer cents, prefix
+    * sum on BIGINT, both columns emitted as BIGINT. The rounded-double
+    * →decimal primitive moves to the pb* canon-probe battery, and the
+    * decimal prefix-sum exec leg stays hash-gated via q73 (decimals
+    * born exact from integer cents, never from a rounded double).
     */
   def q65CumRevenue(s: SparkSession, d: String): DataFrame = {
     val o = Tables
@@ -1554,19 +1554,46 @@ object Relational {
       .select(
         col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_date"),
-        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price")
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")
+      )
+    val w = Window
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("cum_cents", sum("price_cents").over(w))
+      .orderBy("o_date", "o_orderkey")
+  }
+
+  /** q73 (round 16): DECIMAL PREFIX-SUM GATE — the data-grain hash gate
+    * for the GlobalPrefixSum DECIMAL leg that q65 used to carry. The
+    * input decimals are BORN EXACT FROM INTEGER CENTS
+    * (`CAST(round(price*100) AS DECIMAL(18,2))`, an integral-valued
+    * decimal both engines construct identically) — never from
+    * `round(double, 2)`, the one primitive unique to the old
+    * twice-red q65 (see pb07/pb08 probes). Partition partials stitch
+    * in unbounded BigDecimal inside GlobalPrefixSumExec; the output is
+    * cast back to the portable ≤(18,x) surface with a raise_error
+    * guard so overflow is LOUD on either engine (book total in
+    * cents-valued decimal at gated SFs ~2.3e11, 4 spare digits).
+    */
+  def q73CentsDecimal(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").cast("decimal(18,2)").as("price_dec")
       )
     val w = Window
       .orderBy(col("o_date"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lim = lit(BigDecimal("10000000000000000")) // 1e16 = decimal(18,2) bound
-    o.withColumn("cum_wide", sum("price").over(w))
+    o.withColumn("cum_wide", sum("price_dec").over(w))
       .withColumn(
-        "cum_revenue",
+        "cum_dec",
         when(abs(col("cum_wide")) < lim, col("cum_wide").cast("decimal(18,2)"))
           .otherwise(
             raise_error(
-              concat(lit("q65 cum_revenue overflows decimal(18,2): "), col("cum_wide").cast("string"))
+              concat(lit("q73 cum_dec overflows decimal(18,2): "), col("cum_wide").cast("string"))
             ).cast("decimal(18,2)")
           )
       )

@@ -344,10 +344,17 @@ class Round14Spec extends AnyFunSuite {
   }
 
   test("q65/q66 plan through the GlobalRank family at data grain (no 1-task window)") {
+    // round 16: q65 moved to exact BIGINT cents; the decimal prefix leg
+    // is gated by q73 (decimals born exact from integer cents)
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
     assert(
       unwrap(q65).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
-      s"q65 missed the decimal prefix exec:\n${unwrap(q65)}"
+      s"q65 missed the prefix exec:\n${unwrap(q65)}"
+    )
+    val q73 = graft.operators.Relational.q73CentsDecimal(spark, sf)
+    assert(
+      unwrap(q73).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
+      s"q73 missed the decimal prefix exec:\n${unwrap(q73)}"
     )
     val q66 = graft.operators.Relational.q66QuantityRank(spark, sf)
     assert(
@@ -368,7 +375,7 @@ class Round14Spec extends AnyFunSuite {
       unwrap(q60).collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty,
       s"q60 missed the decimal prefix exec:\n${unwrap(q60)}"
     )
-    Seq(q65, q66, q67, q60).foreach { df =>
+    Seq(q65, q73, q66, q67, q60).foreach { df =>
       assert(
         unwrap(df).collect {
           case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w

@@ -280,9 +280,11 @@ class Round15Spec extends AnyFunSuite {
     assert(ddf.collect().last.getDecimal(0).longValue == -50L)
   }
 
-  test("q65/s37 portable surface: cum_revenue is DECIMAL(18,2), decayed_scaled is BIGINT") {
+  test("q65/q73/s37 portable surface: cum_cents BIGINT, cum_dec DECIMAL(18,2), decayed_scaled BIGINT") {
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
-    assert(q65.schema("cum_revenue").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(q65.schema("cum_cents").dataType == org.apache.spark.sql.types.LongType)
+    val q73 = graft.operators.Relational.q73CentsDecimal(spark, sf)
+    assert(q73.schema("cum_dec").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
     val s37 = graft.operators.StreamingBatch.s37StreamDecayTopk(spark, sf)
     assert(s37.schema("decayed_scaled").dataType == org.apache.spark.sql.types.LongType)
     assert(s37.count() > 0)

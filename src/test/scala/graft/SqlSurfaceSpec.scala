@@ -80,7 +80,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // idioms, so a SQL user gets cume_dist and running-max distributed
     // from the same statements)
     "q69_price_band_cume", "q70_record_orders", "q71_retention_by_nation",
-    "e52_high_watermark", "q72_day_close_cum", "e55_day_record"
+    "e52_high_watermark", "q72_day_close_cum", "e55_day_record",
+    // round 16: the rebuilt q65 (exact cents), the decimal-leg gate
+    // q73, and the entire canon-probe battery are pure ANSI — the
+    // probes MUST be, since their whole job is running the same text
+    // on both engines
+    "q73_cents_decimal",
+    "pb01_round_half_int", "pb02_round_repr_half", "pb03_round_nonrepr",
+    "pb04_cast_double_dec", "pb05_round_then_cast", "pb06_cents_path",
+    "pb07_formula_agree", "pb08_book_total", "pb09_transcendental",
+    "pb10_dec_sum_width", "pb11_int_dec_exact"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
