@@ -62,7 +62,12 @@ object Bench {
       "c1_compact", "c2_merge_upsert", "c2b_time_travel", "c3_orc_roundtrip",
       "c4_backfill", "c5_range_layout", "c14_zorder_layout", "c17_gdpr_delete",
       "c24_partition_evolution", "c25_shallow_clone", "d16_substring_dedup",
-      "s24_stream_bloom_dedup", "p8_curate_incremental"
+      "s24_stream_bloom_dedup", "p8_curate_incremental",
+      // round 16: queries whose driver single-run exceeded 2x the 5-run
+      // min-take with an UNCHANGED plan (r15 verdict: d4 4.16 vs 1.03 s,
+      // e49 0.72 vs 0.23) — scheduling noise on the repeat-2 protocol,
+      // the same mode the streaming cohort fix killed for s*
+      "d4_ngram_jaccard", "e49_hour_entropy"
     )
     // Streaming harnesses (s*) get the same extra min-take repeat: each
     // run writes a fresh checkpoint + state store + sink, so one

@@ -561,6 +561,11 @@ object SparkEntry {
     "d28_cc_bigstar"         -> (Dedup.d28CcBigstar _),
     // round 16: decimal prefix-sum gate, decimals born exact from cents
     "q73_cents_decimal"      -> (Relational.q73CentsDecimal _),
+    // round 16: global running average — the avg(long) decomposition
+    "q74_running_avg"        -> (Relational.q74RunningAvg _),
+    // round 16: mixed global window — three rewritable idioms + a stock
+    // first_value remainder, the split-rewrite gate at data grain
+    "e56_mixed_report"       -> (Events.e56MixedReport _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -4844,6 +4849,32 @@ object SparkEntry {
         | CAST(sum(price_dec) OVER (ORDER BY o_date, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_dec
         |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
+    // q74 (round 16): the avg idiom — the oracle spells avg as
+    // CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) so both engines compute
+    // ONE IEEE division of the same exact integers (bit-identical
+    // doubles; Spark's stock avg would accumulate a running double)
+    "q74_running_avg" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_date, cents,
+        | CAST(sum(cents) OVER win AS DOUBLE) / CAST(count(cents) OVER win AS DOUBLE) AS avg_cents
+        |FROM o WINDOW win AS (ORDER BY o_date, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_date, o_orderkey""".stripMargin,
+    // e56 (round 16): the split-rewrite gate — three rewritable idioms
+    // (default-RANGE count/sum/avg) + first_value, deterministic under
+    // the (us, event_id) total order
+    "e56_mixed_report" ->
+      """WITH e AS (SELECT event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, us, cents,
+        | CAST(count(*) OVER win AS BIGINT) AS cum_n,
+        | CAST(sum(cents) OVER win AS BIGINT) AS cum_cents,
+        | CAST(sum(cents) OVER win AS DOUBLE) / CAST(count(cents) OVER win AS DOUBLE) AS avg_cents,
+        | first_value(event_type) OVER win AS first_type
+        |FROM e WINDOW win AS (ORDER BY us, event_id)
+        |ORDER BY event_id""".stripMargin,
     // pb01–pb11 (round 16): canon-probe battery. One-row queries, SAME
     // SQL text both engines, each isolating one arithmetic portability
     // primitive (CanonProbes.scala scaladoc has the measured local

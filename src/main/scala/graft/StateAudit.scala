@@ -57,20 +57,25 @@ object StateAudit {
       .persist()
     val root2 = graft.TempDirs.create("graft_s38_audit2_")
     val keep2 = s"$root2/keep"
-    // measured INSIDE the loop since round 15: the every-K-batches
-    // auto-compaction now GCs old manifests as the stream runs, so the
-    // per-batch ledger must be read before gc retires it. Compaction
-    // bytes are charged to the batch that triggered them — the audit
-    // shows the amortized state/K cost the cadence buys chain-boundedness
-    // with.
+    // ledger captured FROM THE FOLD'S RETURN since round 16: on a
+    // compaction-trigger batch, upsert's gcOrphans deletes the batch's
+    // own buckets_v<id> dir (the compacted manifest references only
+    // buckets_v<id>c), so a post-hoc bytesWrittenBy read 0 and silently
+    // undercounted one batch in K — flattering the amplification ratio
+    // (round-16 ADVICE fix). upsert now measures its incremental write
+    // BEFORE the GC step and returns it. Compaction bytes are charged
+    // to the batch that triggered them — the audit shows the amortized
+    // state/K cost the cadence buys chain-boundedness with. The cadence
+    // is explicit here (upsert's default went opt-in-0 this round): the
+    // audit's whole point is measuring the compacting configuration.
     var wrote2 = 0L
     var cow2 = 0L
     var compactB = 0L
     var maxChain = 0
     (0 until nSlices).foreach { sl =>
-      graft.operators.StreamingBatch
-        .s38Fold(root2, sl.toLong, docs.filter(col("_slice") === sl).drop("_slice"), numBuckets = 256)
-      wrote2 += bss.bytesWrittenBy(keep2, sl.toLong)
+      wrote2 += graft.operators.StreamingBatch
+        .s38Fold(root2, sl.toLong, docs.filter(col("_slice") === sl).drop("_slice"),
+          numBuckets = 256, autoCompactEvery = 16)
       compactB += bss.compactionBytesAt(keep2, sl.toLong)
       cow2 += bss.liveStateBytesAt(keep2, sl.toLong)
       maxChain = math.max(maxChain, bss.manifestIds(keep2).size)

@@ -1715,4 +1715,33 @@ object Events {
       .select("event_id", "gap_us", "next_gap_us")
       .orderBy("event_id")
   }
+
+  /** e56 (round 16): MIXED GLOBAL REPORT — the query shape the round-16
+    * SPLIT rewrite exists for: four expressions over ONE global window
+    * (the analyzer merges same-spec windows into one Window node) where
+    * three are rewritable idioms — running event count (default-RANGE
+    * count), running value total in cents (default-RANGE sum), running
+    * average (the new avg decomposition) — and one is NOT:
+    * `first_value(event_type)`, which keeps a stock Window computing
+    * ONLY itself on top of the chain. Pre-split, that one expression
+    * silently dragged all four onto the 1-task plan. The (us, event_id)
+    * order is total, so first_value is deterministic on both engines.
+    */
+  def e56MixedReport(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+    val w = Window.orderBy(col("us"), col("event_id")) // default RANGE frame
+    ev.withColumn("cum_n", count(lit(1)).over(w))
+      .withColumn("cum_cents", sum("cents").over(w))
+      .withColumn("avg_cents", avg("cents").over(w))
+      .withColumn("first_type", first("event_type").over(w))
+      .select("event_id", "us", "cents", "cum_n", "cum_cents", "avg_cents", "first_type")
+      .orderBy("event_id")
+  }
 }

@@ -1601,6 +1601,32 @@ object Relational {
       .orderBy("o_date", "o_orderkey")
   }
 
+  /** q74 (round 16): GLOBAL RUNNING AVERAGE ORDER VALUE — "what's the
+    * average deal size so far" at every order under the (date,
+    * orderkey) total order: `avg(cents) OVER (ORDER BY … ROWS
+    * UNBOUNDED PRECEDING)`, the TENTH GlobalRank idiom. The rewrite
+    * decomposes it into the exact-long prefix sum + prefix count +
+    * one legacy divide — stock Spark both 1-tasks it AND accumulates
+    * the running sum in double. The oracle spells avg as
+    * `CAST(sum AS DOUBLE)/CAST(count AS DOUBLE)` so both engines
+    * compute ONE IEEE division of the same exact integers —
+    * bit-identical doubles, no rounding column needed.
+    */
+  def q74RunningAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+    val w = Window
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("avg_cents", avg("cents").over(w))
+      .orderBy("o_date", "o_orderkey")
+  }
+
   /** q66 (round 14): GLOBAL QUANTITY RANK — every lineitem ranked by
     * quantity across the WHOLE fact table, ties and all (50 distinct
     * quantities ⇒ peer groups thousands of rows wide that span many

@@ -1600,6 +1600,11 @@ object Similarity {
       beam: Int = 4,
       hops: Int = 4
   ): DataFrame = {
+    // round-16 ADVICE fix: hops/beam are public knobs; hops <= 0 left
+    // the candidate pool null (NPE in the final top-k) instead of a
+    // meaningful error
+    require(hops >= 1, s"v30 graph search needs hops >= 1; got $hops")
+    require(beam >= 1, s"v30 graph search needs beam >= 1; got $beam")
     val e = Tables
       .embeddings(s, d)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))

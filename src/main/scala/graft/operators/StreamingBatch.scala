@@ -683,6 +683,7 @@ object StreamingBatch {
             .upsert(store, batchId, latestBySeq(batch), Seq("user_id"), 16) { (prev, inc) =>
               latestBySeq(prev.unionByName(inc))
             }
+          ()
         }
       }
       .option("checkpointLocation", s"$root/ck")
@@ -2267,6 +2268,7 @@ object StreamingBatch {
                   .groupBy("fp")
                   .agg(min("doc_id").as("doc_id"), sum("n_copies").as("n_copies"))
             }
+          ()
         }
       }
       .option("checkpointLocation", s"$root/ck")
@@ -2770,9 +2772,13 @@ object StreamingBatch {
       root: String,
       batchId: Long,
       batch: DataFrame,
-      numBuckets: Int = 16
-  ): Unit = {
-    if (new java.io.File(s"$root/commit_$batchId").exists()) return
+      numBuckets: Int = 16,
+      autoCompactEvery: Int = graft.sources.BucketedStateStore.defaultCompactEvery
+  ): Long = {
+    // returns the keep-store bytes this batch's incremental write
+    // produced (0 on replay skip) — StateAudit's ledger, captured
+    // inside upsert before auto-compaction GC can retire the dir
+    if (new java.io.File(s"$root/commit_$batchId").exists()) return 0L
     val spark = batch.sparkSession
     val tk = filter(split(col("text"), " "), t => t =!= "")
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -2792,8 +2798,9 @@ object StreamingBatch {
       count(lit(1)).as("d0"),
       sum(size(tk).cast("long")).as("t0")
     )
-    graft.sources.BucketedStateStore
-      .upsert(s"$root/keep", batchId, incomingKeep, Seq("h"), numBuckets) { (prev, inc) =>
+    val wroteBytes = graft.sources.BucketedStateStore
+      .upsert(s"$root/keep", batchId, incomingKeep, Seq("h"), numBuckets,
+        autoCompactEvery = autoCompactEvery) { (prev, inc) =>
         prev.unionByName(inc).groupBy("h").agg(min("m").as("m"))
       }
     val mergedTot = latestCommittedId(root) match {
@@ -2806,7 +2813,7 @@ object StreamingBatch {
     }
     mergedTot.coalesce(1).write.mode("overwrite").parquet(s"$root/tot_v$batchId")
     new java.io.File(s"$root/commit_$batchId").createNewFile()
-    ()
+    wroteBytes
   }
 
   /** s38: STREAMING STAGE-ATTRITION — t46's curation observability
@@ -2832,7 +2839,7 @@ object StreamingBatch {
       .select("r.*")
     val root = graft.TempDirs.create("graft_s38_run_")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) => s38Fold(root, batchId, batch) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => s38Fold(root, batchId, batch); () }
       .option("checkpointLocation", s"$root/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -2954,6 +2961,7 @@ object StreamingBatch {
           graft.sources.BucketedStateStore.upsert(store, batchId, incoming, Seq("user_id"), 16) {
             (prev, inc) => prev.unionByName(inc).groupBy("user_id").agg(max("m").as("m"))
           }
+          ()
         }
       }
       .option("checkpointLocation", s"$root/ck")

@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   WindowExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -257,7 +257,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     SpecifiedWindowFrame,
     WindowSpecDefinition
   }
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min}
   import org.apache.spark.sql.catalyst.expressions.{
     CurrentRow => CRow,
     RangeFrame => RFrame,
@@ -299,52 +299,71 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** One chained node per rewritable expression; None keeps the stock
-    * Window for the whole node.
+  /** A rewritable window expression. `build` takes the EFFECTIVE order
+    * (the two-pass lag/lead idiom gets a tiebreak-extended TOTAL order
+    * — see [[apply]]) and the accumulated child. `offset` marks that
+    * idiom: it is the only one whose pass-1 boundary VALUES pair with
+    * pass-2 row POSITIONS, so with tied order keys the two passes'
+    * independent local sorts could disagree within a tie and emit a
+    * lag/lead consistent with NO single row ordering (round-16 ADVICE).
+    * Every other idiom is tie-order-independent (counts, key-equality
+    * runs, group aggregates) or self-consistent within one pass.
+    */
+  private final case class Rewritable(
+      offset: Boolean,
+      build: (Seq[SortOrder], LogicalPlan) => LogicalPlan
+  )
+
+  /** Classify one window expression; None leaves it to the stock
+    * Window remainder (see [[apply]]'s split).
     */
   private def builderFor(
       order: Seq[SortOrder],
       ne: NamedExpression
-  ): Option[LogicalPlan => LogicalPlan] = ne match {
+  ): Option[Rewritable] = ne match {
     case alias @ Alias(WindowExpression(fn, ws), _) =>
       fn match {
         case _: RowNumber =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.RowNum, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.RowNum, c)))
         case _: Rank if !floatingOrder(order) =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.RankTies, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.RankTies, c)))
         case _: DenseRank if !floatingOrder(order) =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.DenseRankTies, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.DenseRankTies, c)))
         case _: PercentRank if !floatingOrder(order) =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.PercentRankTies, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.PercentRankTies, c)))
         case _: CumeDist if !floatingOrder(order) =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.CumeDistTies, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.CumeDistTies, c)))
         case NTile(Literal(k: Int, IntegerType)) if k >= 1 =>
-          Some(c => GlobalRankNode(order, alias.toAttribute, GlobalRankMode.NtileK(k), c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRankNode(o, alias.toAttribute, GlobalRankMode.NtileK(k), c)))
         case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
             if rowsToCurrent(ws) && sumType(e) && e.deterministic &&
               s0.evalContext.evalMode != EvalMode.TRY =>
-          Some(c =>
+          Some(Rewritable(offset = false, (o, c) =>
             GlobalPrefixSumNode(
-              order,
+              o,
               e,
               alias.toAttribute,
               s0.evalContext.evalMode == EvalMode.ANSI,
               c
-            )
-          )
+            )))
         case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
             if rangeToCurrent(ws) && !floatingOrder(order) && sumType(e) && e.deterministic &&
               s0.evalContext.evalMode != EvalMode.TRY =>
-          Some(c =>
+          Some(Rewritable(offset = false, (o, c) =>
             GlobalRangePrefixSumNode(
-              order,
+              o,
               e,
               alias.toAttribute,
               s0.evalContext.evalMode == EvalMode.ANSI,
               RangeAggKind.SumK,
               c
-            )
-          )
+            )))
         case AggregateExpression(Count(seq), _, false, _, _)
             if rangeToCurrent(ws) && !floatingOrder(order) && seq.forall(_.deterministic) =>
           // count(...) = running tally of rows where no argument is null;
@@ -355,50 +374,173 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
             .reduceOption(Or)
             .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
             .getOrElse(Literal(1L))
-          Some(c =>
-            GlobalRangePrefixSumNode(order, tally, alias.toAttribute, ansi = false, RangeAggKind.CountK, c)
-          )
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalRangePrefixSumNode(o, tally, alias.toAttribute, ansi = false, RangeAggKind.CountK, c)))
+        case AggregateExpression(Count(seq), _, false, _, _)
+            if rowsToCurrent(ws) && seq.forall(_.deterministic) =>
+          // count over ROWS UNBOUNDED..CURRENT = a prefix sum of the 0/1
+          // tally (round 16, the avg decomposition's count leg exposed
+          // directly); the frame always holds ≥ 1 row so the sum never
+          // hits the all-null-is-null case — the tally is non-nullable
+          val tally: Expression = seq
+            .filter(_.nullable)
+            .map(e => IsNull(e): Expression)
+            .reduceOption(Or)
+            .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
+            .getOrElse(Literal(1L))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalPrefixSumNode(o, tally, alias.toAttribute, ansi = false, c)))
         case AggregateExpression(Max(e), _, false, _, _)
             if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
-          Some(c => GlobalPrefixExtremumNode(order, e, alias.toAttribute, isMax = true, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalPrefixExtremumNode(o, e, alias.toAttribute, isMax = true, c)))
         case AggregateExpression(Min(e), _, false, _, _)
             if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
-          Some(c => GlobalPrefixExtremumNode(order, e, alias.toAttribute, isMax = false, c))
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalPrefixExtremumNode(o, e, alias.toAttribute, isMax = false, c)))
         case AggregateExpression(Max(e), _, false, _, _)
             if rangeToCurrent(ws) && !floatingOrder(order) &&
               orderableAtomic(e.dataType) && e.deterministic =>
           // max through the peer group's END — the DEFAULT frame form
-          Some(c =>
+          Some(Rewritable(offset = false, (o, c) =>
             GlobalRangePrefixSumNode(
-              order, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(true), c)
-          )
+              o, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(true), c)))
         case AggregateExpression(Min(e), _, false, _, _)
             if rangeToCurrent(ws) && !floatingOrder(order) &&
               orderableAtomic(e.dataType) && e.deterministic =>
-          Some(c =>
+          Some(Rewritable(offset = false, (o, c) =>
             GlobalRangePrefixSumNode(
-              order, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)
-          )
+              o, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)))
+        // avg (round 16): sum/count COMPOSE from two already-proven modes
+        // — an exact LONG prefix sum plus a 0/1-tally prefix count, then
+        // one projected divide. Stock Average(long) runs its running sum
+        // in DOUBLE (value-by-value FP adds); the exact-long-sum-then-one
+        // -divide here is equal whenever the running double sum is exact
+        // (< 2^53) and MORE accurate beyond — never less. LongType only:
+        // decimal avg's result-scale/rounding internals are stock's
+        // (DecimalType avg keeps the stock plan via the split), double
+        // input is excluded like every float sum (FP add order). ANSI
+        // rides the sum leg's addExact; the divide is ALWAYS legacy —
+        // stock Average divides count-0 to null even under ANSI.
+        case AggregateExpression(Average(e, em), _, false, _, _)
+            if rowsToCurrent(ws) && e.dataType == LongType && e.deterministic &&
+              em != EvalMode.TRY =>
+          Some(Rewritable(offset = false, (o, c) =>
+            buildAvg(o, alias, e, c, rows = true, ansi = em == EvalMode.ANSI)))
+        case AggregateExpression(Average(e, em), _, false, _, _)
+            if rangeToCurrent(ws) && !floatingOrder(order) && e.dataType == LongType &&
+              e.deterministic && em != EvalMode.TRY =>
+          Some(Rewritable(offset = false, (o, c) =>
+            buildAvg(o, alias, e, c, rows = false, ansi = em == EvalMode.ANSI)))
         case org.apache.spark.sql.catalyst.expressions
               .Lag(e, Literal(k: Int, IntegerType), dflt, false)
             if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
-          Some(c => GlobalOffsetWindowNode(order, e, k, isLag = true, dflt, alias.toAttribute, c))
+          Some(Rewritable(offset = true, (o, c) =>
+            GlobalOffsetWindowNode(o, e, k, isLag = true, dflt, alias.toAttribute, c)))
         case org.apache.spark.sql.catalyst.expressions
               .Lead(e, Literal(k: Int, IntegerType), dflt, false)
             if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
-          Some(c => GlobalOffsetWindowNode(order, e, k, isLag = false, dflt, alias.toAttribute, c))
+          Some(Rewritable(offset = true, (o, c) =>
+            GlobalOffsetWindowNode(o, e, k, isLag = false, dflt, alias.toAttribute, c)))
         case _ => None
       }
     case _ => None
   }
 
+  /** avg(e) decomposed: chain an exact long prefix sum + a prefix
+    * count over the SAME order, divide once, and re-emit under the
+    * original alias's exprId so parents resolve. ROWS frame counts via
+    * a plain prefix sum of the 0/1 tally (current row always in frame);
+    * the default RANGE frame rides CountK's group machinery.
+    */
+  private def buildAvg(
+      o: Seq[SortOrder],
+      alias: Alias,
+      e: Expression,
+      c: LogicalPlan,
+      rows: Boolean,
+      ansi: Boolean
+  ): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference,
+      Cast,
+      Divide,
+      NumericEvalContext
+    }
+    val sumA = AttributeReference("__graft_avg_sum", LongType, nullable = true)()
+    val cntA = AttributeReference("__graft_avg_cnt", LongType, nullable = true)()
+    val tally: Expression =
+      if (e.nullable) If(IsNull(e), Literal(0L), Literal(1L)) else Literal(1L)
+    val withSum =
+      if (rows) GlobalPrefixSumNode(o, e, sumA, ansi, c)
+      else GlobalRangePrefixSumNode(o, e, sumA, ansi, RangeAggKind.SumK, c)
+    val withCnt =
+      if (rows) GlobalPrefixSumNode(o, tally, cntA, ansi = false, withSum)
+      else GlobalRangePrefixSumNode(o, tally, cntA, ansi = false, RangeAggKind.CountK, withSum)
+    // LEGACY divide even under ANSI: /0 (all-null prefix) yields null,
+    // exactly stock Average's evaluateExpression
+    val avg = Alias(
+      Divide(
+        Cast(sumA, DoubleType),
+        Cast(cntA, DoubleType),
+        NumericEvalContext(EvalMode.LEGACY)
+      ),
+      alias.name
+    )(alias.exprId, alias.qualifier)
+    Project(c.output :+ avg, withCnt)
+  }
+
+  /** The split (round 16 — supersedes round 15's all-or-nothing gate):
+    * every rewritable expression chains over ONE shared range exchange;
+    * any non-rewritable remainder keeps a stock Window ON TOP of the
+    * chain (its own 1-task AllTuples pass computes ONLY the remainder —
+    * before, one `first_value` in the mix silently dragged every
+    * sibling onto the 1-task plan; PlanLint still warns on the
+    * remainder). When the chain contains a lag/lead, a
+    * monotonically-increasing-id tiebreak column is projected UNDER the
+    * exchange (computed once in the map-side stage, reused by both
+    * passes via the shuffle files) and appended to the offset nodes'
+    * order, making their two-pass local sorts provably identical even
+    * with tied order keys; offset nodes chain FIRST so the single range
+    * exchange is keyed on the extended order — every non-offset node
+    * above is satisfied by prefix (equal keys colocate under range
+    * partitioning). A final Project restores the Window's exact output
+    * (attribute order included) and drops the tiebreak.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.orderSpec.forall(_.child.deterministic) &&
-          w.windowExpressions.forall(builderFor(w.orderSpec, _).isDefined) =>
-      w.windowExpressions.foldLeft(w.child)((acc, ne) => builderFor(w.orderSpec, ne).get(acc))
+          w.windowExpressions.exists(builderFor(w.orderSpec, _).isDefined) =>
+      val order = w.orderSpec
+      val entries = w.windowExpressions.map(ne => ne -> builderFor(order, ne))
+      val stockExprs = entries.collect { case (ne, None) => ne }
+      val rewritables = entries.collect { case (ne, Some(r)) => (ne, r) }
+      val needTb = rewritables.exists(_._2.offset)
+      val (base, extOrder) =
+        if (!needTb) (w.child, order)
+        else {
+          val tb = Alias(
+            org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID(),
+            "__graft_offset_tb"
+          )()
+          val p: LogicalPlan = Project(w.child.output :+ tb, w.child)
+          (p, order :+ SortOrder(tb.toAttribute, org.apache.spark.sql.catalyst.expressions.Ascending))
+        }
+      // offsets first (bottom of the chain): the exchange their
+      // OrderedDistribution creates is ranged on the EXTENDED order;
+      // stable sort keeps each group's relative order
+      val chained = rewritables
+        .sortBy { case (_, r) => if (r.offset) 0 else 1 }
+        .foldLeft(base) { case (acc, (_, r)) =>
+          r.build(if (r.offset) extOrder else order, acc)
+        }
+      val withStock: LogicalPlan =
+        if (stockExprs.isEmpty) chained
+        else Window(stockExprs, Nil, order, chained)
+      if (!needTb && stockExprs.isEmpty) withStock
+      else Project(w.output, withStock)
   }
 }
 
@@ -434,6 +576,58 @@ private[plans] case class RankPartMeta(
     tailRun: Long,
     headRun: Long
 )
+
+/** Spill-safe one-peer-group row buffer for the pass-2 iterators that
+  * must hold a whole tie group before its frame value is known
+  * (CumeDistTies, GlobalRangePrefixSumExec). Round-16 ADVICE fix: the
+  * previous in-heap ArrayBuffer of copied rows could OOM an executor
+  * on a fat peer group (few distinct order keys — exactly the
+  * tie-heavy inputs these modes target) where stock WindowExec would
+  * spill. Backed by TWO alternating ExternalAppendOnlyUnsafeRowArray
+  * instances (stock's frame buffer, same conf thresholds) because the
+  * flushed iterator is consumed lazily while the NEXT group is already
+  * accumulating — an EAOUR iterator is invalidated by add/clear on its
+  * own instance. The callers' drain invariant (advance() never reads
+  * the source while outIt.hasNext) guarantees the swapped-out buffer's
+  * iterator is exhausted before its next clear(). Task-side only (the
+  * array needs a TaskContext to spill).
+  */
+private[plans] final class SpillableGroupBuffer(
+    schema: Seq[Attribute],
+    inMemoryThreshold: Int,
+    spillThreshold: Int,
+    spillSizeThreshold: Long
+) {
+  import org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray
+  private def mk() =
+    new ExternalAppendOnlyUnsafeRowArray(
+      inMemoryThreshold,
+      spillSizeThreshold,
+      spillThreshold,
+      spillSizeThreshold
+    )
+  private var cur = mk()
+  private var other = mk()
+  // sorted child rows are UnsafeRow in practice; the projection is the
+  // safety net for any InternalRow producer (add() copies either way)
+  private val toUnsafe = UnsafeProjection.create(schema, schema)
+  def add(row: InternalRow): Unit = row match {
+    case u: UnsafeRow => cur.add(u)
+    case r            => cur.add(toUnsafe(r))
+  }
+  def nonEmpty: Boolean = !cur.isEmpty
+
+  /** Iterate the accumulated group and start a fresh one. The returned
+    * iterator must be exhausted before the NEXT swapAndIterate().
+    */
+  def swapAndIterate(): Iterator[UnsafeRow] = {
+    val full = cur
+    cur = other
+    other = full
+    cur.clear()
+    full.generateIterator()
+  }
+}
 
 case class GlobalRankExec(
     order: Seq[SortOrder],
@@ -605,6 +799,9 @@ case class GlobalRankExec(
           }
         }
         val nTotal = offsets.last
+        val inMemT = conf.windowExecBufferInMemoryThreshold
+        val spillT = conf.windowExecBufferSpillThreshold
+        val spillSizeT = conf.windowExecBufferSpillSizeThreshold
         rdd.mapPartitionsWithIndex { (pid, it) =>
           val proj = UnsafeProjection.create(orderExprs, childOutput)
           val outProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -615,14 +812,12 @@ case class GlobalRankExec(
           new Iterator[InternalRow] {
             private var prevKey: UnsafeRow = null
             private var pos = 0L // local row position, 1-based
-            private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            private val buf = new SpillableGroupBuffer(childOutput, inMemT, spillT, spillSizeT)
             private var outIt: Iterator[InternalRow] = Iterator.empty
             private var srcDone = false
             private def flush(endPos: Long): Iterator[InternalRow] = {
               val cd = endPos.toDouble / nTotal
-              val rows = buf.toArray
-              buf.clear()
-              rows.iterator.map { r =>
+              buf.swapAndIterate().map { r =>
                 rankRow.update(0, cd)
                 outProj(joined(r, rankRow))
               }
@@ -639,15 +834,14 @@ case class GlobalRankExec(
                   pos += 1L
                   if (prevKey == null) {
                     prevKey = k.copy()
-                    buf += row.copy()
+                    buf.add(row)
                   } else if (k.equals(prevKey)) {
-                    buf += row.copy()
+                    buf.add(row)
                   } else {
                     // group ended at local position pos−1
                     prevKey = k.copy()
-                    val pending = row.copy()
                     outIt = flush(off + pos - 1L)
-                    buf += pending
+                    buf.add(row)
                   }
                 }
               }
@@ -1295,6 +1489,9 @@ case class GlobalRangePrefixSumExec(
       i += 1
     }
     val outAttrs = output
+    val inMemT = conf.windowExecBufferInMemoryThreshold
+    val spillT = conf.windowExecBufferSpillThreshold
+    val spillSizeT = conf.windowExecBufferSpillSizeThreshold
     rdd.mapPartitionsWithIndex { (pid, it) =>
       val kproj = UnsafeProjection.create(orderExprs, childOutput)
       val bound = BindReferences.bindReference(se, childOutput)
@@ -1306,17 +1503,14 @@ case class GlobalRangePrefixSumExec(
         private var prevKey: UnsafeRow = null
         private var accL: Any = offsets(pid)
         private var seenL: Boolean = offSeen(pid)
-        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private val buf = new SpillableGroupBuffer(childOutput, inMemT, spillT, spillSizeT)
         private var outIt: Iterator[InternalRow] = Iterator.empty
         private var srcDone = false
-        private def flush(value: Any, seen: Boolean): Iterator[InternalRow] = {
-          val rows = buf.toArray
-          buf.clear()
-          rows.iterator.map { r =>
+        private def flush(value: Any, seen: Boolean): Iterator[InternalRow] =
+          buf.swapAndIterate().map { r =>
             ops.write(vRow, value, seen)
             proj(joined(r, vRow))
           }
-        }
         private def advance(): Unit = {
           while (!outIt.hasNext && !srcDone) {
             if (!it.hasNext) {
@@ -1329,18 +1523,16 @@ case class GlobalRangePrefixSumExec(
               if (prevKey != null && !k.equals(prevKey)) {
                 // group closed at the PREVIOUS row — snapshot before adding
                 prevKey = k.copy()
-                val pendingRow = row.copy()
                 val snapVal = accL; val snapSeen = seenL
-                val v = bound.eval(pendingRow)
+                val v = bound.eval(row)
                 if (v != null) { accL = ops.add(accL, ops.fromInput(v)); seenL = true }
                 outIt = flush(snapVal, snapSeen)
-                buf += pendingRow
+                buf.add(row)
               } else {
                 if (prevKey == null) prevKey = k.copy()
-                val copied = row.copy()
-                val v = bound.eval(copied)
+                val v = bound.eval(row)
                 if (v != null) { accL = ops.add(accL, ops.fromInput(v)); seenL = true }
-                buf += copied
+                buf.add(row)
               }
             }
           }

@@ -74,12 +74,33 @@ object BucketedStateStore {
     pmod(hash(keys: _*), lit(numBuckets)).cast("int")
 
   /** Auto-compaction cadence for [[upsert]]: every K committed batches
-    * the store self-compacts + GCs (amortized extra write cost
-    * state/K per batch; chain length stays ≤ K+1). Env-tunable
-    * (`GRAFT_STATE_COMPACT_EVERY`), 0 disables.
+    * the store self-compacts + GCs down to the last TWO manifests
+    * (amortized extra write cost state/K per batch; chain length stays
+    * ≤ K+1). Default 0 = OPT-IN (round-16 ADVICE fix): compaction's GC
+    * deletes older snapshots, which silently breaks (a) readers pinned
+    * to an older id under the time-travel contract [[readAt]]
+    * documents and (b) restart-replay of a batch older than the GC
+    * horizon (its base manifest is gone, so the fold would rebuild
+    * from empty). Callers that only ever read the LATEST committed id
+    * and replay at most the newest batch (the s40 dedup-compact
+    * pattern) opt in per call or fleet-wide via
+    * `GRAFT_STATE_COMPACT_EVERY`.
     */
   private[graft] def defaultCompactEvery: Int =
-    sys.env.get("GRAFT_STATE_COMPACT_EVERY").map(_.toInt).getOrElse(16)
+    sys.env.get("GRAFT_STATE_COMPACT_EVERY") match {
+      case None => 0
+      case Some(raw) =>
+        val k = scala.util.Try(raw.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT_STATE_COMPACT_EVERY must be a non-negative int (0 disables); got '$raw'"
+          )
+        )
+        require(
+          k >= 0,
+          s"GRAFT_STATE_COMPACT_EVERY must be >= 0 (0 disables); got $k"
+        )
+        k
+    }
 
   // ---------------------------------------------------------------------
   // Filesystem abstraction: nio fast path locally, Hadoop FS elsewhere.
@@ -94,6 +115,25 @@ object BucketedStateStore {
       * commit-protocol table in the object doc).
       */
     def publish(root: String, rel: String, body: String): Unit
+
+    /** CONDITIONAL publish (round 16, the multi-writer leg): atomically
+      * publish `rel` ONLY IF IT DOES NOT EXIST. Returns true when this
+      * caller created it, false when another writer already had — the
+      * create-if-absent / If-None-Match primitive a multi-writer commit
+      * linearizes on. Per filesystem:
+      *  - local/NFS: temp write + `ATOMIC_MOVE` WITHOUT
+      *    REPLACE_EXISTING — the kernel rejects the move when the target
+      *    exists (atomic + exclusive in one syscall).
+      *  - HDFS: `FileContext.rename` WITHOUT the OVERWRITE option —
+      *    same exclusivity from the NameNode's atomic namespace op.
+      *  - object stores: `FileSystem.create(path, overwrite = false)`.
+      *    On connectors with conditional-write support this maps to a
+      *    true `If-None-Match: *` PUT; on older connectors it is
+      *    HEAD-then-PUT with a small race window — strictly better than
+      *    the unconditional PUT, and the window is documented in
+      *    SCALING.md rather than silently ignored.
+      */
+    def publishExclusive(root: String, rel: String, body: String): Boolean
     def deleteTree(root: String, rel: String): Unit
     def treeBytes(root: String, rel: String): Long
   }
@@ -116,6 +156,30 @@ object BucketedStateStore {
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING
       )
+    }
+    def publishExclusive(root: String, rel: String, body: String): Boolean = {
+      Files.createDirectories(Paths.get(root))
+      // per-attempt temp name: two racers must not clobber each other's
+      // staging file before they race on the target. NOT rename: POSIX
+      // rename(2) (= ATOMIC_MOVE here) silently REPLACES an existing
+      // target; link(2) fails with EEXIST atomically and the full
+      // content exists at link time — the classic exclusive-publish
+      // primitive.
+      val tmp = Paths.get(root, s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}_$rel")
+      Files.writeString(tmp, body)
+      try {
+        Files.createLink(Paths.get(root, rel), tmp)
+        Files.deleteIfExists(tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+        case _: java.nio.file.FileSystemException if Files.exists(Paths.get(root, rel)) =>
+          // some filesystems surface the exists-rejection as a generic
+          // FileSystemException — a lost race only when the target is
+          // actually there
+          Files.deleteIfExists(tmp); false
+      }
     }
     def deleteTree(root: String, rel: String): Unit =
       SnapshotStore.deleteTree(Paths.get(root, rel))
@@ -167,6 +231,40 @@ object BucketedStateStore {
         val out = fs.create(target, true)
         try out.write(body.getBytes("UTF-8"))
         finally out.close()
+      }
+    }
+    def publishExclusive(root: String, rel: String, body: String): Boolean = {
+      val target = p(root, rel)
+      fs.mkdirs(new HPath(root))
+      if (renameAtomic) {
+        // HDFS: exclusive atomic namespace op — rename WITHOUT OVERWRITE
+        val tmp = p(root, s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}_$rel")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8"))
+        finally out.close()
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(target.toUri, conf)
+            .rename(tmp, target) // no Rename.OVERWRITE: fails if target exists
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+          case _: java.io.IOException if fs.exists(target) =>
+            fs.delete(tmp, false); false
+        }
+      } else {
+        // object store: create(overwrite = false) — a conditional PUT on
+        // connectors that support it, HEAD-then-PUT elsewhere
+        try {
+          val out = fs.create(target, false)
+          try out.write(body.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(target)        => false
+        }
       }
     }
     def deleteTree(root: String, rel: String): Unit = { fs.delete(p(root, rel), true); () }
@@ -237,11 +335,12 @@ object BucketedStateStore {
   private def readManifest(root: String, batchId: Long): Map[Int, String] =
     readManifestFull(root, batchId)._1
 
-  private def writeManifest(root: String, batchId: Long, m: Map[Int, String], numBuckets: Int): Unit = {
-    val body = (s"#numBuckets=$numBuckets" +:
+  private def manifestBody(m: Map[Int, String], numBuckets: Int): String =
+    (s"#numBuckets=$numBuckets" +:
       m.toSeq.sorted.map { case (k, p) => s"$k\t$p" }).mkString("\n")
-    ioFor(root).publish(root, manifestName(batchId), body)
-  }
+
+  private def writeManifest(root: String, batchId: Long, m: Map[Int, String], numBuckets: Int): Unit =
+    ioFor(root).publish(root, manifestName(batchId), manifestBody(m, numBuckets))
 
   /** Fold `incoming` into the store for `batchId`, rewriting ONLY the
     * buckets containing incoming keys. `merge(prevTouched, incoming)`
@@ -255,9 +354,32 @@ object BucketedStateStore {
     * is dropped from the manifest — its keys are gone, readers never
     * chase a nonexistent path. Publishes `manifest_<batchId>` even when
     * the batch touches nothing, so readers can resolve every committed
-    * id. Every `autoCompactEvery`-th batch the store self-compacts and
-    * GCs down to the last two manifests (retrying batch b still finds a
-    * base < b), keeping the version chain bounded on week-long streams.
+    * id. When `autoCompactEvery` > 0 (OPT-IN; default 0 — see
+    * [[defaultCompactEvery]] for why), every K-th batch the store
+    * self-compacts and GCs down to the last two manifests (retrying
+    * the NEWEST batch still finds a base < b), keeping the version
+    * chain bounded on week-long streams at the cost of older
+    * snapshots.
+    *
+    * Returns the parquet bytes this batch's INCREMENTAL write produced
+    * (0 for a no-touch batch), captured BEFORE any auto-compaction GC
+    * retires the version dir — a compaction-trigger batch's dir is
+    * deleted inside this call (the compacted manifest references only
+    * the `…c` dir), so a post-hoc `bytesWrittenBy` would read 0 and
+    * silently undercount the write-amplification ledger (round-16
+    * ADVICE fix; StateAudit consumes this).
+    *
+    * `multiWriter = true` (round 16) lifts the single-writer contract
+    * for THIS batch id: the version dir gets a writer-unique name (two
+    * racers never clobber each other's parquet) and the manifest is
+    * published via the create-if-absent [[StoreIO.publishExclusive]]
+    * primitive — exactly one racer's (dir, manifest) pair wins; the
+    * loser deletes its staged dir and gets a
+    * `ConcurrentModificationException` naming the batch id (its fold
+    * may be STALE — retry against the winner's state, the
+    * Delta/Iceberg OCC loop). Object-store caveat inherited from
+    * publishExclusive: true atomicity needs a conditional-PUT-capable
+    * connector.
     */
   def upsert(
       root: String,
@@ -266,8 +388,9 @@ object BucketedStateStore {
       keys: Seq[String],
       numBuckets: Int,
       stateSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      autoCompactEvery: Int = defaultCompactEvery
-  )(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      autoCompactEvery: Int = defaultCompactEvery,
+      multiWriter: Boolean = false
+  )(merge: (DataFrame, DataFrame) => DataFrame): Long = {
     val spark = incoming.sparkSession
     val baseId = latestManifestBefore(root, batchId)
     val (prev, prevBuckets) = baseId.map(readManifestFull(root, _)).getOrElse((Map.empty[Int, String], None))
@@ -280,6 +403,11 @@ object BucketedStateStore {
       )
     }
     val bcol = bucketOf(keys.map(col), numBuckets)
+    // writer-unique version dir under multiWriter: two racers staging
+    // the same batch id must never overwrite each other's parquet
+    val out =
+      if (multiWriter) s"buckets_v${batchId}w${java.util.UUID.randomUUID().toString.take(8)}"
+      else s"buckets_v$batchId"
     val inc = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = inc.select(bcol.as("_b")).distinct().collect().map(_.getInt(0)).toSet
@@ -302,7 +430,6 @@ object BucketedStateStore {
               // at once) — re-derive the bucket and keep only touched rows
               spark.read.parquet(prevPaths: _*).filter(bcol.isin(touched.toSeq: _*))
             }
-          val out = s"buckets_v$batchId"
           // one file per bucket per rewrite (not shuffle-partitions-many):
           // the bucket IS the file-size unit — 128-512 MB at scale
           merge(prevTouched, inc)
@@ -314,18 +441,35 @@ object BucketedStateStore {
             .parquet(s"$root/$out")
           // entries from the dirs the write PRODUCED: a touched bucket the
           // merge emptied has no dir and gets no entry (explicit delete)
-          bucketsWrittenBy(root, batchId).filter(touched).map(k => k -> s"$out/_b=$k").toMap
+          bucketDirsIn(root, out).filter(touched).map(k => k -> s"$out/_b=$k").toMap
         }
-      writeManifest(root, batchId, untouched ++ newEntries, numBuckets)
+      val entries = untouched ++ newEntries
+      if (multiWriter) {
+        val body = manifestBody(entries, numBuckets)
+        if (!ioFor(root).publishExclusive(root, manifestName(batchId), body)) {
+          // lost the commit race: drop the staged dir, surface loudly —
+          // this writer's fold may be stale relative to the winner's
+          ioFor(root).deleteTree(root, out)
+          throw new java.util.ConcurrentModificationException(
+            s"BucketedStateStore at $root: batch $batchId was committed by another " +
+              "writer — retry the fold against the winner's state (OCC)"
+          )
+        }
+      } else {
+        writeManifest(root, batchId, entries, numBuckets)
+      }
     } finally {
       inc.unpersist()
       ()
     }
+    // ledger read BEFORE compaction can GC this batch's version dir
+    val wroteBytes = ioFor(root).treeBytes(root, out)
     if (autoCompactEvery > 0 && batchId > 0 && batchId % autoCompactEvery == 0) {
       compact(spark, root, batchId, keys, numBuckets, dirSuffix = "c")
       gcOrphans(root, keepLast = 2)
       ()
     }
+    wroteBytes
   }
 
   /** State as of the manifest committed AT OR BEFORE `batchId` (callers

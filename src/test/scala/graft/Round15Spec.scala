@@ -489,12 +489,20 @@ class Round15Spec extends AnyFunSuite {
       assert(r.getLong(4) == ecs, s"count(*) at k=$k")
       assert(r.getInt(5).toLong == er, s"rank at k=$k")
     }
-    // one non-rewritable expression in the mix keeps the WHOLE stock plan
-    val mixedBad = spark.sql(
+    // round 16: avg(long) now DECOMPOSES (sum + count + one divide)
+    // instead of dragging the window onto the stock 1-task plan — the
+    // round-15 bail this block used to pin is retired; Round16Spec pins
+    // the decomposition, the mixed-window split, and their parity
+    val mixedAvg = spark.sql(
       """SELECT i, sum(x) OVER w AS s, avg(x) OVER w AS a
         |FROM r15_mixed WINDOW w AS (ORDER BY k)""".stripMargin
     )
-    assert(unwrap(mixedBad).collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.isEmpty)
+    val mexec = unwrap(mixedAvg)
+    assert(mexec.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.length == 3,
+      s"sum + avg(sum,count) should chain 3 range execs:\n$mexec")
+    assert(mexec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"stock window survived the avg decomposition:\n$mexec")
   }
 
   test("RANGE-frame min/max (the default frame) distribute and match stock through group ends") {
