@@ -42,7 +42,14 @@ object RankScaleBench {
       // round 15: global lag (k=3 — the boundary-seed FIFO under load)
       "lag3" -> s"SELECT count(*) AS c FROM (SELECT id, lag(id * 7, 3) OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0",
       // round 15: the DEFAULT-frame cumulative (RANGE through 1000-wide peer groups)
-      "range_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 1000) AS s FROM range($n)) WHERE s % 97 = 0"
+      "range_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 1000) AS s FROM range($n)) WHERE s % 97 = 0",
+      // round 16: the avg decomposition (sum + count prefix execs + one
+      // divide) over a unique total order; the check sums a stable
+      // digest of the rounded running mean
+      "running_avg" -> s"SELECT count(*) AS c FROM (SELECT id, avg(id % 13) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a FROM range($n)) WHERE CAST(a * 1000 AS BIGINT) % 97 = 0",
+      // round 16: the SPLIT — sum + rank chain while first_value keeps a
+      // 1-expression stock remainder (pre-split: ALL THREE ran 1-task)
+      "mixed_split" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER w AS s, rank() OVER w AS r, first_value(id) OVER w AS fv FROM range($n) WINDOW w AS (ORDER BY id % 1000)) WHERE (s + r + fv) % 97 = 0"
     )
     def time(label: String, installRules: Boolean): Unit = {
       val sess = spark.newSession() // fresh experimental.* — rules OFF by default

@@ -566,6 +566,10 @@ object SparkEntry {
     // round 16: mixed global window — three rewritable idioms + a stock
     // first_value remainder, the split-rewrite gate at data grain
     "e56_mixed_report"       -> (Events.e56MixedReport _),
+    // round 16: sliding exact p95 per type (nearest-rank, keyed window)
+    "e57_rolling_p95"        -> (Events.e57RollingP95 _),
+    // round 16: token-budget planner — the plan-level mixture report
+    "t51_token_budget"       -> (TextAnalysis.t51TokenBudget _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -4875,6 +4879,38 @@ object SparkEntry {
         | first_value(event_type) OVER win AS first_type
         |FROM e WINDOW win AS (ORDER BY us, event_id)
         |ORDER BY event_id""".stripMargin,
+    // e57 (round 16): rolling p95 — BOTH engines build the explicit
+    // sorted-list nearest-rank pick (no quantile-function interpolation
+    // conventions anywhere); exact integer cents
+    "e57_rolling_p95" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, event_type, cents,
+        |  list_sort(list(cents) OVER win) AS l
+        | FROM e WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+        |   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents,
+        | CAST(len(l) AS BIGINT) AS n_win,
+        | l[CAST(ceil(0.95 * len(l)) AS BIGINT)] AS p95_cents
+        |FROM w ORDER BY event_id""".stripMargin,
+    // t51 (round 16): token-budget planner — counts stay BIGINT, the
+    // normalizer rides t23's decimal(20,15) quantization, targets floor
+    // to integers BEFORE rates
+    "t51_token_budget" ->
+      """WITH c AS (SELECT lang,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_i
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS nt FROM c),
+        |pw AS (SELECT lang, n_i, nt, sqrt(CAST(n_i AS DOUBLE) / nt) AS p_i FROM c, t),
+        |z AS (SELECT CAST(sum(CAST(p_i AS DECIMAL(20,15))) AS DOUBLE) AS zp FROM pw),
+        |b AS (SELECT lang, n_i AS avail_tokens, round(p_i / zp, 6) AS share,
+        |  CAST(floor((nt / 2) * (p_i / zp)) AS BIGINT) AS target_tokens FROM pw, z)
+        |SELECT lang, avail_tokens, share, target_tokens,
+        | round(least(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE) / avail_tokens), 6) AS rate,
+        | least(avail_tokens, target_tokens) AS expected_tokens,
+        | CAST(ceil(CAST(target_tokens AS DOUBLE) / avail_tokens) AS BIGINT) AS epochs_needed
+        |FROM b ORDER BY lang""".stripMargin,
     // pb01–pb11 (round 16): canon-probe battery. One-row queries, SAME
     // SQL text both engines, each isolating one arithmetic portability
     // primitive (CanonProbes.scala scaladoc has the measured local

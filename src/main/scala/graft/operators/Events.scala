@@ -1716,6 +1716,43 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** e57 (round 16): ROLLING EXACT P95 — the sliding service-latency
+    * staple: per event type, the 95th percentile of the last 100
+    * values (ROWS 99 PRECEDING .. CURRENT), nearest-rank semantics
+    * (`sorted[ceil(0.95·n)]`, 1-based). Exact integer cents so the sort
+    * and pick are bit-identical on both engines; the oracle builds the
+    * SAME explicit sorted-list-index (DuckDB `list(...) OVER` +
+    * `list_sort` + 1-based index) rather than an engine quantile
+    * function, so no interpolation-convention drift can bite. Per-row
+    * cost O(k log k) at k=100 — bounded and keyed (no global window);
+    * at large k the scale path is a two-heap or sketch per partition,
+    * not a wider sort.
+    */
+  def e57RollingP95(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-99, Window.currentRow)
+    ev.withColumn("win", collect_list("cents").over(w))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("cents"),
+        size(col("win")).cast("long").as("n_win"),
+        element_at(sort_array(col("win")), ceil(lit(0.95) * size(col("win"))).cast("int"))
+          .as("p95_cents")
+      )
+      .orderBy("event_id")
+  }
+
   /** e56 (round 16): MIXED GLOBAL REPORT — the query shape the round-16
     * SPLIT rewrite exists for: four expressions over ONE global window
     * (the analyzer merges same-spec windows into one Window node) where

@@ -589,6 +589,51 @@ object TextAnalysis {
   def t23TokenMixture(s: SparkSession, d: String): DataFrame =
     mixtureSampleBy(s, d, TF.tokenCount(col("text")).cast("long"))
 
+  /** t51 (round 16): TOKEN-BUDGET PLANNER — the PLAN-level complement
+    * to t22/t23's row-level accept: one row per language with its
+    * available tokens, sqrt-temperature mixture share, allocated
+    * target out of a 50%-of-corpus budget, the sampling rate that
+    * allocation implies, the tokens it can actually expect, and the
+    * EPOCHS a deficit language needs (ceil(target/available) — the
+    * repeat-factor signal a pretraining mix designer reads before
+    * launching sampling). Cross-engine exactness: token counts stay
+    * BIGINT; the share normalizer sums through decimal(20,15) (t23's
+    * discipline); targets are floor()'d to integers BEFORE rates, and
+    * rates round to 6 decimals. Two kilobyte aggregates — one corpus
+    * scan, no document shuffle at any width.
+    */
+  def t51TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(sum(TF.tokenCount(col("text")).cast("long")).as("n_i"))
+    val tot = counts.agg(sum("n_i").as("nt"))
+    val pw = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"),
+        col("n_i"),
+        col("nt"),
+        sqrt(col("n_i").cast("double") / col("nt")).as("p_i")
+      )
+    val z = pw.agg(sum(col("p_i").cast("decimal(20,15)")).cast("double").as("zp"))
+    pw.crossJoin(broadcast(z))
+      .select(
+        col("lang"),
+        col("n_i").as("avail_tokens"),
+        round(col("p_i") / col("zp"), 6).as("share"),
+        floor((col("nt") / 2).cast("double") * (col("p_i") / col("zp"))).cast("long").as("target_tokens")
+      )
+      .withColumn(
+        "rate",
+        round(least(lit(1.0), col("target_tokens").cast("double") / col("avail_tokens")), 6)
+      )
+      .withColumn("expected_tokens", least(col("avail_tokens"), col("target_tokens")))
+      .withColumn(
+        "epochs_needed",
+        ceil(col("target_tokens").cast("double") / col("avail_tokens")).cast("long")
+      )
+      .orderBy("lang")
+  }
+
   private def mixtureSampleBy(s: SparkSession, d: String, weight: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("lang").agg(sum(weight).as("n_i"))
