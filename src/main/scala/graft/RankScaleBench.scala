@@ -47,9 +47,18 @@ object RankScaleBench {
       // divide) over a unique total order; the check sums a stable
       // digest of the rounded running mean
       "running_avg" -> s"SELECT count(*) AS c FROM (SELECT id, avg(id % 13) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a FROM range($n)) WHERE CAST(a * 1000 AS BIGINT) % 97 = 0",
-      // round 16: the SPLIT — sum + rank chain while first_value keeps a
-      // 1-expression stock remainder (pre-split: ALL THREE ran 1-task)
-      "mixed_split" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER w AS s, rank() OVER w AS r, first_value(id) OVER w AS fv FROM range($n) WINDOW w AS (ORDER BY id % 1000)) WHERE (s + r + fv) % 97 = 0"
+      // round 16: first_value is the eleventh idiom (a global CONSTANT
+      // under the order) — this window now rewrites COMPLETELY, no
+      // 1-task pass anywhere
+      "mixed_firstval" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER w AS s, rank() OVER w AS r, first_value(id) OVER w AS fv FROM range($n) WINDOW w AS (ORDER BY id % 1000, id)) WHERE (s + r + fv) % 97 = 0",
+      // round 16: the SPLIT with a GENUINELY non-rewritable remainder
+      // (double avg — FP add order): sum+rank chain distributes, the
+    // remainder recomputes 1-task over ONE expression. Measured
+      // honestly: on shapes where the whole query is the window, the
+      // remainder's single-task sort dominates BOTH plans and the chain
+      // is added work — the split buys un-dragged siblings and smaller
+      // 1-task frame state, not wall time (SCALING.md round 16)
+      "mixed_split" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER w AS s, rank() OVER w AS r, round(avg(CAST(id % 13 AS DOUBLE)) OVER w, 3) AS ad FROM range($n) WINDOW w AS (ORDER BY id % 1000)) WHERE (s + r + CAST(ad * 1000 AS BIGINT)) % 97 = 0"
     )
     def time(label: String, installRules: Boolean): Unit = {
       val sess = spark.newSession() // fresh experimental.* — rules OFF by default

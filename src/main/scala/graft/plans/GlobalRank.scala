@@ -222,6 +222,34 @@ case class GlobalOffsetWindowNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+/** Eleventh idiom (round 16): GLOBAL `first_value(e)` — any frame whose
+  * LOWER bound is UNBOUNDED PRECEDING contains the relation's first row
+  * in EVERY row's frame, so the window value is ONE GLOBAL CONSTANT
+  * under the order (nondeterministic under ties exactly like stock).
+  * The round-16 split measurement motivated it: a mixed window's stock
+  * remainder re-sorts the whole relation in ONE task, so splitting
+  * `sum + rank + first_value` only ADDED work (0.69× at 50M) — but
+  * first_value was the remainder, and as a constant it needs no window
+  * at all: pass 1 takes each partition's first (or first non-null, for
+  * IGNORE NULLS) evaluated value — O(P) driver metadata off the same
+  * shuffle files — and pass 2 attaches the winning constant. With it,
+  * `sum + rank + first_value OVER w` runs with NO single-task pass
+  * anywhere.
+  */
+case class GlobalFirstValueNode(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    ignoreNulls: Boolean,
+    isFirst: Boolean, // false = the mirrored last_value over a frame ENDING at UNBOUNDED FOLLOWING
+    outAttr: Attribute,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
 /** THE unified rewrite (round 15 — supersedes the four per-idiom
   * rules): an unpartitioned Window whose EVERY expression is one of
   * the nine rewritable idioms is decomposed into a chain of
@@ -284,6 +312,17 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
   private def rangeToCurrent(ws: WindowSpecDefinition) = ws.frameSpecification match {
     case SpecifiedWindowFrame(RFrame, UPrec, CRow) => true
     case _                                         => false
+  }
+  // frame whose LOWER bound is UNBOUNDED PRECEDING — every row's frame
+  // contains the relation's first row (any frame type, any upper bound)
+  private def frameFromStart(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(_, UPrec, _) => true
+    case _                                 => false
+  }
+  // frame whose UPPER bound is UNBOUNDED FOLLOWING — contains the last row
+  private def frameToEnd(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(_, _, org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) => true
+    case _                                                                                        => false
   }
 
   private def sumType(e: Expression): Boolean =
@@ -432,6 +471,20 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
               e.deterministic && em != EvalMode.TRY =>
           Some(Rewritable(offset = false, (o, c) =>
             buildAvg(o, alias, e, c, rows = false, ansi = em == EvalMode.ANSI)))
+        // first_value over any frame STARTING at UNBOUNDED PRECEDING
+        // (round 16): the first row is in every frame, so the value is
+        // ONE GLOBAL CONSTANT under the order — no window pass at all,
+        // O(P) boundary metadata (nondeterministic under ties exactly
+        // like stock). Mirrored: last_value over a frame ENDING at
+        // UNBOUNDED FOLLOWING.
+        case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.First(e, ign), _, false, _, _)
+            if frameFromStart(ws) && e.deterministic =>
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalFirstValueNode(o, e, ign, isFirst = true, alias.toAttribute, c)))
+        case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.Last(e, ign), _, false, _, _)
+            if frameToEnd(ws) && e.deterministic =>
+          Some(Rewritable(offset = false, (o, c) =>
+            GlobalFirstValueNode(o, e, ign, isFirst = false, alias.toAttribute, c)))
         case org.apache.spark.sql.catalyst.expressions
               .Lag(e, Literal(k: Int, IntegerType), dflt, false)
             if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
@@ -554,6 +607,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalPrefixExtremumExec(order, valExpr, outAttr, isMax, planLater(child)) :: Nil
     case GlobalOffsetWindowNode(order, valExpr, k, isLag, default, outAttr, child) =>
       GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
+    case GlobalFirstValueNode(order, valExpr, ignoreNulls, isFirst, outAttr, child) =>
+      GlobalFirstValueExec(order, valExpr, ignoreNulls, isFirst, outAttr, planLater(child)) :: Nil
     case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, kind, child) =>
       GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case _ => Nil
@@ -1374,6 +1429,91 @@ private[plans] final class DecimalRangeSumOps(prec: Int, scale: Int, strict: Boo
   * WindowExec's RANGE-frame buffer, per-partition) and only the last
   * group consults the forward head-group chain.
   */
+/** Per-partition edge-value metadata for [[GlobalFirstValueExec]]:
+  * row presence, the partition's edge (first/last) row value, and its
+  * first/last NON-NULL value for IGNORE NULLS. Top-level so the task
+  * closure serializes without the plan.
+  */
+private[plans] case class EdgeValPartMeta(
+    nonEmpty: Boolean,
+    edgeVal: Any,
+    hasNonNull: Boolean,
+    nonNullVal: Any
+)
+
+/** Eleventh idiom exec: the global first_value/last_value CONSTANT.
+  * Pass 1 streams each partition once for its edge values (O(P) driver
+  * metadata off the reused shuffle files); the driver picks the first
+  * (or last) qualifying partition's value; pass 2 attaches it to every
+  * row. No window buffer, no single-task pass.
+  */
+case class GlobalFirstValueExec(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    ignoreNulls: Boolean,
+    isFirst: Boolean,
+    outAttr: Attribute,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val ve = valExpr
+    val ign = ignoreNulls
+    val first = isFirst
+    val metas = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(ve, childOutput)
+          var nonEmpty = false
+          var edgeVal: Any = null
+          var hasNonNull = false
+          var nonNullVal: Any = null
+          it.foreach { row =>
+            val v = InternalRow.copyValue(bound.eval(row))
+            if (!nonEmpty) { nonEmpty = true; edgeVal = v }
+            if (!first) edgeVal = v // last row wins
+            if (v != null && (!first || !hasNonNull)) { hasNonNull = true; nonNullVal = v }
+            // for last: keep overwriting so the LAST non-null wins
+            if (v != null && !first) nonNullVal = v
+          }
+          Iterator.single(EdgeValPartMeta(nonEmpty, edgeVal, hasNonNull, nonNullVal))
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    val ordered = if (first) metas.toSeq else metas.reverseIterator.toSeq
+    val constant: Any =
+      if (ign) ordered.find(_.hasNonNull).map(_.nonNullVal).orNull
+      else ordered.find(_.nonEmpty).map(_.edgeVal).orNull
+    val outAttrs = output
+    rdd.mapPartitions(
+      { it =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val vRow = new GenericInternalRow(1)
+        if (constant == null) vRow.setNullAt(0) else vRow.update(0, constant)
+        it.map(row => proj(joined(row, vRow)))
+      },
+      preservesPartitioning = true
+    )
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
 case class GlobalRangePrefixSumExec(
     order: Seq[SortOrder],
     sumExpr: Expression,

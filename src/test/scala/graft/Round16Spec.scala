@@ -27,11 +27,12 @@ class Round16Spec extends AnyFunSuite {
       (i.toLong, rnd.nextInt(8), rnd.nextInt(40).toLong)
     }
     rows.toDF("i", "k", "x").createOrReplaceTempView("r16_split")
-    // first_value is NOT a rewritable idiom; pre-round-16 its presence
-    // silently kept sum+rank on the stock 1-task window too
+    // avg over DOUBLE input is NOT a rewritable idiom (FP add order);
+    // pre-round-16 its presence silently kept sum+rank on the stock
+    // 1-task window too
     val df = spark.sql(
       """SELECT i, k, sum(x) OVER w AS s, rank() OVER w AS r,
-        | first_value(x) OVER w AS fv
+        | round(avg(CAST(x AS DOUBLE)) OVER w, 6) AS ad
         |FROM r16_split WINDOW w AS (ORDER BY k)""".stripMargin
     )
     val exec = unwrap(df)
@@ -43,31 +44,69 @@ class Round16Spec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
     }
     assert(stock.length == 1 && stock.head.windowExpression.length == 1,
-      s"the stock remainder should compute ONLY first_value:\n$exec")
+      s"the stock remainder should compute ONLY the double avg:\n$exec")
     // parity against hand-computed reference
     val byKey = rows.groupBy(_._2)
     val keys = byKey.keys.toSeq.sorted
-    val globalFirstKey = keys.head
-    var sAcc = 0L; var rk = 1L
-    val ref = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    var sAcc = 0L; var rk = 1L; var cnt = 0L
+    val ref = scala.collection.mutable.Map.empty[Int, (Long, Long, Double)]
     keys.foreach { k =>
       val g = byKey(k)
       val rankOfK = rk
-      g.foreach { case (_, _, x) => sAcc += x }
+      g.foreach { case (_, _, x) => sAcc += x; cnt += 1 }
       rk += g.length
-      ref(k) = (sAcc, rankOfK)
+      ref(k) = (sAcc, rankOfK, sAcc.toDouble / cnt)
     }
-    // first_value over the default RANGE frame = some row of the first
-    // peer group; with ties its exact row is nondeterministic, so pin
-    // only that it came from the first group
-    val firstGroupVals = byKey(globalFirstKey).map(_._3).toSet
     df.collect().foreach { r =>
       val k = r.getInt(1)
-      val (es, er) = ref(k)
+      val (es, er, ea) = ref(k)
       assert(r.getLong(2) == es, s"sum at k=$k")
       assert(r.getInt(3).toLong == er, s"rank at k=$k")
-      assert(firstGroupVals.contains(r.getLong(4)), s"first_value at k=$k")
+      assert(math.abs(r.getDouble(4) - ea) < 1e-5, s"double avg at k=$k")
     }
+  }
+
+  test("global first_value/last_value are O(P)-metadata constants — nulls, IGNORE NULLS, both edges") {
+    import spark.implicits._
+    // head value NULL, tail value NULL — exercises the ignoreNulls walk
+    val rows = Seq(
+      (1L, Option.empty[Long]),
+      (2L, Some(20L)),
+      (3L, Some(30L)),
+      (4L, Option.empty[Long])
+    )
+    rows.toDF("i", "x").createOrReplaceTempView("r16_edge")
+    val df = spark.sql(
+      """SELECT i,
+        | first_value(x) OVER w AS fv,
+        | first_value(x) IGNORE NULLS OVER w AS fvn,
+        | last_value(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        | last_value(x) IGNORE NULLS OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvn
+        |FROM r16_edge WINDOW w AS (ORDER BY i)""".stripMargin
+    )
+    val exec = unwrap(df)
+    assert(exec.collect { case g: graft.plans.GlobalFirstValueExec => g }.length == 4,
+      s"all four edge values should ride the constant exec:\n$exec")
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"stock window survived:\n$exec")
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1), s"fv at i=${r.getLong(0)}") // first row's x IS null
+      assert(r.getLong(2) == 20L, "first non-null")
+      assert(r.isNullAt(3), "last row's x IS null")
+      assert(r.getLong(4) == 30L, "last non-null")
+    }
+    // last_value with the DEFAULT frame (ends at CURRENT ROW) is NOT a
+    // global constant — must keep the stock plan
+    val dflt = spark.sql("SELECT i, last_value(x) OVER (ORDER BY i) AS lv FROM r16_edge")
+    assert(unwrap(dflt).collect { case g: graft.plans.GlobalFirstValueExec => g }.isEmpty)
+    // scale-ish shape across many partitions: constant equals the head
+    // of the total order
+    val big = spark.sql(
+      "SELECT id, first_value(id * 3 + 1) OVER (ORDER BY id DESC) AS fv FROM range(100000)"
+    )
+    assert(unwrap(big).collect { case g: graft.plans.GlobalFirstValueExec => g }.nonEmpty)
+    assert(big.collect().forall(_.getLong(1) == 99999L * 3 + 1))
   }
 
   test("avg(long) decomposition: ROWS and default-RANGE frames match hand-computed averages incl. null runs") {
@@ -258,18 +297,23 @@ class Round16Spec extends AnyFunSuite {
     // cum_n (CountK) + cum_cents (SumK) + avg → SumK + CountK = 4 execs
     assert(e56.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.length == 4,
       s"e56 should chain 4 range execs:\n$e56")
-    val stock = e56.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
-    }
-    assert(stock.length == 1 && stock.head.windowExpression.length == 1,
-      s"e56's stock remainder should compute ONLY first_value:\n$e56")
-    // ONE range exchange feeds the chain (the stock remainder adds its
-    // own AllTuples single-partition exchange on top — that pass now
-    // computes one expression instead of all five)
+    // first_value rides the round-16 constant exec — NO stock window,
+    // NO single-task pass anywhere in e56
+    assert(e56.collect { case g: graft.plans.GlobalFirstValueExec => g }.length == 1,
+      s"e56's first_value should ride the constant exec:\n$e56")
     assert(e56.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"e56 should have no stock global window:\n$e56")
+    // the whole five-expression chain shares ONE (us, event_id) range
+    // exchange; the only other exchange is the query's own output
+    // ORDER BY event_id
+    val chainEx = e56.collect {
       case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if x.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => x
-    }.length == 1, s"e56 chain should share one range exchange:\n$e56")
+          if x.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] &&
+            x.outputPartitioning.asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+              .ordering.length == 2 => x
+    }
+    assert(chainEx.length == 1, s"e56 chain should share one (us, event_id) exchange:\n$e56")
   }
 
   test("multiWriter upsert: two racing writers of ONE batch id — exactly one wins, loser's staging is gone") {
