@@ -154,6 +154,32 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("count over ROWS UNBOUNDED..CURRENT rides the prefix exec — nulls skipped, count(*) counts rows") {
+    import spark.implicits._
+    val rows = (0 until 500).map { i =>
+      (i.toLong, if (i % 3 == 0) None else Some(i.toLong))
+    }
+    rows.toDF("i", "x").createOrReplaceTempView("r16_cnt")
+    val df = spark.sql(
+      """SELECT i,
+        | count(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+        | count(*) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM r16_cnt""".stripMargin
+    )
+    val exec = unwrap(df)
+    assert(exec.collect { case g: graft.plans.GlobalPrefixSumExec => g }.length == 2,
+      s"both counts should ride prefix execs:\n$exec")
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    df.collect().foreach { r =>
+      val i = r.getLong(0)
+      val expCx = (0L to i).count(_ % 3 != 0).toLong
+      assert(r.getLong(1) == expCx, s"count(x) at i=$i")
+      assert(r.getLong(2) == i + 1, s"count(*) at i=$i")
+    }
+  }
+
   test("offset tiebreak: lag over ALL-tied order keys is consistent with ONE row ordering (chain property)") {
     import spark.implicits._
     // every order key equal: pre-round-16, the two independent pass
