@@ -563,6 +563,8 @@ object SparkEntry {
     "q73_cents_decimal"      -> (Relational.q73CentsDecimal _),
     // round 16: global running average — the avg(long) decomposition
     "q74_running_avg"        -> (Relational.q74RunningAvg _),
+    // round 16: share-of-total — agg OVER () constants, zero exchanges
+    "q75_share_global"       -> (Relational.q75ShareGlobal _),
     // round 16: mixed global window — three rewritable idioms + a stock
     // first_value remainder, the split-rewrite gate at data grain
     "e56_mixed_report"       -> (Events.e56MixedReport _),
@@ -4865,6 +4867,18 @@ object SparkEntry {
         |FROM o WINDOW win AS (ORDER BY o_date, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_date, o_orderkey""".stripMargin,
+    // q75 (round 16): agg OVER () constants (the twelfth idiom) — one
+    // relation-wide value per aggregate, no exchange on the Spark side
+    "q75_share_global" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, cents,
+        | CAST(sum(cents) OVER () AS BIGINT) AS total_cents,
+        | CAST(count(*) OVER () AS BIGINT) AS n_orders,
+        | max(cents) OVER () AS max_cents,
+        | CAST(sum(cents) OVER () AS DOUBLE) / CAST(count(cents) OVER () AS DOUBLE) AS avg_cents,
+        | round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 9) AS share
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     // e56 (round 16): the split-rewrite gate — three rewritable idioms
     // (default-RANGE count/sum/avg) + first_value, deterministic under
     // the (us, event_id) total order

@@ -1627,6 +1627,36 @@ object Relational {
       .orderBy("o_date", "o_orderkey")
   }
 
+  /** q75 (round 16): GLOBAL SHARE-OF-TOTAL — `x / sum(x) OVER ()`, the
+    * single most common BI window: every order with its share of the
+    * whole book, plus the book total, order count, max ticket, and
+    * average ticket — ALL `agg OVER ()` constants. Stock Spark plans
+    * an AllTuples 1-task window that buffers the entire relation; the
+    * TWELFTH GlobalRank idiom computes each as per-partition partials
+    * + a constant attach — NO exchange, NO sort, NO buffer (the only
+    * shuffle in this query is its own output ORDER BY). Exact integer
+    * cents; the average is the exact-sum/exact-count divide both
+    * engines write identically.
+    */
+  def q75ShareGlobal(s: SparkSession, d: String): DataFrame = {
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      .selectExpr(
+        "o_orderkey",
+        "cents",
+        "CAST(sum(cents) OVER () AS BIGINT) AS total_cents",
+        "CAST(count(*) OVER () AS BIGINT) AS n_orders",
+        "max(cents) OVER () AS max_cents",
+        "CAST(sum(cents) OVER () AS DOUBLE) / CAST(count(cents) OVER () AS DOUBLE) AS avg_cents",
+        "round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 9) AS share"
+      )
+      .orderBy("o_orderkey")
+  }
+
   /** q66 (round 14): GLOBAL QUANTITY RANK — every lineitem ranked by
     * quantity across the WHOLE fact table, ties and all (50 distinct
     * quantities ⇒ peer groups thousands of rows wide that span many

@@ -250,6 +250,35 @@ case class GlobalFirstValueNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+/** Twelfth idiom (round 16): GLOBAL SCALAR AGGREGATE — `sum(x) OVER
+  * ()`, `count(*) OVER ()`, `min/max/avg(x) OVER ()` (the
+  * share-of-total staple every BI query writes) and the same
+  * aggregates over an explicit full `ROWS/RANGE BETWEEN UNBOUNDED
+  * PRECEDING AND UNBOUNDED FOLLOWING` frame: the window value is ONE
+  * relation-wide constant, order-independent. Stock Spark plans an
+  * AllTuples 1-task window that BUFFERS the entire relation; this node
+  * computes per-partition partials (O(P) driver metadata) and attaches
+  * the combined constant — NO exchange, NO sort, NO buffer, child
+  * partitioning preserved. Exact kinds only (long/decimal sum, count,
+  * min/max, long avg): a double sum's FP combine order would differ
+  * from stock's row-order accumulation, so double sums keep the stock
+  * plan via the split. The two passes re-execute the child (a scan
+  * reads twice when no shuffle boundary caches it) — still strictly
+  * better than materializing the whole relation in one task.
+  */
+case class GlobalScalarAggNode(
+    sumExpr: Expression,
+    outAttr: Attribute,
+    ansi: Boolean,
+    kind: RangeAggKind,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
 /** THE unified rewrite (round 15 — supersedes the four per-idiom
   * rules): an unpartitioned Window whose EVERY expression is one of
   * the nine rewritable idioms is decomposed into a chain of
@@ -324,9 +353,24 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     case SpecifiedWindowFrame(_, _, org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) => true
     case _                                                                                        => false
   }
+  // the FULL frame — every row's frame is the whole relation, so any
+  // order-independent aggregate over it is one global constant
+  private def frameFull(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(_, UPrec, org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) =>
+      true
+    case _ => false
+  }
 
   private def sumType(e: Expression): Boolean =
     e.dataType == LongType || e.dataType.isInstanceOf[DecimalType]
+
+  /** count(...) as a 0/1 row tally: 1 where no argument is null. */
+  private def countTally(seq: Seq[Expression]): Expression = seq
+    .filter(_.nullable)
+    .map(e => IsNull(e): Expression)
+    .reduceOption(Or)
+    .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
+    .getOrElse(Literal(1L))
 
   private def orderableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -407,28 +451,16 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
             if rangeToCurrent(ws) && !floatingOrder(order) && seq.forall(_.deterministic) =>
           // count(...) = running tally of rows where no argument is null;
           // empty-frame emits 0, never null (CountRangeSumOps)
-          val tally: Expression = seq
-            .filter(_.nullable)
-            .map(e => IsNull(e): Expression)
-            .reduceOption(Or)
-            .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
-            .getOrElse(Literal(1L))
           Some(Rewritable(offset = false, (o, c) =>
-            GlobalRangePrefixSumNode(o, tally, alias.toAttribute, ansi = false, RangeAggKind.CountK, c)))
+            GlobalRangePrefixSumNode(o, countTally(seq), alias.toAttribute, ansi = false, RangeAggKind.CountK, c)))
         case AggregateExpression(Count(seq), _, false, _, _)
             if rowsToCurrent(ws) && seq.forall(_.deterministic) =>
           // count over ROWS UNBOUNDED..CURRENT = a prefix sum of the 0/1
           // tally (round 16, the avg decomposition's count leg exposed
           // directly); the frame always holds ≥ 1 row so the sum never
           // hits the all-null-is-null case — the tally is non-nullable
-          val tally: Expression = seq
-            .filter(_.nullable)
-            .map(e => IsNull(e): Expression)
-            .reduceOption(Or)
-            .map(cond => If(cond, Literal(0L), Literal(1L)): Expression)
-            .getOrElse(Literal(1L))
           Some(Rewritable(offset = false, (o, c) =>
-            GlobalPrefixSumNode(o, tally, alias.toAttribute, ansi = false, c)))
+            GlobalPrefixSumNode(o, countTally(seq), alias.toAttribute, ansi = false, c)))
         case AggregateExpression(Max(e), _, false, _, _)
             if rowsToCurrent(ws) && orderableAtomic(e.dataType) && e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
@@ -450,6 +482,33 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
           Some(Rewritable(offset = false, (o, c) =>
             GlobalRangePrefixSumNode(
               o, e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)))
+        // FULL-frame aggregates (round 16, twelfth idiom): `agg(x) OVER
+        // ()` (the no-ORDER default frame) and explicit UNBOUNDED
+        // PRECEDING..UNBOUNDED FOLLOWING — one order-independent global
+        // constant; per-partition partials, NO exchange, NO buffer.
+        // Double sums keep the stock plan (FP combine order).
+        case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
+            if frameFull(ws) && sumType(e) && e.deterministic &&
+              s0.evalContext.evalMode != EvalMode.TRY =>
+          Some(Rewritable(offset = false, (_, c) =>
+            GlobalScalarAggNode(
+              e, alias.toAttribute, s0.evalContext.evalMode == EvalMode.ANSI, RangeAggKind.SumK, c)))
+        case AggregateExpression(Count(seq), _, false, _, _)
+            if frameFull(ws) && seq.forall(_.deterministic) =>
+          Some(Rewritable(offset = false, (_, c) =>
+            GlobalScalarAggNode(countTally(seq), alias.toAttribute, ansi = false, RangeAggKind.CountK, c)))
+        case AggregateExpression(Max(e), _, false, _, _)
+            if frameFull(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          Some(Rewritable(offset = false, (_, c) =>
+            GlobalScalarAggNode(e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(true), c)))
+        case AggregateExpression(Min(e), _, false, _, _)
+            if frameFull(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+          Some(Rewritable(offset = false, (_, c) =>
+            GlobalScalarAggNode(e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)))
+        case AggregateExpression(Average(e, em), _, false, _, _)
+            if frameFull(ws) && e.dataType == LongType && e.deterministic && em != EvalMode.TRY =>
+          Some(Rewritable(offset = false, (_, c) =>
+            buildScalarAvg(alias, e, c, ansi = em == EvalMode.ANSI)))
         // avg (round 16): sum/count COMPOSE from two already-proven modes
         // — an exact LONG prefix sum plus a 0/1-tally prefix count, then
         // one projected divide. Stock Average(long) runs its running sum
@@ -478,11 +537,11 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         // like stock). Mirrored: last_value over a frame ENDING at
         // UNBOUNDED FOLLOWING.
         case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.First(e, ign), _, false, _, _)
-            if frameFromStart(ws) && e.deterministic =>
+            if order.nonEmpty && frameFromStart(ws) && e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
             GlobalFirstValueNode(o, e, ign, isFirst = true, alias.toAttribute, c)))
         case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.Last(e, ign), _, false, _, _)
-            if frameToEnd(ws) && e.deterministic =>
+            if order.nonEmpty && frameToEnd(ws) && e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
             GlobalFirstValueNode(o, e, ign, isFirst = false, alias.toAttribute, c)))
         case org.apache.spark.sql.catalyst.expressions
@@ -532,6 +591,38 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
       else GlobalRangePrefixSumNode(o, tally, cntA, ansi = false, RangeAggKind.CountK, withSum)
     // LEGACY divide even under ANSI: /0 (all-null prefix) yields null,
     // exactly stock Average's evaluateExpression
+    val avg = Alias(
+      Divide(
+        Cast(sumA, DoubleType),
+        Cast(cntA, DoubleType),
+        NumericEvalContext(EvalMode.LEGACY)
+      ),
+      alias.name
+    )(alias.exprId, alias.qualifier)
+    Project(c.output :+ avg, withCnt)
+  }
+
+  /** avg over the FULL frame: global exact sum + global count + one
+    * legacy divide — all constants, no exchange.
+    */
+  private def buildScalarAvg(
+      alias: Alias,
+      e: Expression,
+      c: LogicalPlan,
+      ansi: Boolean
+  ): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference,
+      Cast,
+      Divide,
+      NumericEvalContext
+    }
+    val sumA = AttributeReference("__graft_savg_sum", LongType, nullable = true)()
+    val cntA = AttributeReference("__graft_savg_cnt", LongType, nullable = true)()
+    val tally: Expression =
+      if (e.nullable) If(IsNull(e), Literal(0L), Literal(1L)) else Literal(1L)
+    val withSum = GlobalScalarAggNode(e, sumA, ansi, RangeAggKind.SumK, c)
+    val withCnt = GlobalScalarAggNode(tally, cntA, ansi = false, RangeAggKind.CountK, withSum)
     val avg = Alias(
       Divide(
         Cast(sumA, DoubleType),
@@ -594,6 +685,22 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         else Window(stockExprs, Nil, order, chained)
       if (!needTb && stockExprs.isEmpty) withStock
       else Project(w.output, withStock)
+
+    // NO-ORDER global window (round 16, twelfth idiom): `agg(x) OVER
+    // ()` — every expression is a full-frame aggregate or stays in the
+    // stock remainder; the rewritten ones are relation-wide constants
+    // computed with NO exchange at all
+    case w: Window
+        if w.partitionSpec.isEmpty && w.orderSpec.isEmpty &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.exists(builderFor(Nil, _).isDefined) =>
+      val entries = w.windowExpressions.map(ne => ne -> builderFor(Nil, ne))
+      val stockExprs = entries.collect { case (ne, None) => ne }
+      val chained = entries
+        .collect { case (_, Some(r)) => r }
+        .foldLeft(w.child)((acc, r) => r.build(Nil, acc))
+      if (stockExprs.isEmpty) chained
+      else Project(w.output, Window(stockExprs, Nil, Nil, chained))
   }
 }
 
@@ -609,6 +716,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalOffsetWindowExec(order, valExpr, k, isLag, default, outAttr, planLater(child)) :: Nil
     case GlobalFirstValueNode(order, valExpr, ignoreNulls, isFirst, outAttr, child) =>
       GlobalFirstValueExec(order, valExpr, ignoreNulls, isFirst, outAttr, planLater(child)) :: Nil
+    case GlobalScalarAggNode(sumExpr, outAttr, ansi, kind, child) =>
+      GlobalScalarAggExec(sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, kind, child) =>
       GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case _ => Nil
@@ -1505,6 +1614,85 @@ case class GlobalFirstValueExec(
         val joined = new JoinedRow
         val vRow = new GenericInternalRow(1)
         if (constant == null) vRow.setNullAt(0) else vRow.update(0, constant)
+        it.map(row => proj(joined(row, vRow)))
+      },
+      preservesPartitioning = true
+    )
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Twelfth idiom exec: the relation-wide aggregate CONSTANT. Pass 1
+  * folds each partition to one (partial, seen) pair — O(P) driver
+  * metadata; the driver combines them with the same [[RangeSumOps]]
+  * the RANGE exec trusts (exact long/decimal sums, tally counts,
+  * interpreted-ordering extrema); pass 2 attaches the constant. NO
+  * required distribution or ordering — the child's partitioning is
+  * preserved, no exchange, no sort, no whole-relation buffer.
+  */
+case class GlobalScalarAggExec(
+    sumExpr: Expression,
+    outAttr: Attribute,
+    ansi: Boolean,
+    kind: RangeAggKind,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  private def opsFor(): RangeSumOps = kind match {
+    case RangeAggKind.CountK           => new CountRangeSumOps
+    case RangeAggKind.ExtremumK(isMax) => new ExtremumRangeOps(outAttr.dataType, isMax)
+    case RangeAggKind.SumK =>
+      outAttr.dataType match {
+        case LongType        => new LongRangeSumOps(ansi)
+        case dt: DecimalType => new DecimalRangeSumOps(dt.precision, dt.scale, ansi)
+        case other =>
+          throw new IllegalStateException(s"GlobalScalarAggExec: unsupported sum type $other")
+      }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ops = opsFor()
+    val rdd = child.execute()
+    val childOutput = child.output
+    val se = sumExpr
+    val partials = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(se, childOutput)
+          var acc = ops.zero
+          var seen = false
+          it.foreach { row =>
+            val v = bound.eval(row)
+            if (v != null) {
+              acc = ops.add(acc, ops.fromInput(InternalRow.copyValue(v)))
+              seen = true
+            }
+          }
+          Iterator.single((acc, seen))
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    var total = ops.zero
+    var anySeen = false
+    partials.foreach { case (p, s) => if (s) { total = ops.add(total, p); anySeen = true } }
+    val tot = total
+    val seenAll = anySeen
+    val outAttrs = output
+    rdd.mapPartitions(
+      { it =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val vRow = new GenericInternalRow(1)
+        ops.write(vRow, tot, seenAll)
         it.map(row => proj(joined(row, vRow)))
       },
       preservesPartitioning = true

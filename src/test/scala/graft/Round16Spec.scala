@@ -342,6 +342,66 @@ class Round16Spec extends AnyFunSuite {
     assert(chainEx.length == 1, s"e56 chain should share one (us, event_id) exchange:\n$e56")
   }
 
+  test("agg OVER () constants: zero exchanges, parity incl. all-null sum, split for double sums") {
+    import spark.implicits._
+    val rows = (0 until 777).map(i => (i.toLong, (i % 50).toLong, if (i % 2 == 0) Some(i.toLong) else None))
+    rows.toDF("i", "x", "y").createOrReplaceTempView("r16_scalar")
+    val df = spark.sql(
+      """SELECT i,
+        | sum(x) OVER () AS sx, count(*) OVER () AS cs, count(y) OVER () AS cy,
+        | min(x) OVER () AS mn, max(x) OVER () AS mx, avg(x) OVER () AS ax
+        |FROM r16_scalar""".stripMargin
+    )
+    val exec = unwrap(df)
+    // sum, count(*), count(y), min, max, avg→sum+count = 7 scalar execs
+    assert(exec.collect { case g: graft.plans.GlobalScalarAggExec => g }.length == 7,
+      s"all six aggregates should ride the scalar exec:\n$exec")
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"stock window survived:\n$exec")
+    assert(exec.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }.isEmpty, s"agg OVER () should need NO exchange:\n$exec")
+    val expSum = rows.map(_._2).sum
+    val expCy = rows.count(_._3.isDefined).toLong
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == expSum)
+      assert(r.getLong(2) == 777L)
+      assert(r.getLong(3) == expCy)
+      assert(r.getLong(4) == 0L && r.getLong(5) == 49L)
+      assert(math.abs(r.getDouble(6) - expSum.toDouble / 777) < 1e-9)
+    }
+    // all-null input: sum/min/max null, count 0
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("i", "z")
+      .createOrReplaceTempView("r16_scalar_null")
+    val dn = spark.sql(
+      "SELECT i, sum(z) OVER () AS sz, count(z) OVER () AS cz, max(z) OVER () AS mz FROM r16_scalar_null"
+    )
+    assert(unwrap(dn).collect { case g: graft.plans.GlobalScalarAggExec => g }.length == 3)
+    dn.collect().foreach { r =>
+      assert(r.isNullAt(1) && r.getLong(2) == 0L && r.isNullAt(3))
+    }
+    // double sum keeps the stock plan (FP combine order) via the split
+    val dd = spark.sql(
+      "SELECT i, sum(CAST(x AS DOUBLE)) OVER () AS sd, count(*) OVER () AS c2 FROM r16_scalar"
+    )
+    val dexec = unwrap(dd)
+    assert(dexec.collect { case g: graft.plans.GlobalScalarAggExec => g }.length == 1,
+      s"count should still ride the scalar exec:\n$dexec")
+    val stock = dexec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(stock.length == 1 && stock.head.windowExpression.length == 1,
+      s"the double sum should keep a 1-expression stock remainder:\n$dexec")
+    // explicit full frame WITH an order is the same constant
+    val ff = spark.sql(
+      """SELECT i, sum(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s
+        |FROM r16_scalar""".stripMargin
+    )
+    assert(unwrap(ff).collect { case g: graft.plans.GlobalScalarAggExec => g }.length == 1, s"$ff")
+    ff.collect().foreach(r => assert(r.getLong(1) == expSum))
+  }
+
   test("multiWriter upsert: two racing writers of ONE batch id — exactly one wins, loser's staging is gone") {
     import spark.implicits._
     val bss = graft.sources.BucketedStateStore
