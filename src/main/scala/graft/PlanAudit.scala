@@ -196,7 +196,13 @@ object PlanAudit {
       "m25_gradient_anisotropy"     -> "real-decode gradient anisotropy: map-only decode, exact integer sums; scalar rows shuffle",
       "e54_global_interarrival"     -> "global lag/lead: two chained GlobalOffsetWindow execs over ONE exchange — k=1 boundary metadata, no 1-task window",
       "q72_day_close_cum"           -> "default-RANGE cumulative: GlobalRangePrefixSum exec (group-close prefixes + forward head-group chain) — no 1-task window",
-      "e55_day_record"              -> "default-RANGE running max: the same exec's ExtremumK mode — no 1-task window"
+      "e55_day_record"              -> "default-RANGE running max: the same exec's ExtremumK mode — no 1-task window",
+      "q73_cents_decimal"           -> "decimal GlobalPrefixSum leg: decimals born exact from integer cents — no 1-task window",
+      "q74_running_avg"             -> "avg decomposition: exact-long prefix sum + prefix count + one legacy divide — no 1-task window",
+      "q75_share_global"            -> "agg OVER () constants: 7-deep GlobalScalarAgg chain, NO exchange/sort/buffer (only the output ORDER BY shuffles)",
+      "e56_mixed_report"            -> "mixed global window: 4 range execs + the first_value constant exec over ONE exchange — ZERO stock windows",
+      "e57_rolling_p95"             -> "keyed sliding exact p95: one (event_type) partitioned window, O(k log k)/row at k=100",
+      "t51_token_budget"            -> "token-budget planner: two KB aggregates broadcast back, one corpus scan"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
@@ -209,11 +215,13 @@ object PlanAudit {
       "`src/test/resources/lint_expected.tsv` and gated by `LintSurfaceSpec`: " +
       "every `SparkEntry.queries` plan is linted (global windows / cartesians / " +
       "nested-loop joins) and any drift from the committed inventory fails the " +
-      "suite. Current inventory: 63 queries flagged, ALL of them the documented " +
+      "suite. Current inventory: 68 rows, ALL of them the documented " +
       "bounded idioms — scalar-fanout / capped-sample BNLJs, plus ONE " +
       "model-sized global window (q58's ≤50-row p_size frontier suffix-min; " +
       "q60 rides GlobalPrefixSumExec since round 14 and is flagged only for " +
-      "its scalar BNLJ). Zero cartesians.\n"
+      "its scalar BNLJ; t26's window line cleared in round 16 when the " +
+      "scalar-constant idiom picked up its full-frame aggregate). Zero " +
+      "cartesians.\n"
     targets.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
