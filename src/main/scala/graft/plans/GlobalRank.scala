@@ -250,6 +250,30 @@ case class GlobalFirstValueNode(
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+/** Thirteenth idiom (round 16): GLOBAL k-TH VALUE — the constant half
+  * of `nth_value(e, k)` over a frame starting at UNBOUNDED PRECEDING:
+  * the k-th row of the relation under the order (null when the
+  * relation holds fewer than k rows). Pass 1 collects each partition's
+  * first ≤k evaluated values — O(P·k) driver metadata, the
+  * lag/lead head machinery reused; the rule composes the frame-size
+  * condition from the row_number / RANGE-count legs. The rewrite
+  * marks nth as an OFFSET idiom so the monotonic tiebreak makes the
+  * pass-1 pick and the pass-2 row positions provably consistent under
+  * tied order keys.
+  */
+case class GlobalKthValueNode(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    k: Int,
+    outAttr: Attribute,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
 /** Twelfth idiom (round 16): GLOBAL SCALAR AGGREGATE — `sum(x) OVER
   * ()`, `count(*) OVER ()`, `min/max/avg(x) OVER ()` (the
   * share-of-total staple every BI query writes) and the same
@@ -544,6 +568,27 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
             if order.nonEmpty && frameToEnd(ws) && e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
             GlobalFirstValueNode(o, e, ign, isFirst = false, alias.toAttribute, c)))
+        // nth_value (round 16, thirteenth idiom): the k-th-row constant
+        // plus a frame-size condition — full frame needs none; ROWS-to-
+        // current gates on row_number >= k; the default RANGE frame on
+        // the peer-group END position (the CountK count). Marked offset
+        // so the tiebreak keeps the pass-1 pick and pass-2 positions on
+        // ONE total order under ties. IGNORE NULLS keeps the stock plan
+        // (the k-th non-null needs unbounded cross-partition scan).
+        case org.apache.spark.sql.catalyst.expressions
+              .NthValue(e, Literal(k: Int, IntegerType), false)
+            if order.nonEmpty && k >= 1 && k <= maxK && e.deterministic && frameFull(ws) =>
+          Some(Rewritable(offset = true, (o, c) =>
+            GlobalKthValueNode(o, e, k, alias.toAttribute, c)))
+        case org.apache.spark.sql.catalyst.expressions
+              .NthValue(e, Literal(k: Int, IntegerType), false)
+            if order.nonEmpty && k >= 1 && k <= maxK && e.deterministic && rowsToCurrent(ws) =>
+          Some(Rewritable(offset = true, (o, c) => buildNth(o, alias, e, k, c, rows = true, order)))
+        case org.apache.spark.sql.catalyst.expressions
+              .NthValue(e, Literal(k: Int, IntegerType), false)
+            if order.nonEmpty && k >= 1 && k <= maxK && e.deterministic &&
+              rangeToCurrent(ws) && !floatingOrder(order) =>
+          Some(Rewritable(offset = true, (o, c) => buildNth(o, alias, e, k, c, rows = false, order)))
         case org.apache.spark.sql.catalyst.expressions
               .Lag(e, Literal(k: Int, IntegerType), dflt, false)
             if k >= 1 && k <= maxK && e.deterministic && dflt.foldable =>
@@ -634,6 +679,46 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     Project(c.output :+ avg, withCnt)
   }
 
+  /** nth_value over a from-start frame ENDING at the current row /
+    * peer-group end: the k-th-row constant gated by the frame-size
+    * condition (row position for ROWS, group-end count for RANGE —
+    * the latter built on the PLAIN order so peer groups stay the
+    * user's keys while the constant leg rides the tiebreak-extended
+    * total order `o`).
+    */
+  private def buildNth(
+      o: Seq[SortOrder],
+      alias: Alias,
+      e: Expression,
+      k: Int,
+      c: LogicalPlan,
+      rows: Boolean,
+      plainOrder: Seq[SortOrder]
+  ): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual}
+    val vkA = AttributeReference("__graft_nth_vk", e.dataType, nullable = true)()
+    val withVk = GlobalKthValueNode(o, e, k, vkA, c)
+    val (posA, withPos, cond) =
+      if (rows) {
+        val rnA = AttributeReference("__graft_nth_rn", IntegerType, nullable = false)()
+        (rnA,
+          GlobalRankNode(o, rnA, GlobalRankMode.RowNum, withVk): LogicalPlan,
+          GreaterThanOrEqual(rnA, Literal(k)))
+      } else {
+        val cntA = AttributeReference("__graft_nth_cnt", LongType, nullable = false)()
+        (cntA,
+          GlobalRangePrefixSumNode(
+            plainOrder, Literal(1L), cntA, ansi = false, RangeAggKind.CountK, withVk): LogicalPlan,
+          GreaterThanOrEqual(cntA, Literal(k.toLong)))
+      }
+    val _ = posA
+    val nth = Alias(
+      If(cond, vkA, Literal(null, e.dataType)),
+      alias.name
+    )(alias.exprId, alias.qualifier)
+    Project(c.output :+ nth, withPos)
+  }
+
   /** The split (round 16 — supersedes round 15's all-or-nothing gate):
     * every rewritable expression chains over ONE shared range exchange;
     * any non-rewritable remainder keeps a stock Window ON TOP of the
@@ -718,6 +803,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalFirstValueExec(order, valExpr, ignoreNulls, isFirst, outAttr, planLater(child)) :: Nil
     case GlobalScalarAggNode(sumExpr, outAttr, ansi, kind, child) =>
       GlobalScalarAggExec(sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
+    case GlobalKthValueNode(order, valExpr, k, outAttr, child) =>
+      GlobalKthValueExec(order, valExpr, k, outAttr, planLater(child)) :: Nil
     case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, kind, child) =>
       GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case _ => Nil
@@ -1614,6 +1701,88 @@ case class GlobalFirstValueExec(
         val joined = new JoinedRow
         val vRow = new GenericInternalRow(1)
         if (constant == null) vRow.setNullAt(0) else vRow.update(0, constant)
+        it.map(row => proj(joined(row, vRow)))
+      },
+      preservesPartitioning = true
+    )
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Thirteenth idiom exec: the global k-th-row value CONSTANT. Pass 1
+  * streams each partition for its first ≤k evaluated values + row
+  * count (O(P·k) driver metadata, the lag/lead head machinery); the
+  * driver concatenates heads in partition order and indexes the k-th
+  * (null — with the found flag false — when the relation holds fewer
+  * than k rows); pass 2 attaches it. Gated k ≤ 1024 like lag/lead.
+  */
+case class GlobalKthValueExec(
+    order: Seq[SortOrder],
+    valExpr: Expression,
+    k: Int,
+    outAttr: Attribute,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val ve = valExpr
+    val kk = k
+    val metas = rdd
+      .mapPartitions(
+        { it =>
+          val bound = BindReferences.bindReference(ve, childOutput)
+          val head = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var n = 0L
+          it.foreach { row =>
+            if (head.size < kk) head += InternalRow.copyValue(bound.eval(row))
+            n += 1L
+          }
+          Iterator.single((n, head.toArray))
+        },
+        preservesPartitioning = true
+      )
+      .collect()
+    // the k-th row's value across partitions in order; heads carry the
+    // first min(k, n_p) values of each, so walking cumulative counts
+    // lands inside some partition's head whenever total n >= k
+    var constant: Any = null
+    var remaining = kk.toLong
+    var i = 0
+    var found = false
+    while (!found && i < metas.length) {
+      val (n, head) = metas(i)
+      if (remaining <= n) {
+        // the target row is in partition i; its head holds at least
+        // min(k, n) >= remaining values
+        constant = head((remaining - 1).toInt)
+        found = true
+      } else {
+        remaining -= n
+      }
+      i += 1
+    }
+    val cst = constant
+    val outAttrs = output
+    rdd.mapPartitions(
+      { it =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val vRow = new GenericInternalRow(1)
+        if (cst == null) vRow.setNullAt(0) else vRow.update(0, cst)
         it.map(row => proj(joined(row, vRow)))
       },
       preservesPartitioning = true

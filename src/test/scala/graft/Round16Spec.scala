@@ -342,6 +342,56 @@ class Round16Spec extends AnyFunSuite {
     assert(chainEx.length == 1, s"e56 chain should share one (us, event_id) exchange:\n$e56")
   }
 
+  test("nth_value: k-th-row constant + frame-size condition across ROWS/RANGE/full frames, ties, k>n") {
+    import spark.implicits._
+    // unique order — all three frames have closed-form expectations
+    val df = spark.sql(
+      """SELECT id,
+        | nth_value(id * 7, 5) OVER (ORDER BY id) AS nr,
+        | nth_value(id * 7, 5) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nw,
+        | nth_value(id * 7, 5) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nf,
+        | nth_value(id * 7, 100) OVER (ORDER BY id) AS ng
+        |FROM range(50)""".stripMargin
+    )
+    val exec = unwrap(df)
+    assert(exec.collect { case g: graft.plans.GlobalKthValueExec => g }.length == 4,
+      s"all four nth_values should ride the kth exec:\n$exec")
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"stock window survived:\n$exec")
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val exp = if (id >= 4) Some(28L) else None
+      assert((if (r.isNullAt(1)) None else Some(r.getLong(1))) == exp, s"range nth at $id")
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == exp, s"rows nth at $id")
+      assert(r.getLong(3) == 28L, s"full nth at $id")
+      assert(r.isNullAt(4), s"k>n nth at $id")
+    }
+    // ALL-TIED order keys: the tiebreak keeps the pick and the row
+    // positions on one total order — ROWS: exactly n-k+1 rows non-null,
+    // all the same member of the value set; RANGE: ONE peer group whose
+    // end covers k, so EVERY row carries the constant
+    val n = 4000
+    (0 until n).map(i => (i.toLong, 1)).toDF("v", "c").createOrReplaceTempView("r16_nth_tie")
+    val dt = spark.sql(
+      """SELECT v, nth_value(v, 7) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+        | nth_value(v, 7) OVER (ORDER BY c) AS b
+        |FROM r16_nth_tie""".stripMargin
+    )
+    val got = dt.collect()
+    val aVals = got.filter(!_.isNullAt(1)).map(_.getLong(1)).toSeq
+    assert(aVals.length == n - 6, s"rows-frame non-null count ${aVals.length}")
+    assert(aVals.distinct.length == 1 && aVals.head >= 0 && aVals.head < n)
+    val bVals = got.map(_.getLong(2)).toSeq
+    assert(bVals.distinct.length == 1 && bVals.head == aVals.head,
+      "RANGE frame must attach the SAME k-th pick to every row")
+    // IGNORE NULLS keeps the stock plan
+    val ig = spark.sql(
+      "SELECT id, nth_value(id, 3) IGNORE NULLS OVER (ORDER BY id) AS v FROM range(10)"
+    )
+    assert(unwrap(ig).collect { case g: graft.plans.GlobalKthValueExec => g }.isEmpty)
+  }
+
   test("agg OVER () constants: zero exchanges, parity incl. all-null sum, split for double sums") {
     import spark.implicits._
     val rows = (0 until 777).map(i => (i.toLong, (i % 50).toLong, if (i % 2 == 0) Some(i.toLong) else None))
