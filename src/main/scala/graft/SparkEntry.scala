@@ -565,6 +565,8 @@ object SparkEntry {
     "q74_running_avg"        -> (Relational.q74RunningAvg _),
     // round 16: share-of-total — agg OVER () constants, zero exchanges
     "q75_share_global"       -> (Relational.q75ShareGlobal _),
+    // round 16: nth_value in both from-start frames (thirteenth idiom)
+    "q76_fifth_largest"      -> (Relational.q76FifthLargest _),
     // round 16: mixed global window — three rewritable idioms + a stock
     // first_value remainder, the split-rewrite gate at data grain
     "e56_mixed_report"       -> (Events.e56MixedReport _),
@@ -4878,6 +4880,15 @@ object SparkEntry {
         | max(cents) OVER () AS max_cents,
         | CAST(sum(cents) OVER () AS DOUBLE) / CAST(count(cents) OVER () AS DOUBLE) AS avg_cents,
         | round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 9) AS share
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    // q76 (round 16): nth_value in both from-start frames — the
+    // thirteenth idiom's data-grain gate; total order, pure ANSI
+    "q76_fifth_largest" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, cents,
+        | nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fifth_largest,
+        | nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey) AS fifth_so_far
         |FROM o ORDER BY o_orderkey""".stripMargin,
     // e56 (round 16): the split-rewrite gate — three rewritable idioms
     // (default-RANGE count/sum/avg) + first_value, deterministic under

@@ -1657,6 +1657,30 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q76 (round 16): FIFTH-LARGEST DEAL — `nth_value` over the global
+    * (cents DESC, orderkey) total order in BOTH from-start frames: the
+    * full-frame form (the corpus' 5th-largest ticket on every row) and
+    * the default-RANGE running form (null until five deals have been
+    * seen) — the THIRTEENTH GlobalRank idiom at data grain: the
+    * k-th-row constant from O(P·k) head metadata plus the group-end
+    * count condition, no 1-task window, no whole-relation buffer.
+    */
+  def q76FifthLargest(s: SparkSession, d: String): DataFrame = {
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      .selectExpr(
+        "o_orderkey",
+        "cents",
+        "nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fifth_largest",
+        "nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey) AS fifth_so_far"
+      )
+      .orderBy("o_orderkey")
+  }
+
   /** q66 (round 14): GLOBAL QUANTITY RANK — every lineitem ranked by
     * quantity across the WHOLE fact table, ties and all (50 distinct
     * quantities ⇒ peer groups thousands of rows wide that span many

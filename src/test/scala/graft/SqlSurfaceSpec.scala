@@ -86,6 +86,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // probes MUST be, since their whole job is running the same text
     // on both engines
     "q73_cents_decimal", "q74_running_avg", "q75_share_global",
+    "q76_fifth_largest",
     "pb01_round_half_int", "pb02_round_repr_half", "pb03_round_nonrepr",
     "pb04_cast_double_dec", "pb05_round_then_cast", "pb06_cents_path",
     "pb07_formula_agree", "pb08_book_total", "pb09_transcendental",
