@@ -82,25 +82,31 @@ object CanonProbes {
 
   /** pb04: CAST(DOUBLE AS DECIMAL(18,2)) — the cast's own rounding,
     * separate from round()'s. Locally both engines emit 0.13, 1.01,
-    * 2.68, -0.13 (string-repr HALF_UP shaped).
+    * 2.68, -0.13 (string-repr HALF_UP shaped). Round 17: re-surfaced
+    * as DOUBLE under the portable-surface rule (PortableSurfaceSpec) —
+    * the cast-to-decimal primitive is still fully probed (the decimal
+    * is constructed, then correctly-rounded back; 1.01 vs 1.0 remain
+    * distinguishable doubles), but the gate edge can no longer be hit
+    * by the harness's trailing-zero decimal canon.
     */
   def pb04CastDoubleDec(s: SparkSession, d: String): DataFrame =
     probe(
       s,
-      "CAST(CAST(0.125 AS DOUBLE) AS DECIMAL(18,2)) AS c_0125",
-      "CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(18,2)) AS c_1005",
-      "CAST(CAST(2.675 AS DOUBLE) AS DECIMAL(18,2)) AS c_2675",
-      "CAST(CAST(-0.125 AS DOUBLE) AS DECIMAL(18,2)) AS c_m0125"
+      "CAST(CAST(CAST(0.125 AS DOUBLE) AS DECIMAL(18,2)) AS DOUBLE) AS c_0125",
+      "CAST(CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(18,2)) AS DOUBLE) AS c_1005",
+      "CAST(CAST(CAST(2.675 AS DOUBLE) AS DECIMAL(18,2)) AS DOUBLE) AS c_2675",
+      "CAST(CAST(CAST(-0.125 AS DOUBLE) AS DECIMAL(18,2)) AS DOUBLE) AS c_m0125"
     )
 
   /** pb05: the exact old-q65 scalar composition — round(DOUBLE, 2)
-    * THEN cast to DECIMAL(18,2) — on locally-agreeing values.
+    * THEN cast to DECIMAL(18,2) — on locally-agreeing values. DOUBLE
+    * at the edge since round 17 (same rationale as pb04).
     */
   def pb05RoundThenCast(s: SparkSession, d: String): DataFrame =
     probe(
       s,
-      "CAST(round(CAST(0.125 AS DOUBLE), 2) AS DECIMAL(18,2)) AS rc_0125",
-      "CAST(round(CAST(2.675 AS DOUBLE), 2) AS DECIMAL(18,2)) AS rc_2675"
+      "CAST(CAST(round(CAST(0.125 AS DOUBLE), 2) AS DECIMAL(18,2)) AS DOUBLE) AS rc_0125",
+      "CAST(CAST(round(CAST(2.675 AS DOUBLE), 2) AS DECIMAL(18,2)) AS DOUBLE) AS rc_2675"
     )
 
   /** pb06: the exact-cents derivation q70/q72/q65-new ride —
@@ -138,7 +144,11 @@ object CanonProbes {
     * `CAST(round(price, 2) AS DECIMAL(18,2))` over all orders, next to
     * the exact-cents total. Red here with green scalars = the rounded
     * sum moved on some row; green here = the driver's old-q65 red was
-    * NOT in the per-row rounding at all.
+    * NOT in the per-row rounding at all. Round 17: the decimal book
+    * total re-surfaces as DOUBLE — this one was a LIVE latent red (a
+    * data-grain sum lands on a trailing-zero cent value with prob
+    * ~1/10 per SF); the decimal sum still happens, only the edge cast
+    * changed.
     */
   def pb08BookTotal(s: SparkSession, d: String): DataFrame =
     Tables
@@ -150,7 +160,7 @@ object CanonProbes {
       )
       .selectExpr(
         "count(*) AS n_orders",
-        "CAST(sum(price_dec) AS DECIMAL(18,2)) AS book_total_roundpath",
+        "CAST(CAST(sum(price_dec) AS DECIMAL(18,2)) AS DOUBLE) AS book_total_roundpath",
         "CAST(sum(price_cents) AS BIGINT) AS book_cents"
       )
 
@@ -169,22 +179,55 @@ object CanonProbes {
 
   /** pb10: DECIMAL(18,2) sum width discipline — the sum widens
     * internally (Spark (28,2), DuckDB (38,2)) and must land back at
-    * the portable (18,2) surface exactly.
+    * the portable (18,2) surface exactly. Round 17: the FINAL surface
+    * is DOUBLE — the round-16 driver run proved the red was the
+    * harness's DECIMAL value canonicalization on trailing-zero values
+    * (6.60 red here while pb04's 0.13/2.68 stayed green), not the sum
+    * arithmetic; decimal→double is correctly rounded on both engines
+    * so the same exact decimal yields the bit-identical double, the
+    * width-discipline primitive stays probed, and the rendering
+    * divergence is bypassed (VERDICT r16 "Next round" #1).
     */
   def pb10DecSumWidth(s: SparkSession, d: String): DataFrame =
     probe(
       s,
-      "CAST(CAST(1.10 AS DECIMAL(18,2)) + CAST(2.20 AS DECIMAL(18,2)) + CAST(3.30 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS sum_dec"
+      "CAST(CAST(CAST(1.10 AS DECIMAL(18,2)) + CAST(2.20 AS DECIMAL(18,2)) + CAST(3.30 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_dec"
     )
 
   /** pb11: exact integer→decimal constructions — BIGINT cast to
     * DECIMAL(18,2) (12345 → 12345.00) and the cents→dollars exact
-    * multiply ((18,0) × (3,2), exact, no rounding step).
+    * multiply ((18,0) × (3,2), exact, no rounding step). Round 17:
+    * DOUBLE at the surface for the same reason as pb10 (12345.00 is a
+    * trailing-zero decimal, the exact shape the driver canon strips);
+    * both output values are small integers, exact in double on both
+    * engines, so int→decimal exactness stays fully probed.
     */
   def pb11IntDecExact(s: SparkSession, d: String): DataFrame =
     probe(
       s,
-      "CAST(CAST(12345 AS BIGINT) AS DECIMAL(18,2)) AS int_as_dec",
-      "CAST(CAST(123456789 AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS cents_as_dollars"
+      "CAST(CAST(CAST(12345 AS BIGINT) AS DECIMAL(18,2)) AS DOUBLE) AS int_as_dec",
+      "CAST(CAST(CAST(123456789 AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS DOUBLE) AS cents_as_dollars"
     )
+
+  /** pb12/pb13 (round 17): the trailing-zero DISCRIMINATOR PAIR the
+    * r16 verdict ordered. Identical construction — a literal cast to
+    * DECIMAL(18,2), the simplest possible decimal surface, zero
+    * arithmetic — differing ONLY in whether the value carries a
+    * trailing zero (1.50 vs 1.51). Theory from rounds 14–16: the
+    * driver harness canonicalizes DECIMAL output values through a
+    * trailing-zero-stripping / float-round-trip step (`6.60` → `6.6`),
+    * so pb12 is EXPECTED RED and pb13 EXPECTED GREEN in the driver
+    * run. pb12 red + pb13 green ⇒ rendering divergence CONFIRMED
+    * (engine arithmetic exonerated, portable-surface rule justified
+    * forever); both green ⇒ the canon was fixed upstream and DECIMAL
+    * surfaces are safe again; both red ⇒ theory wrong, investigate.
+    * Locally Spark and DuckDB agree exactly on both. These two probes
+    * are the ONLY gated queries allowed a DECIMAL final column (see
+    * PortableSurfaceSpec).
+    */
+  def pb12DecTrailingZero(s: SparkSession, d: String): DataFrame =
+    probe(s, "CAST(1.50 AS DECIMAL(18,2)) AS v")
+
+  def pb13DecNoTrailingZero(s: SparkSession, d: String): DataFrame =
+    probe(s, "CAST(1.51 AS DECIMAL(18,2)) AS v")
 }

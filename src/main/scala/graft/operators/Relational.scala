@@ -1292,9 +1292,10 @@ object Relational {
       .groupBy("abc_class")
       .agg(
         count(lit(1)).as("n_parts"),
-        // (18,2) output: the portable surface stays <=18-precision
-        // (round-15 wide-decimal guard); class revenues are ~1e9 at sf1
-        sum("rev").cast("decimal(18,2)").as("revenue"),
+        // r17: decimal internal, DOUBLE at the gate edge (the r16 driver
+        // run proved DECIMAL finals hit the harness's trailing-zero
+        // canon; a class revenue lands on x.x0 with prob ~1/10)
+        sum("rev").cast("decimal(18,2)").cast("double").as("revenue"),
         round(sum("rev").cast("double") / first("total_rev").cast("double"), 6).as("share")
       )
       .orderBy("abc_class")
@@ -1574,6 +1575,17 @@ object Relational {
     * cast back to the portable ≤(18,x) surface with a raise_error
     * guard so overflow is LOUD on either engine (book total in
     * cents-valued decimal at gated SFs ~2.3e11, 4 spare digits).
+    *
+    * Round 17: the FINAL projection re-emits both decimal columns as
+    * BIGINT cents (`CAST(dec AS BIGINT)` — exact: the decimals are
+    * integral CENTS-valued by construction). The round-16 driver run
+    * proved the hash red was the harness's DECIMAL canonicalization on
+    * trailing-zero values (pb10 6.60 / pb11 12345.00 red, pb04/pb05/
+    * pb08 green), so DECIMAL never crosses the gate edge; the decimal
+    * GlobalPrefixSum leg is still value-gated EXACTLY — the cents are
+    * derived FROM the decimal cumulative sum, any decimal-side error
+    * changes the BIGINT surface one-for-one. Plan pin unchanged
+    * (Round16Spec asserts the decimal exec + (18,2) internal type).
     */
   def q73CentsDecimal(s: SparkSession, d: String): DataFrame = {
     val o = Tables
@@ -1598,6 +1610,15 @@ object Relational {
           )
       )
       .drop("cum_wide")
+      // portable gate edge: decimal internal, BIGINT cents out (exact —
+      // both columns are integral CENTS-VALUED decimals by construction,
+      // so the plain cast drops only the ".00")
+      .select(
+        col("o_orderkey"),
+        col("o_date"),
+        col("price_dec").cast("long").as("price_cents"),
+        col("cum_dec").cast("long").as("cum_cents")
+      )
       .orderBy("o_date", "o_orderkey")
   }
 

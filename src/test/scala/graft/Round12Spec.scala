@@ -399,7 +399,8 @@ class Round12Spec extends AnyFunSuite {
     val rows = graft.operators.Relational
       .q60AbcClass(spark, sf)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)), r.getDouble(3)))
+      // r17: revenue surfaces as DOUBLE (portable-surface rule)
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2)), r.getDouble(3)))
     assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
     val total = rows.map(_._3).sum
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)

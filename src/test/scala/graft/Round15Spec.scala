@@ -284,7 +284,8 @@ class Round15Spec extends AnyFunSuite {
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
     assert(q65.schema("cum_cents").dataType == org.apache.spark.sql.types.LongType)
     val q73 = graft.operators.Relational.q73CentsDecimal(spark, sf)
-    assert(q73.schema("cum_dec").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
+    // r17: decimal stays internal; the gate edge is BIGINT cents
+    assert(q73.schema("cum_cents").dataType == org.apache.spark.sql.types.LongType)
     val s37 = graft.operators.StreamingBatch.s37StreamDecayTopk(spark, sf)
     assert(s37.schema("decayed_scaled").dataType == org.apache.spark.sql.types.LongType)
     assert(s37.count() > 0)

@@ -255,20 +255,26 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
-  test("q65 exact cents + q73 decimal leg: same running totals, BIGINT vs DECIMAL(18,2) surfaces") {
+  test("q65 exact cents + q73 decimal leg: same running totals, BIGINT surfaces both (r17)") {
     val q65 = graft.operators.Relational.q65CumRevenue(spark, sf)
     assert(q65.schema("price_cents").dataType == org.apache.spark.sql.types.LongType)
     assert(q65.schema("cum_cents").dataType == org.apache.spark.sql.types.LongType)
     val q73 = graft.operators.Relational.q73CentsDecimal(spark, sf)
-    assert(q73.schema("cum_dec").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
+    // round 17: the gate edge is BIGINT cents; the DECIMAL(18,2) leg
+    // stays INTERNAL (plan-pinned below via the analyzed plan type)
+    assert(q73.schema("cum_cents").dataType == org.apache.spark.sql.types.LongType)
+    assert(
+      q73.queryExecution.analyzed.toString.contains("decimal(18,2)"),
+      "q73 lost its internal decimal(18,2) leg"
+    )
     val c65 = q65.collect()
     val c73 = q73.collect()
     assert(c65.length == c73.length && c65.nonEmpty)
     // the decimal leg's value IS the cents value (born from the same
-    // integers): cum_dec == cum_cents exactly, row by row
+    // integers): cum_cents (from decimal) == cum_cents (long leg)
     c65.zip(c73).foreach { case (a, b) =>
       assert(a.getLong(0) == b.getLong(0)) // o_orderkey, same total order
-      assert(BigDecimal(a.getLong(3)) == BigDecimal(b.getDecimal(3)), s"orderkey ${a.getLong(0)}")
+      assert(a.getLong(3) == b.getLong(3), s"orderkey ${a.getLong(0)}")
     }
     // running total is monotone non-decreasing (prices are positive)
     c65.sliding(2).foreach { w =>

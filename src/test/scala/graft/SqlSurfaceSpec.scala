@@ -90,7 +90,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "pb01_round_half_int", "pb02_round_repr_half", "pb03_round_nonrepr",
     "pb04_cast_double_dec", "pb05_round_then_cast", "pb06_cents_path",
     "pb07_formula_agree", "pb08_book_total", "pb09_transcendental",
-    "pb10_dec_sum_width", "pb11_int_dec_exact"
+    "pb10_dec_sum_width", "pb11_int_dec_exact",
+    // round 17: the trailing-zero discriminator pair
+    "pb12_dec_trailing_zero", "pb13_dec_no_trailing_zero"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
