@@ -567,6 +567,8 @@ object SparkEntry {
     "q75_share_global"       -> (Relational.q75ShareGlobal _),
     // round 16: nth_value in both from-start frames (thirteenth idiom)
     "q76_fifth_largest"      -> (Relational.q76FifthLargest _),
+    "q77_frame_bounds"       -> (Relational.q77FrameBounds _),
+    "q78_first_nonnull_running" -> (Relational.q78FirstNonnullRunning _),
     // round 16: mixed global window — three rewritable idioms + a stock
     // first_value remainder, the split-rewrite gate at data grain
     "e56_mixed_report"       -> (Events.e56MixedReport _),
@@ -4897,6 +4899,30 @@ object SparkEntry {
         | nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fifth_largest,
         | nth_value(cents, 5) OVER (ORDER BY cents DESC, o_orderkey) AS fifth_so_far
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    // q77 (round 17): the frame-bound edge gate — offset-FOLLOWING /
+    // offset-PRECEDING bounds on the constant first/last_value idiom,
+    // plus the EMPTY-head-frame shape (UNBOUNDED PRECEDING..1
+    // PRECEDING) that must stay stock and yield NULL at the head row
+    "q77_frame_bounds" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, cents,
+        | first_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS fv_follow,
+        | last_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS lv_precede,
+        | first_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv_gap
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    // q78 (round 17): running IGNORE NULLS first_value — NULL until the
+    // first non-null enters the frame (the r17 high-ADVICE fix at data
+    // grain); the full-frame twin is the constant exec's leg
+    "q78_first_nonnull_running" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents_nn
+        |  FROM orders)
+        |SELECT o_orderkey, o_date, cents_nn,
+        | first_value(cents_nn IGNORE NULLS) OVER (ORDER BY o_date, o_orderkey) AS first_nonnull_running,
+        | first_value(cents_nn IGNORE NULLS) OVER (ORDER BY o_date, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nonnull_all
+        |FROM o ORDER BY o_date, o_orderkey""".stripMargin,
     // e56 (round 16): the split-rewrite gate — three rewritable idioms
     // (default-RANGE count/sum/avg) + first_value, deterministic under
     // the (us, event_id) total order

@@ -1702,6 +1702,68 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q77 (round 17): FRAME-BOUND EDGE GATE — first/last_value over
+    * offset-bounded from-start/to-end frames, the data-grain gate for
+    * the round-17 bound checks (GlobalWindowRewrite.boundAtOrAfterCurrent):
+    * - `fv_follow`: first_value over UNBOUNDED PRECEDING..2 FOLLOWING —
+    *   never-empty (upper ≥ current row), rides the constant exec;
+    * - `lv_precede`: last_value over 2 PRECEDING..UNBOUNDED FOLLOWING —
+    *   never-empty mirror, constant exec;
+    * - `fv_gap`: first_value over UNBOUNDED PRECEDING..1 PRECEDING —
+    *   EMPTY for the head row (stock/DuckDB: NULL there), so the
+    *   rewrite must NOT fire: stays in the stock-Window remainder via
+    *   the split. Before the fix this column read the global constant
+    *   at the head row — a silent wrong answer this query now
+    *   hash-pins against DuckDB forever.
+    */
+  def q77FrameBounds(s: SparkSession, d: String): DataFrame = {
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+      .selectExpr(
+        "o_orderkey",
+        "cents",
+        "first_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS fv_follow",
+        "last_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS lv_precede",
+        "first_value(cents) OVER (ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv_gap"
+      )
+      .orderBy("o_orderkey")
+  }
+
+  /** q78 (round 17): RUNNING FIRST NON-NULL — `first_value(x) IGNORE
+    * NULLS` over the default running frame at data grain, the gate for
+    * the round-17 high-severity fix: rows BEFORE the first non-null
+    * have an all-null frame where stock/DuckDB yield NULL, so this
+    * shape must KEEP the stock plan (the old rewrite attached the
+    * relation-wide first non-null everywhere — q78 would have been
+    * red). Urgent-priority orders' tickets are nulled out, making the
+    * head of the (date, orderkey) order a realistic null-run. The
+    * full-frame IGNORE NULLS twin (`first_nonnull_all`) IS a constant
+    * and rides the exec — both semantics in one result.
+    */
+  def q78FirstNonnullRunning(s: SparkSession, d: String): DataFrame = {
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents_nn")
+      )
+      .selectExpr(
+        "o_orderkey",
+        "o_date",
+        "cents_nn",
+        "first_value(cents_nn) IGNORE NULLS OVER (ORDER BY o_date, o_orderkey) AS first_nonnull_running",
+        "first_value(cents_nn) IGNORE NULLS OVER (ORDER BY o_date, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nonnull_all"
+      )
+      .orderBy("o_date", "o_orderkey")
+  }
+
   /** q66 (round 14): GLOBAL QUANTITY RANK — every lineitem ranked by
     * quantity across the WHOLE fact table, ties and all (50 distinct
     * quantities ⇒ peer groups thousands of rows wide that span many

@@ -265,6 +265,7 @@ case class GlobalKthValueNode(
     order: Seq[SortOrder],
     valExpr: Expression,
     k: Int,
+    ignoreNulls: Boolean,
     outAttr: Attribute,
     child: LogicalPlan
 ) extends UnaryNode {
@@ -366,16 +367,44 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     case SpecifiedWindowFrame(RFrame, UPrec, CRow) => true
     case _                                         => false
   }
-  // frame whose LOWER bound is UNBOUNDED PRECEDING — every row's frame
-  // contains the relation's first row (any frame type, any upper bound)
-  private def frameFromStart(ws: WindowSpecDefinition) = ws.frameSpecification match {
-    case SpecifiedWindowFrame(_, UPrec, _) => true
-    case _                                 => false
+  // A frame bound provably AT or AFTER the current row/peer group:
+  // CURRENT ROW, UNBOUNDED FOLLOWING, or a non-negative FOLLOWING
+  // offset literal. Round-17 ADVICE fix (medium): an offset-PRECEDING
+  // upper (ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) makes the
+  // frame EMPTY for the head row(s), where stock first_value yields
+  // NULL — the constant rewrite must not fire there. Non-literal /
+  // non-integral offsets conservatively keep the stock plan.
+  private def boundAtOrAfterCurrent(b: Expression): Boolean = b match {
+    case CRow                                                            => true
+    case org.apache.spark.sql.catalyst.expressions.UnboundedFollowing   => true
+    case Literal(v: Int, _)                                              => v >= 0
+    case Literal(v: Long, _)                                             => v >= 0
+    case Literal(v: Short, _)                                            => v >= 0
+    case Literal(v: Byte, _)                                             => v >= 0
+    case _                                                               => false
   }
-  // frame whose UPPER bound is UNBOUNDED FOLLOWING — contains the last row
+  // mirror: provably AT or BEFORE the current row/peer group
+  private def boundAtOrBeforeCurrent(b: Expression): Boolean = b match {
+    case CRow                 => true
+    case UPrec                => true
+    case Literal(v: Int, _)   => v <= 0
+    case Literal(v: Long, _)  => v <= 0
+    case Literal(v: Short, _) => v <= 0
+    case Literal(v: Byte, _)  => v <= 0
+    case _                    => false
+  }
+  // frame whose LOWER bound is UNBOUNDED PRECEDING and that is NEVER
+  // EMPTY — every row's frame contains the relation's first row
+  private def frameFromStart(ws: WindowSpecDefinition) = ws.frameSpecification match {
+    case SpecifiedWindowFrame(_, UPrec, upper) => boundAtOrAfterCurrent(upper)
+    case _                                     => false
+  }
+  // frame whose UPPER bound is UNBOUNDED FOLLOWING and that is never
+  // empty — contains the last row
   private def frameToEnd(ws: WindowSpecDefinition) = ws.frameSpecification match {
-    case SpecifiedWindowFrame(_, _, org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) => true
-    case _                                                                                        => false
+    case SpecifiedWindowFrame(_, lower, org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) =>
+      boundAtOrBeforeCurrent(lower)
+    case _ => false
   }
   // the FULL frame — every row's frame is the whole relation, so any
   // order-independent aggregate over it is one global constant
@@ -424,9 +453,24 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
   /** Classify one window expression; None leaves it to the stock
     * Window remainder (see [[apply]]'s split).
     */
+  /** True when re-executing `p` is guaranteed to produce the same rows
+    * — no nondeterministic expression (rand()/uuid()/…) anywhere in the
+    * subtree. The FULL-frame scalar-agg idiom is the one exec that
+    * requires NO exchange beneath it, so its two passes (pass-1 partial
+    * collect + pass-2 attach) re-execute the child RDD from scratch;
+    * over a nondeterministic child the passes could disagree and the
+    * attached constant wouldn't match the emitted rows (round-17 ADVICE
+    * fix, low). Every other two-pass exec sits above its own range
+    * exchange, whose map outputs are computed once and reused by both
+    * passes.
+    */
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(n => n.expressions.exists(ex => ex.exists(!_.deterministic)))
+
   private def builderFor(
       order: Seq[SortOrder],
-      ne: NamedExpression
+      ne: NamedExpression,
+      childDet: Boolean
   ): Option[Rewritable] = ne match {
     case alias @ Alias(WindowExpression(fn, ws), _) =>
       fn match {
@@ -512,27 +556,27 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         // constant; per-partition partials, NO exchange, NO buffer.
         // Double sums keep the stock plan (FP combine order).
         case AggregateExpression(s0 @ Sum(e, _), _, false, _, _)
-            if frameFull(ws) && sumType(e) && e.deterministic &&
+            if frameFull(ws) && childDet && sumType(e) && e.deterministic &&
               s0.evalContext.evalMode != EvalMode.TRY =>
           Some(Rewritable(offset = false, (_, c) =>
             GlobalScalarAggNode(
               e, alias.toAttribute, s0.evalContext.evalMode == EvalMode.ANSI, RangeAggKind.SumK, c)))
         case AggregateExpression(Count(seq), _, false, _, _)
-            if frameFull(ws) && seq.forall(_.deterministic) =>
+            if frameFull(ws) && childDet && seq.forall(_.deterministic) =>
           Some(Rewritable(offset = false, (_, c) =>
             GlobalScalarAggNode(countTally(seq), alias.toAttribute, ansi = false, RangeAggKind.CountK, c)))
         case AggregateExpression(Max(e), _, false, _, _)
-            if frameFull(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+            if frameFull(ws) && childDet && orderableAtomic(e.dataType) && e.deterministic =>
           Some(Rewritable(offset = false, (_, c) =>
             GlobalScalarAggNode(e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(true), c)))
         case AggregateExpression(Min(e), _, false, _, _)
-            if frameFull(ws) && orderableAtomic(e.dataType) && e.deterministic =>
+            if frameFull(ws) && childDet && orderableAtomic(e.dataType) && e.deterministic =>
           Some(Rewritable(offset = false, (_, c) =>
             GlobalScalarAggNode(e, alias.toAttribute, ansi = false, RangeAggKind.ExtremumK(false), c)))
         case AggregateExpression(Average(e, em), _, false, _, _)
-            if frameFull(ws) && e.dataType == LongType && e.deterministic && em != EvalMode.TRY =>
-          Some(Rewritable(offset = false, (_, c) =>
-            buildScalarAvg(alias, e, c, ansi = em == EvalMode.ANSI)))
+            if frameFull(ws) && childDet && e.dataType == LongType && e.deterministic &&
+              em != EvalMode.TRY =>
+          Some(Rewritable(offset = false, (_, c) => buildScalarAvg(alias, e, c)))
         // avg (round 16): sum/count COMPOSE from two already-proven modes
         // — an exact LONG prefix sum plus a 0/1-tally prefix count, then
         // one projected divide. Stock Average(long) runs its running sum
@@ -541,31 +585,43 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         // (< 2^53) and MORE accurate beyond — never less. LongType only:
         // decimal avg's result-scale/rounding internals are stock's
         // (DecimalType avg keeps the stock plan via the split), double
-        // input is excluded like every float sum (FP add order). ANSI
-        // rides the sum leg's addExact; the divide is ALWAYS legacy —
-        // stock Average divides count-0 to null even under ANSI.
+        // input is excluded like every float sum (FP add order). The
+        // divide is ALWAYS legacy — stock Average divides count-0 to
+        // null even under ANSI. Round-17 ADVICE fix: the sum leg
+        // accumulates in DECIMAL(38,0) (exact, unbounded BigDecimal
+        // stitch internally) instead of addExact LONG — stock ANSI
+        // Average NEVER overflows (its running sum is a double), so an
+        // addExact leg would make a query that succeeds on stock throw
+        // past Long.MaxValue; the decimal leg never throws and never
+        // wraps in ANY eval mode (38 digits ≈ 10^19 max-valued rows).
         case AggregateExpression(Average(e, em), _, false, _, _)
             if rowsToCurrent(ws) && e.dataType == LongType && e.deterministic &&
               em != EvalMode.TRY =>
           Some(Rewritable(offset = false, (o, c) =>
-            buildAvg(o, alias, e, c, rows = true, ansi = em == EvalMode.ANSI)))
+            buildAvg(o, alias, e, c, rows = true)))
         case AggregateExpression(Average(e, em), _, false, _, _)
             if rangeToCurrent(ws) && !floatingOrder(order) && e.dataType == LongType &&
               e.deterministic && em != EvalMode.TRY =>
           Some(Rewritable(offset = false, (o, c) =>
-            buildAvg(o, alias, e, c, rows = false, ansi = em == EvalMode.ANSI)))
-        // first_value over any frame STARTING at UNBOUNDED PRECEDING
-        // (round 16): the first row is in every frame, so the value is
-        // ONE GLOBAL CONSTANT under the order — no window pass at all,
-        // O(P) boundary metadata (nondeterministic under ties exactly
-        // like stock). Mirrored: last_value over a frame ENDING at
-        // UNBOUNDED FOLLOWING.
+            buildAvg(o, alias, e, c, rows = false)))
+        // first_value over any never-empty frame STARTING at UNBOUNDED
+        // PRECEDING (round 16): the first row is in every frame, so the
+        // value is ONE GLOBAL CONSTANT under the order — no window pass
+        // at all, O(P) boundary metadata (nondeterministic under ties
+        // exactly like stock). Mirrored: last_value over a frame ENDING
+        // at UNBOUNDED FOLLOWING. IGNORE NULLS requires the FULL frame
+        // (round-17 ADVICE fix, high): with a frame ending at CURRENT
+        // ROW, rows before the first non-null have an all-null frame
+        // where stock yields NULL — the relation-wide first non-null is
+        // only a constant when every frame spans the whole relation.
         case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.First(e, ign), _, false, _, _)
-            if order.nonEmpty && frameFromStart(ws) && e.deterministic =>
+            if order.nonEmpty && (if (ign) frameFull(ws) else frameFromStart(ws)) &&
+              e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
             GlobalFirstValueNode(o, e, ign, isFirst = true, alias.toAttribute, c)))
         case AggregateExpression(org.apache.spark.sql.catalyst.expressions.aggregate.Last(e, ign), _, false, _, _)
-            if order.nonEmpty && frameToEnd(ws) && e.deterministic =>
+            if order.nonEmpty && (if (ign) frameFull(ws) else frameToEnd(ws)) &&
+              e.deterministic =>
           Some(Rewritable(offset = false, (o, c) =>
             GlobalFirstValueNode(o, e, ign, isFirst = false, alias.toAttribute, c)))
         // nth_value (round 16, thirteenth idiom): the k-th-row constant
@@ -573,13 +629,16 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         // current gates on row_number >= k; the default RANGE frame on
         // the peer-group END position (the CountK count). Marked offset
         // so the tiebreak keeps the pass-1 pick and pass-2 positions on
-        // ONE total order under ties. IGNORE NULLS keeps the stock plan
-        // (the k-th non-null needs unbounded cross-partition scan).
+        // ONE total order under ties. IGNORE NULLS over the FULL frame
+        // is ALSO one constant (the k-th NON-NULL of the whole
+        // relation; pass-1 skips nulls — round 17, and the shape
+        // Catalyst lowers explicit-frame first_value IGNORE NULLS to);
+        // over running frames it keeps the stock plan.
         case org.apache.spark.sql.catalyst.expressions
-              .NthValue(e, Literal(k: Int, IntegerType), false)
+              .NthValue(e, Literal(k: Int, IntegerType), ign)
             if order.nonEmpty && k >= 1 && k <= maxK && e.deterministic && frameFull(ws) =>
           Some(Rewritable(offset = true, (o, c) =>
-            GlobalKthValueNode(o, e, k, alias.toAttribute, c)))
+            GlobalKthValueNode(o, e, k, ign, alias.toAttribute, c)))
         case org.apache.spark.sql.catalyst.expressions
               .NthValue(e, Literal(k: Int, IntegerType), false)
             if order.nonEmpty && k >= 1 && k <= maxK && e.deterministic && rowsToCurrent(ws) =>
@@ -615,8 +674,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
       alias: Alias,
       e: Expression,
       c: LogicalPlan,
-      rows: Boolean,
-      ansi: Boolean
+      rows: Boolean
   ): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference,
@@ -624,13 +682,18 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
       Divide,
       NumericEvalContext
     }
-    val sumA = AttributeReference("__graft_avg_sum", LongType, nullable = true)()
+    // DECIMAL(38,0) sum leg (round-17 ADVICE fix): exact like the old
+    // addExact long, but never throws/wraps — stock Average's double
+    // accumulator never overflows, so neither may the decomposition
+    val decT = DecimalType(38, 0)
+    val sumA = AttributeReference("__graft_avg_sum", decT, nullable = true)()
     val cntA = AttributeReference("__graft_avg_cnt", LongType, nullable = true)()
+    val sumIn: Expression = Cast(e, decT)
     val tally: Expression =
       if (e.nullable) If(IsNull(e), Literal(0L), Literal(1L)) else Literal(1L)
     val withSum =
-      if (rows) GlobalPrefixSumNode(o, e, sumA, ansi, c)
-      else GlobalRangePrefixSumNode(o, e, sumA, ansi, RangeAggKind.SumK, c)
+      if (rows) GlobalPrefixSumNode(o, sumIn, sumA, ansi = false, c)
+      else GlobalRangePrefixSumNode(o, sumIn, sumA, ansi = false, RangeAggKind.SumK, c)
     val withCnt =
       if (rows) GlobalPrefixSumNode(o, tally, cntA, ansi = false, withSum)
       else GlobalRangePrefixSumNode(o, tally, cntA, ansi = false, RangeAggKind.CountK, withSum)
@@ -653,8 +716,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
   private def buildScalarAvg(
       alias: Alias,
       e: Expression,
-      c: LogicalPlan,
-      ansi: Boolean
+      c: LogicalPlan
   ): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference,
@@ -662,11 +724,13 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
       Divide,
       NumericEvalContext
     }
-    val sumA = AttributeReference("__graft_savg_sum", LongType, nullable = true)()
+    // DECIMAL(38,0) sum leg — same overflow-proofing as buildAvg
+    val decT = DecimalType(38, 0)
+    val sumA = AttributeReference("__graft_savg_sum", decT, nullable = true)()
     val cntA = AttributeReference("__graft_savg_cnt", LongType, nullable = true)()
     val tally: Expression =
       if (e.nullable) If(IsNull(e), Literal(0L), Literal(1L)) else Literal(1L)
-    val withSum = GlobalScalarAggNode(e, sumA, ansi, RangeAggKind.SumK, c)
+    val withSum = GlobalScalarAggNode(Cast(e, decT), sumA, ansi = false, RangeAggKind.SumK, c)
     val withCnt = GlobalScalarAggNode(tally, cntA, ansi = false, RangeAggKind.CountK, withSum)
     val avg = Alias(
       Divide(
@@ -697,7 +761,7 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
   ): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual}
     val vkA = AttributeReference("__graft_nth_vk", e.dataType, nullable = true)()
-    val withVk = GlobalKthValueNode(o, e, k, vkA, c)
+    val withVk = GlobalKthValueNode(o, e, k, ignoreNulls = false, vkA, c)
     val (posA, withPos, cond) =
       if (rows) {
         val rnA = AttributeReference("__graft_nth_rn", IntegerType, nullable = false)()
@@ -736,14 +800,25 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     * partitioning). A final Project restores the Window's exact output
     * (attribute order included) and drops the tiebreak.
     */
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Session kill switch (round 17): `SET
+    * spark.graft.windowRewrite.enabled=false` keeps every stock window
+    * plan — an escape hatch if a user query hits a rewrite edge, and
+    * the lever the stock-parity tests flip.
+    */
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.windowRewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transformUp {
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.orderSpec.forall(_.child.deterministic) &&
-          w.windowExpressions.exists(builderFor(w.orderSpec, _).isDefined) =>
+          w.windowExpressions
+            .exists(builderFor(w.orderSpec, _, planDeterministic(w.child)).isDefined) =>
       val order = w.orderSpec
-      val entries = w.windowExpressions.map(ne => ne -> builderFor(order, ne))
+      val childDet = planDeterministic(w.child)
+      val entries = w.windowExpressions.map(ne => ne -> builderFor(order, ne, childDet))
       val stockExprs = entries.collect { case (ne, None) => ne }
       val rewritables = entries.collect { case (ne, Some(r)) => (ne, r) }
       val needTb = rewritables.exists(_._2.offset)
@@ -778,8 +853,9 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
     case w: Window
         if w.partitionSpec.isEmpty && w.orderSpec.isEmpty &&
           w.windowExpressions.nonEmpty &&
-          w.windowExpressions.exists(builderFor(Nil, _).isDefined) =>
-      val entries = w.windowExpressions.map(ne => ne -> builderFor(Nil, ne))
+          w.windowExpressions.exists(builderFor(Nil, _, planDeterministic(w.child)).isDefined) =>
+      val childDet = planDeterministic(w.child)
+      val entries = w.windowExpressions.map(ne => ne -> builderFor(Nil, ne, childDet))
       val stockExprs = entries.collect { case (ne, None) => ne }
       val chained = entries
         .collect { case (_, Some(r)) => r }
@@ -803,8 +879,8 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalFirstValueExec(order, valExpr, ignoreNulls, isFirst, outAttr, planLater(child)) :: Nil
     case GlobalScalarAggNode(sumExpr, outAttr, ansi, kind, child) =>
       GlobalScalarAggExec(sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
-    case GlobalKthValueNode(order, valExpr, k, outAttr, child) =>
-      GlobalKthValueExec(order, valExpr, k, outAttr, planLater(child)) :: Nil
+    case GlobalKthValueNode(order, valExpr, k, ign, outAttr, child) =>
+      GlobalKthValueExec(order, valExpr, k, ign, outAttr, planLater(child)) :: Nil
     case GlobalRangePrefixSumNode(order, sumExpr, outAttr, ansi, kind, child) =>
       GlobalRangePrefixSumExec(order, sumExpr, outAttr, ansi, kind, planLater(child)) :: Nil
     case _ => Nil
@@ -1721,6 +1797,7 @@ case class GlobalKthValueExec(
     order: Seq[SortOrder],
     valExpr: Expression,
     k: Int,
+    ignoreNulls: Boolean,
     outAttr: Attribute,
     child: SparkPlan
 ) extends UnaryExecNode {
@@ -1741,6 +1818,10 @@ case class GlobalKthValueExec(
     val childOutput = child.output
     val ve = valExpr
     val kk = k
+    val skipNulls = ignoreNulls
+    // ignoreNulls: n counts and heads hold only NON-NULL values — the
+    // stitch below then walks non-null counts, landing on the k-th
+    // non-null of the whole relation (null when fewer than k exist)
     val metas = rdd
       .mapPartitions(
         { it =>
@@ -1748,8 +1829,11 @@ case class GlobalKthValueExec(
           val head = scala.collection.mutable.ArrayBuffer.empty[Any]
           var n = 0L
           it.foreach { row =>
-            if (head.size < kk) head += InternalRow.copyValue(bound.eval(row))
-            n += 1L
+            val v = bound.eval(row)
+            if (!(skipNulls && v == null)) {
+              if (head.size < kk) head += InternalRow.copyValue(v)
+              n += 1L
+            }
           }
           Iterator.single((n, head.toArray))
         },

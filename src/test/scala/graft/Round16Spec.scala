@@ -85,16 +85,38 @@ class Round16Spec extends AnyFunSuite {
         |FROM r16_edge WINDOW w AS (ORDER BY i)""".stripMargin
     )
     val exec = unwrap(df)
-    assert(exec.collect { case g: graft.plans.GlobalFirstValueExec => g }.length == 4,
-      s"all four edge values should ride the constant exec:\n$exec")
+    // r17 ADVICE fix: fvn (IGNORE NULLS over the default running frame)
+    // is NOT a global constant — at i=1 its frame holds only the NULL,
+    // where stock yields NULL — so it stays in the stock-Window
+    // remainder via the split; the other three ride the constant exec
+    // (fv: from-start frame respecting nulls; lv/lvn: the FULL frame).
+    assert(exec.collect { case g: graft.plans.GlobalFirstValueExec => g }.length == 3,
+      s"three edge values should ride the constant exec:\n$exec")
     assert(exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
-    }.isEmpty, s"stock window survived:\n$exec")
+    }.length == 1, s"fvn should keep exactly one stock remainder window:\n$exec")
     df.collect().foreach { r =>
       assert(r.isNullAt(1), s"fv at i=${r.getLong(0)}") // first row's x IS null
-      assert(r.getLong(2) == 20L, "first non-null")
+      // stock parity for the running-frame IGNORE NULLS shape: NULL
+      // until the first non-null enters the frame, 20 after
+      if (r.getLong(0) == 1L) assert(r.isNullAt(2), "fvn at i=1: frame holds only the NULL")
+      else assert(r.getLong(2) == 20L, s"fvn at i=${r.getLong(0)}")
       assert(r.isNullAt(3), "last row's x IS null")
       assert(r.getLong(4) == 30L, "last non-null")
+    }
+    // stock-parity assertion for the running-frame IGNORE NULLS shape:
+    // the same query with the rewrite rule disabled must match row-for-row
+    val stock = {
+      spark.conf.set("spark.graft.windowRewrite.enabled", "false")
+      try spark.sql(
+        """SELECT i, first_value(x) IGNORE NULLS OVER (ORDER BY i) AS fvn
+          |FROM r16_edge ORDER BY i""".stripMargin).collect()
+      finally spark.conf.unset("spark.graft.windowRewrite.enabled")
+    }
+    val ours = df.select("i", "fvn").orderBy("i").collect()
+    stock.zip(ours).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1) &&
+        (a.isNullAt(1) || a.getLong(1) == b.getLong(1)), s"stock parity at i=${a.getLong(0)}")
     }
     // last_value with the DEFAULT frame (ends at CURRENT ROW) is NOT a
     // global constant — must keep the stock plan

@@ -91,8 +91,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "pb04_cast_double_dec", "pb05_round_then_cast", "pb06_cents_path",
     "pb07_formula_agree", "pb08_book_total", "pb09_transcendental",
     "pb10_dec_sum_width", "pb11_int_dec_exact",
-    // round 17: the trailing-zero discriminator pair
-    "pb12_dec_trailing_zero", "pb13_dec_no_trailing_zero"
+    // round 17: the trailing-zero discriminator pair + the frame-bound
+    // edge gate (pure ANSI; q78's oracle is DuckDB-dialect — IGNORE
+    // NULLS goes inside the call parens there — so it's not portable)
+    "pb12_dec_trailing_zero", "pb13_dec_no_trailing_zero",
+    "q77_frame_bounds"
   )
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
