@@ -2209,8 +2209,15 @@ object StreamingBatch {
     * the fingerprint buckets its batch touches.
     */
   def s22StreamCurate(s: SparkSession, d: String, minTokens: Int = 10, minDistinctRatio: Double = 0.3): DataFrame =
+    // opt-in compaction every 16 batches (round 17): the r16 default
+    // flip to 0 (GC broke time travel for PINNED readers) let this
+    // fold's manifest/version chain grow with batch count — measured
+    // +0.4 s at sf0.1 (SCALING.md). s22 is the s40 pattern (reads only
+    // the LATEST id, replays at most the newest batch), so the GC
+    // horizon can never strand it; s40 proves the same fold at the
+    // harshest cadence (=1) mid-stream.
     s22CurateFold(s, d, minTokens, minDistinctRatio,
-      compactEvery = graft.sources.BucketedStateStore.defaultCompactEvery, runPrefix = "graft_s22_run_")
+      compactEvery = 16, runPrefix = "graft_s22_run_")
 
   /** s40 (round 15): s22's dedup-index fold under a FORCED every-batch
     * compaction cadence — each micro-batch upsert immediately
