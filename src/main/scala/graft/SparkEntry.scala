@@ -576,6 +576,8 @@ object SparkEntry {
     "e57_rolling_p95"        -> (Events.e57RollingP95 _),
     // round 16: token-budget planner — the plan-level mixture report
     "t51_token_budget"       -> (TextAnalysis.t51TokenBudget _),
+    "t52_split_leakage"      -> (TextAnalysis.t52SplitLeakage _),
+    "e58_locf"               -> (Events.e58Locf _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -4969,6 +4971,42 @@ object SparkEntry {
         | least(avail_tokens, target_tokens) AS expected_tokens,
         | CAST(ceil(CAST(target_tokens AS DOUBLE) / avail_tokens) AS BIGINT) AS epochs_needed
         |FROM b ORDER BY lang""".stripMargin,
+    // t52 (round 17): deterministic id-hash split + cross-split content
+    // leakage — md5 leading hex digit buckets (0-b/c-d/e-f), fp = md5
+    // of the sorted distinct token set; leakage = fps in >=2 splits
+    "t52_split_leakage" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx FROM documents),
+        |sp AS (SELECT doc_id, lang, fp,
+        |  CASE WHEN hx IN ('c','d') THEN 'val'
+        |       WHEN hx IN ('e','f') THEN 'test' ELSE 'train' END AS split
+        | FROM docs),
+        |lk AS (SELECT lang, CAST(count(*) AS BIGINT) AS leaked_fps,
+        |  CAST(sum(n_docs) AS BIGINT) AS leaked_docs
+        | FROM (SELECT lang, fp, count(DISTINCT split) AS n_splits, count(*) AS n_docs
+        |       FROM sp GROUP BY 1, 2)
+        | WHERE n_splits >= 2 GROUP BY 1)
+        |SELECT s.lang,
+        | CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        | CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        | CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        | CAST(coalesce(any_value(lk.leaked_fps), 0) AS BIGINT) AS leaked_fps,
+        | CAST(coalesce(any_value(lk.leaked_docs), 0) AS BIGINT) AS leaked_docs
+        |FROM sp s LEFT JOIN lk ON s.lang = lk.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e58 (round 17): LOCF — partitioned running last_value IGNORE
+    // NULLS (DuckDB dialect puts IGNORE NULLS inside the call parens)
+    "e58_locf" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CASE WHEN event_type = 'click' THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS v_obs FROM events)
+        |SELECT event_id, user_id, us, v_obs,
+        | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM e ORDER BY event_id""".stripMargin,
     // pb01–pb11 (round 16): canon-probe battery. One-row queries, SAME
     // SQL text both engines, each isolating one arithmetic portability
     // primitive (CanonProbes.scala scaladoc has the measured local

@@ -1781,4 +1781,36 @@ object Events {
       .select("event_id", "us", "cents", "cum_n", "cum_cents", "avg_cents", "first_type")
       .orderBy("event_id")
   }
+
+  /** e58 (round 17): LOCF — last observation carried forward, THE
+    * canonical sensor/sessions gap-repair idiom: per user, a missing
+    * reading (here: 'click' events carry no value) takes the user's
+    * most recent non-null one. Written as the textbook
+    * `last_value(v IGNORE NULLS) OVER (PARTITION BY user ORDER BY ts
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW)` — a PARTITIONED window,
+    * so stock Spark hash-distributes it by user (no global-window
+    * cliff; scales to any user count), and the rows before a user's
+    * first observation stay NULL — the exact running-frame IGNORE
+    * NULLS semantics the round-17 rewrite guards pin (q78 gates the
+    * global form; e58 gates the partitioned form both engines run
+    * stock).
+    */
+  def e58Locf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(round(col("value") * 100).cast("long"))
+          .as("v_obs")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("locf", last("v_obs", ignoreNulls = true).over(w))
+      .orderBy("event_id")
+  }
 }

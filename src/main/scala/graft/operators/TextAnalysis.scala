@@ -2159,4 +2159,58 @@ object TextAnalysis {
       .withColumn("flagged", (col("dup_share") >= 0.3).cast("boolean"))
       .orderBy("doc_id")
   }
+
+  /** t52 (round 17): TRAIN/VAL/TEST SPLIT + LEAKAGE AUDIT — the
+    * reproducible-split stage every training pipeline needs, plus the
+    * check pipelines skip at their peril: a DETERMINISTIC doc-id-hash
+    * split (md5 leading hex digit: 0–b train 75%, c–d val 12.5%, e–f
+    * test 12.5% — rerunnable, shard-order-independent) and the
+    * cross-split CONTENT-fingerprint leakage count. Splitting by id
+    * while duplicates exist puts copies of the same text in different
+    * splits (eval contamination); `leaked_fps`/`leaked_docs` measure
+    * exactly that per language, and drop to zero after a dedup pass on
+    * the same fingerprint (d7's contract) — the audit that proves
+    * dedup ran BEFORE the split. The fingerprint is the NORMALIZED
+    * content signature (sorted distinct token set — the
+    * bag-of-words collapse near-dup audits use), not the raw bytes:
+    * reordered/repeated-word copies are exactly the leaks an id-hash
+    * split lets through. Scale: two keyed aggregations (fp grain, then
+    * lang grain), no all-pairs anything, no skew (md5 keys).
+    */
+  def t52SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        md5(expr(
+          "array_join(array_sort(array_distinct(filter(split(text, ' '), x -> x != ''))), ' ')"
+        )).as("fp"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hx")
+      )
+      .withColumn(
+        "split",
+        when(col("hx").isin("c", "d"), "val")
+          .when(col("hx").isin("e", "f"), "test")
+          .otherwise("train")
+      )
+    // fp grain: does this content land in >1 split?
+    val leaks = docs
+      .groupBy("lang", "fp")
+      .agg(countDistinct("split").as("n_splits"), count(lit(1)).as("n_docs"))
+      .filter(col("n_splits") >= 2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("leaked_fps"), sum("n_docs").as("leaked_docs"))
+    docs
+      .groupBy("lang")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")
+      )
+      .join(leaks, Seq("lang"), "left")
+      .na
+      .fill(0L, Seq("leaked_fps", "leaked_docs"))
+      .orderBy("lang")
+  }
 }

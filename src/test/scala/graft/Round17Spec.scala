@@ -123,6 +123,62 @@ class Round17Spec extends AnyFunSuite {
       s"deterministic child should ride the scalar exec:\n${unwrap(det)}")
   }
 
+  test("e58 LOCF: per-user carry-forward matches an in-memory replay; window stays partitioned") {
+    val df = graft.operators.Events.e58Locf(spark, TestSession.sf)
+    val p = unwrap(df)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"no global window in a partitioned LOCF:\n$p")
+    val rows = df.collect()
+    // replay: per user in (us, event_id) order, carry the last non-null
+    val byUser = rows.groupBy(_.getLong(1)).view.mapValues(_.sortBy(r => (r.getLong(2), r.getLong(0))))
+    byUser.foreach { case (u, rs) =>
+      var carry: Option[Long] = None
+      rs.foreach { r =>
+        if (!r.isNullAt(3)) carry = Some(r.getLong(3))
+        carry match {
+          case None    => assert(r.isNullAt(4), s"user $u event ${r.getLong(0)}: expected NULL before first obs")
+          case Some(v) => assert(!r.isNullAt(4) && r.getLong(4) == v, s"user $u event ${r.getLong(0)}")
+        }
+      }
+    }
+    // the null pattern is real: some user's head rows are pre-observation
+    assert(rows.exists(_.isNullAt(3)), "click events must null the observation")
+  }
+
+  test("t52 split leakage: counts match an in-memory recompute; leakage vanishes on deduped content") {
+    val got = graft.operators.TextAnalysis.t52SplitLeakage(spark, TestSession.sf).collect()
+    val docs = graft.sources.Tables
+      .documents(spark, TestSession.sf)
+      .selectExpr(
+        "doc_id", "lang",
+        "md5(array_join(array_sort(array_distinct(filter(split(text, ' '), x -> x != ''))), ' ')) AS fp",
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) AS hx")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def split(hx: String) = if (hx == "c" || hx == "d") "val" else if (hx == "e" || hx == "f") "test" else "train"
+    val byLang = docs.groupBy(_._2)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val ds = byLang(lang)
+      assert(r.getLong(1) == ds.count(d => split(d._4) == "train").toLong, s"$lang n_train")
+      assert(r.getLong(2) == ds.count(d => split(d._4) == "val").toLong, s"$lang n_val")
+      assert(r.getLong(3) == ds.count(d => split(d._4) == "test").toLong, s"$lang n_test")
+      val leakedFps = ds.groupBy(_._3).filter(_._2.map(d => split(d._4)).distinct.size >= 2)
+      assert(r.getLong(4) == leakedFps.size.toLong, s"$lang leaked_fps")
+      assert(r.getLong(5) == leakedFps.values.map(_.size.toLong).sum, s"$lang leaked_docs")
+    }
+    // duplicated content IS present in the synthetic corpus, so the
+    // audit has something to catch...
+    assert(got.map(_.getLong(4)).sum > 0, "expected real leakage on the raw corpus")
+    // ...and on fp-deduped content (one doc per fingerprint — d1/d7's
+    // contract) every fp lives in exactly one split: leakage is zero
+    val dedupLeaks = docs.groupBy(_._3).filter { case (_, ds) =>
+      ds.sortBy(_._1).take(1).map(d => split(d._4)).distinct.size >= 2
+    }
+    assert(dedupLeaks.isEmpty)
+  }
+
   test("kill switch: spark.graft.windowRewrite.enabled=false keeps every stock window plan") {
     parityView
     val sql = "SELECT i, row_number() OVER (ORDER BY i) AS rn FROM r17_parity"
