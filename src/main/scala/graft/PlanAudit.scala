@@ -203,7 +203,11 @@ object PlanAudit {
       "q76_fifth_largest"           -> "nth_value in both from-start frames: GlobalKthValue constants + the CountK condition leg — no 1-task window",
       "e56_mixed_report"            -> "mixed global window: 4 range execs + the first_value constant exec over ONE exchange — ZERO stock windows",
       "e57_rolling_p95"             -> "keyed sliding exact p95: one (event_type) partitioned window, O(k log k)/row at k=100",
-      "t51_token_budget"            -> "token-budget planner: two KB aggregates broadcast back, one corpus scan"
+      "t51_token_budget"            -> "token-budget planner: two KB aggregates broadcast back, one corpus scan",
+      "q77_frame_bounds"            -> "offset-bounded from-start/to-end frames: 2 GlobalFirstValue constants + the empty-head-frame leg on its own stock remainder (r17 bound checks)",
+      "q78_first_nonnull_running"   -> "running IGNORE NULLS first_value: stock remainder (all-null head frames are NULL) + the full-frame twin on the ignoreNulls GlobalKthValue exec",
+      "t52_split_leakage"           -> "split + leakage audit: two keyed aggregations (fp grain, lang grain), one broadcast-back join, no all-pairs",
+      "e58_locf"                    -> "partitioned LOCF: hash-distributed (user_id) window, no global-window cliff"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
@@ -216,10 +220,13 @@ object PlanAudit {
       "`src/test/resources/lint_expected.tsv` and gated by `LintSurfaceSpec`: " +
       "every `SparkEntry.queries` plan is linted (global windows / cartesians / " +
       "nested-loop joins) and any drift from the committed inventory fails the " +
-      "suite. Current inventory: 68 rows, ALL of them the documented " +
-      "bounded idioms — scalar-fanout / capped-sample BNLJs, plus ONE " +
-      "model-sized global window (q58's ≤50-row p_size frontier suffix-min; " +
-      "q60 rides GlobalPrefixSumExec since round 14 and is flagged only for " +
+      "suite. Current inventory: 70 rows, ALL of them the documented " +
+      "bounded idioms — scalar-fanout / capped-sample BNLJs, plus THREE " +
+      "global windows: q58's ≤50-row p_size frontier suffix-min (model-" +
+      "sized) and q77/q78's DELIBERATE stock remainders (the empty-head-" +
+      "frame and running-IGNORE-NULLS shapes the round-17 guards must NOT " +
+      "rewrite — each a single-expression remainder via the split; q60 " +
+      "rides GlobalPrefixSumExec since round 14 and is flagged only for " +
       "its scalar BNLJ; t26's window line cleared in round 16 when the " +
       "scalar-constant idiom picked up its full-frame aggregate). Zero " +
       "cartesians.\n"
