@@ -207,7 +207,8 @@ object PlanAudit {
       "q77_frame_bounds"            -> "offset-bounded from-start/to-end frames: 2 GlobalFirstValue constants + the empty-head-frame leg on its own stock remainder (r17 bound checks)",
       "q78_first_nonnull_running"   -> "running IGNORE NULLS first_value: stock remainder (all-null head frames are NULL) + the full-frame twin on the ignoreNulls GlobalKthValue exec",
       "t52_split_leakage"           -> "split + leakage audit: two keyed aggregations (fp grain, lang grain), one broadcast-back join, no all-pairs",
-      "e58_locf"                    -> "partitioned LOCF: hash-distributed (user_id) window, no global-window cliff"
+      "e58_locf"                    -> "partitioned LOCF: hash-distributed (user_id) window, no global-window cliff",
+      "t53_budget_sample"           -> "Hamilton apportionment: KB stratum aggregate + 3 scalar-broadcast fanouts + per-language top-k — integer div/% only"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
@@ -220,7 +221,7 @@ object PlanAudit {
       "`src/test/resources/lint_expected.tsv` and gated by `LintSurfaceSpec`: " +
       "every `SparkEntry.queries` plan is linted (global windows / cartesians / " +
       "nested-loop joins) and any drift from the committed inventory fails the " +
-      "suite. Current inventory: 70 rows, ALL of them the documented " +
+      "suite. Current inventory: 71 rows, ALL of them the documented " +
       "bounded idioms — scalar-fanout / capped-sample BNLJs, plus THREE " +
       "global windows: q58's ≤50-row p_size frontier suffix-min (model-" +
       "sized) and q77/q78's DELIBERATE stock remainders (the empty-head-" +

@@ -577,6 +577,7 @@ object SparkEntry {
     // round 16: token-budget planner — the plan-level mixture report
     "t51_token_budget"       -> (TextAnalysis.t51TokenBudget _),
     "t52_split_leakage"      -> (TextAnalysis.t52SplitLeakage _),
+    "t53_budget_sample"      -> (TextAnalysis.t53BudgetSample _),
     "e58_locf"               -> (Events.e58Locf _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
@@ -4996,6 +4997,28 @@ object SparkEntry {
         | CAST(coalesce(any_value(lk.leaked_docs), 0) AS BIGINT) AS leaked_docs
         |FROM sp s LEFT JOIN lk ON s.lang = lk.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t53 (round 17): weighted sample-budget apportionment — Hamilton /
+    // largest-remainder in PURE INTEGER arithmetic (div/%; no float
+    // quota exists to round differently), within-language draw by md5
+    // hex order (deterministic, shard-order-independent)
+    "t53_budget_sample" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |st AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS w FROM docs GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS big_w FROM st),
+        |al AS (SELECT lang, w, (w * 100) // big_w AS base, (w * 100) % big_w AS rem FROM st, t),
+        |ar AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS extra_rank FROM al),
+        |lo AS (SELECT 100 - sum(base) AS l FROM ar),
+        |q AS (SELECT lang, w,
+        |  CAST(base + CASE WHEN extra_rank <= l THEN 1 ELSE 0 END AS BIGINT) AS quota
+        | FROM ar, lo),
+        |rk AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS BIGINT) AS pick_rank
+        | FROM docs)
+        |SELECT rk.lang AS lang, doc_id, n_tokens, pick_rank, quota
+        |FROM rk JOIN q ON rk.lang = q.lang WHERE pick_rank <= quota
+        |ORDER BY rk.lang, pick_rank""".stripMargin,
     // e58 (round 17): LOCF — partitioned running last_value IGNORE
     // NULLS (DuckDB dialect puts IGNORE NULLS inside the call parens)
     "e58_locf" ->

@@ -2213,4 +2213,64 @@ object TextAnalysis {
       .fill(0L, Seq("leaked_fps", "leaked_docs"))
       .orderBy("lang")
   }
+
+  /** t53 (round 17): WEIGHTED SAMPLE-BUDGET APPORTIONMENT — give each
+    * language a share of a fixed 100-doc sample budget proportional to
+    * its TOKEN MASS (not its doc count — the upweighting every mixture
+    * designer actually wants), then draw that many docs per language
+    * deterministically. Two exactness disciplines make it
+    * engine-identical at any scale:
+    * - the allocation is Hamilton/largest-remainder in PURE INTEGER
+    *   arithmetic — base_i = (B·w_i) div W, and the +1 leftovers go to
+    *   the largest (B·w_i mod W) remainders (ties by lang) — no float
+    *   quota ever exists, so no engine can round it differently;
+    * - the within-language draw is the smallest md5(doc_id) hex
+    *   strings — a uniform, reproducible, shard-order-independent
+    *   permutation both engines sort identically.
+    * Scale: one KB-sized stratum aggregate broadcast back, one
+    * per-language top-k (TopKPerKey-shaped window) — no global sort of
+    * the corpus, no skew (md5 keys).
+    */
+  def t53BudgetSample(s: SparkSession, d: String): DataFrame = {
+    val budget = 100L
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("hx")
+      )
+    val strata = docs.groupBy("lang").agg(sum("n_tokens").as("w"))
+    val tot = strata.agg(sum("w").as("big_w"))
+    val alloc = strata
+      .crossJoin(broadcast(tot))
+      // `div`, not `/`: Spark's `/` on longs is TRUE division (double)
+      // — inexact past 2^53, exactly the width w·B reaches at corpus
+      // scale; div/% stay in long the whole way
+      .withColumn("base", expr(s"(w * $budget) div big_w"))
+      .withColumn("rem", expr(s"(w * $budget) % big_w"))
+      .withColumn(
+        "extra_rank",
+        row_number().over(Window.orderBy(desc("rem"), col("lang")))
+      )
+    // leftover L = B - sum(base): +1 to the L largest remainders
+    val leftover = alloc.agg((lit(budget) - sum("base")).as("l"))
+    val quota = alloc
+      .crossJoin(broadcast(leftover))
+      .withColumn(
+        "quota",
+        (col("base") + when(col("extra_rank") <= col("l"), 1L).otherwise(0L)).cast("long")
+      )
+      .select("lang", "w", "quota")
+    val ranked = docs.withColumn(
+      "pick_rank",
+      row_number().over(Window.partitionBy("lang").orderBy(col("hx"), col("doc_id"))).cast("long")
+    )
+    ranked
+      .join(quota, "lang")
+      .filter(col("pick_rank") <= col("quota"))
+      .select("lang", "doc_id", "n_tokens", "pick_rank", "quota")
+      .orderBy("lang", "pick_rank")
+  }
 }

@@ -56,7 +56,10 @@ class Round17Spec extends AnyFunSuite {
       "last_value(x)",
       "first_value(x) IGNORE NULLS",
       "last_value(x) IGNORE NULLS",
-      "nth_value(x, 3)"
+      "nth_value(x, 3)",
+      // exercises the round-17 ignoreNulls GlobalKthValueExec path on
+      // the full frame, stock everywhere else
+      "nth_value(x, 3) IGNORE NULLS"
     )
     for (fr <- frames; fn <- fns) {
       val sql = s"SELECT i, $fn OVER (ORDER BY i $fr) AS v FROM r17_parity ORDER BY i"
@@ -177,6 +180,35 @@ class Round17Spec extends AnyFunSuite {
       ds.sortBy(_._1).take(1).map(d => split(d._4)).distinct.size >= 2
     }
     assert(dedupLeaks.isEmpty)
+  }
+
+  test("t53 budget sample: Hamilton apportionment exactly (quota sum = budget, |quota - exact share| < 1)") {
+    val rows = graft.operators.TextAnalysis.t53BudgetSample(spark, TestSession.sf).collect()
+    assert(rows.length == 100, s"the full budget must be drawn, got ${rows.length}")
+    val quotas = rows.map(r => (r.getString(0), r.getLong(4))).distinct.toMap
+    assert(quotas.values.sum == 100L)
+    // independent recompute of the exact shares
+    val docs = graft.sources.Tables
+      .documents(spark, TestSession.sf)
+      .selectExpr("lang", "CAST(size(filter(split(text,' '), x -> x != '')) AS LONG) AS n")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val w = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val bigW = w.values.sum
+    quotas.foreach { case (lang, q) =>
+      val exact = 100.0 * w(lang) / bigW
+      assert(math.abs(q - exact) < 1.0, s"$lang: quota $q vs exact $exact (Hamilton stays within 1)")
+    }
+    // within-language picks are the k smallest md5(doc_id) strings
+    val hx = graft.sources.Tables
+      .documents(spark, TestSession.sf)
+      .selectExpr("lang", "doc_id", "md5(CAST(doc_id AS STRING)) AS hx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.groupBy(_.getString(0)).foreach { case (lang, picked) =>
+      val expect = hx.filter(_._1 == lang).sortBy(t => (t._3, t._2)).take(quotas(lang).toInt).map(_._2).toSet
+      assert(picked.map(_.getLong(1)).toSet == expect, s"$lang picks")
+    }
   }
 
   test("kill switch: spark.graft.windowRewrite.enabled=false keeps every stock window plan") {
