@@ -613,6 +613,44 @@ object StreamingBatch {
       .orderBy("p_event_id")
   }
 
+  /** s41 (round 17): STREAMING LOCF — e58's stateful twin. Per-user
+    * last-non-null carry via `flatMapGroupsWithState` (O(1) state: the
+    * one carried value), emitted on EVERY event; time-ordered staging
+    * (the streamAsof contract), AvailableNow replay, parquet sink. The
+    * DuckDB oracle is e58's EXACT SQL — the streaming fold must
+    * reproduce the batch window's running IGNORE NULLS semantics,
+    * NULL-head rows included, at every event. At 100 TB state is one
+    * value per user in the engine's keyed state store, and the fold is
+    * hash-distributed by user — no window buffer, no global anything.
+    */
+  def s41StreamLocf(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val dir = stageJsonTsOrdered(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamOps.LocfEvent]
+    val out = graft.TempDirs.create("graft_s41_run_")
+    val q = graft.streaming.StreamOps
+      .streamLocf(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .select("event_id", "user_id", "us", "v_obs", "locf")
+      .orderBy("event_id")
+  }
+
   /** s23's staging: the changelog delivered NEWEST-FIRST — each of the 4
     * staged files holds one descending time range (repartitionByRange on
     * ts desc), so `maxFilesPerTrigger=1` replays the stream with every

@@ -100,6 +100,67 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class LocfEvent(
+      user_id: Long,
+      event_id: Long,
+      ts: Timestamp,
+      event_type: String,
+      value: Double
+  )
+  final case class LocfOut(
+      event_id: Long,
+      user_id: Long,
+      us: Long,
+      v_obs: Option[Long],
+      locf: Option[Long]
+  )
+  final case class LastObs(v: Long)
+
+  /** STREAMING LOCF (round 17) — e58's stateful twin: per user, carry
+    * the last non-null observation forward and emit it on EVERY event
+    * ('click' events carry no value). State per user is O(1) — the one
+    * carried value — versus buffering any window of rows; within a
+    * batch events fold in (time, id) order (e58's exact window order)
+    * and across batches correctness needs time-ordered arrival (the
+    * same staging contract streamAsof documents; production bounds
+    * disorder with a watermark + per-batch sort). Events before a
+    * user's first observation emit None — the running IGNORE NULLS
+    * NULL-head semantics the round-17 batch guards pin.
+    */
+  def streamLocf(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    def fn(
+        uid: Long,
+        batch: Iterator[LocfEvent],
+        state: GroupState[LastObs]
+    ): Iterator[LocfOut] = {
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var last = state.getOption
+      val out = sorted.map { e =>
+        // Spark's round(double) = BigDecimal.valueOf (shortest string)
+        // + HALF_UP — replicate it exactly, NOT Math.round (floor(x+.5),
+        // which differs at negative halves), so the oracle's
+        // `round(value*100)` matches bit-for-bit
+        val obs: Option[Long] =
+          if (e.event_type == "click") None
+          else
+            Some(
+              java.math.BigDecimal
+                .valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+                .longValueExact()
+            )
+        obs.foreach(v => last = Some(LastObs(v)))
+        LocfOut(e.event_id, uid, micros(e.ts), obs, last.map(_.v))
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * EVENT-time timeouts: a session closes either in-batch (a later event
     * arrives past the gap) or when the watermark passes last+gap.

@@ -211,6 +211,24 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("s41 streaming LOCF == e58 batch window, row for row (incl. NULL heads)") {
+    val sf = TestSession.sf
+    // both emit (event_id, user_id, us, v_obs, locf) ordered by event_id
+    val stream = graft.operators.StreamingBatch.s41StreamLocf(spark, sf).collect()
+    val batch = graft.operators.Events.e58Locf(spark, sf).collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (s1, b1) =>
+      assert(s1.getLong(0) == b1.getLong(0), "event_id")
+      assert(s1.getLong(1) == b1.getLong(1), s"user_id at ${s1.getLong(0)}")
+      assert(s1.getLong(2) == b1.getLong(2), s"us at ${s1.getLong(0)}")
+      assert(Option(s1.get(3)) == Option(b1.get(3)), s"v_obs at ${s1.getLong(0)}")
+      assert(Option(s1.get(4)) == Option(b1.get(4)), s"locf at ${s1.getLong(0)}")
+    }
+    // the NULL-head shape is really exercised: some user's first rows
+    // precede their first observation
+    assert(stream.exists(_.isNullAt(4)), "at least one pre-observation NULL locf")
+  }
+
   test("kill switch: spark.graft.windowRewrite.enabled=false keeps every stock window plan") {
     parityView
     val sql = "SELECT i, row_number() OVER (ORDER BY i) AS rn FROM r17_parity"
