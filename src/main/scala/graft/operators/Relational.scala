@@ -1610,9 +1610,24 @@ object Relational {
           )
       )
       .drop("cum_wide")
-      // portable gate edge: decimal internal, BIGINT cents out (exact —
-      // both columns are integral CENTS-VALUED decimals by construction,
-      // so the plain cast drops only the ".00")
+      // portable gate edge: decimal internal, BIGINT cents out. The
+      // decimal→long casts TRUNCATE on Spark while DuckDB's
+      // decimal→bigint ROUNDS — the engines agree ONLY because both
+      // columns are integral cents-valued decimals by construction
+      // (price_dec is born from a long; cum_dec is a sum of those), so
+      // the integrality guard below makes any future non-integral
+      // decimal fail LOUD instead of diverging silently (round-18
+      // ADVICE fix — the old comment called the cast "exact", hiding
+      // the truncate-vs-round dependence)
+      .withColumn(
+        "cum_dec",
+        when(col("cum_dec") % 1 === 0, col("cum_dec"))
+          .otherwise(
+            raise_error(
+              concat(lit("q73 cum_dec not integral cents: "), col("cum_dec").cast("string"))
+            ).cast("decimal(18,2)")
+          )
+      )
       .select(
         col("o_orderkey"),
         col("o_date"),

@@ -2247,9 +2247,15 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       // `div`, not `/`: Spark's `/` on longs is TRUE division (double)
       // — inexact past 2^53, exactly the width w·B reaches at corpus
-      // scale; div/% stay in long the whole way
-      .withColumn("base", expr(s"(w * $budget) div big_w"))
-      .withColumn("rem", expr(s"(w * $budget) % big_w"))
+      // scale. The w·B product is computed in DECIMAL(38,0) (round-18
+      // ADVICE fix): a LONG multiply wraps silently at |w·B| > 2^63
+      // under LEGACY (and throws under ANSI) while DuckDB errors —
+      // the decimal product is exact to 38 digits in every eval mode,
+      // and `div`/`%` accept decimal operands (IntegralDivide → LONG
+      // quotient, Remainder → decimal) so the quotient/remainder stay
+      // exact integers the whole way
+      .withColumn("base", expr(s"(cast(w as decimal(38,0)) * $budget) div big_w"))
+      .withColumn("rem", expr(s"(cast(w as decimal(38,0)) * $budget) % big_w"))
       .withColumn(
         "extra_rank",
         row_number().over(Window.orderBy(desc("rem"), col("lang")))

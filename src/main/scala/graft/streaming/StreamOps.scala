@@ -105,7 +105,11 @@ object StreamOps {
       event_id: Long,
       ts: Timestamp,
       event_type: String,
-      value: Double
+      // Option, not Double (round-18 ADVICE fix): the wire column is
+      // nullable, and a null value on a non-click event must decode as a
+      // NULL OBSERVATION (batch e58's round(null) → null, skipped by
+      // IGNORE NULLS) — a bare Double would crash the typed decoder
+      value: Option[Double]
   )
   final case class LocfOut(
       event_id: Long,
@@ -127,8 +131,34 @@ object StreamOps {
     * user's first observation emit None — the running IGNORE NULLS
     * NULL-head semantics the round-17 batch guards pin.
     */
+  /** Replicate batch e58's `round(value*100).cast("long")` cents leg
+    * exactly, per eval mode. Spark's round(double) is
+    * BigDecimal.valueOf (shortest string) + HALF_UP back to DOUBLE —
+    * NOT Math.round (floor(x+.5), which differs at negative halves).
+    * The double→long conversion then follows the SESSION's cast: the
+    * ANSI default (measured: spark.sql.ansi.enabled=true in this
+    * build) THROWS on |cents| > Long.MaxValue — so must we, or the
+    * stream would silently saturate where the batch query fails loud —
+    * while LEGACY casts saturate via toLong. (Round-18 ADVICE note:
+    * the old longValueExact also threw, so under the ANSI default the
+    * engines already agreed; this makes the LEGACY leg agree too.)
+    */
+  private[graft] def centsLeg(v: Double, ansi: Boolean): Long = {
+    val rounded = java.math.BigDecimal
+      .valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue() // batch round() emits DOUBLE: ≥2^53 cents keep its ulp
+    if (ansi && (rounded < Long.MinValue.toDouble || rounded > Long.MaxValue.toDouble))
+      throw new ArithmeticException(
+        s"locf cents $rounded overflows BIGINT (ANSI cast semantics, as batch e58 throws)"
+      )
+    rounded.toLong
+  }
+
   def streamLocf(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
     import events.sparkSession.implicits._
+    val ansi =
+      events.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean
     def fn(
         uid: Long,
         batch: Iterator[LocfEvent],
@@ -137,19 +167,11 @@ object StreamOps {
       val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var last = state.getOption
       val out = sorted.map { e =>
-        // Spark's round(double) = BigDecimal.valueOf (shortest string)
-        // + HALF_UP — replicate it exactly, NOT Math.round (floor(x+.5),
-        // which differs at negative halves), so the oracle's
-        // `round(value*100)` matches bit-for-bit
+        // a null value on a non-click event is a NULL observation —
+        // batch round(null) is null and IGNORE NULLS skips it
         val obs: Option[Long] =
           if (e.event_type == "click") None
-          else
-            Some(
-              java.math.BigDecimal
-                .valueOf(e.value * 100)
-                .setScale(0, java.math.RoundingMode.HALF_UP)
-                .longValueExact()
-            )
+          else e.value.map(centsLeg(_, ansi))
         obs.foreach(v => last = Some(LastObs(v)))
         LocfOut(e.event_id, uid, micros(e.ts), obs, last.map(_.v))
       }
