@@ -580,6 +580,7 @@ object SparkEntry {
     "t53_budget_sample"      -> (TextAnalysis.t53BudgetSample _),
     "e58_locf"               -> (Events.e58Locf _),
     "s41_stream_locf"        -> (StreamingBatch.s41StreamLocf _),
+    "s42_stream_locf_ooo"    -> (StreamingBatch.s42StreamLocfOoo _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -5034,6 +5035,18 @@ object SparkEntry {
     // s41 (round 17): streaming LOCF — the stateful fold must reproduce
     // e58's batch window EXACTLY, so the oracle is e58's SQL verbatim
     "s41_stream_locf" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CASE WHEN event_type = 'click' THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS v_obs FROM events)
+        |SELECT event_id, user_id, us, v_obs,
+        | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM e ORDER BY event_id""".stripMargin,
+    // s42 (round 18): out-of-order streaming LOCF — the watermark-
+    // buffered fold must reproduce e58's batch window under ADVERSARIAL
+    // band-swapped arrival, so the oracle is again e58's SQL verbatim
+    "s42_stream_locf_ooo" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(date_trunc('microseconds', ts)) AS us,
         |  CASE WHEN event_type = 'click' THEN NULL

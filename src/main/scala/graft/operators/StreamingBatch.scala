@@ -651,6 +651,142 @@ object StreamingBatch {
       .orderBy("event_id")
   }
 
+  /** s42's staging: BAND-SWAPPED ADVERSARIAL ARRIVAL. The events table
+    * is cut into 8 equal time-range bands; each band is one micro-batch
+    * file, delivered with every pair SWAPPED (1,0,3,2,5,4,7,6 — the
+    * NEWER band of each pair first, s23's newest-first discipline at
+    * pair grain) and rows WITHIN each band shuffled by hash. Maximum
+    * lateness relative to the running maximum event time is therefore
+    * < 2 band widths, and the staged watermark delay (written to
+    * `delay_ms.txt` for the harness) is 2·W + 2 s — disorder is inside
+    * the watermark contract by construction, never at its edge. Two
+    * trailing sentinel files (user −1, event times past max+delay)
+    * advance the final watermark beyond every real event and trigger
+    * one more micro-batch in which the buffered tails drain: sentinel 1
+    * pushes the watermark past max(ts); sentinel 2's batch runs with
+    * that watermark live, firing every pending event-time timer.
+    * AvailableNow alone would otherwise end the stream with the final
+    * watermark one batch behind — the same flush discipline s9's
+    * sentinel half established.
+    */
+  private[graft] def stageJsonBandSwapped(s: SparkSession, d: String): String =
+    staged.computeIfAbsent(
+      d + "#bandswap",
+      _ => {
+        val dir = graft.TempDirs.create("graft_stream_bsw_")
+        val ev =
+          Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val Array(mnUs, mxUs) = ev
+          .agg(unix_micros(min("ts")), unix_micros(max("ts")))
+          .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+        val bandUs = (mxUs - mnUs) / 8 + 1
+        val delayMs = 2L * (bandUs / 1000 + 1) + 2000
+        val banded = ev
+          .withColumn("band", ((unix_micros(col("ts")) - lit(mnUs)) / lit(bandUs)).cast("int"))
+          // pair swap: 0↔1, 2↔3, … — newer band of each pair delivered first
+          .withColumn("arr", expr("band - band % 2 + (1 - band % 2)"))
+        // one file per arrival slot, rows inside hash-shuffled
+        banded
+          .select(
+            to_json(
+              struct(eventSchema.fieldNames.map(col).toIndexedSeq: _*),
+              Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            ).as("value"),
+            col("arr"),
+            md5(col("event_id").cast("string")).as("shuf")
+          )
+          .repartition(1)
+          .sortWithinPartitions("arr", "shuf")
+          .select("value", "arr")
+          .write
+          .partitionBy("arr")
+          .mode("overwrite")
+          .text(s"$dir/stage")
+        // sentinels: ts chosen so neither can ever itself pass the final
+        // watermark (delay ≥ 1ms ⇒ sentinel1_ms ≥ final_wm), so even
+        // unfiltered they could never emit
+        val s1Us = mxUs + delayMs * 1000 + 60000000L
+        val s2Us = s1Us + 1000L
+        def sentinelJson(us: Long): String = {
+          val iso = java.time.Instant.EPOCH.plusNanos(us * 1000).toString.stripSuffix("Z")
+          val tsStr = if (iso.contains(".")) iso + "Z" else iso + ".000000Z"
+          s"""{"event_id":-1,"ts":"$tsStr","user_id":-1,"event_type":"__flush__","value":null,"props":"{}"}"""
+        }
+        val stageDir = new java.io.File(s"$dir/stage")
+        val jsonDir = new java.io.File(s"$dir/json"); jsonDir.mkdirs()
+        val base = System.currentTimeMillis() - 1000000L
+        val bandFiles = stageDir
+          .listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("arr="))
+          .sortBy(_.getName.stripPrefix("arr=").toInt)
+        bandFiles.zipWithIndex.foreach { case (sub, i) =>
+          val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+          val dst = new java.io.File(jsonDir, f"batch_$i%04d.json")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(base + i * 60000L)
+        }
+        val n = bandFiles.length
+        Seq(s1Us, s2Us).zipWithIndex.foreach { case (us, i) =>
+          val dst = new java.io.File(jsonDir, f"batch_${n + i}%04d.json")
+          java.nio.file.Files.writeString(dst.toPath, sentinelJson(us) + "\n")
+          dst.setLastModified(base + (n + i) * 60000L)
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/delay_ms.txt"),
+          delayMs.toString
+        )
+        dir
+      }
+    )
+
+  /** s42 (round 18): STREAMING LOCF UNDER OUT-OF-ORDER ARRIVAL — the
+    * production guarantee the s41/s25 staging contract only documented.
+    * [[graft.streaming.StreamOps.streamLocfOoo]] buffers per-user events
+    * in keyed state and emits the event-time-ordered prefix strictly
+    * below the watermark, carrying the last non-null observation across
+    * emissions; event-time timers drain users the triggering batch
+    * doesn't touch. The staging is ADVERSARIAL ([[stageJsonBandSwapped]]:
+    * newer band of every pair first, rows hash-shuffled inside bands)
+    * with the watermark delay sized to the staged disorder — yet the
+    * oracle is e58's batch SQL VERBATIM, the same hash the in-order s41
+    * twin is held to. State is O(carry + disorder-horizon events) per
+    * user, hash-distributed — not O(stream).
+    */
+  def s42StreamLocfOoo(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val dir = stageJsonBandSwapped(s, d)
+    val delayMs =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/delay_ms.txt")).trim.toLong
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .withWatermark("ts", s"$delayMs milliseconds")
+      // drop the flush sentinels AFTER the watermark node; the predicate
+      // references ts so PushPredicateThroughNonJoin cannot push it below
+      // EventTimeWatermark (below, the sentinels would never advance it)
+      .filter(!(col("user_id") === -1L && col("ts").isNotNull))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamOps.LocfEvent]
+    val out = graft.TempDirs.create("graft_s42_run_")
+    val q = graft.streaming.StreamOps
+      .streamLocfOoo(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .select("event_id", "user_id", "us", "v_obs", "locf")
+      .orderBy("event_id")
+  }
+
   /** s23's staging: the changelog delivered NEWEST-FIRST — each of the 4
     * staged files holds one descending time range (repartitionByRange on
     * ts desc), so `maxFilesPerTrigger=1` replays the stream with every

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+
+/** Round-18 differentials: the watermark-bounded out-of-order LOCF
+  * (s42) — the verdict's top item, converting s41's time-ordered
+  * staging CONTRACT into a watermark GUARANTEE. The battery here is
+  * the part the oracle gate can't see: RANDOM bounded permutations of
+  * the arrival order (five seeds, MemoryStream-driven) must reproduce
+  * the batch fold exactly, emission must be INCREMENTAL (rows appear
+  * while the stream is still mid-flight, not only at the final flush),
+  * and s42's staged replay must really be adversarial (the first
+  * delivered file strictly NEWER than the second). Plus the centsLeg
+  * parity pins for the round-18 ADVICE fix (mode-aware double→long).
+  */
+class Round18Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def ms(t: Long) = new Timestamp(t)
+
+  /** Reference fold: batch e58's semantics in plain Scala — per user in
+    * (us, event_id) order, v_obs = cents of non-click values, locf =
+    * running last non-null.
+    */
+  private def expectedLocf(events: Seq[StreamOps.LocfEvent]): Map[Long, (Option[Long], Option[Long])] = {
+    val out = scala.collection.mutable.Map.empty[Long, (Option[Long], Option[Long])]
+    events.groupBy(_.user_id).foreach { case (_, evs) =>
+      var carry: Option[Long] = None
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val v: Option[Long] =
+          if (e.event_type == "click") None
+          else e.value.map(StreamOps.centsLeg(_, ansi = true))
+        v.foreach(x => carry = Some(x))
+        out(e.event_id) = (v, carry)
+      }
+    }
+    out.toMap
+  }
+
+  test("s42 fold: random within-watermark permutations reproduce the batch LOCF (5 seeds)") {
+    import spark.implicits._
+    val base = 1700000000000L
+    // users 1–4 × 60 events, 1 s apart; clicks carry no value; every
+    // 7th non-click value is a NULL observation (the ADVICE decoder fix)
+    val events = for {
+      u <- 1L to 4L
+      i <- 0 until 60
+    } yield StreamOps.LocfEvent(
+      user_id = u,
+      event_id = u * 1000 + i,
+      ts = ms(base + i * 1000L),
+      event_type = if (i % 3 == 0) "click" else "purchase",
+      value = if (i % 3 == 0) Some(-1.0) else if (i % 7 == 0) None else Some(i * 1.37 + u)
+    )
+    val expect = expectedLocf(events)
+
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      // bounded disorder: jitter < 4 s, watermark 5 s — every arrival
+      // stays strictly newer than the watermark by construction
+      val arrival = events.sortBy(e => (e.ts.getTime + rng.nextInt(4000), e.event_id))
+      val batches = arrival.grouped(25).toSeq
+      val input = MemoryStream[StreamOps.LocfEvent](spark, 1)
+      val name = s"s42_perm_${seed}_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps
+        .streamLocfOoo(input.toDS().withWatermark("ts", "5 seconds"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      try {
+        batches.zipWithIndex.foreach { case (b, bi) =>
+          input.addData(b: _*)
+          q.processAllAvailable()
+          // incremental emission: once the watermark is well inside the
+          // data, rows must already be flowing — not held for the flush
+          if (bi == batches.length / 2)
+            assert(spark.table(name).count() > 0, s"seed $seed: no incremental emission")
+        }
+        val maxTs = events.map(_.ts.getTime).max
+        // two flush sentinels: #1 advances the watermark past max(ts);
+        // #2's batch runs with it live, firing every pending timer
+        input.addData(StreamOps.LocfEvent(999L, 999001L, ms(maxTs + 65000L), "click", None))
+        q.processAllAvailable()
+        input.addData(StreamOps.LocfEvent(999L, 999002L, ms(maxTs + 66000L), "click", None))
+        q.processAllAvailable()
+        val got = spark
+          .table(name)
+          .as[StreamOps.LocfOut]
+          .collect()
+          .filter(_.user_id != 999L)
+        assert(got.length == events.length, s"seed $seed: ${got.length} of ${events.length} rows")
+        got.foreach { r =>
+          val (v, l) = expect(r.event_id)
+          assert(r.v_obs == v && r.locf == l, s"seed $seed event ${r.event_id}: got (${r.v_obs},${r.locf}) want ($v,$l)")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("s42 staging is adversarial: first delivered file strictly newer than the second") {
+    val dir = graft.operators.StreamingBatch.stageJsonBandSwapped(spark, TestSession.sf)
+    val files = new java.io.File(s"$dir/json").listFiles().sortBy(_.getName)
+    assert(files.length == 10, s"8 bands + 2 sentinels, got ${files.length}")
+    def tsRange(f: java.io.File): (String, String) = {
+      val ts = scala.io.Source
+        .fromFile(f)
+        .getLines()
+        .map(l => l.split("\"ts\":\"")(1).split("\"")(0))
+        .toSeq
+      (ts.min, ts.max)
+    }
+    val (min0, _) = tsRange(files(0)) // band 1 — delivered first
+    val (_, max1) = tsRange(files(1)) // band 0 — delivered second, OLDER
+    assert(min0 > max1, s"file0 must be entirely newer than file1: $min0 !> $max1")
+    // and the delay really covers the staged disorder (2 bands + 2 s)
+    val delayMs = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/delay_ms.txt")).trim.toLong
+    assert(delayMs >= 2000)
+  }
+
+  test("s42 out-of-order streaming LOCF == e58 batch window, row for row") {
+    val sf = TestSession.sf
+    val stream = graft.operators.StreamingBatch.s42StreamLocfOoo(spark, sf).collect()
+    val batch = graft.operators.Events.e58Locf(spark, sf).collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (s1, b1) =>
+      assert(s1.getLong(0) == b1.getLong(0), "event_id")
+      assert(s1.getLong(1) == b1.getLong(1), s"user_id at ${s1.getLong(0)}")
+      assert(s1.getLong(2) == b1.getLong(2), s"us at ${s1.getLong(0)}")
+      assert(Option(s1.get(3)) == Option(b1.get(3)), s"v_obs at ${s1.getLong(0)}")
+      assert(Option(s1.get(4)) == Option(b1.get(4)), s"locf at ${s1.getLong(0)}")
+    }
+    assert(stream.exists(_.isNullAt(4)), "at least one pre-observation NULL locf")
+  }
+
+  test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
+    // HALF_UP at representable halves, negative halves included — the
+    // shapes where Math.round (floor(x+.5)) would differ
+    val samples = Seq(-1.005, -0.125, 0.125, 1.005, 2.675, -2.675, 123.455, -123.455, 0.0, 99.994999)
+    samples.foreach { v =>
+      val sparkVal = spark
+        .sql(s"SELECT CAST(round(CAST($v AS DOUBLE) * 100) AS BIGINT)")
+        .collect()(0).getLong(0)
+      assert(StreamOps.centsLeg(v, ansi = true) == sparkVal, s"v=$v")
+    }
+    // ANSI throws past Long range exactly like the batch cast; LEGACY
+    // saturates like toLong
+    intercept[ArithmeticException](StreamOps.centsLeg(1e300, ansi = true))
+    assert(StreamOps.centsLeg(1e300, ansi = false) == Long.MaxValue)
+    assert(StreamOps.centsLeg(-1e300, ansi = false) == Long.MinValue)
+  }
+}
