@@ -581,6 +581,7 @@ object SparkEntry {
     "e58_locf"               -> (Events.e58Locf _),
     "s41_stream_locf"        -> (StreamingBatch.s41StreamLocf _),
     "s42_stream_locf_ooo"    -> (StreamingBatch.s42StreamLocfOoo _),
+    "s43_stream_asof_ooo"    -> (StreamingBatch.s43StreamAsofOoo _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -1037,6 +1038,9 @@ object SparkEntry {
     // DuckDB's own ASOF JOIN — one oracle, three execution strategies
     "e7b_asof_native" -> asofSql,
     "s25_stream_asof" -> asofSql,
+    // s43 (round 18): the watermark-buffered out-of-order state machine
+    // is held to the SAME ASOF answer as e7/e7b/s25
+    "s43_stream_asof_ooo" -> asofSql,
     "q19_range_join" ->
       """SELECT label, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem JOIN (VALUES (0,10,'low'),(10,25,'mid'),(25,100,'high')) r(lo,hi,label)

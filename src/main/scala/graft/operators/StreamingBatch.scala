@@ -787,6 +787,51 @@ object StreamingBatch {
       .orderBy("event_id")
   }
 
+  /** s43 (round 18): STREAMING AS-OF JOIN UNDER OUT-OF-ORDER ARRIVAL —
+    * [[graft.streaming.StreamOps.streamAsofOoo]] on the same adversarial
+    * band-swapped staging as s42, gated against e7's DuckDB ASOF oracle
+    * (the FOURTH pinning of that one answer, after the window
+    * composition, the native exec, and the in-order state machine).
+    * The sentinel/type filter is ONE ts-referencing predicate: split
+    * apart, the event-type half (no ts reference) would be pushed below
+    * the EventTimeWatermark node and strip the flush sentinels before
+    * they could advance the watermark.
+    */
+  def s43StreamAsofOoo(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val dir = stageJsonBandSwapped(s, d)
+    val delayMs =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/delay_ms.txt")).trim.toLong
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .filter(
+        col("ts").isNull ||
+          (col("user_id") =!= -1L && col("event_type").isin("click", "purchase"))
+      )
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.StreamOps.AsofEvent]
+    val out = graft.TempDirs.create("graft_s43_run_")
+    val q = graft.streaming.StreamOps
+      .streamAsofOoo(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .parquet(s"$out/data")
+      .select("p_event_id", "user_id", "click_event_id", "gap_us")
+      .orderBy("p_event_id")
+  }
+
   /** s23's staging: the changelog delivered NEWEST-FIRST — each of the 4
     * staged files holds one descending time range (repartitionByRange on
     * ts desc), so `maxFilesPerTrigger=1` replays the stream with every

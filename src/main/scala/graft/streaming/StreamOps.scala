@@ -266,6 +266,50 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class PendingAsof(us: Long, event_id: Long, click: Boolean)
+  final case class AsofOooState(last: Option[LastClick], pending: Seq[PendingAsof])
+
+  /** STREAMING AS-OF JOIN UNDER OUT-OF-ORDER ARRIVAL (round 18) — the
+    * same watermark-buffer protocol as [[streamLocfOoo]] applied to
+    * [[streamAsof]]'s state machine: arrivals buffer in per-user state;
+    * every invocation drains the buffer's event-time-ordered prefix
+    * strictly below the watermark in e7's EXACT total order — (time,
+    * click-before-purchase at the same instant, id) — folding the
+    * latest-click carry across drains; event-time timers drain users
+    * the triggering batch doesn't touch. Purchases before a user's
+    * first click emit None (e7's left-outer arm). State per user is
+    * O(one click + the disorder horizon), not O(stream).
+    */
+  def streamAsofOoo(events: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def fn(
+        uid: Long,
+        batch: Iterator[AsofEvent],
+        state: GroupState[AsofOooState]
+    ): Iterator[AsofOut] = {
+      val prev = state.getOption.getOrElse(AsofOooState(None, Nil))
+      val incoming = batch
+        .map(e => PendingAsof(micros(e.ts), e.event_id, e.event_type == "click"))
+        .toSeq
+      val all = (prev.pending ++ incoming)
+        .sortBy(p => (p.us, if (p.click) 0 else 1, p.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      var last = prev.last
+      val out = emit.flatMap { p =>
+        if (p.click) { last = Some(LastClick(p.us, p.event_id)); None }
+        else Some(AsofOut(p.event_id, uid, last.map(_.cid), last.map(l => p.us - l.cts)))
+      }
+      state.update(AsofOooState(last, keep))
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1))
+      out.iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * EVENT-time timeouts: a session closes either in-batch (a later event
     * arrives past the gap) or when the watermark passes last+gap.

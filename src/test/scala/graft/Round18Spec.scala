@@ -138,6 +138,75 @@ class Round18Spec extends AnyFunSuite {
     assert(stream.exists(_.isNullAt(4)), "at least one pre-observation NULL locf")
   }
 
+  test("s43 fold: random within-watermark permutations reproduce the batch as-of (3 seeds)") {
+    import spark.implicits._
+    val base = 1700000000000L
+    // clicks and purchases interleaved, including SAME-instant pairs
+    // (click sorts before the purchase it must serve — e7's tiebreak)
+    val events = for {
+      u <- 1L to 3L
+      i <- 0 until 60
+    } yield StreamOps.AsofEvent(
+      user_id = u,
+      event_id = u * 1000 + i,
+      ts = ms(base + (i - i % 4) * 1000L), // every 4 events share an instant
+      event_type = if (i % 4 == 0) "click" else "purchase"
+    )
+    // reference fold in e7's total order
+    val expect: Map[Long, (Option[Long], Option[Long])] = events
+      .groupBy(_.user_id)
+      .flatMap { case (_, evs) =>
+        var last: Option[(Long, Long)] = None
+        evs
+          .sortBy(e => (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+          .flatMap { e =>
+            if (e.event_type == "click") { last = Some((e.ts.getTime * 1000, e.event_id)); None }
+            else Some(e.event_id -> (last.map(_._2), last.map(l => e.ts.getTime * 1000 - l._1)))
+          }
+      }
+      .toMap
+    (1 to 3).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val arrival = events.sortBy(e => (e.ts.getTime + rng.nextInt(4000), e.event_id))
+      val input = MemoryStream[StreamOps.AsofEvent](spark, 1)
+      val name = s"s43_perm_${seed}_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps
+        .streamAsofOoo(input.toDS().withWatermark("ts", "5 seconds"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      try {
+        arrival.grouped(20).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val maxTs = events.map(_.ts.getTime).max
+        input.addData(StreamOps.AsofEvent(999L, 999001L, ms(maxTs + 65000L), "click"))
+        q.processAllAvailable()
+        input.addData(StreamOps.AsofEvent(999L, 999002L, ms(maxTs + 66000L), "click"))
+        q.processAllAvailable()
+        val got = spark.table(name).as[StreamOps.AsofOut].collect().filter(_.user_id != 999L)
+        assert(got.length == expect.size, s"seed $seed: ${got.length} of ${expect.size}")
+        got.foreach { r =>
+          val (cid, gap) = expect(r.p_event_id)
+          assert(r.click_event_id == cid && r.gap_us == gap,
+            s"seed $seed purchase ${r.p_event_id}: got (${r.click_event_id},${r.gap_us}) want ($cid,$gap)")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("s43 out-of-order streaming as-of == s25 in-order state machine, row for row") {
+    val sf = TestSession.sf
+    val ooo = graft.operators.StreamingBatch.s43StreamAsofOoo(spark, sf).collect()
+    val ord = graft.operators.StreamingBatch.s25StreamAsof(spark, sf).collect()
+    assert(ooo.length == ord.length && ooo.nonEmpty)
+    ooo.zip(ord).foreach { case (a, b) =>
+      (0 until 4).foreach(i => assert(Option(a.get(i)) == Option(b.get(i)), s"col $i at ${a.get(0)}"))
+    }
+    // left-outer arm exercised: purchases before any click emit NULLs
+    assert(ooo.exists(_.isNullAt(2)), "at least one pre-click purchase")
+  }
+
   test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
     // HALF_UP at representable halves, negative halves included — the
     // shapes where Math.round (floor(x+.5)) would differ
