@@ -12,11 +12,13 @@ import org.apache.spark.sql.SparkSession
   * funnels to the driver. This is the empirical half of the scale
   * argument SCALING.md makes for the rewrites.
   *
-  * Usage: runMain graft.RankScaleBench [n] (default 50M)
+  * Usage: runMain graft.RankScaleBench [n] [queryCsv] (default 50M, all)
   */
 object RankScaleBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +65,7 @@ object RankScaleBench {
     def time(label: String, installRules: Boolean): Unit = {
       val sess = spark.newSession() // fresh experimental.* — rules OFF by default
       if (installRules) graft.plans.GlobalRank.install(sess)
-      queries.foreach { case (qn, sql) =>
+      queries.filter(q => only.forall(_.contains(q._1))).foreach { case (qn, sql) =>
         val t0 = System.nanoTime()
         val c = sess.sql(sql).collect().head.getLong(0)
         val sec = (System.nanoTime() - t0) / 1e9

@@ -840,6 +840,20 @@ object GlobalWindowRewrite extends Rule[LogicalPlan] {
         .foldLeft(base) { case (acc, (_, r)) =>
           r.build(if (r.offset) extOrder else order, acc)
         }
+      // The remainder KEEPS the stock 1-task sort DELIBERATELY (round
+      // 18, measured at 50M): an order-preserving gather exec that
+      // feeds the remainder the chain's global order was built and
+      // benchmarked in two mechanisms — a narrow coalesce(1) (merges
+      // the whole reduce stage into the single task, serializing the
+      // per-partition sorts and every chained pass-2: 59.8 s vs stock
+      // 50.2) and a parallel materialization barrier (spillable cache +
+      // count job: 62.4 s — the chain's pass-1 jobs re-sort per job and
+      // the cache round-trips the relation). Both cost MORE than the
+      // one sort they remove: 50M compact rows external-sort in a
+      // single task faster than they serialize/round-trip. The split's
+      // value on mixed shapes stays what round 16 measured — un-dragged
+      // siblings and 1-expression remainder state — not remainder wall
+      // time. See SCALING.md round 18.
       val withStock: LogicalPlan =
         if (stockExprs.isEmpty) chained
         else Window(stockExprs, Nil, order, chained)

@@ -207,6 +207,43 @@ class Round18Spec extends AnyFunSuite {
     assert(ooo.exists(_.isNullAt(2)), "at least one pre-click purchase")
   }
 
+  test("split remainder keeps its stock Sort by measured choice — shape and values pinned") {
+    // Round-18 verdict #4 outcome: an order-preserving gather under the
+    // remainder was built and measured in two mechanisms (narrow
+    // coalesce; parallel materialization barrier) and BOTH lose to the
+    // single sort they remove (SCALING.md round 18). This pins the
+    // resulting shape — chain + one stock remainder window with its own
+    // Sort — and stock-equal values on the mixed_split expression mix.
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 5000).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "k")
+      .createOrReplaceTempView("r18_mixed")
+    val sql =
+      """SELECT id, sum(k) OVER w AS s, rank() OVER w AS r,
+        |  round(avg(CAST(k AS DOUBLE)) OVER w, 6) AS ad
+        |FROM r18_mixed WINDOW w AS (ORDER BY k, id)""".stripMargin
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    // sum+rank ride the chain; avg(double) is the one stock remainder
+    assert(plan.collect { case g: graft.plans.GlobalRangePrefixSumExec => g }.nonEmpty ||
+      plan.collect { case g: graft.plans.GlobalPrefixSumExec => g }.nonEmpty, s"$plan")
+    assert(plan.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty, s"$plan")
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.length == 1 && windows.head.windowExpression.length == 1,
+      s"exactly one 1-expression stock remainder:\n$plan")
+    // value parity vs the fully-stock plan
+    val on = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    spark.conf.set("spark.graft.windowRewrite.enabled", "false")
+    try {
+      val off = spark.sql(sql).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(on.length == off.length)
+      on.zip(off).foreach { case (a, b) => assert(a == b, s"row $a vs $b") }
+    } finally spark.conf.unset("spark.graft.windowRewrite.enabled")
+  }
+
   test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
     // HALF_UP at representable halves, negative halves included — the
     // shapes where Math.round (floor(x+.5)) would differ
