@@ -43,6 +43,11 @@ object RankScaleBench {
       "running_max" -> s"SELECT count(*) AS c FROM (SELECT id, max((id * 2654435761) % 7919) OVER (ORDER BY id % 7919, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM range($n)) WHERE m % 97 = 0",
       // round 15: global lag (k=3 — the boundary-seed FIFO under load)
       "lag3" -> s"SELECT count(*) AS c FROM (SELECT id, lag(id * 7, 3) OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0",
+      // round 18: IGNORE NULLS offsets (20% nulls) — the peek-FIFO lag
+      // and the need-indexed lead under load, unique total order so the
+      // check value is order-stable
+      "lag3_nn" -> s"SELECT count(*) AS c FROM (SELECT id, lag(CASE WHEN id % 5 = 0 THEN NULL ELSE id * 7 END, 3) IGNORE NULLS OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0",
+      "lead3_nn" -> s"SELECT count(*) AS c FROM (SELECT id, lead(CASE WHEN id % 5 = 0 THEN NULL ELSE id * 7 END, 3) IGNORE NULLS OVER (ORDER BY id % 7919, id) AS v FROM range($n)) WHERE v % 97 = 0",
       // round 15: the DEFAULT-frame cumulative (RANGE through 1000-wide peer groups)
       "range_sum" -> s"SELECT count(*) AS c FROM (SELECT id, sum(id % 13) OVER (ORDER BY id % 1000) AS s FROM range($n)) WHERE s % 97 = 0",
       // round 16: the avg decomposition (sum + count prefix execs + one

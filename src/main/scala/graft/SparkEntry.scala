@@ -579,6 +579,7 @@ object SparkEntry {
     "t52_split_leakage"      -> (TextAnalysis.t52SplitLeakage _),
     "t53_budget_sample"      -> (TextAnalysis.t53BudgetSample _),
     "e58_locf"               -> (Events.e58Locf _),
+    "e59_offset_ignore_nulls" -> (Events.e59OffsetIgnoreNulls _),
     "s41_stream_locf"        -> (StreamingBatch.s41StreamLocf _),
     "s42_stream_locf_ooo"    -> (StreamingBatch.s42StreamLocfOoo _),
     "s43_stream_asof_ooo"    -> (StreamingBatch.s43StreamAsofOoo _),
@@ -5046,6 +5047,18 @@ object SparkEntry {
         |SELECT event_id, user_id, us, v_obs,
         | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM e ORDER BY event_id""".stripMargin,
+    // e59 (round 18): global IGNORE NULLS lag/lead — DuckDB's IGNORE
+    // NULLS is spelled INSIDE the call parens; semantics measured equal
+    // (k-th non-null before/after under the same total order)
+    "e59_offset_ignore_nulls" ->
+      """WITH e AS (SELECT event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CASE WHEN event_type = 'click' THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS v_obs FROM events)
+        |SELECT event_id, us, v_obs,
+        | lag(v_obs, 2 IGNORE NULLS) OVER (ORDER BY us, event_id) AS prev2_nn,
+        | lead(v_obs, 3 IGNORE NULLS) OVER (ORDER BY us, event_id) AS next3_nn
         |FROM e ORDER BY event_id""".stripMargin,
     // s42 (round 18): out-of-order streaming LOCF — the watermark-
     // buffered fold must reproduce e58's batch window under ADVERSARIAL

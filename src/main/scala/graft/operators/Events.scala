@@ -1813,4 +1813,33 @@ object Events {
     ev.withColumn("locf", last("v_obs", ignoreNulls = true).over(w))
       .orderBy("event_id")
   }
+
+  /** e59 (round 18): GLOBAL IGNORE-NULLS OFFSETS — `lag(v, 2) IGNORE
+    * NULLS` / `lead(v, 3) IGNORE NULLS` over the corpus-wide (us,
+    * event_id) total order, where 'click' events inject the nulls
+    * (~21% of rows): the previous-2nd / next-3rd NON-NULL observation
+    * at every event, the sensor-gap-skipping read every telemetry
+    * pipeline writes. Unpartitioned, so stock Spark funnels the stream
+    * through ONE task — the last lint-warned offset shape; since round
+    * 18 it rides GlobalOffsetWindowExec's non-null boundary metadata
+    * (O(P·k) driver stitch, peek-FIFO lag, need-indexed lead) on the
+    * parallel range exchange. DuckDB pins the k-th-non-null semantics
+    * independently (`lag(x, 2 IGNORE NULLS)` — measured agreement,
+    * round 18).
+    */
+  def e59OffsetIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(round(col("value") * 100).cast("long"))
+          .as("v_obs")
+      )
+    val w = Window.orderBy(col("us"), col("event_id"))
+    ev.withColumn("prev2_nn", lag(col("v_obs"), 2, null, ignoreNulls = true).over(w))
+      .withColumn("next3_nn", lead(col("v_obs"), 3, null, ignoreNulls = true).over(w))
+      .orderBy("event_id")
+  }
 }

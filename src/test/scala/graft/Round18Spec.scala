@@ -244,6 +244,67 @@ class Round18Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.windowRewrite.enabled")
   }
 
+  test("IGNORE NULLS lag/lead stock-parity battery: k x default x direction, rewrite on vs off") {
+    val spark2 = spark
+    import spark2.implicits._
+    // head/tail null runs, interior null runs LONGER than k, ties in the
+    // order key across partition cuts — the shapes that separate
+    // "k rows back" from "k non-nulls back"
+    val rows = (1 to 400).map { i =>
+      val x: Option[Long] =
+        if (i <= 5 || i >= 396 || (i % 19) < 4) None else Some(i.toLong * 7 % 101)
+      (i.toLong, (i % 37).toLong, x)
+    }
+    rows.toDF("i", "tie", "x").repartition(8).createOrReplaceTempView("r18_parity")
+    val legs = for {
+      fn <- Seq("lag", "lead")
+      k <- Seq(1, 3, 7)
+      dflt <- Seq("", ", -999")
+    } yield s"$fn(x, $k$dflt) IGNORE NULLS OVER (ORDER BY i) AS v"
+    legs.foreach { leg =>
+      val sql = s"SELECT i, $leg FROM r18_parity"
+      val on = spark.sql(sql)
+      val plan = on.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p                                                                => p
+      }
+      assert(plan.collect { case g: graft.plans.GlobalOffsetWindowExec => g }.nonEmpty,
+        s"$leg must ride the offset exec:\n$plan")
+      val onRows = on.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+      spark.conf.set("spark.graft.windowRewrite.enabled", "false")
+      try {
+        val offRows = spark.sql(sql).collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+        assert(onRows.length == offRows.length)
+        onRows.zip(offRows).foreach { case (a, b) => assert(a == b, s"$leg at i=${a._1}: $a vs $b") }
+      } finally spark.conf.unset("spark.graft.windowRewrite.enabled")
+    }
+  }
+
+  test("IGNORE NULLS offsets under ties: tiebreak keeps both passes on one order (chain property)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ALL-tied order keys with interleaved nulls: any pass-1/pass-2 sort
+    // disagreement shows up as a broken successor chain
+    val rows = (1 to 3000).map(i => (1L, if (i % 3 == 0) None else Some(i.toLong)))
+    rows.toDF("tie", "x").repartition(8).createOrReplaceTempView("r18_tied")
+    val got = spark
+      .sql("SELECT x, lag(x, 1) IGNORE NULLS OVER (ORDER BY tie) AS p FROM r18_tied")
+      .collect()
+    // under total ties any order is legal, but it must be ONE order:
+    // restricted to the NON-NULL rows, p is the previous non-null row's
+    // x, so the (p → x) pairs form a single chain — exactly one head
+    // (p null), every value a predecessor exactly once except one tail
+    val nonNull = got.filter(!_.isNullAt(0))
+    assert(nonNull.length == 2000)
+    val heads = nonNull.count(_.isNullAt(1))
+    assert(heads == 1, s"exactly one chain head, got $heads")
+    val xs = nonNull.map(_.getLong(0)).toSet
+    val preds = nonNull.filter(!_.isNullAt(1)).map(_.getLong(1))
+    assert(preds.length == 1999 && preds.distinct.length == 1999, "each value precedes exactly once")
+    assert(preds.toSet.subsetOf(xs), "every predecessor is a real value")
+    assert((xs -- preds.toSet).size == 1, "exactly one chain tail")
+  }
+
   test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
     // HALF_UP at representable halves, negative halves included — the
     // shapes where Math.round (floor(x+.5)) would differ
