@@ -79,8 +79,45 @@ object RankScaleBench {
     }
     // warm the range codegen once
     spark.sql(s"SELECT count(*) FROM range($n)").collect()
-    time("rules_on ", installRules = true)
-    time("rules_off", installRules = false)
+    if (only.forall(o => queries.exists(q => o.contains(q._1)))) {
+      time("rules_on ", installRules = true)
+      time("rules_off", installRules = false)
+    }
+    // rolling_q (round 18): the e57b crossover row — the two-heap
+    // RollingQuantileExec vs the collect_list/sort_array form at
+    // k=1000. EXPLICIT-ONLY (pass `rolling_q` in the filter): the sort
+    // form is O(k log k) per row, ~10^4 ops/row at this k, so it only
+    // completes in ladder time at n ≤ ~10M.
+    if (only.exists(_.contains("rolling_q"))) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val df = spark
+        .range(n)
+        .select(
+          col("id"),
+          (col("id") % 32).as("g"),
+          ((col("id") * 2654435761L) % 1000003L).as("v")
+        )
+      def check(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val t0 = System.nanoTime()
+        val c = d.where("p % 97 = 0").count()
+        println(f"$label rolling_q: ${(System.nanoTime() - t0) / 1e9}%.1f s (n=$n, check=$c)")
+      }
+      check(
+        graft.plans.RollingQuantile
+          .withRollingQuantile(df, Seq("g"), Seq("id"), "v", 1000, 0.95, "n", "p"),
+        "rules_on "
+      )
+      val w = Window.partitionBy("g").orderBy("id").rowsBetween(-999, Window.currentRow)
+      check(
+        df.withColumn("win", collect_list("v").over(w))
+          .withColumn(
+            "p",
+            element_at(sort_array(col("win")), ceil(lit(0.95) * size(col("win"))).cast("int"))
+          ),
+        "rules_off"
+      )
+    }
     spark.stop()
   }
 }

@@ -580,6 +580,7 @@ object SparkEntry {
     "t53_budget_sample"      -> (TextAnalysis.t53BudgetSample _),
     "e58_locf"               -> (Events.e58Locf _),
     "e59_offset_ignore_nulls" -> (Events.e59OffsetIgnoreNulls _),
+    "e57b_rolling_p95_wide"  -> (Events.e57bRollingP95Wide _),
     "s41_stream_locf"        -> (StreamingBatch.s41StreamLocf _),
     "s42_stream_locf_ooo"    -> (StreamingBatch.s42StreamLocfOoo _),
     "s43_stream_asof_ooo"    -> (StreamingBatch.s43StreamAsofOoo _),
@@ -5048,6 +5049,20 @@ object SparkEntry {
         | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
         |FROM e ORDER BY event_id""".stripMargin,
+    // e57b (round 18): e57's sorted-index definition at k=1000, the
+    // two-heap exec gated against the SAME oracle formulation
+    "e57b_rolling_p95_wide" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, event_type, cents,
+        |  list_sort(list(cents) OVER win) AS l
+        | FROM e WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+        |   ROWS BETWEEN 999 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents,
+        | CAST(len(l) AS BIGINT) AS n_win,
+        | l[CAST(ceil(0.95 * len(l)) AS BIGINT)] AS p95_cents
+        |FROM w ORDER BY event_id""".stripMargin,
     // e59 (round 18): global IGNORE NULLS lag/lead — DuckDB's IGNORE
     // NULLS is spelled INSIDE the call parens; semantics measured equal
     // (k-th non-null before/after under the same total order)

@@ -1814,6 +1814,40 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** e57b (round 18 — the r17 verdict's #2): the LARGE-k scale path for
+    * e57's rolling exact quantile. At k=100 the collect_list/sort_array
+    * form's O(k log k) per row is the right trade; at k=1000 it is ~10×
+    * the comparisons of the incremental structure, so this rides
+    * [[graft.plans.RollingQuantileExec]] — two lazy-deletion heaps, O(log
+    * k) per row, O(k) state per task — under the SAME sorted-index
+    * definition (`element_at(sort_array(win), ceil(0.95·n))`) and the
+    * same DuckDB oracle, just with a 1000-row frame. RankScaleBench's
+    * `rolling_q` row measures the crossover at 50M.
+    */
+  def e57bRollingP95Wide(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+    graft.plans.RollingQuantile
+      .withRollingQuantile(
+        ev,
+        partCols = Seq("event_type"),
+        orderCols = Seq("us", "event_id"),
+        valueCol = "cents",
+        k = 1000,
+        q = 0.95,
+        nWinName = "n_win",
+        outName = "p95_cents"
+      )
+      .select("event_id", "event_type", "cents", "n_win", "p95_cents")
+      .orderBy("event_id")
+  }
+
   /** e59 (round 18): GLOBAL IGNORE-NULLS OFFSETS — `lag(v, 2) IGNORE
     * NULLS` / `lead(v, 3) IGNORE NULLS` over the corpus-wide (us,
     * event_id) total order, where 'click' events inject the nulls

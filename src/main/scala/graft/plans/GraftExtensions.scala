@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // distributed GlobalRank family (one unified rule since round 15)
     e.injectOptimizerRule(_ => GlobalWindowRewrite)
     e.injectPlannerStrategy(_ => GlobalRankStrategy)
+    // exact rolling quantile in O(log k)/row (e57's large-k scale path)
+    e.injectPlannerStrategy(_ => RollingQuantileStrategy)
     // registered-rollup answering of raw-table aggregates
     e.injectOptimizerRule(_ => MvRewrite)
     // stored-stats broadcast pricing of registered-table joins

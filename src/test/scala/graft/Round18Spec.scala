@@ -305,6 +305,54 @@ class Round18Spec extends AnyFunSuite {
     assert((xs -- preds.toSet).size == 1, "exactly one chain tail")
   }
 
+  test("two-heap rolling quantile == brute-force sorted index (randomized: dups, nulls, q edges)") {
+    (1 to 4).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val k = 1 + rng.nextInt(25)
+      val q = Seq(0.5, 0.95, 1.0, 0.01)(seed % 4)
+      val win = new graft.plans.TwoHeapWindow(k, q)
+      val ring = scala.collection.mutable.Queue.empty[Option[Long]]
+      (1 to 600).foreach { i =>
+        val v: Option[Long] = if (rng.nextInt(100) < 15) None else Some(rng.nextInt(40).toLong)
+        val (n, got) = v match {
+          case Some(x) => win.add(x, isNull = false)
+          case None    => win.add(0L, isNull = true)
+        }
+        ring.enqueue(v)
+        if (ring.length > k) { ring.dequeue(); () }
+        val nonNull = ring.flatten.toSeq.sorted
+        assert(n == nonNull.length, s"seed $seed row $i n")
+        val want =
+          if (nonNull.isEmpty) None
+          else Some(nonNull(math.ceil(q * nonNull.length).toInt - 1))
+        assert(got == want, s"seed $seed row $i k=$k q=$q: got $got want $want (win=$nonNull)")
+      }
+    }
+  }
+
+  test("e57b rides RollingQuantileExec and matches e57's values where frames coincide") {
+    val sf = TestSession.sf
+    val wide = graft.operators.Events.e57bRollingP95Wide(spark, sf)
+    val plan = wide.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    assert(plan.collect { case e: graft.plans.RollingQuantileExec => e }.nonEmpty, s"$plan")
+    val rows = wide.collect()
+    assert(rows.nonEmpty)
+    // within each group's first min(n, 100) rows the 100- and 1000-row
+    // frames are the SAME set, so e57 and e57b must agree row-for-row
+    val narrow = graft.operators.Events.e57RollingP95(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val early = rows.filter(r => r.getLong(3) <= 100 && narrow.contains(r.getLong(0)))
+    assert(early.nonEmpty)
+    early.foreach { r =>
+      val (nN, pN) = narrow(r.getLong(0))
+      assert(nN == r.getLong(3) && pN == r.getLong(4),
+        s"event ${r.getLong(0)}: e57 ($nN,$pN) vs e57b (${r.getLong(3)},${r.getLong(4)})")
+    }
+  }
+
   test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
     // HALF_UP at representable halves, negative halves included — the
     // shapes where Math.round (floor(x+.5)) would differ
