@@ -584,6 +584,7 @@ object SparkEntry {
     "s41_stream_locf"        -> (StreamingBatch.s41StreamLocf _),
     "s42_stream_locf_ooo"    -> (StreamingBatch.s42StreamLocfOoo _),
     "s43_stream_asof_ooo"    -> (StreamingBatch.s43StreamAsofOoo _),
+    "s44_stream_locf_tws"    -> (StreamingBatch.s44StreamLocfTws _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -5079,6 +5080,17 @@ object SparkEntry {
     // buffered fold must reproduce e58's batch window under ADVERSARIAL
     // band-swapped arrival, so the oracle is again e58's SQL verbatim
     "s42_stream_locf_ooo" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CASE WHEN event_type = 'click' THEN NULL
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS v_obs FROM events)
+        |SELECT event_id, user_id, us, v_obs,
+        | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM e ORDER BY event_id""".stripMargin,
+    // s44 (round 18): the transformWithState+RocksDB twin of s42 —
+    // third implementation pinned to the same e58 answer
+    "s44_stream_locf_tws" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(date_trunc('microseconds', ts)) AS us,
         |  CASE WHEN event_type = 'click' THEN NULL

@@ -781,10 +781,64 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateRows("s42", q)
     s.read
       .parquet(s"$out/data")
       .select("event_id", "user_id", "us", "v_obs", "locf")
       .orderBy("event_id")
+  }
+
+  /** s44 (round 18): s42's out-of-order LOCF on Spark 4's
+    * `transformWithState` + RocksDB — the pending buffer as a typed
+    * ListState (O(1) appends against RocksDB instead of re-serializing
+    * a whole buffer value per batch), the carry a ValueState, drains on
+    * explicit event-time timers. Same adversarial band-swapped staging,
+    * same e58-verbatim oracle: three implementations of the running
+    * IGNORE NULLS fold (batch window e58, fMGWS s42, tws s44) pinned to
+    * ONE DuckDB answer.
+    */
+  def s44StreamLocfTws(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(providerKey)
+    s.conf.set(
+      providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val dir = stageJsonBandSwapped(s, d)
+      val delayMs =
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/delay_ms.txt")).trim.toLong
+      val stream = StreamIngest
+        .parsed(
+          s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+          eventSchema,
+          "ts"
+        )
+        .withWatermark("ts", s"$delayMs milliseconds")
+        .filter(!(col("user_id") === -1L && col("ts").isNotNull))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.StreamOps.LocfEvent]
+      val out = graft.TempDirs.create("graft_s44_run_")
+      val q = graft.streaming.StreamOps
+        .streamLocfOooTws(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      recordStateRows("s44", q)
+      s.read
+        .parquet(s"$out/data")
+        .select("event_id", "user_id", "us", "v_obs", "locf")
+        .orderBy("event_id")
+    } finally saved match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
   }
 
   /** s43 (round 18): STREAMING AS-OF JOIN UNDER OUT-OF-ORDER ARRIVAL —
@@ -826,6 +880,7 @@ object StreamingBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStateRows("s43", q)
     s.read
       .parquet(s"$out/data")
       .select("p_event_id", "user_id", "click_event_id", "gap_us")

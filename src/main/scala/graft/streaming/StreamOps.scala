@@ -372,6 +372,112 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class TwsCarry(v: Long)
+  final case class TwsTimer(at: Long)
+
+  /** [[streamLocfOoo]] re-expressed on Spark 4's `transformWithState`
+    * (round 18) — the arbitrary-state API that supersedes
+    * flatMapGroupsWithState and the NATURAL home for the
+    * watermark-buffer protocol: the pending buffer is a typed
+    * [[org.apache.spark.sql.streaming.ListState]] (RocksDB-backed —
+    * appends are O(1) writes, no whole-value rewrite per batch, which
+    * at 100 TB is the difference between touching the delta of a
+    * user's buffer and re-serializing all of it on every micro-batch),
+    * the carry a ValueState, and drains ride explicit event-time
+    * timers re-armed at the earliest buffered event. Output is
+    * identical to [[streamLocfOoo]] — and both are held to batch e58's
+    * oracle verbatim (s42/s44).
+    */
+  class LocfOooProcessor(ansi: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LocfEvent, LocfOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var carry: ValueState[TwsCarry] = _
+    @transient private var pending: ListState[PendingObs] = _
+    @transient private var timer: ValueState[TwsTimer] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      carry = getHandle.getValueState[TwsCarry](
+        "carry", org.apache.spark.sql.Encoders.product[TwsCarry], TTLConfig.NONE)
+      pending = getHandle.getListState[PendingObs](
+        "pending", org.apache.spark.sql.Encoders.product[PendingObs], TTLConfig.NONE)
+      timer = getHandle.getValueState[TwsTimer](
+        "timer", org.apache.spark.sql.Encoders.product[TwsTimer], TTLConfig.NONE)
+    }
+
+    /** Emit the event-time-ordered prefix strictly below the watermark,
+      * fold the carry, keep the rest, re-arm the timer.
+      */
+    private def drain(key: Long, wm: Long): Iterator[LocfOut] = {
+      val all = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[PendingObs]
+        val it = pending.get()
+        while (it.hasNext) b += it.next()
+        b.sortBy(p => (p.us, p.event_id))
+      }
+      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      var c = if (carry.exists()) Some(carry.get().v) else None
+      val out = emit.map { p =>
+        p.v_obs.foreach(v => c = Some(v))
+        LocfOut(p.event_id, key, p.us, p.v_obs, c)
+      }
+      c.foreach(v => carry.update(TwsCarry(v)))
+      pending.clear()
+      val oldTimer = if (timer.exists()) timer.get().at else 0L
+      if (keep.nonEmpty) {
+        pending.put(keep.toArray)
+        val at = math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1)
+        if (at != oldTimer) {
+          if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
+          getHandle.registerTimer(at)
+          timer.update(TwsTimer(at))
+        }
+      } else if (oldTimer > 0) {
+        getHandle.deleteTimer(oldTimer)
+        timer.clear()
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[LocfEvent],
+        tv: TimerValues
+    ): Iterator[LocfOut] = {
+      rows.foreach { e =>
+        val v: Option[Long] =
+          if (e.event_type == "click") None else e.value.map(centsLeg(_, ansi))
+        pending.appendValue(PendingObs(micros(e.ts), e.event_id, v))
+      }
+      drain(key, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        tv: TimerValues,
+        info: ExpiredTimerInfo
+    ): Iterator[LocfOut] = {
+      val _ = info
+      drain(key, tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Out-of-order streaming LOCF via `transformWithState` (requires the
+    * RocksDB state store provider).
+    */
+  def streamLocfOooTws(events: Dataset[LocfEvent]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    val ansi =
+      events.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new LocfOooProcessor(ansi),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append
+      )
+  }
+
   final case class TwsSessionState(start: Long, last: Long, n: Long, timer: Long)
 
   /** [[sessionize]] re-expressed on Spark 4's `transformWithState` — the

@@ -164,11 +164,12 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("PlanLint flags the cliffs the rules can't rewrite, stays quiet on clean plans") {
-    // lag IGNORE NULLS keeps the stock 1-task window (its
-    // cross-partition need is unbounded) — lint names it; plain
-    // literal-offset lag/lead are auto-rewritten since round 15
+    // lag with k past the O(P·k) metadata gate (1024) keeps the stock
+    // 1-task window — lint names it; literal-offset lag/lead are
+    // auto-rewritten since round 15, their IGNORE NULLS forms since
+    // round 18 (which retired the old lag-IGNORE-NULLS probe here)
     val ranked =
-      spark.sql("SELECT id, lag(id, 1) IGNORE NULLS OVER (ORDER BY id) AS r FROM range(100)")
+      spark.sql("SELECT id, lag(id, 2000) OVER (ORDER BY id) AS r FROM range(3000)")
     val w1 = graft.plans.PlanLint.lint(ranked)
     assert(w1.exists(_.contains("GLOBAL WINDOW")), s"missed global window: $w1")
     // a genuine cartesian

@@ -354,11 +354,18 @@ class Round15Spec extends AnyFunSuite {
     assert(unwrap(d).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.nonEmpty)
     val dm = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dm(0L) == "none" && dm(1L) == "none" && dm(2L) == "v0" && dm(9L) == "v7")
-    // ignoreNulls keeps the stock plan (cross-partition need unbounded)
+    // ignoreNulls RIDES the exec since round 18 (non-null boundary
+    // metadata — see Round18Spec's parity battery); the conservatism
+    // probe moves to the still-stock shapes: k beyond the metadata
+    // gate and a non-literal offset
     val ig = spark.sql(
       "SELECT id, lag(id, 1) IGNORE NULLS OVER (ORDER BY id) AS v FROM range(10)"
     )
-    assert(unwrap(ig).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.isEmpty)
+    assert(unwrap(ig).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.nonEmpty)
+    val bigK = spark.sql(
+      "SELECT id, lag(id, 2000) OVER (ORDER BY id) AS v FROM range(10)"
+    )
+    assert(unwrap(bigK).collect { case g: graft.plans.GlobalOffsetWindowExec => g }.isEmpty)
     // randomized differential with nulls in the VALUE column
     import spark.implicits._
     val rnd = new scala.util.Random(20260819L)

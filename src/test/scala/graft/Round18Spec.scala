@@ -305,6 +305,16 @@ class Round18Spec extends AnyFunSuite {
     assert((xs -- preds.toSet).size == 1, "exactly one chain tail")
   }
 
+  test("s42 state is bounded: after the sentinel flush, state = one carry row per user (buffers drained)") {
+    val sf = TestSession.sf
+    graft.operators.StreamingBatch.s42StreamLocfOoo(spark, sf).collect()
+    val users = graft.sources.Tables.events(spark, sf).select("user_id").distinct().count()
+    val stateRows = graft.operators.StreamingBatch.lastStateRows.get("s42")
+    assert(stateRows != null, "harness records state rows")
+    assert(stateRows == users,
+      s"state must be exactly one row per user (carry, empty buffer): $stateRows vs $users users")
+  }
+
   test("two-heap rolling quantile == brute-force sorted index (randomized: dups, nulls, q edges)") {
     (1 to 4).foreach { seed =>
       val rng = new scala.util.Random(seed)
