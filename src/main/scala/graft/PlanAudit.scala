@@ -208,7 +208,9 @@ object PlanAudit {
       "q78_first_nonnull_running"   -> "running IGNORE NULLS first_value: stock remainder (all-null head frames are NULL) + the full-frame twin on the ignoreNulls GlobalKthValue exec",
       "t52_split_leakage"           -> "split + leakage audit: two keyed aggregations (fp grain, lang grain), one broadcast-back join, no all-pairs",
       "e58_locf"                    -> "partitioned LOCF: hash-distributed (user_id) window, no global-window cliff",
-      "t53_budget_sample"           -> "Hamilton apportionment: KB stratum aggregate + 3 scalar-broadcast fanouts + per-language top-k — integer div/% only"
+      "t53_budget_sample"           -> "Hamilton apportionment: KB stratum aggregate + 3 scalar-broadcast fanouts + per-language top-k — integer div/% only",
+      "e57b_rolling_p95_wide"       -> "rolling exact p95 at k=1000: RollingQuantileExec (two-heap, O(log k)/row) on one hash exchange — no per-row frame sort",
+      "e59_offset_ignore_nulls"     -> "global IGNORE NULLS lag/lead: two GlobalOffsetWindow execs chained on ONE range exchange, tiebreak projected under it — zero stock windows"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"
