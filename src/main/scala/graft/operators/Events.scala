@@ -1725,8 +1725,10 @@ object Events {
     * `list_sort` + 1-based index) rather than an engine quantile
     * function, so no interpolation-convention drift can bite. Per-row
     * cost O(k log k) at k=100 — bounded and keyed (no global window);
-    * at large k the scale path is a two-heap or sketch per partition,
-    * not a wider sort.
+    * at large k the scale path is [[e57bRollingP95Wide]]'s two-heap
+    * [[graft.plans.RollingQuantileExec]] (round 18 — O(log k)/row,
+    * crossover measured 10.8×/27.8× at k=1000 on 2M/10M rows), not a
+    * wider sort.
     */
   def e57RollingP95(s: SparkSession, d: String): DataFrame = {
     val ev = Tables

@@ -123,6 +123,7 @@ object StreamingBatch {
     stageJsonReversed(s, d)
     stageUrlJson(s, d)
     stageJsonTsOrdered(s, d)
+    stageJsonBandSwapped(s, d)
   }
 
   private def toJsonMicros(df: DataFrame): DataFrame =
