@@ -307,6 +307,7 @@ object SparkEntry {
     "e34_markov_next"        -> (Events.e34MarkovNext _),
     // round 9 (cont.): recursive hierarchy closure by repeated squaring
     "q51_hierarchy"          -> (Relational.q51Hierarchy _),
+    "q79_recursive_native"   -> (Relational.q79RecursiveNative _),
     // round 9 (cont.): explicit zone-map skipping index
     "c23_zone_map"           -> (Maintenance.c23ZoneMap _),
     // round 9 (cont.): CDC apply with tombstones under reversed delivery
@@ -2574,6 +2575,27 @@ object SparkEntry {
         | SELECT w.k, pp.p, w.d + 1 FROM walk w JOIN par pp ON pp.k = w.anc
         | WHERE pp.p IS NOT NULL),
         |dep AS (SELECT k, max(d) AS depth FROM walk GROUP BY 1),
+        |st AS (SELECT anc AS k, count(DISTINCT walk.k) AS n_desc FROM walk GROUP BY 1)
+        |SELECT p.k AS c_custkey,
+        | CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth,
+        | CAST(COALESCE(st.n_desc, 0) + 1 AS BIGINT) AS subtree_size
+        |FROM par p LEFT JOIN dep ON dep.k = p.k LEFT JOIN st ON st.k = p.k
+        |ORDER BY 1""".stripMargin,
+    // q79 (round 18): Spark's native WITH RECURSIVE, held to the SAME
+    // recursive answer as q51's log-round closure
+    "q79_recursive_native" ->
+      """WITH RECURSIVE
+        |par AS (SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey = 0 THEN NULL
+        |   ELSE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % c_custkey
+        |  END AS p
+        | FROM customer),
+        |walk(k, anc, dist) AS (
+        | SELECT k, p, 1 FROM par WHERE p IS NOT NULL
+        | UNION ALL
+        | SELECT w.k, pp.p, w.dist + 1 FROM walk w JOIN par pp ON pp.k = w.anc
+        | WHERE pp.p IS NOT NULL),
+        |dep AS (SELECT k, max(dist) AS depth FROM walk GROUP BY 1),
         |st AS (SELECT anc AS k, count(DISTINCT walk.k) AS n_desc FROM walk GROUP BY 1)
         |SELECT p.k AS c_custkey,
         | CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth,

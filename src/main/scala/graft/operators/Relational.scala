@@ -966,6 +966,45 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q79 (round 18): NATIVE RECURSIVE CTE — Spark 4 added `WITH
+    * RECURSIVE` (the construct q51's scaladoc long noted Spark lacked),
+    * so the same hierarchy closure now runs as the engine's OWN
+    * iterative union-loop: anchor = direct parents, recursive step =
+    * one equi-join per level, depth/subtree analytics on the
+    * materialized walk. Pinned THREE ways to one answer: this native
+    * form, q51's log-round repeated-squaring closure (⌈log₂D⌉ joins vs
+    * the native loop's D — at a 1000-executor depth-D forest the
+    * squaring form wins rounds, the native form wins simplicity), and
+    * the DuckDB recursive oracle (q51's SQL verbatim). The parent
+    * function is the same data-derived md5 forest, spelled with Spark's
+    * `conv(hex,16,10)` against DuckDB's `CAST('0x'||hex)` — the one
+    * engine-syntax fork, value-identical.
+    */
+  def q79RecursiveNative(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("q79_customer")
+    s.sql(
+      """WITH RECURSIVE
+        |par AS (SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey = 0 THEN NULL
+        |   ELSE CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)
+        |        % c_custkey
+        |  END AS p
+        | FROM q79_customer),
+        |walk(k, anc, dist) AS (
+        | SELECT k, p, 1 FROM par WHERE p IS NOT NULL
+        | UNION ALL
+        | SELECT w.k, pp.p, w.dist + 1 FROM walk w JOIN par pp ON pp.k = w.anc
+        | WHERE pp.p IS NOT NULL),
+        |dep AS (SELECT k, max(dist) AS depth FROM walk GROUP BY 1),
+        |st AS (SELECT anc AS k, count(DISTINCT walk.k) AS n_desc FROM walk GROUP BY 1)
+        |SELECT p.k AS c_custkey,
+        | CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth,
+        | CAST(COALESCE(st.n_desc, 0) + 1 AS BIGINT) AS subtree_size
+        |FROM par p LEFT JOIN dep ON dep.k = p.k LEFT JOIN st ON st.k = p.k
+        |ORDER BY 1""".stripMargin
+    )
+  }
+
   /** q52: MARKET SHARE (TPC-H Q8 shape on the available tables) — per
     * order-year, the share of lineitem revenue supplied by suppliers
     * whose nation sits in one region. The canonical share-of-total over

@@ -363,6 +363,18 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("q79 native WITH RECURSIVE == q51 log-round squaring closure, row for row") {
+    val sf = TestSession.sf
+    val native = graft.operators.Relational.q79RecursiveNative(spark, sf).collect()
+    val squared = graft.operators.Relational.q51Hierarchy(spark, sf).collect()
+    assert(native.length == squared.length && native.nonEmpty)
+    native.zip(squared).foreach { case (a, b) =>
+      (0 until 3).foreach(i => assert(a.get(i) == b.get(i), s"col $i at ${a.get(0)}"))
+    }
+    // the forest really recurses: some depth > 1
+    assert(native.exists(_.getLong(1) > 1), "multi-level hierarchy exercised")
+  }
+
   test("centsLeg mirrors the session cast per eval mode (round-18 ADVICE)") {
     // HALF_UP at representable halves, negative halves included — the
     // shapes where Math.round (floor(x+.5)) would differ
