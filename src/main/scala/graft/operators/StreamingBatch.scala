@@ -789,6 +789,44 @@ object StreamingBatch {
       .orderBy("event_id")
   }
 
+  /** s45 (round 18): STREAMING ROLLING QUANTILE — e57's online form via
+    * [[graft.streaming.StreamOps.streamRollingQuantile]]: per event
+    * type, the exact p95 of the last 100 cents values at every event,
+    * O(k) keyed state (the value ring), the two-heap rebuilt once per
+    * micro-batch. Time-ordered staging (the s41 contract), AvailableNow
+    * replay, e57's DuckDB oracle VERBATIM — the rolling-quantile family
+    * now has batch-sort, batch-two-heap, and streaming-two-heap
+    * implementations pinned to one sorted-index answer.
+    */
+  def s45StreamRollingQuantile(s: SparkSession, d: String): DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val dir = stageJsonTsOrdered(s, d)
+    val stream = StreamIngest
+      .parsed(
+        s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+        eventSchema,
+        "ts"
+      )
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[graft.streaming.StreamOps.QuantEvent]
+    val out = graft.TempDirs.create("graft_s45_run_")
+    val q = graft.streaming.StreamOps
+      .streamRollingQuantile(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStateRows("s45", q)
+    s.read
+      .parquet(s"$out/data")
+      .select("event_id", "event_type", "cents", "n_win", "p95_cents")
+      .orderBy("event_id")
+  }
+
   /** s44 (round 18): s42's out-of-order LOCF on Spark 4's
     * `transformWithState` + RocksDB — the pending buffer as a typed
     * ListState (O(1) appends against RocksDB instead of re-serializing

@@ -372,6 +372,69 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class QuantEvent(event_type: String, event_id: Long, ts: Timestamp, value: Option[Double])
+  final case class QuantOut(
+      event_id: Long,
+      event_type: String,
+      cents: Option[Long],
+      n_win: Long,
+      p95_cents: Option[Long]
+  )
+  final case class QuantState(ring: Seq[Option[Long]])
+
+  /** STREAMING ROLLING QUANTILE (round 18) — e57's online form: per
+    * event type, the exact 95th percentile of the last k values at
+    * every arriving event. State per key is the RING of the last ≤k
+    * (value | null) slots — O(k), the same bound as the batch exec —
+    * and each micro-batch rebuilds the two-heap structure from the
+    * ring once (O(k log k) PER BATCH, amortized across the batch's
+    * rows, each then O(log k)). Completes the family: batch sort form
+    * (e57), batch two-heap exec (e57b), streaming two-heap fold (s45)
+    * — the first two pinned to DuckDB at k=100/k=1000, this one to
+    * e57's oracle VERBATIM under time-ordered staging (the s41
+    * arrival contract; the s42 watermark-buffer protocol composes if
+    * disorder is needed).
+    */
+  def streamRollingQuantile(
+      events: Dataset[QuantEvent],
+      k: Int = 100,
+      q: Double = 0.95
+  ): Dataset[QuantOut] = {
+    import events.sparkSession.implicits._
+    val ansi =
+      events.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean
+    def fn(
+        key: String,
+        batch: Iterator[QuantEvent],
+        state: GroupState[QuantState]
+    ): Iterator[QuantOut] = {
+      val ring = scala.collection.mutable.Queue.empty[Option[Long]]
+      state.getOption.foreach(s => ring.enqueueAll(s.ring))
+      val win = new graft.plans.TwoHeapWindow(k, q)
+      ring.foreach {
+        case Some(v) => win.add(v, isNull = false)
+        case None    => win.add(0L, isNull = true)
+      }
+      val out = batch.toSeq
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .map { e =>
+          val cents = e.value.map(centsLeg(_, ansi))
+          val (n, ans) = cents match {
+            case Some(v) => win.add(v, isNull = false)
+            case None    => win.add(0L, isNull = true)
+          }
+          ring.enqueue(cents)
+          if (ring.length > k) { ring.dequeue(); () }
+          QuantOut(e.event_id, key, cents, n, ans)
+        }
+      state.update(QuantState(ring.toSeq))
+      out.iterator
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class TwsCarry(v: Long)
   final case class TwsTimer(at: Long)
 

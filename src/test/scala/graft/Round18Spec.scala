@@ -363,6 +363,20 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("s45 streaming rolling p95 == e57 batch window, row for row; state = rings per type") {
+    val sf = TestSession.sf
+    val stream = graft.operators.StreamingBatch.s45StreamRollingQuantile(spark, sf).collect()
+    val batch = graft.operators.Events.e57RollingP95(spark, sf).collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (s1, b1) =>
+      (0 until 5).foreach(i => assert(Option(s1.get(i)) == Option(b1.get(i)), s"col $i at ${s1.get(0)}"))
+    }
+    val types = graft.sources.Tables.events(spark, sf).select("event_type").distinct().count()
+    val stateRows = graft.operators.StreamingBatch.lastStateRows.get("s45")
+    assert(stateRows != null && stateRows == types,
+      s"state = one ring per event type: $stateRows vs $types")
+  }
+
   test("q79 native WITH RECURSIVE == q51 log-round squaring closure, row for row") {
     val sf = TestSession.sf
     val native = graft.operators.Relational.q79RecursiveNative(spark, sf).collect()
