@@ -587,6 +587,7 @@ object SparkEntry {
     "s43_stream_asof_ooo"    -> (StreamingBatch.s43StreamAsofOoo _),
     "s44_stream_locf_tws"    -> (StreamingBatch.s44StreamLocfTws _),
     "s45_stream_rolling_p95" -> (StreamingBatch.s45StreamRollingQuantile _),
+    "s46_stream_rollq_ooo"   -> (StreamingBatch.s46StreamRollingQuantileOoo _),
     // round 16: canon-probe battery — one-row primitives that turn the
     // next driver-DuckDB divergence into a table lookup (see
     // operators/CanonProbes.scala scaladoc for the measured semantics)
@@ -5111,6 +5112,21 @@ object SparkEntry {
         | last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
         |FROM e ORDER BY event_id""".stripMargin,
+    // s46 (round 18): out-of-order streaming rolling quantile — the
+    // watermark buffer composed with the ring/two-heap fold, same
+    // e57 oracle verbatim
+    "s46_stream_rollq_ooo" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, event_type, cents,
+        |  list_sort(list(cents) OVER win) AS l
+        | FROM e WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+        |   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents,
+        | CAST(len(l) AS BIGINT) AS n_win,
+        | l[CAST(ceil(0.95 * len(l)) AS BIGINT)] AS p95_cents
+        |FROM w ORDER BY event_id""".stripMargin,
     // s45 (round 18): streaming rolling quantile — e57's oracle
     // verbatim; the online fold must reproduce the batch sorted-index
     // window at every event

@@ -827,6 +827,46 @@ object StreamingBatch {
       .orderBy("event_id")
   }
 
+  /** s46 (round 18): OUT-OF-ORDER STREAMING ROLLING QUANTILE — the
+    * watermark-buffer protocol (s42) composed in front of the rolling
+    * ring/two-heap fold (s45), on the same adversarial band-swapped
+    * staging, gated against e57's DuckDB oracle VERBATIM: the
+    * composition the s45 scaladoc claims, as a driver-checked fact.
+    */
+  def s46StreamRollingQuantileOoo(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val dir = stageJsonBandSwapped(s, d)
+      val delayMs =
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/delay_ms.txt")).trim.toLong
+      val stream = StreamIngest
+        .parsed(
+          s.readStream.option("maxFilesPerTrigger", 1).text(s"$dir/json"),
+          eventSchema,
+          "ts"
+        )
+        .withWatermark("ts", s"$delayMs milliseconds")
+        .filter(!(col("user_id") === -1L && col("ts").isNotNull))
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .as[graft.streaming.StreamOps.QuantEvent]
+      val out = graft.TempDirs.create("graft_s46_run_")
+      val q = graft.streaming.StreamOps
+        .streamRollingQuantileOoo(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      recordStateRows("s46", q)
+      s.read
+        .parquet(s"$out/data")
+        .select("event_id", "event_type", "cents", "n_win", "p95_cents")
+        .orderBy("event_id")
+    }
+
   /** s44 (round 18): s42's out-of-order LOCF on Spark 4's
     * `transformWithState` + RocksDB — the pending buffer as a typed
     * ListState (O(1) appends against RocksDB instead of re-serializing

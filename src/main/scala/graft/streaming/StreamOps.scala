@@ -435,6 +435,65 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class QuantOooState(ring: Seq[Option[Long]], pending: Seq[PendingObs])
+
+  /** OUT-OF-ORDER STREAMING ROLLING QUANTILE (round 18) — the
+    * composition [[streamRollingQuantile]]'s scaladoc claims: the s42
+    * watermark-buffer protocol in front of the ring/two-heap fold.
+    * Arrivals buffer per key; each invocation drains the event-time-
+    * ordered prefix strictly below the watermark through the rolling
+    * window (ring slides, two-heap answers), rows at or above the
+    * watermark wait; event-time timers drain keys the batch doesn't
+    * touch. State per key = O(k) ring + the disorder horizon. Pinned
+    * to e57's batch oracle VERBATIM under adversarial band-swapped
+    * arrival — the claim is now a gated fact, not prose.
+    */
+  def streamRollingQuantileOoo(
+      events: Dataset[QuantEvent],
+      k: Int = 100,
+      q: Double = 0.95
+  ): Dataset[QuantOut] = {
+    import events.sparkSession.implicits._
+    val ansi =
+      events.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean
+    def fn(
+        key: String,
+        batch: Iterator[QuantEvent],
+        state: GroupState[QuantOooState]
+    ): Iterator[QuantOut] = {
+      val prev = state.getOption.getOrElse(QuantOooState(Nil, Nil))
+      val incoming = batch
+        .map(e => PendingObs(micros(e.ts), e.event_id, e.value.map(centsLeg(_, ansi))))
+        .toSeq
+      val all = (prev.pending ++ incoming).sortBy(p => (p.us, p.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      val ring = scala.collection.mutable.Queue.empty[Option[Long]]
+      ring.enqueueAll(prev.ring)
+      val win = new graft.plans.TwoHeapWindow(k, q)
+      ring.foreach {
+        case Some(v) => win.add(v, isNull = false)
+        case None    => win.add(0L, isNull = true)
+      }
+      val out = emit.map { p =>
+        val (n, ans) = p.v_obs match {
+          case Some(v) => win.add(v, isNull = false)
+          case None    => win.add(0L, isNull = true)
+        }
+        ring.enqueue(p.v_obs)
+        if (ring.length > k) { ring.dequeue(); () }
+        QuantOut(p.event_id, key, p.v_obs, n, ans)
+      }
+      state.update(QuantOooState(ring.toSeq, keep))
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1))
+      out.iterator
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   final case class TwsCarry(v: Long)
   final case class TwsTimer(at: Long)
 
