@@ -210,7 +210,8 @@ object PlanAudit {
       "e58_locf"                    -> "partitioned LOCF: hash-distributed (user_id) window, no global-window cliff",
       "t53_budget_sample"           -> "Hamilton apportionment: KB stratum aggregate + 3 scalar-broadcast fanouts + per-language top-k — integer div/% only",
       "e57b_rolling_p95_wide"       -> "rolling exact p95 at k=1000: RollingQuantileExec (two-heap, O(log k)/row) on one hash exchange — no per-row frame sort",
-      "e59_offset_ignore_nulls"     -> "global IGNORE NULLS lag/lead: two GlobalOffsetWindow execs chained on ONE range exchange, tiebreak projected under it — zero stock windows"
+      "e59_offset_ignore_nulls"     -> "global IGNORE NULLS lag/lead: two GlobalOffsetWindow execs chained on ONE range exchange, tiebreak projected under it — zero stock windows",
+      "q79_recursive_native"        -> "Spark 4 native WITH RECURSIVE: the engine's UnionLoop iteration over the md5 forest, one equi-join per level"
     )
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by `sbt \"runMain graft.PlanAudit\"`)\n"

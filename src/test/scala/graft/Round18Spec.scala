@@ -377,6 +377,65 @@ class Round18Spec extends AnyFunSuite {
       s"state = one ring per event type: $stateRows vs $types")
   }
 
+  test("s46 fold: random within-watermark permutations reproduce the batch rolling quantile (3 seeds)") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val events = for {
+      t <- Seq("a", "b")
+      i <- 0 until 80
+    } yield StreamOps.QuantEvent(
+      event_type = t,
+      event_id = (if (t == "a") 1000L else 2000L) + i,
+      ts = ms(base + i * 1000L),
+      value = if (i % 9 == 0) None else Some(i * 1.37 + t.length)
+    )
+    // reference: brute-force rolling window (k=5 to force evictions)
+    val expect: Map[Long, (Long, Option[Long])] = events
+      .groupBy(_.event_type)
+      .flatMap { case (_, evs) =>
+        val ring = scala.collection.mutable.Queue.empty[Option[Long]]
+        evs.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          val c = e.value.map(StreamOps.centsLeg(_, ansi = true))
+          ring.enqueue(c)
+          if (ring.length > 5) { ring.dequeue(); () }
+          val nn = ring.flatten.toSeq.sorted
+          val p =
+            if (nn.isEmpty) None else Some(nn(math.ceil(0.95 * nn.length).toInt - 1))
+          e.event_id -> (nn.length.toLong, p)
+        }
+      }
+      .toMap
+    (1 to 3).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val arrival = events.sortBy(e => (e.ts.getTime + rng.nextInt(4000), e.event_id))
+      val input = MemoryStream[StreamOps.QuantEvent](spark, 1)
+      val name = s"s46_perm_${seed}_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps
+        .streamRollingQuantileOoo(input.toDS().withWatermark("ts", "5 seconds"), k = 5)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      try {
+        arrival.grouped(20).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val maxTs = events.map(_.ts.getTime).max
+        input.addData(StreamOps.QuantEvent("__flush__", 999001L, ms(maxTs + 65000L), None))
+        q.processAllAvailable()
+        input.addData(StreamOps.QuantEvent("__flush__", 999002L, ms(maxTs + 66000L), None))
+        q.processAllAvailable()
+        val got = spark.table(name).as[StreamOps.QuantOut].collect()
+          .filter(_.event_type != "__flush__")
+        assert(got.length == events.length, s"seed $seed: ${got.length} of ${events.length}")
+        got.foreach { r =>
+          val (n, p) = expect(r.event_id)
+          assert(r.n_win == n && r.p95_cents == p,
+            s"seed $seed event ${r.event_id}: got (${r.n_win},${r.p95_cents}) want ($n,$p)")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("q79 native WITH RECURSIVE == q51 log-round squaring closure, row for row") {
     val sf = TestSession.sf
     val native = graft.operators.Relational.q79RecursiveNative(spark, sf).collect()
