@@ -1465,15 +1465,15 @@ case class GlobalPrefixExtremumExec(
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
 }
 
-/** Per-partition boundary metadata for [[GlobalOffsetWindowExec]]:
-  * count plus the first/last min(k, n) EVALUATED input values (copied
-  * out of the row buffers). `nn` is the count of values the head/tail
-  * arrays draw from — n for the plain variant, the partition's
-  * NON-NULL value count for IGNORE NULLS — what the driver walk
-  * compares against k to know whether to keep crossing partitions.
-  * Top-level for closure serialization.
+/** Per-partition boundary metadata for [[GlobalOffsetWindowExec]]: the
+  * first/last ≤k EVALUATED input values (copied out of the row
+  * buffers) plus `nn`, the count of values those arrays draw from —
+  * every row's value for the plain variant, the partition's NON-NULL
+  * values for IGNORE NULLS — what the driver walk compares against k
+  * to know whether to keep crossing partitions. Top-level for closure
+  * serialization.
   */
-private[plans] case class OffsetPartMeta(n: Long, nn: Long, head: Array[Any], tail: Array[Any])
+private[plans] case class OffsetPartMeta(nn: Long, head: Array[Any], tail: Array[Any])
 
 /** Null-TOLERANT fixed-capacity FIFO (java.util.ArrayDeque rejects
   * nulls, and SQL lag/lead values are nullable by nature).
@@ -1547,7 +1547,6 @@ case class GlobalOffsetWindowExec(
           val bound = BindReferences.bindReference(ve, childOutput)
           val head = scala.collection.mutable.ArrayBuffer.empty[Any]
           val tail = new NullableRing(kk) // keeps the LAST ≤k kept values
-          var n = 0L
           var nn = 0L
           it.foreach { r =>
             val v = InternalRow.copyValue(bound.eval(r))
@@ -1556,9 +1555,8 @@ case class GlobalOffsetWindowExec(
               tail.addLast(v)
               nn += 1L
             }
-            n += 1L
           }
-          Iterator.single(OffsetPartMeta(n, nn, head.toArray, tail.toArray))
+          Iterator.single(OffsetPartMeta(nn, head.toArray, tail.toArray))
         },
         preservesPartitioning = true
       )

@@ -10,7 +10,10 @@ import java.sql.Timestamp
   * caller picks sink + trigger. Watermarks bound state for out-of-order
   * data — state size is O(open windows / open sessions), not O(stream).
   */
-object StreamOps {
+// Serializable: the shared drainSplit helper is a module method, so
+// closures calling it capture the module reference (stateless — a
+// deserialized copy is behaviorally identical)
+object StreamOps extends Serializable {
 
   /** Watermarked tumbling-window aggregation: the streaming analogue of
     * Events.e1TimeBucket.
@@ -186,6 +189,31 @@ object StreamOps {
   final case class PendingObs(us: Long, event_id: Long, v_obs: Option[Long])
   final case class LocfOooState(carry: Option[Long], pending: Seq[PendingObs])
 
+  /** THE watermark-buffer drain split, shared by every out-of-order
+    * fold (s42/s43/s44/s46 — round-18 review finding: the protocol's
+    * correctness-critical invariants were re-implemented four times).
+    * Sorts the buffer by `sortKey` (event-time total order; the middle
+    * component carries e7's click-before-purchase tiebreak, 0
+    * elsewhere), emits the prefix whose ms-truncated event time is
+    * STRICTLY below the watermark (an event at the watermark's own ms
+    * could still be preceded by an unseen same-ms arrival), and
+    * returns the timer re-arm point for the remainder —
+    * max(earliestKeptMs + 1, wm + 1), the API's strictly-beyond-
+    * current-watermark requirement.
+    */
+  private[graft] def drainSplit[A](
+      buffered: Seq[A],
+      wm: Long,
+      usOf: A => Long,
+      sortKey: A => (Long, Int, Long)
+  ): (Seq[A], Seq[A], Option[Long]) = {
+    val all = buffered.sortBy(sortKey)
+    val (emit, keep) = all.partition(p => Math.floorDiv(usOf(p), 1000L) < wm)
+    val timerAt =
+      keep.headOption.map(h => math.max(Math.floorDiv(usOf(h), 1000L) + 1, wm + 1))
+    (emit, keep, timerAt)
+  }
+
   /** STREAMING LOCF UNDER OUT-OF-ORDER ARRIVAL (round 18 — the verdict's
     * top item): [[streamLocf]] requires time-ordered arrival across
     * micro-batches (a staging contract); this version converts that
@@ -242,22 +270,20 @@ object StreamOps {
           if (e.event_type == "click") None else e.value.map(centsLeg(_, ansi))
         PendingObs(micros(e.ts), e.event_id, v)
       }.toSeq
-      // merged buffer in event-time order — e58's exact window order
-      val all = (prev.pending ++ incoming).sortBy(p => (p.us, p.event_id))
-      val wm = state.getCurrentWatermarkMs()
-      // strict ms inequality: an event at the watermark's own ms could
-      // still be preceded by an unseen same-ms arrival
-      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      // drain in (us, event_id) order — e58's exact window order
+      val (emit, keep, timerAt) = drainSplit[PendingObs](
+        prev.pending ++ incoming,
+        state.getCurrentWatermarkMs(),
+        _.us,
+        p => (p.us, 0, p.event_id)
+      )
       var carry = prev.carry
       val out = emit.map { p =>
         p.v_obs.foreach(v => carry = Some(v))
         LocfOut(p.event_id, uid, p.us, p.v_obs, carry)
       }
       state.update(LocfOooState(carry, keep))
-      if (keep.nonEmpty)
-        // re-fire when the watermark passes the earliest buffered event
-        // (must be strictly beyond the CURRENT watermark per the API)
-        state.setTimeoutTimestamp(math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1))
+      timerAt.foreach(state.setTimeoutTimestamp)
       out.iterator
     }
 
@@ -291,18 +317,20 @@ object StreamOps {
       val incoming = batch
         .map(e => PendingAsof(micros(e.ts), e.event_id, e.event_type == "click"))
         .toSeq
-      val all = (prev.pending ++ incoming)
-        .sortBy(p => (p.us, if (p.click) 0 else 1, p.event_id))
-      val wm = state.getCurrentWatermarkMs()
-      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      // e7's total order: click sorts before the purchase at its instant
+      val (emit, keep, timerAt) = drainSplit[PendingAsof](
+        prev.pending ++ incoming,
+        state.getCurrentWatermarkMs(),
+        _.us,
+        p => (p.us, if (p.click) 0 else 1, p.event_id)
+      )
       var last = prev.last
       val out = emit.flatMap { p =>
         if (p.click) { last = Some(LastClick(p.us, p.event_id)); None }
         else Some(AsofOut(p.event_id, uid, last.map(_.cid), last.map(l => p.us - l.cts)))
       }
       state.update(AsofOooState(last, keep))
-      if (keep.nonEmpty)
-        state.setTimeoutTimestamp(math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1))
+      timerAt.foreach(state.setTimeoutTimestamp)
       out.iterator
     }
     events
@@ -465,9 +493,12 @@ object StreamOps {
       val incoming = batch
         .map(e => PendingObs(micros(e.ts), e.event_id, e.value.map(centsLeg(_, ansi))))
         .toSeq
-      val all = (prev.pending ++ incoming).sortBy(p => (p.us, p.event_id))
-      val wm = state.getCurrentWatermarkMs()
-      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      val (emit, keep, timerAt) = drainSplit[PendingObs](
+        prev.pending ++ incoming,
+        state.getCurrentWatermarkMs(),
+        _.us,
+        p => (p.us, 0, p.event_id)
+      )
       val ring = scala.collection.mutable.Queue.empty[Option[Long]]
       ring.enqueueAll(prev.ring)
       val win = new graft.plans.TwoHeapWindow(k, q)
@@ -485,8 +516,7 @@ object StreamOps {
         QuantOut(p.event_id, key, p.v_obs, n, ans)
       }
       state.update(QuantOooState(ring.toSeq, keep))
-      if (keep.nonEmpty)
-        state.setTimeoutTimestamp(math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1))
+      timerAt.foreach(state.setTimeoutTimestamp)
       out.iterator
     }
     events
@@ -528,35 +558,46 @@ object StreamOps {
     }
 
     /** Emit the event-time-ordered prefix strictly below the watermark,
-      * fold the carry, keep the rest, re-arm the timer.
+      * fold the carry, keep the rest, re-arm the timer. The ListState
+      * is rewritten ONLY when something was emitted (round-18 review
+      * fix): with an empty emit the buffer's contents are unchanged —
+      * handleInputRows already appended the arrivals as O(1) deltas,
+      * and drain re-sorts on every read — so a clear+put would
+      * re-serialize the whole buffer each batch, exactly the
+      * whole-value rewrite this processor exists to avoid.
       */
     private def drain(key: Long, wm: Long): Iterator[LocfOut] = {
-      val all = {
+      val buffered = {
         val b = scala.collection.mutable.ArrayBuffer.empty[PendingObs]
         val it = pending.get()
         while (it.hasNext) b += it.next()
-        b.sortBy(p => (p.us, p.event_id))
+        b.toSeq
       }
-      val (emit, keep) = all.partition(p => Math.floorDiv(p.us, 1000L) < wm)
+      val (emit, keep, timerAt) =
+        StreamOps.drainSplit[PendingObs](buffered, wm, _.us, p => (p.us, 0, p.event_id))
       var c = if (carry.exists()) Some(carry.get().v) else None
       val out = emit.map { p =>
         p.v_obs.foreach(v => c = Some(v))
         LocfOut(p.event_id, key, p.us, p.v_obs, c)
       }
       c.foreach(v => carry.update(TwsCarry(v)))
-      pending.clear()
+      if (emit.nonEmpty) {
+        pending.clear()
+        if (keep.nonEmpty) pending.put(keep.toArray)
+      }
       val oldTimer = if (timer.exists()) timer.get().at else 0L
-      if (keep.nonEmpty) {
-        pending.put(keep.toArray)
-        val at = math.max(Math.floorDiv(keep.head.us, 1000L) + 1, wm + 1)
-        if (at != oldTimer) {
-          if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
-          getHandle.registerTimer(at)
-          timer.update(TwsTimer(at))
-        }
-      } else if (oldTimer > 0) {
-        getHandle.deleteTimer(oldTimer)
-        timer.clear()
+      timerAt match {
+        case Some(at) =>
+          if (at != oldTimer) {
+            if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
+            getHandle.registerTimer(at)
+            timer.update(TwsTimer(at))
+          }
+        case None =>
+          if (oldTimer > 0) {
+            getHandle.deleteTimer(oldTimer)
+            timer.clear()
+          }
       }
       out.iterator
     }
