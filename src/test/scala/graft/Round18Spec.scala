@@ -280,6 +280,28 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("IGNORE NULLS offsets: supply-short partitions force the multi-partition seed walk") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 48 rows over 8 partitions (~6 rows each), 2/3 null, k=9: every
+    // partition supplies ~2 non-nulls < k, so the driver walk must
+    // cross 4+ partitions to fill a seed — the nn-guarded loop's
+    // deep path, unreachable with dense data
+    val rows = (1 to 48).map(i => (i.toLong, if (i % 3 != 0) None else Some(i.toLong)))
+    rows.toDF("i", "x").repartition(8).createOrReplaceTempView("r18_sparse")
+    Seq("lag", "lead").foreach { fn =>
+      val sql = s"SELECT i, $fn(x, 9) IGNORE NULLS OVER (ORDER BY i) AS v FROM r18_sparse"
+      val on = spark.sql(sql).collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+      spark.conf.set("spark.graft.windowRewrite.enabled", "false")
+      try {
+        val off = spark.sql(sql).collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+        assert(on.sameElements(off), s"$fn: ${on.toSeq} vs ${off.toSeq}")
+      } finally spark.conf.unset("spark.graft.windowRewrite.enabled")
+      // non-trivial: some rows really resolve a 9-th non-null
+      assert(on.exists(_._2.isDefined), s"$fn resolves at least one offset")
+    }
+  }
+
   test("IGNORE NULLS offsets under ties: tiebreak keeps both passes on one order (chain property)") {
     val spark2 = spark
     import spark2.implicits._
