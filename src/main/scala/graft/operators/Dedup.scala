@@ -19,12 +19,22 @@ import graft.plans.GraftExpressions
   */
 object Dedup {
 
+  /** r18 parallelism floor over the documents scan: every operator in
+    * this file does per-row text work (tokenize / shingle / md5 / regex
+    * / gram explode) that Spark fuses into the scan stage, and the
+    * single-row-group sf inputs plan that stage as ONE task — see
+    * [[graft.sources.Tables.parallelized]] (no-op on any many-row-group
+    * production layout; Catalyst prunes columns below the exchange, so
+    * only consumed columns ride it).
+    */
+  private def docsFloor(s: SparkSession, d: String) =
+    Tables.parallelized(Tables.documents(s, d))
+
   /** Exact dedup: content-hash groupBy. One shuffle on the hash key; at
     * scale this is the canonical "keep one per hash" pass (keep = min id).
     */
   def d1DedupExact(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .orderBy("h")
@@ -35,8 +45,7 @@ object Dedup {
     * element, ~50× slower, and ships strings through every shuffle).
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    docsFloor(s, d)
       .select(col("doc_id"), GraftExpressions.shingleHashes(split(col("text"), " "), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -126,8 +135,9 @@ object Dedup {
         shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
           .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
     )
-    val sh = Tables
-      .documents(s, d)
+    // r18: per-token md5 + conv + the 64-slot vote loop ran fused into
+    // the 1-task scan — parallelism floor first (guide §2.6)
+    val sh = docsFloor(s, d)
       .select(col("doc_id"), GraftExpressions.simhash64FromHashes(th).as("sim"))
 
     val banded = sh.select(
@@ -297,8 +307,7 @@ object Dedup {
     */
   def d7DedupApply(s: SparkSession, d: String): DataFrame = {
     val drop = clusterMap(s, d).filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .join(broadcast(drop), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -309,8 +318,7 @@ object Dedup {
     * one-pass hash-shingle expression.
     */
   def d8IntraDocDup(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         (size(split(col("text"), " ")) - size(filter(split(col("text"), " "), t => t === ""))).as("n_tok"),
@@ -467,7 +475,7 @@ object Dedup {
     * oracle replaying the identical strings.
     */
   def d16SubstringDedup(s: SparkSession, d: String, k: Int = 8): DataFrame =
-    substringSpans(Tables.documents(s, d), k)
+    substringSpans(docsFloor(s, d), k)
 
   /** The d16 core over any (doc_id, text) corpus slice — p5 runs it on
     * curation survivors, so spans reflect duplication among what's KEPT.
@@ -512,8 +520,7 @@ object Dedup {
   private def fuzzyPairsUnsorted(s: SparkSession, d: String, maxDist: Int = 40, window: Int = 10): DataFrame =
     cached(s, d, s"fuzzy_pairs_$maxDist-$window") {
       import org.apache.spark.sql.expressions.Window
-      val ranked = Tables
-        .documents(s, d)
+      val ranked = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 60).as("head"))
         .withColumn(
           "rn",
@@ -659,8 +666,7 @@ object Dedup {
   }
 
   private def canonicalUrls(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         col("n_chars"),
@@ -702,8 +708,7 @@ object Dedup {
       .groupBy("canonical_id")
       .agg(count(lit(1)).as("cs"))
     val weights = clusterMap(s, d).join(sizes, "canonical_id").select(col("doc_id"), col("cs"))
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .join(broadcast(weights), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -800,8 +805,7 @@ object Dedup {
       ),
       (a, bc) => concat(a, lit(" "), bc)
     )
-    val sigs = Tables
-      .documents(s, d)
+    val sigs = docsFloor(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), array_distinct(grams).as("shs"))
@@ -962,8 +966,7 @@ object Dedup {
     * shape with a per-source ledger on top.
     */
   def d25SourceDupRate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(substring(col("text"), 1, 120)).as("fp"))
     val keeper = docs.groupBy("fp").agg(min("doc_id").as("keeper_id"))
     docs
@@ -991,8 +994,7 @@ object Dedup {
     * lexicographically inside the pair so (a,b) and (b,a) collapse.
     */
   def d26CrossSourceDups(s: SparkSession, d: String): DataFrame = {
-    val f = Tables
-      .documents(s, d)
+    val f = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(substring(col("text"), 1, 120)).as("fp"))
     val a = f.select(col("fp"), col("doc_id").as("a_id"), col("source").as("a_src"))
     val b = f.select(col("fp"), col("doc_id").as("b_id"), col("source").as("b_src"))
@@ -1014,8 +1016,7 @@ object Dedup {
     * integers, one division per report row.
     */
   def d27ClusterSizeHist(s: SparkSession, d: String): DataFrame = {
-    val sizes = Tables
-      .documents(s, d)
+    val sizes = Tables.documents(s, d)
       .select(md5(substring(col("text"), 1, 120)).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("sz"))

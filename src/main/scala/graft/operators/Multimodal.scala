@@ -206,13 +206,74 @@ object Multimodal {
     * real-decode operator routes through this so a corrupt staged
     * image names its doc_id in the task failure.
     */
+  /** r18 (guide §2.6 / §1 measure-first): `ImageIO.read` per row paid
+    * two per-call costs that SERIALIZED 32-way parallel decode — a
+    * disk-backed stream cache (`createImageInputStream` with the default
+    * `useCache=true` creates and deletes a temp FILE per image) and an
+    * SPI registry scan to pick a reader. Measured on m7 after the media
+    * store went multi-file: 0.56 s serial → 1.60 s on 32 tasks. The fix
+    * keeps the SAME JDK PNGImageReader but holds one per pool thread and
+    * feeds it a memory-cached stream; bytes are already on-heap.
+    */
+  private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
   private[graft] def decodeImage(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null)
-      throw new IllegalArgumentException(
-        s"undecodable image bytes for doc_id=$docId (${bytes.length} bytes) — corrupt or unsupported format"
-      )
-    img
+    val reader = pngReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)
+    )
+    try {
+      reader.setInput(iis)
+      reader.read(0)
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable image bytes for doc_id=$docId (${bytes.length} bytes) — corrupt or unsupported format",
+          e
+        )
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
+  /** r18: the WAV twin of the decodeImage fix. Every
+    * `AudioSystem.getAudioInputStream` call routes through the JDK's
+    * synchronized provider lookup (JDK13Services), one class-level lock
+    * all 32 decode tasks fight over (measured: m18 0.72 s serial →
+    * 1.50 s on 32 tasks). Load the SPI readers ONCE per pool thread and
+    * probe them directly — same JDK WaveFileReader, no global lock in
+    * the row loop; failure is loud and names the doc.
+    */
+  private val audioReadersTL =
+    ThreadLocal.withInitial[Array[javax.sound.sampled.spi.AudioFileReader]] { () =>
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader], getClass.getClassLoader)
+        .iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      // WAVE reader first: a provider that does NOT recognize the bytes
+      // signals it by THROWING UnsupportedAudioFileException, and inside
+      // a Spark task the stack-trace fill for that control-flow
+      // exception costs more than the whole RIFF header parse (measured
+      // ~36-57 µs/clip with AIFF/AU probed first vs ~5 µs direct).
+      // Every staged clip is RIFF/WAVE, so the right reader first means
+      // the row loop never throws; corrupt bytes still walk the full
+      // list and fail loud.
+      buf.sortBy(r => if (r.getClass.getSimpleName.toLowerCase.contains("wave")) 0 else 1).toArray
+    }
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val rs = audioReadersTL.get()
+    var i = 0
+    while (i < rs.length) {
+      try return rs(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"undecodable audio bytes for doc_id=$docId (${bytes.length} bytes) — corrupt or unsupported format"
+    )
   }
 
   private[graft] def encodePng(w: Int, h: Int, px: Int => Int): Array[Byte] = {
@@ -349,7 +410,9 @@ object Multimodal {
       bytes: Array[Byte]
   ): Array[Int] = {
     import javax.imageio.ImageIO
-    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)
+    ) // r18: memory-cached stream — the default createImageInputStream is disk-backed (temp file per clip)
     try {
       reader.setInput(iis)
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -391,6 +454,20 @@ object Multimodal {
   /** Stage genuine PNG + WAV payloads for every document, once per (JVM,
     * source dir). Encoding happens on EXECUTORS (mapPartitions over the
     * doc ids) — the driver never holds media bytes.
+    *
+    * Round 18 (optimization guide §2.6/§6): the store is written as MANY
+    * files, not whatever the documents scan's task count happens to be.
+    * The sf inputs are single-row-group parquet, so the doc-id scan is
+    * ONE task and the store used to come out as ONE file — which made
+    * every real-decode consumer (m7–m25: ImageIO/javax.sound decode per
+    * row, the most expensive per-row map work in the repo) a single-task
+    * scan stage that could not use the other 31 cores and could not
+    * scale with the driver's core ladder. A real 100 TB media store is
+    * many-file by construction; the repartition below only reproduces
+    * that shape for the generated store (untimed staging — Bench
+    * prestages it before timing). File count = 4× default parallelism,
+    * capped by doc count / 32 so tiny SFs don't emit hundreds of
+    * near-empty files.
     */
   def mediaStore(s: SparkSession, d: String): String =
     mediaStoreCache.computeIfAbsent(
@@ -398,10 +475,18 @@ object Multimodal {
       _ => {
         import s.implicits._
         val dir = graft.TempDirs.create("graft_media_")
-        Tables
-          .documents(s, d)
-          .select(col("doc_id"))
-          .as[Long]
+        val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        // exactly one file per core: enough splits for full decode
+        // parallelism, few enough that the per-execution footer reads
+        // (every consumer re-plans the scan each run) stay negligible —
+        // 128 files measured +0.3-0.4 s of footer/listing overhead on
+        // the SMALL wav queries (m9 0.30→0.70 s) for no extra speedup
+        val nFiles = math.max(
+          1,
+          math.min(s.sparkContext.defaultParallelism, (ids.count() / 32L + 1L).toInt)
+        )
+        ids
+          .repartition(nFiles)
           .mapPartitions(it => it.map(id => (id, pngMeta(id), pngGroup(id), wavMeta(id), gifMeta(id))))
           .toDF("doc_id", "png_meta", "png_grp", "wav_meta", "gif_meta")
           .write
@@ -566,8 +651,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val ais = decodeWav(id, bytes)
           val fmt = ais.getFormat
           val sr = fmt.getSampleRate.toInt
           val pcm = ais.readAllBytes()
@@ -622,8 +706,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val ais = decodeWav(id, bytes)
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2
@@ -662,8 +745,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val ais = decodeWav(id, bytes)
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2
@@ -1032,8 +1114,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val ais = decodeWav(id, bytes)
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2
@@ -1308,8 +1389,7 @@ object Multimodal {
           while (i < expW * expH) { expPx += (id * 31 + i.toLong * 7919) % 256; i += 1 }
           val imgOk = w == expW && h == expH && pxSum == expPx
           // audio: sample count + absolute energy vs the m9 model
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          val ais = decodeWav(id, wav)
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2
@@ -1393,8 +1473,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem
-            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val ais = decodeWav(id, bytes)
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2

@@ -13,10 +13,20 @@ import graft.plans.GraftExpressions
   */
 object TextAnalysis {
 
+  /** r18 parallelism floor over the documents scan: every operator in
+    * this file does per-row text work (tokenize / shingle / md5 / regex
+    * / gram explode) that Spark fuses into the scan stage, and the
+    * single-row-group sf inputs plan that stage as ONE task — see
+    * [[graft.sources.Tables.parallelized]] (no-op on any many-row-group
+    * production layout; Catalyst prunes columns below the exchange, so
+    * only consumed columns ride it).
+    */
+  private def docsFloor(s: SparkSession, d: String) =
+    Tables.parallelized(Tables.documents(s, d))
+
   /** Heuristic language ID (stopword-profile argmax). */
   def t1LangId(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("lang_meta"), TF.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
@@ -25,8 +35,7 @@ object TextAnalysis {
     */
   def t2QualityScore(s: SparkSession, d: String): DataFrame = {
     val tk = TF.tokens(col("text"))
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
@@ -49,8 +58,7 @@ object TextAnalysis {
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   def t3TokenCount(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         TF.tokenCount(col("text")).as("n_ws_tokens"),
@@ -63,8 +71,7 @@ object TextAnalysis {
     * (not ANSI-SQL-expressible).
     */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp_md5"), length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 
@@ -96,8 +103,7 @@ object TextAnalysis {
         lit(M)
       )
     ).otherwise(lit(0L))
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), fpSum.as("fp_sum"), fpPos.as("fp_pos"))
       .orderBy("doc_id")
   }
@@ -110,8 +116,7 @@ object TextAnalysis {
     * sum.
     */
   def t7UnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables
-      .documents(s, d)
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("s"))
@@ -173,8 +178,7 @@ object TextAnalysis {
     * (≈12.5%); filter pushes to the scan side of any downstream join.
     */
   def t6HashSample(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -186,8 +190,7 @@ object TextAnalysis {
     */
   def t14StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val h = substring(md5(col("text")), 1, 1)
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .filter(
         when(col("lang") === "en", h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
           .otherwise(h.isin("0", "1"))
@@ -200,8 +203,7 @@ object TextAnalysis {
     * canonical pre-tokenization cleanup pass.
     */
   def t8Normalize(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         trim(regexp_replace(upper(col("text")), "\\s+", " ")).as("norm"),
@@ -221,8 +223,7 @@ object TextAnalysis {
       blocklist: Seq[String] = Seq("slow", "dup", "leak")
   ): DataFrame = {
     val tk = TF.tokens(col("text"))
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("doc_id"),
         col("lang"),
@@ -244,8 +245,7 @@ object TextAnalysis {
     * so the oracle is the plain exact HAVING query.
     */
   def t12HeavyHitters(s: SparkSession, d: String, k: Int = 50): DataFrame = {
-    val tok = Tables
-      .documents(s, d)
+    val tok = Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("t"))
     val candidates = tok
       .agg(GraftExpressions.mgCandidates(col("t"), k).as("cands"))
@@ -269,8 +269,7 @@ object TextAnalysis {
     */
   def t13BigramLogprob(s: SparkSession, d: String): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    val bg = Tables
-      .documents(s, d)
+    val bg = Tables.documents(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -311,8 +310,7 @@ object TextAnalysis {
     * executors pack 1000 streams without coordination.
     */
   def t15Pack(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(
         col("doc_id"),
         TF.tokenCount(col("text")).cast("long").as("tok"),
@@ -341,8 +339,7 @@ object TextAnalysis {
     * (d2's trick); the string-vs-hash equivalence is the oracle check.
     */
   def t16Decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame = {
-    val sh = Tables
-      .documents(s, d)
+    val sh = Tables.documents(s, d)
       .select(
         col("doc_id"),
         GraftExpressions.shingleHashes(split(col("text"), " "), n).as("sh"),
@@ -379,8 +376,7 @@ object TextAnalysis {
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
       lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")
     )
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw"))
       .select(
         col("doc_id"),
@@ -405,8 +401,7 @@ object TextAnalysis {
     * is 100 TB.
     */
   def t18Repetition(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
     val wordStats = docs
@@ -445,8 +440,7 @@ object TextAnalysis {
 
   def t5NgramFreq(s: SparkSession, d: String): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(TF.tokens(col("text")).as("tk"))
       .select(
         explode(
@@ -469,8 +463,7 @@ object TextAnalysis {
     * the per-language reducer holds types, not tokens.
     */
   def t20TypeTokenRatio(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(col("lang"), explode(TF.tokens(col("text"))).as("t"))
       .groupBy("lang")
       .agg(
@@ -491,8 +484,7 @@ object TextAnalysis {
     * the hash gate itself certifies absent here.
     */
   def t19CrossdocNgram(s: SparkSession, d: String, n: Int = 5): DataFrame = {
-    val grams = Tables
-      .documents(s, d)
+    val grams = Tables.documents(s, d)
       .select(
         col("doc_id"),
         explode(GraftExpressions.shingleHashes(split(col("text"), " "), n)).as("g")
@@ -523,8 +515,7 @@ object TextAnalysis {
     */
   def t21ZipfSlope(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(desc("f"), col("tok"))
-    val ranked = Tables
-      .documents(s, d)
+    val ranked = Tables.documents(s, d)
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
       .groupBy("lang", "tok")
       .agg(count(lit(1)).as("f"))
@@ -847,8 +838,7 @@ object TextAnalysis {
   def t25PerplexityFilter(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    val bg = Tables
-      .documents(s, d)
+    val bg = docsFloor(s, d)
       .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -1012,8 +1002,7 @@ object TextAnalysis {
     * aggregate, not corpus rows. [[trainBpeMerges]] is the full loop.
     */
   def t29BpePairStats(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val wf = Tables
-      .documents(s, d)
+    val wf = Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("wf"))
@@ -1071,8 +1060,7 @@ object TextAnalysis {
       maxVocab: Int = 1 << 20
   ): DataFrame = {
     import s.implicits._
-    val vocab0: Seq[(Vector[String], Long)] = Tables
-      .documents(s, d)
+    val vocab0: Seq[(Vector[String], Long)] = Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("wf"))
@@ -1128,8 +1116,7 @@ object TextAnalysis {
     */
   def t30GopherRules(s: SparkSession, d: String): DataFrame = {
     val tk = TF.tokens(col("text"))
-    val df = Tables
-      .documents(s, d)
+    val df = Tables.documents(s, d)
       .select(col("doc_id"), tk.as("tk"))
       .select(
         col("doc_id"),
@@ -1180,8 +1167,7 @@ object TextAnalysis {
     * score and how many positions backed off.
     */
   def t31BackoffLm(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
     val n1 = greatest(size(col("tk")) - 1, lit(0))
     def bigrams(df: DataFrame): DataFrame = df.select(
@@ -1308,8 +1294,7 @@ object TextAnalysis {
     */
   def t33RakeKeywords(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    val tok = Tables
-      .documents(s, d)
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "w")))
       .filter(!col("w").isin(stops: _*))
     val wrun = Window.partitionBy("doc_id").orderBy("pos")
@@ -1361,8 +1346,7 @@ object TextAnalysis {
     * decimal sum, rounded once.
     */
   def t34Entropy(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables
-      .documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("c"))
@@ -1411,8 +1395,7 @@ object TextAnalysis {
     * portability discipline).
     */
   def t36Winnowing(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
-    val grams = Tables
-      .documents(s, d)
+    val grams = docsFloor(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= k + w - 1)
       // the min-packing below carries gram positions in a 20-bit field;
@@ -1462,8 +1445,7 @@ object TextAnalysis {
   }
 
   def t35SrcOverlap(s: SparkSession, d: String, n: Int = 5): DataFrame = {
-    val grams = Tables
-      .documents(s, d)
+    val grams = Tables.documents(s, d)
       .select(
         col("source"),
         explode(GraftExpressions.shingleHashes(split(col("text"), " "), n)).as("g")
@@ -1503,8 +1485,7 @@ object TextAnalysis {
     * slope/intercept arithmetic is scalar double on identical inputs).
     */
   def t37HeapsLaw(s: SparkSession, d: String, bucket: Int = 16): DataFrame = {
-    val tok = Tables
-      .documents(s, d)
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
     val toksPerBucket = tok
       .groupBy(expr(s"doc_id div $bucket").as("b"))
@@ -1566,8 +1547,7 @@ object TextAnalysis {
     */
   def t38PmiCollocations(s: SparkSession, d: String, minCount: Long = 5L, k: Int = 20): DataFrame = {
     val n1e = greatest(size(col("tk")) - 1, lit(0))
-    val toks = Tables
-      .documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(TF.tokens(col("text")).as("tk"))
     val bg = toks.select(
       explode(
@@ -1619,8 +1599,7 @@ object TextAnalysis {
     * division.
     */
   def t39TokenizerFertility(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .select(
         col("lang"),
         TF.tokenCount(col("text")).cast("long").as("words"),
@@ -1648,8 +1627,7 @@ object TextAnalysis {
     * final share division.
     */
   def t40VocabCoverage(s: SparkSession, d: String, cuts: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
-    val freq = Tables
-      .documents(s, d)
+    val freq = Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("f"))
@@ -1686,8 +1664,7 @@ object TextAnalysis {
     */
   def t41LengthLognormal(s: SparkSession, d: String): DataFrame = {
     val x = round(log(col("n_chars").cast("double")), 9).cast("decimal(14,9)")
-    Tables
-      .documents(s, d)
+    Tables.documents(s, d)
       .filter(col("n_chars") > 0)
       .select(col("lang"), x.as("lx"))
       .groupBy("lang")
@@ -1734,8 +1711,7 @@ object TextAnalysis {
     */
   def t42KneserNey(s: SparkSession, d: String, discount: Double = 0.75): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    val bg = Tables
-      .documents(s, d)
+    val bg = docsFloor(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -1788,8 +1764,7 @@ object TextAnalysis {
     * per-pair fold (t34's discipline).
     */
   def t43JsDivergence(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables
-      .documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
       .groupBy("source", "tok")
       .agg(count(lit(1)).as("c"))
@@ -1954,8 +1929,7 @@ object TextAnalysis {
   }
 
   def t44Readability(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(
         col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
@@ -2003,8 +1977,7 @@ object TextAnalysis {
     * aggregate, TakeOrdered(20) — no global sort, no driver loop.
     */
   def t47WordBurstiness(s: SparkSession, d: String, minDf: Int = 25): DataFrame = {
-    val perDoc = Tables
-      .documents(s, d)
+    val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
       .groupBy("w", "doc_id")
       .agg(count(lit(1)).as("c"))
@@ -2079,8 +2052,10 @@ object TextAnalysis {
     // materialize the TYPE table once (vocab³-bounded — model-sized):
     // both the total and the ranked branch read it, so the corpus
     // explode+count shuffle runs exactly once, not once per branch
-    val grams = Tables
-      .documents(s, d)
+    // r18: the trigram explode + partial count (≈4.9M gram rows at
+    // sf0.1) ran fused into the 1-task scan — parallelism floor first
+    // (guide §2.6); column pruning keeps the exchange to the text column
+    val grams = docsFloor(s, d)
       .select(explode(tris).as("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("c"))
@@ -2130,8 +2105,7 @@ object TextAnalysis {
     * anywhere.
     */
   def t50ParagraphDedup(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables
-      .documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("ts"))
       .filter(size(col("ts")) > 0)
     val chunks = toks
@@ -2178,8 +2152,7 @@ object TextAnalysis {
     * lang grain), no all-pairs anything, no skew (md5 keys).
     */
   def t52SplitLeakage(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(
         col("doc_id"),
         col("lang"),
@@ -2233,8 +2206,7 @@ object TextAnalysis {
     */
   def t53BudgetSample(s: SparkSession, d: String): DataFrame = {
     val budget = 100L
-    val docs = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d)
       .select(
         col("doc_id"),
         col("lang"),

@@ -54,6 +54,29 @@ object Tables {
     events(s, d).createOrReplaceTempView("events")
   }
 
+  /** Parallelism FLOOR for expensive per-row map stages (optimization
+    * guide §2.6 stragglers / §6 input splits). The generated sf inputs
+    * are single-row-group parquet files, and a parquet row group belongs
+    * to whichever byte-range split holds its midpoint — so a base-table
+    * scan collapses to ONE non-empty task no matter how
+    * `maxPartitionBytes`/`minPartitionNum` slice the file, and everything
+    * Spark fuses into the scan stage (tokenization, shingle hashing,
+    * explodes, partial aggregation) runs serially on one core.
+    *
+    * This helper round-robin repartitions to the session's default
+    * parallelism ONLY when the planned scan is narrower than it — on a
+    * real many-row-group table (any production 100 TB layout) the
+    * condition is false and NO exchange is added, so it is
+    * scale-adaptive, not a local[32] constant. Apply it only where the
+    * per-row map work is expensive enough to dwarf one exchange of the
+    * input rows (the callers each record their measurement in
+    * OPTIMIZATION_r18.md); a cheap scan-stage is better left fused.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events` with `ts` normalized to a microsecond TimestampType. */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "events"))
