@@ -838,7 +838,10 @@ object TextAnalysis {
   def t25PerplexityFilter(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    val bg = docsFloor(s, d)
+    // no parallelism floor here: standalone it was neutral (−0.05 s) and
+    // p5 consumes this gate several times — the re-run floor exchange
+    // cost p5 more than the spread map work saved (r18 measurement)
+    val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -1711,7 +1714,9 @@ object TextAnalysis {
     */
   def t42KneserNey(s: SparkSession, d: String, discount: Double = 0.75): DataFrame = {
     val n1 = greatest(size(col("tk")) - 1, lit(0))
-    val bg = docsFloor(s, d)
+    // no parallelism floor: marginal in the noisy window it was tried in
+    // (1.24->1.18) and behind the inherited canonical (0.67) - reverted
+    val bg = Tables.documents(s, d)
       .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
