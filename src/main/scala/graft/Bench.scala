@@ -130,6 +130,25 @@ object Bench {
     val slow = results.sortBy(-_._2).take(10)
       .map { case (n, v, _) => s"\"" + n + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // r19 (r18 VERDICT item 2): the driver's per-query comparison has
+    // been blind for two rounds (PERF n_common=0) because the one-line
+    // 397-entry map above exceeds its line-oriented capture. Emit the
+    // SAME map again, chunked per cohort into short independently
+    // parseable JSON lines (≤ 40 entries ≈ 1.5 kB each) so a
+    // line-scanning capture can reassemble the per-query times — values
+    // identical to BENCH_FULL.json, which stays the canonical committed
+    // artifact. The chunks print BEFORE the compact total line (not
+    // after, as the r18 verdict sketched): the total line is the ONE
+    // contract line and must stay last so a bounded tail capture can
+    // never lose it behind the chunk lines. Methodology/timing unchanged.
+    val byCohort = results.groupBy { case (n, _, _) => n.takeWhile(!_.isDigit) }
+    val chunks = byCohort.toSeq.sortBy(_._1).flatMap { case (_, qs) =>
+      qs.sortBy(_._1).grouped(40)
+    }
+    chunks.zipWithIndex.foreach { case (qs, i) =>
+      val body = qs.map { case (n, v, _) => s"\"" + n + "\":" + fmt(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$body,"sf":$sfNum}""")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_value":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"full":"BENCH_FULL.json","slowest":$slow,"sf":$sfNum}""")
     spark.stop()
   }

@@ -28,7 +28,10 @@ object Dedup {
     * only consumed columns ride it).
     */
   private def docsFloor(s: SparkSession, d: String) =
-    Tables.parallelized(Tables.documents(s, d))
+    // r19: hash-repartition on doc_id instead of round-robin — keyless
+    // repartition pays a serial full-row (text included) determinism
+    // sort on the 1-task scan (see Tables.parallelized scaladoc)
+    Tables.parallelized(Tables.documents(s, d), col("doc_id"))
 
   /** Exact dedup: content-hash groupBy. One shuffle on the hash key; at
     * scale this is the canonical "keep one per hash" pass (keep = min id).
@@ -136,9 +139,16 @@ object Dedup {
           .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
     )
     // r18: per-token md5 + conv + the 64-slot vote loop ran fused into
-    // the 1-task scan — parallelism floor first (guide §2.6)
+    // the 1-task scan — parallelism floor first (guide §2.6).
+    // r19 (VERDICT item 1): that floored signature scan fed BOTH sides
+    // of the band self-join, so the full-text exchange + the md5 vote
+    // compute executed twice per run (driver-measured 2.27 → 14.8 s
+    // regression). Materialize the COMPACT (doc_id, sim) once per
+    // execution — t49's localCheckpoint pattern; 16 bytes/row ride the
+    // join instead of the text column, and the floor pays exactly once.
     val sh = docsFloor(s, d)
       .select(col("doc_id"), GraftExpressions.simhash64FromHashes(th).as("sim"))
+      .localCheckpoint()
 
     val banded = sh.select(
       col("doc_id"),
@@ -165,8 +175,17 @@ object Dedup {
   /** Ground-truth exact n-gram Jaccard pairs. All-pairs — intentionally
     * capped to the first [[cap]] doc_ids; at scale use [[d2MinhashLsh]].
     */
+  /** The capped shingle slice d4/d10/d23 self-join, materialized COMPACT
+    * once per execution (localCheckpoint, the d3/t49 pattern) so the
+    * floored full-text exchange and the shingle compute pay once per
+    * run, not once per cross-join side (r18 VERDICT item 1). Built
+    * fresh inside every call — nothing is reused across executions.
+    */
+  private def shingledCapped(s: SparkSession, d: String, cap: Int): DataFrame =
+    shingled(s, d).filter(col("doc_id") < cap).localCheckpoint()
+
   def d4NgramJaccard(s: SparkSession, d: String, cap: Int = 1000): DataFrame = {
-    val sh = shingled(s, d).filter(col("doc_id") < cap)
+    val sh = shingledCapped(s, d, cap)
     val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     withJaccard(l.crossJoin(r).filter(col("id_a") < col("id_b")))
@@ -183,7 +202,7 @@ object Dedup {
     * candidate recall is then governed by the banding threshold.
     */
   def d10Containment(s: SparkSession, d: String, tau: Double = 0.8, cap: Int = 1000): DataFrame = {
-    val sh = shingled(s, d).filter(col("doc_id") < cap)
+    val sh = shingledCapped(s, d, cap)
     val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r)
@@ -897,7 +916,7 @@ object Dedup {
   }
 
   def d23LshPlan(s: SparkSession, d: String, cap: Int = 1000): DataFrame = {
-    val sh = shingled(s, d).filter(col("doc_id") < cap)
+    val sh = shingledCapped(s, d, cap)
     val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val pairs = withJaccard(l.crossJoin(r).filter(col("id_a") < col("id_b")))

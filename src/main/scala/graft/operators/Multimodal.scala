@@ -219,6 +219,16 @@ object Multimodal {
     javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
   }
   private[graft] def decodeImage(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // r19 (ADVICE): this decoder is PNG-only by design (the per-thread
+    // reader is a PNGImageReader; every staged image is PNG) — say so
+    // when the magic bytes disagree instead of a misleading
+    // "corrupt or unsupported format" for a valid JPEG/GIF.
+    val isPng = bytes.length >= 8 &&
+      bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    if (!isPng)
+      throw new IllegalArgumentException(
+        s"doc_id=$docId: not a PNG (${bytes.length} bytes) — decodeImage handles the staged PNG format only"
+      )
     val reader = pngReaderTL.get()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes)
@@ -229,12 +239,16 @@ object Multimodal {
     } catch {
       case e: Exception =>
         throw new IllegalArgumentException(
-          s"undecodable image bytes for doc_id=$docId (${bytes.length} bytes) — corrupt or unsupported format",
+          s"undecodable image bytes for doc_id=$docId (${bytes.length} bytes) — corrupt PNG",
           e
         )
     } finally {
-      reader.setInput(null)
-      iis.close()
+      // r19 (ADVICE): close the stream even if setInput(null) itself
+      // throws, and drop a wedged per-thread reader so one poison input
+      // cannot break every later row on this pool thread.
+      try reader.setInput(null)
+      catch { case _: Throwable => pngReaderTL.remove() }
+      finally iis.close()
     }
   }
 
@@ -465,9 +479,10 @@ object Multimodal {
     * scale with the driver's core ladder. A real 100 TB media store is
     * many-file by construction; the repartition below only reproduces
     * that shape for the generated store (untimed staging — Bench
-    * prestages it before timing). File count = 4× default parallelism,
-    * capped by doc count / 32 so tiny SFs don't emit hundreds of
-    * near-empty files.
+    * prestages it before timing). File count = default parallelism (one
+    * file per core), capped by doc count / 32 so tiny SFs don't emit
+    * hundreds of near-empty files (r19: scaladoc aligned with the code
+    * and the r18 measurement note — 4× was measured and rejected).
     */
   def mediaStore(s: SparkSession, d: String): String =
     mediaStoreCache.computeIfAbsent(
@@ -724,6 +739,13 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "w_idx", "len_w", "sq_w")
+      // r19 (r18 VERDICT item 5): both consumers (m11 VAD, m18 SNR) fan
+      // this out twice — once direct, once through the per-clip totals
+      // aggregate they join back — so the WAV decode subtree ran TWICE
+      // per query. Materialize the window-grain rows once per execution
+      // (localCheckpoint, the d3/t49 pattern): one decode pass, and only
+      // the compact (doc_id, w_idx, len, Σv²) rows are re-read.
+      .localCheckpoint()
   }
 
   /** m20: AUDIO SILENCE TRIM — the lead/tail trim an ASR curation

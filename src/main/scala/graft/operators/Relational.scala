@@ -930,6 +930,22 @@ object Relational {
     * n·avg-depth (≈ n·ln n here); when only root/depth is needed at
     * extreme scale, pointer doubling over the (k, anc, d) triple alone
     * drops that to O(n) per round — same join shape.
+    *
+    * Round 19 (r18 VERDICT item 8): FRONTIER-ONLY squaring. The parent
+    * function is a forest, so each (k, anc) pair lies on k's unique
+    * ancestor path at exactly one distance d — after round i the
+    * closure is complete for d ≤ 2^i, and every pair at
+    * d ∈ (2^i, 2^(i+1)] splits as a first hop of EXACTLY 2^i (a pair in
+    * the round-i delta, which covers (2^(i-1), 2^i]) composed with a
+    * closure hop of d − 2^i ≤ 2^i. So joining only the DELTA against
+    * the closure and keeping d > 2^i yields exactly the next delta:
+    * the old `union().distinct()` + checkpoint + count over the ENTIRE
+    * closure each round (the dominant shuffle at scale — closure is
+    * n·avg-depth rows, the delta a sliver of it) becomes a distinct
+    * over the delta alone, and the disjoint deltas concatenate into the
+    * closure with no dedup pass at all. Same ⌈log₂D⌉ rounds, same
+    * three-way value pin (q79 native recursion + the DuckDB recursive
+    * oracle).
     */
   def q51Hierarchy(s: SparkSession, d: String): DataFrame = {
     val custs = Tables.customer(s, d).select(col("c_custkey"))
@@ -937,20 +953,25 @@ object Relational {
     val par = custs
       .filter(col("c_custkey") > 0)
       .select(col("c_custkey").as("k"), (h % col("c_custkey")).as("anc"), lit(1L).as("d"))
-    var closure = par.localCheckpoint()
-    var size = closure.count()
-    var grew = true
+    var delta = par.localCheckpoint()
+    var closure = delta
+    var reach = 1L // closure is complete for all d <= reach
+    var deltaN = delta.count()
     var iter = 0
-    while (grew && iter < 40) {
+    while (deltaN > 0 && iter < 40) {
       val right = closure.select(col("k").as("r_k"), col("anc").as("r_anc"), col("d").as("r_d"))
-      val next = closure
-        .join(right, closure("anc") === right("r_k"))
+      val next = delta
+        .join(right, delta("anc") === right("r_k"))
         .select(col("k"), col("r_anc").as("anc"), (col("d") + col("r_d")).as("d"))
-      val grown = closure.unionByName(next).distinct().localCheckpoint()
-      val n = grown.count()
-      grew = n > size
-      size = n
-      closure = grown
+        .filter(col("d") > reach)
+        .distinct()
+        .localCheckpoint()
+      deltaN = next.count()
+      if (deltaN > 0) {
+        closure = closure.unionByName(next)
+        delta = next
+        reach *= 2
+      }
       iter += 1
     }
     val depths = closure.groupBy("k").agg(max("d").as("depth"))

@@ -22,7 +22,10 @@ object TextAnalysis {
     * only consumed columns ride it).
     */
   private def docsFloor(s: SparkSession, d: String) =
-    Tables.parallelized(Tables.documents(s, d))
+    // r19: hash-repartition on doc_id instead of round-robin — keyless
+    // repartition pays a serial full-row (text included) determinism
+    // sort on the 1-task scan (see Tables.parallelized scaladoc)
+    Tables.parallelized(Tables.documents(s, d), col("doc_id"))
 
   /** Heuristic language ID (stopword-profile argmax). */
   def t1LangId(s: SparkSession, d: String): DataFrame =

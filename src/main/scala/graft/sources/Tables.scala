@@ -63,18 +63,87 @@ object Tables {
     * Spark fuses into the scan stage (tokenization, shingle hashing,
     * explodes, partial aggregation) runs serially on one core.
     *
-    * This helper round-robin repartitions to the session's default
-    * parallelism ONLY when the planned scan is narrower than it — on a
+    * This helper repartitions to the session's default parallelism ONLY
+    * when the scan's NON-EMPTY parallelism is narrower than it — on a
     * real many-row-group table (any production 100 TB layout) the
     * condition is false and NO exchange is added, so it is
     * scale-adaptive, not a local[32] constant. Apply it only where the
     * per-row map work is expensive enough to dwarf one exchange of the
     * input rows (the callers each record their measurement in
-    * OPTIMIZATION_r18.md); a cheap scan-stage is better left fused.
+    * OPTIMIZATION_r18/19.md); a cheap scan-stage is better left fused.
+    *
+    * Round-19 hardening (r18 VERDICT item 6 + ADVICE):
+    *
+    *  - RAW SCANS ONLY, enforced: probing `df.rdd` on a post-shuffle /
+    *    AQE subtree can force stage materialization (the r18 sharp edge
+    *    that was previously a call-site convention). The helper now
+    *    fails loudly unless the analyzed plan is a bare file scan under
+    *    nothing but Project/Filter/SubqueryAlias.
+    *  - Non-empty-task gate: the planned split count counts EMPTY
+    *    byte-range splits too, so a single-row-group file larger than
+    *    target×maxPartitionBytes would plan ≥ target splits and silently
+    *    skip the floor in exactly the 1-task case it exists for. When
+    *    the scan has fewer FILES than the target, the true parallelism
+    *    ceiling (Σ row groups, read from the ≤ target parquet footers —
+    *    bounded, local metadata) gates instead; many-file scans skip the
+    *    footer reads entirely.
+    *  - Scan-bytes gate: the floor only fires when the whole scan is at
+    *    most target×maxPartitionBytes — i.e. when the added exchange
+    *    moves at most one scan-task's worth of bytes per core. A pruned
+    *    100 TB scan that is merely narrower than the core count is left
+    *    alone rather than force-reshuffled.
+    *  - Optional hash KEYS: keyless `repartition(n)` pays a local
+    *    sort of the FULL rows before the round-robin write
+    *    (`spark.sql.execution.sortBeforeRepartition`, on by default so
+    *    task retries are deterministic — guide §2.5). On a 1-task text
+    *    scan that sort is serial and carries the text column; hash
+    *    repartitioning on a high-cardinality key (doc_id) has no such
+    *    sort and is just as deterministic under retry.
     */
-  def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  def parallelized(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    def bare(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation        => true
+      case pr: Project               => bare(pr.child)
+      case f: Filter                 => bare(f.child)
+      case a: SubqueryAlias          => bare(a.child)
+      case _                         => false
+    }
+    val analyzed = df.queryExecution.analyzed
+    require(
+      bare(analyzed),
+      s"Tables.parallelized must wrap a RAW file scan (Project/Filter over one relation); got:\n$analyzed"
+    )
+    val rel = analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs
+    }.getOrElse(
+      throw new IllegalArgumentException("Tables.parallelized: no file-source relation in plan")
+    )
+    val files = rel.location.listFiles(Nil, Nil).flatMap(_.files)
+    val totalBytes = files.map(_.getLen).sum
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    if (totalBytes > target.toLong * maxPartitionBytes) return df // big scan: never force a reshuffle
+    // non-empty parallelism ceiling: planned splits, capped by the true
+    // row-group count when the file set is small enough to ask cheaply
+    val planned = df.rdd.getNumPartitions
+    val ceiling =
+      if (files.length >= target) planned
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        val rowGroups = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f.fileStatus, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size.toLong
+          finally r.close()
+        }.sum
+        math.min(planned.toLong, rowGroups)
+      }
+    if (ceiling < target) {
+      if (keys.nonEmpty) df.repartition(target, keys: _*) else df.repartition(target)
+    } else df
   }
 
   /** `events` with `ts` normalized to a microsecond TimestampType. */

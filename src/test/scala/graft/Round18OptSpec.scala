@@ -88,10 +88,12 @@ class Round18OptSpec extends AnyFunSuite {
     assert(floored.rdd.getNumPartitions == target)
     // same rows either way — the floor is layout-only
     assert(floored.count() == docs.count())
-
+    // r19: the helper now REJECTS non-raw-scan input outright (probing
+    // df.rdd on a shuffled/AQE subtree was the r18 sharp edge), so the
+    // no-op-above-the-floor property is pinned on raw scans in
+    // Round19OptSpec and the old in-memory wide case asserts the guard.
     val wide = spark.range(1000).repartition(target + 3).toDF()
-    val untouched = graft.sources.Tables.parallelized(wide)
-    assert(untouched.rdd.getNumPartitions == wide.rdd.getNumPartitions, "no-op above the floor")
+    intercept[IllegalArgumentException](graft.sources.Tables.parallelized(wide))
   }
 
   test("media store stages as multiple files on a multi-core session") {
