@@ -739,13 +739,14 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "w_idx", "len_w", "sq_w")
-      // r19 (r18 VERDICT item 5): both consumers (m11 VAD, m18 SNR) fan
-      // this out twice — once direct, once through the per-clip totals
-      // aggregate they join back — so the WAV decode subtree ran TWICE
-      // per query. Materialize the window-grain rows once per execution
-      // (localCheckpoint, the d3/t49 pattern): one decode pass, and only
-      // the compact (doc_id, w_idx, len, Σv²) rows are re-read.
-      .localCheckpoint()
+      // r19: both consumers (m11 VAD, m18 SNR) fan this out twice, so
+      // the WAV decode subtree runs twice per query. A localCheckpoint
+      // here was tried and REJECTED by a minutes-apart toggle A/B
+      // (repeat-4 min-take @32c: m11 0.600 → 0.831, m18 0.526 → 0.821
+      // WITH the checkpoint): post-r18 the decode pass is ~0.15 s warm
+      // across 32 tasks, cheaper than the materialization barrier +
+      // extra job the checkpoint adds. Left as a double decode on
+      // purpose — see OPTIMIZATION_r19.md.
   }
 
   /** m20: AUDIO SILENCE TRIM — the lead/tail trim an ASR curation
